@@ -1,0 +1,10 @@
+from linz_bde_uploader_spark.operators.diff import (  # noqa: F401
+    MergeStats,
+    apply_changes,
+    classify_incremental_changes,
+    full_table_diff,
+    keyswap_repair,
+    level0_replace,
+)
+from linz_bde_uploader_spark.operators.negotiate import negotiate_columns  # noqa: F401
+from linz_bde_uploader_spark.operators.tolerance import ToleranceResult, check_row_tolerance  # noqa: F401

@@ -1,0 +1,279 @@
+"""The distributed diff/merge kernel.
+
+Reimplements, Spark-first, the reference's incremental-merge semantics
+(/root/reference/sql/02-bde_control_functions.sql.in:1576-1814,2146-2368 and
+the external ``table_version`` apply/diff kernel it calls at :1762-1765 and
+:1914-1928):
+
+- **Change classification** (J1–J3): given the *current* table, the
+  *incoming* snapshot, and the set of *changed keys*, recompute each key's
+  true action from data presence — the declared I/U/D in the change table is
+  advisory only (reference :2228-2368).
+
+  =====  =============================================================
+  ``D``  key exists in current, absent from incoming      (:2228-2259)
+  ``I``  key in incoming, absent from current             (:2264-2295)
+  ``0``  present in both, all columns null-safe equal — a "null update"
+         that must NOT touch the target                   (:2341-2344)
+  ``X``  present in both, a *unique-constraint* column differs — applied
+         as delete-then-insert so uniqueness is never violated
+         mid-apply                                        (:2345-2350)
+  ``U``  present in both, some non-unique column differs  (:2351)
+  =====  =============================================================
+
+- **Key-swap repair** (J4, reference :2146-2223): when a row's primary key
+  changed but an alternate unique column still matches an existing row, the
+  *old* key must be pulled into the change set (else the insert of the new
+  key collides with the live old row).
+
+- **Apply** (J5): keys classified D/U/X are deleted, rows classified
+  I/U/X are inserted from incoming — a keyed MERGE. Expressed as
+  ``left_anti`` + ``union`` so it runs on any sink (parquet/Delta/JDBC);
+  for a Delta sink the same action set folds 1:1 into ``MERGE INTO``.
+
+- **Full-table diff** (J6, ``ver_apply_table_differences`` semantics): a
+  full-outer compare by key classifying I/U/D, for ``-full-incremental``
+  loads where no change table exists.
+
+Scale posture (100 TB): every operator is a pure DataFrame expression —
+Catalyst chooses broadcast for the (small) change-key set, sort-merge + AQE
+skew-split for the large current×incoming compare; the null-safe
+all-columns compare stays in whole-stage codegen (``<=>`` chains), no
+Python in the row path. The classification output ``(key, action)`` is
+narrow (two columns), so shuffles carry minimal payload; the wide incoming
+rows are only shuffled once, in the final apply join.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+ACTION_COL = "_action"
+
+ACT_INSERT = "I"
+ACT_UPDATE = "U"
+ACT_DELETE = "D"
+ACT_NULL_UPDATE = "0"
+ACT_KEY_SWAP = "X"
+
+
+@dataclass
+class MergeStats:
+    """The observable contract of a merge (reference upload_stats counters,
+    sql/01-bde_control_tables.sql:177-191; exact values asserted by the
+    reference's own e2e test t/linz_bde_uploader.t:1176-1183)."""
+
+    ninsert: int = 0
+    nupdate: int = 0
+    nnullupdate: int = 0
+    ndelete: int = 0
+
+    @property
+    def total_applied(self) -> int:
+        return self.ninsert + self.nupdate + self.ndelete
+
+
+def _all_equal_nullsafe(left: str, right: str, cols: list[str]) -> Column:
+    """`left.c <=> right.c` for every compare column — Spark's eqNullSafe is
+    exactly PostgreSQL's IS NOT DISTINCT FROM, which the reference's
+    generated compare SQL uses (table_version _ver_get_compare_sql).
+
+    ``left``/``right`` are DataFrame alias names: qualified references stay
+    unambiguous even when the inputs share lineage (self-join shapes are
+    common here — the change-key set is often derived from the snapshots).
+    """
+    return reduce(
+        lambda a, b: a & b,
+        [F.col(f"{left}.{c}").eqNullSafe(F.col(f"{right}.{c}")) for c in cols],
+        F.lit(True),
+    )
+
+
+def _any_differs(left: str, right: str, cols: list[str]) -> Column:
+    return reduce(
+        lambda a, b: a | b,
+        [~F.col(f"{left}.{c}").eqNullSafe(F.col(f"{right}.{c}")) for c in cols],
+        F.lit(False),
+    )
+
+
+def classify_incremental_changes(
+    current: DataFrame,
+    incoming: DataFrame,
+    change_keys: DataFrame,
+    key: str,
+    compare_cols: list[str] | None = None,
+    unique_cols: list[str] | None = None,
+) -> DataFrame:
+    """Classify each changed key into I/U/D/0/X → DataFrame ``(key, _action)``.
+
+    ``change_keys`` is a one-column (``key``) DataFrame of keys named in the
+    change table for this target (already filtered by tablename and
+    deduplicated — reference :1686-1717 does the same projection first and
+    calls it a manual predicate pushdown; here Catalyst would push it anyway
+    but we keep the narrow shape so the key set broadcasts).
+    """
+    if compare_cols is None:
+        compare_cols = [c for c in current.columns if c != key]
+    compare_cols = [c for c in compare_cols if c != key]
+    unique_cols = [c for c in (unique_cols or []) if c != key]
+
+    chg = F.broadcast(change_keys.select(key).distinct())
+
+    cur_keys = current.select(key)
+    inc_keys = incoming.select(key)
+
+    # J1 — deletes: in change set, in current, not in incoming (:2228-2259)
+    deletes = (
+        chg.join(cur_keys, key, "left_semi")
+        .join(inc_keys, key, "left_anti")
+        .withColumn(ACTION_COL, F.lit(ACT_DELETE))
+    )
+
+    # J2 — inserts: in change set, in incoming, not in current (:2264-2295)
+    inserts = (
+        chg.join(inc_keys, key, "left_semi")
+        .join(cur_keys, key, "left_anti")
+        .withColumn(ACTION_COL, F.lit(ACT_INSERT))
+    )
+
+    # J3 — updates: 3-way join + null-safe column compare (:2300-2368)
+    cur = current.alias("cur")
+    inc = incoming.alias("inc")
+    both = (
+        chg.alias("chg")
+        .join(cur, F.col(f"chg.{key}") == F.col(f"cur.{key}"), "inner")
+        .join(inc, F.col(f"chg.{key}") == F.col(f"inc.{key}"), "inner")
+    )
+    null_update = _all_equal_nullsafe("cur", "inc", compare_cols)
+    action = F.when(null_update, F.lit(ACT_NULL_UPDATE))
+    if unique_cols:
+        action = action.when(_any_differs("cur", "inc", unique_cols), F.lit(ACT_KEY_SWAP))
+    action = action.otherwise(F.lit(ACT_UPDATE))
+    updates = both.select(F.col(f"chg.{key}").alias(key), action.alias(ACTION_COL))
+
+    return deletes.unionByName(inserts).unionByName(updates)
+
+
+def keyswap_repair(
+    current: DataFrame,
+    incoming: DataFrame,
+    change_keys: DataFrame,
+    key: str,
+    unique_cols: list[str],
+) -> DataFrame:
+    """Find *old* keys displaced by a key change (reference :2146-2223).
+
+    For each alternate unique column ``u``: an incoming changed row whose
+    ``u`` matches a current row under a *different* key means the current
+    row's key is about to be orphaned — its key joins the change set (and
+    will classify as a delete). Keys already present in the change set are
+    excluded (the reference's NOT EXISTS dedupe, :2185-2189).
+
+    Returns the extra keys as a one-column DataFrame; union it into
+    ``change_keys`` before classification.
+    """
+    chg = F.broadcast(change_keys.select(key).distinct())
+    changed_inc = incoming.join(chg, key, "left_semi").alias("inc")
+    extras = []
+    for u in unique_cols:
+        cur = current.alias("cur")
+        hit = changed_inc.join(
+            cur,
+            (F.col(f"inc.{u}").eqNullSafe(F.col(f"cur.{u}")))
+            & (F.col(f"inc.{key}") != F.col(f"cur.{key}")),
+            "inner",
+        ).select(F.col(f"cur.{key}").alias(key))
+        extras.append(hit)
+    if not extras:
+        return change_keys.select(key).limit(0)
+    out = reduce(lambda a, b: a.unionByName(b), extras).distinct()
+    return out.join(chg, key, "left_anti")
+
+
+def merge_stats(actions: DataFrame) -> MergeStats:
+    """Count per-action rows in one pass (single job, map-side partial agg)."""
+    row = actions.agg(
+        F.count(F.when(F.col(ACTION_COL) == ACT_INSERT, 1)).alias("ni"),
+        F.count(
+            F.when(F.col(ACTION_COL).isin(ACT_UPDATE, ACT_KEY_SWAP), 1)
+        ).alias("nu"),
+        F.count(F.when(F.col(ACTION_COL) == ACT_NULL_UPDATE, 1)).alias("n0"),
+        F.count(F.when(F.col(ACTION_COL) == ACT_DELETE, 1)).alias("nd"),
+    ).collect()[0]
+    return MergeStats(ninsert=row.ni, nupdate=row.nu, nnullupdate=row.n0, ndelete=row.nd)
+
+
+def apply_changes(
+    current: DataFrame,
+    incoming: DataFrame,
+    actions: DataFrame,
+    key: str,
+) -> DataFrame:
+    """Apply a classified action set — the keyed MERGE (reference J5,
+    ``table_version._ver_apply_changes`` called at :1762-1765).
+
+    - keys with action D/U/X are removed from current
+    - incoming rows with action I/U/X are appended
+    - action '0' (null update) touches nothing
+
+    X's delete-then-insert ordering is inherent here: the merged result is
+    built functionally, so uniqueness can't be violated mid-apply.
+    """
+    doomed = actions.filter(
+        F.col(ACTION_COL).isin(ACT_DELETE, ACT_UPDATE, ACT_KEY_SWAP)
+    ).select(key)
+    fresh_keys = actions.filter(
+        F.col(ACTION_COL).isin(ACT_INSERT, ACT_UPDATE, ACT_KEY_SWAP)
+    ).select(key)
+
+    kept = current.join(F.broadcast(doomed), key, "left_anti")
+    fresh = incoming.join(F.broadcast(fresh_keys), key, "left_semi")
+    return kept.unionByName(fresh.select(current.columns))
+
+
+def full_table_diff(
+    current: DataFrame,
+    incoming: DataFrame,
+    key: str,
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Full-outer compare by key → ``(key, _action)`` with I/U/D only
+    (unchanged rows excluded) — ``ver_apply_table_differences`` semantics
+    (reference call site :1914-1928) for ``-full-incremental`` loads.
+
+    One shuffle each side on ``key`` (sort-merge under AQE); the action
+    output is narrow. At 100 TB this is the optimal shape — the compare
+    must see every row once, and nothing is re-shuffled afterwards.
+    """
+    if compare_cols is None:
+        compare_cols = [c for c in current.columns if c != key]
+    compare_cols = [c for c in compare_cols if c != key]
+
+    cur = current.alias("cur")
+    inc = incoming.alias("inc")
+    joined = cur.join(inc, F.col(f"cur.{key}") == F.col(f"inc.{key}"), "full_outer")
+    action = (
+        F.when(F.col(f"cur.{key}").isNull(), F.lit(ACT_INSERT))
+        .when(F.col(f"inc.{key}").isNull(), F.lit(ACT_DELETE))
+        .when(_any_differs("cur", "inc", compare_cols), F.lit(ACT_UPDATE))
+    )  # else NULL → unchanged
+    return (
+        joined.select(
+            F.coalesce(F.col(f"cur.{key}"), F.col(f"inc.{key}")).alias(key),
+            action.alias(ACTION_COL),
+        )
+        .filter(F.col(ACTION_COL).isNotNull())
+    )
+
+
+def level0_replace(incoming: DataFrame) -> tuple[DataFrame, "MergeStats"]:
+    """Level-0 full replace: DELETE target + INSERT SELECT (reference
+    :1949-1973). Functionally the new table IS the incoming snapshot;
+    ninsert = row count (GET DIAGNOSTICS ROW_COUNT analog)."""
+    n = incoming.count()
+    return incoming, MergeStats(ninsert=n)
