@@ -1,10 +1,15 @@
-"""Driver contract for the spark-graft builder (PySpark target).
+"""Driver contract for the PySpark BDE engine.
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes one entry per implemented operator from SURVEY.md §2
+(plus the large-scale pipeline extensions); ``oracle_sql()`` holds the
+equivalent ANSI SQL for the DuckDB oracle. Every computed column is aliased
+identically on both sides; doubles derived from aggregation go through
+exact DECIMAL sums (order-independent) before a final cast, and similarity
+scores are rounded to 6 dp, so cross-engine value hashes match.
+
+The incremental-merge scenario (current/incoming/change-table) is defined
+by pure arithmetic in ``linz_bde_uploader_spark.plans.workload`` and
+mirrored verbatim in the ``_SCENARIO`` CTE block below.
 """
 
 from __future__ import annotations
@@ -12,27 +17,844 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from linz_bde_uploader_spark.functions import dedup as D
+from linz_bde_uploader_spark.functions import similarity as S
+from linz_bde_uploader_spark.functions import text as X
+from linz_bde_uploader_spark.operators import diff as DF_
+from linz_bde_uploader_spark.operators.clean import CleanConfig, clean_text, fix_date_range, fix_wkt
+from linz_bde_uploader_spark.operators.tolerance import check_row_tolerance
+from linz_bde_uploader_spark.plans import workload as W
+
+ORDER_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+              "o_orderdate", "o_orderpriority"]
+
+# ---------------------------------------------------------------------------
+# shared oracle CTEs: the merge scenario, mirrored from plans/workload.py
+# ---------------------------------------------------------------------------
+
+_SCENARIO = """
+WITH incoming AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 19 = 0 THEN o_custkey + 1000000 ELSE o_custkey END AS o_custkey,
+         o_orderstatus,
+         CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice + 5.0 ELSE o_totalprice END AS o_totalprice,
+         o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderkey % 97 <> 0
+  UNION ALL
+  SELECT o_orderkey + 30000000, o_custkey, o_orderstatus, o_totalprice,
+         o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderkey % 101 = 0
+),
+change_table AS (
+  SELECT CASE WHEN o_orderkey % 2 = 0 THEN 'ORDERS' ELSE 'Orders' END AS tablename,
+         o_orderkey AS tablekeyvalue, 'D' AS action
+  FROM orders WHERE o_orderkey % 97 = 0
+  UNION ALL
+  SELECT CASE WHEN o_orderkey % 2 = 0 THEN 'ORDERS' ELSE 'Orders' END,
+         o_orderkey, 'U'
+  FROM orders
+  WHERE o_orderkey % 97 <> 0
+    AND (o_orderkey % 13 = 0 OR o_orderkey % 19 = 0 OR o_orderkey % 11 = 0)
+  UNION ALL
+  SELECT CASE WHEN o_orderkey % 2 = 0 THEN 'ORDERS' ELSE 'Orders' END,
+         o_orderkey + 30000000, 'I'
+  FROM orders WHERE o_orderkey % 101 = 0
+  UNION ALL
+  SELECT 'other_table', o_orderkey, 'U' FROM orders WHERE o_orderkey % 500 = 0
+),
+change_keys AS (
+  SELECT DISTINCT tablekeyvalue AS o_orderkey
+  FROM change_table WHERE lower(tablename) = 'orders'
+),
+actions AS (
+  SELECT k.o_orderkey, 'D' AS _action
+  FROM change_keys k
+  WHERE EXISTS (SELECT 1 FROM orders c WHERE c.o_orderkey = k.o_orderkey)
+    AND NOT EXISTS (SELECT 1 FROM incoming i WHERE i.o_orderkey = k.o_orderkey)
+  UNION ALL
+  SELECT k.o_orderkey, 'I' AS _action
+  FROM change_keys k
+  WHERE EXISTS (SELECT 1 FROM incoming i WHERE i.o_orderkey = k.o_orderkey)
+    AND NOT EXISTS (SELECT 1 FROM orders c WHERE c.o_orderkey = k.o_orderkey)
+  UNION ALL
+  SELECT k.o_orderkey,
+         CASE WHEN c.o_custkey IS NOT DISTINCT FROM i.o_custkey
+                   AND c.o_orderstatus IS NOT DISTINCT FROM i.o_orderstatus
+                   AND c.o_totalprice IS NOT DISTINCT FROM i.o_totalprice
+                   AND c.o_orderdate IS NOT DISTINCT FROM i.o_orderdate
+                   AND c.o_orderpriority IS NOT DISTINCT FROM i.o_orderpriority
+              THEN '0'
+              WHEN c.o_custkey IS DISTINCT FROM i.o_custkey THEN 'X'
+              ELSE 'U' END AS _action
+  FROM change_keys k
+  JOIN orders c ON c.o_orderkey = k.o_orderkey
+  JOIN incoming i ON i.o_orderkey = k.o_orderkey
+),
+merged AS (
+  SELECT * FROM orders
+  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM actions WHERE _action IN ('D','U','X'))
+  UNION ALL
+  SELECT i.* FROM incoming i
+  WHERE i.o_orderkey IN (SELECT o_orderkey FROM actions WHERE _action IN ('I','U','X'))
+)
+"""
+
+# text helpers mirrored in SQL
+_TOKS = "string_split(text, ' ')"
+
+
+def _tokval(t: str) -> str:
+    return f"((length({t})*17 + ascii({t})*31) % 2147483647)"
+
+
+def _shingle_vals() -> str:
+    """Shingle-value list over 3-word shingles, identical arithmetic to
+    dedup.shingle_value (padding short docs by repeating the last token)."""
+    tv1 = _tokval("toks[least(i, n)]")
+    tv2 = _tokval("toks[least(i+1, n)]")
+    tv3 = _tokval("toks[least(i+2, n)]")
+    return (
+        "list_transform(generate_series(1, greatest(n-2, 1)), "
+        f"i -> ({tv1}*923521 + {tv2}*961 + {tv3}) % 2147483647)"
+    )
+
+
+def _minhash_cols() -> str:
+    exprs = []
+    for j, (a, b) in enumerate(D.MINHASH_PARAMS):
+        exprs.append(
+            f"list_min(list_transform(sv, x -> (x*{a} + {b}) % 2147483647)) AS mh{j}"
+        )
+    return ",\n         ".join(exprs)
+
+
+_MINHASH_SIGS = f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS} AS toks, len({_TOKS}) AS n FROM documents
+),
+sv_t AS (
+  SELECT doc_id, {_shingle_vals()} AS sv FROM t
+),
+sigs AS (
+  SELECT doc_id,
+         {_minhash_cols()}
+  FROM sv_t
+)
+"""
+
+
+def _simhash_sql_bits(bits: int = 16) -> str:
+    terms = []
+    for j in range(bits):
+        votes = f"list_sum(list_transform(hs, h -> (h >> {j}) & 1))"
+        terms.append(f"(CASE WHEN 2*{votes} > n THEN 1 ELSE 0 END) * {1 << j}")
+    return " + ".join(terms)
+
+
+# ---------------------------------------------------------------------------
+# Spark-side queries
+# ---------------------------------------------------------------------------
+
+
+def _actions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DF_.classify_incremental_changes(
+        W.orders_current(spark, sf_dir),
+        W.orders_incoming(spark, sf_dir),
+        W.orders_change_keys(spark, sf_dir),
+        "o_orderkey",
+        unique_cols=["o_custkey"],
+    )
+
+
+def _merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DF_.apply_changes(
+        W.orders_current(spark, sf_dir),
+        W.orders_incoming(spark, sf_dir),
+        _actions(spark, sf_dir),
+        "o_orderkey",
+    )
+
+
+def q_j1_inc_deletes(spark, sf_dir):
+    return _actions(spark, sf_dir).filter(F.col("_action") == "D")
+
+
+def q_j2_inc_inserts(spark, sf_dir):
+    return _actions(spark, sf_dir).filter(F.col("_action") == "I")
+
+
+def q_j3_classify(spark, sf_dir):
+    return _actions(spark, sf_dir)
+
+
+def q_j4_keyswap_repair(spark, sf_dir):
+    cur = W.load(spark, sf_dir, "customer")
+    return DF_.keyswap_repair(
+        cur,
+        W.customer_keyswap_incoming(spark, sf_dir),
+        W.customer_keyswap_change_keys(spark, sf_dir),
+        "c_custkey",
+        ["c_name"],
+    )
+
+
+def q_j5_apply_changes(spark, sf_dir):
+    return _merged(spark, sf_dir)
+
+
+def q_j6_full_diff(spark, sf_dir):
+    return DF_.full_table_diff(
+        W.orders_current(spark, sf_dir), W.orders_incoming(spark, sf_dir), "o_orderkey"
+    )
+
+
+def q_merge_stats(spark, sf_dir):
+    a = _actions(spark, sf_dir)
+    return a.agg(
+        F.count(F.when(F.col("_action") == "I", 1)).alias("ninsert"),
+        F.count(F.when(F.col("_action").isin("U", "X"), 1)).alias("nupdate"),
+        F.count(F.when(F.col("_action") == "0", 1)).alias("nnullupdate"),
+        F.count(F.when(F.col("_action") == "D", 1)).alias("ndelete"),
+    )
+
+
+def q_c9_tolerance(spark, sf_dir):
+    old_n = W.orders_current(spark, sf_dir).count()
+    new_n = _merged(spark, sf_dir).count()
+    res = check_row_tolerance(old_n, new_n, tol_error=0.20, tol_warning=0.95,
+                              raise_on_error=False)
+    return spark.createDataFrame(
+        [(old_n, new_n, res.warning_threshold, res.error_threshold, res.level)],
+        "old_count long, new_count long, warn_threshold long, err_threshold long, level string",
+    )
+
+
+def q_p9_p10_change_filter(spark, sf_dir):
+    return W.orders_change_keys(spark, sf_dir)
+
+
+def q_j7_meta_change_summary(spark, sf_dir):
+    chg = W.orders_change_table(spark, sf_dir)
+    return chg.groupBy(
+        F.lower(F.col("tablename")).alias("tablename"), F.col("action")
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+def q_s1_crs_roundtrip(spark, sf_dir):
+    d = W.load(spark, sf_dir, "documents")
+    line = F.concat_ws("|", F.col("doc_id").cast("string"), F.col("lang"),
+                       F.col("source"), F.lit(""))
+    parts = F.split(line, r"\|")
+    nn = lambda c: F.when(c == "", None).otherwise(c)  # noqa: E731
+    return d.select(
+        nn(F.element_at(parts, 1)).cast("long").alias("id"),
+        nn(F.element_at(parts, 2)).alias("lang2"),
+        nn(F.element_at(parts, 3)).alias("source2"),
+    )
+
+
+def q_p1_projection(spark, sf_dir):
+    li = W.load(spark, sf_dir, "lineitem")
+    return li.filter(F.col("l_quantity") > 45).select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+
+
+def q_p4_char_clean(spark, sf_dir):
+    d = W.load(spark, sf_dir, "documents")
+    dirty = F.concat(F.substring("text", 1, 40), F.lit("|mid\\slash"),
+                     F.lit("\x01"), F.lit("end"))
+    return d.select(F.col("doc_id"), clean_text(dirty).alias("cleaned"))
+
+
+def q_p6_date_fixup(spark, sf_dir):
+    e = W.events(spark, sf_dir)
+    shifted = F.expr(
+        "ts_ntz - make_interval(0, 0, 0, CAST(user_id % 400 AS INT), 0, 0, 0)"
+    )
+    cfg = CleanConfig(minimum_year=2024)
+    return e.select(
+        F.col("event_id"),
+        fix_date_range(shifted, cfg, sentinel_type="timestamp_ntz").alias("fixed_ts"),
+    )
+
+
+def q_p7_wkt_fixup(spark, sf_dir):
+    e = W.events(spark, sf_dir)
+    lon = (F.col("user_id") % 180 - 30).cast("long")
+    lat = (F.col("event_id") % 90 - 45).cast("long")
+    wkt = F.concat(F.lit("POINT("), lon.cast("string"), F.lit(" "),
+                   lat.cast("string"), F.lit(")"))
+    return e.select(F.col("event_id"), fix_wkt(wkt).alias("wkt_fixed"))
+
+
+def q_scalar_funcs(spark, sf_dir):
+    p = W.load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.lower("p_type").alias("type_lower"),
+        F.substring("p_name", 1, 12).alias("name_prefix"),
+        F.concat(F.col("p_brand"), F.lit("#"), F.col("p_type")).alias("brand_type"),
+        F.regexp_replace("p_type", " ", "_").alias("type_snake"),
+        F.coalesce(F.nullif(F.col("p_brand"), F.lit("Brand#45")), F.lit("OTHER")).alias("brand_coal"),
+        F.ceil("p_retailprice").cast("long").alias("price_ceil"),
+        F.abs(F.col("p_size") - 25).alias("size_dist"),
+        F.when(F.col("p_size") < 10, "S").when(F.col("p_size") < 30, "M").otherwise("L").alias("size_class"),
+    )
+
+
+def q_a41_status_counts(spark, sf_dir):
+    return (
+        W.orders_current(spark, sf_dir)
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_a42_event_duration(spark, sf_dir):
+    e = W.events(spark, sf_dir)
+    ms = F.expr("ts div 1000000")
+    return e.groupBy("user_id").agg(
+        (F.max(ms) - F.min(ms)).alias("duration_ms"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+def q_a43_string_agg(spark, sf_dir):
+    e = W.events(spark, sf_dir)
+    bucket = (F.col("user_id") % 20).cast("string")
+    return e.groupBy("event_type").agg(
+        F.array_join(F.array_sort(F.collect_set(bucket)), ", ").alias("user_buckets")
+    )
+
+
+def q_a45_watermark_max(spark, sf_dir):
+    e = W.events(spark, sf_dir)
+    ds = F.date_format("ts_ntz", "yyyyMMddHHmmss")
+    return e.groupBy("event_type").agg(F.max(ds).alias("last_dataset"))
+
+
+def q_p11_before_filter(spark, sf_dir):
+    e = W.events(spark, sf_dir)
+    ds = F.date_format("ts_ntz", "yyyyMMddHHmmss")
+    return (
+        e.select(ds.alias("dataset"))
+        .filter(F.col("dataset") < "20240115000000")
+        .groupBy()
+        .agg(F.max("dataset").alias("latest_dataset"),
+             F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+def q_watermark_pending(spark, sf_dir):
+    e = W.events(spark, sf_dir)
+    ds = F.date_format("ts_ntz", "yyyyMMddHHmmss")
+    day = F.substring(ds, 1, 8)
+    return (
+        e.select(day.alias("dataset_day"))
+        .filter(F.col("dataset_day") > "20240120")
+        .distinct()
+    )
+
+
+def q_a46_distinct(spark, sf_dir):
+    li = W.load(spark, sf_dir, "lineitem")
+    return li.select("l_suppkey", "l_returnflag").distinct()
+
+
+def q_set_union_distinct(spark, sf_dir):
+    o = W.orders_current(spark, sf_dir)
+    k = F.col("o_orderkey")
+    a = o.filter(k % 7 == 0).select(F.col("o_custkey").alias("k"))
+    b = o.filter(k % 11 == 0).select(F.col("o_custkey").alias("k"))
+    c = o.filter(k % 13 == 0).select(F.col("o_custkey").alias("k"))
+    return a.union(b).union(c).distinct()
+
+
+def q_not_in_anti(spark, sf_dir):
+    c = W.load(spark, sf_dir, "customer")
+    o = W.orders_current(spark, sf_dir)
+    return c.join(o.select(F.col("o_custkey").alias("c_custkey")), "c_custkey",
+                  "left_anti").select("c_custkey")
+
+
+def _dec(c) -> F.Column:
+    return F.col(c).cast("decimal(18,2)") if isinstance(c, str) else c.cast("decimal(18,2)")
+
+
+def q_tpch_q1_pricing(spark, sf_dir):
+    li = W.load(spark, sf_dir, "lineitem")
+    revenue = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(revenue).cast("double").alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_tpch_q3_revenue_topk(spark, sf_dir):
+    c = W.load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = W.orders_current(spark, sf_dir).filter(
+        F.col("o_orderdate") < F.lit("1998-03-15 00:00:00").cast("timestamp_ntz")
+    )
+    li = W.load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15 00:00:00").cast("timestamp_ntz")
+    )
+    revenue = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+def q_tpch_q5_region_revenue(spark, sf_dir):
+    r = W.load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = W.load(spark, sf_dir, "nation")
+    c = W.load(spark, sf_dir, "customer")
+    o = W.orders_current(spark, sf_dir)
+    li = W.load(spark, sf_dir, "lineitem")
+    s = W.load(spark, sf_dir, "supplier")
+    revenue = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+    return (
+        r.join(n, n.n_regionkey == r.r_regionkey)
+        .join(c, c.c_nationkey == n.n_nationkey)
+        .join(o, o.o_custkey == c.c_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(s, (s.s_suppkey == li.l_suppkey) & (s.s_nationkey == n.n_nationkey))
+        .groupBy("n_name")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+    )
+
+
+def q_dedup_exact(spark, sf_dir):
+    d = W.load(spark, sf_dir, "documents")
+    return D.exact_dedup(d, ["lang", "source"], "doc_id").select(
+        "doc_id", "lang", "source"
+    )
+
+
+def q_text_tokens(spark, sf_dir):
+    d = W.load(spark, sf_dir, "documents")
+    return d.select("doc_id", X.token_count("text").cast("long").alias("n_tokens"))
+
+
+def q_text_langid(spark, sf_dir):
+    d = W.load(spark, sf_dir, "documents")
+    return d.select("doc_id", X.lang_guess("text").alias("lang_guess"))
+
+
+def q_text_quality(spark, sf_dir):
+    d = W.load(spark, sf_dir, "documents")
+    m = X.quality_metrics(F.col("text"))
+    return d.select(
+        "doc_id",
+        m["n_chars"].cast("long").alias("n_chars"),
+        m["n_tokens"].cast("long").alias("n_tokens"),
+        m["avg_word_len"].alias("avg_word_len"),
+        m["stop_ratio"].alias("stop_ratio"),
+        m["punct_ratio"].alias("punct_ratio"),
+        X.quality_score(F.col("text")).cast("long").alias("quality"),
+    )
+
+
+def q_text_fingerprint(spark, sf_dir):
+    d = W.load(spark, sf_dir, "documents")
+    return d.select("doc_id", X.fingerprint("text").alias("fp"))
+
+
+def q_dedup_minhash_sig(spark, sf_dir):
+    d = W.load(spark, sf_dir, "documents")
+    sig = D.minhash_signature(F.col("text"))
+    return d.select(
+        "doc_id",
+        *[F.element_at(sig, j + 1).alias(f"mh{j}") for j in range(len(D.MINHASH_PARAMS))],
+    )
+
+
+def q_dedup_minhash_pairs(spark, sf_dir):
+    d = W.load(spark, sf_dir, "documents")
+    return D.minhash_candidate_pairs(d, "doc_id", "text")
+
+
+def q_dedup_simhash(spark, sf_dir):
+    d = W.load(spark, sf_dir, "documents")
+    return d.select("doc_id", D.simhash("text", 16).alias("sh"))
+
+
+def q_dedup_jaccard_pairs(spark, sf_dir):
+    d = W.load(spark, sf_dir, "documents")
+    return D.jaccard_dedup_pairs(d, "doc_id", "text", threshold=0.08,
+                                 blocking_cols=["lang"])
+
+
+def _query_vec(spark, sf_dir) -> list[float]:
+    row = (
+        W.load(spark, sf_dir, "embeddings").filter(F.col("vec_id") == 0)
+        .select("embedding").first()
+    )
+    return [float(x) for x in row.embedding]
+
+
+def q_sim_cosine_topk(spark, sf_dir):
+    e = W.load(spark, sf_dir, "embeddings")
+    return S.cosine_topk(e, _query_vec(spark, sf_dir), k=10, exclude_id=0)
+
+
+def q_sim_cosine_above(spark, sf_dir):
+    e = W.load(spark, sf_dir, "embeddings")
+    return S.cosine_above(e, _query_vec(spark, sf_dir), threshold=0.25)
+
+
+def q_sim_lsh_topk(spark, sf_dir):
+    # LSH-bucketed ANN (scale path). Sign boundaries are FP-sensitive, so
+    # this is checked rows-only (no oracle entry).
+    e = W.load(spark, sf_dir, "embeddings")
+    return S.lsh_topk(e, _query_vec(spark, sf_dir), k=10, planes=6)
+
+
+# ---------------------------------------------------------------------------
+# driver contract
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the level-5 incremental merge end-to-end on sf0.001 —
+    classify I/U/D/0/X from data presence and apply as a keyed merge."""
+    return _merged(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "q_j1_inc_deletes": q_j1_inc_deletes,
+        "q_j2_inc_inserts": q_j2_inc_inserts,
+        "q_j3_classify": q_j3_classify,
+        "q_j4_keyswap_repair": q_j4_keyswap_repair,
+        "q_j5_apply_changes": q_j5_apply_changes,
+        "q_j6_full_diff": q_j6_full_diff,
+        "q_merge_stats": q_merge_stats,
+        "q_c9_tolerance": q_c9_tolerance,
+        "q_p9_p10_change_filter": q_p9_p10_change_filter,
+        "q_j7_meta_change_summary": q_j7_meta_change_summary,
+        "q_s1_crs_roundtrip": q_s1_crs_roundtrip,
+        "q_p1_projection": q_p1_projection,
+        "q_p4_char_clean": q_p4_char_clean,
+        "q_p6_date_fixup": q_p6_date_fixup,
+        "q_p7_wkt_fixup": q_p7_wkt_fixup,
+        "q_scalar_funcs": q_scalar_funcs,
+        "q_a41_status_counts": q_a41_status_counts,
+        "q_a42_event_duration": q_a42_event_duration,
+        "q_a43_string_agg": q_a43_string_agg,
+        "q_a45_watermark_max": q_a45_watermark_max,
+        "q_p11_before_filter": q_p11_before_filter,
+        "q_watermark_pending": q_watermark_pending,
+        "q_a46_distinct": q_a46_distinct,
+        "q_set_union_distinct": q_set_union_distinct,
+        "q_not_in_anti": q_not_in_anti,
+        "q_tpch_q1_pricing": q_tpch_q1_pricing,
+        "q_tpch_q3_revenue_topk": q_tpch_q3_revenue_topk,
+        "q_tpch_q5_region_revenue": q_tpch_q5_region_revenue,
+        "q_dedup_exact": q_dedup_exact,
+        "q_text_tokens": q_text_tokens,
+        "q_text_langid": q_text_langid,
+        "q_text_quality": q_text_quality,
+        "q_text_fingerprint": q_text_fingerprint,
+        "q_dedup_minhash_sig": q_dedup_minhash_sig,
+        "q_dedup_minhash_pairs": q_dedup_minhash_pairs,
+        "q_dedup_simhash": q_dedup_simhash,
+        "q_dedup_jaccard_pairs": q_dedup_jaccard_pairs,
+        "q_sim_cosine_topk": q_sim_cosine_topk,
+        "q_sim_cosine_above": q_sim_cosine_above,
+        "q_sim_lsh_topk": q_sim_lsh_topk,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_STOPLIST = "('" + "','".join(X.EN_STOPWORDS) + "')"
+
+_DOT64 = (
+    "list_sum(list_transform(generate_series(1, 64), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    tokn = f"len({_TOKS})"
+    stop_cnt = f"len(list_filter({_TOKS}, t -> t IN {_STOPLIST}))"
+    fp = (
+        "CAST(list_sum(list_transform(generate_series(1, n), "
+        f"i -> ({_tokval('toks[i]')} * ((i * 2654435761) % 2147483647)) % 2147483647)) "
+        "% 2147483647 AS BIGINT)"
+    )
+    dot_eq = _DOT64.format(a="e.embedding", b="q.embedding")
+    norm_e = _DOT64.format(a="e.embedding", b="e.embedding")
+    norm_q = _DOT64.format(a="q.embedding", b="q.embedding")
+    cos = f"round(({dot_eq}) / (sqrt({norm_e}) * sqrt({norm_q})), 6)"
+
+    return {
+        "q_j1_inc_deletes": _SCENARIO + "SELECT o_orderkey, _action FROM actions WHERE _action = 'D'",
+        "q_j2_inc_inserts": _SCENARIO + "SELECT o_orderkey, _action FROM actions WHERE _action = 'I'",
+        "q_j3_classify": _SCENARIO + "SELECT o_orderkey, _action FROM actions",
+        "q_j4_keyswap_repair": """
+            WITH incoming AS (
+              SELECT CASE WHEN c_custkey % 50 = 0 THEN c_custkey + 20000 ELSE c_custkey END AS c_custkey,
+                     c_name, c_nationkey, c_acctbal, c_mktsegment
+              FROM customer
+            ),
+            chg AS (SELECT c_custkey + 20000 AS c_custkey FROM customer WHERE c_custkey % 50 = 0)
+            SELECT DISTINCT cur.c_custkey
+            FROM incoming i
+            JOIN customer cur ON i.c_name = cur.c_name AND i.c_custkey <> cur.c_custkey
+            WHERE i.c_custkey IN (SELECT c_custkey FROM chg)
+              AND cur.c_custkey NOT IN (SELECT c_custkey FROM chg)
+        """,
+        "q_j5_apply_changes": _SCENARIO + "SELECT * FROM merged",
+        "q_j6_full_diff": _SCENARIO + """
+            SELECT COALESCE(c.o_orderkey, i.o_orderkey) AS o_orderkey,
+                   CASE WHEN c.o_orderkey IS NULL THEN 'I'
+                        WHEN i.o_orderkey IS NULL THEN 'D'
+                        WHEN c.o_custkey IS DISTINCT FROM i.o_custkey
+                          OR c.o_orderstatus IS DISTINCT FROM i.o_orderstatus
+                          OR c.o_totalprice IS DISTINCT FROM i.o_totalprice
+                          OR c.o_orderdate IS DISTINCT FROM i.o_orderdate
+                          OR c.o_orderpriority IS DISTINCT FROM i.o_orderpriority
+                        THEN 'U' END AS _action
+            FROM orders c FULL OUTER JOIN incoming i ON c.o_orderkey = i.o_orderkey
+            WHERE (CASE WHEN c.o_orderkey IS NULL THEN 'I'
+                        WHEN i.o_orderkey IS NULL THEN 'D'
+                        WHEN c.o_custkey IS DISTINCT FROM i.o_custkey
+                          OR c.o_orderstatus IS DISTINCT FROM i.o_orderstatus
+                          OR c.o_totalprice IS DISTINCT FROM i.o_totalprice
+                          OR c.o_orderdate IS DISTINCT FROM i.o_orderdate
+                          OR c.o_orderpriority IS DISTINCT FROM i.o_orderpriority
+                        THEN 'U' END) IS NOT NULL
+        """,
+        "q_merge_stats": _SCENARIO + """
+            SELECT count(*) FILTER (WHERE _action = 'I') AS ninsert,
+                   count(*) FILTER (WHERE _action IN ('U','X')) AS nupdate,
+                   count(*) FILTER (WHERE _action = '0') AS nnullupdate,
+                   count(*) FILTER (WHERE _action = 'D') AS ndelete
+            FROM actions
+        """,
+        "q_c9_tolerance": _SCENARIO + """
+            SELECT (SELECT count(*) FROM orders) AS old_count,
+                   (SELECT count(*) FROM merged) AS new_count,
+                   CAST(ceil((SELECT count(*) FROM orders) * 0.95) AS BIGINT) AS warn_threshold,
+                   CAST(ceil((SELECT count(*) FROM orders) * 0.20) AS BIGINT) AS err_threshold,
+                   CASE WHEN (SELECT count(*) FROM merged) < CAST(ceil((SELECT count(*) FROM orders) * 0.20) AS BIGINT) THEN 'error'
+                        WHEN (SELECT count(*) FROM merged) < CAST(ceil((SELECT count(*) FROM orders) * 0.95) AS BIGINT) THEN 'warning'
+                        ELSE 'ok' END AS level
+        """,
+        "q_p9_p10_change_filter": _SCENARIO + "SELECT o_orderkey FROM change_keys",
+        "q_j7_meta_change_summary": _SCENARIO + """
+            SELECT lower(tablename) AS tablename, action, count(*) AS n
+            FROM change_table GROUP BY 1, 2
+        """,
+        "q_s1_crs_roundtrip": """
+            WITH lines AS (
+              SELECT doc_id, doc_id || '|' || lang || '|' || source || '|' AS line
+              FROM documents
+            ),
+            parsed AS (SELECT string_split(line, '|') AS p FROM lines)
+            SELECT CAST(nullif(p[1], '') AS BIGINT) AS id,
+                   nullif(p[2], '') AS lang2,
+                   nullif(p[3], '') AS source2
+            FROM parsed
+        """,
+        "q_p1_projection": """
+            SELECT l_orderkey, l_partkey, l_quantity
+            FROM lineitem WHERE l_quantity > 45
+        """,
+        "q_p4_char_clean": r"""
+            SELECT doc_id,
+                   replace(replace(replace(substr(text, 1, 40) || '|mid\slash' || chr(1) || 'end',
+                           '|', ' '), '\', ' '), chr(1), '') AS cleaned
+            FROM documents
+        """,
+        "q_p6_date_fixup": """
+            SELECT event_id,
+                   CASE WHEN year(ts - (user_id % 400) * INTERVAL 1 DAY) < 2024
+                        THEN TIMESTAMP '1800-01-01 00:00:00'
+                        ELSE ts - (user_id % 400) * INTERVAL 1 DAY END AS fixed_ts
+            FROM events
+        """,
+        "q_p7_wkt_fixup": """
+            SELECT event_id,
+                   'SRID=4167;POINT(' || ((user_id % 180 - 30) + 160) || ' ' || (event_id % 90 - 45) || ')' AS wkt_fixed
+            FROM events
+        """,
+        "q_scalar_funcs": """
+            SELECT p_partkey,
+                   lower(p_type) AS type_lower,
+                   substr(p_name, 1, 12) AS name_prefix,
+                   p_brand || '#' || p_type AS brand_type,
+                   regexp_replace(p_type, ' ', '_', 'g') AS type_snake,
+                   coalesce(nullif(p_brand, 'Brand#45'), 'OTHER') AS brand_coal,
+                   CAST(ceil(p_retailprice) AS BIGINT) AS price_ceil,
+                   abs(p_size - 25) AS size_dist,
+                   CASE WHEN p_size < 10 THEN 'S' WHEN p_size < 30 THEN 'M' ELSE 'L' END AS size_class
+            FROM part
+        """,
+        "q_a41_status_counts": "SELECT o_orderstatus, count(*) AS n FROM orders GROUP BY o_orderstatus",
+        "q_a42_event_duration": """
+            SELECT user_id, epoch_ms(max(ts)) - epoch_ms(min(ts)) AS duration_ms,
+                   count(*) AS n_events
+            FROM events GROUP BY user_id
+        """,
+        "q_a43_string_agg": """
+            SELECT event_type,
+                   string_agg(DISTINCT CAST(user_id % 20 AS VARCHAR), ', '
+                              ORDER BY CAST(user_id % 20 AS VARCHAR)) AS user_buckets
+            FROM events GROUP BY event_type
+        """,
+        "q_a45_watermark_max": """
+            SELECT event_type, max(strftime(ts, '%Y%m%d%H%M%S')) AS last_dataset
+            FROM events GROUP BY event_type
+        """,
+        "q_p11_before_filter": """
+            SELECT max(strftime(ts, '%Y%m%d%H%M%S')) AS latest_dataset, count(*) AS n_rows
+            FROM events WHERE strftime(ts, '%Y%m%d%H%M%S') < '20240115000000'
+        """,
+        "q_watermark_pending": """
+            SELECT DISTINCT strftime(ts, '%Y%m%d') AS dataset_day
+            FROM events WHERE strftime(ts, '%Y%m%d') > '20240120'
+        """,
+        "q_a46_distinct": "SELECT DISTINCT l_suppkey, l_returnflag FROM lineitem",
+        "q_set_union_distinct": """
+            SELECT o_custkey AS k FROM orders WHERE o_orderkey % 7 = 0
+            UNION
+            SELECT o_custkey FROM orders WHERE o_orderkey % 11 = 0
+            UNION
+            SELECT o_custkey FROM orders WHERE o_orderkey % 13 = 0
+        """,
+        "q_not_in_anti": """
+            SELECT c_custkey FROM customer
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        """,
+        "q_tpch_q1_pricing": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "q_tpch_q3_revenue_topk": """
+            SELECT l_orderkey, o_orderdate, o_orderpriority,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+            FROM customer, orders, lineitem
+            WHERE c_mktsegment = 'BUILDING'
+              AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+              AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+              AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+            GROUP BY l_orderkey, o_orderdate, o_orderpriority
+            ORDER BY revenue DESC, l_orderkey
+            LIMIT 10
+        """,
+        "q_tpch_q5_region_revenue": """
+            SELECT n_name,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+            FROM region, nation, customer, orders, lineitem, supplier
+            WHERE r_name = 'ASIA' AND n_regionkey = r_regionkey
+              AND c_nationkey = n_nationkey AND o_custkey = c_custkey
+              AND l_orderkey = o_orderkey
+              AND s_suppkey = l_suppkey AND s_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        "q_dedup_exact": """
+            SELECT d.doc_id, d.lang, d.source
+            FROM documents d
+            JOIN (SELECT lang, source, min(doc_id) AS doc_id
+                  FROM documents GROUP BY lang, source) k
+              ON d.lang = k.lang AND d.source = k.source AND d.doc_id = k.doc_id
+        """,
+        "q_text_tokens": f"SELECT doc_id, {tokn} AS n_tokens FROM documents",
+        "q_text_langid": f"""
+            SELECT doc_id,
+                   CASE WHEN {stop_cnt} >= 3 THEN 'en' ELSE 'other' END AS lang_guess
+            FROM documents
+        """,
+        "q_text_quality": f"""
+            SELECT doc_id,
+                   length(text) AS n_chars,
+                   {tokn} AS n_tokens,
+                   round(CAST(length(text) - ({tokn} - 1) AS DOUBLE) / greatest({tokn}, 1), 6) AS avg_word_len,
+                   round(CAST({stop_cnt} AS DOUBLE) / greatest({tokn}, 1), 6) AS stop_ratio,
+                   round(CAST(length(regexp_replace(text, '[^.!?,;]', '', 'g')) AS DOUBLE) / greatest(length(text), 1), 6) AS punct_ratio,
+                   CAST((CASE WHEN length(text) >= 100 THEN 1 ELSE 0 END)
+                      + (CASE WHEN round(CAST(length(text) - ({tokn} - 1) AS DOUBLE) / greatest({tokn}, 1), 6) BETWEEN 3 AND 10 THEN 1 ELSE 0 END)
+                      + (CASE WHEN round(CAST({stop_cnt} AS DOUBLE) / greatest({tokn}, 1), 6) >= 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS quality
+            FROM documents
+        """,
+        "q_text_fingerprint": f"""
+            WITH t AS (SELECT doc_id, {_TOKS} AS toks, {tokn} AS n FROM documents)
+            SELECT doc_id, {fp} AS fp FROM t
+        """,
+        "q_dedup_minhash_sig": _MINHASH_SIGS + "SELECT * FROM sigs",
+        "q_dedup_minhash_pairs": _MINHASH_SIGS + """
+            , bands AS (
+              SELECT doc_id, 0 AS band, ((0*31 + mh0)*31 + mh1) % 2147483647 AS key FROM sigs
+              UNION ALL
+              SELECT doc_id, 1, ((1*31 + mh2)*31 + mh3) % 2147483647 FROM sigs
+              UNION ALL
+              SELECT doc_id, 2, ((2*31 + mh4)*31 + mh5) % 2147483647 FROM sigs
+              UNION ALL
+              SELECT doc_id, 3, ((3*31 + mh6)*31 + mh7) % 2147483647 FROM sigs
+            )
+            SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+            FROM bands l JOIN bands r
+              ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
+        """,
+        "q_dedup_simhash": f"""
+            WITH t AS (
+              SELECT doc_id,
+                     list_transform({_TOKS}, t -> ({_tokval('t')} * 2654435761) % 2147483647) AS hs,
+                     {tokn} AS n
+              FROM documents
+            )
+            SELECT doc_id, CAST({_simhash_sql_bits(16)} AS BIGINT) AS sh FROM t
+        """,
+        "q_dedup_jaccard_pairs": f"""
+            WITH t AS (
+              SELECT doc_id, lang, {_TOKS} AS toks, {tokn} AS n FROM documents
+            ),
+            sh AS (
+              SELECT doc_id, lang,
+                     list_distinct(list_transform(generate_series(1, greatest(n-2, 1)),
+                       i -> toks[least(i, n)] || ' ' || toks[least(i+1, n)] || ' ' || toks[least(i+2, n)])) AS s
+              FROM t
+            ),
+            pairs AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                           / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+              FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+            )
+            SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.08
+        """,
+        "q_sim_cosine_topk": f"""
+            SELECT e.vec_id, {cos} AS score
+            FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+            WHERE e.vec_id <> 0
+            ORDER BY score DESC, e.vec_id
+            LIMIT 10
+        """,
+        "q_sim_cosine_above": f"""
+            SELECT e.vec_id, {cos} AS score
+            FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+            WHERE {cos} >= 0.25
+        """,
+        # q_sim_lsh_topk intentionally omitted: FP sign boundaries make the
+        # bucket assignment oracle-fragile; driver records rows-only.
+    }

@@ -1,0 +1,191 @@
+"""Deduplication operators: exact, MinHash-LSH, SimHash, n-gram Jaccard.
+
+Scale design (the whole point — dedup is the classic 100-TB pipeline stage):
+
+- **Exact**: hash-groupBy on the dedup key; one shuffle, map-side partial
+  aggregation. Never collects; ties broken by min(id) so output is
+  deterministic.
+- **MinHash + LSH**: per-document K-term signature computed as array
+  arithmetic (JVM, codegen — no Python), then *banded*: documents sharing a
+  band bucket become join candidates. The candidate join is a self-equi-join
+  on the band key — shuffle scales with bucket sizes, not O(n²).
+- **SimHash**: one 16/32-bit value per document from token-hash bit votes;
+  near-dups share simhash (or differ in ≤ hamming-k bits — the bucketed
+  rotate trick extends it).
+- **n-gram Jaccard**: exact verification pass for the candidate pairs the
+  sketches surface (the standard two-phase candidate→verify design).
+
+All hashes are deterministic arithmetic (no seed state), so results are
+reproducible across runs/engines and oracle-checkable in ANSI SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from linz_bde_uploader_spark.functions.text import (
+    HASH_MIX,
+    HASH_MOD,
+    token_value,
+    tokens,
+)
+
+#: (a, b) parameters for the K minhash permutations h_k(x) = (a*x + b) % P.
+#: Fixed primes — deterministic, engine-independent.
+MINHASH_PARAMS = [
+    (1000003, 12345),
+    (1000033, 54321),
+    (1000037, 2468),
+    (1000039, 13579),
+    (1000081, 97531),
+    (1000099, 11111),
+    (1000117, 77777),
+    (1000121, 31415),
+]
+
+
+def shingles(col: Column | str, n: int = 3) -> Column:
+    """n-word shingles as strings; documents shorter than n words yield
+    their whole text as the single shingle."""
+    toks = tokens(col)
+    sz = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(sz - (n - 1), F.lit(1)))
+    return F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, F.least(i + j, sz)) for j in range(n)]
+        ),
+    )
+
+
+def shingle_value(sh: Column) -> Column:
+    """Deterministic shingle hash from its token values (3-term polynomial)."""
+    parts = F.split(sh, " ")
+    return F.aggregate(
+        F.transform(parts, lambda t: token_value(t)),
+        F.lit(0).cast("long"),
+        lambda acc, v: (acc * 961 + v) % HASH_MOD,
+    )
+
+
+def minhash_signature(col: Column | str, k: int = 8) -> Column:
+    """K-element MinHash signature over 3-word shingles — array<long>."""
+    vals = F.transform(shingles(col), lambda s: shingle_value(s))
+    sigs = []
+    for a, b in MINHASH_PARAMS[:k]:
+        hashed = F.transform(vals, lambda x: (x * a + b) % HASH_MOD)
+        sigs.append(F.array_min(hashed))
+    return F.array(*sigs)
+
+
+def minhash_band_keys(sig: Column, bands: int = 4, rows_per_band: int = 2) -> Column:
+    """Split the signature into bands; each band folds to one bucket key.
+    Docs sharing any band key are LSH candidates. Returns array<long>."""
+    keys = []
+    for b in range(bands):
+        parts = [F.element_at(sig, b * rows_per_band + r + 1) for r in range(rows_per_band)]
+        key = F.lit(b).cast("long")
+        for p in parts:
+            key = (key * 31 + p) % HASH_MOD
+        keys.append(key)
+    return F.array(*keys)
+
+
+def minhash_candidate_pairs(
+    df: DataFrame, id_col: str, text_col: str, bands: int = 4, rows_per_band: int = 2
+) -> DataFrame:
+    """LSH candidate pairs (id_a < id_b) sharing ≥1 band bucket.
+
+    Plan shape: project → explode band keys (narrow) → self-equi-join on
+    (band_idx, band_key) → distinct pair. The join key is the bucket, so
+    shuffle volume is O(n·bands), not O(n²); skewed buckets are split by
+    AQE. This is the scale path for near-dup at 100 TB.
+    """
+    sig = minhash_signature(F.col(text_col))
+    banded = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(minhash_band_keys(sig, bands, rows_per_band)).alias(
+            "_band", "_key"
+        ),
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l._band") == F.col("r._band"))
+            & (F.col("l._key") == F.col("r._key"))
+            & (F.col("l._id") < F.col("r._id")),
+        )
+        .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
+        .distinct()
+    )
+
+
+def simhash(col: Column | str, bits: int = 16) -> Column:
+    """SimHash: per-bit majority vote of token hashes → one integer.
+
+    Expressed as array arithmetic over the token list (codegen, no
+    explode/shuffle): for each bit j, count tokens whose mixed hash has bit
+    j set; bit j of the result is 1 when the count exceeds half the tokens.
+    """
+    toks = tokens(col)
+    hashes = F.transform(toks, lambda t: (token_value(t) * HASH_MIX) % HASH_MOD)
+    n = F.size(toks)
+    out = F.lit(0).cast("long")
+    for j in range(bits):
+        votes = F.aggregate(
+            hashes,
+            F.lit(0).cast("long"),
+            lambda acc, h, j=j: acc + F.shiftright(h, j).bitwiseAND(F.lit(1).cast("long")),
+        )
+        bit = (votes * 2 > n.cast("long")).cast("long")
+        out = out + bit * (1 << j)
+    return out
+
+
+def ngram_jaccard(a: Column, b: Column, n: int = 3) -> Column:
+    """Exact Jaccard similarity of two texts' n-word shingle sets."""
+    sa = F.array_distinct(shingles(a, n))
+    sb = F.array_distinct(shingles(b, n))
+    inter = F.size(F.array_intersect(sa, sb))
+    union = F.size(F.array_union(sa, sb))
+    return F.round(inter.cast("double") / union, 6)
+
+
+def exact_dedup(df: DataFrame, dedup_cols: list[str], id_col: str) -> DataFrame:
+    """Exact dedup: keep the min-id row per duplicate group. One shuffle on
+    the dedup key with map-side combine; deterministic winner."""
+    keep = df.groupBy(*dedup_cols).agg(F.min(id_col).alias(id_col))
+    return df.join(keep, dedup_cols + [id_col], "left_semi")
+
+
+def jaccard_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    blocking_cols: list[str] | None = None,
+    n: int = 3,
+) -> DataFrame:
+    """n-gram Jaccard near-dup pairs above ``threshold``.
+
+    With ``blocking_cols`` the self-join is an equi-join on the block key
+    (scales); without, it is a full cross-pair compare — correct but
+    O(n²)/block, intended for verify passes over candidate subsets.
+    """
+    l = df.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("_ta"),
+                  *[F.col(c).alias(f"_la_{c}") for c in (blocking_cols or [])])
+    r = df.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("_tb"),
+                  *[F.col(c).alias(f"_lb_{c}") for c in (blocking_cols or [])])
+    cond = F.col("id_a") < F.col("id_b")
+    for c in blocking_cols or []:
+        cond = cond & (F.col(f"_la_{c}") == F.col(f"_lb_{c}"))
+    pairs = l.join(r, cond)
+    sim = ngram_jaccard(F.col("_ta"), F.col("_tb"), n)
+    return (
+        pairs.withColumn("jaccard", sim)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

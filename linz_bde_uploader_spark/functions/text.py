@@ -1,0 +1,125 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+These extend the engine beyond the reference's own surface (which has no
+data-plane text functions — SURVEY §2.7 lists only scalar SQL functions)
+with the operations a 100-TB document pipeline needs: language
+identification, quality scoring, token counting, and document
+fingerprinting.
+
+Design rules: every function is a pure JVM-side Column expression
+(whole-stage codegen; zero Python in the row path) and is deliberately
+*oracle-expressible* — the same arithmetic can be written in ANSI SQL, so
+the correctness harness can hash-match results against DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: English stopwords for the n-gram/stopword language heuristic. Chosen from
+#: the most frequent English function words; the heuristic is deliberately
+#: tiny — real pipelines swap in fastText-style models via mapInPandas.
+EN_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+
+#: 2^31 - 1, the classic Mersenne prime modulus for polynomial hashes.
+HASH_MOD = 2147483647
+#: Knuth's multiplicative constant, used for cheap integer mixing.
+HASH_MIX = 2654435761
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization (single-space convention)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(c, " ")
+
+
+def token_count(col: Column | str) -> Column:
+    """Token count; empty/blank text counts 0."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.when(F.length(F.trim(c)) == 0, F.lit(0)).otherwise(
+        F.size(F.split(F.trim(c), r"\s+"))
+    )
+
+
+def stopword_count(col: Column | str, words: tuple[str, ...] = EN_STOPWORDS) -> Column:
+    """Number of tokens that are one of ``words``."""
+    toks = tokens(col)
+    return F.size(F.filter(toks, lambda t: t.isin(*words)))
+
+
+def lang_guess(col: Column | str, min_hits: int = 3) -> Column:
+    """Stopword-density language id: 'en' when enough English stopwords
+    appear, else 'other'. (The n-gram-heuristic baseline; a model-based
+    classifier plugs in behind the same column contract.)"""
+    return F.when(stopword_count(col) >= min_hits, F.lit("en")).otherwise(
+        F.lit("other")
+    )
+
+
+def quality_metrics(col: Column | str) -> dict[str, Column]:
+    """Quality-scoring signals: length, token count, average word length,
+    stopword ratio, punctuation density — the standard cheap filters for
+    pretraining corpora. Returns named Columns so callers select what they
+    need (column pruning stays effective)."""
+    c = F.col(col) if isinstance(col, str) else col
+    n_chars = F.length(c)
+    n_tokens = token_count(c)
+    n_stop = stopword_count(c)
+    n_punct = F.length(F.regexp_replace(c, r"[^.!?,;]", ""))
+    avg_word_len = F.round(
+        (n_chars - (n_tokens - 1)).cast("double") / F.greatest(n_tokens, F.lit(1)), 6
+    )
+    stop_ratio = F.round(
+        n_stop.cast("double") / F.greatest(n_tokens, F.lit(1)), 6
+    )
+    punct_ratio = F.round(
+        n_punct.cast("double") / F.greatest(n_chars, F.lit(1)), 6
+    )
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "avg_word_len": avg_word_len,
+        "stop_ratio": stop_ratio,
+        "punct_ratio": punct_ratio,
+    }
+
+
+def quality_score(col: Column | str) -> Column:
+    """Composite 0–3 quality score: one point each for reasonable length,
+    plausible word length, and stopword presence."""
+    m = quality_metrics(col)
+    return (
+        (m["n_chars"] >= 100).cast("int")
+        + ((m["avg_word_len"] >= 3) & (m["avg_word_len"] <= 10)).cast("int")
+        + (m["stop_ratio"] >= 0.05).cast("int")
+    )
+
+
+def token_value(tok: Column) -> Column:
+    """Cheap deterministic token hash: length and first-char code mixed.
+    Oracle-expressible (ascii/length exist in every SQL dialect)."""
+    return (
+        F.length(tok).cast("long") * 17 + F.ascii(tok).cast("long") * 31
+    ) % HASH_MOD
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Positional polynomial document fingerprint (rolling-hash family):
+
+        sum_i  token_value(t_i) * ((i+1) * HASH_MIX % HASH_MOD)  mod HASH_MOD
+
+    Position-sensitive (re-ordered documents fingerprint differently),
+    whole-stage-codegen arithmetic, and exactly reproducible in ANSI SQL.
+    """
+    toks = tokens(col)
+    idx = F.sequence(F.lit(0), F.size(toks) - 1)
+    terms = F.transform(
+        idx,
+        lambda i: (
+            token_value(F.element_at(toks, i + 1))
+            * (((i + 1).cast("long") * HASH_MIX) % HASH_MOD)
+        )
+        % HASH_MOD,
+    )
+    return F.aggregate(terms, F.lit(0).cast("long"), lambda acc, v: (acc + v) % HASH_MOD)

@@ -118,11 +118,17 @@ def clean_text(col: Column | str, cfg: CleanConfig | None = None) -> Column:
     return c
 
 
-def fix_date_range(col: Column | str, cfg: CleanConfig | None = None) -> Column:
-    """P6: timestamps before ``minimum_year`` collapse to the sentinel."""
+def fix_date_range(
+    col: Column | str,
+    cfg: CleanConfig | None = None,
+    sentinel_type: str = "timestamp",
+) -> Column:
+    """P6: timestamps before ``minimum_year`` collapse to the sentinel.
+    ``sentinel_type`` must match the input column ('timestamp' or
+    'timestamp_ntz') so the when/otherwise branches agree."""
     cfg = cfg or CleanConfig()
     c = F.col(col) if isinstance(col, str) else col
-    sentinel = F.to_timestamp(F.lit(cfg.invalid_datetime))
+    sentinel = F.lit(cfg.invalid_datetime).cast(sentinel_type)
     return F.when(F.year(c) < cfg.minimum_year, sentinel).otherwise(c)
 
 

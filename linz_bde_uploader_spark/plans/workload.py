@@ -1,0 +1,143 @@
+"""Deterministic BDE-merge workload over the synthetic TPC-H-ish tables.
+
+The reference's own e2e tests fabricate an increment by mutating a snapshot
+file (t/linz_bde_uploader.t:1062-1075). This module does the same thing at
+data scale, with *pure arithmetic* mutations so the identical scenario can
+be reproduced in ANSI SQL for the DuckDB oracle:
+
+``orders`` is the current table (key = o_orderkey); the incoming snapshot
+- deletes keys divisible by 97,
+- updates o_totalprice (+5.0 exactly — FP-exact, engine-independent) on
+  keys divisible by 13,
+- changes the "alternate unique" column o_custkey (+1,000,000) on keys
+  divisible by 19 → classifies as 'X',
+- inserts new keys (old key + 30,000,000) for keys divisible by 101.
+
+The change table declares those keys plus null-update decoys (keys
+divisible by 11, data unchanged → must classify '0'), with mixed-case
+tablenames and rows for other tables (exercises P9 lowercase + P10 filter).
+
+``customer`` hosts the key-swap scenario (J4): keys divisible by 50 get a
+new key (+20,000) while the unique c_name stays — the old key must be
+pulled into the change set by repair.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# scenario constants — mirrored verbatim in the oracle SQL
+DELETE_MOD = 97
+UPDATE_MOD = 13
+UNIQUE_MOD = 19
+NULLUPD_MOD = 11
+INSERT_MOD = 101
+INSERT_KEY_SHIFT = 30_000_000
+PRICE_BUMP = 5.0
+CUSTKEY_SHIFT = 1_000_000
+KEYSWAP_MOD = 50
+KEYSWAP_SHIFT = 20_000
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events table with its TIMESTAMP(NANOS) column made usable.
+
+    The synthetic events.parquet stores nanosecond timestamps, which Spark
+    cannot read natively — ``spark.sql.legacy.parquet.nanosAsLong`` turns
+    the column into raw nanos (long). ``ts_ntz`` is the µs-truncated
+    wall-clock timestamp (exactly what a µs-precision reader like DuckDB
+    sees), ``ts`` stays raw nanos for exact arithmetic.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    e = load(spark, sf_dir, "events")
+    ts_ntz = F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+    return e.withColumn("ts_ntz", ts_ntz)
+
+
+def orders_current(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "orders")
+
+
+def orders_incoming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = orders_current(spark, sf_dir)
+    k = F.col("o_orderkey")
+    survivors = (
+        o.filter(k % DELETE_MOD != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(k % UPDATE_MOD == 0, F.col("o_totalprice") + PRICE_BUMP).otherwise(
+                F.col("o_totalprice")
+            ),
+        )
+        .withColumn(
+            "o_custkey",
+            F.when(k % UNIQUE_MOD == 0, F.col("o_custkey") + CUSTKEY_SHIFT).otherwise(
+                F.col("o_custkey")
+            ),
+        )
+    )
+    fresh = o.filter(k % INSERT_MOD == 0).withColumn(
+        "o_orderkey", k + INSERT_KEY_SHIFT
+    )
+    return survivors.unionByName(fresh.select(o.columns))
+
+
+def orders_change_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The l5_change_table analog: (tablename, tablekeyvalue, action) with
+    mixed-case names, declared-but-advisory actions, and decoy rows for a
+    different table."""
+    o = orders_current(spark, sf_dir)
+    k = F.col("o_orderkey")
+    name = F.when(k % 2 == 0, F.lit("ORDERS")).otherwise(F.lit("Orders"))
+    deletes = o.filter(k % DELETE_MOD == 0).select(
+        name.alias("tablename"), k.alias("tablekeyvalue"), F.lit("D").alias("action")
+    )
+    updates = o.filter(
+        (k % DELETE_MOD != 0)
+        & ((k % UPDATE_MOD == 0) | (k % UNIQUE_MOD == 0) | (k % NULLUPD_MOD == 0))
+    ).select(
+        name.alias("tablename"), k.alias("tablekeyvalue"), F.lit("U").alias("action")
+    )
+    inserts = o.filter(k % INSERT_MOD == 0).select(
+        name.alias("tablename"),
+        (k + INSERT_KEY_SHIFT).alias("tablekeyvalue"),
+        F.lit("I").alias("action"),
+    )
+    decoys = o.filter(k % 500 == 0).select(
+        F.lit("other_table").alias("tablename"),
+        k.alias("tablekeyvalue"),
+        F.lit("U").alias("action"),
+    )
+    return deletes.unionByName(updates).unionByName(inserts).unionByName(decoys)
+
+
+def orders_change_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9 + P10: lowercase tablename, filter to this table, project distinct
+    keys (the reference's _tmp_inc_change projection, sql/...:1686-1717)."""
+    chg = orders_change_table(spark, sf_dir)
+    return (
+        chg.filter(F.lower(F.col("tablename")) == "orders")
+        .select(F.col("tablekeyvalue").alias("o_orderkey"))
+        .distinct()
+    )
+
+
+def customer_keyswap_incoming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    return c.withColumn(
+        "c_custkey", F.when(k % KEYSWAP_MOD == 0, k + KEYSWAP_SHIFT).otherwise(k)
+    )
+
+
+def customer_keyswap_change_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    return c.filter(k % KEYSWAP_MOD == 0).select(
+        (k + KEYSWAP_SHIFT).alias("c_custkey")
+    )
