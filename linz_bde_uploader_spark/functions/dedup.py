@@ -133,13 +133,20 @@ def simhash(col: Column | str, bits: int = 16) -> Column:
     toks = tokens(col)
     hashes = F.transform(toks, lambda t: (token_value(t) * HASH_MIX) % HASH_MOD)
     n = F.size(toks)
-    out = F.lit(0).cast("long")
-    for j in range(bits):
-        votes = F.aggregate(
+
+    def bit_votes(mask: int):
+        # Real closure over the Python int mask: the merge lambda keeps the
+        # (acc, h) arity PySpark's higher-order-function binding expects.
+        # (A `j=j` default arg makes PySpark pass a third unresolved Column.)
+        return F.aggregate(
             hashes,
             F.lit(0).cast("long"),
-            lambda acc, h, j=j: acc + F.shiftright(h, j).bitwiseAND(F.lit(1).cast("long")),
+            lambda acc, h: acc + (h.bitwiseAND(F.lit(mask)) != 0).cast("long"),
         )
+
+    out = F.lit(0).cast("long")
+    for j in range(bits):
+        votes = bit_votes(1 << j)
         bit = (votes * 2 > n.cast("long")).cast("long")
         out = out + bit * (1 << j)
     return out

@@ -122,7 +122,10 @@ def classify_incremental_changes(
     compare_cols = [c for c in compare_cols if c != key]
     unique_cols = [c for c in (unique_cols or []) if c != key]
 
-    chg = F.broadcast(change_keys.select(key).distinct())
+    # No forced broadcast: a level-5 day at scale can be a large fraction of
+    # the table, and a forced broadcast of billions of keys is an OOM. AQE
+    # picks broadcast automatically when the key set is actually small.
+    chg = change_keys.select(key).distinct()
 
     cur_keys = current.select(key)
     inc_keys = incoming.select(key)
@@ -177,14 +180,18 @@ def keyswap_repair(
     Returns the extra keys as a one-column DataFrame; union it into
     ``change_keys`` before classification.
     """
-    chg = F.broadcast(change_keys.select(key).distinct())
+    chg = change_keys.select(key).distinct()
     changed_inc = incoming.join(chg, key, "left_semi").alias("inc")
     extras = []
     for u in unique_cols:
         cur = current.alias("cur")
+        # Plain '=' (NULLs never match) — the reference's
+        # _bde_FixChangedIncKeyRecords uses '=' on the alternate unique
+        # column; unique constraints allow many NULLs and NULL<->NULL
+        # cross-matching would pull unrelated keys into the change set.
         hit = changed_inc.join(
             cur,
-            (F.col(f"inc.{u}").eqNullSafe(F.col(f"cur.{u}")))
+            (F.col(f"inc.{u}") == F.col(f"cur.{u}"))
             & (F.col(f"inc.{key}") != F.col(f"cur.{key}")),
             "inner",
         ).select(F.col(f"cur.{key}").alias(key))
@@ -231,8 +238,11 @@ def apply_changes(
         F.col(ACTION_COL).isin(ACT_INSERT, ACT_UPDATE, ACT_KEY_SWAP)
     ).select(key)
 
-    kept = current.join(F.broadcast(doomed), key, "left_anti")
-    fresh = incoming.join(F.broadcast(fresh_keys), key, "left_semi")
+    # No broadcast hints: the action set scales with the change volume (a
+    # full_table_diff can touch most keys), so a forced broadcast is an OOM
+    # at 100 TB. AQE broadcasts small action sets on its own.
+    kept = current.join(doomed, key, "left_anti")
+    fresh = incoming.join(fresh_keys, key, "left_semi")
     return kept.unionByName(fresh.select(current.columns))
 
 

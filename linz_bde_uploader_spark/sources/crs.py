@@ -168,11 +168,27 @@ def read_crs(
     if not header.columns:
         raise ValueError(f"{paths[0]}: header declares no COLUMN records")
 
+    # Per-file header stripping: each file carries its own START/END (etc.)
+    # header lines, so strip the union of every file's header literals —
+    # parsing a header is bounded driver work (never touches the data
+    # section), and a multi-file set with mismatched columns is a hard error
+    # rather than silent misparsing.
+    header_lits = {ln for ln in header.raw_lines if ln}
+    for p in paths[1:]:
+        h = read_crs_header(p)
+        if h.field_names != header.field_names:
+            raise ValueError(
+                f"{p}: column list {h.field_names} differs from "
+                f"{paths[0]}'s {header.field_names}"
+            )
+        header_lits.update(ln for ln in h.raw_lines if ln)
+
     raw = spark.read.text(paths)
     # Exact JVM-side header removal: every header line literal (and blanks).
-    header_lits = [ln for ln in header.raw_lines if ln]
+    # Data lines always carry a trailing '|' while header lines do not, so
+    # the literal filter cannot drop a data row.
     data = raw.filter(
-        (F.length("value") > 0) & (~F.col("value").isin(header_lits))
+        (F.length("value") > 0) & (~F.col("value").isin(sorted(header_lits)))
     )
     # column_count validation: a valid row has a trailing '|', so it splits
     # into n_fields + 1 pieces with an empty last piece.
