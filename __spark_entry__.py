@@ -475,10 +475,10 @@ def q_text_fingerprint(spark, sf_dir):
 
 def q_dedup_minhash_sig(spark, sf_dir):
     d = W.load(spark, sf_dir, "documents")
-    sig = D.minhash_signature(F.col("text"))
-    return d.select(
+    sigs = D.with_minhash_signature(d, "text")
+    return sigs.select(
         "doc_id",
-        *[F.element_at(sig, j + 1).alias(f"mh{j}") for j in range(len(D.MINHASH_PARAMS))],
+        *[F.element_at("_sig", j + 1).alias(f"mh{j}") for j in range(len(D.MINHASH_PARAMS))],
     )
 
 
@@ -493,9 +493,10 @@ def q_dedup_simhash(spark, sf_dir):
 
 
 def q_dedup_jaccard_pairs(spark, sf_dir):
+    # Two-phase near-dup: LSH candidates → exact Jaccard verify on candidates
+    # only (no intra-block cartesian — the 100-TB shape).
     d = W.load(spark, sf_dir, "documents")
-    return D.jaccard_dedup_pairs(d, "doc_id", "text", threshold=0.08,
-                                 blocking_cols=["lang"])
+    return D.candidate_jaccard_verify(d, "doc_id", "text", threshold=0.08)
 
 
 def _query_vec(spark, sf_dir) -> list[float]:
@@ -825,21 +826,32 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, CAST({_simhash_sql_bits(16)} AS BIGINT) AS sh FROM t
         """,
-        "q_dedup_jaccard_pairs": f"""
-            WITH t AS (
-              SELECT doc_id, lang, {_TOKS} AS toks, {tokn} AS n FROM documents
+        "q_dedup_jaccard_pairs": _MINHASH_SIGS + f"""
+            , bands AS (
+              SELECT doc_id, 0 AS band, ((0*31 + mh0)*31 + mh1) % 2147483647 AS key FROM sigs
+              UNION ALL
+              SELECT doc_id, 1, ((1*31 + mh2)*31 + mh3) % 2147483647 FROM sigs
+              UNION ALL
+              SELECT doc_id, 2, ((2*31 + mh4)*31 + mh5) % 2147483647 FROM sigs
+              UNION ALL
+              SELECT doc_id, 3, ((3*31 + mh6)*31 + mh7) % 2147483647 FROM sigs
+            ),
+            cand AS (
+              SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+              FROM bands l JOIN bands r
+                ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
             ),
             sh AS (
-              SELECT doc_id, lang,
+              SELECT doc_id,
                      list_distinct(list_transform(generate_series(1, greatest(n-2, 1)),
                        i -> toks[least(i, n)] || ' ' || toks[least(i+1, n)] || ' ' || toks[least(i+2, n)])) AS s
               FROM t
             ),
             pairs AS (
-              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              SELECT c.id_a, c.id_b,
                      round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
                            / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
-              FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+              FROM cand c JOIN sh a ON a.doc_id = c.id_a JOIN sh b ON b.doc_id = c.id_b
             )
             SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.08
         """,

@@ -1,0 +1,70 @@
+"""Benchmark harness: time every ``queries()`` entry and print ONE JSON line.
+
+Runs at ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` (default all cores). Each query is executed to
+full materialization via the ``noop`` sink (computes every column — a bare
+``count()`` would let column pruning skip most of the work), timed with a
+monotonic clock.
+
+Output (single line on stdout; everything else goes to stderr):
+    {"metric": "total_query_wall", "value": N, "unit": "sec",
+     "queries": {"q_...": sec, ...}, "sf": 0.1}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+import traceback
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    import __spark_entry__ as entry
+    from linz_bde_uploader_spark.session import get_spark
+
+    spark = get_spark()
+    # Warm the JVM/session so the first measured query doesn't pay startup.
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    failed: dict[str, str] = {}
+    for name, fn in entry.queries().items():
+        t0 = time.monotonic()
+        try:
+            df = fn(spark, sf_dir)
+            df.write.mode("overwrite").format("noop").save()
+            dt = time.monotonic() - t0
+            timings[name] = round(dt, 3)
+            log(f"{name:34s} {dt:7.3f}s")
+        except Exception as e:  # noqa: BLE001 — a broken query must not hide the rest
+            failed[name] = f"{type(e).__name__}: {e}"
+            log(f"{name:34s} FAILED {failed[name]}")
+            traceback.print_exc(file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "total_query_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if failed:
+        out["failed"] = failed
+    print(json.dumps(out), flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

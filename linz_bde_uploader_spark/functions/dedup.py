@@ -79,6 +79,28 @@ def minhash_signature(col: Column | str, k: int = 8) -> Column:
     return F.array(*sigs)
 
 
+def with_minhash_signature(
+    df: DataFrame, text_col: str, out_col: str = "_sig", k: int = 8
+) -> DataFrame:
+    """Attach the MinHash signature as a staged column.
+
+    Two projections: shingle-values first, then the K permutation minima
+    over that array. Referencing an *expensive* alias multiple times keeps
+    Catalyst's CollapseProject from re-inlining it, so the shingle pipeline
+    runs once per row instead of once per permutation — ~K× less work than
+    inlining ``minhash_signature`` into a multi-reference expression.
+    """
+    sv = F.transform(shingles(F.col(text_col)), lambda s: shingle_value(s))
+    staged = df.withColumn("_sv", sv)
+    sig = F.array(
+        *[
+            F.array_min(F.transform(F.col("_sv"), lambda x: (x * a + b) % HASH_MOD))
+            for a, b in MINHASH_PARAMS[:k]
+        ]
+    )
+    return staged.withColumn(out_col, sig).drop("_sv")
+
+
 def minhash_band_keys(sig: Column, bands: int = 4, rows_per_band: int = 2) -> Column:
     """Split the signature into bands; each band folds to one bucket key.
     Docs sharing any band key are LSH candidates. Returns array<long>."""
@@ -101,14 +123,19 @@ def minhash_candidate_pairs(
     (band_idx, band_key) → distinct pair. The join key is the bucket, so
     shuffle volume is O(n·bands), not O(n²); skewed buckets are split by
     AQE. This is the scale path for near-dup at 100 TB.
+
+    The banded projection is persisted before the self-join: signature
+    computation (shingle → K permutations) is the expensive part, and a
+    bare self-alias would recompute it for both join sides. At cluster
+    scale, checkpoint/write the signatures instead.
     """
-    sig = minhash_signature(F.col(text_col))
-    banded = df.select(
+    sigs = with_minhash_signature(df, text_col, "_sig", bands * rows_per_band)
+    banded = sigs.select(
         F.col(id_col).alias("_id"),
-        F.posexplode(minhash_band_keys(sig, bands, rows_per_band)).alias(
+        F.posexplode(minhash_band_keys(F.col("_sig"), bands, rows_per_band)).alias(
             "_band", "_key"
         ),
-    )
+    ).persist()
     left = banded.alias("l")
     right = banded.alias("r")
     return (
@@ -166,6 +193,38 @@ def exact_dedup(df: DataFrame, dedup_cols: list[str], id_col: str) -> DataFrame:
     the dedup key with map-side combine; deterministic winner."""
     keep = df.groupBy(*dedup_cols).agg(F.min(id_col).alias(id_col))
     return df.join(keep, dedup_cols + [id_col], "left_semi")
+
+
+def candidate_jaccard_verify(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    n: int = 3,
+    bands: int = 4,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """The two-phase near-dup design: MinHash-LSH candidates → exact n-gram
+    Jaccard verification on candidates only.
+
+    This is the scale path — the exact Jaccard compare runs on O(candidates)
+    pairs (two narrow id-equi-joins to fetch the texts), never on an
+    intra-block cartesian. Use ``jaccard_dedup_pairs`` directly only for
+    verify passes over already-small subsets.
+    """
+    pairs = minhash_candidate_pairs(df, id_col, text_col, bands, rows_per_band)
+    texts = df.select(F.col(id_col), F.col(text_col))
+    joined = pairs.join(
+        texts.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("_ta")), "id_a"
+    ).join(
+        texts.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("_tb")), "id_b"
+    )
+    sim = ngram_jaccard(F.col("_ta"), F.col("_tb"), n)
+    return (
+        joined.withColumn("jaccard", sim)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
 
 
 def jaccard_dedup_pairs(
