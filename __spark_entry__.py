@@ -14,18 +14,27 @@ mirrored verbatim in the ``_SCENARIO`` CTE block below.
 
 from __future__ import annotations
 
+import hashlib
+import os
+import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from linz_bde_uploader_spark.functions import dedup as D
 from linz_bde_uploader_spark.functions import similarity as S
 from linz_bde_uploader_spark.functions import text as X
+from linz_bde_uploader_spark.meta.store import MetaStore
 from linz_bde_uploader_spark.operators import diff as DF_
 from linz_bde_uploader_spark.operators.clean import CleanConfig, clean_text, fix_date_range, fix_wkt
+from linz_bde_uploader_spark.operators.negotiate import negotiate_columns
 from linz_bde_uploader_spark.operators.tolerance import check_row_tolerance
+from linz_bde_uploader_spark.plans import discovery
 from linz_bde_uploader_spark.plans import workload as W
+from linz_bde_uploader_spark.sinks.target import ParquetTarget
+from linz_bde_uploader_spark.sources.crs import read_crs
 
 ORDER_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
               "o_orderdate", "o_orderpriority"]
@@ -242,24 +251,84 @@ def q_j7_meta_change_summary(spark, sf_dir):
     ).agg(F.count(F.lit(1)).alias("n"))
 
 
+# ---------------------------------------------------------------------------
+# .crs fixtures (written once per sf_dir from the documents table, so the
+# real reader runs against real files while the oracle reads the parquet)
+# ---------------------------------------------------------------------------
+
+_FIXTURE_ROOT = os.path.join(tempfile.gettempdir(), "bde_harness_fixtures")
+
+
+def _docs_crs_fixture(sf_dir: str, bad_mod: int | None = None) -> str:
+    """documents(doc_id, lang, source, n_chars) as a real .crs file; with
+    ``bad_mod``, every doc_id % bad_mod == 0 row gets an extra field (a
+    column_count error for the P8 budget path)."""
+    key = hashlib.sha1(f"{sf_dir}|{bad_mod}".encode()).hexdigest()[:12]
+    d = os.path.join(_FIXTURE_ROOT, key)
+    path = os.path.join(d, "docs.crs")
+    if os.path.exists(path):
+        return path
+    os.makedirs(d, exist_ok=True)
+    import pyarrow.parquet as pq
+
+    rows = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "lang", "source", "n_chars"],
+    ).to_pylist()
+    tmp = path + f".tmp-{os.getpid()}"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        fh.write(
+            "HEDR 1.0.0\nSOFTWARE harness V1\nSCHEMA bde\nUSER harness\n"
+            "START 2024-01-01 00:00:00\nEND 2024-01-02 00:00:00\n"
+            "SQL SELECT * FROM documents\nTABLE documents\n"
+            "COLUMN doc_id bigint\nCOLUMN lang varchar\n"
+            "COLUMN source varchar\nCOLUMN n_chars bigint\n"
+            "DESC harness fixture\nSIZE 1\n{CRS-DATA}\n"
+        )
+        for r in rows:
+            line = f"{r['doc_id']}|{r['lang'] or ''}|{r['source'] or ''}|{r['n_chars']}|"
+            if bad_mod and r["doc_id"] % bad_mod == 0:
+                line += "EXTRA|"
+            fh.write(line + "\n")
+    os.replace(tmp, path)
+    return path
+
+
 def q_s1_crs_roundtrip(spark, sf_dir):
-    d = W.load(spark, sf_dir, "documents")
-    line = F.concat_ws("|", F.col("doc_id").cast("string"), F.col("lang"),
-                       F.col("source"), F.lit(""))
-    parts = F.split(line, r"\|")
-    nn = lambda c: F.when(c == "", None).otherwise(c)  # noqa: E731
-    return d.select(
-        nn(F.element_at(parts, 1)).cast("long").alias("id"),
-        nn(F.element_at(parts, 2)).alias("lang2"),
-        nn(F.element_at(parts, 3)).alias("source2"),
-    )
+    # The REAL reader (S1): header parse on driver, JVM-side split
+    # projection, ''->NULL — over a .crs fixture mirroring documents.
+    df, hdr = read_crs(spark, _docs_crs_fixture(sf_dir))
+    assert hdr.table == "documents" and hdr.start == "2024-01-01 00:00:00"
+    return df
+
+
+def q_p8_error_budget(spark, sf_dir):
+    # P8: rows failing the column_count check are routed out; the load
+    # proceeds because the budget allows them (max_errors high). The
+    # zero-budget abort path is pytest-covered (ErrorBudgetExceeded).
+    df, _ = read_crs(spark, _docs_crs_fixture(sf_dir, bad_mod=50),
+                     max_errors=1_000_000_000)
+    return df
 
 
 def q_p1_projection(spark, sf_dir):
-    li = W.load(spark, sf_dir, "lineitem")
-    return li.filter(F.col("l_quantity") > 45).select(
-        "l_orderkey", "l_partkey", "l_quantity"
+    # The REAL negotiation (P1/P2): case-insensitive header∩target
+    # intersection, target-type casts, defaults for absent target columns,
+    # extra file fields dropped.
+    li = W.load(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("L_ORDERKEY"),
+        F.col("l_partkey").alias("L_PartKey"),
+        F.col("l_quantity").cast("string").alias("l_quantity"),  # file-side text
+        F.col("l_returnflag").alias("not_in_target"),
     )
+    target = T.StructType([
+        T.StructField("l_orderkey", T.LongType()),
+        T.StructField("l_partkey", T.LongType()),
+        T.StructField("l_quantity", T.DoubleType()),
+        T.StructField("load_flag", T.StringType()),
+    ])
+    neg = negotiate_columns(li, target, defaults={"load_flag": F.lit("L0")})
+    return neg.filter(F.col("l_quantity") > 45)
 
 
 def q_p4_char_clean(spark, sf_dir):
@@ -267,6 +336,80 @@ def q_p4_char_clean(spark, sf_dir):
     dirty = F.concat(F.substring("text", 1, 40), F.lit("|mid\\slash"),
                      F.lit("\x01"), F.lit("end"))
     return d.select(F.col("doc_id"), clean_text(dirty).alias("cleaned"))
+
+
+def q_p5_utf8_clean(spark, sf_dir):
+    # P5 policy: characters outside the kept set -> '?', soft hyphen (an
+    # explicit delete mapping) removed — single-pass translate chain.
+    dirty = F.concat(F.substring("text", 1, 30), F.lit("☃"),
+                     F.lit("­"), F.lit("x"))
+    d = W.load(spark, sf_dir, "documents")
+    return d.select("doc_id", clean_text(dirty).alias("cleaned"))
+
+
+def q_s3_discovery_pending(spark, sf_dir):
+    # The REAL repository scan (S3): dataset directories are materialized
+    # on disk (one per distinct event day), then listed, completeness-
+    # checked, and watermark-filtered by the discovery component.
+    days = sorted(
+        r.d
+        for r in W.events(spark, sf_dir)
+        .select(F.date_format("ts_ntz", "yyyyMMdd").alias("d"))
+        .distinct()
+        .collect()
+    )
+    key = hashlib.sha1(f"{sf_dir}|repo".encode()).hexdigest()[:12]
+    repo = os.path.join(_FIXTURE_ROOT, key)
+    for day in days:
+        ds_dir = os.path.join(repo, "level_5", day + "000000")
+        os.makedirs(ds_dir, exist_ok=True)
+        p = os.path.join(ds_dir, "rds.crs")
+        if not os.path.exists(p):
+            with open(p, "w") as fh:
+                fh.write("HEDR 1\nTABLE rds\nCOLUMN id bigint\n{CRS-DATA}\n1|\n")
+    listed = discovery.list_datasets(repo, "5")
+    pend = discovery.pending_level5(listed, "20240120000000", required_files=["rds"])
+    return spark.createDataFrame(
+        [(p.name,) for p in pend], "dataset string"
+    )
+
+
+def q_s6_stats_store(spark, sf_dir):
+    # The REAL metadata store (S6): classify the merge scenario, write the
+    # upload_stats row + watermarks through MetaStore, read the control
+    # table back as a DataFrame.
+    a = _actions(spark, sf_dir)
+    row = a.agg(
+        F.count(F.when(F.col("_action") == "I", 1)).alias("ni"),
+        F.count(F.when(F.col("_action").isin("U", "X"), 1)).alias("nu"),
+        F.count(F.when(F.col("_action") == "0", 1)).alias("n0"),
+        F.count(F.when(F.col("_action") == "D", 1)).alias("nd"),
+    ).collect()[0]
+    store = MetaStore(tempfile.mkdtemp(prefix="bde_meta_"),
+                      clock=lambda: 1_700_000_000.0)
+    upl = store.create_upload()
+    tbl = store.register_table("orders", key_column="o_orderkey")
+    store.record_load(tbl, upl, "20240102000000", "5", incremental=True,
+                      ninsert=row.ni, nupdate=row.nu, nnullupdate=row.n0,
+                      ndelete=row.nd)
+    return store.spark_df(spark, "upload_stats").select(
+        "dataset", "type", "incremental", "ninsert", "nupdate",
+        "nnullupdate", "ndelete",
+    )
+
+
+def q_s5_target_e2e(spark, sf_dir):
+    # The REAL sink (S4/S5) end-to-end: level-0 replace into a versioned
+    # parquet target, then the level-5 keyed merge committed atomically,
+    # then read back — the full load->merge->write->read-back loop.
+    tgt = ParquetTarget(tempfile.mkdtemp(prefix="bde_tgt_"), key="o_orderkey")
+    tgt.replace(W.orders_current(spark, sf_dir))
+    tgt.apply_incremental(
+        spark,
+        W.orders_incoming(spark, sf_dir),
+        W.orders_change_keys(spark, sf_dir),
+    )
+    return tgt.read(spark)
 
 
 def q_p6_date_fixup(spark, sf_dir):
@@ -548,8 +691,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_p9_p10_change_filter": q_p9_p10_change_filter,
         "q_j7_meta_change_summary": q_j7_meta_change_summary,
         "q_s1_crs_roundtrip": q_s1_crs_roundtrip,
+        "q_p8_error_budget": q_p8_error_budget,
         "q_p1_projection": q_p1_projection,
         "q_p4_char_clean": q_p4_char_clean,
+        "q_p5_utf8_clean": q_p5_utf8_clean,
+        "q_s3_discovery_pending": q_s3_discovery_pending,
+        "q_s6_stats_store": q_s6_stats_store,
+        "q_s5_target_e2e": q_s5_target_e2e,
         "q_p6_date_fixup": q_p6_date_fixup,
         "q_p7_wkt_fixup": q_p7_wkt_fixup,
         "q_scalar_funcs": q_scalar_funcs,
@@ -661,20 +809,34 @@ def oracle_sql() -> dict[str, str]:
             FROM change_table GROUP BY 1, 2
         """,
         "q_s1_crs_roundtrip": """
-            WITH lines AS (
-              SELECT doc_id, doc_id || '|' || lang || '|' || source || '|' AS line
-              FROM documents
-            ),
-            parsed AS (SELECT string_split(line, '|') AS p FROM lines)
-            SELECT CAST(nullif(p[1], '') AS BIGINT) AS id,
-                   nullif(p[2], '') AS lang2,
-                   nullif(p[3], '') AS source2
-            FROM parsed
+            SELECT doc_id, lang, source, n_chars FROM documents
+        """,
+        "q_p8_error_budget": """
+            SELECT doc_id, lang, source, n_chars FROM documents
+            WHERE doc_id % 50 <> 0
         """,
         "q_p1_projection": """
-            SELECT l_orderkey, l_partkey, l_quantity
+            SELECT l_orderkey, l_partkey, l_quantity, 'L0' AS load_flag
             FROM lineitem WHERE l_quantity > 45
         """,
+        "q_p5_utf8_clean": """
+            SELECT doc_id, substr(text, 1, 30) || '?' || 'x' AS cleaned
+            FROM documents
+        """,
+        "q_s3_discovery_pending": """
+            SELECT DISTINCT strftime(ts, '%Y%m%d') || '000000' AS dataset
+            FROM events
+            WHERE strftime(ts, '%Y%m%d') || '000000' > '20240120000000'
+        """,
+        "q_s6_stats_store": _SCENARIO + """
+            SELECT '20240102000000' AS dataset, '5' AS type, TRUE AS incremental,
+                   count(*) FILTER (WHERE _action = 'I') AS ninsert,
+                   count(*) FILTER (WHERE _action IN ('U','X')) AS nupdate,
+                   count(*) FILTER (WHERE _action = '0') AS nnullupdate,
+                   count(*) FILTER (WHERE _action = 'D') AS ndelete
+            FROM actions
+        """,
+        "q_s5_target_e2e": _SCENARIO + "SELECT * FROM merged",
         "q_p4_char_clean": r"""
             SELECT doc_id,
                    replace(replace(replace(substr(text, 1, 40) || '|mid\slash' || chr(1) || 'end',

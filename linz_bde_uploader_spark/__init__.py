@@ -14,9 +14,14 @@ linz/linz_bde_uploader (the reference), re-expressed Spark-first:
   SimHash + n-gram-Jaccard dedup, ANN similarity search, language id,
   quality scoring, token counting, fingerprinting).
 - ``meta``      — the control/metadata store (upload, upload_table,
-  upload_stats — reference: sql/01-bde_control_tables.sql).
-- ``plans``     — dataset discovery, watermark planning, job orchestration.
-- ``streaming`` — Structured-Streaming flavor of the polling loop.
+  upload_stats — reference: sql/01-bde_control_tables.sql) plus the
+  job/lock/purge services (C1–C8).
+- ``plans``     — dataset discovery (S3), watermark planning, the
+  deterministic merge workload, and the ``BdeUploader`` run loop.
+- ``sinks``     — staging writer (S4) and the versioned, atomically
+  committed target table (S5).
+
+CLI: ``python -m linz_bde_uploader_spark -full|-incremental ...``.
 
 Everything here derives from public knowledge only: the Apache Spark API
 and the observable behavior of the reference repo.
