@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from linz_bde_uploader_spark.functions import dedup as D
+from linz_bde_uploader_spark.functions import multimodal as M
 from linz_bde_uploader_spark.functions import similarity as S
 from linz_bde_uploader_spark.functions import text as X
 from linz_bde_uploader_spark.meta.store import MetaStore
@@ -642,6 +643,31 @@ def q_dedup_jaccard_pairs(spark, sf_dir):
     return D.candidate_jaccard_verify(d, "doc_id", "text", threshold=0.08)
 
 
+def q_mm_metadata(spark, sf_dir):
+    # Multimodal tier 1: typed metadata beside an opaque binary payload,
+    # pure Column expressions (codegen, no Python).
+    media = M.synth_media(W.load(spark, sf_dir, "documents"), "doc_id", "text")
+    return media.select(
+        "media_id",
+        M.media_size_bytes("content").alias("size_bytes"),
+        M.media_magic_hex("content").alias("magic_hex"),
+    )
+
+
+def q_mm_fingerprint_dedup(spark, sf_dir):
+    # Multimodal tier 2: Arrow-batched byte fingerprint + exact payload
+    # dedup (min-id winner per fingerprint group).
+    media = M.synth_media(W.load(spark, sf_dir, "documents"), "doc_id", "text")
+    return M.fingerprint_dedup(media, "media_id", "content")
+
+
+def q_mm_thumbnails(spark, sf_dir):
+    # Multimodal tier 3: mapInPandas decode plumbing (deterministic fake
+    # decode — codecs absent here; the Arrow batch machinery is real).
+    media = M.synth_media(W.load(spark, sf_dir, "documents"), "doc_id", "text")
+    return M.decode_thumbnails(media)
+
+
 def _query_vec(spark, sf_dir) -> list[float]:
     row = (
         W.load(spark, sf_dir, "embeddings").filter(F.col("vec_id") == 0)
@@ -722,6 +748,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_minhash_pairs": q_dedup_minhash_pairs,
         "q_dedup_simhash": q_dedup_simhash,
         "q_dedup_jaccard_pairs": q_dedup_jaccard_pairs,
+        "q_mm_metadata": q_mm_metadata,
+        "q_mm_fingerprint_dedup": q_mm_fingerprint_dedup,
+        "q_mm_thumbnails": q_mm_thumbnails,
         "q_sim_cosine_topk": q_sim_cosine_topk,
         "q_sim_cosine_above": q_sim_cosine_above,
         "q_sim_lsh_topk": q_sim_lsh_topk,
@@ -1016,6 +1045,31 @@ def oracle_sql() -> dict[str, str]:
               FROM cand c JOIN sh a ON a.doc_id = c.id_a JOIN sh b ON b.doc_id = c.id_b
             )
             SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.08
+        """,
+        "q_mm_metadata": """
+            SELECT doc_id AS media_id,
+                   octet_length(encode(text)) AS size_bytes,
+                   hex(encode(substr(text, 1, 4))) AS magic_hex
+            FROM documents
+        """,
+        "q_mm_fingerprint_dedup": """
+            WITH fp AS (
+              SELECT doc_id,
+                     CAST(coalesce(list_sum(list_transform(
+                       generate_series(1, least(length(text), 64)),
+                       i -> (ascii(substr(text, i, 1)) * ((i * 2654435761) % 2147483647)) % 2147483647
+                     )), 0) % 2147483647 AS BIGINT) AS fingerprint
+              FROM documents
+            ),
+            keep AS (SELECT fingerprint, min(doc_id) AS doc_id FROM fp GROUP BY fingerprint)
+            SELECT doc_id AS media_id, fingerprint FROM keep
+        """,
+        "q_mm_thumbnails": """
+            SELECT doc_id AS media_id,
+                   CAST((octet_length(encode(text)) % 640) + 16 AS INT) AS width,
+                   CAST((octet_length(encode(text)) % 480) + 16 AS INT) AS height,
+                   encode(substr(text, 1, 16)) AS thumb
+            FROM documents
         """,
         "q_sim_cosine_topk": f"""
             SELECT e.vec_id, {cos} AS score

@@ -1,0 +1,186 @@
+"""Multimodal (binary) column operators: metadata, fingerprint dedup,
+decode/thumbnail/frame-sample plumbing.
+
+Design for a 100-TB media pipeline: image/audio/video payloads are opaque
+``binary`` columns with *typed metadata columns* beside them — Spark never
+interprets the bytes in the JVM row path. The three operator tiers:
+
+1. **Metadata extraction** — pure Column expressions (size, magic bytes):
+   whole-stage codegen, no Python.
+2. **Byte-level sketches** — Arrow-batched pandas UDFs (numpy per value);
+   the sanctioned slow path, vectorized at the transfer layer. Used for
+   payload fingerprint dedup (the binary analog of text near-dup).
+3. **Decode / resize / frame-sample** — ``mapInPandas`` over Arrow record
+   batches, so each Python worker streams batches without materializing
+   the whole partition. The *decode* step needs an image/audio codec
+   (PIL/ffmpeg), which is NOT in this environment: the plumbing (schema,
+   batch iteration, UDF signatures, partition behavior) is real and
+   tested; the codec call is isolated behind ``_decode_image``, which
+   falls back to a clearly-marked deterministic fake so the distributed
+   machinery is exercisable end-to-end.
+
+The synthetic media fixture derives bytes from the ``documents`` table
+(UTF-8 of the text column) so every sketch is reproducible in ANSI SQL for
+the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+HASH_MOD = 2_147_483_647
+_WEIGHT_MIX = 2_654_435_761  # Knuth multiplicative constant (public domain)
+
+#: bytes of payload a fingerprint samples — fixed so the sketch is stable
+FINGERPRINT_BYTES = 64
+
+try:  # codec gate: PIL is not in this container; plumbing still runs
+    from PIL import Image  # noqa: F401
+
+    HAVE_PIL = True
+except ImportError:
+    HAVE_PIL = False
+
+
+# ---------------------------------------------------------------------------
+# tier 1: metadata as Column expressions
+# ---------------------------------------------------------------------------
+
+
+def synth_media(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Deterministic synthetic media table: payload = UTF-8 bytes of the
+    text column. Stands in for a real (media_id, content, mime) table."""
+    return df.select(
+        F.col(id_col).alias("media_id"),
+        F.encode(F.col(text_col), "UTF-8").alias("content"),
+        F.lit("application/octet-stream").alias("mime"),
+    )
+
+
+def media_size_bytes(content: Column | str) -> Column:
+    c = F.col(content) if isinstance(content, str) else content
+    return F.length(c).cast("long")
+
+
+def media_magic_hex(content: Column | str, n: int = 4) -> Column:
+    """Hex of the payload's leading bytes — the magic-number sniff every
+    media pipeline runs before routing to a decoder."""
+    c = F.col(content) if isinstance(content, str) else content
+    # substr on binary is byte-addressed in Spark
+    return F.hex(F.substring(c, 1, n))
+
+
+# ---------------------------------------------------------------------------
+# tier 2: byte fingerprint (Arrow-batched pandas UDF)
+# ---------------------------------------------------------------------------
+
+_FP_WEIGHTS = np.array(
+    [((i + 1) * _WEIGHT_MIX) % HASH_MOD for i in range(FINGERPRINT_BYTES)],
+    dtype=np.int64,
+)
+
+
+def byte_fingerprint(content: Column | str) -> Column:
+    """Position-weighted byte sketch over the first FINGERPRINT_BYTES bytes:
+    ``sum(byte_i * w_i mod P) mod P``, ``w_i = (i*2654435761) mod P``.
+
+    Deterministic pure arithmetic — identical payloads collide exactly, and
+    the value is reproducible in ANSI SQL for oracle checks. Arrow batches
+    in/out; numpy per value (no Python-level byte loop). The UDF is built
+    lazily because ``pandas_udf`` type parsing needs an active session."""
+
+    @pandas_udf("long")
+    def _fp(s: pd.Series) -> pd.Series:
+        def one(b) -> int | None:
+            if b is None:
+                return None
+            arr = np.frombuffer(
+                bytes(b[:FINGERPRINT_BYTES]), dtype=np.uint8
+            ).astype(np.int64)
+            if arr.size == 0:
+                return 0
+            return int(((arr * _FP_WEIGHTS[: arr.size]) % HASH_MOD).sum() % HASH_MOD)
+
+        return s.map(one)
+
+    return _fp(F.col(content) if isinstance(content, str) else content)
+
+
+def fingerprint_dedup(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
+    """Exact payload dedup by fingerprint: keep the min-id row per
+    fingerprint group — one shuffle, same shape as text exact_dedup."""
+    with_fp = df.withColumn("_fp", byte_fingerprint(F.col(content_col)))
+    keep = with_fp.groupBy("_fp").agg(F.min(id_col).alias(id_col))
+    return (
+        with_fp.join(keep, ["_fp", id_col], "left_semi")
+        .select(F.col(id_col), F.col("_fp").alias("fingerprint"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# tier 3: decode / thumbnail / frame-sample over mapInPandas
+# ---------------------------------------------------------------------------
+
+THUMBNAIL_SCHEMA = "media_id long, width int, height int, thumb binary"
+
+
+def _decode_image(payload: bytes) -> tuple[int, int, bytes]:
+    """Decode → (width, height, thumbnail-bytes).
+
+    With a real codec (PIL) this would be ``Image.open(BytesIO(payload))``
+    + ``thumbnail()``. PIL is absent here, so this is a DETERMINISTIC FAKE:
+    dimensions derived from the payload size, thumbnail = leading bytes.
+    The mapInPandas plumbing around it is the real, tested part."""
+    if HAVE_PIL:  # pragma: no cover - codec not present in this container
+        raise NotImplementedError("real decode path requires wiring PIL here")
+    n = len(payload)
+    return (n % 640) + 16, (n % 480) + 16, payload[:16]
+
+
+def decode_thumbnails(df: DataFrame, id_col: str = "media_id",
+                      content_col: str = "content") -> DataFrame:
+    """Decode each payload and emit (id, width, height, thumb).
+
+    ``mapInPandas``: the worker receives an iterator of Arrow batches and
+    yields result batches — constant memory per worker regardless of
+    partition size, the correct shape for 100-TB media scans. Partitioning
+    is preserved (no shuffle)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            decoded = [
+                (None, None, None) if b is None else _decode_image(bytes(b))
+                for b in pdf[content_col]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col].values,
+                    "width": [d[0] for d in decoded],
+                    "height": [d[1] for d in decoded],
+                    "thumb": [d[2] for d in decoded],
+                }
+            )
+
+    return df.mapInPandas(batches, THUMBNAIL_SCHEMA)
+
+
+def frame_sample(content: Column | str, k: int = 16) -> Column:
+    """Every k-th byte of the payload — the frame-sampling analog for
+    audio/video streams (sample every k-th frame). Numpy slice per value."""
+
+    @pandas_udf("binary")
+    def _sample(s: pd.Series) -> pd.Series:
+        def one(b):
+            if b is None:
+                return None
+            return np.frombuffer(bytes(b), dtype=np.uint8)[::k].tobytes()
+
+        return s.map(one)
+
+    return _sample(F.col(content) if isinstance(content, str) else content)

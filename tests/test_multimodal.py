@@ -1,0 +1,75 @@
+"""Multimodal binary-column operators: metadata, fingerprint dedup,
+mapInPandas decode plumbing, frame sampling, NULL payloads."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from linz_bde_uploader_spark.functions import multimodal as M
+
+
+def _media(spark):
+    rows = [
+        (1, b"hello world, this is payload one"),
+        (2, b"hello world, this is payload one"),  # exact dup of 1
+        (3, b"a completely different payload!!"),
+        (4, None),
+        (5, b""),
+    ]
+    return spark.createDataFrame(rows, "media_id long, content binary")
+
+
+def test_metadata_columns(spark):
+    df = _media(spark)
+    got = {
+        r.media_id: (r.n, r.magic)
+        for r in df.select(
+            "media_id",
+            M.media_size_bytes("content").alias("n"),
+            M.media_magic_hex("content").alias("magic"),
+        ).collect()
+    }
+    assert got[1] == (32, "68656C6C")  # 'hell'
+    assert got[4] == (None, None)
+    assert got[5] == (0, "")
+
+
+def test_fingerprint_dedup_and_determinism(spark):
+    df = _media(spark).filter(F.col("content").isNotNull())
+    out = M.fingerprint_dedup(df, "media_id", "content").collect()
+    ids = sorted(r.media_id for r in out)
+    assert ids == [1, 3, 5]  # 2 deduped into 1; empty payload fp=0 kept
+    fps = {r.media_id: r.fingerprint for r in out}
+    assert fps[5] == 0
+    # identical payloads share the fingerprint; different payloads don't
+    all_fp = {r.media_id: r.fp for r in df.select(
+        "media_id", M.byte_fingerprint("content").alias("fp")).collect()}
+    assert all_fp[1] == all_fp[2] != all_fp[3]
+
+
+def test_decode_thumbnails_plumbing(spark):
+    out = {r.media_id: r for r in M.decode_thumbnails(_media(spark)).collect()}
+    r1 = out[1]
+    assert (r1.width, r1.height) == ((32 % 640) + 16, (32 % 480) + 16)
+    assert bytes(r1.thumb) == b"hello world, thi"
+    assert out[4].width is None and out[4].thumb is None
+    # schema is the declared THUMBNAIL_SCHEMA
+    assert M.decode_thumbnails(_media(spark)).columns == [
+        "media_id", "width", "height", "thumb"]
+
+
+def test_frame_sample(spark):
+    df = _media(spark)
+    got = {r.media_id: r.s for r in df.select(
+        "media_id", M.frame_sample("content", 16).alias("s")).collect()}
+    assert bytes(got[1]) == b"hello world, this is payload one"[::16]
+    assert got[4] is None
+    assert bytes(got[5]) == b""
+
+
+def test_synth_media_shape(spark):
+    docs = spark.createDataFrame([(7, "abc")], "doc_id long, text string")
+    m = M.synth_media(docs, "doc_id", "text")
+    assert m.columns == ["media_id", "content", "mime"]
+    row = m.collect()[0]
+    assert bytes(row.content) == b"abc"
