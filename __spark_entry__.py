@@ -693,6 +693,22 @@ def q_sim_lsh_topk(spark, sf_dir):
     return S.lsh_topk(e, _query_vec(spark, sf_dir), k=10, planes=6)
 
 
+def q_sim_lsh_bucketed(spark, sf_dir):
+    # The ANN scale path end-to-end: embeddings written physically
+    # partitioned by LSH signature (the pre-bucketing writer), then a
+    # multi-probe top-k whose bucket predicate prunes partitions at the
+    # parquet scan.
+    key = hashlib.sha1(f"{sf_dir}|lshbuckets".encode()).hexdigest()[:12]
+    path = os.path.join(_FIXTURE_ROOT, key, "emb_bucketed")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        S.write_bucketed_embeddings(
+            W.load(spark, sf_dir, "embeddings"), path, planes=6, dims=64
+        )
+    return S.lsh_topk_bucketed(
+        spark, path, _query_vec(spark, sf_dir), k=10, planes=6, probe_radius=1
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -754,7 +770,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sim_cosine_topk": q_sim_cosine_topk,
         "q_sim_cosine_above": q_sim_cosine_above,
         "q_sim_lsh_topk": q_sim_lsh_topk,
+        "q_sim_lsh_bucketed": q_sim_lsh_bucketed,
     }
+
+
+def _lsh_sig_sql(vec_expr: str, planes: int = 6) -> str:
+    """DuckDB expression mirroring similarity.lsh_signature exactly: the
+    hyperplane components are integer-mixing arithmetic evaluated in
+    double, and the dot is a sequential left fold — both engines produce
+    bit-identical doubles, so the sign (bucket bit) agrees."""
+    parts = []
+    for p in range(planes):
+        comp = (
+            f"(((({p}*131 + (i-1)) * 2654435761) % 2147483647) / 2147483647 - 0.5)"
+        )
+        d = (
+            "list_sum(list_transform(generate_series(1, 64), "
+            f"i -> {comp} * CAST({vec_expr}[i] AS DOUBLE)))"
+        )
+        parts.append(f"(CASE WHEN {d} > 0 THEN {1 << p} ELSE 0 END)")
+    return " + ".join(parts)
 
 
 _STOPLIST = "('" + "','".join(X.EN_STOPWORDS) + "')"
@@ -1085,4 +1120,22 @@ def oracle_sql() -> dict[str, str]:
         """,
         # q_sim_lsh_topk intentionally omitted: FP sign boundaries make the
         # bucket assignment oracle-fragile; driver records rows-only.
+        "q_sim_lsh_bucketed": f"""
+            WITH sigs AS (
+              SELECT vec_id, embedding, {_lsh_sig_sql("embedding")} AS sig
+              FROM embeddings
+            ),
+            q AS (
+              SELECT embedding, {_lsh_sig_sql("embedding")} AS sig
+              FROM embeddings WHERE vec_id = 0
+            )
+            SELECT s.vec_id,
+                   round(({_DOT64.format(a="s.embedding", b="q.embedding")})
+                         / (sqrt({_DOT64.format(a="s.embedding", b="s.embedding")})
+                            * sqrt({_DOT64.format(a="q.embedding", b="q.embedding")})), 6) AS score
+            FROM sigs s, q
+            WHERE s.sig = q.sig OR xor(s.sig, q.sig) IN (1, 2, 4, 8, 16, 32)
+            ORDER BY score DESC, s.vec_id
+            LIMIT 10
+        """,
     }

@@ -101,6 +101,21 @@ def lsh_signature(vec: Column, dims: int, planes: int = 8) -> Column:
     return sig
 
 
+def query_signature(query_vec: list[float], planes: int = 8) -> int:
+    """The query vector's signature, computed driver-side with the exact
+    arithmetic of ``lsh_signature`` (Python floats == Spark literals)."""
+    dims = len(query_vec)
+    qsig = 0
+    for p in range(planes):
+        d = sum(
+            ((((p * 131 + i) * HASH_MIX) % HASH_MOD) / HASH_MOD - 0.5)
+            * float(query_vec[i])
+            for i in range(dims)
+        )
+        qsig += (1 << p) if d > 0 else 0
+    return qsig
+
+
 def lsh_topk(
     embeddings: DataFrame,
     query_vec: list[float],
@@ -111,28 +126,75 @@ def lsh_topk(
 ) -> DataFrame:
     """ANN top-k: restrict the exact scan to the query's LSH bucket.
 
-    At scale the table is written bucketed/partitioned by signature, so the
-    bucket predicate becomes partition pruning and the scan touches
-    ~n/2^planes of the data. Falls back to fewer planes if the bucket is
-    empty (caller's choice — here we just return what the bucket holds).
+    Computes signatures on the fly — only a scale path when the input is
+    already signature-partitioned; see ``write_bucketed_embeddings`` +
+    ``lsh_topk_bucketed`` for the physical-pruning version.
     """
     dims = len(query_vec)
     q = F.array(*[F.lit(float(x)) for x in query_vec])
-    # query signature, computed driver-side with the same arithmetic
-    import math
-
-    qsig = 0
-    for p in range(planes):
-        d = sum(
-            ((((p * 131 + i) * HASH_MIX) % HASH_MOD) / HASH_MOD - 0.5) * query_vec[i]
-            for i in range(dims)
-        )
-        qsig += (1 << p) if d > 0 else 0
+    qsig = query_signature(query_vec, planes)
     bucketed = embeddings.withColumn(
         "_sig", lsh_signature(F.col(vec_col), dims, planes)
     ).filter(F.col("_sig") == qsig)
     return (
         bucketed.select(
+            F.col(id_col), F.round(cosine(F.col(vec_col), q), 6).alias("score")
+        )
+        .orderBy(F.desc("score"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def write_bucketed_embeddings(
+    df: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: int = 6,
+    dims: int | None = None,
+) -> str:
+    """The ANN scale path's write side: compute each vector's signature
+    once and physically partition the table by it
+    (``partitionBy("bucket")``). A probe query's bucket predicate then
+    becomes *partition pruning* at the parquet scan — it reads
+    ~(probes/2^planes) of the data instead of scanning and hashing the
+    whole table per query."""
+    if dims is None:
+        dims = len(df.select(vec_col).first()[0])
+    out = df.withColumn("bucket", lsh_signature(F.col(vec_col), dims, planes))
+    out.write.mode("overwrite").partitionBy("bucket").parquet(path)
+    return path
+
+
+def lsh_topk_bucketed(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    planes: int = 6,
+    probe_radius: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k over a signature-partitioned table with multi-probe.
+
+    Probes the query's bucket plus every bucket within Hamming distance
+    ``probe_radius`` (the standard multi-probe LSH recall fix — a vector
+    one sign-flip away lands one bit away). The ``bucket IN (...)``
+    predicate prunes partitions at the scan: ``.explain`` shows
+    PartitionFilters, and only probed directories are read."""
+    qsig = query_signature(query_vec, planes)
+    probes = {qsig}
+    if probe_radius >= 1:
+        probes.update(qsig ^ (1 << p) for p in range(planes))
+    if probe_radius >= 2:
+        for p1 in range(planes):
+            for p2 in range(p1 + 1, planes):
+                probes.add(qsig ^ (1 << p1) ^ (1 << p2))
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    df = spark.read.parquet(path).filter(F.col("bucket").isin(sorted(probes)))
+    return (
+        df.select(
             F.col(id_col), F.round(cosine(F.col(vec_col), q), 6).alias("score")
         )
         .orderBy(F.desc("score"), F.col(id_col))

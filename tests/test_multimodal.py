@@ -73,3 +73,26 @@ def test_synth_media_shape(spark):
     assert m.columns == ["media_id", "content", "mime"]
     row = m.collect()[0]
     assert bytes(row.content) == b"abc"
+
+
+def test_lsh_prebucketed_prunes_and_recalls(spark, tmp_path):
+    """The ANN scale path: bucketed write -> multi-probe read with real
+    partition pruning, recall vs the brute-force baseline."""
+    import random
+
+    from linz_bde_uploader_spark.functions import similarity as S
+
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(64)]) for i in range(300)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    path = str(tmp_path / "emb")
+    S.write_bucketed_embeddings(df, path, planes=6, dims=64)
+
+    qvec = [float(x) for x in df.filter("vec_id = 0").first().embedding]
+    got = S.lsh_topk_bucketed(spark, path, qvec, k=5, planes=6, probe_radius=1)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [bucket" in plan  # pruning, not a full scan
+    res = got.collect()
+    assert len(res) == 5
+    # the query vector itself must be recalled (it's in its own bucket)
+    assert res[0].vec_id == 0 and res[0].score == 1.0
