@@ -233,6 +233,10 @@ class BdeUploader:
         warn_tol_hours: float = 0.5,
         fail_tol_hours: float = 0.0,
         max_errors: int = 0,
+        registry=None,
+        events=None,
+        finish_sql: str = "",
+        sql_runner=None,
     ):
         self.spark = spark
         self.repo = repo
@@ -243,6 +247,27 @@ class BdeUploader:
         self.warn_tol_hours = warn_tol_hours
         self.fail_tol_hours = fail_tol_hours
         self.max_errors = max_errors
+        self.registry = registry  # hooks.HookRegistry | None
+        self.events = events  # hooks.EventHooks | None
+        self.finish_sql = finish_sql
+        self.sql_runner = sql_runner or (lambda sql: spark.sql(sql))
+
+    def _fire(self, event: str, upl_id: int | None, dataset: str = "", level: str = ""):
+        if self.events is not None:
+            self.events.fire(event, upl_id, dataset, level)
+
+    def _post_hooks(self, upl_id: int, level: str) -> None:
+        """Post-level0 / post-upload function registry + conditional finish
+        SQL (reference lib/LINZ/BdeUpload.pm:811-821,842-872)."""
+        from linz_bde_uploader_spark.plans import hooks as H
+
+        if self.registry is not None:
+            ctx = H.HookContext(upl_id, self.meta, self.spark, level=level)
+            if level == "0":
+                self.registry.run_post_level0(ctx)
+            self.registry.run_post_upload(ctx)
+        if self.finish_sql:
+            H.run_finish_sql(self.finish_sql, self.sql_runner, self.meta, upl_id)
 
     def _target(self, d: TableDef) -> ParquetTarget:
         return ParquetTarget(f"{self.target_root}/{d.name}", key=d.key_column)
@@ -293,6 +318,7 @@ class BdeUploader:
         datasets = discovery.list_datasets(self.repo, "0", before)
         reports: list[LoadReport] = []
         upl_id = self.meta.create_upload()
+        self._fire("start", upl_id, level="0")
         ok = True
         try:
             for d in select_tables(self.tables, level="0"):
@@ -317,11 +343,15 @@ class BdeUploader:
                         details=details,
                     )
                     reports.append(LoadReport(d.name, ds.name, "0", stats.ninsert, 0, 0, 0, cont))
+            if reports:
+                self._post_hooks(upl_id, "0")
         except Exception:
             ok = False
+            self._fire("error", upl_id, level="0")
             raise
         finally:
             self.meta.finish_upload(upl_id, ok=ok)
+            self._fire("finish", upl_id, level="0")
         return reports
 
     def run_level5(self, before: str | None = None) -> list[LoadReport]:
@@ -331,6 +361,7 @@ class BdeUploader:
             raise ConfigError("level-5 run requires an l5_change_table record")
         reports: list[LoadReport] = []
         upl_id = self.meta.create_upload()
+        self._fire("start", upl_id, level="5")
         ok = True
         try:
             level5_tables = [
@@ -389,9 +420,13 @@ class BdeUploader:
                         d.name, ds.name, "5", stats.ninsert, stats.nupdate,
                         stats.nnullupdate, stats.ndelete, cont,
                     ))
+            if reports:
+                self._post_hooks(upl_id, "5")
         except Exception:
             ok = False
+            self._fire("error", upl_id, level="5")
             raise
         finally:
             self.meta.finish_upload(upl_id, ok=ok)
+            self._fire("finish", upl_id, level="5")
         return reports
