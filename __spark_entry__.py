@@ -29,7 +29,13 @@ from linz_bde_uploader_spark.functions import similarity as S
 from linz_bde_uploader_spark.functions import text as X
 from linz_bde_uploader_spark.meta.store import MetaStore
 from linz_bde_uploader_spark.operators import diff as DF_
-from linz_bde_uploader_spark.operators.clean import CleanConfig, clean_text, fix_date_range, fix_wkt
+from linz_bde_uploader_spark.operators.clean import (
+    CleanConfig,
+    clean_text,
+    fix_date_range,
+    fix_wkt,
+    fix_wkt_df,
+)
 from linz_bde_uploader_spark.operators.negotiate import negotiate_columns
 from linz_bde_uploader_spark.operators.tolerance import check_row_tolerance
 from linz_bde_uploader_spark.plans import discovery
@@ -431,7 +437,11 @@ def q_p7_wkt_fixup(spark, sf_dir):
     lat = (F.col("event_id") % 90 - 45).cast("long")
     wkt = F.concat(F.lit("POINT("), lon.cast("string"), F.lit(" "),
                    lat.cast("string"), F.lit(")"))
-    return e.select(F.col("event_id"), fix_wkt(wkt).alias("wkt_fixed"))
+    # fix_wkt_df: integral POINTs take the JVM fast path (codegen); only
+    # complex geometries would hit the pandas UDF.
+    return fix_wkt_df(e.withColumn("_wkt", wkt), "_wkt", "wkt_fixed").select(
+        "event_id", "wkt_fixed"
+    )
 
 
 def q_scalar_funcs(spark, sf_dir):

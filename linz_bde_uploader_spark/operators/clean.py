@@ -160,12 +160,54 @@ def fix_wkt(col: Column | str, cfg: CleanConfig | None = None) -> Column:
 
     The strip+prefix is pure JVM; the longitude arithmetic inside WKT text
     needs real parsing, so it runs as one Arrow-batched pandas UDF.
+    Prefer ``fix_wkt_df`` where a whole column is being fixed — it keeps
+    the dominant POINT case out of Python entirely.
     """
     cfg = cfg or CleanConfig()
     c = F.col(col) if isinstance(col, str) else col
     if cfg.longitude_offset == 0.0:
         return F.concat(F.lit(cfg.wkt_prefix), F.regexp_replace(c, r"^[\d ]+", ""))
     return _make_wkt_shift_udf(cfg.longitude_offset, cfg.wkt_prefix)(c)
+
+
+#: integral-coordinate POINT — the overwhelmingly common row shape, whose
+#: longitude shift is exact integer arithmetic (no float rendering issues)
+_INT_POINT_RE = r"^[\d ]*POINT\((-?\d+)( +)(-?\d+)\)$"
+
+
+def fix_wkt_df(
+    df: DataFrame, col: str, out_col: str, cfg: CleanConfig | None = None
+) -> DataFrame:
+    """P7 over a whole column, with a JVM fast path.
+
+    Rows matching integral-coordinate ``POINT(lon lat)`` (and an integral
+    offset) are rewritten entirely in codegen — regexp_extract + long
+    arithmetic + concat; only the remaining rows (multi-pair geometries,
+    fractional coordinates) go through the pandas UDF. The split-and-union
+    keeps the Python worker out of the hot path instead of hiding it in a
+    CASE branch, which Spark would still evaluate for every row.
+    """
+    cfg = cfg or CleanConfig()
+    off = cfg.longitude_offset
+    if off != int(off):
+        # fractional offsets produce fractional longitudes; %g rendering
+        # parity requires the UDF everywhere
+        return df.withColumn(out_col, fix_wkt(F.col(col), cfg))
+    c = F.col(col)
+    is_fast = F.coalesce(c.rlike(_INT_POINT_RE), F.lit(False))
+    fast = df.filter(is_fast).withColumn(
+        out_col,
+        F.concat(
+            F.lit(cfg.wkt_prefix),
+            F.lit("POINT("),
+            (F.regexp_extract(c, _INT_POINT_RE, 1).cast("long") + int(off)).cast("string"),
+            F.regexp_extract(c, _INT_POINT_RE, 2),
+            F.regexp_extract(c, _INT_POINT_RE, 3),
+            F.lit(")"),
+        ),
+    )
+    slow = df.filter(~is_fast).withColumn(out_col, fix_wkt(F.col(col), cfg))
+    return fast.unionByName(slow)
 
 
 class ErrorBudgetExceeded(RuntimeError):

@@ -121,6 +121,27 @@ def test_wkt_fixup(spark):
     assert out[2] is None
 
 
+def test_wkt_fixup_df_hybrid(spark):
+    """fix_wkt_df: integral POINTs rewrite in pure JVM; everything else
+    (multi-pair, fractional, leading digits, NULL) falls to the UDF —
+    outputs identical to the UDF-only path."""
+    from linz_bde_uploader_spark.operators.clean import fix_wkt_df
+
+    rows = [
+        (1, "POINT(12 -41)"),                 # fast path
+        (2, "123 POINT(10.5 -41.25)"),        # fractional -> slow
+        (3, "LINESTRING(1 2, 3.5 4.5)"),      # multi-pair -> slow
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, wkt string")
+    out = {r.id: r.w for r in fix_wkt_df(df, "wkt", "w").collect()}
+    assert out[1] == "SRID=4167;POINT(172 -41)"
+    assert out[2] == "SRID=4167;POINT(170.5 -41.25)"
+    assert out[3] == "SRID=4167;LINESTRING(161 2, 163.5 4.5)"
+    assert out[4] is None
+    assert out.keys() == {1, 2, 3, 4}
+
+
 def test_error_budget(spark):
     raw = spark.createDataFrame(
         [("1|a|x|",), ("2|b|y|",), ("3|c|",)], ["value"]  # last row short
