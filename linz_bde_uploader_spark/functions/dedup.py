@@ -45,10 +45,14 @@ MINHASH_PARAMS = [
 ]
 
 
-def shingles(col: Column | str, n: int = 3) -> Column:
-    """n-word shingles as strings; documents shorter than n words yield
-    their whole text as the single shingle."""
-    toks = tokens(col)
+def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
+    """n-word shingles from a token-array column; documents shorter than n
+    words yield their whole text as the single shingle.
+
+    IMPORTANT for scale: pass a *staged attribute* (a real column holding
+    the token array), not an inline ``split(...)`` expression — the lambda
+    indexes the array once per shingle position, and an inline split would
+    be re-evaluated per element (O(n²) per document)."""
     sz = F.size(toks)
     idx = F.sequence(F.lit(1), F.greatest(sz - (n - 1), F.lit(1)))
     return F.transform(
@@ -57,6 +61,12 @@ def shingles(col: Column | str, n: int = 3) -> Column:
             " ", *[F.element_at(toks, F.least(i + j, sz)) for j in range(n)]
         ),
     )
+
+
+def shingles(col: Column | str, n: int = 3) -> Column:
+    """n-word shingles as strings (tokenizes inline — prefer staging the
+    tokens and calling ``shingles_from_tokens`` in hot paths)."""
+    return shingles_from_tokens(tokens(col), n)
 
 
 def shingle_value(sh: Column) -> Column:
@@ -90,15 +100,22 @@ def with_minhash_signature(
     runs once per row instead of once per permutation — ~K× less work than
     inlining ``minhash_signature`` into a multi-reference expression.
     """
-    sv = F.transform(shingles(F.col(text_col)), lambda s: shingle_value(s))
-    staged = df.withColumn("_sv", sv)
+    # Stage the token array as an attribute FIRST: the shingle lambda
+    # indexes it per position, and an inline split would re-evaluate per
+    # element (O(n²)/doc). Then stage the shingle values so the K
+    # permutations each fold over the same computed array.
+    staged = df.withColumn("_toks", tokens(F.col(text_col)))
+    sv = F.transform(
+        shingles_from_tokens(F.col("_toks")), lambda s: shingle_value(s)
+    )
+    staged = staged.withColumn("_sv", sv)
     sig = F.array(
         *[
             F.array_min(F.transform(F.col("_sv"), lambda x: (x * a + b) % HASH_MOD))
             for a, b in MINHASH_PARAMS[:k]
         ]
     )
-    return staged.withColumn(out_col, sig).drop("_sv")
+    return staged.withColumn(out_col, sig).drop("_sv", "_toks")
 
 
 def minhash_band_keys(sig: Column, bands: int = 4, rows_per_band: int = 2) -> Column:

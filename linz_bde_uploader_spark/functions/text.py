@@ -112,13 +112,13 @@ def fingerprint(col: Column | str) -> Column:
     Position-sensitive (re-ordered documents fingerprint differently),
     whole-stage-codegen arithmetic, and exactly reproducible in ANSI SQL.
     """
-    toks = tokens(col)
-    idx = F.sequence(F.lit(0), F.size(toks) - 1)
+    # Two-arg transform (element, index): the token array is the transform
+    # input, evaluated once. (An index-sequence transform that element_at's
+    # an outer split() re-evaluates the split per element — O(n²)/doc.)
     terms = F.transform(
-        idx,
-        lambda i: (
-            token_value(F.element_at(toks, i + 1))
-            * (((i + 1).cast("long") * HASH_MIX) % HASH_MOD)
+        tokens(col),
+        lambda t, i: (
+            token_value(t) * (((i + 1).cast("long") * HASH_MIX) % HASH_MOD)
         )
         % HASH_MOD,
     )
