@@ -23,7 +23,7 @@ from linz_bde_uploader_spark.meta.store import MetaStore
 from linz_bde_uploader_spark.operators.clean import CleanConfig, clean_text
 from linz_bde_uploader_spark.operators.negotiate import negotiate_columns
 from linz_bde_uploader_spark.plans import discovery
-from linz_bde_uploader_spark.sinks.target import ParquetTarget
+from linz_bde_uploader_spark.sinks.target import DatasetTransaction, ParquetTarget
 from linz_bde_uploader_spark.sources.crs import read_crs
 
 from pyspark.sql import functions as F
@@ -378,43 +378,61 @@ class BdeUploader:
                         f"{chg_def.files} (t/linz_bde_uploader.t:1077-1099)"
                     )
                 chg_df, _ = read_crs(self.spark, chg_path, cast=True)
-                for d in level5_tables:
-                    st = self.meta.table_status(d.name)
-                    tbl_id = st.tbl_id if st else self.meta.register_table(
-                        d.name, key_column=d.key_column,
-                        row_tol_error=d.row_tol_error, row_tol_warning=d.row_tol_warning,
-                    )
-                    last = st.last_upload_dataset if st else None
-                    if not discovery.pending_level5([ds], last, d.l5_is_full, d.files):
-                        continue
-                    if d.key_column is None:
-                        raise ConfigError(f"{d.name}: level-5 requires key=")
-                    prev = parse_upload_details(
-                        st.last_upload_details
-                        if st and st.last_upload_type == "5"
-                        else None
-                    )
-                    self.meta.acquire_table_lock(tbl_id, upl_id)
-                    t0 = time.monotonic()
-                    df, details, cont, hdr = self._load_files(ds, d, prev)
-                    target = self._target(d)
-                    negotiated = negotiate_columns(df, self._target_schema(d, hdr))
-                    # P9/P10: lowercase tablename, project this table's keys
-                    keys = (
-                        chg_df.filter(F.lower(F.col("tablename")) == d.name)
-                        .select(F.col("tablekeyvalue").cast("long").alias(d.key_column))
-                        .distinct()
-                    )
-                    stats = target.apply_incremental(
-                        self.spark, negotiated, keys,
-                        row_tol_error=d.row_tol_error,
-                        row_tol_warning=d.row_tol_warning,
-                    )
+                # Whole-dataset transaction: every table stages its new
+                # version first; pointers flip together at dataset end, so
+                # a mid-dataset failure (including a tolerance abort)
+                # leaves ALL tables at their previous state — the
+                # reference's per-dataset txn (BdeDatabase.pm:476-510).
+                txn = DatasetTransaction()
+                staged_meta: list[tuple] = []
+                try:
+                    for d in level5_tables:
+                        st = self.meta.table_status(d.name)
+                        tbl_id = st.tbl_id if st else self.meta.register_table(
+                            d.name, key_column=d.key_column,
+                            row_tol_error=d.row_tol_error,
+                            row_tol_warning=d.row_tol_warning,
+                        )
+                        last = st.last_upload_dataset if st else None
+                        if not discovery.pending_level5([ds], last, d.l5_is_full, d.files):
+                            continue
+                        if d.key_column is None:
+                            raise ConfigError(f"{d.name}: level-5 requires key=")
+                        prev = parse_upload_details(
+                            st.last_upload_details
+                            if st and st.last_upload_type == "5"
+                            else None
+                        )
+                        self.meta.acquire_table_lock(tbl_id, upl_id)
+                        t0 = time.monotonic()
+                        df, details, cont, hdr = self._load_files(ds, d, prev)
+                        target = self._target(d)
+                        negotiated = negotiate_columns(df, self._target_schema(d, hdr))
+                        # P9/P10: lowercase tablename, project this table's keys
+                        keys = (
+                            chg_df.filter(F.lower(F.col("tablename")) == d.name)
+                            .select(F.col("tablekeyvalue").cast("long").alias(d.key_column))
+                            .distinct()
+                        )
+                        version, stats = target.stage_incremental(
+                            self.spark, negotiated, keys,
+                            row_tol_error=d.row_tol_error,
+                            row_tol_warning=d.row_tol_warning,
+                        )
+                        txn.stage(target, version, stats)
+                        staged_meta.append(
+                            (d, tbl_id, stats, details, cont, time.monotonic() - t0)
+                        )
+                except Exception:
+                    txn.abort()
+                    raise
+                txn.commit()
+                for d, tbl_id, stats, details, cont, dur in staged_meta:
                     self.meta.record_load(
                         tbl_id, upl_id, ds.name, "5", incremental=True,
                         ninsert=stats.ninsert, nupdate=stats.nupdate,
                         nnullupdate=stats.nnullupdate, ndelete=stats.ndelete,
-                        duration_secs=time.monotonic() - t0, details=details,
+                        duration_secs=dur, details=details,
                     )
                     reports.append(LoadReport(
                         d.name, ds.name, "5", stats.ninsert, stats.nupdate,

@@ -120,47 +120,40 @@ class ParquetTarget:
     def read(self, spark: SparkSession) -> DataFrame:
         return spark.read.parquet(self._data_dir())
 
-    # -- applies (S5) -------------------------------------------------------
+    # -- applies (S5): two-phase stage -> commit ----------------------------
+    #
+    # Each apply writes a fully-validated new version directory (phase 1)
+    # and flips the pointer (phase 2). The split exists so a
+    # DatasetTransaction can stage several tables and flip all their
+    # pointers together at dataset end — the reference wraps a whole
+    # dataset (many tables) in one DB transaction
+    # (lib/LINZ/BdeDatabase.pm:476-510, conf/linz_bde_uploader.conf:85-92).
 
-    def replace(self, incoming: DataFrame) -> MergeStats:
-        """Level-0 full replace (reference :1949-1973): write the snapshot
-        as a new version, count = ninsert (GET DIAGNOSTICS analog), flip."""
+    def stage_replace(self, incoming: DataFrame) -> tuple[str, MergeStats]:
+        """Phase-1 of a level-0 full replace (reference :1949-1973): write
+        the snapshot as an uncommitted version; ninsert = written count."""
         v, d = self._new_version()
         incoming.write.mode("overwrite").parquet(d)
         # Count the written files, not the input lineage — one job total.
         n = incoming.sparkSession.read.parquet(d).count()
-        self._commit(v)
-        return MergeStats(ninsert=n)
+        return v, MergeStats(ninsert=n)
 
-    def apply_incremental(
+    def replace(self, incoming: DataFrame) -> MergeStats:
+        v, stats = self.stage_replace(incoming)
+        self._commit(v)
+        return stats
+
+    def _stage_gated(
         self,
         spark: SparkSession,
+        current: DataFrame,
+        actions: DataFrame,
         incoming: DataFrame,
-        change_keys: DataFrame,
-        unique_cols: list[str] | None = None,
-        row_tol_error: float | None = None,
-        row_tol_warning: float | None = None,
-    ) -> MergeStats:
-        """Level-5 merge end-to-end (reference :1576-1814): key-swap repair
-        → classify I/U/D/0/X → apply → tolerance gate → atomic commit.
-
-        The merged result is written *before* the gate counts it (single
-        materialization — the counts read the written files), and the
-        pointer flips only if the gate passes: an error-tier violation
-        leaves the previous version live (txn rollback semantics).
-        """
-        if self.key is None:
-            raise ValueError("incremental apply requires a key column")
-        current = self.read(spark)
-        if unique_cols:
-            extra = keyswap_repair(current, incoming, change_keys, self.key, unique_cols)
-            change_keys = change_keys.select(self.key).unionByName(extra).distinct()
-        actions = classify_incremental_changes(
-            current, incoming, change_keys, self.key, unique_cols=unique_cols
-        )
+        row_tol_error: float | None,
+        row_tol_warning: float | None,
+    ) -> tuple[str, MergeStats]:
         stats = merge_stats(actions)
         merged = apply_changes(current, incoming, actions, self.key)
-
         v, d = self._new_version()
         merged.write.mode("overwrite").parquet(d)
         old_n = current.count()
@@ -170,33 +163,99 @@ class ParquetTarget:
         except Exception:
             shutil.rmtree(d, ignore_errors=True)  # abort: previous version stays live
             raise
+        return v, stats
+
+    def stage_incremental(
+        self,
+        spark: SparkSession,
+        incoming: DataFrame,
+        change_keys: DataFrame,
+        unique_cols: list[str] | None = None,
+        row_tol_error: float | None = None,
+        row_tol_warning: float | None = None,
+    ) -> tuple[str, MergeStats]:
+        """Phase-1 of the level-5 merge (reference :1576-1814): key-swap
+        repair → classify I/U/D/0/X → apply → tolerance gate. The merged
+        result is materialized before the gate counts it (single
+        materialization); an error-tier violation deletes the staged
+        version and raises — the previous version stays live."""
+        if self.key is None:
+            raise ValueError("incremental apply requires a key column")
+        current = self.read(spark)
+        if unique_cols:
+            extra = keyswap_repair(current, incoming, change_keys, self.key, unique_cols)
+            change_keys = change_keys.select(self.key).unionByName(extra).distinct()
+        actions = classify_incremental_changes(
+            current, incoming, change_keys, self.key, unique_cols=unique_cols
+        )
+        return self._stage_gated(
+            spark, current, actions, incoming, row_tol_error, row_tol_warning
+        )
+
+    def apply_incremental(self, spark, incoming, change_keys,
+                          unique_cols=None, row_tol_error=None,
+                          row_tol_warning=None) -> MergeStats:
+        v, stats = self.stage_incremental(
+            spark, incoming, change_keys, unique_cols, row_tol_error, row_tol_warning
+        )
         self._commit(v)
         return stats
 
-    def apply_full_incremental(
+    def stage_full_incremental(
         self,
         spark: SparkSession,
         incoming: DataFrame,
         row_tol_error: float | None = None,
         row_tol_warning: float | None = None,
-    ) -> MergeStats:
-        """``-full-incremental`` (J6 → J5): full-outer diff against the
-        snapshot, then the same gated apply (reference :1914-1944)."""
+    ) -> tuple[str, MergeStats]:
+        """Phase-1 of ``-full-incremental`` (J6 → J5): full-outer diff
+        against the snapshot, then the same gated write (:1914-1944)."""
         if self.key is None:
             raise ValueError("full-incremental apply requires a key column")
         current = self.read(spark)
         actions = full_table_diff(current, incoming, self.key)
-        stats = merge_stats(actions)
-        merged = apply_changes(current, incoming, actions, self.key)
+        return self._stage_gated(
+            spark, current, actions, incoming, row_tol_error, row_tol_warning
+        )
 
-        v, d = self._new_version()
-        merged.write.mode("overwrite").parquet(d)
-        old_n = current.count()
-        new_n = spark.read.parquet(d).count()
-        try:
-            check_row_tolerance(old_n, new_n, row_tol_error, row_tol_warning)
-        except Exception:
-            shutil.rmtree(d, ignore_errors=True)
-            raise
+    def apply_full_incremental(self, spark, incoming, row_tol_error=None,
+                               row_tol_warning=None) -> MergeStats:
+        v, stats = self.stage_full_incremental(
+            spark, incoming, row_tol_error, row_tol_warning
+        )
         self._commit(v)
         return stats
+
+
+class DatasetTransaction:
+    """Per-dataset apply across many tables (§2.8 exactly-once analog).
+
+    Stage every table's new version first (all merges + tolerance gates
+    run with no pointer flipped), then commit flips all pointers in one
+    quick pass. Any failure during staging aborts with *zero* tables
+    changed — the reference's dataset-transaction rollback. The pointer
+    flips themselves are not jointly atomic (that needs a shared
+    transaction log — Delta/Iceberg on a cluster); the crash window is a
+    few pointer renames, and watermark-gated replay makes a re-run
+    idempotent, which is the documented recovery path."""
+
+    def __init__(self) -> None:
+        self._staged: list[tuple[ParquetTarget, str, MergeStats]] = []
+        self._done = False
+
+    def stage(self, target: ParquetTarget, version: str, stats: MergeStats) -> None:
+        self._staged.append((target, version, stats))
+
+    def commit(self) -> list[MergeStats]:
+        out = []
+        for target, version, stats in self._staged:
+            target._commit(version)
+            out.append(stats)
+        self._done = True
+        return out
+
+    def abort(self) -> None:
+        for target, version, _ in self._staged:
+            shutil.rmtree(os.path.join(target.path, version), ignore_errors=True)
+        self._staged.clear()
+        self._done = True

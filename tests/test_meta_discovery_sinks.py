@@ -408,6 +408,45 @@ def test_cli_smoke(spark, tmp_path, capsys):
     assert main(["-purge", "-meta", str(tmp_path / "meta")]) == 0
 
 
+def test_dataset_transaction_all_or_nothing(spark, tmp_path):
+    """Two tables staged in one dataset txn: a tolerance abort on the
+    second leaves BOTH at their previous versions (reference per-dataset
+    transaction rollback, lib/LINZ/BdeDatabase.pm:476-510)."""
+    from linz_bde_uploader_spark.sinks.target import DatasetTransaction
+
+    ta = ParquetTarget(str(tmp_path / "ta"), key="id")
+    tb = ParquetTarget(str(tmp_path / "tb"), key="id")
+    df4 = spark.createDataFrame([(i, "x") for i in range(4)], "id long, v string")
+    ta.replace(df4)
+    tb.replace(df4)
+    va, vb = ta.current_version(), tb.current_version()
+
+    txn = DatasetTransaction()
+    keys = spark.createDataFrame([(i,) for i in range(4)], "id long")
+    good_inc = spark.createDataFrame([(0, "y"), (1, "x"), (2, "x"), (3, "x")],
+                                     "id long, v string")
+    v1, s1 = ta.stage_incremental(spark, good_inc, keys)
+    txn.stage(ta, v1, s1)
+    # second table: empty incoming deletes everything -> tolerance error
+    empty = spark.createDataFrame([], "id long, v string")
+    with pytest.raises(RowToleranceError):
+        tb.stage_incremental(spark, empty, keys, row_tol_error=0.5)
+    txn.abort()
+    # nothing moved
+    assert ta.current_version() == va and tb.current_version() == vb
+    assert {r.v for r in ta.read(spark).collect()} == {"x"}
+
+    # the happy path commits both together
+    txn2 = DatasetTransaction()
+    v1, s1 = ta.stage_incremental(spark, good_inc, keys)
+    v2, s2 = tb.stage_incremental(spark, good_inc, keys)
+    txn2.stage(ta, v1, s1)
+    txn2.stage(tb, v2, s2)
+    txn2.commit()
+    assert ta.current_version() == v1 and tb.current_version() == v2
+    assert s1.nupdate == 1 and s1.nnullupdate == 3
+
+
 def test_uploader_level5_missing_changetable_errors(spark, tmp_path):
     up, meta = _mk_uploader(spark, tmp_path)
     up.run_level0()
