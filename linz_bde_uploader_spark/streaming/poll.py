@@ -1,0 +1,128 @@
+"""Structured-Streaming replacement for the reference's polling loop.
+
+The reference polls a repository per run: scan → compute pending → apply →
+exit (bin/linz_bde_uploader.pl:242-248). Spark's file-source streaming
+subsumes that loop: the source tracks which files it has seen (checkpointed
+offsets = the watermark), ``trigger(availableNow=True)`` processes
+everything new then stops (the cron-driven shape), and ``foreachBatch``
+applies each micro-batch through the SAME merge kernel the batch path uses
+— one implementation, two drivers.
+
+Beyond the reference (which has no streaming semantics), the module adds
+the standard late-data machinery a 100-TB event pipeline needs: watermarked
+tumbling/sliding-window aggregation, and a custom stateful operator via
+``applyInPandasWithState`` (running per-key counters that survive across
+micro-batches).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from linz_bde_uploader_spark.sinks.target import ParquetTarget
+
+
+def stream_staged_increments(
+    spark: SparkSession, staging_dir: str, schema: T.StructType
+) -> DataFrame:
+    """The streaming source: staged increment files appearing under
+    ``staging_dir``. File-source offsets give exactly-once per file — the
+    streaming analog of the dataset watermark."""
+    return spark.readStream.schema(schema).parquet(staging_dir)
+
+
+def run_incremental_merge_stream(
+    spark: SparkSession,
+    staging_dir: str,
+    schema: T.StructType,
+    target: ParquetTarget,
+    change_keys_of: Callable[[DataFrame], DataFrame],
+    checkpoint_dir: str,
+    unique_cols: list[str] | None = None,
+):
+    """Apply every new staged increment to the target via the batch merge
+    kernel, exactly once.
+
+    ``foreachBatch`` hands each micro-batch to ``ParquetTarget.
+    apply_incremental`` — identical semantics to the batch path; the
+    checkpoint guarantees a file is merged at most once even across
+    restarts (re-running after completion is a no-op). ``availableNow``
+    drains everything pending and stops, which is the reference's
+    poll-and-exit contract."""
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        target.apply_incremental(
+            spark, batch_df, change_keys_of(batch_df), unique_cols=unique_cols
+        )
+
+    return (
+        stream_staged_increments(spark, staging_dir, schema)
+        .writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    window: str = "10 minutes",
+    slide: str | None = None,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Watermarked windowed aggregation — the late-data pattern.
+
+    Events later than ``watermark`` behind the max seen event time are
+    dropped; closed windows emit finalized counts. Works identically on a
+    static DataFrame (for oracle checks) and a stream."""
+    w = (
+        F.window(F.col(ts_col), window, slide)
+        if slide
+        else F.window(F.col(ts_col), window)
+    )
+    src = events
+    if events.isStreaming:
+        src = events.withWatermark(ts_col, watermark)
+    return src.groupBy(w.alias("win"), F.col(key_col)).agg(
+        F.count(F.lit(1)).alias("n"),
+    ).select(
+        F.col("win.start").alias("window_start"),
+        F.col("win.end").alias("window_end"),
+        key_col,
+        "n",
+    )
+
+
+RUNNING_STATE_SCHEMA = "n long"
+RUNNING_OUTPUT_SCHEMA = "key string, total long"
+
+
+def running_counts_stateful(grouped, state_timeout: str = "NoTimeout"):
+    """Custom stateful operator via ``applyInPandasWithState``: a running
+    per-key event counter that persists across micro-batches — the
+    minimal template for reference-style accumulating state (e.g. running
+    I/U/D totals per table). ``grouped`` is ``df.groupBy(key)``."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState
+
+    def update(key, pdfs, state: GroupState):
+        n = sum(len(pdf) for pdf in pdfs)
+        total = (state.get[0] if state.exists else 0) + n
+        state.update((total,))
+        yield pd.DataFrame({"key": [key[0]], "total": [total]})
+
+    return grouped.applyInPandasWithState(
+        update,
+        outputStructType=RUNNING_OUTPUT_SCHEMA,
+        stateStructType=RUNNING_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=state_timeout,
+    )
