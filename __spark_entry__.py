@@ -643,7 +643,7 @@ def q_dedup_minhash_pairs(spark, sf_dir):
 
 def q_dedup_simhash(spark, sf_dir):
     d = W.load(spark, sf_dir, "documents")
-    return d.select("doc_id", D.simhash("text", 16).alias("sh"))
+    return D.with_simhash(d, "text", "sh", 16).select("doc_id", "sh")
 
 
 def q_dedup_jaccard_pairs(spark, sf_dir):

@@ -196,13 +196,48 @@ def simhash(col: Column | str, bits: int = 16) -> Column:
     return out
 
 
-def ngram_jaccard(a: Column, b: Column, n: int = 3) -> Column:
-    """Exact Jaccard similarity of two texts' n-word shingle sets."""
-    sa = F.array_distinct(shingles(a, n))
-    sb = F.array_distinct(shingles(b, n))
+def with_simhash(
+    df: DataFrame, text_col: str, out_col: str = "_simhash", bits: int = 16
+) -> DataFrame:
+    """SimHash as a staged column: the token-hash array is materialized as
+    an attribute first, so the per-bit vote folds read a computed array
+    instead of re-tokenizing the text once per bit."""
+    hashes = F.transform(
+        tokens(F.col(text_col)), lambda t: (token_value(t) * HASH_MIX) % HASH_MOD
+    )
+    staged = df.withColumn("_sh_hashes", hashes)
+    h = F.col("_sh_hashes")
+    n = F.size(h)
+
+    def bit_votes(mask: int):
+        return F.aggregate(
+            h,
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + (x.bitwiseAND(F.lit(mask)) != 0).cast("long"),
+        )
+
+    out = F.lit(0).cast("long")
+    for j in range(bits):
+        bit = (bit_votes(1 << j) * 2 > n.cast("long")).cast("long")
+        out = out + bit * (1 << j)
+    return staged.withColumn(out_col, out).drop("_sh_hashes")
+
+
+def ngram_jaccard_from_tokens(toks_a: Column, toks_b: Column, n: int = 3) -> Column:
+    """Exact Jaccard similarity of two token arrays' n-word shingle sets.
+    Pass staged attribute columns (see ``shingles_from_tokens``)."""
+    sa = F.array_distinct(shingles_from_tokens(toks_a, n))
+    sb = F.array_distinct(shingles_from_tokens(toks_b, n))
     inter = F.size(F.array_intersect(sa, sb))
     union = F.size(F.array_union(sa, sb))
     return F.round(inter.cast("double") / union, 6)
+
+
+def ngram_jaccard(a: Column, b: Column, n: int = 3) -> Column:
+    """Exact Jaccard similarity of two texts' n-word shingle sets
+    (tokenizes inline — stage tokens + use ``ngram_jaccard_from_tokens``
+    in hot paths)."""
+    return ngram_jaccard_from_tokens(tokens(a), tokens(b), n)
 
 
 def exact_dedup(df: DataFrame, dedup_cols: list[str], id_col: str) -> DataFrame:
@@ -230,13 +265,15 @@ def candidate_jaccard_verify(
     verify passes over already-small subsets.
     """
     pairs = minhash_candidate_pairs(df, id_col, text_col, bands, rows_per_band)
-    texts = df.select(F.col(id_col), F.col(text_col))
+    # Tokenize once per side BEFORE the shingle expression references the
+    # array per position (staged attribute — see shingles_from_tokens).
+    toks = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
     joined = pairs.join(
-        texts.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("_ta")), "id_a"
+        toks.select(F.col(id_col).alias("id_a"), F.col("_toks").alias("_tka")), "id_a"
     ).join(
-        texts.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("_tb")), "id_b"
+        toks.select(F.col(id_col).alias("id_b"), F.col("_toks").alias("_tkb")), "id_b"
     )
-    sim = ngram_jaccard(F.col("_ta"), F.col("_tb"), n)
+    sim = ngram_jaccard_from_tokens(F.col("_tka"), F.col("_tkb"), n)
     return (
         joined.withColumn("jaccard", sim)
         .filter(F.col("jaccard") >= threshold)
