@@ -396,7 +396,7 @@ class BdeUploader:
                         last = st.last_upload_dataset if st else None
                         if not discovery.pending_level5([ds], last, d.l5_is_full, d.files):
                             continue
-                        if d.key_column is None:
+                        if d.key_column is None and not d.l5_is_full:
                             raise ConfigError(f"{d.name}: level-5 requires key=")
                         prev = parse_upload_details(
                             st.last_upload_details
@@ -408,17 +408,26 @@ class BdeUploader:
                         df, details, cont, hdr = self._load_files(ds, d, prev)
                         target = self._target(d)
                         negotiated = negotiate_columns(df, self._target_schema(d, hdr))
-                        # P9/P10: lowercase tablename, project this table's keys
-                        keys = (
-                            chg_df.filter(F.lower(F.col("tablename")) == d.name)
-                            .select(F.col("tablekeyvalue").cast("long").alias(d.key_column))
-                            .distinct()
-                        )
-                        version, stats = target.stage_incremental(
-                            self.spark, negotiated, keys,
-                            row_tol_error=d.row_tol_error,
-                            row_tol_warning=d.row_tol_warning,
-                        )
+                        if d.l5_is_full:
+                            # "the level 5 files are actually a full level 0
+                            # update" (conf/tables.conf:40) — full replace,
+                            # no change table involved
+                            version, stats = target.stage_replace(negotiated)
+                        else:
+                            # P9/P10: lowercase tablename, project this
+                            # table's keys
+                            keys = (
+                                chg_df.filter(F.lower(F.col("tablename")) == d.name)
+                                .select(
+                                    F.col("tablekeyvalue").cast("long").alias(d.key_column)
+                                )
+                                .distinct()
+                            )
+                            version, stats = target.stage_incremental(
+                                self.spark, negotiated, keys,
+                                row_tol_error=d.row_tol_error,
+                                row_tol_warning=d.row_tol_warning,
+                            )
                         txn.stage(target, version, stats)
                         staged_meta.append(
                             (d, tbl_id, stats, details, cont, time.monotonic() - t0)

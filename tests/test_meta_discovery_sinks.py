@@ -392,6 +392,26 @@ def test_uploader_level5_exact_stats_and_poststate(spark, tmp_path):
     assert up.run_level5() == []
 
 
+def test_uploader_l5_is_full_replaces(spark, tmp_path):
+    """An l5_is_full table's level-5 file is applied as a full replace
+    (reference conf/tables.conf:40), not a change-table merge."""
+    repo = _write_repo(tmp_path)
+    conf = """
+TABLE l5_change_table files xaud
+TABLE crs_parcel_bndry l5_is_full row_tol=0.20,0.95 files pab1
+"""
+    meta = MetaStore(str(tmp_path / "meta"))
+    up = BdeUploader(spark, repo, str(tmp_path / "tables"), meta,
+                     parse_tables_conf(conf))
+    up.run_level0()
+    reports = up.run_level5()
+    r = reports[0]
+    # full replace: ninsert = file row count, no U/D classification
+    assert (r.ninsert, r.nupdate, r.nnullupdate, r.ndelete) == (5, 0, 0, 0)
+    t = ParquetTarget(str(tmp_path / "tables" / "crs_parcel_bndry"), "pri_id")
+    assert sorted(x.pri_id for x in t.read(spark).collect()) == [1, 3, 4, 5, 6]
+
+
 def test_cli_smoke(spark, tmp_path, capsys):
     """-full then -incremental through the argparse entry point."""
     from linz_bde_uploader_spark.__main__ import main
