@@ -1,0 +1,117 @@
+"""JDBC (PostgreSQL) sink shape — the reference's native target.
+
+The lakehouse target (``sinks.target.ParquetTarget``) is this repo's sink
+of record; this module carries the JDBC path for deployments that keep the
+reference's PostgreSQL target. It mirrors the reference's protocol:
+
+1. **Stage** (S4): bulk-write the cleaned DataFrame into a per-job staging
+   table — the working-copy ``COPY`` (lib/LINZ/BdeDatabase.pm:512-565).
+   ``df.write.jdbc`` batches inserts per partition; for COPY-speed parity
+   use ``copy_partition_sql`` with a per-partition psycopg
+   ``copy_expert`` (sketched below, executed only when a driver exists).
+2. **Apply** (S5): one transaction of ``DELETE USING`` + ``INSERT SELECT``
+   against the staged action set — the ``_ver_apply_changes`` semantics
+   (sql/02-bde_control_functions.sql.in:1762-1765) without the MERGE
+   statement, so it runs on any PostgreSQL.
+
+No JDBC driver or PostgreSQL ships in this environment, so ``stage_jdbc``
+raises unless a URL is supplied and the driver resolves; the SQL
+generators are pure functions and fully unit-tested — they ARE the
+protocol.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+#: actions whose keys are deleted from the target / inserted from staging
+#: (the reference's D/U/X delete set and I/U/X insert set, :2228-2368)
+DELETE_ACTIONS = ("D", "U", "X")
+INSERT_ACTIONS = ("I", "U", "X")
+
+
+def quote_ident(name: str) -> str:
+    """PostgreSQL identifier quoting (the reference leans on
+    quote_ident; names are lowercased at every boundary)."""
+    return '"' + name.replace('"', '""') + '"'
+
+
+def staging_table_name(upload_id: int, table: str) -> str:
+    """Per-job scratch naming — the reference's ``bde_upload_<id>`` schema
+    (sql/02-bde_control_functions.sql.in:841-849)."""
+    return f"bde_upload_{upload_id}.{table.lower()}"
+
+
+def apply_changes_sql(
+    target: str,
+    staging: str,
+    actions: str,
+    key: str,
+    columns: list[str],
+) -> list[str]:
+    """The keyed-merge transaction as plain SQL: delete doomed keys, insert
+    fresh rows — ``_ver_apply_changes`` semantics. Runs inside one
+    transaction; action '0' rows appear in neither set (never touch the
+    target), and 'X' rows are in both (delete-then-insert preserves
+    unique constraints, :2335-2352)."""
+    cols = ", ".join(quote_ident(c) for c in columns)
+    k = quote_ident(key)
+    del_in = ", ".join(f"'{a}'" for a in DELETE_ACTIONS)
+    ins_in = ", ".join(f"'{a}'" for a in INSERT_ACTIONS)
+    return [
+        "BEGIN",
+        (
+            f"DELETE FROM {target} t USING {actions} a "
+            f"WHERE t.{k} = a.{k} AND a._action IN ({del_in})"
+        ),
+        (
+            f"INSERT INTO {target} ({cols}) "
+            f"SELECT {cols} FROM {staging} s "
+            f"WHERE s.{k} IN (SELECT {k} FROM {actions} WHERE _action IN ({ins_in}))"
+        ),
+        "COMMIT",
+    ]
+
+
+def level0_replace_sql(target: str, staging: str, columns: list[str]) -> list[str]:
+    """Full-replace transaction: DELETE + INSERT SELECT (reference
+    :1949-1973 — deliberately DELETE, not TRUNCATE, so the operation is
+    MVCC-transactional)."""
+    cols = ", ".join(quote_ident(c) for c in columns)
+    return [
+        "BEGIN",
+        f"DELETE FROM {target}",
+        f"INSERT INTO {target} ({cols}) SELECT {cols} FROM {staging}",
+        "COMMIT",
+    ]
+
+
+def copy_partition_sql(table: str, columns: list[str]) -> str:
+    """The COPY command a per-partition writer streams rows into —
+    byte-identical to the reference's (lib/LINZ/BdeDatabase.pm:541:
+    ``COPY ... FROM STDIN WITH DELIMITER '|' NULL AS ''``)."""
+    cols = ", ".join(quote_ident(c) for c in columns)
+    return f"COPY {table} ({cols}) FROM STDIN WITH DELIMITER '|' NULL AS ''"
+
+
+def stage_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    mode: str = "overwrite",
+    batchsize: int = 10_000,
+) -> None:
+    """S4 over JDBC: partitioned batched insert into the staging table.
+    Each Spark partition opens one connection — sized by repartitioning
+    upstream. (COPY-speed parity: ``df.foreachPartition`` + psycopg
+    ``copy_expert(copy_partition_sql(...))`` — requires psycopg on the
+    executors, absent here.)"""
+    (
+        df.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("batchsize", str(batchsize))
+        .option("isolationLevel", "READ_COMMITTED")
+        .mode(mode)
+        .save()
+    )

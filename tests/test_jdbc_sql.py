@@ -1,0 +1,97 @@
+"""The JDBC sink protocol: generated SQL is executed against DuckDB and
+must produce the exact table state the Spark merge kernel produces."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from linz_bde_uploader_spark.sinks.jdbc import (
+    apply_changes_sql,
+    copy_partition_sql,
+    level0_replace_sql,
+    quote_ident,
+    staging_table_name,
+)
+
+
+def test_quoting_and_naming():
+    assert quote_ident("pri_id") == '"pri_id"'
+    assert quote_ident('we"ird') == '"we""ird"'
+    assert staging_table_name(7, "CRS_Parcel") == "bde_upload_7.crs_parcel"
+
+
+def test_copy_sql_matches_reference_contract():
+    sql = copy_partition_sql("tmp", ["a", "b"])
+    assert sql == 'COPY tmp ("a", "b") FROM STDIN WITH DELIMITER \'|\' NULL AS \'\''
+
+
+def _run(con, stmts):
+    for s in stmts:
+        con.execute(s)
+
+
+def test_apply_changes_sql_semantics_in_duckdb():
+    """Execute the generated transaction in a real SQL engine; the final
+    state must equal the Spark kernel's: D/U/X keys deleted, I/U/X rows
+    inserted, '0' untouched."""
+    con = duckdb.connect()
+    con.execute("CREATE TABLE target (id BIGINT, v VARCHAR)")
+    con.execute("INSERT INTO target VALUES (1,'a'), (2,'b'), (3,'c'), (4,'d')")
+    con.execute("CREATE TABLE staging (id BIGINT, v VARCHAR)")
+    con.execute(
+        "INSERT INTO staging VALUES (1,'a2'), (3,'c'), (4,'d'), (9,'new')"
+    )
+    con.execute("CREATE TABLE actions (id BIGINT, _action VARCHAR)")
+    # 1=U (changed), 2=D (gone), 3=0 (null update), 9=I (new); 4 untouched
+    con.execute(
+        "INSERT INTO actions VALUES (1,'U'), (2,'D'), (3,'0'), (9,'I')"
+    )
+    _run(con, apply_changes_sql("target", "staging", "actions", "id", ["id", "v"]))
+    got = set(con.execute("SELECT id, v FROM target").fetchall())
+    assert got == {(1, "a2"), (3, "c"), (4, "d"), (9, "new")}
+
+
+def test_apply_changes_sql_keyswap_delete_then_insert():
+    """X rows must delete before insert so a unique constraint never
+    breaks mid-apply (reference :2335-2352). The DELETE statement precedes
+    the INSERT in the transaction, and the key-swap end state is correct.
+    (Checked without a UNIQUE index here: DuckDB's documented index
+    limitation rejects same-transaction delete-then-reinsert of a unique
+    value; PostgreSQL — the protocol's actual target — accepts it.)"""
+    stmts = apply_changes_sql("target", "staging", "actions", "id", ["id", "u"])
+    assert stmts.index(next(s for s in stmts if s.startswith("DELETE"))) \
+        < stmts.index(next(s for s in stmts if s.startswith("INSERT")))
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE target (id BIGINT, u VARCHAR)")
+    con.execute("INSERT INTO target VALUES (1,'alpha'), (2,'beta')")
+    con.execute("CREATE TABLE staging (id BIGINT, u VARCHAR)")
+    # key swap: the unique value 'alpha' moves from id=1 to id=5
+    con.execute("INSERT INTO staging VALUES (5,'alpha'), (2,'beta')")
+    con.execute("CREATE TABLE actions (id BIGINT, _action VARCHAR)")
+    con.execute("INSERT INTO actions VALUES (1,'D'), (5,'X')")
+    _run(con, stmts)
+    got = set(con.execute("SELECT id, u FROM target").fetchall())
+    assert got == {(5, "alpha"), (2, "beta")}
+
+
+def test_level0_replace_sql():
+    con = duckdb.connect()
+    con.execute("CREATE TABLE target (id BIGINT)")
+    con.execute("INSERT INTO target VALUES (1), (2)")
+    con.execute("CREATE TABLE staging (id BIGINT)")
+    con.execute("INSERT INTO staging VALUES (7), (8), (9)")
+    _run(con, level0_replace_sql("target", "staging", ["id"]))
+    assert sorted(r[0] for r in con.execute("SELECT id FROM target").fetchall()) \
+        == [7, 8, 9]
+
+
+def test_stage_jdbc_needs_driver(spark):
+    """No JDBC driver in this environment: the writer path raises cleanly
+    rather than silently no-oping."""
+    from linz_bde_uploader_spark.sinks.jdbc import stage_jdbc
+
+    df = spark.createDataFrame([(1,)], "id long")
+    with pytest.raises(Exception):
+        stage_jdbc(df, "jdbc:postgresql://nohost/nodb", "t")
