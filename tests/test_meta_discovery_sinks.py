@@ -392,6 +392,31 @@ def test_uploader_level5_exact_stats_and_poststate(spark, tmp_path):
     assert up.run_level5() == []
 
 
+def test_uploader_level5_continuity_warning(spark, tmp_path):
+    """A level-5 file whose START doesn't meet the previous END beyond the
+    warn tolerance surfaces continuity='warning' (reference CheckStartDate
+    warn tier); within tolerance it's 'ok'."""
+    repo = _write_repo(tmp_path)
+    # Shift the L5 START an hour past the recorded L0 END (06:00 -> 07:00)
+    l5 = os.path.join(repo, "level_5", "20240102000000", "pab1.crs")
+    with open(l5) as fh:
+        content = fh.read()
+    with open(l5, "w") as fh:
+        fh.write(content.replace("START 2024-01-01 06:00:00",
+                                 "START 2024-01-01 07:00:00"))
+    meta = MetaStore(str(tmp_path / "meta"))
+    defs = parse_tables_conf(UPLOADER_CONF)
+    up = BdeUploader(spark, repo, str(tmp_path / "tables"), meta, defs,
+                     warn_tol_hours=0.5)
+    up.run_level0()
+    # seed a level-5 watermark with details so the check has a previous END
+    st = meta.table_status("crs_parcel_bndry")
+    meta.record_load(st.tbl_id, 1, "20240101000000", "5", True,
+                     details="BdeUpload pab1 2024-01-01 06:00:00")
+    reports = up.run_level5()
+    assert reports[0].continuity == "warning"
+
+
 def test_uploader_l5_is_full_replaces(spark, tmp_path):
     """An l5_is_full table's level-5 file is applied as a full replace
     (reference conf/tables.conf:40), not a change-table merge."""
