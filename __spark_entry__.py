@@ -724,6 +724,19 @@ def q_sim_lsh_bucketed(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
+def q_sim_ivf_topk(spark, sf_dir):
+    # IVF ANN: deterministic coarse quantizer (k lowest-id vectors),
+    # table partitioned by inverted-list id, probe = 2 nearest lists —
+    # partition pruning at the scan, same contract as the LSH variant.
+    e = W.load(spark, sf_dir, "embeddings")
+    cents = S.ivf_centroids(e, k=8)
+    key = hashlib.sha1(f"{sf_dir}|ivf".encode()).hexdigest()[:12]
+    path = os.path.join(_FIXTURE_ROOT, key, "emb_ivf")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        S.write_ivf_embeddings(e, path, cents)
+    return S.ivf_topk(spark, path, _query_vec(spark, sf_dir), cents, k=10, nprobe=2)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the level-5 incremental merge end-to-end on sf0.001 —
     classify I/U/D/0/X from data presence and apply as a keyed merge."""
@@ -781,6 +794,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sim_cosine_above": q_sim_cosine_above,
         "q_sim_lsh_topk": q_sim_lsh_topk,
         "q_sim_lsh_bucketed": q_sim_lsh_bucketed,
+        "q_sim_ivf_topk": q_sim_ivf_topk,
     }
 
 
@@ -1130,6 +1144,36 @@ def oracle_sql() -> dict[str, str]:
         """,
         # q_sim_lsh_topk intentionally omitted: FP sign boundaries make the
         # bucket assignment oracle-fragile; driver records rows-only.
+        "q_sim_ivf_topk": f"""
+            WITH c AS (
+              SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8
+            ),
+            q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+            scored AS (
+              SELECT e.vec_id, e.embedding, c.cid,
+                     row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {_DOT64.format(a="e.embedding", b="c.cvec")} DESC, c.cid
+                     ) AS rn
+              FROM embeddings e CROSS JOIN c
+            ),
+            assign AS (
+              SELECT vec_id, embedding, cid AS list_id FROM scored WHERE rn = 1
+            ),
+            probes AS (
+              SELECT c.cid FROM c, q
+              ORDER BY {_DOT64.format(a="q.embedding", b="c.cvec")} DESC, c.cid
+              LIMIT 2
+            )
+            SELECT a.vec_id,
+                   round(({_DOT64.format(a="a.embedding", b="q.embedding")})
+                         / (sqrt({_DOT64.format(a="a.embedding", b="a.embedding")})
+                            * sqrt({_DOT64.format(a="q.embedding", b="q.embedding")})), 6) AS score
+            FROM assign a, q
+            WHERE a.list_id IN (SELECT cid FROM probes)
+            ORDER BY score DESC, a.vec_id
+            LIMIT 10
+        """,
         "q_sim_lsh_bucketed": f"""
             WITH sigs AS (
               SELECT vec_id, embedding, {_lsh_sig_sql("embedding")} AS sig

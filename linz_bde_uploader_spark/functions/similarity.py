@@ -145,6 +145,87 @@ def lsh_topk(
     )
 
 
+def ivf_centroids(
+    df: DataFrame, k: int = 8, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> list[tuple[int, list[float]]]:
+    """Deterministic IVF coarse quantizer: the vectors of the ``k``
+    smallest ids serve as centroids (a fixed, reproducible seeding — a
+    k-means refinement would plug in here without changing consumers;
+    determinism is what makes the assignment oracle-checkable)."""
+    rows = (
+        df.filter(F.col(id_col) < k)
+        .orderBy(id_col)
+        .select(id_col, vec_col)
+        .collect()
+    )
+    return [(int(r[0]), [float(x) for x in r[1]]) for r in rows]
+
+
+def ivf_assign(vec: Column, centroids: list[tuple[int, list[float]]]) -> Column:
+    """Inner-product list assignment: index of the max-dot centroid,
+    first-max (lowest centroid id) on ties — pure array arithmetic."""
+    dots = F.array(
+        *[
+            dot(vec, F.array(*[F.lit(float(x)) for x in cvec]))
+            for _, cvec in centroids
+        ]
+    )
+    # array_position is 1-based and returns the FIRST occurrence: the
+    # deterministic tie-break by centroid index.
+    idx = F.array_position(dots, F.array_max(dots)) - 1
+    return F.element_at(
+        F.array(*[F.lit(cid) for cid, _ in centroids]), (idx + 1).cast("int")
+    )
+
+
+def write_ivf_embeddings(
+    df: DataFrame,
+    path: str,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """IVF write side: physically partition the table by inverted-list id
+    so a probe reads only the nprobe nearest lists (partition pruning —
+    the same scan contract as the LSH writer, different quantizer)."""
+    out = df.withColumn("list_id", ivf_assign(F.col(vec_col), centroids))
+    out.write.mode("overwrite").partitionBy("list_id").parquet(path)
+    return path
+
+
+def ivf_topk(
+    spark,
+    path: str,
+    query_vec: list[float],
+    centroids: list[tuple[int, list[float]]],
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF probe: rank centroids by dot with the query (driver-side — K
+    is tiny), scan the ``nprobe`` nearest inverted lists, exact cosine
+    top-k within them. Recall knob = nprobe; scan cost ≈ nprobe/K of the
+    table via partition pruning."""
+    scored = sorted(
+        (
+            (sum(float(c) * float(q) for c, q in zip(cvec, query_vec)), cid)
+            for cid, cvec in centroids
+        ),
+        key=lambda t: (-t[0], t[1]),
+    )
+    probes = [cid for _, cid in scored[:nprobe]]
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    df = spark.read.parquet(path).filter(F.col("list_id").isin(probes))
+    return (
+        df.select(
+            F.col(id_col), F.round(cosine(F.col(vec_col), q), 6).alias("score")
+        )
+        .orderBy(F.desc("score"), F.col(id_col))
+        .limit(k)
+    )
+
+
 def write_bucketed_embeddings(
     df: DataFrame,
     path: str,
