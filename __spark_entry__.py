@@ -309,6 +309,37 @@ def q_s1_crs_roundtrip(spark, sf_dir):
     return df
 
 
+def q_s2_gzip_read(spark, sf_dir):
+    # S2: gzip transparency — the same fixture compressed; header parse
+    # and data projection identical to the plain path.
+    import gzip as _gz
+
+    plain = _docs_crs_fixture(sf_dir)
+    gz = plain + ".gz"
+    if not os.path.exists(gz):
+        tmp = gz + f".tmp-{os.getpid()}"
+        with open(plain, "rb") as src, _gz.open(tmp, "wb") as dst:
+            dst.write(src.read())
+        os.replace(tmp, gz)
+    df, _ = read_crs(spark, gz)
+    return df
+
+
+def q_p2_column_override(spark, sf_dir):
+    # P2: config COLUMN records replace the header-declared names before
+    # negotiation (the fixture header says doc_id/lang/source/n_chars;
+    # the override renames them, and negotiation maps case-insensitively).
+    df, _ = read_crs(spark, _docs_crs_fixture(sf_dir), cast=False)
+    df = df.toDF("media_key", "language", "origin", "byte_count")  # COLUMN records
+    target = T.StructType([
+        T.StructField("media_key", T.LongType()),
+        T.StructField("LANGUAGE", T.StringType()),
+        T.StructField("origin", T.StringType()),
+        T.StructField("byte_count", T.LongType()),
+    ])
+    return negotiate_columns(df, target)
+
+
 def q_p8_error_budget(spark, sf_dir):
     # P8: rows failing the column_count check are routed out; the load
     # proceeds because the budget allows them (max_errors high). The
@@ -756,6 +787,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_p9_p10_change_filter": q_p9_p10_change_filter,
         "q_j7_meta_change_summary": q_j7_meta_change_summary,
         "q_s1_crs_roundtrip": q_s1_crs_roundtrip,
+        "q_s2_gzip_read": q_s2_gzip_read,
+        "q_p2_column_override": q_p2_column_override,
         "q_p8_error_budget": q_p8_error_budget,
         "q_p1_projection": q_p1_projection,
         "q_p4_char_clean": q_p4_char_clean,
@@ -898,6 +931,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_s1_crs_roundtrip": """
             SELECT doc_id, lang, source, n_chars FROM documents
+        """,
+        "q_s2_gzip_read": """
+            SELECT doc_id, lang, source, n_chars FROM documents
+        """,
+        "q_p2_column_override": """
+            SELECT doc_id AS media_key, lang AS LANGUAGE, source AS origin,
+                   n_chars AS byte_count
+            FROM documents
         """,
         "q_p8_error_budget": """
             SELECT doc_id, lang, source, n_chars FROM documents

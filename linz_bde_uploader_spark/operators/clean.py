@@ -60,6 +60,12 @@ def _default_char_map() -> dict[str, str | None]:
     m["´"] = "'"   # ´
     m["·"] = "."   # ·
     m["\u00ad"] = None  # soft hyphen deleted
+    # Invalid UTF-8 bytes surface as U+FFFD from the reader's replacement
+    # decode; the reference's enforced policy DELETES invalid bytes
+    # (conf:401-409: "invalid bytes deleted (+warn)"), while unmapped
+    # valid characters become '?'. Deleting the replacement char here
+    # makes the two-stage (decode, clean) pipeline byte-equivalent.
+    m["\ufffd"] = None
     return m
 
 

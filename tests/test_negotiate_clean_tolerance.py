@@ -121,6 +121,25 @@ def test_wkt_fixup(spark):
     assert out[2] is None
 
 
+def test_invalid_utf8_bytes_deleted(spark, tmp_path):
+    """bde_copy's enforced policy: invalid bytes are DELETED, unmapped
+    valid chars become '?' (conf:401-409). Invalid bytes surface as U+FFFD
+    from the replacement decode and the clean pass removes them."""
+    from linz_bde_uploader_spark.operators.clean import clean_text
+    from linz_bde_uploader_spark.sources.crs import read_crs
+
+    p = tmp_path / "bad.crs"
+    p.write_bytes(
+        b"HEDR 1\nTABLE t\nCOLUMN a varchar\n{CRS-DATA}\n" b"ab\xffcd|\n"
+    )  # \xff is an invalid UTF-8 byte
+    df, _ = read_crs(spark, str(p))
+    out = df.select(clean_text("a").alias("a")).collect()[0].a
+    assert out == "abcd"  # deleted, not '?'
+    # unmapped-but-valid characters still become '?'
+    df2 = spark.createDataFrame([("a☃b",)], "a string")
+    assert df2.select(clean_text("a").alias("a")).collect()[0].a == "a?b"
+
+
 def test_wkt_fixup_df_hybrid(spark):
     """fix_wkt_df: integral POINTs rewrite in pure JVM; everything else
     (multi-pair, fractional, leading digits, NULL) falls to the UDF —
