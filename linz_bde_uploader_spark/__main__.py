@@ -20,6 +20,10 @@ def main(argv: list[str] | None = None) -> int:
     )
     mode = ap.add_mutually_exclusive_group(required=True)
     mode.add_argument("-full", action="store_true", help="apply level-0 updates")
+    mode.add_argument(
+        "-full-incremental", action="store_true", dest="full_incremental",
+        help="apply level-0 snapshots as full-compare diffs",
+    )
     mode.add_argument("-incremental", action="store_true", help="apply level-5 updates")
     mode.add_argument("-purge", action="store_true", help="purge expired jobs/locks")
     ap.add_argument("-rebuild", action="store_true", help="force level-0 reload")
@@ -60,8 +64,11 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = get_spark("linz_bde_uploader")
     up = BdeUploader(spark, args.repo, args.target, meta, defs)
-    if args.full:
-        reports = up.run_level0(before=args.before, rebuild=args.rebuild)
+    if args.full or args.full_incremental:
+        reports = up.run_level0(
+            before=args.before, rebuild=args.rebuild,
+            full_incremental=args.full_incremental,
+        )
     else:
         reports = up.run_level5(before=args.before)
     for r in reports:

@@ -314,7 +314,17 @@ class BdeUploader:
             return t.read(self.spark).schema
         return header.schema  # first load: file header defines the table
 
-    def run_level0(self, before: str | None = None, rebuild: bool = False) -> list[LoadReport]:
+    def run_level0(
+        self,
+        before: str | None = None,
+        rebuild: bool = False,
+        full_incremental: bool = False,
+    ) -> list[LoadReport]:
+        """Level-0 snapshot apply. With ``full_incremental`` (the
+        ``-full-incremental`` flag) an existing keyed target is updated by
+        full-outer diff + keyed merge instead of replaced — same final
+        state, but I/U/D counters and tolerance gates apply (reference
+        ver_apply_table_differences, :1914-1944)."""
         datasets = discovery.list_datasets(self.repo, "0", before)
         reports: list[LoadReport] = []
         upl_id = self.meta.create_upload()
@@ -335,14 +345,29 @@ class BdeUploader:
                     self.meta.acquire_table_lock(tbl_id, upl_id)
                     t0 = time.monotonic()
                     df, details, cont, hdr = self._load_files(ds, d, {})
+                    target = self._target(d)
                     negotiated = negotiate_columns(df, self._target_schema(d, hdr))
-                    stats = self._target(d).replace(negotiated)
-                    self.meta.record_load(
-                        tbl_id, upl_id, ds.name, "0", incremental=False,
-                        ninsert=stats.ninsert, duration_secs=time.monotonic() - t0,
-                        details=details,
+                    diffed = (
+                        full_incremental and target.exists() and d.key_column is not None
                     )
-                    reports.append(LoadReport(d.name, ds.name, "0", stats.ninsert, 0, 0, 0, cont))
+                    if diffed:
+                        stats = target.apply_full_incremental(
+                            self.spark, negotiated,
+                            row_tol_error=d.row_tol_error,
+                            row_tol_warning=d.row_tol_warning,
+                        )
+                    else:
+                        stats = target.replace(negotiated)
+                    self.meta.record_load(
+                        tbl_id, upl_id, ds.name, "0", incremental=diffed,
+                        ninsert=stats.ninsert, nupdate=stats.nupdate,
+                        nnullupdate=stats.nnullupdate, ndelete=stats.ndelete,
+                        duration_secs=time.monotonic() - t0, details=details,
+                    )
+                    reports.append(LoadReport(
+                        d.name, ds.name, "0", stats.ninsert, stats.nupdate,
+                        stats.nnullupdate, stats.ndelete, cont,
+                    ))
             if reports:
                 self._post_hooks(upl_id, "0")
         except Exception:

@@ -392,6 +392,27 @@ def test_uploader_level5_exact_stats_and_poststate(spark, tmp_path):
     assert up.run_level5() == []
 
 
+def test_uploader_full_incremental_restores_mutated_data(spark, tmp_path):
+    """-full-incremental re-applies the snapshot as a full-compare diff:
+    mutated rows are repaired with exact I/U/D counters instead of a
+    blind replace (reference -rebuild restore, t/linz_bde_uploader.t:
+    850-906, via ver_apply_table_differences)."""
+    up, meta = _mk_uploader(spark, tmp_path)
+    up.run_level0()
+    # mutate the live table: drop pri_id=3, corrupt pri_id=1's lin_id
+    t = ParquetTarget(str(tmp_path / "tables" / "crs_parcel_bndry"), "pri_id")
+    mutated = spark.createDataFrame(
+        [(1, 1, 99, 1000), (2, 1, 20, 1001)],
+        "pri_id int, sequence int, lin_id int, audit_id int",
+    )
+    t.replace(mutated)
+    reports = up.run_level0(rebuild=True, full_incremental=True)
+    r = reports[0]
+    assert (r.ninsert, r.nupdate, r.ndelete) == (1, 1, 0)  # 3 back, 1 fixed
+    rows = sorted((x.pri_id, x.lin_id) for x in t.read(spark).collect())
+    assert rows == [(1, 10), (2, 20), (3, 30)]
+
+
 def test_uploader_level5_continuity_warning(spark, tmp_path):
     """A level-5 file whose START doesn't meet the previous END beyond the
     warn tolerance surfaces continuity='warning' (reference CheckStartDate
