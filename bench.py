@@ -34,8 +34,17 @@ def main() -> int:
     from linz_bde_uploader_spark.session import get_spark
 
     spark = get_spark()
-    # Warm the JVM/session so the first measured query doesn't pay startup.
+    # Warm the JVM/session AND the scan machinery (file listing, footer
+    # reads, codegen) so the first measured query doesn't absorb one-time
+    # setup costs that every later query gets for free.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    # events.parquet stores TIMESTAMP(NANOS); read it as raw longs
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    for t in ("orders", "lineitem", "customer", "documents", "events",
+              "embeddings"):
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            spark.read.parquet(p).count()
 
     timings: dict[str, float] = {}
     failed: dict[str, str] = {}
