@@ -161,12 +161,49 @@ sigs AS (
 """
 
 
-def _simhash_sql_bits(bits: int = 16) -> str:
+def _simhash_sql_bits(bits: int = 16, n_var: str = "n") -> str:
     terms = []
     for j in range(bits):
         votes = f"list_sum(list_transform(hs, h -> (h >> {j}) & 1))"
-        terms.append(f"(CASE WHEN 2*{votes} > n THEN 1 ELSE 0 END) * {1 << j}")
+        terms.append(f"(CASE WHEN 2*{votes} > {n_var} THEN 1 ELSE 0 END) * {1 << j}")
     return " + ".join(terms)
+
+
+#: tokens → 3-gram shingle *hashes* per doc (the feature set for the
+#: shingle-grain sketches: banded simhash, doc embeddings).
+_SHINGLE_HASHES = f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS} AS toks, len({_TOKS}) AS n FROM documents
+),
+sh_h AS (
+  SELECT doc_id,
+         list_transform({_shingle_vals()}, s -> (s * 2654435761) % 2147483647) AS hs
+  FROM t
+)
+"""
+
+
+def _embed_band_keys_sql(
+    col: str, bands: int = 4, ppb: int = 4, dims: int = 64
+) -> list[str]:
+    """One SQL expression per LSH band key, mirroring
+    similarity.banded_lsh_keys exactly: hyperplane components are the same
+    Python-computed double literals Spark constant-folds, and the unrolled
+    left-assoc sum matches the dot fold order — bit-identical doubles, so
+    the sign bits agree across engines."""
+    out = []
+    for b in range(bands):
+        terms = []
+        for p in range(ppb):
+            plane = b * ppb + p
+            comps = " + ".join(
+                f"{col}[{d + 1}]*"
+                f"({(((plane * 131 + d) * 2654435761) % 2147483647) / 2147483647 - 0.5!r})"
+                for d in range(dims)
+            )
+            terms.append(f"(CASE WHEN ({comps}) > 0 THEN {1 << p} ELSE 0 END)")
+        out.append(" + ".join(terms))
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -684,6 +721,28 @@ def q_dedup_jaccard_pairs(spark, sf_dir):
     return D.candidate_jaccard_verify(d, "doc_id", "text", threshold=0.08)
 
 
+def q_dedup_simhash_pairs(spark, sf_dir):
+    # Banded-SimHash near-dup pairs: the 32-bit shingle-grain signature is
+    # sliced into 4 windows; the band self-equi-join is LOSSLESS for
+    # hamming ≤ 3 (pigeonhole), so the exact bit_count(xor) verify runs on
+    # candidates only — never an O(n²) compare.
+    d = W.load(spark, sf_dir, "documents")
+    return D.simhash_candidate_pairs(
+        d, "doc_id", "text", bits=32, bands=4, max_hamming=3
+    )
+
+
+def q_dedup_embed_cosine(spark, sf_dir):
+    # Embedding-cosine near-dup: deterministic bag-of-shingles embedding
+    # (stand-in for a model embedding behind the same contract) → banded
+    # random-hyperplane LSH candidates → exact cosine verify ≥ 0.9.
+    d = W.load(spark, sf_dir, "documents")
+    emb = D.with_doc_embedding(d, "text", "_emb", 64).select("doc_id", "_emb")
+    return S.embedding_near_dup_pairs(
+        emb, id_col="doc_id", vec_col="_emb", dims=64, threshold=0.9
+    )
+
+
 def q_mm_metadata(spark, sf_dir):
     # Multimodal tier 1: typed metadata beside an opaque binary payload,
     # pure Column expressions (codegen, no Python).
@@ -728,8 +787,9 @@ def q_sim_cosine_above(spark, sf_dir):
 
 
 def q_sim_lsh_topk(spark, sf_dir):
-    # LSH-bucketed ANN (scale path). Sign boundaries are FP-sensitive, so
-    # this is checked rows-only (no oracle entry).
+    # LSH-bucketed ANN (scale path). The signature arithmetic is integer
+    # mixing evaluated in double with an ordered fold — bit-identical
+    # across engines, so the bucket filter is oracle-checkable.
     e = W.load(spark, sf_dir, "embeddings")
     return S.lsh_topk(e, _query_vec(spark, sf_dir), k=10, planes=6)
 
@@ -820,6 +880,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_minhash_pairs": q_dedup_minhash_pairs,
         "q_dedup_simhash": q_dedup_simhash,
         "q_dedup_jaccard_pairs": q_dedup_jaccard_pairs,
+        "q_dedup_simhash_pairs": q_dedup_simhash_pairs,
+        "q_dedup_embed_cosine": q_dedup_embed_cosine,
         "q_mm_metadata": q_mm_metadata,
         "q_mm_fingerprint_dedup": q_mm_fingerprint_dedup,
         "q_mm_thumbnails": q_mm_thumbnails,
@@ -1146,6 +1208,42 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.08
         """,
+        # Oracle does the O(n²) compare (fine at sf0.01); the Spark band
+        # join is lossless for hamming ≤ 3 < bands=4 (pigeonhole), so the
+        # result sets are identical.
+        "q_dedup_simhash_pairs": _SHINGLE_HASHES + f"""
+            , h2 AS (SELECT doc_id, hs, len(hs) AS n2 FROM sh_h),
+            s AS (
+              SELECT doc_id, CAST({_simhash_sql_bits(32, "n2")} AS BIGINT) AS sh
+              FROM h2
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+            FROM s a JOIN s b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.sh, b.sh)) <= 3
+        """,
+        "q_dedup_embed_cosine": _SHINGLE_HASHES + f"""
+            , e0 AS (
+              SELECT doc_id,
+                     [{", ".join(f"CAST(len(list_filter(hs, h -> h % 64 = {d})) AS DOUBLE)" for d in range(64))}] AS e
+              FROM sh_h
+            ),
+            e AS (
+              SELECT doc_id, e,
+                     {", ".join(f"({k}) AS k{b}" for b, k in enumerate(_embed_band_keys_sql("e")))}
+              FROM e0
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   round(({_DOT64.format(a="a.e", b="b.e")})
+                         / (sqrt({_DOT64.format(a="a.e", b="a.e")})
+                            * sqrt({_DOT64.format(a="b.e", b="b.e")})), 6) AS score
+            FROM e a JOIN e b
+              ON a.doc_id < b.doc_id
+             AND (a.k0 = b.k0 OR a.k1 = b.k1 OR a.k2 = b.k2 OR a.k3 = b.k3)
+            WHERE round(({_DOT64.format(a="a.e", b="b.e")})
+                        / (sqrt({_DOT64.format(a="a.e", b="a.e")})
+                           * sqrt({_DOT64.format(a="b.e", b="b.e")})), 6) >= 0.9
+        """,
         "q_mm_metadata": """
             SELECT doc_id AS media_id,
                    octet_length(encode(text)) AS size_bytes,
@@ -1183,8 +1281,27 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
             WHERE {cos} >= 0.25
         """,
-        # q_sim_lsh_topk intentionally omitted: FP sign boundaries make the
-        # bucket assignment oracle-fragile; driver records rows-only.
+        # lsh_topk: same signature arithmetic the bucketed variant proved
+        # bit-identical across engines (integer mixing in double + ordered
+        # fold), so the bucket filter is oracle-stable after all.
+        "q_sim_lsh_topk": f"""
+            WITH sigs AS (
+              SELECT vec_id, embedding, {_lsh_sig_sql("embedding")} AS sig
+              FROM embeddings
+            ),
+            q AS (
+              SELECT embedding, {_lsh_sig_sql("embedding")} AS sig
+              FROM embeddings WHERE vec_id = 0
+            )
+            SELECT s.vec_id,
+                   round(({_DOT64.format(a="s.embedding", b="q.embedding")})
+                         / (sqrt({_DOT64.format(a="s.embedding", b="s.embedding")})
+                            * sqrt({_DOT64.format(a="q.embedding", b="q.embedding")})), 6) AS score
+            FROM sigs s, q
+            WHERE s.sig = q.sig
+            ORDER BY score DESC, s.vec_id
+            LIMIT 10
+        """,
         "q_sim_ivf_topk": f"""
             WITH c AS (
               SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8

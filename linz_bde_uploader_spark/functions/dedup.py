@@ -309,3 +309,134 @@ def jaccard_dedup_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def shingle_hashes_from_tokens(toks: Column, n: int = 3) -> Column:
+    """Mixed hashes of the n-word shingle values — the feature set for
+    shingle-grain sketches (SimHash, doc embeddings). Shingles carry far
+    more entropy than unigram tokens on shared-vocabulary corpora: two
+    unrelated docs share most *words* but almost no 3-grams, so sketches
+    over shingles separate near-dups from background instead of hashing
+    the whole corpus into one neighborhood.
+    Pass a STAGED token attribute (see ``shingles_from_tokens``)."""
+    return F.transform(
+        shingles_from_tokens(toks, n),
+        lambda s: (shingle_value(s) * HASH_MIX) % HASH_MOD,
+    )
+
+
+def with_shingle_simhash(
+    df: DataFrame, text_col: str, out_col: str = "_simhash", bits: int = 32
+) -> DataFrame:
+    """SimHash over shingle hashes, staged: tokens → shingle-hash array as
+    real attributes first, then ``bits`` per-bit majority votes fold over
+    the one computed array (no re-tokenization per bit)."""
+    staged = df.withColumn("_sh_toks", tokens(F.col(text_col)))
+    staged = staged.withColumn(
+        "_sh_hs", shingle_hashes_from_tokens(F.col("_sh_toks"))
+    )
+    h = F.col("_sh_hs")
+    n = F.size(h)
+
+    def bit_votes(mask: int):
+        # Real closure over the Python int mask (a `j=j` default arg breaks
+        # PySpark's higher-order-function arity binding).
+        return F.aggregate(
+            h,
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + (x.bitwiseAND(F.lit(mask)) != 0).cast("long"),
+        )
+
+    out = F.lit(0).cast("long")
+    for j in range(bits):
+        bit = (bit_votes(1 << j) * 2 > n.cast("long")).cast("long")
+        out = out + bit * (1 << j)
+    return staged.withColumn(out_col, out).drop("_sh_toks", "_sh_hs")
+
+
+def simhash_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 32,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Banded-SimHash near-dup pairs (id_a < id_b, hamming ≤ max_hamming).
+
+    Slice the B-bit signature into ``bands`` equal windows and self-equi-
+    join on (band, window value). Because ``max_hamming < bands``, any
+    pair within the Hamming budget differs in at most ``max_hamming``
+    windows and therefore shares at least one intact window (pigeonhole) —
+    the band join is a LOSSLESS candidate generator, and the exact
+    ``bit_count(xor)`` filter runs on candidates only. Shuffle volume is
+    O(n·bands) narrow rows; hot windows split across bands and AQE.
+    """
+    if bits % bands != 0:
+        raise ValueError("bits must divide evenly into bands")
+    if max_hamming >= bands:
+        raise ValueError(
+            "max_hamming must be < bands for the band join to be lossless"
+        )
+    width = bits // bands
+    sigs = with_shingle_simhash(df, text_col, "_sh", bits).select(
+        F.col(id_col).alias("_id"), "_sh"
+    )
+    band_vals = F.array(
+        *[
+            F.shiftright(F.col("_sh"), b * width).bitwiseAND(
+                F.lit((1 << width) - 1)
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sigs.select(
+        "_id", "_sh", F.posexplode(band_vals).alias("_band", "_val")
+    ).persist()
+    left, right = banded.alias("l"), banded.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col("l._band") == F.col("r._band"))
+            & (F.col("l._val") == F.col("r._val"))
+            & (F.col("l._id") < F.col("r._id")),
+        )
+        .select(
+            F.col("l._id").alias("id_a"),
+            F.col("r._id").alias("id_b"),
+            F.col("l._sh").alias("_sa"),
+            F.col("r._sh").alias("_sb"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb"))).cast("int")
+    return pairs.select("id_a", "id_b", ham.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )
+
+
+def with_doc_embedding(
+    df: DataFrame, text_col: str, out_col: str = "_emb", dims: int = 64
+) -> DataFrame:
+    """Deterministic document embedding: hashed-shingle count vector
+    (array<double>, length ``dims``). Component d counts the shingles
+    whose mixed hash lands in bin d — a bag-of-shingles vector whose
+    cosine tracks n-gram overlap. Pure integer arithmetic: identical on
+    any engine, so embedding-cosine dedup is oracle-checkable; swap in a
+    model embedding behind the same (id, array<double>) contract.
+
+    Staging: the shingle-hash array is materialized as an attribute before
+    the per-bin counts reference it (an inline expression would be
+    re-evaluated once per bin — O(dims × shingle-work) per doc).
+    """
+    staged = df.withColumn("_de_toks", tokens(F.col(text_col)))
+    staged = staged.withColumn(
+        "_de_hs", shingle_hashes_from_tokens(F.col("_de_toks"))
+    )
+    emb = F.transform(
+        F.sequence(F.lit(0), F.lit(dims - 1)),
+        lambda d: F.size(
+            F.filter(F.col("_de_hs"), lambda h: h % dims == d)
+        ).cast("double"),
+    )
+    return staged.withColumn(out_col, emb).drop("_de_toks", "_de_hs")

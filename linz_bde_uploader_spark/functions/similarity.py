@@ -281,3 +281,82 @@ def lsh_topk_bucketed(
         .orderBy(F.desc("score"), F.col(id_col))
         .limit(k)
     )
+
+
+def banded_lsh_keys(
+    vec: Column, dims: int, bands: int = 4, planes_per_band: int = 4
+) -> Column:
+    """One sub-signature per band from *disjoint* hyperplane sets
+    (array<long>, length ``bands``).
+
+    A single B-plane bucket only finds a near-dup pair when every one of B
+    sign bits agrees — recall p^B.  Banding flips that: the pair is a
+    candidate when ANY band's ``planes_per_band`` bits all agree, recall
+    1-(1-p^w)^bands (the classic LSH OR-of-ANDs construction).  With
+    w=4, bands=4 and cosine 0.9 (p ≈ 0.856), recall ≈ 0.95 vs ≈ 0.29 for
+    one 8-plane bucket.
+    """
+    keys = []
+    for b in range(bands):
+        sig = F.lit(0).cast("long")
+        for p in range(planes_per_band):
+            h = _hyperplane(b * planes_per_band + p, dims)
+            sig = sig + (dot(vec, h) > 0).cast("long") * (1 << p)
+        keys.append(sig)
+    return F.array(*keys)
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int = 64,
+    threshold: float = 0.9,
+    bands: int = 4,
+    planes_per_band: int = 4,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, score ≥ threshold).
+
+    The standard candidate→verify shape at 100-TB scale:
+
+    1. banded random-hyperplane signatures (pure arithmetic, codegen);
+    2. self-equi-join on (band, key) over a *narrow* (id, band, key)
+       projection — shuffle volume is O(n·bands) ids, never vectors,
+       never O(n²);
+    3. exact cosine verification via two id-equi-joins that fetch the
+       vectors for candidate pairs only.
+
+    Banding bounds recall (≈0.95 at cosine 0.9 with the defaults — see
+    ``banded_lsh_keys``); precision is exact because every emitted pair is
+    cosine-verified. Deterministic hyperplanes make the same pairs appear
+    on any engine, so the operator is oracle-checkable in ANSI SQL.
+    """
+    base = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    banded = base.select(
+        "_id",
+        F.posexplode(
+            banded_lsh_keys(F.col("_v"), dims, bands, planes_per_band)
+        ).alias("_band", "_key"),
+    ).persist()
+    left, right = banded.alias("l"), banded.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col("l._band") == F.col("r._band"))
+            & (F.col("l._key") == F.col("r._key"))
+            & (F.col("l._id") < F.col("r._id")),
+        )
+        .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
+        .distinct()
+    )
+    verified = pairs.join(
+        base.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va")), "id_a"
+    ).join(base.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb")), "id_b")
+    return (
+        verified.select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("_va"), F.col("_vb")), 6).alias("score"),
+        )
+        .filter(F.col("score") >= threshold)
+    )

@@ -1,0 +1,180 @@
+"""Near-duplicate detection: banded SimHash pairs, embedding-cosine pairs,
+and the staged doc-embedding column.
+
+The reference has no dedup surface (SURVEY §2.7 lists only scalar SQL
+functions); these are the large-scale pipeline extensions the engine adds.
+Tests assert hand-computable invariants plus Python recomputations of the
+deterministic hash arithmetic so any cross-engine drift is caught here
+before the DuckDB oracle sees it.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from linz_bde_uploader_spark.functions import dedup as D
+from linz_bde_uploader_spark.functions import similarity as S
+
+HASH_MOD = 2147483647
+HASH_MIX = 2654435761
+
+
+def _tokval(t: str) -> int:
+    return (len(t) * 17 + ord(t[0]) * 31) % HASH_MOD
+
+
+def _shingle_hashes(text: str, n: int = 3) -> list[int]:
+    toks = text.split(" ")
+    m = len(toks)
+    out = []
+    for i in range(max(m - n + 1, 1)):
+        # mirror dedup.shingle_value: Σ tokval_k · 961^(n-1-k)
+        v = (
+            _tokval(toks[min(i, m - 1)]) * 923521
+            + _tokval(toks[min(i + 1, m - 1)]) * 961
+            + _tokval(toks[min(i + 2, m - 1)])
+        ) % HASH_MOD
+        out.append((v * HASH_MIX) % HASH_MOD)
+    return out
+
+
+def _simhash(text: str, bits: int = 32) -> int:
+    hs = _shingle_hashes(text)
+    n = len(hs)
+    sig = 0
+    for j in range(bits):
+        votes = sum(1 for h in hs if h & (1 << j))
+        if 2 * votes > n:
+            sig |= 1 << j
+    return sig
+
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (2, "the quick brown fox jumps over the lazy dog near the river bend"),
+    (3, "completely different text talking about spark partitions and shuffles"),
+    (4, "the quick brown fox jumps over the lazy dog near the river bank"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+def test_shingle_simhash_matches_python(spark, docs_df):
+    got = {
+        r.doc_id: r.sh
+        for r in D.with_shingle_simhash(docs_df, "text", "sh", 32)
+        .select("doc_id", "sh")
+        .collect()
+    }
+    for doc_id, text in DOCS:
+        assert got[doc_id] == _simhash(text), f"doc {doc_id}"
+
+
+def test_simhash_pairs_exact_dup_and_near_dup(spark, docs_df):
+    rows = {
+        (r.id_a, r.id_b): r.hamming
+        for r in D.simhash_candidate_pairs(
+            docs_df, "doc_id", "text", bits=32, bands=4, max_hamming=3
+        ).collect()
+    }
+    # exact dup (1,4): hamming 0 always surfaces
+    assert rows.get((1, 4)) == 0
+    # unrelated doc 3 never pairs with anything
+    assert not any(3 in p for p in rows)
+    # every reported pair honors the budget and ordering contract
+    assert all(a < b and h <= 3 for (a, b), h in rows.items())
+
+
+def test_simhash_pairs_band_join_is_lossless(spark, docs_df):
+    """The band join must return exactly the pairs an O(n²) scan finds
+    (pigeonhole: ≤3 differing bits can't touch all 4 windows)."""
+    sigs = {
+        r.doc_id: r.sh
+        for r in D.with_shingle_simhash(docs_df, "text", "sh", 32)
+        .select("doc_id", "sh")
+        .collect()
+    }
+    ids = sorted(sigs)
+    brute = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin(sigs[a] ^ sigs[b]).count("1") <= 3
+    }
+    got = {
+        (r.id_a, r.id_b)
+        for r in D.simhash_candidate_pairs(
+            docs_df, "doc_id", "text", bits=32, bands=4, max_hamming=3
+        ).collect()
+    }
+    assert got == brute
+
+
+def test_simhash_pairs_rejects_bad_banding(spark, docs_df):
+    with pytest.raises(ValueError):
+        D.simhash_candidate_pairs(docs_df, "doc_id", "text", bits=32, bands=5)
+    with pytest.raises(ValueError):
+        D.simhash_candidate_pairs(
+            docs_df, "doc_id", "text", bits=32, bands=4, max_hamming=4
+        )
+
+
+def test_doc_embedding_counts_shingle_bins(spark, docs_df):
+    emb = {
+        r.doc_id: r.e
+        for r in D.with_doc_embedding(docs_df, "text", "e", 64)
+        .select("doc_id", "e")
+        .collect()
+    }
+    for doc_id, text in DOCS:
+        hs = _shingle_hashes(text)
+        expect = [float(sum(1 for h in hs if h % 64 == d)) for d in range(64)]
+        assert emb[doc_id] == expect, f"doc {doc_id}"
+        assert sum(emb[doc_id]) == len(hs)
+
+
+def test_embedding_near_dup_pairs(spark, docs_df):
+    emb = D.with_doc_embedding(docs_df, "text", "_emb", 64).select(
+        "doc_id", "_emb"
+    )
+    rows = {
+        (r.id_a, r.id_b): r.score
+        for r in S.embedding_near_dup_pairs(
+            emb, id_col="doc_id", vec_col="_emb", dims=64, threshold=0.9
+        ).collect()
+    }
+    # identical docs → cosine exactly 1
+    assert rows.get((1, 4)) == pytest.approx(1.0)
+    # one-word-changed near-dup pairs with both copies
+    assert (1, 2) in rows and rows[(1, 2)] >= 0.9
+    assert (2, 4) in rows and rows[(2, 4)] >= 0.9
+    # the unrelated doc stays out
+    assert not any(3 in p for p in rows)
+
+
+def test_banded_lsh_keys_match_python(spark):
+    """Band keys recompute exactly from the hyperplane formula — the
+    property the DuckDB oracle's literal-coefficient SQL relies on."""
+    vec = [float(i % 7) - 3.0 for i in range(64)]
+    df = spark.createDataFrame([(0, vec)], ["id", "v"])
+    got = df.select(
+        S.banded_lsh_keys(F.col("v"), 64, bands=4, planes_per_band=4).alias("k")
+    ).first()["k"]
+    expect = []
+    for b in range(4):
+        sig = 0
+        for p in range(4):
+            plane = b * 4 + p
+            d = sum(
+                ((((plane * 131 + i) * HASH_MIX) % HASH_MOD) / HASH_MOD - 0.5)
+                * vec[i]
+                for i in range(64)
+            )
+            if d > 0:
+                sig |= 1 << p
+        expect.append(sig)
+    assert got == expect
