@@ -27,6 +27,7 @@ from linz_bde_uploader_spark.functions import dedup as D
 from linz_bde_uploader_spark.functions import multimodal as M
 from linz_bde_uploader_spark.functions import similarity as S
 from linz_bde_uploader_spark.functions import text as X
+from linz_bde_uploader_spark.functions import windows as WN
 from linz_bde_uploader_spark.meta.store import MetaStore
 from linz_bde_uploader_spark.operators import diff as DF_
 from linz_bde_uploader_spark.operators.clean import (
@@ -721,6 +722,38 @@ def q_dedup_jaccard_pairs(spark, sf_dir):
     return D.candidate_jaccard_verify(d, "doc_id", "text", threshold=0.08)
 
 
+def q_win_sessionize(spark, sf_dir):
+    # Gap-based sessionization (30-min gap) + per-session rollup. One
+    # shuffle on user_id; lag/running-sum/rollup share the partitioning.
+    e = W.events(spark, sf_dir).withColumn("_us", F.expr("ts div 1000"))
+    return WN.session_stats(
+        e, "user_id", "_us", "event_id", gap=30 * 60 * 1_000_000
+    ).select(
+        "user_id",
+        "session_id",
+        "n_events",
+        F.col("start_t").alias("start_us"),
+        F.col("end_t").alias("end_us"),
+    )
+
+
+def q_win_topk_per_group(spark, sf_dir):
+    # row_number() ranking: top-3 events per type by value (deterministic
+    # tiebreak on event_id).
+    e = W.events(spark, sf_dir)
+    return WN.topk_per_group(e, "event_type", "value", "event_id", k=3).select(
+        "event_type", "event_id", "value", "rank"
+    )
+
+
+def q_win_moving_avg(spark, sf_dir):
+    # Sliding ROWS frame: 4-event moving average per user.
+    e = W.events(spark, sf_dir).withColumn("_us", F.expr("ts div 1000"))
+    return WN.moving_avg(
+        e, "user_id", "_us", "event_id", "value", preceding=3
+    ).select("event_id", "user_id", "mov_avg")
+
+
 def q_dedup_simhash_pairs(spark, sf_dir):
     # Banded-SimHash near-dup pairs: the 32-bit shingle-grain signature is
     # sliced into 4 windows; the band self-equi-join is LOSSLESS for
@@ -882,6 +915,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_jaccard_pairs": q_dedup_jaccard_pairs,
         "q_dedup_simhash_pairs": q_dedup_simhash_pairs,
         "q_dedup_embed_cosine": q_dedup_embed_cosine,
+        "q_win_sessionize": q_win_sessionize,
+        "q_win_topk_per_group": q_win_topk_per_group,
+        "q_win_moving_avg": q_win_moving_avg,
         "q_mm_metadata": q_mm_metadata,
         "q_mm_fingerprint_dedup": q_mm_fingerprint_dedup,
         "q_mm_thumbnails": q_mm_thumbnails,
@@ -1207,6 +1243,42 @@ def oracle_sql() -> dict[str, str]:
               FROM cand c JOIN sh a ON a.doc_id = c.id_a JOIN sh b ON b.doc_id = c.id_b
             )
             SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.08
+        """,
+        "q_win_sessionize": """
+            WITH x AS (
+              SELECT user_id, event_id, epoch_us(ts) AS us,
+                     CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                            OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                          THEN 1 ELSE 0 END AS is_new
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+            ),
+            s AS (
+              SELECT user_id, us,
+                     CAST(sum(is_new) OVER (
+                       PARTITION BY user_id ORDER BY us, event_id
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+              FROM x
+            )
+            SELECT user_id, session_id, count(*) AS n_events,
+                   min(us) AS start_us, max(us) AS end_us
+            FROM s GROUP BY user_id, session_id
+        """,
+        "q_win_topk_per_group": """
+            SELECT event_type, event_id, value, "rank" FROM (
+              SELECT event_type, event_id, value,
+                     CAST(row_number() OVER (
+                       PARTITION BY event_type ORDER BY value DESC, event_id
+                     ) AS INT) AS "rank"
+              FROM events
+            ) WHERE "rank" <= 3
+        """,
+        "q_win_moving_avg": """
+            SELECT event_id, user_id,
+                   round(avg(value) OVER (
+                     PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                     ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6) AS mov_avg
+            FROM events
         """,
         # Oracle does the O(n²) compare (fine at sf0.01); the Spark band
         # join is lossless for hamming ≤ 3 < bands=4 (pigeonhole), so the

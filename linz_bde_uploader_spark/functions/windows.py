@@ -1,0 +1,109 @@
+"""Window-function analytics over event streams.
+
+The reference has NO window functions (SURVEY §2.5 — its only sort/limit
+idioms are driver-side list sorts and LIMIT 1); these extend the engine
+with the standard event-analytics shapes a training-data pipeline needs:
+gap-based sessionization, per-group top-k, and sliding-frame aggregates.
+
+Scale posture: every operator here is one `Window.partitionBy(key)` —
+a single hash shuffle on the partition key, then per-partition sorted
+evaluation (Spark's WindowExec sorts within partitions; no global sort,
+no driver involvement). Skewed keys are the usual caveat: a user with
+billions of events serializes one partition — pre-split hot keys with
+``operators.skew`` salting if a key can exceed an executor's slice.
+
+Determinism: window orderings always include a unique tiebreaker column
+(the event id) so frame contents — and therefore results — are identical
+on any engine; frames are ROWS-based, never RANGE, for the same reason.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def sessionize(
+    df: DataFrame,
+    key_col: str,
+    time_col: Column | str,
+    id_col: str,
+    gap: int,
+) -> DataFrame:
+    """Gap-based sessionization: a new session starts when the time since
+    the key's previous event exceeds ``gap`` (same time unit as
+    ``time_col``). Returns the input plus a per-key ``session_id``
+    (1-based, ordered by time).
+
+    Classic two-window composition: lag() marks session starts, a running
+    sum over the *same* ordering numbers them. Both windows share one
+    partitioning and sort, so the plan has a single shuffle + sort.
+    """
+    t = F.col(time_col) if isinstance(time_col, str) else time_col
+    order = [t.asc(), F.col(id_col).asc()]
+    w = Window.partitionBy(key_col).orderBy(*order)
+    prev = F.lag(t).over(w)
+    is_new = (prev.isNull() | ((t - prev) > gap)).cast("long")
+    run = Window.partitionBy(key_col).orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return df.withColumn("session_id", F.sum(is_new).over(run))
+
+
+def session_stats(
+    df: DataFrame,
+    key_col: str,
+    time_col: Column | str,
+    id_col: str,
+    gap: int,
+) -> DataFrame:
+    """Per-session rollup: (key, session_id, n_events, start, end)."""
+    t = F.col(time_col) if isinstance(time_col, str) else time_col
+    sess = sessionize(df.withColumn("_t", t), key_col, "_t", id_col, gap)
+    return sess.groupBy(key_col, "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("_t").alias("start_t"),
+        F.max("_t").alias("end_t"),
+    )
+
+
+def topk_per_group(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    id_col: str,
+    k: int,
+) -> DataFrame:
+    """Top-k rows per group by ``order_col`` descending (ties broken by
+    ``id_col`` ascending — deterministic). row_number() over a ROWS
+    window; Spark evaluates it with per-partition sorted iteration, and
+    the rank filter prunes before anything leaves the window operator."""
+    w = Window.partitionBy(group_col).orderBy(
+        F.col(order_col).desc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def moving_avg(
+    df: DataFrame,
+    key_col: str,
+    time_col: Column | str,
+    id_col: str,
+    value_col: str,
+    preceding: int = 3,
+    out_col: str = "mov_avg",
+) -> DataFrame:
+    """Sliding-frame mean of ``value_col`` over the last ``preceding``+1
+    rows per key (ROWS frame — unique ordering makes frame contents, and
+    the left-to-right summation inside the frame, engine-independent).
+    Rounded to 6 dp for stable cross-engine comparison."""
+    t = F.col(time_col) if isinstance(time_col, str) else time_col
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(t.asc(), F.col(id_col).asc())
+        .rowsBetween(-preceding, Window.currentRow)
+    )
+    return df.withColumn(out_col, F.round(F.avg(value_col).over(w), 6))
