@@ -184,27 +184,6 @@ sh_h AS (
 """
 
 
-def _embed_band_keys_sql(
-    col: str, bands: int = 4, ppb: int = 4, dims: int = 64
-) -> list[str]:
-    """One SQL expression per LSH band key, mirroring
-    similarity.banded_lsh_keys exactly: hyperplane components are the same
-    Python-computed double literals Spark constant-folds, and the unrolled
-    left-assoc sum matches the dot fold order — bit-identical doubles, so
-    the sign bits agree across engines."""
-    out = []
-    for b in range(bands):
-        terms = []
-        for p in range(ppb):
-            plane = b * ppb + p
-            comps = " + ".join(
-                f"{col}[{d + 1}]*"
-                f"({(((plane * 131 + d) * 2654435761) % 2147483647) / 2147483647 - 0.5!r})"
-                for d in range(dims)
-            )
-            terms.append(f"(CASE WHEN ({comps}) > 0 THEN {1 << p} ELSE 0 END)")
-        out.append(" + ".join(terms))
-    return out
 
 
 # ---------------------------------------------------------------------------
@@ -722,6 +701,36 @@ def q_dedup_jaccard_pairs(spark, sf_dir):
     return D.candidate_jaccard_verify(d, "doc_id", "text", threshold=0.08)
 
 
+def q_json_extract(spark, sf_dir):
+    # JSON metadata column: typed from_json + string path extraction, both
+    # JVM-side (no Python). The reference has no JSON (SURVEY §2.7); this
+    # is the pipeline extension for sidecar-metadata parsing.
+    e = W.events(spark, sf_dir)
+    return e.select(
+        "event_id",
+        F.from_json("props", "k INT").getField("k").alias("k_val"),
+        F.get_json_object("props", "$.k").alias("k_str"),
+    )
+
+
+def q_rollup_acctbal(spark, sf_dir):
+    # Hierarchical subtotals (region → nation → grand total) in ONE pass:
+    # rollup expands grouping sets through a single shuffle (Expand +
+    # partial agg), not one job per level. grouping_id disambiguates
+    # subtotal rows from real NULL keys.
+    r = W.load(spark, sf_dir, "region")
+    n = W.load(spark, sf_dir, "nation")
+    c = W.load(spark, sf_dir, "customer")
+    j = c.join(n, c.c_nationkey == n.n_nationkey).join(
+        r, n.n_regionkey == r.r_regionkey
+    )
+    return j.rollup("r_name", "n_name").agg(
+        F.sum(_dec("c_acctbal")).cast("double").alias("acctbal"),
+        F.count(F.lit(1)).alias("n_cust"),
+        F.grouping_id().cast("int").alias("gid"),
+    )
+
+
 def q_win_sessionize(spark, sf_dir):
     # Gap-based sessionization (30-min gap) + per-session rollup. One
     # shuffle on user_id; lag/running-sum/rollup share the partitioning.
@@ -915,6 +924,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_jaccard_pairs": q_dedup_jaccard_pairs,
         "q_dedup_simhash_pairs": q_dedup_simhash_pairs,
         "q_dedup_embed_cosine": q_dedup_embed_cosine,
+        "q_json_extract": q_json_extract,
+        "q_rollup_acctbal": q_rollup_acctbal,
         "q_win_sessionize": q_win_sessionize,
         "q_win_topk_per_group": q_win_topk_per_group,
         "q_win_moving_avg": q_win_moving_avg,
@@ -1244,6 +1255,21 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.08
         """,
+        "q_json_extract": """
+            SELECT event_id,
+                   CAST(json_extract_string(props, '$.k') AS INT) AS k_val,
+                   json_extract_string(props, '$.k') AS k_str
+            FROM events
+        """,
+        "q_rollup_acctbal": """
+            SELECT r_name, n_name,
+                   CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS acctbal,
+                   count(*) AS n_cust,
+                   CAST(GROUPING(r_name, n_name) AS INT) AS gid
+            FROM customer, nation, region
+            WHERE c_nationkey = n_nationkey AND n_regionkey = r_regionkey
+            GROUP BY ROLLUP (r_name, n_name)
+        """,
         "q_win_sessionize": """
             WITH x AS (
               SELECT user_id, event_id, epoch_us(ts) AS us,
@@ -1294,24 +1320,51 @@ def oracle_sql() -> dict[str, str]:
             FROM s a JOIN s b ON a.doc_id < b.doc_id
             WHERE bit_count(xor(a.sh, b.sh)) <= 3
         """,
+        # Banded hyperplane LSH on mean-centered bag-of-shingle vectors
+        # (8 bands × 12 planes), raw-cosine verify. The plane constants are
+        # recomputed in SQL from the same integer mixing (BIGINT exact,
+        # correctly-rounded /), and every float fold is sequential — the
+        # sign bits agree with Spark's Arrow-vectorized keys bit-for-bit.
         "q_dedup_embed_cosine": _SHINGLE_HASHES + f"""
             , e0 AS (
               SELECT doc_id,
                      [{", ".join(f"CAST(len(list_filter(hs, h -> h % 64 = {d})) AS DOUBLE)" for d in range(64))}] AS e
               FROM sh_h
             ),
-            e AS (
-              SELECT doc_id, e,
-                     {", ".join(f"({k}) AS k{b}" for b, k in enumerate(_embed_band_keys_sql("e")))}
+            cv AS (
+              SELECT doc_id,
+                     list_transform(e, x -> x - CAST(list_sum(e) AS DOUBLE) / 64) AS ec
               FROM e0
+            ),
+            pl AS (
+              SELECT p,
+                     list_transform(generate_series(0, 63),
+                       d -> (((p*131 + d) * 2654435761) % 2147483647) / 2147483647 - 0.5) AS h
+              FROM generate_series(0, 95) t(p)
+            ),
+            bits AS (
+              SELECT cv.doc_id, CAST(pl.p // 12 AS INT) AS band,
+                     CASE WHEN list_sum(list_transform(generate_series(1, 64),
+                                          i -> cv.ec[i] * pl.h[i])) > 0
+                          THEN CAST(1 AS BIGINT) << (pl.p % 12) ELSE 0 END AS bit
+              FROM cv CROSS JOIN pl
+            ),
+            keys AS (
+              SELECT doc_id, band, CAST(sum(bit) AS BIGINT) AS key
+              FROM bits GROUP BY doc_id, band
+            ),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM keys a JOIN keys b
+                ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
             )
-            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+            SELECT c.id_a, c.id_b,
                    round(({_DOT64.format(a="a.e", b="b.e")})
                          / (sqrt({_DOT64.format(a="a.e", b="a.e")})
                             * sqrt({_DOT64.format(a="b.e", b="b.e")})), 6) AS score
-            FROM e a JOIN e b
-              ON a.doc_id < b.doc_id
-             AND (a.k0 = b.k0 OR a.k1 = b.k1 OR a.k2 = b.k2 OR a.k3 = b.k3)
+            FROM cand c
+            JOIN e0 a ON a.doc_id = c.id_a
+            JOIN e0 b ON b.doc_id = c.id_b
             WHERE round(({_DOT64.format(a="a.e", b="b.e")})
                         / (sqrt({_DOT64.format(a="a.e", b="a.e")})
                            * sqrt({_DOT64.format(a="b.e", b="b.e")})), 6) >= 0.9

@@ -38,6 +38,20 @@ def main() -> int:
     # reads, codegen) so the first measured query doesn't absorb one-time
     # setup costs that every later query gets for free.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    # Warm the join/aggregate/window/noop-sink code paths as well — the
+    # first measured query otherwise absorbs their one-time codegen and
+    # thread-pool setup (observed: +2-3 s on whichever query runs first).
+    a = spark.range(100_000).selectExpr("id", "id % 100 AS k")
+    b = spark.range(1_000).selectExpr("id AS k2")
+    (
+        a.join(b, a.k == b.k2)
+        .groupBy("k")
+        .count()
+        .selectExpr("k", "count", "row_number() OVER (ORDER BY k) AS rn")
+        .write.mode("overwrite")
+        .format("noop")
+        .save()
+    )
     # events.parquet stores TIMESTAMP(NANOS); read it as raw longs
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     for t in ("orders", "lineitem", "customer", "documents", "events",

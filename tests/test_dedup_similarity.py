@@ -156,6 +156,43 @@ def test_embedding_near_dup_pairs(spark, docs_df):
     assert not any(3 in p for p in rows)
 
 
+def test_band_keys_udf_matches_column_expression(spark):
+    """The Arrow-vectorized band keys must equal the pure-Column reference
+    implementation bit-for-bit (same hyperplanes, same fold order)."""
+    vecs = [
+        (i, [float((i * 31 + d * 7) % 13) - 6.0 for d in range(64)])
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(vecs, ["id", "v"])
+    col_keys = {
+        r.id: r.k
+        for r in df.select(
+            "id", S.banded_lsh_keys(F.col("v"), 64, 8, 12).alias("k")
+        ).collect()
+    }
+    udf = S.lsh_band_keys_udf(64, 8, 12, center=False)
+    udf_keys = {
+        r.id: r.k for r in df.select("id", udf(F.col("v")).alias("k")).collect()
+    }
+    assert udf_keys == col_keys
+
+
+def test_band_keys_centering_is_exact(spark):
+    """center=True must equal manually pre-centered center=False keys
+    (the mean is integer-exact / power-of-two divided)."""
+    vecs = [(i, [float((i * 17 + d) % 9) for d in range(64)]) for i in range(10)]
+    df = spark.createDataFrame(vecs, ["id", "v"])
+    centered = [
+        (i, [x - sum(v) / 64 for x in v]) for i, v in vecs
+    ]
+    dfc = spark.createDataFrame(centered, ["id", "v"])
+    u_center = S.lsh_band_keys_udf(64, 8, 12, center=True)
+    u_plain = S.lsh_band_keys_udf(64, 8, 12, center=False)
+    got = {r.id: r.k for r in df.select("id", u_center(F.col("v")).alias("k")).collect()}
+    want = {r.id: r.k for r in dfc.select("id", u_plain(F.col("v")).alias("k")).collect()}
+    assert got == want
+
+
 def test_banded_lsh_keys_match_python(spark):
     """Band keys recompute exactly from the hyperplane formula — the
     property the DuckDB oracle's literal-coefficient SQL relies on."""
