@@ -467,6 +467,22 @@ def q_s5_target_e2e(spark, sf_dir):
     return tgt.read(spark)
 
 
+def q_s8_change_feed(spark, sf_dir):
+    # S8 (logical-replication publisher) lakehouse-style: the net I/U/D
+    # feed between two committed target versions — the Delta-CDF analog
+    # over immutable snapshot directories, computed with the full-compare
+    # kernel. Exact + replayable from any retained version.
+    tgt = ParquetTarget(tempfile.mkdtemp(prefix="bde_cdc_"), key="o_orderkey")
+    tgt.replace(W.orders_current(spark, sf_dir))
+    v0 = tgt.current_version()
+    tgt.apply_incremental(
+        spark,
+        W.orders_incoming(spark, sf_dir),
+        W.orders_change_keys(spark, sf_dir),
+    )
+    return tgt.changes_between(spark, v0)
+
+
 def q_p6_date_fixup(spark, sf_dir):
     e = W.events(spark, sf_dir)
     shifted = F.expr(
@@ -898,6 +914,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_s3_discovery_pending": q_s3_discovery_pending,
         "q_s6_stats_store": q_s6_stats_store,
         "q_s5_target_e2e": q_s5_target_e2e,
+        "q_s8_change_feed": q_s8_change_feed,
         "q_p6_date_fixup": q_p6_date_fixup,
         "q_p7_wkt_fixup": q_p7_wkt_fixup,
         "q_scalar_funcs": q_scalar_funcs,
@@ -1015,6 +1032,28 @@ def oracle_sql() -> dict[str, str]:
                           OR c.o_totalprice IS DISTINCT FROM i.o_totalprice
                           OR c.o_orderdate IS DISTINCT FROM i.o_orderdate
                           OR c.o_orderpriority IS DISTINCT FROM i.o_orderpriority
+                        THEN 'U' END) IS NOT NULL
+        """,
+        # The CDC feed between v0 (= orders) and v1 (= merged) is the full
+        # diff of the merged table against the original.
+        "q_s8_change_feed": _SCENARIO + """
+            SELECT COALESCE(c.o_orderkey, m.o_orderkey) AS o_orderkey,
+                   CASE WHEN c.o_orderkey IS NULL THEN 'I'
+                        WHEN m.o_orderkey IS NULL THEN 'D'
+                        WHEN c.o_custkey IS DISTINCT FROM m.o_custkey
+                          OR c.o_orderstatus IS DISTINCT FROM m.o_orderstatus
+                          OR c.o_totalprice IS DISTINCT FROM m.o_totalprice
+                          OR c.o_orderdate IS DISTINCT FROM m.o_orderdate
+                          OR c.o_orderpriority IS DISTINCT FROM m.o_orderpriority
+                        THEN 'U' END AS _action
+            FROM orders c FULL OUTER JOIN merged m ON c.o_orderkey = m.o_orderkey
+            WHERE (CASE WHEN c.o_orderkey IS NULL THEN 'I'
+                        WHEN m.o_orderkey IS NULL THEN 'D'
+                        WHEN c.o_custkey IS DISTINCT FROM m.o_custkey
+                          OR c.o_orderstatus IS DISTINCT FROM m.o_orderstatus
+                          OR c.o_totalprice IS DISTINCT FROM m.o_totalprice
+                          OR c.o_orderdate IS DISTINCT FROM m.o_orderdate
+                          OR c.o_orderpriority IS DISTINCT FROM m.o_orderpriority
                         THEN 'U' END) IS NOT NULL
         """,
         "q_merge_stats": _SCENARIO + """

@@ -120,6 +120,48 @@ class ParquetTarget:
     def read(self, spark: SparkSession) -> DataFrame:
         return spark.read.parquet(self._data_dir())
 
+    def versions(self) -> list[str]:
+        """Committed-order list of version directory names (oldest first —
+        names embed a millisecond timestamp, so lexical order is commit
+        order)."""
+        return sorted(
+            d
+            for d in os.listdir(self.path)
+            if d.startswith("v-") and os.path.isdir(os.path.join(self.path, d))
+        )
+
+    def read_version(self, spark: SparkSession, version: str) -> DataFrame:
+        """Time travel: read a specific committed version (immutable
+        directories make every version a consistent snapshot)."""
+        return spark.read.parquet(os.path.join(self.path, version))
+
+    def changes_between(
+        self,
+        spark: SparkSession,
+        from_version: str,
+        to_version: str | None = None,
+    ) -> DataFrame:
+        """CDC feed (reference S8, the logical-replication publisher
+        bin/linz-bde-uploader-schema-publish.pl:57-94, re-expressed
+        lakehouse-style like Delta's Change Data Feed): the net I/U/D row
+        changes between two committed versions, computed with the
+        full-compare kernel — ``(key, _action)``, unchanged rows excluded.
+
+        Because versions are immutable snapshots, the feed is exact and
+        replayable from any retained version; downstream consumers
+        (replicas, caches, search indexes) apply it idempotently by key.
+        One sort-merge shuffle per side — same 100-TB shape as J6.
+        """
+        if self.key is None:
+            raise ValueError("changes_between requires a key column")
+        old = self.read_version(spark, from_version)
+        new = (
+            self.read(spark)
+            if to_version is None
+            else self.read_version(spark, to_version)
+        )
+        return full_table_diff(old, new, self.key)
+
     # -- applies (S5): two-phase stage -> commit ----------------------------
     #
     # Each apply writes a fully-validated new version directory (phase 1)

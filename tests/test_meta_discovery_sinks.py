@@ -521,3 +521,26 @@ def test_uploader_level5_missing_changetable_errors(spark, tmp_path):
         up.run_level5()
     # the failed upload is marked E, not left active
     assert all(r["status"] != "A" for r in meta._read("upload"))
+
+
+def test_target_change_feed_between_versions(spark, tmp_path):
+    """S8 analog: the CDC feed between two committed versions is the net
+    I/U/D diff, exact and replayable because versions are immutable."""
+    t = ParquetTarget(str(tmp_path / "tgt"), key="id")
+    t.replace(spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, "d")], "id long, v string"))
+    v0 = t.current_version()
+    inc = spark.createDataFrame(
+        [(1, "a2"), (3, "c"), (4, "d"), (9, "new")], "id long, v string")
+    keys = spark.createDataFrame([(1,), (2,), (3,), (9,)], "id long")
+    t.apply_incremental(spark, inc, keys)
+
+    feed = {(r.id, r._action) for r in t.changes_between(spark, v0).collect()}
+    # 1 updated, 2 deleted, 9 inserted; 3 touched-but-identical and 4
+    # untouched are absent from the feed
+    assert feed == {(1, "U"), (2, "D"), (9, "I")}
+
+    # version list is commit-ordered and time travel sees the v0 snapshot
+    vs = t.versions()
+    assert vs[0] == v0 and len(vs) == 2
+    assert {r.id for r in t.read_version(spark, v0).collect()} == {1, 2, 3, 4}
