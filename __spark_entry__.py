@@ -717,6 +717,44 @@ def q_dedup_jaccard_pairs(spark, sf_dir):
     return D.candidate_jaccard_verify(d, "doc_id", "text", threshold=0.08)
 
 
+def q_tpch_q10_returns(spark, sf_dir):
+    # TPC-H Q10 shape: returned-item revenue per customer, top 20. The
+    # big lineitem side filters on the scan (pushed down), customer/
+    # nation broadcast under AQE, one agg shuffle, per-partition top-k.
+    c = W.load(spark, sf_dir, "customer")
+    o = W.orders_current(spark, sf_dir).filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+    )
+    li = W.load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = W.load(spark, sf_dir, "nation")
+    revenue = _dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(18,2)") - _dec("l_discount")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(n, F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+def q_percentiles(spark, sf_dir):
+    # Exact interpolated quantiles (median / p95) per group — Spark's
+    # percentile() and DuckDB's quantile_cont share the (n-1)·p linear-
+    # interpolation definition, so the values hash-match exactly.
+    o = W.orders_current(spark, sf_dir)
+    tp = F.col("o_totalprice").cast("double")
+    return o.groupBy("o_orderstatus").agg(
+        F.round(F.percentile(tp, F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile(tp, F.lit(0.95)), 6).alias("p95"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 def q_json_extract(spark, sf_dir):
     # JSON metadata column: typed from_json + string path extraction, both
     # JVM-side (no Python). The reference has no JSON (SURVEY §2.7); this
@@ -941,6 +979,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_jaccard_pairs": q_dedup_jaccard_pairs,
         "q_dedup_simhash_pairs": q_dedup_simhash_pairs,
         "q_dedup_embed_cosine": q_dedup_embed_cosine,
+        "q_tpch_q10_returns": q_tpch_q10_returns,
+        "q_percentiles": q_percentiles,
         "q_json_extract": q_json_extract,
         "q_rollup_acctbal": q_rollup_acctbal,
         "q_win_sessionize": q_win_sessionize,
@@ -1293,6 +1333,26 @@ def oracle_sql() -> dict[str, str]:
               FROM cand c JOIN sh a ON a.doc_id = c.id_a JOIN sh b ON b.doc_id = c.id_b
             )
             SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.08
+        """,
+        "q_tpch_q10_returns": """
+            SELECT c_custkey, c_name, n_name,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+            FROM customer, orders, lineitem, nation
+            WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+              AND c_nationkey = n_nationkey
+              AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+              AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+              AND l_returnflag = 'R'
+            GROUP BY c_custkey, c_name, n_name
+            ORDER BY revenue DESC, c_custkey
+            LIMIT 20
+        """,
+        "q_percentiles": """
+            SELECT o_orderstatus,
+                   round(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.5), 6) AS p50,
+                   round(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.95), 6) AS p95,
+                   count(*) AS n
+            FROM orders GROUP BY o_orderstatus
         """,
         "q_json_extract": """
             SELECT event_id,
