@@ -544,3 +544,33 @@ def test_target_change_feed_between_versions(spark, tmp_path):
     vs = t.versions()
     assert vs[0] == v0 and len(vs) == 2
     assert {r.id for r in t.read_version(spark, v0).collect()} == {1, 2, 3, 4}
+
+
+def test_bucketed_merge_join_has_no_exchange(spark, tmp_path):
+    """Co-located layout: two tables bucketed+sorted on the key join with
+    NO Exchange on either side — the 100-TB merge shape where the shuffle
+    is paid once at write time (see sinks/bucketed.py)."""
+    from linz_bde_uploader_spark.sinks.bucketed import (
+        read_bucketed,
+        write_bucketed,
+    )
+
+    cur = spark.range(0, 10_000).selectExpr("id AS k", "id * 2 AS v")
+    inc = spark.range(0, 10_000, 7).selectExpr("id AS k", "id * 3 AS v")
+    write_bucketed(cur, "t_cur_b", "k", buckets=4, path=str(tmp_path / "cur"))
+    write_bucketed(inc, "t_inc_b", "k", buckets=4, path=str(tmp_path / "inc"))
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = read_bucketed(spark, "t_cur_b").join(
+            read_bucketed(spark, "t_inc_b"), "k"
+        )
+        assert j.count() == len(range(0, 10_000, 7))
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS t_cur_b")
+        spark.sql("DROP TABLE IF EXISTS t_inc_b")
