@@ -467,6 +467,41 @@ def q_s5_target_e2e(spark, sf_dir):
     return tgt.read(spark)
 
 
+def _docs_jsonl_fixture(sf_dir: str) -> str:
+    """documents(doc_id, lang, source, n_chars) as line-delimited JSON."""
+    key = hashlib.sha1(f"{sf_dir}|jsonl".encode()).hexdigest()[:12]
+    d = os.path.join(_FIXTURE_ROOT, key)
+    path = os.path.join(d, "docs.jsonl")
+    if os.path.exists(path):
+        return path
+    os.makedirs(d, exist_ok=True)
+    import json as _json
+
+    import pyarrow.parquet as pq
+
+    rows = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "lang", "source", "n_chars"],
+    ).to_pylist()
+    tmp = path + f".tmp-{os.getpid()}"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        for r in rows:
+            fh.write(_json.dumps(r) + "\n")
+    os.replace(tmp, path)
+    return path
+
+
+def q_jsonl_read(spark, sf_dir):
+    # Modern ingest surface: line-delimited JSON with the same declared-
+    # schema + error-budget contract as the .crs path (S1 generalized).
+    from linz_bde_uploader_spark.sources.jsonl import read_jsonl
+
+    path = _docs_jsonl_fixture(sf_dir)
+    return read_jsonl(
+        spark, path, "doc_id LONG, lang STRING, source STRING, n_chars LONG"
+    )
+
+
 def q_s8_change_feed(spark, sf_dir):
     # S8 (logical-replication publisher) lakehouse-style: the net I/U/D
     # feed between two committed target versions — the Delta-CDF analog
@@ -953,6 +988,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_s6_stats_store": q_s6_stats_store,
         "q_s5_target_e2e": q_s5_target_e2e,
         "q_s8_change_feed": q_s8_change_feed,
+        "q_jsonl_read": q_jsonl_read,
         "q_p6_date_fixup": q_p6_date_fixup,
         "q_p7_wkt_fixup": q_p7_wkt_fixup,
         "q_scalar_funcs": q_scalar_funcs,
@@ -1121,6 +1157,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang, source, n_chars FROM documents
         """,
         "q_s2_gzip_read": """
+            SELECT doc_id, lang, source, n_chars FROM documents
+        """,
+        "q_jsonl_read": """
             SELECT doc_id, lang, source, n_chars FROM documents
         """,
         "q_p2_column_override": """
