@@ -820,6 +820,32 @@ def q_rollup_acctbal(spark, sf_dir):
     )
 
 
+def q_event_tumbling_window(spark, sf_dir):
+    # Tumbling event-time window aggregation — the batch expression of the
+    # §2.8 streaming modernization (streaming/poll.py runs the identical
+    # groupBy(window(...)) with a watermark; results match because the
+    # window assignment is the same function).
+    e = W.events(spark, sf_dir)
+    w = F.window(F.col("ts_ntz").cast("timestamp"), "1 hour")
+    return (
+        e.groupBy(w.alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            # exact integer-cents sum: double += is order-sensitive across
+            # partitions, an integer sum is not (values are 2-decimal)
+            (F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0).alias(
+                "sum_value"
+            ),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("w_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
 def q_win_sessionize(spark, sf_dir):
     # Gap-based sessionization (30-min gap) + per-session rollup. One
     # shuffle on user_id; lag/running-sum/rollup share the partitioning.
@@ -1019,6 +1045,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_percentiles": q_percentiles,
         "q_json_extract": q_json_extract,
         "q_rollup_acctbal": q_rollup_acctbal,
+        "q_event_tumbling_window": q_event_tumbling_window,
         "q_win_sessionize": q_win_sessionize,
         "q_win_topk_per_group": q_win_topk_per_group,
         "q_win_moving_avg": q_win_moving_avg,
@@ -1407,6 +1434,12 @@ def oracle_sql() -> dict[str, str]:
             FROM customer, nation, region
             WHERE c_nationkey = n_nationkey AND n_regionkey = r_regionkey
             GROUP BY ROLLUP (r_name, n_name)
+        """,
+        "q_event_tumbling_window": """
+            SELECT epoch_us(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP))) AS w_start,
+                   event_type, count(*) AS n,
+                   sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value
+            FROM events GROUP BY 1, 2
         """,
         "q_win_sessionize": """
             WITH x AS (
