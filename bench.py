@@ -20,6 +20,8 @@ import sys
 import time
 import traceback
 
+import pandas as pd
+
 
 def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
@@ -48,6 +50,24 @@ def main() -> int:
         .groupBy("k")
         .count()
         .selectExpr("k", "count", "row_number() OVER (ORDER BY k) AS rn")
+        .write.mode("overwrite")
+        .format("noop")
+        .save()
+    )
+    # Warm the Python/Arrow worker pool across all cores — the first
+    # pandas-UDF query otherwise absorbs one worker spin-up per partition
+    # (~2-3 s at 32 partitions).
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    @F.pandas_udf("long")
+    def _warm(s: pd.Series) -> pd.Series:
+        return s
+
+    par = spark.sparkContext.defaultParallelism
+    (
+        spark.range(100_000)
+        .repartition(par)
+        .select(_warm("id"))
         .write.mode("overwrite")
         .format("noop")
         .save()
