@@ -702,6 +702,16 @@ def q_text_tokens(spark, sf_dir):
     return d.select("doc_id", X.token_count("text").cast("long").alias("n_tokens"))
 
 
+def q_text_bpe_tokens(spark, sf_dir):
+    # Subword-ish counting: BPE-style pretokenization classes (letter
+    # runs / digit runs / marks) as a pure regex Column expression.
+    d = W.load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        X.bpe_ish_token_count("text").cast("long").alias("n_bpe_tokens"),
+    )
+
+
 def q_text_langid(spark, sf_dir):
     d = W.load(spark, sf_dir, "documents")
     return d.select("doc_id", X.lang_guess("text").alias("lang_guess"))
@@ -1032,6 +1042,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tpch_q5_region_revenue": q_tpch_q5_region_revenue,
         "q_dedup_exact": q_dedup_exact,
         "q_text_tokens": q_text_tokens,
+        "q_text_bpe_tokens": q_text_bpe_tokens,
         "q_text_langid": q_text_langid,
         "q_text_quality": q_text_quality,
         "q_text_fingerprint": q_text_fingerprint,
@@ -1326,6 +1337,11 @@ def oracle_sql() -> dict[str, str]:
               ON d.lang = k.lang AND d.source = k.source AND d.doc_id = k.doc_id
         """,
         "q_text_tokens": f"SELECT doc_id, {tokn} AS n_tokens FROM documents",
+        "q_text_bpe_tokens": """
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_bpe_tokens
+            FROM documents
+        """,
         "q_text_langid": f"""
             SELECT doc_id,
                    CASE WHEN {stop_cnt} >= 3 THEN 'en' ELSE 'other' END AS lang_guess

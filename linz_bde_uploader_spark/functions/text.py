@@ -123,3 +123,20 @@ def fingerprint(col: Column | str) -> Column:
         % HASH_MOD,
     )
     return F.aggregate(terms, F.lit(0).cast("long"), lambda acc, v: (acc + v) % HASH_MOD)
+
+
+#: BPE-style pretokenization classes: letter runs, digit runs, and
+#: individual other marks. The GPT-2 pretokenizer's class structure
+#: without the byte-level merge table — a deterministic regex-only
+#: estimate of subword token counts.
+BPE_ISH_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    """Subword-ish token count via BPE-style pretokenization
+    (``BPE_ISH_PATTERN``). The alternatives are disjoint character
+    classes, so leftmost-first and leftmost-longest regex engines
+    produce identical segmentations — oracle-expressible in any
+    dialect with regexp_extract_all."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_ISH_PATTERN), F.lit(0)))
