@@ -54,6 +54,15 @@ def main() -> int:
         .format("noop")
         .save()
     )
+    # The 1k-row build side broadcasts, so the above only warms
+    # BroadcastHashJoin — warm SortMergeJoin too (full-outer joins in the
+    # diff kernel can never broadcast).
+    bcast_prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    a.join(b, a.k == b.k2, "full_outer").write.mode("overwrite").format(
+        "noop"
+    ).save()
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast_prev)
     # Warm the Python/Arrow worker pool across all cores — the first
     # pandas-UDF query otherwise absorbs one worker spin-up per partition
     # (~2-3 s at 32 partitions).
@@ -94,6 +103,11 @@ def main() -> int:
             failed[name] = f"{type(e).__name__}: {e}"
             log(f"{name:34s} FAILED {failed[name]}")
             traceback.print_exc(file=sys.stderr)
+        finally:
+            # Operators persist intermediates (banded projections, JSONL
+            # budget caches); drop them so queries are measured
+            # independently and storage memory never accumulates.
+            spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     out = {

@@ -444,8 +444,12 @@ def with_doc_embedding(
     # SparkSession at import time (return-type DDL parse).
     @F.pandas_udf("array<double>")
     def _hist(hs: pd.Series) -> pd.Series:
+        # NULL-propagate like the Column paths do (NULL text -> NULL hs
+        # -> NULL embedding), instead of crashing the Arrow worker.
         return hs.map(
-            lambda a: np.bincount(
+            lambda a: None
+            if a is None
+            else np.bincount(
                 np.asarray(a, dtype=np.int64) % dims, minlength=dims
             ).astype(np.float64)
         )

@@ -350,9 +350,15 @@ def lsh_band_keys_udf(
 
     @F.pandas_udf("array<long>")
     def _keys(vs: pd.Series) -> pd.Series:
-        if len(vs) == 0:
-            return pd.Series([], dtype=object)
-        V = np.stack(vs.map(lambda a: np.asarray(a, dtype=np.float64)))
+        # NULL vectors propagate to NULL keys (no bucket) instead of
+        # crashing the Arrow worker.
+        out = [None] * len(vs)
+        idx = [i for i, a in enumerate(vs) if a is not None]
+        if not idx:
+            return pd.Series(out, dtype=object)
+        V = np.stack(
+            [np.asarray(vs.iloc[i], dtype=np.float64) for i in idx]
+        )
         if center:
             s = np.zeros(len(V))
             for d in range(dims):  # sequential fold, matches list_sum
@@ -368,7 +374,9 @@ def lsh_band_keys_udf(
                     acc = acc + V[:, d] * h[d]
                 sig |= (acc > 0).astype(np.int64) << p
             keys[:, b] = sig
-        return pd.Series(list(keys))
+        for row, i in enumerate(idx):
+            out[i] = keys[row]
+        return pd.Series(out, dtype=object)
 
     return _keys
 
@@ -379,10 +387,17 @@ def pair_cosine_udf(dims: int):
     ``list_sum`` (see ``lsh_band_keys_udf``)."""
     @F.pandas_udf("double")
     def _cos(va: pd.Series, vb: pd.Series) -> pd.Series:
-        if len(va) == 0:
-            return pd.Series([], dtype=float)
-        A = np.stack(va.map(lambda a: np.asarray(a, dtype=np.float64)))
-        B = np.stack(vb.map(lambda a: np.asarray(a, dtype=np.float64)))
+        # NULL on either side propagates to NULL score (Column semantics).
+        out = [None] * len(va)
+        idx = [
+            i
+            for i in range(len(va))
+            if va.iloc[i] is not None and vb.iloc[i] is not None
+        ]
+        if not idx:
+            return pd.Series(out, dtype=object)
+        A = np.stack([np.asarray(va.iloc[i], dtype=np.float64) for i in idx])
+        B = np.stack([np.asarray(vb.iloc[i], dtype=np.float64) for i in idx])
         dot_ = np.zeros(len(A))
         na = np.zeros(len(A))
         nb = np.zeros(len(A))
@@ -390,7 +405,11 @@ def pair_cosine_udf(dims: int):
             dot_ = dot_ + A[:, d] * B[:, d]
             na = na + A[:, d] * A[:, d]
             nb = nb + B[:, d] * B[:, d]
-        return pd.Series(dot_ / (np.sqrt(na) * np.sqrt(nb)))
+        scores = dot_ / (np.sqrt(na) * np.sqrt(nb))
+        for row, i in enumerate(idx):
+            out[i] = float(scores[row])
+        # object dtype so None -> SQL NULL (a float series would carry NaN)
+        return pd.Series(out, dtype=object)
 
     return _cos
 

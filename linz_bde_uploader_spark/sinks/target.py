@@ -97,17 +97,20 @@ class ParquetTarget:
         os.replace(tmp, self._marker())
 
     def _new_version(self) -> tuple[str, str]:
-        v = f"v-{int(time.time() * 1000):013d}-{uuid.uuid4().hex[:8]}"
+        # Nanosecond timestamp: two applies can land in the same
+        # millisecond, and a random suffix would then break the
+        # "lexical order == commit order" contract versions() provides
+        # (a reversed CDC feed swaps I and D). Nanoseconds are strictly
+        # increasing within a writer process; the uuid only disambiguates
+        # concurrent writers, whose relative order is undefined anyway.
+        v = f"v-{time.time_ns():019d}-{uuid.uuid4().hex[:8]}"
         return v, os.path.join(self.path, v)
 
     def vacuum(self, keep: int = 2) -> int:
         """C7 analog (Delta VACUUM): drop all but the newest ``keep``
         version directories that are not current."""
         cur = self.current_version()
-        versions = sorted(
-            d for d in os.listdir(self.path)
-            if d.startswith("v-") and os.path.isdir(os.path.join(self.path, d))
-        )
+        versions = self.versions()
         doomed = [d for d in versions[:-keep] if d != cur] if keep else [
             d for d in versions if d != cur
         ]
@@ -122,8 +125,8 @@ class ParquetTarget:
 
     def versions(self) -> list[str]:
         """Committed-order list of version directory names (oldest first —
-        names embed a millisecond timestamp, so lexical order is commit
-        order)."""
+        names embed a zero-padded nanosecond timestamp, so lexical order
+        is commit order within a writer process)."""
         return sorted(
             d
             for d in os.listdir(self.path)

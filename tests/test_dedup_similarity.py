@@ -215,3 +215,44 @@ def test_banded_lsh_keys_match_python(spark):
                 sig |= 1 << p
         expect.append(sig)
     assert got == expect
+
+
+def test_null_text_gets_deterministic_empty_embedding(spark):
+    """NULL text hashes to the deterministic empty-doc shingle value [0]
+    (the same convention the minhash/simhash Column paths use), so the
+    Arrow histogram must not crash and null-text docs only ever pair
+    with other null/empty docs."""
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, None), (3, "the quick brown fox")],
+        "doc_id long, text string",
+    )
+    emb = D.with_doc_embedding(df, "text", "_emb", 64)
+    rows = {r.doc_id: r._emb for r in emb.select("doc_id", "_emb").collect()}
+    assert rows[2] == [1.0] + [0.0] * 63  # one shingle, hash 0 -> bin 0
+    pairs = S.embedding_near_dup_pairs(
+        emb.select("doc_id", "_emb"), id_col="doc_id", vec_col="_emb", dims=64
+    ).collect()
+    assert {(r.id_a, r.id_b) for r in pairs} == {(1, 3)}
+
+
+def test_null_vectors_propagate_through_udfs(spark):
+    """A genuinely NULL vector column (possible via read_jsonl ingest)
+    null-propagates through the Arrow key/cosine UDFs — no worker crash,
+    no bucket, NULL score — matching Column-expression semantics."""
+    vec = [float(d % 5) for d in range(64)]
+    df = spark.createDataFrame(
+        [(1, vec), (2, None), (3, vec)], "id long, v array<double>"
+    )
+    keys = S.lsh_band_keys_udf(64, 8, 12, center=True)
+    got = {r.id: r.k for r in df.select("id", keys(F.col("v")).alias("k")).collect()}
+    assert got[2] is None and got[1] == got[3] and got[1] is not None
+
+    cos = S.pair_cosine_udf(64)
+    j = (
+        df.selectExpr("id AS id_a", "v AS va")
+        .crossJoin(df.selectExpr("id AS id_b", "v AS vb"))
+        .select("id_a", "id_b", cos(F.col("va"), F.col("vb")).alias("s"))
+    )
+    got = {(r.id_a, r.id_b): r.s for r in j.collect()}
+    assert got[(1, 2)] is None and got[(2, 2)] is None
+    assert got[(1, 3)] == pytest.approx(1.0)
