@@ -830,6 +830,27 @@ def q_rollup_acctbal(spark, sf_dir):
     )
 
 
+def q_asof_last_purchase(spark, sf_dir):
+    # As-of join (temporal operator Spark lacks as a builtin): every
+    # event enriched with the user's most recent purchase value at or
+    # before it. Tagged-union + running-last composition — one shuffle
+    # on the key, no per-row range probe (operators/asof.py).
+    from linz_bde_uploader_spark.operators.asof import asof_join
+
+    e = W.events(spark, sf_dir).withColumn("_us", F.expr("ts div 1000"))
+    left = e.select("event_id", "user_id", "_us")
+    right = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "_us", F.col("value").alias("purchase_value")
+    )
+    return asof_join(
+        left, right, "user_id", "_us", ["purchase_value"], suffix=""
+    ).select(
+        "event_id",
+        "user_id",
+        F.col("purchase_value").alias("last_purchase"),
+    )
+
+
 def q_event_tumbling_window(spark, sf_dir):
     # Tumbling event-time window aggregation — the batch expression of the
     # §2.8 streaming modernization (streaming/poll.py runs the identical
@@ -1056,6 +1077,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_percentiles": q_percentiles,
         "q_json_extract": q_json_extract,
         "q_rollup_acctbal": q_rollup_acctbal,
+        "q_asof_last_purchase": q_asof_last_purchase,
         "q_event_tumbling_window": q_event_tumbling_window,
         "q_win_sessionize": q_win_sessionize,
         "q_win_topk_per_group": q_win_topk_per_group,
@@ -1450,6 +1472,18 @@ def oracle_sql() -> dict[str, str]:
             FROM customer, nation, region
             WHERE c_nationkey = n_nationkey AND n_regionkey = r_regionkey
             GROUP BY ROLLUP (r_name, n_name)
+        """,
+        "q_asof_last_purchase": """
+            WITH l AS (
+              SELECT event_id, user_id, epoch_us(ts) AS us FROM events
+            ),
+            r AS (
+              SELECT user_id, epoch_us(ts) AS us, value FROM events
+              WHERE event_type = 'purchase'
+            )
+            SELECT l.event_id, l.user_id, r.value AS last_purchase
+            FROM l ASOF LEFT JOIN r
+              ON l.user_id = r.user_id AND l.us >= r.us
         """,
         "q_event_tumbling_window": """
             SELECT epoch_us(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP))) AS w_start,
