@@ -851,6 +851,27 @@ def q_asof_last_purchase(spark, sf_dir):
     )
 
 
+def q_range_join_promo(spark, sf_dir):
+    # Range join (bin-bucketed): every event inside the 1-hour window
+    # after any purchase by the same user. Intervals explode to ≤2 bins,
+    # points to 1 — a plain (key, bin) equi-join instead of the
+    # O(n·m) nested-loop a BETWEEN join would cost (operators/rangejoin.py).
+    from linz_bde_uploader_spark.operators.rangejoin import interval_point_join
+
+    hour_us = 3_600_000_000
+    e = W.events(spark, sf_dir).withColumn("_us", F.expr("ts div 1000"))
+    points = e.select("event_id", "user_id", "_us")
+    intervals = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("promo_id"),
+        "user_id",
+        F.col("_us").alias("win_start"),
+        (F.col("_us") + hour_us).alias("win_end"),
+    )
+    return interval_point_join(
+        points, intervals, "user_id", "_us", "win_start", "win_end", hour_us
+    ).select("event_id", "promo_id")
+
+
 def q_event_tumbling_window(spark, sf_dir):
     # Tumbling event-time window aggregation — the batch expression of the
     # §2.8 streaming modernization (streaming/poll.py runs the identical
@@ -1078,6 +1099,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_json_extract": q_json_extract,
         "q_rollup_acctbal": q_rollup_acctbal,
         "q_asof_last_purchase": q_asof_last_purchase,
+        "q_range_join_promo": q_range_join_promo,
         "q_event_tumbling_window": q_event_tumbling_window,
         "q_win_sessionize": q_win_sessionize,
         "q_win_topk_per_group": q_win_topk_per_group,
@@ -1484,6 +1506,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT l.event_id, l.user_id, r.value AS last_purchase
             FROM l ASOF LEFT JOIN r
               ON l.user_id = r.user_id AND l.us >= r.us
+        """,
+        "q_range_join_promo": """
+            WITH p AS (
+              SELECT event_id, user_id, epoch_us(ts) AS us FROM events
+            ),
+            w AS (
+              SELECT event_id AS promo_id, user_id, epoch_us(ts) AS s,
+                     epoch_us(ts) + 3600000000 AS e
+              FROM events WHERE event_type = 'purchase'
+            )
+            SELECT p.event_id, w.promo_id
+            FROM p JOIN w
+              ON p.user_id = w.user_id AND p.us >= w.s AND p.us <= w.e
         """,
         "q_event_tumbling_window": """
             SELECT epoch_us(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP))) AS w_start,
