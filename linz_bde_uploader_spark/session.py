@@ -40,6 +40,15 @@ def get_spark(app_name: str = "linz_bde_uploader_spark",
         .config("spark.sql.parquet.aggregatePushdown", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        # GC note: default G1. ZGC was measured here and REJECTED — its
+        # concurrent collector threads compete with local[32]'s fully
+        # saturated executor threads (bench total regressed ~50%). The
+        # occasional multi-second pause on one query per run is cheaper
+        # than a constant throughput tax.
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get("SPARK_GRAFT_DRIVER_JAVA_OPTS", ""),
+        )
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
