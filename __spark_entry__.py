@@ -514,8 +514,11 @@ def q_s8_change_feed(spark, sf_dir):
     key = hashlib.sha1(f"{sf_dir}|cdc".encode()).hexdigest()[:12]
     path = os.path.join(_FIXTURE_ROOT, key, "cdc_target")
     tgt = ParquetTarget(path, key="o_orderkey")
-    versions = tgt.versions() if os.path.isdir(path) else []
-    if len(versions) < 2 or tgt.current_version() is None:
+    versions = tgt.versions()
+    # valid only if BOTH versions exist AND the newest is committed — a
+    # run killed between stage and pointer-flip leaves two directories
+    # with the marker still on v0 (feed would be empty forever).
+    if len(versions) < 2 or tgt.current_version() != versions[-1]:
         _sh.rmtree(path, ignore_errors=True)
         tgt = ParquetTarget(path, key="o_orderkey")
         tgt.replace(W.orders_current(spark, sf_dir))

@@ -47,11 +47,32 @@ def asof_join(
     ``left.time - tolerance`` (same unit as ``time_col``) are nulled.
     """
     out_names = [f"{c}{suffix}" for c in value_cols]
-    rt = right.select(
-        F.col(key),
-        F.col(time_col),
+    reserved = {"_side", "_rrow"}
+    clashes = (set(left.columns) & set(out_names)) | (
+        set(left.columns) & reserved
+    )
+    if clashes:
+        raise ValueError(
+            f"asof_join output/internal names collide with left columns: "
+            f"{sorted(clashes)} — rename or pick a different suffix"
+        )
+
+    # Carry the latest right ROW as one struct, not last-non-null per
+    # column: a matched right row whose value is NULL must yield NULL
+    # (not an older value), multi-column outputs must all come from the
+    # same row, and the tolerance age must be that same row's time.
+    # NULL-time right rows can never satisfy `right.t <= left.t` in SQL
+    # semantics, so they're dropped up front (they'd otherwise sort
+    # first and leak into every row of their key).
+    rstruct = F.struct(
+        F.col(time_col).alias("_t"),
         *[F.col(c).alias(n) for c, n in zip(value_cols, out_names)],
-    ).withColumn("_side", F.lit(0))
+    )
+    rt = (
+        right.filter(F.col(time_col).isNotNull())
+        .select(F.col(key), F.col(time_col), rstruct.alias("_rrow"))
+        .withColumn("_side", F.lit(0))
+    )
     lt = left.withColumn("_side", F.lit(1))
     u = lt.unionByName(rt, allowMissingColumns=True)
 
@@ -60,24 +81,16 @@ def asof_join(
         .orderBy(F.col(time_col).asc(), F.col("_side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried: list[Column] = [
-        F.last(n, ignorenulls=True).over(w).alias(f"_carry_{n}")
-        for n in out_names
-    ]
-    if tolerance is not None:
-        carried.append(
-            F.last(F.when(F.col("_side") == 0, F.col(time_col)), ignorenulls=True)
-            .over(w)
-            .alias("_carry_t")
-        )
-    filled = u.select("*", *carried).filter(F.col("_side") == 1)
+    filled = (
+        u.select("*", F.last("_rrow", ignorenulls=True).over(w).alias("_m"))
+        .filter(F.col("_side") == 1)
+    )
 
+    match: Column = F.col("_m")
+    if tolerance is not None:
+        match = F.when(
+            F.col(time_col) - F.col("_m._t") <= tolerance, match
+        )
     cols = [F.col(c) for c in left.columns]
-    for n in out_names:
-        v = F.col(f"_carry_{n}")
-        if tolerance is not None:
-            v = F.when(
-                F.col(time_col) - F.col("_carry_t") <= tolerance, v
-            )
-        cols.append(v.alias(n))
+    cols.extend(match.getField(n).alias(n) for n in out_names)
     return filled.select(*cols)

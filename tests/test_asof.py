@@ -77,3 +77,42 @@ def test_asof_matches_duckdb_semantics(spark, frames):
         for row in asof_join(l, r, "k", "t", ["px"]).collect()
     }
     assert got == want
+
+
+def test_asof_null_right_value_is_the_match(spark):
+    """A matched right row with a NULL value must yield NULL — not an
+    older non-NULL value (last-row semantics, matching DuckDB ASOF)."""
+    l = spark.createDataFrame([(1, "a", 20)], "eid long, k string, t long")
+    r = spark.createDataFrame(
+        [("a", 5, 3.0), ("a", 10, None)], "k string, t long, px double"
+    )
+    got = asof_join(l, r, "k", "t", ["px"]).collect()[0]
+    assert got.px_asof is None
+
+
+def test_asof_null_time_right_rows_never_match(spark):
+    """SQL semantics: l.t >= NULL is never true, so NULL-time right rows
+    must not leak values into any left row."""
+    l = spark.createDataFrame([(1, "a", 20)], "eid long, k string, t long")
+    r = spark.createDataFrame([("a", None, 7.0)], "k string, t long, px double")
+    got = asof_join(l, r, "k", "t", ["px"]).collect()[0]
+    assert got.px_asof is None
+
+
+def test_asof_multi_value_cols_come_from_one_row(spark):
+    l = spark.createDataFrame([(1, "a", 20)], "eid long, k string, t long")
+    r = spark.createDataFrame(
+        [("a", 5, 1.0, None), ("a", 10, None, 2.0)],
+        "k string, t long, px double, qty double",
+    )
+    got = asof_join(l, r, "k", "t", ["px", "qty"]).collect()[0]
+    # the t=10 row is the match: px NULL, qty 2.0 — never a mix of rows
+    assert got.px_asof is None and got.qty_asof == 2.0
+
+
+def test_asof_rejects_colliding_names(spark, frames):
+    l, r = frames
+    with pytest.raises(ValueError):
+        asof_join(l.withColumnRenamed("eid", "px_asof"), r, "k", "t", ["px"])
+    with pytest.raises(ValueError):
+        asof_join(l.withColumnRenamed("eid", "_side"), r, "k", "t", ["px"])

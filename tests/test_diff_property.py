@@ -75,9 +75,13 @@ def test_kernel_matches_model(spark, cur, inc, chg):
     ).filter("k IS NOT NULL")
 
     actions = classify_incremental_changes(cur_df, inc_df, chg_df, "k")
-    got_actions = {r.k: r._action for r in actions.collect()}
+    action_rows = actions.collect()
+    got_actions = {r.k: r._action for r in action_rows}
+    assert len(action_rows) == len(got_actions), "duplicate action keys"
     assert got_actions == model_classify(cur, inc, chg)
 
     merged = apply_changes(cur_df, inc_df, actions, "k")
-    got = {r.k: r.v for r in merged.collect()}
+    merged_rows = merged.collect()
+    got = {r.k: r.v for r in merged_rows}
+    assert len(merged_rows) == len(got), "duplicate merged keys"
     assert got == model_merge(cur, inc, got_actions)
