@@ -800,6 +800,40 @@ def q_tpch_q10_returns(spark, sf_dir):
     )
 
 
+def q_tpch_q6_forecast(spark, sf_dir):
+    # TPC-H Q6 shape: pure filter + single aggregate — every predicate
+    # pushes to the parquet scan, no shuffle beyond the final reduce.
+    li = W.load(spark, sf_dir, "lineitem")
+    rev = _dec("l_extendedprice") * _dec("l_discount")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+            & (F.col("l_discount").cast("decimal(18,2)") >= F.lit(0.05).cast("decimal(18,2)"))
+            & (F.col("l_discount").cast("decimal(18,2)") <= F.lit(0.07).cast("decimal(18,2)"))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.sum(rev).cast("double").alias("revenue"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_event_hopping_window(spark, sf_dir):
+    # Hopping (sliding) window: 1-hour windows every 30 minutes — each
+    # event lands in exactly two windows. Spark expands via the window()
+    # generator; counts are per (window, type).
+    e = W.events(spark, sf_dir)
+    w = F.window(F.col("ts_ntz").cast("timestamp"), "1 hour", "30 minutes")
+    return (
+        e.groupBy(w.alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.unix_micros(F.col("w.start")).alias("w_start"),
+            "event_type",
+            "n",
+        )
+    )
+
+
 def q_percentiles(spark, sf_dir):
     # Exact interpolated quantiles (median / p95) per group — Spark's
     # percentile() and DuckDB's quantile_cont share the (n-1)·p linear-
@@ -1108,6 +1142,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_simhash_pairs": q_dedup_simhash_pairs,
         "q_dedup_embed_cosine": q_dedup_embed_cosine,
         "q_tpch_q10_returns": q_tpch_q10_returns,
+        "q_tpch_q6_forecast": q_tpch_q6_forecast,
+        "q_event_hopping_window": q_event_hopping_window,
         "q_percentiles": q_percentiles,
         "q_json_extract": q_json_extract,
         "q_rollup_acctbal": q_rollup_acctbal,
@@ -1485,6 +1521,32 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY c_custkey, c_name, n_name
             ORDER BY revenue DESC, c_custkey
             LIMIT 20
+        """,
+        "q_tpch_q6_forecast": """
+            SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+                   count(*) AS n
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+              AND CAST(l_discount AS DECIMAL(18,2)) >= 0.05
+              AND CAST(l_discount AS DECIMAL(18,2)) <= 0.07
+              AND l_quantity < 24
+        """,
+        # each event belongs to the 1-hour hopping windows starting at its
+        # 30-min bucket and 30 min earlier (Spark aligns window starts to
+        # multiples of the slide)
+        "q_event_hopping_window": """
+            WITH b AS (
+              SELECT epoch_us(time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP))) AS b0,
+                     event_type
+              FROM events
+            ),
+            x AS (
+              SELECT b0 AS w_start, event_type FROM b
+              UNION ALL
+              SELECT b0 - 1800000000 AS w_start, event_type FROM b
+            )
+            SELECT w_start, event_type, count(*) AS n FROM x GROUP BY 1, 2
         """,
         "q_percentiles": """
             SELECT o_orderstatus,
