@@ -715,6 +715,16 @@ def q_text_tokens(spark, sf_dir):
     return d.select("doc_id", X.token_count("text").cast("long").alias("n_tokens"))
 
 
+def q_split_assign(spark, sf_dir):
+    # Deterministic train/val/test split: a pure function of the row id
+    # (mixed hash mod 100) — stable across engines, partitionings, and
+    # re-runs, unlike seed-based sample(). Stateless filter, no shuffle.
+    from linz_bde_uploader_spark.functions import sampling as SP
+
+    d = W.load(spark, sf_dir, "documents")
+    return SP.with_split(d, "doc_id").select("doc_id", "split")
+
+
 def q_text_bpe_tokens(spark, sf_dir):
     # Subword-ish counting: BPE-style pretokenization classes (letter
     # runs / digit runs / marks) as a pure regex Column expression.
@@ -1131,6 +1141,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tpch_q5_region_revenue": q_tpch_q5_region_revenue,
         "q_dedup_exact": q_dedup_exact,
         "q_text_tokens": q_text_tokens,
+        "q_split_assign": q_split_assign,
         "q_text_bpe_tokens": q_text_bpe_tokens,
         "q_text_langid": q_text_langid,
         "q_text_quality": q_text_quality,
@@ -1430,6 +1441,13 @@ def oracle_sql() -> dict[str, str]:
               ON d.lang = k.lang AND d.source = k.source AND d.doc_id = k.doc_id
         """,
         "q_text_tokens": f"SELECT doc_id, {tokn} AS n_tokens FROM documents",
+        "q_split_assign": """
+            SELECT doc_id,
+                   CASE WHEN (doc_id * 2654435761 % 2147483647) % 100 < 90 THEN 'train'
+                        WHEN (doc_id * 2654435761 % 2147483647) % 100 < 95 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents
+        """,
         "q_text_bpe_tokens": """
             SELECT doc_id,
                    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_bpe_tokens

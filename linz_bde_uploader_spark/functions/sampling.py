@@ -1,0 +1,74 @@
+"""Deterministic sampling / dataset splitting for training pipelines.
+
+``df.sample()`` is seed-dependent per partition layout and not stable
+across engines or re-runs with different partitioning; training-data
+splits must be a pure function of the ROW, not of the execution. These
+operators hash the row id through the engine's integer-mixing constants,
+so the same row lands in the same split on any engine, any partition
+count, any day — and the assignment is oracle-expressible in ANSI SQL.
+
+Scale: a split/sample is a stateless filter — codegen, no shuffle, and
+the hash predicate pushes down past column pruning like any other
+filter. Downsampling 100 TB to an eval slice never moves data that
+doesn't pass the filter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from linz_bde_uploader_spark.functions.text import HASH_MIX, HASH_MOD
+
+#: granularity of split percentages (hash buckets per row id)
+SPLIT_BUCKETS = 100
+
+
+def split_bucket(id_col: Column | str) -> Column:
+    """Stable per-row bucket in [0, SPLIT_BUCKETS): mixed id hash mod
+    100. Pure integer arithmetic — identical everywhere."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return (c.cast("long") * HASH_MIX % HASH_MOD) % SPLIT_BUCKETS
+
+
+def with_split(
+    df: DataFrame,
+    id_col: str,
+    splits: dict[str, int] | None = None,
+    out_col: str = "split",
+) -> DataFrame:
+    """Assign each row a named split by cumulative bucket ranges.
+
+    ``splits`` maps name → percentage (must sum to 100); insertion order
+    defines the bucket ranges, e.g. ``{"train": 90, "val": 5,
+    "test": 5}`` → buckets [0,90) / [90,95) / [95,100).
+    """
+    if splits is None:
+        splits = {"train": 90, "val": 5, "test": 5}
+    if sum(splits.values()) != SPLIT_BUCKETS:
+        raise ValueError(f"split percentages must sum to {SPLIT_BUCKETS}")
+    b = split_bucket(id_col)
+    expr = None
+    lo = 0
+    for name, pct in splits.items():
+        hi = lo + pct
+        cond = b < hi if expr is None else (b >= lo) & (b < hi)
+        expr = (
+            F.when(cond, F.lit(name))
+            if expr is None
+            else expr.when(cond, F.lit(name))
+        )
+        lo = hi
+    return df.withColumn(out_col, expr)
+
+
+def deterministic_sample(
+    df: DataFrame, id_col: str, percent: int
+) -> DataFrame:
+    """Keep a stable ``percent``% of rows (bucket < percent). Re-runs,
+    engines, and partitionings all select the SAME rows — subsets nest
+    (a 5% sample ⊂ the 10% sample), which makes scaling studies
+    comparable."""
+    if not 0 <= percent <= SPLIT_BUCKETS:
+        raise ValueError("percent must be within [0, 100]")
+    return df.filter(split_bucket(id_col) < percent)

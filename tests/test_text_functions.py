@@ -47,3 +47,34 @@ def test_whitespace_vs_bpe_counts_differ_on_punctuation(spark, df):
     bpe = [r.bpe for r in rows]
     assert ws == [4, 3, 3]
     assert bpe == [6, 3, 9]
+
+
+def test_deterministic_split_and_sample(spark):
+    from linz_bde_uploader_spark.functions import sampling as SP
+
+    df = spark.createDataFrame([(i,) for i in range(1000)], ["id"])
+    split = SP.with_split(df, "id")
+    counts = {r.split: r.n for r in split.groupBy("split").count()
+              .withColumnRenamed("count", "n").collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert counts["train"] > counts["val"] and counts["train"] > counts["test"]
+    # pure function of the id: recomputing gives identical assignment
+    again = {r.id: r.split for r in SP.with_split(df, "id").collect()}
+    first = {r.id: r.split for r in split.collect()}
+    assert first == again
+    # python recomputation matches the Column arithmetic
+    for i in (0, 1, 7, 999):
+        b = (i * 2654435761 % 2147483647) % 100
+        expect = "train" if b < 90 else ("val" if b < 95 else "test")
+        assert first[i] == expect, i
+
+    # samples nest: 5% ⊂ 10%
+    s5 = {r.id for r in SP.deterministic_sample(df, "id", 5).collect()}
+    s10 = {r.id for r in SP.deterministic_sample(df, "id", 10).collect()}
+    assert s5 <= s10 and len(s5) < len(s10)
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        SP.with_split(df, "id", {"train": 50, "val": 10})
+    with _pt.raises(ValueError):
+        SP.deterministic_sample(df, "id", 101)
