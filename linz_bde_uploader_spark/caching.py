@@ -1,0 +1,46 @@
+"""Tracked persistence for operator-internal intermediates.
+
+Several candidate-pair generators persist an expensive intermediate (e.g.
+the banded signature projection) because the self-join that follows would
+otherwise recompute it for both sides. The *result* DataFrame is returned
+lazily, so the function itself cannot unpersist — the cache must survive
+until the caller materializes the result.
+
+This module makes that lifetime explicit instead of leaking it:
+
+- ``track(df)`` persists a DataFrame and registers it;
+- ``release_intermediates()`` unpersists everything registered — call it
+  after materializing the results (a harness run, a bench query, a test);
+- ``tracked_count()`` reports the number of live tracked caches.
+
+Unpersisting is always *safe* (Spark recomputes from lineage on the next
+action); the registry only controls when storage is reclaimed. In a
+long-lived cluster session, call ``release_intermediates()`` between
+jobs — or checkpoint/write the intermediate to storage instead, which is
+the recommended shape at 100 TB (see the generators' docstrings).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+_LIVE: list[DataFrame] = []
+
+
+def track(df: DataFrame) -> DataFrame:
+    """Persist ``df`` and register it for later release."""
+    df = df.persist()
+    _LIVE.append(df)
+    return df
+
+
+def release_intermediates() -> int:
+    """Unpersist every tracked intermediate; returns how many were live."""
+    n = len(_LIVE)
+    while _LIVE:
+        _LIVE.pop().unpersist()
+    return n
+
+
+def tracked_count() -> int:
+    return len(_LIVE)

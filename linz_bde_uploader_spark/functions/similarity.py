@@ -22,6 +22,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from linz_bde_uploader_spark.caching import track
 from linz_bde_uploader_spark.functions.text import HASH_MIX, HASH_MOD
 
 
@@ -444,17 +445,18 @@ def embedding_near_dup_pairs(
     fold-order-exact, so the same pairs appear on any engine and the
     operator is oracle-checkable in ANSI SQL.
     """
-    # Persisted: three consumers (band projection + both verify sides)
-    # would otherwise recompute the upstream embedding per use. At cluster
-    # scale write/checkpoint the (id, vector) projection instead.
-    base = df.select(
+    # Persisted (tracked — release with caching.release_intermediates()):
+    # three consumers (band projection + both verify sides) would otherwise
+    # recompute the upstream embedding per use. At cluster scale
+    # write/checkpoint the (id, vector) projection instead.
+    base = track(df.select(
         F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
-    ).persist()
+    ))
     keys_udf = lsh_band_keys_udf(dims, bands, planes_per_band, center)
-    banded = base.select(
+    banded = track(base.select(
         "_id",
         F.posexplode(keys_udf(F.col("_v"))).alias("_band", "_key"),
-    ).persist()
+    ))
     left, right = banded.alias("l"), banded.alias("r")
     pairs = (
         left.join(

@@ -9,7 +9,9 @@ cleaner, which is fully specified by its shipped configuration
   control characters except TAB deleted; all C1 controls (U+0080–U+009F)
   deleted; NBSP and broken-bar → space; guillemets « » → ``"``; acute
   accent ´ → ``'``; middle dot · → ``.``; soft hyphen deleted; code points
-  U+00A1–U+017E kept as-is.
+  U+00A1–U+017F kept as-is, plus en/em dash, curly quotes and bullet
+  (U+2013, U+2014, U+2018, U+2019, U+201C, U+201D, U+2022 — the conf's
+  "late addition" identity mappings near conf:1222-1241).
 - **UTF-8 policy** (P5): ``utf8_encoding enforced`` — invalid sequences
   dropped, characters outside the kept set replaced with ``?``
   (conf:401-409).
@@ -70,9 +72,12 @@ def _default_char_map() -> dict[str, str | None]:
 
 
 #: characters that survive the default map: TAB, printable ASCII, Latin-1/
-#: Latin-Extended-A through U+017E. Anything else becomes '?' under the
-#: enforced-UTF-8 policy.
-_KEPT_CLASS = r"[^\t\x20-\x7E¡-ž]"
+#: Latin-Extended-A through U+017F (the conf's identity ``replace`` block,
+#: conf:409-1219 — note it includes U+017F LONG S at conf:649), plus the
+#: conf's "late addition triple width substitutions" (conf:1222-1241):
+#: en/em dash U+2013/U+2014, curly quotes U+2018/U+2019/U+201C/U+201D and
+#: bullet U+2022. Anything else becomes '?' under the enforced-UTF-8 policy.
+_KEPT_CLASS = r"[^\t\x20-\x7E¡-ſ–—‘’“”•]"
 
 
 @dataclass

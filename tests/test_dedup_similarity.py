@@ -256,3 +256,21 @@ def test_null_vectors_propagate_through_udfs(spark):
     got = {(r.id_a, r.id_b): r.s for r in j.collect()}
     assert got[(1, 2)] is None and got[(2, 2)] is None
     assert got[(1, 3)] == pytest.approx(1.0)
+
+
+def test_tracked_caches_released(spark, docs_df):
+    """Pair generators persist intermediates via the tracked-cache
+    registry; release_intermediates() must leave zero pinned RDDs in the
+    session (r2 advice: persist() without unpersist() leaked)."""
+    from linz_bde_uploader_spark import caching
+
+    caching.release_intermediates()
+    pairs = D.minhash_candidate_pairs(docs_df, "doc_id", "text")
+    pairs.count()
+    sh = D.simhash_candidate_pairs(docs_df, "doc_id", "text")
+    sh.count()
+    assert caching.tracked_count() > 0
+    caching.release_intermediates()
+    assert caching.tracked_count() == 0
+    jsc = spark.sparkContext._jsc.sc()
+    assert jsc.getPersistentRDDs().size() == 0

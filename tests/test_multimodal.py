@@ -67,6 +67,52 @@ def test_frame_sample(spark):
     assert bytes(got[5]) == b""
 
 
+def test_decode_codec_gate(monkeypatch):
+    """_decode_image uses the real codec when Pillow is present, the
+    deterministic fake otherwise — and falls back to the fake (never
+    raises) when the real codec can't parse the payload."""
+    payload = b"not an image at all"
+    fake = M._fake_decode(payload)
+
+    # no PIL → deterministic fake
+    monkeypatch.setattr(M, "HAVE_PIL", False)
+    assert M._decode_image(payload) == fake
+
+    # PIL present and payload parseable → real path (stubbed codec)
+    class _StubImage:
+        size = (400, 200)
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+        def thumbnail(self, box):
+            self.size = (box[0], box[1] // 2)
+
+        def convert(self, mode):
+            return self
+
+        def save(self, buf, format):
+            buf.write(b"PNGDATA")
+
+    class _StubModule:
+        @staticmethod
+        def open(bio):
+            if bio.read(3) != b"IMG":
+                raise OSError("cannot identify image file")
+            return _StubImage()
+
+    monkeypatch.setattr(M, "HAVE_PIL", True)
+    monkeypatch.setattr(M, "Image", _StubModule, raising=False)
+    w, h, thumb = M._decode_image(b"IMGxxxx")
+    assert (w, h, thumb) == (128, 64, b"PNGDATA")
+
+    # PIL present but payload unparseable → fake, not an exception
+    assert M._decode_image(payload) == fake
+
+
 def test_synth_media_shape(spark):
     docs = spark.createDataFrame([(7, "abc")], "doc_id long, text string")
     m = M.synth_media(docs, "doc_id", "text")

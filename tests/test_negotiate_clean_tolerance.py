@@ -96,6 +96,18 @@ def test_clean_char_map(spark):
     assert out[11] == "emoji ? gone"
 
 
+def test_reference_identity_keeps_survive(spark):
+    """The reference conf identity-KEEPS eight code points above U+017E:
+    U+017F (long s, conf:649) and the 'late addition triple width' block
+    (conf:1222-1241): en/em dash, curly quotes, bullet. They must pass
+    through clean_text unchanged — round-2 regression turned them into '?'."""
+    survivors = "ſ–—‘’“”•"
+    df = spark.createDataFrame([(f"a{survivors}b",), ("☃" + survivors,)], ["s"])
+    out = [r.c for r in df.select(clean_text("s").alias("c")).collect()]
+    assert out[0] == f"a{survivors}b"
+    assert out[1] == "?" + survivors  # unmapped snowman still '?'
+
+
 def test_date_fixup(spark):
     cfg = CleanConfig(minimum_year=1900)
     df = spark.createDataFrame(

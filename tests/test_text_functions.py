@@ -78,3 +78,21 @@ def test_deterministic_split_and_sample(spark):
         SP.with_split(df, "id", {"train": 50, "val": 10})
     with _pt.raises(ValueError):
         SP.deterministic_sample(df, "id", 101)
+
+
+def test_split_bucket_extreme_ids(spark):
+    """Huge and negative ids must still land in a real bucket: the id is
+    reduced mod 2^31-1 before the mix so the product never wraps 64 bits,
+    and pmod keeps buckets non-negative — no NULL splits (r2 advice)."""
+    from linz_bde_uploader_spark.functions import sampling as SP
+
+    ids = [-5, -1, 0, 2**31, 10**15, 2**62, -(2**61)]
+    df = spark.createDataFrame([(i,) for i in ids], "id long")
+    rows = df.select("id", SP.split_bucket("id").alias("b")).collect()
+    for r in rows:
+        assert r.b is not None and 0 <= r.b < 100, r
+        # python reference: same reduce-then-mix arithmetic
+        expect = ((r.id % 2147483647) * 2654435761 % 2147483647) % 100
+        assert r.b == expect, r
+    split = SP.with_split(df, "id")
+    assert all(r.split is not None for r in split.collect())
