@@ -4,7 +4,8 @@ Runs at ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
 ``local[$SPARK_GRAFT_CPUS]`` (default all cores). Each query is executed to
 full materialization via the ``noop`` sink (computes every column — a bare
 ``count()`` would let column pruning skip most of the work), timed with a
-monotonic clock.
+monotonic clock, and run ``$SPARK_GRAFT_BENCH_REPEATS`` times (default 3)
+reporting the per-query MEDIAN — single runs on a noisy VM lie by 3-10×.
 
 Output (single line on stdout; everything else goes to stderr):
     {"metric": "total_query_wall", "value": N, "unit": "sec",
@@ -16,6 +17,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
 import sys
 import time
 import traceback
@@ -89,25 +91,35 @@ def main() -> int:
         if os.path.exists(p):
             spark.read.parquet(p).count()
 
+    # Per-query median over N runs: single-run walls on this VM jitter
+    # 3-10× on unlucky queries, so one sample lies. The median of 3 is
+    # stable to one outlier while keeping total bench time bounded.
+    repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
     timings: dict[str, float] = {}
     failed: dict[str, str] = {}
     for name, fn in entry.queries().items():
-        t0 = time.monotonic()
-        try:
-            df = fn(spark, sf_dir)
-            df.write.mode("overwrite").format("noop").save()
-            dt = time.monotonic() - t0
-            timings[name] = round(dt, 3)
-            log(f"{name:34s} {dt:7.3f}s")
-        except Exception as e:  # noqa: BLE001 — a broken query must not hide the rest
-            failed[name] = f"{type(e).__name__}: {e}"
-            log(f"{name:34s} FAILED {failed[name]}")
-            traceback.print_exc(file=sys.stderr)
-        finally:
-            # Operators persist intermediates (banded projections, JSONL
-            # budget caches); drop them so queries are measured
-            # independently and storage memory never accumulates.
-            spark.catalog.clearCache()
+        runs: list[float] = []
+        for i in range(repeats):
+            t0 = time.monotonic()
+            try:
+                df = fn(spark, sf_dir)
+                df.write.mode("overwrite").format("noop").save()
+                runs.append(time.monotonic() - t0)
+            except Exception as e:  # noqa: BLE001 — a broken query must not hide the rest
+                failed[name] = f"{type(e).__name__}: {e}"
+                log(f"{name:34s} FAILED {failed[name]}")
+                traceback.print_exc(file=sys.stderr)
+                break
+            finally:
+                # Operators persist intermediates (banded projections, JSONL
+                # budget caches); drop them so queries are measured
+                # independently and storage memory never accumulates.
+                spark.catalog.clearCache()
+        if runs:
+            med = statistics.median(runs)
+            timings[name] = round(med, 3)
+            log(f"{name:34s} {med:7.3f}s  " +
+                " ".join(f"{r:.3f}" for r in runs))
 
     total = round(sum(timings.values()), 3)
     out = {
@@ -116,6 +128,8 @@ def main() -> int:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "repeats": repeats,
+        "aggregation": "median_per_query",
     }
     if failed:
         out["failed"] = failed

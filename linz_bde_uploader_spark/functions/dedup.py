@@ -251,6 +251,81 @@ def exact_dedup(df: DataFrame, dedup_cols: list[str], id_col: str) -> DataFrame:
     return df.join(keep, dedup_cols + [id_col], "left_semi")
 
 
+def duplicate_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """Connected components over a candidate-pair graph → ``(id,
+    component)`` where component = the smallest id in the cluster, i.e.
+    the canonical survivor for cluster-level dedup. Pairwise near-dup
+    output (A~B, B~C) under-deletes if applied pairwise; components give
+    the transitive closure (A,B,C are ONE cluster, keep only A).
+
+    Min-label propagation: every round each node takes the minimum label
+    among itself and its neighbors; fixpoint in O(cluster diameter)
+    rounds. LSH-banded near-dup clusters are dense (members share band
+    buckets), so the diameter is small; for adversarial long-chain
+    graphs switch to large-star/small-star (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", 2014) — same join shapes.
+
+    Scale: each round is one O(E) shuffle (edges ⋈ labels → min per
+    node). Lineage is truncated with ``localCheckpoint`` every
+    ``checkpoint_every`` rounds; convergence is detected from
+    ``sum(component)``, which strictly decreases until fixpoint — one
+    scalar aggregate per round, no driver-side data collect. Output
+    covers ids that appear in ≥1 pair (everything else is trivially its
+    own component)."""
+    e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = track(
+        e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).distinct()
+    )
+    labels = edges.select(F.col("src").alias("id")).distinct().select(
+        "id", F.col("id").alias("component")
+    )
+    prev_sum = None
+    for i in range(max_iter):
+        neigh_min = (
+            edges.join(labels, edges["dst"] == labels["id"])
+            .groupBy("src")
+            .agg(F.min("component").alias("_nmin"))
+        )
+        labels = (
+            labels.join(neigh_min, labels["id"] == neigh_min["src"], "left")
+            .select(
+                F.col("id"),
+                F.least(
+                    F.col("component"), F.coalesce("_nmin", "component")
+                ).alias("component"),
+            )
+        )
+        if (i + 1) % checkpoint_every == 0:
+            labels = labels.localCheckpoint(eager=True)
+        s = labels.agg(F.sum("component")).first()[0]
+        if s is None or s == prev_sum:
+            break
+        prev_sum = s
+    return labels
+
+
+def cluster_dedup(
+    df: DataFrame, id_col: str, pairs: DataFrame,
+    id_a: str = "id_a", id_b: str = "id_b",
+) -> DataFrame:
+    """Keep one canonical row (the min id) per near-dup *cluster*: drop
+    every row whose component label is another id. One anti-join against
+    the doomed set — the cluster-aware counterpart of ``exact_dedup``."""
+    comp = duplicate_components(pairs, id_a, id_b)
+    doomed = comp.filter(F.col("id") != F.col("component")).select("id")
+    return df.join(
+        doomed, df[id_col] == doomed["id"], "left_anti"
+    )
+
+
 def candidate_jaccard_verify(
     df: DataFrame,
     id_col: str,

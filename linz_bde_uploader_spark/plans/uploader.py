@@ -12,6 +12,7 @@ plane distributed.
 
 from __future__ import annotations
 
+import os
 import re
 import time
 from dataclasses import dataclass, field
@@ -23,7 +24,11 @@ from linz_bde_uploader_spark.meta.store import MetaStore
 from linz_bde_uploader_spark.operators.clean import CleanConfig, clean_text
 from linz_bde_uploader_spark.operators.negotiate import negotiate_columns
 from linz_bde_uploader_spark.plans import discovery
-from linz_bde_uploader_spark.sinks.target import DatasetTransaction, ParquetTarget
+from linz_bde_uploader_spark.sinks.target import (
+    DatasetManifest,
+    DatasetTransaction,
+    ParquetTarget,
+)
 from linz_bde_uploader_spark.sources.crs import read_crs
 
 from pyspark.sql import functions as F
@@ -251,6 +256,11 @@ class BdeUploader:
         self.events = events  # hooks.EventHooks | None
         self.finish_sql = finish_sql
         self.sql_runner = sql_runner or (lambda sql: spark.sql(sql))
+        # Dataset-level commit point: every completed dataset publishes all
+        # its table versions through ONE atomic manifest flip; repair() at
+        # startup converges per-table pointers after a mid-flip crash.
+        self.manifest = DatasetManifest(os.path.join(target_root, "_manifest"))
+        self.manifest.repair()
 
     def _fire(self, event: str, upl_id: int | None, dataset: str = "", level: str = ""):
         if self.events is not None:
@@ -358,6 +368,11 @@ class BdeUploader:
                         )
                     else:
                         stats = target.replace(negotiated)
+                    # keep the dataset manifest in sync so manifest-resolved
+                    # readers never see a level-0 table at a stale version
+                    self.manifest.commit(
+                        {os.path.abspath(target.path): target.current_version()}
+                    )
                     self.meta.record_load(
                         tbl_id, upl_id, ds.name, "0", incremental=diffed,
                         ninsert=stats.ninsert, nupdate=stats.nupdate,
@@ -404,11 +419,12 @@ class BdeUploader:
                     )
                 chg_df, _ = read_crs(self.spark, chg_path, cast=True)
                 # Whole-dataset transaction: every table stages its new
-                # version first; pointers flip together at dataset end, so
-                # a mid-dataset failure (including a tolerance abort)
+                # version first; dataset end publishes every staged
+                # version through ONE atomic manifest flip, so a
+                # mid-dataset failure (including a tolerance abort)
                 # leaves ALL tables at their previous state — the
                 # reference's per-dataset txn (BdeDatabase.pm:476-510).
-                txn = DatasetTransaction()
+                txn = DatasetTransaction(manifest=self.manifest)
                 staged_meta: list[tuple] = []
                 try:
                     for d in level5_tables:

@@ -15,9 +15,10 @@ reference's PostgreSQL target. It mirrors the reference's protocol:
    statement, so it runs on any PostgreSQL.
 
 No JDBC driver or PostgreSQL ships in this environment, so ``stage_jdbc``
-raises unless a URL is supplied and the driver resolves; the SQL
-generators are pure functions and fully unit-tested — they ARE the
-protocol.
+raises unless a URL is supplied and the driver resolves; ``copy_stage``
+takes any DB-API connection factory (psycopg in production, a mock in
+tests), and the SQL generators are pure functions and fully unit-tested —
+together they ARE the protocol.
 """
 
 from __future__ import annotations
@@ -94,6 +95,97 @@ def copy_partition_sql(table: str, columns: list[str]) -> str:
     return f"COPY {table} ({cols}) FROM STDIN WITH DELIMITER '|' NULL AS ''"
 
 
+def copy_format_value(v, sep: str = "|") -> str:
+    """One value in PostgreSQL COPY text format under the reference's
+    options (``DELIMITER '|' NULL AS ''``): None → empty string; backslash,
+    newline, carriage return, tab and the delimiter are backslash-escaped
+    exactly as COPY requires. (The reference never needs the escapes
+    because its P4 cleaner maps ``|``/``\\`` to space first; this writer is
+    still lossless for any input.)"""
+    if v is None:
+        return ""
+    s = v if isinstance(v, str) else str(v)
+    return (
+        s.replace("\\", "\\\\")
+        .replace("\n", "\\n")
+        .replace("\r", "\\r")
+        .replace("\t", "\\t")
+        .replace(sep, "\\" + sep)
+    )
+
+
+def copy_format_row(vals, sep: str = "|") -> str:
+    return sep.join(copy_format_value(v, sep) for v in vals) + "\n"
+
+
+class _CopyReader:
+    """File-like view over an iterator of formatted COPY lines:
+    ``copy_expert`` pulls with ``read(n)``, so a partition streams into the
+    socket without ever materializing in memory — the row-iterator analog
+    of the reference's per-row ``putline`` loop (BdeDatabase.pm:541-556)."""
+
+    def __init__(self, lines):
+        self._it = iter(lines)
+        self._buf = ""
+
+    def read(self, n: int = -1) -> str:
+        if n is None or n < 0:
+            out = self._buf + "".join(self._it)
+            self._buf = ""
+            return out
+        while len(self._buf) < n:
+            try:
+                self._buf += next(self._it)
+            except StopIteration:
+                break
+        out, self._buf = self._buf[:n], self._buf[n:]
+        return out
+
+    readline = read  # copy_expert probes readline on some driver versions
+
+
+def copy_stage(
+    df: DataFrame,
+    connection_factory,
+    table: str,
+    columns: list[str] | None = None,
+) -> None:
+    """S4 staging at COPY speed: each Spark partition opens ONE connection
+    from ``connection_factory`` (a picklable zero-arg callable, e.g.
+    ``lambda: psycopg2.connect(dsn)``) and streams its rows through
+    ``cursor.copy_expert(COPY ... FROM STDIN WITH DELIMITER '|' NULL AS
+    '', <reader>)`` — the reference's exact wire protocol
+    (lib/LINZ/BdeDatabase.pm:512-565). Commit per partition; any error
+    rolls the partition's COPY back and fails the task, so Spark's retry
+    re-runs it from the start (COPY into a per-job staging table is
+    idempotent under the stage→apply split).
+
+    Scale: no driver-side collect — ``foreachPartition`` runs on the
+    executors; connections scale with partition count, so repartition
+    upstream to the connection budget."""
+    cols = columns or df.columns
+    sql = copy_partition_sql(table, cols)
+
+    def write_partition(rows) -> None:
+        it = (copy_format_row([r[c] for c in cols]) for r in rows)
+        reader = _CopyReader(it)
+        conn = connection_factory()
+        try:
+            cur = conn.cursor()
+            try:
+                cur.copy_expert(sql, reader)
+            finally:
+                cur.close()
+            conn.commit()
+        except Exception:
+            conn.rollback()
+            raise
+        finally:
+            conn.close()
+
+    df.foreachPartition(write_partition)
+
+
 def stage_jdbc(
     df: DataFrame,
     url: str,
@@ -103,9 +195,8 @@ def stage_jdbc(
 ) -> None:
     """S4 over JDBC: partitioned batched insert into the staging table.
     Each Spark partition opens one connection — sized by repartitioning
-    upstream. (COPY-speed parity: ``df.foreachPartition`` + psycopg
-    ``copy_expert(copy_partition_sql(...))`` — requires psycopg on the
-    executors, absent here.)"""
+    upstream. For COPY-speed parity use ``copy_stage`` above (psycopg
+    ``copy_expert`` per partition)."""
     (
         df.write.format("jdbc")
         .option("url", url)

@@ -32,6 +32,7 @@ Spark-first mapping:
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 import time
@@ -67,6 +68,10 @@ class ParquetTarget:
     def __init__(self, path: str, key: str | None = None):
         self.path = path
         self.key = key
+        #: ToleranceResult of the most recent gated stage on this instance
+        #: (old/new counts + thresholds + tier) — exposed so callers never
+        #: re-count what the gate already materialized.
+        self.last_gate = None
         os.makedirs(path, exist_ok=True)
 
     # -- version plumbing ---------------------------------------------------
@@ -204,7 +209,9 @@ class ParquetTarget:
         old_n = current.count()
         new_n = spark.read.parquet(d).count()
         try:
-            check_row_tolerance(old_n, new_n, row_tol_error, row_tol_warning)
+            self.last_gate = check_row_tolerance(
+                old_n, new_n, row_tol_error, row_tol_warning
+            )
         except Exception:
             shutil.rmtree(d, ignore_errors=True)  # abort: previous version stays live
             raise
@@ -272,26 +279,113 @@ class ParquetTarget:
         return stats
 
 
+class DatasetManifest:
+    """Jointly-atomic multi-table commit point (SURVEY §7.4 hard part 2).
+
+    One JSON file lists every (table path → version) pair of the dataset;
+    committing writes a new ``manifest-<ns>.json`` and flips ONE pointer
+    file via ``os.replace`` — the single atomic commit point, the same
+    design as a Delta/Iceberg snapshot manifest. Readers that resolve
+    table versions *through the manifest* see either the entire old
+    dataset or the entire new one, never a mix. The per-table ``_CURRENT``
+    pointers remain as a convenience for direct readers and are converged
+    best-effort after the manifest flip; ``repair()`` replays that
+    convergence idempotently from the current manifest, so a crash between
+    the flips heals on the next open and is invisible to manifest
+    readers (mirrors the reference's whole-dataset DB transaction,
+    lib/LINZ/BdeDatabase.pm:476-510)."""
+
+    def __init__(self, path: str) -> None:
+        self.path = path
+        os.makedirs(path, exist_ok=True)
+
+    def _marker(self) -> str:
+        return os.path.join(self.path, CURRENT_MARKER)
+
+    def current(self) -> dict[str, str]:
+        """The committed (table path → version) map; {} before any commit."""
+        try:
+            with open(self._marker()) as fh:
+                name = fh.read().strip()
+        except FileNotFoundError:
+            return {}
+        with open(os.path.join(self.path, name)) as fh:
+            return json.load(fh)
+
+    def commit(self, entries: dict[str, str]) -> str:
+        """Atomically publish ``entries`` merged over the current map.
+        The ``os.replace`` of the marker IS the commit: a crash anywhere
+        before it leaves the previous manifest fully live."""
+        merged = {**self.current(), **entries}
+        name = f"manifest-{time.time_ns():019d}.json"
+        tmp = os.path.join(self.path, name + f".tmp-{uuid.uuid4().hex[:8]}")
+        with open(tmp, "w") as fh:
+            json.dump(merged, fh, indent=0, sort_keys=True)
+        os.replace(tmp, os.path.join(self.path, name))
+        ptmp = self._marker() + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(ptmp, "w") as fh:
+            fh.write(name)
+        os.replace(ptmp, self._marker())
+        return name
+
+    def version_of(self, table_path: str) -> str | None:
+        return self.current().get(os.path.abspath(table_path))
+
+    def read(self, spark: SparkSession, table_path: str) -> DataFrame:
+        """Read a table at the dataset-consistent version: the manifest's
+        entry when one exists, else the table's own pointer."""
+        v = self.version_of(table_path)
+        if v is None:
+            return ParquetTarget(table_path).read(spark)
+        return spark.read.parquet(os.path.join(table_path, v))
+
+    def repair(self) -> int:
+        """Converge per-table pointers to the current manifest (idempotent;
+        the recovery path after a crash mid-convergence). Returns how many
+        pointers moved."""
+        moved = 0
+        for table_path, version in self.current().items():
+            tgt = ParquetTarget(table_path)
+            if tgt.current_version() != version:
+                tgt._commit(version)
+                moved += 1
+        return moved
+
+
 class DatasetTransaction:
     """Per-dataset apply across many tables (§2.8 exactly-once analog).
 
     Stage every table's new version first (all merges + tolerance gates
-    run with no pointer flipped), then commit flips all pointers in one
-    quick pass. Any failure during staging aborts with *zero* tables
-    changed — the reference's dataset-transaction rollback. The pointer
-    flips themselves are not jointly atomic (that needs a shared
-    transaction log — Delta/Iceberg on a cluster); the crash window is a
-    few pointer renames, and watermark-gated replay makes a re-run
-    idempotent, which is the documented recovery path."""
+    run with no pointer flipped), then commit. Any failure during staging
+    aborts with *zero* tables changed — the reference's dataset-transaction
+    rollback (whole dataset in one DB transaction,
+    lib/LINZ/BdeDatabase.pm:476-510, conf/linz_bde_uploader.conf:85-92).
 
-    def __init__(self) -> None:
+    With a ``DatasetManifest`` attached, commit is *jointly atomic*: the
+    single manifest pointer flip publishes every staged table at once, and
+    the per-table pointers are converged afterwards (``repair()`` heals a
+    crash mid-convergence). Without one, commit degrades to the round-2
+    behavior — sequential pointer flips with watermark-replay recovery."""
+
+    def __init__(self, manifest: DatasetManifest | None = None) -> None:
         self._staged: list[tuple[ParquetTarget, str, MergeStats]] = []
         self._done = False
+        self.manifest = manifest
 
     def stage(self, target: ParquetTarget, version: str, stats: MergeStats) -> None:
         self._staged.append((target, version, stats))
 
     def commit(self) -> list[MergeStats]:
+        if self.manifest is not None:
+            self.manifest.commit(
+                {os.path.abspath(t.path): v for t, v, _ in self._staged}
+            )
+            # the dataset is now durably committed; pointer convergence
+            # below is best-effort and replayable via manifest.repair()
+            self.manifest.repair()
+            out = [stats for _, _, stats in self._staged]
+            self._done = True
+            return out
         out = []
         for target, version, stats in self._staged:
             target._commit(version)

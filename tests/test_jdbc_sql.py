@@ -3,6 +3,8 @@ must produce the exact table state the Spark merge kernel produces."""
 
 from __future__ import annotations
 
+import os
+
 import duckdb
 import pytest
 
@@ -95,3 +97,99 @@ def test_stage_jdbc_needs_driver(spark):
     df = spark.createDataFrame([(1,)], "id long")
     with pytest.raises(Exception):
         stage_jdbc(df, "jdbc:postgresql://nohost/nodb", "t")
+
+
+def test_copy_format_escaping():
+    from linz_bde_uploader_spark.sinks.jdbc import copy_format_row
+
+    # NULL AS '', delimiter '|', COPY text escapes
+    assert copy_format_row([1, None, "plain"]) == "1||plain\n"
+    assert copy_format_row(["a|b"]) == "a\\|b\n"
+    assert copy_format_row(["a\\b"]) == "a\\\\b\n"
+    assert copy_format_row(["a\nb\tc\rd"]) == "a\\nb\\tc\\rd\n"
+
+
+def test_copy_reader_streams_lazily():
+    from linz_bde_uploader_spark.sinks.jdbc import _CopyReader
+
+    pulled = []
+
+    def gen():
+        for i in range(5):
+            pulled.append(i)
+            yield f"line{i}\n"
+
+    r = _CopyReader(gen())
+    first = r.read(8)
+    assert first == "line0\nli"
+    assert pulled == [0, 1]          # only what read(8) needed
+    rest = r.read(-1)
+    assert (first + rest) == "".join(f"line{i}\n" for i in range(5))
+
+
+def test_copy_stage_end_to_end_with_mock_connection(spark, tmp_path):
+    """copy_stage against a mock DB-API connection: every partition opens
+    one connection, issues the reference's exact COPY command
+    (DELIMITER '|' NULL AS ''), streams the formatted rows, and commits.
+    The mock materializes each partition's COPY payload to a file (the
+    executors run in worker processes, so assertions go through disk)."""
+    from linz_bde_uploader_spark.sinks.jdbc import copy_stage
+
+    out_dir = str(tmp_path / "copies")
+    os.makedirs(out_dir, exist_ok=True)
+
+    def factory():
+        import os as _os
+        import uuid as _uuid
+
+        class Cursor:
+            def __init__(self):
+                self.sql = None
+                self.payload = None
+
+            def copy_expert(self, sql, reader):
+                self.sql = sql
+                self.payload = reader.read(-1)
+
+            def close(self):
+                pass
+
+        class Conn:
+            def __init__(self):
+                self.cur = Cursor()
+                self.committed = False
+
+            def cursor(self):
+                return self.cur
+
+            def commit(self):
+                p = _os.path.join(out_dir, f"part-{_uuid.uuid4().hex}.copy")
+                with open(p, "w") as fh:
+                    fh.write(self.cur.sql + "\n--\n" + (self.cur.payload or ""))
+
+            def rollback(self):
+                pass
+
+            def close(self):
+                pass
+
+        return Conn()
+
+    df = spark.createDataFrame(
+        [(1, "alpha", None), (2, "pipe|pipe", "x"), (3, None, "multi\nline")],
+        "id long, a string, b string",
+    ).repartition(2)
+    copy_stage(df, factory, "bde_upload_7.roads")
+
+    files = sorted(os.listdir(out_dir))
+    assert len(files) == 2  # one COPY per partition
+    body = ""
+    for f in files:
+        sql, _, payload = open(os.path.join(out_dir, f)).read().partition("\n--\n")
+        assert sql == (
+            'COPY bde_upload_7.roads ("id", "a", "b") '
+            "FROM STDIN WITH DELIMITER '|' NULL AS ''"
+        )
+        body += payload
+    lines = sorted(l for l in body.split("\n") if l)
+    assert lines == sorted(["1|alpha|", "2|pipe\\|pipe|x", "3||multi\\nline"])

@@ -513,6 +513,71 @@ def test_dataset_transaction_all_or_nothing(spark, tmp_path):
     assert s1.nupdate == 1 and s1.nnullupdate == 3
 
 
+def test_dataset_manifest_jointly_atomic_commit(spark, tmp_path, monkeypatch):
+    """SURVEY §7.4 hard part 2: the manifest flip is the single commit
+    point. A crash between the per-table pointer flips leaves manifest
+    readers seeing the ENTIRE new dataset; repair() converges the
+    stragglers idempotently; before the manifest flip, readers see the
+    entire old dataset."""
+    from linz_bde_uploader_spark.sinks.target import (
+        DatasetManifest,
+        DatasetTransaction,
+        ParquetTarget,
+    )
+
+    ta = ParquetTarget(str(tmp_path / "ta"), key="id")
+    tb = ParquetTarget(str(tmp_path / "tb"), key="id")
+    old = spark.createDataFrame([(i, "old") for i in range(3)], "id long, v string")
+    ta.replace(old)
+    tb.replace(old)
+    man = DatasetManifest(str(tmp_path / "_manifest"))
+    man.commit({os.path.abspath(ta.path): ta.current_version(),
+                os.path.abspath(tb.path): tb.current_version()})
+
+    new = spark.createDataFrame([(i, "new") for i in range(3)], "id long, v string")
+    va, sa = ta.stage_replace(new)
+    vb, sb = tb.stage_replace(new)
+    txn = DatasetTransaction(manifest=man)
+    txn.stage(ta, va, sa)
+    txn.stage(tb, vb, sb)
+
+    # simulate a crash: the FIRST per-table pointer flip succeeds, the
+    # process dies before the second
+    flips = {"n": 0}
+    real_commit = ParquetTarget._commit
+
+    def dying_commit(self, version):
+        if flips["n"] >= 1:
+            raise RuntimeError("simulated crash mid-convergence")
+        flips["n"] += 1
+        real_commit(self, version)
+
+    monkeypatch.setattr(ParquetTarget, "_commit", dying_commit)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        txn.commit()
+    monkeypatch.setattr(ParquetTarget, "_commit", real_commit)
+
+    # per-table pointers are torn (one new, one still old)...
+    assert ta.current_version() == va
+    assert tb.current_version() != vb
+    # ...but manifest readers see the ENTIRE new dataset — never a mix
+    assert man.version_of(ta.path) == va and man.version_of(tb.path) == vb
+    rows = {r.v for r in man.read(spark, ta.path).collect()} | {
+        r.v for r in man.read(spark, tb.path).collect()
+    }
+    assert rows == {"new"}
+    # recovery: repair converges the straggler pointer, idempotently
+    assert man.repair() == 1
+    assert tb.current_version() == vb
+    assert man.repair() == 0
+
+    # and BEFORE any manifest flip, staged-but-uncommitted versions are
+    # invisible through the manifest (all-old)
+    v2a, s2a = ta.stage_replace(old)
+    assert man.version_of(ta.path) == va
+    assert {r.v for r in man.read(spark, ta.path).collect()} == {"new"}
+
+
 def test_uploader_level5_missing_changetable_errors(spark, tmp_path):
     up, meta = _mk_uploader(spark, tmp_path)
     up.run_level0()
