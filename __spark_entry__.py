@@ -794,6 +794,16 @@ def q_dedup_minhash_pairs(spark, sf_dir):
     return D.minhash_candidate_pairs(d, "doc_id", "text")
 
 
+def q_dedup_components(spark, sf_dir):
+    # Cluster-level dedup: connected components over the MinHash-LSH
+    # candidate graph — component = canonical (min) doc id per near-dup
+    # cluster, the transitive closure pairwise output can't give.
+    d = W.load(spark, sf_dir, "documents")
+    pairs = D.minhash_candidate_pairs(d, "doc_id", "text")
+    comp = D.duplicate_components(pairs)
+    return comp.select(F.col("id").alias("doc_id"), "component")
+
+
 def q_dedup_simhash(spark, sf_dir):
     d = W.load(spark, sf_dir, "documents")
     return D.with_simhash(d, "text", "sh", 16).select("doc_id", "sh")
@@ -1198,7 +1208,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_text_tokens": q_text_tokens,
         "q_text_langid": q_text_langid,
         "q_split_assign": q_split_assign,
-        # -- 51-70: near-duplicate variants of already-covered families
+        # -- 51+: variants/extensions of already-covered families
+        "q_dedup_components": q_dedup_components,
         "q_j1_inc_deletes": q_j1_inc_deletes,
         "q_j2_inc_inserts": q_j2_inc_inserts,
         "q_merge_stats": q_merge_stats,
@@ -1536,6 +1547,38 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
             FROM bands l JOIN bands r
               ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
+        """,
+        # transitive closure of the same banded candidate graph; the WITH
+        # becomes WITH RECURSIVE so the reach CTE can self-reference
+        "q_dedup_components": _MINHASH_SIGS.replace(
+            "WITH t AS", "WITH RECURSIVE t AS", 1
+        ) + """
+            , bands AS (
+              SELECT doc_id, 0 AS band, ((0*31 + mh0)*31 + mh1) % 2147483647 AS key FROM sigs
+              UNION ALL
+              SELECT doc_id, 1, ((1*31 + mh2)*31 + mh3) % 2147483647 FROM sigs
+              UNION ALL
+              SELECT doc_id, 2, ((2*31 + mh4)*31 + mh5) % 2147483647 FROM sigs
+              UNION ALL
+              SELECT doc_id, 3, ((3*31 + mh6)*31 + mh7) % 2147483647 FROM sigs
+            ),
+            pairs AS (
+              SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+              FROM bands l JOIN bands r
+                ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
+            ),
+            sym AS (
+              SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION
+              SELECT id_b, id_a FROM pairs
+            ),
+            reach AS (
+              SELECT src, dst FROM sym
+              UNION
+              SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
+            )
+            SELECT src AS doc_id, least(src, min(dst)) AS component
+            FROM reach GROUP BY src
         """,
         "q_dedup_simhash": f"""
             WITH t AS (

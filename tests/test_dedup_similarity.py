@@ -274,3 +274,29 @@ def test_tracked_caches_released(spark, docs_df):
     assert caching.tracked_count() == 0
     jsc = spark.sparkContext._jsc.sc()
     assert jsc.getPersistentRDDs().size() == 0
+
+
+def test_duplicate_components_and_cluster_dedup(spark):
+    """Connected components: a 4-chain (propagation needs >1 round), a
+    separate pair, and the transitive-closure keep-set that pairwise
+    dedup cannot produce."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long"
+    )
+    comp = {r.id: r.component for r in D.duplicate_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+    docs = spark.createDataFrame(
+        [(i, f"d{i}") for i in (1, 2, 3, 4, 10, 11, 99)], "doc_id long, t string"
+    )
+    kept = {r.doc_id for r in D.cluster_dedup(docs, "doc_id", pairs).collect()}
+    # one canonical survivor per cluster + untouched isolated rows
+    assert kept == {1, 10, 99}
+
+    # empty pair graph: no components, dedup is the identity
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    assert D.duplicate_components(empty).count() == 0
+    assert D.cluster_dedup(docs, "doc_id", empty).count() == 7
+    from linz_bde_uploader_spark import caching
+
+    caching.release_intermediates()
