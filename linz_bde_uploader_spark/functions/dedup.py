@@ -272,12 +272,16 @@ def duplicate_components(
     Components in MapReduce and Beyond", 2014) — same join shapes.
 
     Scale: each round is one O(E) shuffle (edges ⋈ labels → min per
-    node). Lineage is truncated with ``localCheckpoint`` every
-    ``checkpoint_every`` rounds; convergence is detected from
+    node). Every round's label set (|V| rows, two columns — tiny next to
+    the data it deduplicates) is materialized with an eager
+    ``localCheckpoint``: without it round *k* would recompute rounds
+    1..k-1 (quadratic lineage) and the caller's action would re-run the
+    whole loop once more. Convergence is detected from
     ``sum(component)``, which strictly decreases until fixpoint — one
-    scalar aggregate per round, no driver-side data collect. Output
-    covers ids that appear in ≥1 pair (everything else is trivially its
-    own component)."""
+    scalar aggregate over the checkpointed labels per round, no
+    driver-side data collect. Output covers ids that appear in ≥1 pair
+    (everything else is trivially its own component)."""
+    del checkpoint_every  # kept for API stability; every round checkpoints
     e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     edges = track(
         e.unionByName(
@@ -288,7 +292,7 @@ def duplicate_components(
         "id", F.col("id").alias("component")
     )
     prev_sum = None
-    for i in range(max_iter):
+    for _ in range(max_iter):
         neigh_min = (
             edges.join(labels, edges["dst"] == labels["id"])
             .groupBy("src")
@@ -302,9 +306,8 @@ def duplicate_components(
                     F.col("component"), F.coalesce("_nmin", "component")
                 ).alias("component"),
             )
+            .localCheckpoint(eager=True)
         )
-        if (i + 1) % checkpoint_every == 0:
-            labels = labels.localCheckpoint(eager=True)
         s = labels.agg(F.sum("component")).first()[0]
         if s is None or s == prev_sum:
             break

@@ -300,3 +300,46 @@ def test_duplicate_components_and_cluster_dedup(spark):
     from linz_bde_uploader_spark import caching
 
     caching.release_intermediates()
+
+
+def test_duplicate_components_matches_union_find(spark):
+    """Property check: the distributed min-label propagation equals a
+    driver-side union-find on random graphs (incl. long chains, which
+    force multiple propagation rounds past the checkpoint boundary)."""
+    import random
+
+    from linz_bde_uploader_spark import caching
+
+    rng = random.Random(42)
+    for trial in range(4):
+        n = rng.randint(2, 40)
+        m = rng.randint(1, 60)
+        edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+        edges = [(a, b) for a, b in edges if a != b] or [(0, 1)]
+        if trial == 3:  # worst case: one long chain, diameter n-1
+            n = 12  # 11 propagation rounds — crosses checkpoint boundaries
+            edges = [(i, i + 1) for i in range(n - 1)]
+
+        # reference: union-find
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        touched = {v for e in edges for v in e}
+        expect = {v: find(v) for v in touched}
+
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+        got = {
+            r.id: r.component
+            for r in D.duplicate_components(pairs, max_iter=100).collect()
+        }
+        assert got == expect, (trial, edges)
+        caching.release_intermediates()
