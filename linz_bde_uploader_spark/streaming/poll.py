@@ -101,6 +101,30 @@ def windowed_event_counts(
     )
 
 
+def streaming_dedup(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    within: str | None = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup — the ingest-time guard of the dedup suite
+    (the batch side is ``functions.dedup.exact_dedup``): drop every record
+    whose key set was already seen.
+
+    On a stream with ``within`` set, uses ``dropDuplicatesWithinWatermark``
+    so the key-tracking state is EVICTED once a key is older than the
+    watermark — bounded state, the only shape that survives an unbounded
+    100-TB feed (plain ``dropDuplicates`` on a stream retains every key
+    forever). Duplicates arriving later than the watermark window are a
+    documented miss — route them to the batch dedup pass. On a static
+    frame it degrades to ``dropDuplicates(keys)`` for oracle checks."""
+    if not df.isStreaming:
+        return df.dropDuplicates(keys)
+    if within is None:
+        return df.dropDuplicates(keys)
+    return df.withWatermark(ts_col, within).dropDuplicatesWithinWatermark(keys)
+
+
 RUNNING_STATE_SCHEMA = "n long"
 RUNNING_OUTPUT_SCHEMA = "key string, total long"
 

@@ -120,3 +120,62 @@ def test_running_counts_stateful_across_batches(spark, tmp_path):
     for d in results:
         merged2.update(d)
     assert merged2 == {"a": 3, "b": 3}
+
+
+def test_streaming_dedup_bounded_state(spark, tmp_path):
+    """streaming_dedup: duplicates within the watermark window are dropped
+    across micro-batches (state persists via checkpoint); static frames
+    degrade to dropDuplicates for oracle parity."""
+    from linz_bde_uploader_spark.streaming.poll import streaming_dedup
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt_dd")
+    spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00"), (1, "2024-01-01 10:00:01"),
+         (2, "2024-01-01 10:00:02")],
+        "doc_id long, ts_s string",
+    ).selectExpr("doc_id", "CAST(ts_s AS timestamp) AS ts").write.mode(
+        "append"
+    ).parquet(str(src))
+
+    seen: list[tuple] = []
+
+    def run_once():
+        deduped = streaming_dedup(
+            spark.readStream.schema("doc_id long, ts timestamp")
+            .parquet(str(src)),
+            ["doc_id"], "ts", within="1 hour",
+        )
+        q = (
+            deduped.writeStream.foreachBatch(
+                lambda df, _id: seen.extend(
+                    (r.doc_id,) for r in df.collect()
+                )
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    assert sorted(seen) == [(1,), (2,)]
+
+    # second batch: a repeat of doc 1 (within the watermark) is dropped,
+    # a new doc 3 passes
+    spark.createDataFrame(
+        [(1, "2024-01-01 10:10:00"), (3, "2024-01-01 10:10:01")],
+        "doc_id long, ts_s string",
+    ).selectExpr("doc_id", "CAST(ts_s AS timestamp) AS ts").write.mode(
+        "append"
+    ).parquet(str(src))
+    seen.clear()
+    run_once()
+    assert sorted(seen) == [(3,)]
+
+    # static parity for oracle checks
+    static = spark.createDataFrame(
+        [(1, None), (1, None), (2, None)], "doc_id long, ts timestamp"
+    )
+    assert streaming_dedup(static, ["doc_id"]).count() == 2
