@@ -77,6 +77,55 @@ class MergeStats:
         return self.ninsert + self.nupdate + self.ndelete
 
 
+class KeyValidityError(ValueError):
+    """The merge key fails the reference's validity gate."""
+
+
+#: Spark dtypes acceptable as a merge key (the reference requires a single
+#: not-null unique *integer* column, sql/02-bde_control_functions.sql.in:
+#: 2839-2877 — int2/int4/int8 with primary-key preference)
+_INTEGRAL_KEY_TYPES = {"tinyint", "smallint", "int", "bigint"}
+
+
+def validate_key_column(
+    df: DataFrame, key: str, check_unique: bool = False
+) -> None:
+    """Key validity gate (reference :2839-2877): the key must exist and be
+    a single integral column; with ``check_unique`` it must also be
+    NOT NULL and unique in ``df``.
+
+    The schema half is free (no job). The data half is one aggregate pass
+    (count / count(key) / approx-free distinct) — the reference gets it
+    free from catalog constraints, a lakehouse table has none, so it is
+    opt-in: run it on first registration or after backfills, not per
+    merge."""
+    dtype = dict(df.dtypes).get(key)
+    if dtype is None:
+        raise KeyValidityError(
+            f"key column {key!r} not present in {df.columns}"
+        )
+    if dtype not in _INTEGRAL_KEY_TYPES:
+        raise KeyValidityError(
+            f"key column {key!r} must be an integral type "
+            f"(reference gate), got {dtype}"
+        )
+    if check_unique:
+        r = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(key).alias("n_notnull"),
+            F.countDistinct(key).alias("n_distinct"),
+        ).first()
+        if r.n_notnull < r.n:
+            raise KeyValidityError(
+                f"key column {key!r} has {r.n - r.n_notnull} NULLs"
+            )
+        if r.n_distinct < r.n_notnull:
+            raise KeyValidityError(
+                f"key column {key!r} has "
+                f"{r.n_notnull - r.n_distinct} duplicate values"
+            )
+
+
 def _all_equal_nullsafe(left: str, right: str, cols: list[str]) -> Column:
     """`left.c <=> right.c` for every compare column — Spark's eqNullSafe is
     exactly PostgreSQL's IS NOT DISTINCT FROM, which the reference's

@@ -47,6 +47,7 @@ from linz_bde_uploader_spark.operators.diff import (
     full_table_diff,
     keyswap_repair,
     merge_stats,
+    validate_key_column,
 )
 from linz_bde_uploader_spark.operators.tolerance import check_row_tolerance
 
@@ -234,6 +235,7 @@ class ParquetTarget:
         if self.key is None:
             raise ValueError("incremental apply requires a key column")
         current = self.read(spark)
+        validate_key_column(incoming, self.key)  # schema gate, no job
         if unique_cols:
             extra = keyswap_repair(current, incoming, change_keys, self.key, unique_cols)
             change_keys = change_keys.select(self.key).unionByName(extra).distinct()
@@ -265,6 +267,7 @@ class ParquetTarget:
         if self.key is None:
             raise ValueError("full-incremental apply requires a key column")
         current = self.read(spark)
+        validate_key_column(incoming, self.key)  # schema gate, no job
         actions = full_table_diff(current, incoming, self.key)
         return self._stage_gated(
             spark, current, actions, incoming, row_tol_error, row_tol_warning

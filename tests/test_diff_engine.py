@@ -155,3 +155,38 @@ def test_declared_actions_are_advisory(spark, scenario):
     assert actions.collect()[0][ACTION_COL] == "0"
     merged = apply_changes(current, current, actions, "audit_id")
     assert merged.count() == current.count()
+
+
+def test_key_validity_gate(spark, tmp_path):
+    """Reference key gate (sql/02-bde_control_functions.sql.in:2839-2877):
+    single integral column; with check_unique also NOT NULL + unique. The
+    sink's incremental paths enforce the schema half before any job."""
+    from linz_bde_uploader_spark.operators.diff import (
+        KeyValidityError,
+        validate_key_column,
+    )
+    from linz_bde_uploader_spark.sinks.target import ParquetTarget
+
+    good = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    validate_key_column(good, "id")                      # integral: ok
+    validate_key_column(good, "id", check_unique=True)   # unique + not null
+
+    import pytest as _pt
+    with _pt.raises(KeyValidityError, match="not present"):
+        validate_key_column(good, "nope")
+    with _pt.raises(KeyValidityError, match="integral"):
+        validate_key_column(good, "v")
+    dupes = spark.createDataFrame([(1,), (1,)], "id long")
+    with _pt.raises(KeyValidityError, match="duplicate"):
+        validate_key_column(dupes, "id", check_unique=True)
+    nulls = spark.createDataFrame([(1,), (None,)], "id long")
+    with _pt.raises(KeyValidityError, match="NULL"):
+        validate_key_column(nulls, "id", check_unique=True)
+
+    # the sink refuses a non-integral key before running any job
+    tgt = ParquetTarget(str(tmp_path / "t"), key="v")
+    tgt.replace(good)
+    with _pt.raises(KeyValidityError, match="integral"):
+        tgt.stage_incremental(
+            spark, good, spark.createDataFrame([("a",)], "v string")
+        )
