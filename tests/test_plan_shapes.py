@@ -1,0 +1,77 @@
+"""Physical-plan shape assertions: the properties that make the 100-TB
+posture real — filters reach the parquet scan, projection prunes columns,
+aggregates combine map-side, small dimensions broadcast. A regression in
+any of these is invisible to row-level correctness checks but is exactly
+what dies at 1000× the data."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_and_column_pruning(spark):
+    """TPC-H q6 shape: the shipdate/discount/quantity filters must appear
+    as PushedFilters on the lineitem scan, and the scan schema must carry
+    only the referenced columns, not all 16."""
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    q = li.filter(
+        (F.col("l_quantity") < 24) & (F.col("l_discount") >= 0.05)
+    ).select("l_extendedprice", "l_discount")
+    plan = _plan(q)
+    assert "PushedFilters: [" in plan
+    assert "l_quantity" in plan.split("PushedFilters:")[1][:200]
+    schema_part = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_extendedprice" in schema_part
+    assert "l_comment" not in schema_part  # pruned
+
+
+def test_partial_aggregation_map_side_combine(spark):
+    """groupBy aggregates must run as partial (map-side) + final
+    HashAggregate pairs — one-pass shuffle of pre-combined state, not raw
+    rows."""
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    agg = o.groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n"))
+    plan = _plan(agg)
+    assert plan.count("HashAggregate") >= 2  # partial + final
+    assert "partial_count" in plan
+
+
+def test_small_dimension_broadcasts(spark):
+    """nation (25 rows) joined to customer must be a BroadcastHashJoin —
+    no shuffle of the fact side on the join key."""
+    c = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    n = spark.read.parquet(f"{SF_DIR}/nation.parquet")
+    j = c.join(n, c.c_nationkey == n.n_nationkey).select("c_custkey", "n_name")
+    plan = _plan(j)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_whole_stage_codegen_covers_clean_pass(spark):
+    """The P4/P5 character pass must stay inside WholeStageCodegen (pure
+    JVM translate/regexp chain — zero Python in the hot path)."""
+    from linz_bde_uploader_spark.operators.clean import clean_text
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    q = d.select("doc_id", clean_text("text").alias("cleaned"))
+    plan = _plan(q)
+    # '*(n)' prefixes mark WholeStageCodegen spans in the plan string
+    assert "*(1)" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_topk_uses_take_ordered(spark):
+    """orderBy().limit(k) must compile to TakeOrderedAndProject
+    (per-partition heaps), never a global sort."""
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    q = o.orderBy(F.desc("o_totalprice")).limit(5)
+    plan = _plan(q)
+    assert "TakeOrderedAndProject" in plan
