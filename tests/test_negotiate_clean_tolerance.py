@@ -198,3 +198,43 @@ def test_tolerance_tiers():
     assert err.level == "error" and err.error_threshold == 40
     disabled = check_row_tolerance(100, 0)
     assert disabled.level == "ok"
+
+
+def test_clean_text_matches_python_model(spark):
+    """Property check: clean_text == a direct Python simulation of the
+    reference cleaner (single-pass map, then kept-class enforcement) on
+    random unicode including the map's edge characters."""
+    import random
+    import re as _re
+
+    from linz_bde_uploader_spark.operators.clean import (
+        _KEPT_CLASS,
+        _default_char_map,
+    )
+
+    cmap = _default_char_map()
+    kept = _re.compile(_KEPT_CLASS)
+
+    def model(s: str) -> str:
+        out = []
+        for ch in s:  # single pass: map first, then policy on unmapped
+            if ch in cmap:
+                if cmap[ch] is not None:
+                    out.append(cmap[ch])
+            elif kept.search(ch):
+                out.append("?")
+            else:
+                out.append(ch)
+        return "".join(out)
+
+    rng = random.Random(7)
+    alphabet = (
+        "ab|\\\n\r\t\x01\x1f\x85 «»´·­ ¦ſ–—‘’“”•☃é€�"
+        "\U0001f600Ōz0"
+    )
+    rows = ["".join(rng.choice(alphabet) for _ in range(rng.randint(0, 30)))
+            for _ in range(200)]
+    df = spark.createDataFrame([(r,) for r in rows], ["s"])
+    got = [r.c for r in df.select(clean_text("s").alias("c")).collect()]
+    for src, g in zip(rows, got):
+        assert g == model(src), repr(src)
