@@ -1125,6 +1125,157 @@ def q_sim_ivf_topk(spark, sf_dir):
     return S.ivf_topk(spark, path, _query_vec(spark, sf_dir), cents, k=10, nprobe=2)
 
 
+def q_text_gopher_quality(spark, sf_dir):
+    # Gopher-rules quality gate (Rae et al. 2021, Table A1, word-level
+    # subset) + the duplicate-trigram repetition signal — pure Column
+    # arithmetic, map-only at any scale.
+    d = W.load(spark, sf_dir, "documents")
+    s = X.gopher_signals("text")
+    return d.select(
+        "doc_id",
+        s["word_count"].cast("long").alias("word_count"),
+        s["mean_word_len"].alias("mean_word_len"),
+        s["alpha_word_frac"].alias("alpha_word_frac"),
+        s["stop_hits"].cast("long").alias("stop_hits"),
+        s["symbol_word_ratio"].alias("symbol_word_ratio"),
+        X.dup_ngram_fraction("text", 3).alias("dup_trigram_frac"),
+        X.gopher_pass("text").alias("passes"),
+    )
+
+
+def q_text_scrub_pii(spark, sf_dir):
+    # PII scrub pass: deterministic synthetic PII appended (the corpus has
+    # none), then redacted by type — chained regexp_replace, zero shuffle.
+    d = W.load(spark, sf_dir, "documents")
+    with_pii = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com via https://ex.com/u/"),
+        F.col("doc_id").cast("string"),
+        F.lit(" or 555-123-4567"),
+    )
+    return d.select(
+        "doc_id", X.scrub_pii(with_pii).alias("scrubbed")
+    )
+
+
+def q_scd2_history(spark, sf_dir):
+    # SCD Type-2 history over the event change stream: per user, each
+    # event's state is valid from its own timestamp until the next event
+    # (operators/scd.py — one window pass, one shuffle on the key).
+    from linz_bde_uploader_spark.operators.scd import scd2_build
+
+    e = W.events(spark, sf_dir).withColumn("_us", F.expr("ts div 1000"))
+    h = scd2_build(
+        e.select("user_id", "event_id", "event_type", "_us"),
+        key="user_id",
+        ts="_us",
+        tiebreak="event_id",
+    )
+    return h.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.col("valid_from").alias("valid_from_us"),
+        F.col("valid_to").alias("valid_to_us"),
+        "is_current",
+    )
+
+
+def q_tpch_q4_priority(spark, sf_dir):
+    # TPC-H Q4 shape: order-priority counts where EXISTS a late-shipped
+    # lineitem — the EXISTS decorrelates to a left-semi join; the orders
+    # date filter pushes to the scan.
+    o = W.load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+    )
+    li = W.load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = o.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+
+
+def q_tpch_q14_promo(spark, sf_dir):
+    # TPC-H Q14 shape: promo-revenue share — conditional aggregation over
+    # a fact⋈dim join (part broadcasts under AQE). Exact DECIMAL sums
+    # before the final double division keep the ratio order-independent.
+    li = W.load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp_ntz"))
+    )
+    p = W.load(spark, sf_dir, "part")
+    rev = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+    j = li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+    agg = j.agg(
+        F.sum(F.when(F.col("p_type") == "ECONOMY", rev).otherwise(
+            F.lit(0).cast("decimal(18,2)")
+        )).alias("_promo"),
+        F.sum(rev).alias("_total"),
+    )
+    return agg.select(
+        F.round(
+            F.lit(100.0) * F.col("_promo").cast("double")
+            / F.col("_total").cast("double"),
+            6,
+        ).alias("promo_share_pct")
+    )
+
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def q_pivot_event_day(spark, sf_dir):
+    # Pivot: daily event counts, one column per type. Explicit value list
+    # → single shuffle (no extra distinct-values job); at scale this is a
+    # partial-aggregated groupBy, identical cost to the long form.
+    e = W.events(spark, sf_dir)
+    day = F.date_format(F.col("ts_ntz"), "yyyyMMdd").alias("day")
+    piv = e.groupBy(day).pivot("event_type", list(EVENT_TYPES)).agg(
+        F.count(F.lit(1))
+    )
+    return piv.select(
+        "day", *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in EVENT_TYPES]
+    )
+
+
+def q_approx_distinct_guard(spark, sf_dir):
+    # HLL++ sketch beside the exact answer: the query RETURNS the exact
+    # per-type distinct-user count but only through a guard that the
+    # sketch estimate lands within 15% (3× the 5% default rsd) — so the
+    # driver hash-checks exact values while still executing the sketch
+    # path. At 100 TB the sketch is the one you'd keep: it partial-
+    # aggregates map-side, the exact distinct re-shuffles raw keys.
+    e = W.events(spark, sf_dir)
+    agg = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact"),
+        F.approx_count_distinct("user_id", 0.05).alias("_n_approx"),
+    )
+    guard = (
+        F.abs(F.col("_n_approx") - F.col("n_exact"))
+        <= F.lit(0.15) * F.col("n_exact")
+    )
+    return agg.filter(guard).select("event_type", "n_exact")
+
+
+def q_sim_batch_topk(spark, sf_dir):
+    # k-NN join: exact top-3 neighbors for every query vector (vec_id %
+    # 97 = 0) in one pass — broadcast query side, salted two-phase
+    # grouped top-k (no Q-partition skew hot-spot).
+    e = W.load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 97 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return S.batch_cosine_topk(e, q, k=3).select(
+        "q_id", F.col("rank").cast("int").alias("rank"), "vec_id", "score"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the level-5 incremental merge end-to-end on sf0.001 —
     classify I/U/D/0/X from data presence and apply as a keyed merge."""
@@ -1150,10 +1301,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     evaluates the FIRST 50 entries only. Positions 1–20 are the operator
     families that had no driver row in round 2 (as-of, range join,
     windows, multimodal, similarity/ANN, rollup, percentiles, JSON, TPC-H
-    q6/q10, event windows); positions 21–50 keep one driver-checked
-    representative per reference component family; positions 51–70 are
-    near-duplicate variants of already-covered families (e.g. J1/J2 are
-    filters of J3) that remain registered for oracle checking via
+    q6/q10, event windows); 21–28 are new in round 3 (Gopher quality
+    rules, PII scrub, SCD2 history, TPC-H q4/q14, pivot, HLL guard, k-NN
+    join); the rest keep one driver-checked representative per reference
+    component family, with near-duplicate variants (e.g. J1/J2 are
+    filters of J3) last — every entry past position 50 carries a green
+    round-2 driver row and stays oracle-checked via
     ``scripts/check_oracles.py``."""
     ordered = {
         # -- 1-20: families that had no driver CORRECTNESS row in round 2
@@ -1177,7 +1330,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sim_lsh_topk": q_sim_lsh_topk,
         "q_sim_lsh_bucketed": q_sim_lsh_bucketed,
         "q_sim_ivf_topk": q_sim_ivf_topk,
-        # -- 21-50: one driver-checked representative per component family
+        # -- 21-28: NEW in round 3 (first driver check this round)
+        "q_text_gopher_quality": q_text_gopher_quality,
+        "q_text_scrub_pii": q_text_scrub_pii,
+        "q_scd2_history": q_scd2_history,
+        "q_tpch_q4_priority": q_tpch_q4_priority,
+        "q_tpch_q14_promo": q_tpch_q14_promo,
+        "q_pivot_event_day": q_pivot_event_day,
+        "q_approx_distinct_guard": q_approx_distinct_guard,
+        "q_sim_batch_topk": q_sim_batch_topk,
+        # -- 29-50: one driver-checked representative per component family
         "q_j3_classify": q_j3_classify,
         "q_j4_keyswap_repair": q_j4_keyswap_repair,
         "q_j5_apply_changes": q_j5_apply_changes,
@@ -1914,5 +2076,105 @@ def oracle_sql() -> dict[str, str]:
             WHERE s.sig = q.sig OR xor(s.sig, q.sig) IN (1, 2, 4, 8, 16, 32)
             ORDER BY score DESC, s.vec_id
             LIMIT 10
+        """,
+        "q_text_gopher_quality": f"""
+            WITH tk AS (
+              SELECT doc_id, text, {_TOKS} AS toks, len({_TOKS}) AS n,
+                     greatest(len({_TOKS}), 1) AS nz
+              FROM documents
+            )
+            SELECT doc_id,
+                   CAST(n AS BIGINT) AS word_count,
+                   round(CAST(list_sum(list_transform(toks, t -> len(t))) AS DOUBLE) / nz, 6) AS mean_word_len,
+                   round(CAST(len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]'))) AS DOUBLE) / nz, 6) AS alpha_word_frac,
+                   CAST(len(list_filter(toks, t -> t IN {_STOPLIST})) AS BIGINT) AS stop_hits,
+                   round(CAST(len(regexp_extract_all(text, '#|\\.\\.\\.')) AS DOUBLE) / nz, 6) AS symbol_word_ratio,
+                   CASE WHEN n < 3 THEN 0.0
+                        ELSE round(1.0 - CAST(len(list_distinct(
+                               list_transform(generate_series(1, n - 2),
+                                              i -> array_to_string(toks[i:i+2], ' '))
+                             )) AS DOUBLE) / (n - 2), 6)
+                   END AS dup_trigram_frac,
+                   (n BETWEEN 5 AND 100000)
+                     AND (round(CAST(list_sum(list_transform(toks, t -> len(t))) AS DOUBLE) / nz, 6) BETWEEN 2.0 AND 10.0)
+                     AND (round(CAST(len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]'))) AS DOUBLE) / nz, 6) >= 0.8)
+                     AND (len(list_filter(toks, t -> t IN {_STOPLIST})) >= 2)
+                     AND (round(CAST(len(regexp_extract_all(text, '#|\\.\\.\\.')) AS DOUBLE) / nz, 6) <= 0.1)
+                   AS passes
+            FROM tk
+        """,
+        "q_text_scrub_pii": r"""
+            SELECT doc_id,
+                   regexp_replace(regexp_replace(regexp_replace(
+                     text || ' contact user' || CAST(doc_id AS VARCHAR)
+                          || '@example.com via https://ex.com/u/'
+                          || CAST(doc_id AS VARCHAR) || ' or 555-123-4567',
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                     'https?://[^\s]+', '<URL>', 'g'),
+                     '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g') AS scrubbed
+            FROM documents
+        """,
+        "q_scd2_history": """
+            SELECT user_id, event_id, event_type,
+                   epoch_us(ts) AS valid_from_us,
+                   lead(epoch_us(ts)) OVER w AS valid_to_us,
+                   (lead(epoch_us(ts)) OVER w IS NULL) AS is_current
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        """,
+        "q_tpch_q4_priority": """
+            SELECT o_orderpriority, count(*) AS order_count
+            FROM orders o
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+              AND EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey
+                            AND l.l_shipdate > o.o_orderdate)
+            GROUP BY o_orderpriority
+        """,
+        "q_tpch_q14_promo": """
+            SELECT round(100.0 *
+                     CAST(sum(CASE WHEN p_type = 'ECONOMY'
+                                   THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                                   ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+                     / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE),
+                   6) AS promo_share_pct
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+              AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        """,
+        "q_pivot_event_day": """
+            SELECT strftime(ts, '%Y%m%d') AS day,
+                   count(*) FILTER (event_type = 'click') AS n_click,
+                   count(*) FILTER (event_type = 'error') AS n_error,
+                   count(*) FILTER (event_type = 'purchase') AS n_purchase,
+                   count(*) FILTER (event_type = 'signup') AS n_signup,
+                   count(*) FILTER (event_type = 'view') AS n_view
+            FROM events GROUP BY 1
+        """,
+        "q_approx_distinct_guard": """
+            SELECT event_type, count(DISTINCT user_id) AS n_exact
+            FROM events GROUP BY event_type
+        """,
+        "q_sim_batch_topk": f"""
+            WITH q AS (
+              SELECT vec_id AS q_id, embedding AS q_vec
+              FROM embeddings WHERE vec_id % 97 = 0
+            ),
+            p AS (
+              SELECT q.q_id, e.vec_id,
+                     round(({_DOT64.format(a="e.embedding", b="q.q_vec")})
+                           / (sqrt({_DOT64.format(a="e.embedding", b="e.embedding")})
+                              * sqrt({_DOT64.format(a="q.q_vec", b="q.q_vec")})), 6) AS score
+              FROM embeddings e CROSS JOIN q
+              WHERE e.vec_id <> q.q_id
+            )
+            SELECT q_id, "rank", vec_id, score FROM (
+              SELECT q_id, vec_id, score,
+                     CAST(row_number() OVER (
+                       PARTITION BY q_id ORDER BY score DESC, vec_id
+                     ) AS INT) AS "rank"
+              FROM p
+            ) WHERE "rank" <= 3
         """,
     }

@@ -83,6 +83,63 @@ def cosine_above(
     ).filter(F.col("score") >= threshold)
 
 
+def batch_cosine_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+    salt_buckets: int = 32,
+) -> DataFrame:
+    """k-NN join: exact top-k candidates (by cosine) for EVERY row of a
+    small query set — the batch form of :func:`cosine_topk`.
+
+    Plan, designed for |queries| ≪ |embeddings| at 100 TB:
+
+    1. ``broadcast(queries)`` cross join — map-only pair scoring, no
+       shuffle of the big side; N×Q narrow (q_id, id, score) rows.
+    2. Salted local top-k: window over (q_id, pmod(id, salt_buckets)).
+       A plain window over q_id alone would hash N×Q rows into only Q
+       partitions — a guaranteed skew hot-spot when Q is small. The salt
+       spreads each query's candidates over ``salt_buckets`` reducers,
+       and a per-(query, salt) top-k is a superset of the global top-k.
+    3. Global top-k over the reduced (Q × salt_buckets × k) rows — tiny.
+
+    Deterministic tiebreak (score DESC, id ASC) end-to-end, so results
+    are exact and oracle-comparable.
+    """
+    from pyspark.sql import Window  # noqa: PLC0415
+    from pyspark.sql.functions import broadcast  # noqa: PLC0415
+
+    q = queries.select(F.col(q_id_col), F.col(q_vec_col))
+    pairs = (
+        embeddings.select(F.col(id_col), F.col(vec_col))
+        .join(broadcast(q), F.col(id_col) != F.col(q_id_col))
+        .select(
+            F.col(q_id_col),
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col), F.col(q_vec_col)), 6).alias("score"),
+        )
+    )
+    order = [F.desc("score"), F.col(id_col)]
+    local = Window.partitionBy(
+        F.col(q_id_col), F.pmod(F.col(id_col), F.lit(salt_buckets))
+    ).orderBy(*order)
+    reduced = (
+        pairs.withColumn("_rn", F.row_number().over(local))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+    final = Window.partitionBy(q_id_col).orderBy(*order)
+    return (
+        reduced.withColumn("rank", F.row_number().over(final))
+        .filter(F.col("rank") <= k)
+        .select(q_id_col, "rank", id_col, "score")
+    )
+
+
 def _hyperplane(plane: int, dims: int) -> Column:
     """Deterministic pseudo-random hyperplane: component d ∈ [-0.5, 0.5)
     from integer mixing of (plane, d). Pure arithmetic → same plane on any

@@ -140,3 +140,107 @@ def bpe_ish_token_count(col: Column | str) -> Column:
     dialect with regexp_extract_all."""
     c = F.col(col) if isinstance(col, str) else col
     return F.size(F.regexp_extract_all(c, F.lit(BPE_ISH_PATTERN), F.lit(0)))
+
+
+def dup_ngram_fraction(col: Column | str, n: int = 3) -> Column:
+    """Fraction of word n-grams that are repeats of an earlier n-gram in
+    the same document — the Gopher-style repetition signal (Rae et al.
+    2021 §A1.1 uses duplicate 2-/3-/4-gram character fractions; this is
+    the token-level analog):
+
+        1 - distinct(ngrams) / count(ngrams)
+
+    Documents shorter than ``n`` tokens score 0.0. Pure array arithmetic
+    (transform + slice + array_distinct), no shuffle, no Python.
+    """
+    toks = tokens(col)
+    m = F.size(toks)
+    cnt = m - (n - 1)
+    # sequence() end is clamped to >=1: sequence(1, 0) would generate a
+    # DESCENDING [1, 0] and slice(toks, 0, n) throws — the cnt <= 0 branch
+    # below owns the short-document case.
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(cnt, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return F.when(cnt <= 0, F.lit(0.0)).otherwise(
+        F.round(
+            1.0 - F.size(F.array_distinct(grams)).cast("double") / cnt, 6
+        )
+    )
+
+
+def gopher_signals(col: Column | str) -> dict[str, Column]:
+    """The word-level subset of the Gopher quality rules (Rae et al. 2021,
+    Table A1) as named Columns. The line-level rules (bullet starts,
+    ellipsis ends) need multi-line documents and are omitted; everything
+    here is a pure Column expression over the whitespace token array.
+
+    - ``word_count``: whitespace tokens
+    - ``mean_word_len``: average token length
+    - ``alpha_word_frac``: fraction of tokens containing >=1 letter
+    - ``stop_hits``: tokens from the stopword list (Gopher requires >=2)
+    - ``symbol_word_ratio``: '#' or '...' marks per token
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    toks = tokens(col)
+    n = F.size(toks)
+    nz = F.greatest(n, F.lit(1))
+    total_len = F.aggregate(
+        F.transform(toks, F.length), F.lit(0), lambda a, v: a + v
+    )
+    alpha = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
+    symbols = F.size(F.regexp_extract_all(c, F.lit(r"#|\.\.\."), F.lit(0)))
+    return {
+        "word_count": n,
+        "mean_word_len": F.round(total_len.cast("double") / nz, 6),
+        "alpha_word_frac": F.round(alpha.cast("double") / nz, 6),
+        "stop_hits": stopword_count(col),
+        "symbol_word_ratio": F.round(symbols.cast("double") / nz, 6),
+    }
+
+
+def gopher_pass(
+    col: Column | str,
+    *,
+    min_words: int = 5,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 2.0,
+    max_mean_word_len: float = 10.0,
+    min_alpha_frac: float = 0.8,
+    min_stop_hits: int = 2,
+    max_symbol_ratio: float = 0.1,
+) -> Column:
+    """Boolean Gopher-rules gate. Thresholds default to the paper's
+    published values scaled to this corpus's short synthetic docs (the
+    paper uses 50..100k words; these fixtures average ~80)."""
+    s = gopher_signals(col)
+    return (
+        s["word_count"].between(min_words, max_words)
+        & s["mean_word_len"].between(min_mean_word_len, max_mean_word_len)
+        & (s["alpha_word_frac"] >= min_alpha_frac)
+        & (s["stop_hits"] >= min_stop_hits)
+        & (s["symbol_word_ratio"] <= max_symbol_ratio)
+    )
+
+
+#: PII scrub patterns → replacement tags. Deliberately simple expressions
+#: that parse identically under Java regex (Spark) and RE2 (DuckDB): no
+#: backreferences, no lookaround. Order matters — emails before bare
+#: domains would matter if a URL pattern were added that ate '@'.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"https?://[^\s]+", "<URL>"),
+    (r"\b\d{3}-\d{3}-\d{4}\b", "<PHONE>"),
+)
+
+
+def scrub_pii(col: Column | str, patterns=PII_PATTERNS) -> Column:
+    """Redact emails / URLs / phone numbers with typed tags — the standard
+    pre-training scrub pass. Chained ``regexp_replace`` stays inside
+    whole-stage codegen; at 100 TB this is a map-only pass with zero
+    shuffle."""
+    c = F.col(col) if isinstance(col, str) else col
+    for pat, tag in patterns:
+        c = F.regexp_replace(c, pat, tag)
+    return c

@@ -343,3 +343,33 @@ def test_duplicate_components_matches_union_find(spark):
         }
         assert got == expect, (trial, edges)
         caching.release_intermediates()
+
+
+# ---------------------------------------------------------------------------
+# batch k-NN join (round 3)
+# ---------------------------------------------------------------------------
+
+
+def test_batch_cosine_topk_matches_single_query(spark):
+    import numpy as np
+    from linz_bde_uploader_spark.functions import similarity as S
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(7)
+    vecs = [(i, [float(x) for x in rng.normal(size=8)]) for i in range(40)]
+    e = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    q = e.filter(F.col("vec_id") % 13 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    batch = {
+        (r.q_id, r.rank): (r.vec_id, r.score)
+        for r in S.batch_cosine_topk(e, q, k=4).collect()
+    }
+    # each query's block must equal the single-query operator's answer
+    for q_id in (0, 13, 26, 39):
+        qv = vecs[q_id][1]
+        single = S.cosine_topk(e, qv, k=4, exclude_id=q_id).collect()
+        for rank, row in enumerate(single, start=1):
+            assert batch[(q_id, rank)] == (row.vec_id, row.score), (q_id, rank)
+    # exactly 4 queries x 4 ranks
+    assert len(batch) == 16

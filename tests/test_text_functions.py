@@ -96,3 +96,75 @@ def test_split_bucket_extreme_ids(spark):
         assert r.b == expect, r
     split = SP.with_split(df, "id")
     assert all(r.split is not None for r in split.collect())
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality rules / repetition / PII scrub (round 3)
+# ---------------------------------------------------------------------------
+
+
+def test_dup_ngram_fraction(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b c a b c a b c"),   # trigrams: 7 total, 3 distinct
+            (2, "one two three four"),  # 2 trigrams, both distinct
+            (3, "x y"),                 # shorter than n -> 0.0
+            (4, "solo"),                # 1 token -> 0.0
+        ],
+        ["id", "text"],
+    )
+    got = {
+        r.id: r.f
+        for r in df.select(
+            "id", X.dup_ngram_fraction("text", 3).alias("f")
+        ).collect()
+    }
+    assert got[1] == round(1 - 3 / 7, 6)
+    assert got[2] == 0.0
+    assert got[3] == 0.0
+    assert got[4] == 0.0
+
+
+def test_gopher_signals_and_pass(spark):
+    good = "the quick brown fox jumps over a lazy dog on the mat again"
+    no_stop = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    symbols = "# # # the of # a # ..."
+    df = spark.createDataFrame(
+        [(1, good), (2, no_stop), (3, symbols)], ["id", "text"]
+    )
+    s = X.gopher_signals("text")
+    rows = {
+        r.id: r
+        for r in df.select(
+            "id",
+            s["word_count"].alias("wc"),
+            s["alpha_word_frac"].alias("af"),
+            s["stop_hits"].alias("sh"),
+            s["symbol_word_ratio"].alias("sr"),
+            X.gopher_pass("text").alias("ok"),
+        ).collect()
+    }
+    assert rows[1].wc == 13 and rows[1].ok            # healthy doc
+    assert rows[2].sh == 0 and not rows[2].ok         # no stopwords
+    assert rows[3].sr > 0.1 and not rows[3].ok        # symbol-heavy
+    assert rows[1].af == 1.0
+
+
+def test_scrub_pii_redacts_typed_tags(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail bob.smith+x@corp.example.org now"),
+            (2, "see https://a.example.com/path?q=1 there"),
+            (3, "call 555-867-5309 today"),
+            (4, "clean text stays clean"),
+        ],
+        ["id", "text"],
+    )
+    got = {
+        r.id: r.s
+        for r in df.select("id", X.scrub_pii("text").alias("s")).collect()
+    }
+    assert got[1] == "mail <EMAIL> now"
+    assert got[2] == "see <URL> there"
+    assert got[3] == "call <PHONE> today"
+    assert got[4] == "clean text stays clean"
