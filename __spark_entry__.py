@@ -1276,6 +1276,122 @@ def q_sim_batch_topk(spark, sf_dir):
     )
 
 
+def q_decontaminate(spark, sf_dir):
+    # Benchmark decontamination (GPT-3-style n-gram overlap): docs whose
+    # id % 20 == 0 play the eval set; every other doc sharing a word
+    # 4-gram with it is flagged with its distinct-hit count. The bench
+    # gram set is broadcast — the corpus never shuffles its text
+    # (functions/decontaminate.py).
+    from linz_bde_uploader_spark.functions import decontaminate as DX
+
+    d = W.load(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 20 == 0)
+    corpus = d.filter(F.col("doc_id") % 20 != 0)
+    return DX.contamination_hits(corpus, bench, n=4)
+
+
+def q_stratified_sample(spark, sf_dir):
+    # Corpus mixing: keep 30% of over-represented English, 80% of French,
+    # 50% of everything else — a stateless codegen filter (CASE over the
+    # stratum + mixed-id hash), no shuffle, pushdown-friendly.
+    from linz_bde_uploader_spark.functions import sampling as SP
+
+    d = W.load(spark, sf_dir, "documents")
+    return SP.stratified_sample(
+        d, "doc_id", "lang", {"en": 30, "fr": 80}, default_rate=50
+    ).select("doc_id", "lang")
+
+
+def q_pack_sequences(spark, sf_dir):
+    # Greedy-sequential sequence packing into 256-token training packs,
+    # parallel across 8 deterministic shards (functions/packing.py —
+    # linear Arrow-batched scan per shard; the oracle replays the same
+    # recurrence as a recursive CTE).
+    from linz_bde_uploader_spark.functions import packing as PK
+
+    d = W.load(spark, sf_dir, "documents").select(
+        "doc_id", X.token_count("text").alias("n_tokens")
+    )
+    return PK.pack_sequences(d, "doc_id", "n_tokens", capacity=256, n_shards=8)
+
+
+def q_tpch_q18_bigorders(spark, sf_dir):
+    # TPC-H Q18 (large-volume customers): orders whose lineitems sum past
+    # 300 units. The HAVING subquery becomes an aggregated semi side;
+    # both engines order with a full tiebreak so LIMIT is deterministic.
+    li = W.load(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).alias("_q"))
+        .filter(F.col("_q") > 300)
+        .select("l_orderkey")
+    )
+    c = W.load(spark, sf_dir, "customer")
+    o = W.orders_current(spark, sf_dir)
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey, "left_semi")
+        .join(c, F.col("o_custkey") == c.c_custkey)
+        .join(li, F.col("o_orderkey") == li.l_orderkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"))
+        .orderBy(
+            F.col("o_totalprice").desc(), "o_orderdate", "o_orderkey"
+        )
+        .limit(100)
+    )
+
+
+def q_tpch_q19_disjunct(spark, sf_dir):
+    # TPC-H Q19 shape (disjunctive multi-attribute predicate): revenue
+    # over three OR'd brand/size/quantity branches. Catalyst pushes the
+    # common join key and evaluates the disjunction post-join in one
+    # codegen stage — no union-of-three-scans.
+    li = W.load(spark, sf_dir, "lineitem")
+    p = W.load(spark, sf_dir, "part")
+    j = li.join(p, li.l_partkey == p.p_partkey)
+    branch = (
+        (
+            (F.col("p_brand") == "Brand#11")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#22")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(5, 30)
+        )
+        | (
+            (F.col("p_brand") == "Brand#33")
+            & F.col("p_size").between(1, 35)
+            & F.col("l_quantity").between(10, 40)
+        )
+    )
+    revenue = _dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(18,2)") - _dec("l_discount")
+    )
+    return j.filter(branch).agg(
+        F.sum(revenue).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+def q_custdist(spark, sf_dir):
+    # TPC-H Q13 shape (customer order-count distribution): LEFT join so
+    # zero-order customers count in the c_count=0 bucket, then the
+    # distribution over counts — two narrow aggregations.
+    c = W.load(spark, sf_dir, "customer")
+    o = W.orders_current(spark, sf_dir)
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(c.c_custkey)
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the level-5 incremental merge end-to-end on sf0.001 —
     classify I/U/D/0/X from data presence and apply as a keyed merge."""
@@ -1339,38 +1455,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pivot_event_day": q_pivot_event_day,
         "q_approx_distinct_guard": q_approx_distinct_guard,
         "q_sim_batch_topk": q_sim_batch_topk,
-        # -- 29-50: one driver-checked representative per component family
+        # -- 29-34: NEW this session (first driver check)
+        "q_decontaminate": q_decontaminate,
+        "q_pack_sequences": q_pack_sequences,
+        "q_stratified_sample": q_stratified_sample,
+        "q_tpch_q18_bigorders": q_tpch_q18_bigorders,
+        "q_tpch_q19_disjunct": q_tpch_q19_disjunct,
+        "q_custdist": q_custdist,
+        # -- 35-50: one driver-checked representative per component family
         "q_j3_classify": q_j3_classify,
-        "q_j4_keyswap_repair": q_j4_keyswap_repair,
         "q_j5_apply_changes": q_j5_apply_changes,
         "q_j6_full_diff": q_j6_full_diff,
         "q_c9_tolerance": q_c9_tolerance,
-        "q_j7_meta_change_summary": q_j7_meta_change_summary,
         "q_s1_crs_roundtrip": q_s1_crs_roundtrip,
-        "q_s2_gzip_read": q_s2_gzip_read,
         "q_s3_discovery_pending": q_s3_discovery_pending,
-        "q_s6_stats_store": q_s6_stats_store,
         "q_s5_target_e2e": q_s5_target_e2e,
         "q_s8_change_feed": q_s8_change_feed,
         "q_p1_projection": q_p1_projection,
-        "q_p2_column_override": q_p2_column_override,
-        "q_p4_char_clean": q_p4_char_clean,
         "q_p5_utf8_clean": q_p5_utf8_clean,
-        "q_p6_date_fixup": q_p6_date_fixup,
         "q_p7_wkt_fixup": q_p7_wkt_fixup,
         "q_p8_error_budget": q_p8_error_budget,
-        "q_scalar_funcs": q_scalar_funcs,
-        "q_a43_string_agg": q_a43_string_agg,
-        "q_set_union_distinct": q_set_union_distinct,
         "q_tpch_q1_pricing": q_tpch_q1_pricing,
         "q_dedup_exact": q_dedup_exact,
         "q_dedup_minhash_pairs": q_dedup_minhash_pairs,
-        "q_dedup_simhash_pairs": q_dedup_simhash_pairs,
         "q_dedup_embed_cosine": q_dedup_embed_cosine,
+        # -- 51+: variants/extensions of already-covered families (every
+        #    entry here carries a green round-2/3 driver row and remains
+        #    oracle-checked via scripts/check_oracles.py)
+        "q_j4_keyswap_repair": q_j4_keyswap_repair,
+        "q_j7_meta_change_summary": q_j7_meta_change_summary,
+        "q_s2_gzip_read": q_s2_gzip_read,
+        "q_s6_stats_store": q_s6_stats_store,
+        "q_p2_column_override": q_p2_column_override,
+        "q_p4_char_clean": q_p4_char_clean,
+        "q_p6_date_fixup": q_p6_date_fixup,
+        "q_scalar_funcs": q_scalar_funcs,
+        "q_a43_string_agg": q_a43_string_agg,
+        "q_set_union_distinct": q_set_union_distinct,
+        "q_dedup_simhash_pairs": q_dedup_simhash_pairs,
         "q_text_tokens": q_text_tokens,
         "q_text_langid": q_text_langid,
         "q_split_assign": q_split_assign,
-        # -- 51+: variants/extensions of already-covered families
         "q_dedup_components": q_dedup_components,
         "q_j1_inc_deletes": q_j1_inc_deletes,
         "q_j2_inc_inserts": q_j2_inc_inserts,
@@ -2176,5 +2301,87 @@ def oracle_sql() -> dict[str, str]:
                      ) AS INT) AS "rank"
               FROM p
             ) WHERE "rank" <= 3
+        """,
+        "q_decontaminate": f"""
+            WITH tk AS (
+              SELECT doc_id, {_TOKS} AS toks FROM documents
+            ), g AS (
+              SELECT doc_id, array_to_string(toks[i:i+3], ' ') AS gram
+              FROM tk, unnest(generate_series(1, greatest(len(toks) - 3, 0))) AS t(i)
+            ), dg AS (
+              SELECT DISTINCT doc_id, gram FROM g
+            ), b AS (
+              SELECT DISTINCT gram FROM g WHERE doc_id % 20 = 0
+            )
+            SELECT a.doc_id, count(*) AS n_hits
+            FROM dg a JOIN b USING (gram)
+            WHERE a.doc_id % 20 <> 0
+            GROUP BY a.doc_id
+        """,
+        "q_stratified_sample": """
+            SELECT doc_id, lang FROM documents
+            WHERE ((doc_id % 2147483647) * 2654435761 % 2147483647) % 100 <
+                  CASE WHEN lang = 'en' THEN 30
+                       WHEN lang = 'fr' THEN 80
+                       ELSE 50 END
+        """,
+        # the packer's greedy-sequential recurrence replayed as a
+        # recursive CTE: one row advances per shard per iteration, so the
+        # recursion depth is the largest shard's row count. Linear-scan
+        # semantics, quadratic SQL — which is exactly why the engine-side
+        # implementation is a per-shard Arrow scan instead.
+        "q_pack_sequences": f"""
+            WITH RECURSIVE tk AS (
+              SELECT CAST(((doc_id % 2147483647) * 2654435761 % 2147483647) % 8 AS INTEGER) AS shard,
+                     doc_id,
+                     CAST(least(len({_TOKS}), 256) AS BIGINT) AS t
+              FROM documents
+            ), seq AS (
+              SELECT shard, doc_id, t,
+                     row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+              FROM tk
+            ), r AS (
+              SELECT shard, doc_id, t, rn,
+                     CAST(0 AS BIGINT) AS pack_id,
+                     CAST(0 AS BIGINT) AS pack_offset,
+                     t AS used
+              FROM seq WHERE rn = 1
+              UNION ALL
+              SELECT s.shard, s.doc_id, s.t, s.rn,
+                     CASE WHEN r.used + s.t > 256 THEN r.pack_id + 1 ELSE r.pack_id END,
+                     CASE WHEN r.used + s.t > 256 THEN CAST(0 AS BIGINT) ELSE r.used END,
+                     CASE WHEN r.used + s.t > 256 THEN s.t ELSE r.used + s.t END
+              FROM r JOIN seq s ON s.shard = r.shard AND s.rn = r.rn + 1
+            )
+            SELECT shard, doc_id, t AS clamped_tokens, pack_id, pack_offset FROM r
+        """,
+        "q_tpch_q18_bigorders": """
+            SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+            FROM customer, orders, lineitem
+            WHERE o_orderkey IN (
+                    SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+                    HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 300)
+              AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+            GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+            ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+            LIMIT 100
+        """,
+        "q_tpch_q19_disjunct": """
+            SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                            * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+                   count(*) AS n_lines
+            FROM lineitem, part
+            WHERE p_partkey = l_partkey AND (
+                  (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+               OR (p_brand = 'Brand#22' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 5 AND 30)
+               OR (p_brand = 'Brand#33' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 10 AND 40))
+        """,
+        "q_custdist": """
+            SELECT c_count, count(*) AS custdist FROM (
+              SELECT c.c_custkey, count(o_orderkey) AS c_count
+              FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+              GROUP BY c.c_custkey) t
+            GROUP BY c_count
         """,
     }

@@ -1,0 +1,101 @@
+"""Benchmark decontamination — remove train/test n-gram overlap.
+
+The standard guard against evaluation leakage in training corpora: any
+document that shares a word n-gram with a benchmark/eval set is flagged
+(and usually dropped). This is the n-gram-overlap decontamination
+described publicly for GPT-3 (Brown et al. 2020, appendix C) and PaLM;
+the reference engine has no analog (its surface stops at SQL scalar
+functions, SURVEY §2.7) — this extends the engine for LLM-pipeline use.
+
+Scale design (100 TB corpus, small benchmark set):
+
+* n-grams are generated as pure array-Column arithmetic (whole-stage
+  codegen, no Python in the row path) with the SAME tokenization as
+  ``functions.text.tokens`` so fingerprints agree across operators.
+* The benchmark gram set is tiny (eval suites are MBs, the corpus is
+  TBs) — it is ``broadcast()`` so the membership probe is a MAP-ONLY
+  broadcast left-semi join: the corpus never shuffles its text.
+* The only shuffle is the final per-doc aggregation of hit counts over
+  the (doc_id, gram) hit stream — narrow rows, partial-agg combined
+  map-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from linz_bde_uploader_spark.functions.text import tokens
+
+
+def word_ngrams(col: Column | str, n: int) -> Column:
+    """Array of space-joined word ``n``-grams; [] for docs shorter than
+    ``n`` tokens. sequence() is clamped to >= 1 because Spark's
+    sequence(1, 0) generates a DESCENDING [1, 0] (DuckDB's
+    generate_series yields empty) — the short-doc branch owns that case.
+    """
+    toks = tokens(col)
+    cnt = F.size(toks) - (n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(cnt, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return F.when(cnt <= 0, F.array().cast("array<string>")).otherwise(grams)
+
+
+def benchmark_grams(
+    bench: DataFrame, text_col: str = "text", n: int = 8
+) -> DataFrame:
+    """Distinct n-gram set of the benchmark corpus — one `gram` column.
+
+    Distinct BEFORE broadcast keeps the broadcast payload minimal; at
+    eval-suite sizes this is a few MB, far under the broadcast limit.
+    """
+    return (
+        bench.select(F.explode(word_ngrams(text_col, n)).alias("gram"))
+        .distinct()
+    )
+
+
+def contamination_hits(
+    corpus: DataFrame,
+    bench: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+) -> DataFrame:
+    """Per-document contamination evidence: (id_col, n_hits) for every
+    corpus document sharing >= 1 word n-gram with ``bench``, where
+    ``n_hits`` counts the DISTINCT shared grams.
+
+    Plan shape: corpus explodes its grams (map-only), probes the
+    broadcast benchmark set (map-only semi via inner broadcast join on
+    the distinct gram set), then one narrow shuffle aggregates hit
+    counts per document. Clean documents produce zero rows — they are
+    never shuffled at all.
+    """
+    grams = F.broadcast(benchmark_grams(bench, text_col, n))
+    corpus_grams = corpus.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(word_ngrams(text_col, n))).alias("gram"),
+    )
+    return (
+        corpus_grams.join(grams, "gram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    bench: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+) -> DataFrame:
+    """Corpus minus every document that shares an n-gram with ``bench``
+    (left-anti join on the contaminated-id set). The anti join's right
+    side is only the contaminated ids — tiny — so AQE turns it into a
+    broadcast anti join; the surviving corpus never shuffles."""
+    dirty = contamination_hits(corpus, bench, text_col, id_col, n).select(id_col)
+    return corpus.join(dirty, id_col, "left_anti")

@@ -75,6 +75,39 @@ def with_split(
     return df.withColumn(out_col, expr)
 
 
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    rates: dict[str, int],
+    default_rate: int = 0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling: keep ``rates[stratum]``% of
+    each stratum's rows (``default_rate``% for unlisted strata).
+
+    The workhorse of corpus mixing — e.g. keep 100% of a scarce language
+    and 10% of an over-represented crawl source. Still a stateless
+    codegen filter (one CASE over the stratum + the same mixed-id hash
+    as :func:`split_bucket`), so it composes with nesting: the kept set
+    at rate r is a subset of the kept set at any rate > r, per stratum.
+    """
+    for name, pct in rates.items():
+        if not 0 <= pct <= SPLIT_BUCKETS:
+            raise ValueError(f"rate for {name!r} must be within [0, 100]")
+    if not 0 <= default_rate <= SPLIT_BUCKETS:
+        raise ValueError("default_rate must be within [0, 100]")
+    s = F.col(strata_col)
+    rate = None
+    for name, pct in rates.items():
+        rate = (
+            F.when(s == name, F.lit(pct))
+            if rate is None
+            else rate.when(s == name, F.lit(pct))
+        )
+    rate = F.lit(default_rate) if rate is None else rate.otherwise(default_rate)
+    return df.filter(split_bucket(id_col) < rate)
+
+
 def deterministic_sample(
     df: DataFrame, id_col: str, percent: int
 ) -> DataFrame:

@@ -1,0 +1,154 @@
+"""Tests for sequence packing, benchmark decontamination, and stratified
+sampling — the training-pipeline operators added in round 3."""
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from linz_bde_uploader_spark.functions import decontaminate as DX
+from linz_bde_uploader_spark.functions import packing as PK
+from linz_bde_uploader_spark.functions import sampling as SP
+
+
+# ---------------------------------------------------------------- packing
+
+def _packed(spark, rows, capacity, n_shards=1):
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    out = PK.pack_sequences(df, "doc_id", "n_tokens", capacity, n_shards)
+    return {r["doc_id"]: (r["pack_id"], r["pack_offset"], r["clamped_tokens"])
+            for r in out.collect()}
+
+
+def test_pack_greedy_boundaries(spark):
+    # capacity 10: [4, 5] fill pack 0; 3 would overflow -> pack 1; 10 is
+    # an exact fit but 3 is already in pack 1 with 7 free? no — 10 > 7
+    # so it starts pack 2 and fills it exactly; 1 then opens pack 3.
+    rows = [(1, 4), (2, 5), (3, 3), (4, 10), (5, 1)]
+    got = _packed(spark, rows, capacity=10)
+    assert got == {
+        1: (0, 0, 4),
+        2: (0, 4, 5),
+        3: (1, 0, 3),
+        4: (2, 0, 10),
+        5: (3, 0, 1),
+    }
+
+
+def test_pack_clamps_overlength(spark):
+    got = _packed(spark, [(1, 25), (2, 2)], capacity=10)
+    # 25 is clamped to a full pack of 10; the next doc starts pack 1
+    assert got[1] == (0, 0, 10)
+    assert got[2] == (1, 0, 2)
+
+
+def test_pack_zero_token_docs_take_no_space(spark):
+    got = _packed(spark, [(1, 0), (2, 10), (3, 0)], capacity=10)
+    assert got[1] == (0, 0, 0)
+    assert got[2] == (0, 0, 10)
+    # a zero-token doc after a full pack still "fits" (used + 0 == cap)
+    assert got[3] == (0, 10, 0)
+
+
+def test_pack_shards_are_independent_and_deterministic(spark):
+    rows = [(i, 7) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    a = PK.pack_sequences(df, "doc_id", "n_tokens", 21, n_shards=4)
+    b = PK.pack_sequences(
+        df.repartition(7), "doc_id", "n_tokens", 21, n_shards=4
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    # every shard packs exactly 3 docs of 7 tokens per 21-token pack
+    fills = (
+        a.groupBy("shard", "pack_id")
+        .agg(F.sum("clamped_tokens").alias("fill"), F.count("*").alias("n"))
+        .collect()
+    )
+    assert all(r["fill"] <= 21 for r in fills)
+
+
+def test_pack_utilization_shape(spark):
+    df = spark.createDataFrame([(i, 8) for i in range(32)],
+                               "doc_id long, n_tokens long")
+    packed = PK.pack_sequences(df, "doc_id", "n_tokens", 16, n_shards=2)
+    util = PK.pack_utilization(packed, 16).collect()
+    assert {r["shard"] for r in util} <= {0, 1}
+    for r in util:
+        assert 0.0 < r["mean_fill"] <= 1.0
+
+
+# ----------------------------------------------------------- decontaminate
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_word_ngrams_short_doc_is_empty(spark):
+    df = _docs(spark, ["a b", "a b c d"])
+    got = {r["doc_id"]: r["g"] for r in df.select(
+        "doc_id", DX.word_ngrams("text", 3).alias("g")).collect()}
+    assert got[0] == []
+    assert got[1] == ["a b c", "b c d"]
+
+
+def test_contamination_hits_counts_distinct_shared_grams(spark):
+    bench = _docs(spark, ["the quick brown fox jumps"])
+    corpus = spark.createDataFrame(
+        [
+            (10, "xx the quick brown fox yy the quick brown fox"),  # 2 shared grams, each twice
+            (11, "totally clean document here"),
+            (12, "fox jumps high quick brown fox jumps"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["n_hits"]
+           for r in DX.contamination_hits(corpus, bench, n=4).collect()}
+    # doc 10 shares 'the quick brown fox' + 'quick brown fox yy'? no —
+    # bench grams are only from the bench text: {'the quick brown fox',
+    # 'quick brown fox jumps'}. doc 10 matches the first (deduped to 1
+    # hit despite appearing twice); doc 12 matches 'quick brown fox jumps'.
+    assert got == {10: 1, 12: 1}
+
+
+def test_decontaminate_drops_only_contaminated(spark):
+    bench = _docs(spark, ["one two three four"])
+    corpus = spark.createDataFrame(
+        [(20, "zz one two three four zz"), (21, "five six seven eight nine")],
+        "doc_id long, text string",
+    )
+    kept = DX.decontaminate(corpus, bench, n=4).select("doc_id").collect()
+    assert [r["doc_id"] for r in kept] == [21]
+
+
+def test_contamination_plan_broadcasts_bench(spark):
+    bench = _docs(spark, ["a b c d e"])
+    corpus = _docs(spark, ["c d e f g"])
+    plan = DX.contamination_hits(corpus, bench, n=4)
+    explained = plan._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in explained
+
+
+# ------------------------------------------------------ stratified sample
+
+def test_stratified_sample_rates_and_nesting(spark):
+    rows = [(i, "en" if i % 2 == 0 else "fr") for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    s30 = SP.stratified_sample(df, "doc_id", "lang", {"en": 30, "fr": 80})
+    kept = s30.groupBy("lang").count().collect()
+    frac = {r["lang"]: r["count"] / 1000 for r in kept}
+    assert 0.2 < frac["en"] < 0.4
+    assert 0.7 < frac["fr"] < 0.9
+    # nesting: the 10% English sample is a subset of the 30% one
+    s10 = SP.stratified_sample(df, "doc_id", "lang", {"en": 10, "fr": 80})
+    ids30 = {r["doc_id"] for r in s30.filter("lang='en'").collect()}
+    ids10 = {r["doc_id"] for r in s10.filter("lang='en'").collect()}
+    assert ids10 <= ids30
+
+
+def test_stratified_sample_default_rate_and_validation(spark):
+    df = spark.createDataFrame([(1, "zz")], "doc_id long, lang string")
+    assert SP.stratified_sample(df, "doc_id", "lang", {}, 100).count() == 1
+    assert SP.stratified_sample(df, "doc_id", "lang", {}, 0).count() == 0
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        SP.stratified_sample(df, "doc_id", "lang", {"en": 101})
