@@ -1392,6 +1392,37 @@ def q_custdist(spark, sf_dir):
     )
 
 
+def q_text_line_quality(spark, sf_dir):
+    # LINE-level Gopher rules (duplicate/bullet/ellipsis line fractions)
+    # — the corpus is single-line, so a deterministic multi-line shape is
+    # synthesized first (exact string replaces, no regex divergence
+    # between engines), mirroring how q_text_scrub_pii injects PII.
+    d = W.load(spark, sf_dir, "documents")
+    ml = F.replace(
+        F.replace(F.col("text"), F.lit(" merge"), F.lit("\n- merge")),
+        F.lit(" join"),
+        F.lit("...\njoin"),
+    )
+    s = X.line_signals(ml)
+    return d.select(
+        "doc_id",
+        s["n_lines"].cast("long").alias("n_lines"),
+        s["dup_line_frac"].alias("dup_line_frac"),
+        s["bullet_line_frac"].alias("bullet_line_frac"),
+        s["ellipsis_line_frac"].alias("ellipsis_line_frac"),
+    )
+
+
+def q_tfidf_topk(spark, sf_dir):
+    # Corpus-level TF-IDF keyword extraction: top-3 characteristic terms
+    # per doc. IDF is the exact rational (N+1)/(df+1) — ln() is the one
+    # libm call engines disagree on in the last ulp (functions/tfidf.py).
+    from linz_bde_uploader_spark.functions import tfidf as TI
+
+    d = W.load(spark, sf_dir, "documents")
+    return TI.tfidf_topk(d, k=3)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the level-5 incremental merge end-to-end on sf0.001 —
     classify I/U/D/0/X from data presence and apply as a keyed merge."""
@@ -1462,7 +1493,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tpch_q18_bigorders": q_tpch_q18_bigorders,
         "q_tpch_q19_disjunct": q_tpch_q19_disjunct,
         "q_custdist": q_custdist,
-        # -- 35-50: one driver-checked representative per component family
+        "q_text_line_quality": q_text_line_quality,
+        "q_tfidf_topk": q_tfidf_topk,
+        # -- one driver-checked representative per component family
         "q_j3_classify": q_j3_classify,
         "q_j5_apply_changes": q_j5_apply_changes,
         "q_j6_full_diff": q_j6_full_diff,
@@ -1470,20 +1503,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_s1_crs_roundtrip": q_s1_crs_roundtrip,
         "q_s3_discovery_pending": q_s3_discovery_pending,
         "q_s5_target_e2e": q_s5_target_e2e,
-        "q_s8_change_feed": q_s8_change_feed,
         "q_p1_projection": q_p1_projection,
         "q_p5_utf8_clean": q_p5_utf8_clean,
         "q_p7_wkt_fixup": q_p7_wkt_fixup,
         "q_p8_error_budget": q_p8_error_budget,
         "q_tpch_q1_pricing": q_tpch_q1_pricing,
         "q_dedup_exact": q_dedup_exact,
-        "q_dedup_minhash_pairs": q_dedup_minhash_pairs,
         "q_dedup_embed_cosine": q_dedup_embed_cosine,
         # -- 51+: variants/extensions of already-covered families (every
         #    entry here carries a green round-2/3 driver row and remains
         #    oracle-checked via scripts/check_oracles.py)
         "q_j4_keyswap_repair": q_j4_keyswap_repair,
         "q_j7_meta_change_summary": q_j7_meta_change_summary,
+        "q_s8_change_feed": q_s8_change_feed,
+        "q_dedup_minhash_pairs": q_dedup_minhash_pairs,
         "q_s2_gzip_read": q_s2_gzip_read,
         "q_s6_stats_store": q_s6_stats_store,
         "q_p2_column_override": q_p2_column_override,
@@ -2383,5 +2416,52 @@ def oracle_sql() -> dict[str, str]:
               FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
               GROUP BY c.c_custkey) t
             GROUP BY c_count
+        """,
+        "q_text_line_quality": """
+            WITH ml AS (
+              SELECT doc_id,
+                     replace(replace(text, ' merge', chr(10) || '- merge'),
+                             ' join', '...' || chr(10) || 'join') AS t
+              FROM documents
+            ), ln AS (
+              SELECT doc_id,
+                     list_filter(list_transform(string_split(t, chr(10)),
+                                                x -> trim(x)),
+                                 x -> len(x) > 0) AS lines
+              FROM ml
+            )
+            SELECT doc_id,
+                   CAST(len(lines) AS BIGINT) AS n_lines,
+                   round(CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE)
+                         / greatest(len(lines), 1), 6) AS dup_line_frac,
+                   round(CAST(len(list_filter(lines, x -> regexp_matches(x, '^(-|\\*|•)'))) AS DOUBLE)
+                         / greatest(len(lines), 1), 6) AS bullet_line_frac,
+                   round(CAST(len(list_filter(lines, x -> regexp_matches(x, '(\\.\\.\\.|…)$'))) AS DOUBLE)
+                         / greatest(len(lines), 1), 6) AS ellipsis_line_frac
+            FROM ln
+        """,
+        "q_tfidf_topk": f"""
+            WITH dtc AS (
+              SELECT doc_id, term, count(*) AS tf
+              FROM (SELECT doc_id, unnest({_TOKS}) AS term FROM documents) u
+              WHERE len(term) > 0
+              GROUP BY doc_id, term
+            ), dfq AS (
+              SELECT term, count(*) AS df FROM dtc GROUP BY term
+            ), n AS (
+              SELECT count(DISTINCT doc_id) AS nd FROM documents
+            ), scored AS (
+              SELECT doc_id, dtc.term,
+                     round(CAST(tf AS DOUBLE) * CAST(nd + 1 AS DOUBLE)
+                           / CAST(df + 1 AS DOUBLE), 6) AS weight
+              FROM dtc JOIN dfq USING (term) CROSS JOIN n
+            )
+            SELECT doc_id, "rank", term, weight FROM (
+              SELECT doc_id, term, weight,
+                     CAST(row_number() OVER (
+                       PARTITION BY doc_id ORDER BY weight DESC, term
+                     ) AS INT) AS "rank"
+              FROM scored
+            ) WHERE "rank" <= 3
         """,
     }

@@ -224,6 +224,41 @@ def gopher_pass(
     )
 
 
+def line_signals(col: Column | str) -> dict[str, Column]:
+    """The LINE-level Gopher repetition/format rules (Rae et al. 2021,
+    Table A1) — the complement of :func:`gopher_signals`'s word-level
+    subset. Lines are newline-separated; single-line documents score 0
+    duplicates and whatever their one line starts/ends with.
+
+    - ``n_lines``: newline-split line count (blank lines excluded)
+    - ``dup_line_frac``: fraction of lines that repeat an earlier line
+    - ``bullet_line_frac``: lines starting with a bullet mark (-, *, •)
+    - ``ellipsis_line_frac``: lines ending in '...' or '…'
+
+    Pure array-Column arithmetic — map-only, oracle-expressible.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    # NB: the explicit lambda matters — a bare F.trim would be bound by
+    # transform() as the two-arg (element, index) form, i.e. the
+    # deprecated trim(str, trimStr) overload, silently trimming digits.
+    lines = F.filter(
+        F.transform(F.split(c, "\n"), lambda t: F.trim(t)),
+        lambda t: F.length(t) > 0,
+    )
+    n = F.size(lines)
+    nz = F.greatest(n, F.lit(1))
+    bullets = F.size(F.filter(lines, lambda t: t.rlike("^(-|\\*|•)")))
+    ellipsis = F.size(F.filter(lines, lambda t: t.rlike("(\\.\\.\\.|…)$")))
+    return {
+        "n_lines": n,
+        "dup_line_frac": F.round(
+            (n - F.size(F.array_distinct(lines))).cast("double") / nz, 6
+        ),
+        "bullet_line_frac": F.round(bullets.cast("double") / nz, 6),
+        "ellipsis_line_frac": F.round(ellipsis.cast("double") / nz, 6),
+    }
+
+
 #: PII scrub patterns → replacement tags. Deliberately simple expressions
 #: that parse identically under Java regex (Spark) and RE2 (DuckDB): no
 #: backreferences, no lookaround. Order matters — emails before bare

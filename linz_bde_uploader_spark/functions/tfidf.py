@@ -1,0 +1,80 @@
+"""Corpus-level term weighting — TF-IDF keyword extraction.
+
+Ranks each document's terms by how characteristic they are of THAT
+document against the whole corpus: term frequency × inverse document
+frequency. Used in pipelines for keyword tagging, near-dup explanation,
+and cheap topic features before any model runs.
+
+Determinism note: the IDF here is the exact rational ``(N + 1) /
+(df + 1)`` (add-one smoothed), NOT its logarithm — ``ln`` is the one
+place where two engines' libm implementations can disagree in the last
+ulp and break cross-engine hash equality. The ranking is monotone in
+either form, so top-k per document is identical; the reported weight is
+the rational one rounded to 6 dp.
+
+Scale design (100 TB corpus):
+- one shuffle for (doc, term) counts with map-side partial aggregation;
+- document frequency derives from that same aggregate (no second pass
+  over raw text);
+- the per-term df table is orders of magnitude smaller than the corpus
+  (vocabulary vs. tokens) — the join back is a plain shuffle join that
+  AQE will broadcast when the vocab fits;
+- top-k per document is one window pass with a unique tiebreak.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from linz_bde_uploader_spark.functions.text import tokens
+
+
+def doc_term_counts(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, term, tf) — whitespace terms, one shuffle, partial-agg
+    combined map-side. Empty terms (from stray separators) are dropped."""
+    return (
+        docs.select(
+            F.col(id_col), F.explode(tokens(text_col)).alias("term")
+        )
+        .filter(F.length("term") > 0)
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def tfidf_topk(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Top-``k`` characteristic terms per document: (id, rank, term,
+    weight) where ``weight = tf * (N + 1) / (df + 1)`` rounded to 6 dp.
+    Ties break on the term string, so the ranking is total and
+    engine-independent."""
+    n_docs = docs.select(id_col).distinct().count()
+    dtc = doc_term_counts(docs, id_col, text_col)
+    df_by_term = dtc.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    scored = dtc.join(df_by_term, "term").select(
+        F.col(id_col),
+        F.col("term"),
+        F.round(
+            F.col("tf").cast("double")
+            * F.lit(float(n_docs + 1))
+            / (F.col("df") + F.lit(1)).cast("double"),
+            6,
+        ).alias("weight"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("weight").desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "rank", "term", "weight")
+    )

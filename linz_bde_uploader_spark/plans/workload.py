@@ -57,18 +57,33 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The events table with its TIMESTAMP(NANOS) column made usable.
+    """The events table with a layout-independent timestamp contract.
 
-    The synthetic events.parquet stores nanosecond timestamps, which Spark
-    cannot read natively — ``spark.sql.legacy.parquet.nanosAsLong`` turns
-    the column into raw nanos (long). ``ts_ntz`` is the µs-truncated
-    wall-clock timestamp (exactly what a µs-precision reader like DuckDB
-    sees), ``ts`` stays raw nanos for exact arithmetic.
+    The synthetic events.parquet has shipped in two physical layouts:
+    TIMESTAMP(NANOS) (readable only as raw int64 nanos via
+    ``spark.sql.legacy.parquet.nanosAsLong``) and plain TIMESTAMP(MICROS).
+    Downstream operators rely on a fixed contract regardless:
+
+    - ``ts``      BIGINT epoch **nanos** (exact integer arithmetic)
+    - ``ts_ntz``  µs wall-clock ``timestamp_ntz`` (what a µs-precision
+      reader like DuckDB sees)
+
+    so this reader normalizes whichever layout it finds into that shape.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     e = load(spark, sf_dir, "events")
-    ts_ntz = F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
-    return e.withColumn("ts_ntz", ts_ntz)
+    ts_type = dict(e.dtypes)["ts"]
+    if ts_type == "bigint":  # nanos-as-long layout
+        ts_ntz = F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+        return e.withColumn("ts_ntz", ts_ntz)
+    # native µs timestamp layout: synthesize the raw-nanos column.
+    # unix_micros needs TIMESTAMP; the session runs UTC (session.py), so
+    # the ntz→ltz cast is epoch-identity.
+    ts_ntz = F.col("ts").cast("timestamp_ntz")
+    return (
+        e.withColumn("ts_ntz", ts_ntz)
+        .withColumn("ts", F.unix_micros(ts_ntz.cast("timestamp")) * F.lit(1000))
+    )
 
 
 def orders_current(spark: SparkSession, sf_dir: str) -> DataFrame:

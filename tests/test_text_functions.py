@@ -168,3 +168,52 @@ def test_scrub_pii_redacts_typed_tags(spark):
     assert got[2] == "see <URL> there"
     assert got[3] == "call <PHONE> today"
     assert got[4] == "clean text stays clean"
+
+
+def test_line_signals_fractions(spark):
+    text = "alpha beta\n- bullet one\n- bullet one\nends with...\n\n  \ngamma"
+    df = spark.createDataFrame([(1, text)], ["id", "text"])
+    s = X.line_signals("text")
+    row = df.select(
+        s["n_lines"].alias("n"),
+        s["dup_line_frac"].alias("d"),
+        s["bullet_line_frac"].alias("b"),
+        s["ellipsis_line_frac"].alias("e"),
+    ).collect()[0]
+    # 5 non-blank lines; '- bullet one' repeats once; 2 bullets; 1 ellipsis
+    assert row["n"] == 5
+    assert row["d"] == round(1 / 5, 6)
+    assert row["b"] == round(2 / 5, 6)
+    assert row["e"] == round(1 / 5, 6)
+
+
+def test_line_signals_single_line_doc(spark):
+    df = spark.createDataFrame([(1, "just one line")], ["id", "text"])
+    s = X.line_signals("text")
+    row = df.select(
+        s["n_lines"].alias("n"), s["dup_line_frac"].alias("d")
+    ).collect()[0]
+    assert row["n"] == 1 and row["d"] == 0.0
+
+
+def test_tfidf_topk_ranks_rare_terms_highest(spark):
+    from linz_bde_uploader_spark.functions.tfidf import tfidf_topk
+
+    df = spark.createDataFrame(
+        [
+            (1, "common common unique1"),
+            (2, "common zebra zebra"),
+            (3, "common plain words"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = tfidf_topk(df, k=2).collect()
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r["doc_id"], []).append((r["rank"], r["term"], r["weight"]))
+    # doc 1: 'unique1' df=1 -> weight 1*4/2=2.0 ; 'common' df=3 -> 2*4/4=2.0
+    # tie broken by term: 'common' < 'unique1'
+    assert [t[1] for t in sorted(by_doc[1])] == ["common", "unique1"]
+    # doc 2: 'zebra' tf=2 df=1 -> 2*4/2=4.0 beats 'common' 1*4/4=1.0
+    assert sorted(by_doc[2])[0][1] == "zebra"
+    assert sorted(by_doc[2])[0][2] == 4.0
