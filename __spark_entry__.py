@@ -1392,6 +1392,19 @@ def q_custdist(spark, sf_dir):
     )
 
 
+def q_mm_frame_sample(spark, sf_dir):
+    # Frame sampling over opaque media payloads: every 16th byte of each
+    # blob (the video frame-sample analog), hex-encoded for the oracle.
+    # Arrow-vectorized numpy slice per value, no shuffle
+    # (functions/multimodal.py::frame_sample).
+    d = W.load(spark, sf_dir, "documents")
+    media = M.synth_media(d, "doc_id", "text")
+    return media.select(
+        "media_id",
+        F.hex(M.frame_sample("content", 16)).alias("frames_hex"),
+    )
+
+
 def q_text_line_quality(spark, sf_dir):
     # LINE-level Gopher rules (duplicate/bullet/ellipsis line fractions)
     # — the corpus is single-line, so a deterministic multi-line shape is
@@ -1495,6 +1508,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_custdist": q_custdist,
         "q_text_line_quality": q_text_line_quality,
         "q_tfidf_topk": q_tfidf_topk,
+        "q_mm_frame_sample": q_mm_frame_sample,
         # -- one driver-checked representative per component family
         "q_j3_classify": q_j3_classify,
         "q_j5_apply_changes": q_j5_apply_changes,
@@ -1506,7 +1520,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_p1_projection": q_p1_projection,
         "q_p5_utf8_clean": q_p5_utf8_clean,
         "q_p7_wkt_fixup": q_p7_wkt_fixup,
-        "q_p8_error_budget": q_p8_error_budget,
         "q_tpch_q1_pricing": q_tpch_q1_pricing,
         "q_dedup_exact": q_dedup_exact,
         "q_dedup_embed_cosine": q_dedup_embed_cosine,
@@ -1517,6 +1530,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_j7_meta_change_summary": q_j7_meta_change_summary,
         "q_s8_change_feed": q_s8_change_feed,
         "q_dedup_minhash_pairs": q_dedup_minhash_pairs,
+        "q_p8_error_budget": q_p8_error_budget,
         "q_s2_gzip_read": q_s2_gzip_read,
         "q_s6_stats_store": q_s6_stats_store,
         "q_p2_column_override": q_p2_column_override,
@@ -2416,6 +2430,13 @@ def oracle_sql() -> dict[str, str]:
               FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
               GROUP BY c.c_custkey) t
             GROUP BY c_count
+        """,
+        "q_mm_frame_sample": """
+            SELECT doc_id AS media_id,
+                   hex(CAST(array_to_string(
+                     list_transform(generate_series(1, len(text), 16),
+                                    i -> text[i:i]), '') AS BLOB)) AS frames_hex
+            FROM documents
         """,
         "q_text_line_quality": """
             WITH ml AS (
