@@ -1405,6 +1405,24 @@ def q_mm_frame_sample(spark, sf_dir):
     )
 
 
+def q_boilerplate_removal(spark, sf_dir):
+    # C4-style cross-document boilerplate removal: lines occurring in >2
+    # distinct docs are dropped, documents rebuilt in line order. The
+    # corpus is single-line, so the same deterministic multi-line shape
+    # as q_text_line_quality is synthesized first
+    # (functions/boilerplate.py — broadcast boilerplate set, map-only
+    # anti probe).
+    from linz_bde_uploader_spark.functions import boilerplate as BP
+
+    d = W.load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.replace(
+            F.col("text"), F.lit(" merge"), F.lit("\n- merge")
+        ).alias("text"),
+    )
+    return BP.remove_boilerplate_lines(d, max_df=2)
+
+
 def q_text_line_quality(spark, sf_dir):
     # LINE-level Gopher rules (duplicate/bullet/ellipsis line fractions)
     # — the corpus is single-line, so a deterministic multi-line shape is
@@ -1509,10 +1527,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_text_line_quality": q_text_line_quality,
         "q_tfidf_topk": q_tfidf_topk,
         "q_mm_frame_sample": q_mm_frame_sample,
+        "q_boilerplate_removal": q_boilerplate_removal,
         # -- one driver-checked representative per component family
         "q_j3_classify": q_j3_classify,
         "q_j5_apply_changes": q_j5_apply_changes,
-        "q_j6_full_diff": q_j6_full_diff,
         "q_c9_tolerance": q_c9_tolerance,
         "q_s1_crs_roundtrip": q_s1_crs_roundtrip,
         "q_s3_discovery_pending": q_s3_discovery_pending,
@@ -1531,6 +1549,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_s8_change_feed": q_s8_change_feed,
         "q_dedup_minhash_pairs": q_dedup_minhash_pairs,
         "q_p8_error_budget": q_p8_error_budget,
+        "q_j6_full_diff": q_j6_full_diff,
         "q_s2_gzip_read": q_s2_gzip_read,
         "q_s6_stats_store": q_s6_stats_store,
         "q_p2_column_override": q_p2_column_override,
@@ -2430,6 +2449,27 @@ def oracle_sql() -> dict[str, str]:
               FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
               GROUP BY c.c_custkey) t
             GROUP BY c_count
+        """,
+        "q_boilerplate_removal": """
+            WITH ml AS (
+              SELECT doc_id, replace(text, ' merge', chr(10) || '- merge') AS t
+              FROM documents
+            ), ls AS (
+              SELECT doc_id, string_split(t, chr(10)) AS arr FROM ml
+            ), ln AS (
+              SELECT doc_id, i AS pos, trim(arr[i]) AS line
+              FROM ls, unnest(generate_series(1, len(arr))) u(i)
+              WHERE len(trim(arr[i])) > 0
+            ), dfc AS (
+              SELECT line, count(DISTINCT doc_id) AS df FROM ln GROUP BY line
+            ), kept AS (
+              SELECT ln.doc_id, ln.pos, ln.line
+              FROM ln JOIN dfc USING (line) WHERE dfc.df <= 2
+            )
+            SELECT d.doc_id,
+                   coalesce(string_agg(k.line, chr(10) ORDER BY k.pos), '') AS cleaned
+            FROM documents d LEFT JOIN kept k ON d.doc_id = k.doc_id
+            GROUP BY d.doc_id
         """,
         "q_mm_frame_sample": """
             SELECT doc_id AS media_id,

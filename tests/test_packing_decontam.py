@@ -152,3 +152,52 @@ def test_stratified_sample_default_rate_and_validation(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         SP.stratified_sample(df, "doc_id", "lang", {"en": 101})
+
+
+# ------------------------------------------------------- boilerplate
+
+def test_boilerplate_lines_removed_and_order_kept(spark):
+    from linz_bde_uploader_spark.functions import boilerplate as BP
+
+    docs = spark.createDataFrame(
+        [
+            (1, "unique alpha\ncookie banner\nunique beta"),
+            (2, "cookie banner\nown content two"),
+            (3, "own content three\ncookie banner"),
+            (4, "cookie banner\n\n  \ncookie banner"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["cleaned"]
+           for r in BP.remove_boilerplate_lines(docs, max_df=2).collect()}
+    # 'cookie banner' appears in 3 distinct docs -> boilerplate (df>2)
+    assert out[1] == "unique alpha\nunique beta"
+    assert out[2] == "own content two"
+    assert out[3] == "own content three"
+    # doc 4 was ALL boilerplate/blank -> stable row with empty text
+    assert out[4] == ""
+
+
+def test_boilerplate_df_counts_distinct_docs_not_occurrences(spark):
+    from linz_bde_uploader_spark.functions import boilerplate as BP
+
+    docs = spark.createDataFrame(
+        [(1, "x\nx\nx\nkeep me"), (2, "other")],
+        "doc_id long, text string",
+    )
+    # 'x' occurs 3 times but only in ONE doc -> df=1, not boilerplate
+    out = {r["doc_id"]: r["cleaned"]
+           for r in BP.remove_boilerplate_lines(docs, max_df=2).collect()}
+    assert out[1] == "x\nx\nx\nkeep me"
+
+
+def test_boilerplate_probe_is_broadcast(spark):
+    from linz_bde_uploader_spark.functions import boilerplate as BP
+
+    docs = spark.createDataFrame(
+        [(i, f"line {i}\nshared") for i in range(10)],
+        "doc_id long, text string",
+    )
+    plan = BP.remove_boilerplate_lines(docs)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
