@@ -1423,6 +1423,25 @@ def q_boilerplate_removal(spark, sf_dir):
     return BP.remove_boilerplate_lines(d, max_df=2)
 
 
+def q_pipeline_e2e(spark, sf_dir):
+    # The whole preprocessing funnel as ONE Catalyst plan: Gopher quality
+    # gate → language filter → PII scrub → position-sensitive fingerprint
+    # → exact-dedup winner (min id per fingerprint) → token count. All
+    # map-only except the winner aggregation + semi join; at 100 TB the
+    # funnel's selectivity applies before anything wide happens.
+    d = W.load(spark, sf_dir, "documents")
+    gated = d.filter(X.gopher_pass("text") & (X.lang_guess("text") == "en"))
+    enriched = gated.select(
+        "doc_id",
+        X.scrub_pii(F.col("text")).alias("scrubbed"),
+        X.fingerprint("text").alias("fp"),
+    )
+    winners = enriched.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    return enriched.join(winners, ["fp", "doc_id"], "left_semi").select(
+        "doc_id", "fp", X.token_count("scrubbed").cast("long").alias("n_tokens")
+    )
+
+
 def q_text_line_quality(spark, sf_dir):
     # LINE-level Gopher rules (duplicate/bullet/ellipsis line fractions)
     # — the corpus is single-line, so a deterministic multi-line shape is
@@ -1528,6 +1547,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tfidf_topk": q_tfidf_topk,
         "q_mm_frame_sample": q_mm_frame_sample,
         "q_boilerplate_removal": q_boilerplate_removal,
+        "q_pipeline_e2e": q_pipeline_e2e,
         # -- one driver-checked representative per component family
         "q_j3_classify": q_j3_classify,
         "q_j5_apply_changes": q_j5_apply_changes,
@@ -1539,7 +1559,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_p5_utf8_clean": q_p5_utf8_clean,
         "q_p7_wkt_fixup": q_p7_wkt_fixup,
         "q_tpch_q1_pricing": q_tpch_q1_pricing,
-        "q_dedup_exact": q_dedup_exact,
         "q_dedup_embed_cosine": q_dedup_embed_cosine,
         # -- 51+: variants/extensions of already-covered families (every
         #    entry here carries a green round-2/3 driver row and remains
@@ -1550,6 +1569,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_minhash_pairs": q_dedup_minhash_pairs,
         "q_p8_error_budget": q_p8_error_budget,
         "q_j6_full_diff": q_j6_full_diff,
+        "q_dedup_exact": q_dedup_exact,
         "q_s2_gzip_read": q_s2_gzip_read,
         "q_s6_stats_store": q_s6_stats_store,
         "q_p2_column_override": q_p2_column_override,
@@ -2449,6 +2469,34 @@ def oracle_sql() -> dict[str, str]:
               FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
               GROUP BY c.c_custkey) t
             GROUP BY c_count
+        """,
+        "q_pipeline_e2e": f"""
+            WITH t AS (
+              SELECT doc_id, text, {_TOKS} AS toks, {tokn} AS n,
+                     greatest({tokn}, 1) AS nz
+              FROM documents
+            ), gated AS (
+              SELECT doc_id, text, toks, n FROM t
+              WHERE (n BETWEEN 5 AND 100000)
+                AND (round(CAST(list_sum(list_transform(toks, t -> len(t))) AS DOUBLE) / nz, 6) BETWEEN 2.0 AND 10.0)
+                AND (round(CAST(len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]'))) AS DOUBLE) / nz, 6) >= 0.8)
+                AND (round(CAST(len(regexp_extract_all(text, '#|\\.\\.\\.')) AS DOUBLE) / nz, 6) <= 0.1)
+                AND (len(list_filter(toks, t -> t IN {_STOPLIST})) >= 3)
+            ), enriched AS (
+              SELECT doc_id,
+                     regexp_replace(regexp_replace(regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
+                       'https?://[^\\s]+', '<URL>', 'g'),
+                       '\\b\\d{{3}}-\\d{{3}}-\\d{{4}}\\b', '<PHONE>', 'g') AS scrubbed,
+                     {fp} AS fp
+              FROM gated
+            ), winners AS (
+              SELECT fp, min(doc_id) AS doc_id FROM enriched GROUP BY fp
+            )
+            SELECT e.doc_id, e.fp,
+                   CAST(len(string_split(e.scrubbed, ' ')) AS BIGINT) AS n_tokens
+            FROM enriched e JOIN winners w
+              ON e.fp = w.fp AND e.doc_id = w.doc_id
         """,
         "q_boilerplate_removal": """
             WITH ml AS (
