@@ -1,0 +1,79 @@
+"""Physical-plan scale audit over every harness query.
+
+Compiles each ``queries()`` entry at the given sf_dir and scans the
+executed plan for the operators that do not survive a 100× scale-up:
+
+- ``CartesianProduct``            — all-pairs; O(n·m) shuffle-less blowup
+- ``BroadcastNestedLoopJoin``     — per-row loop over a broadcast side;
+                                    acceptable ONLY for deliberately tiny
+                                    broadcast sides (whitelist below)
+- ``BatchEvalPython``             — row-at-a-time Python UDF in the plan
+                                    (Arrow/pandas UDFs show as
+                                    ArrowEvalPython / FlatMapGroupsInPandas
+                                    / MapInPandas and are fine)
+
+Usage:
+    python scripts/plan_audit.py [--sf-dir /root/testdata/sf0.001] [query ...]
+
+Exit code 1 if any non-whitelisted smell is found.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SMELLS = ("CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython")
+
+#: query → smells that are deliberate there (documented reasons)
+WHITELIST: dict[str, tuple[str, ...]] = {
+    # exact batch kNN scores every (vector, query) pair against a
+    # BROADCAST query set (|Q| ≪ |N|): the non-equi join condition
+    # (id != q_id) physically compiles to BroadcastNestedLoopJoin, but
+    # the loop side is the tiny broadcast table — map-only over the big
+    # side, which is the designed plan (similarity.py::batch_cosine_topk).
+    "q_sim_batch_topk": ("BroadcastNestedLoopJoin",),
+}
+
+
+def audit(spark, name, fn, sf_dir) -> list[str]:
+    df = fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    allowed = WHITELIST.get(name, ())
+    return [s for s in SMELLS if s in plan and s not in allowed]
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    ap.add_argument("queries", nargs="*")
+    args = ap.parse_args()
+
+    import __spark_entry__ as entry
+    from linz_bde_uploader_spark.session import get_spark
+
+    spark = get_spark()
+    qs = entry.queries()
+    names = args.queries or list(qs)
+    bad = 0
+    for name in names:
+        try:
+            hits = audit(spark, name, qs[name], args.sf_dir)
+        except Exception as e:  # noqa: BLE001 — report, keep auditing
+            print(f"{name:34s} ERROR {type(e).__name__}: {e}")
+            bad += 1
+            continue
+        if hits:
+            print(f"{name:34s} SMELL {', '.join(hits)}")
+            bad += 1
+        else:
+            print(f"{name:34s} clean")
+    print(f"\n{len(names) - bad}/{len(names)} clean")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -75,3 +75,25 @@ def test_topk_uses_take_ordered(spark):
     q = o.orderBy(F.desc("o_totalprice")).limit(5)
     plan = _plan(q)
     assert "TakeOrderedAndProject" in plan
+
+
+def test_no_harness_query_compiles_to_scale_smell(spark):
+    """Every registered harness query must compile free of the operators
+    that die at 100×: CartesianProduct, BroadcastNestedLoopJoin (except
+    the documented batch-kNN broadcast-side loop), and row-at-a-time
+    Python UDFs (BatchEvalPython). Compile-only — no execution."""
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import __spark_entry__ as entry
+    from scripts.plan_audit import WHITELIST, audit
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    offenders = {}
+    for name, fn in entry.queries().items():
+        hits = audit(spark, name, fn, sf_dir)
+        if hits:
+            offenders[name] = hits
+    assert not offenders, offenders
+    # the whitelist must stay minimal and intentional
+    assert set(WHITELIST) == {"q_sim_batch_topk"}
