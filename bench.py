@@ -83,7 +83,9 @@ def main() -> int:
         .format("noop")
         .save()
     )
-    # events.parquet stores TIMESTAMP(NANOS); read it as raw longs
+    # events.parquet has shipped as TIMESTAMP(NANOS) in some rounds; the
+    # conf makes that layout readable (raw longs) and is a no-op for the
+    # TIMESTAMP(MICROS) layout — workload.events() normalizes either.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     for t in ("orders", "lineitem", "customer", "documents", "events",
               "embeddings"):
