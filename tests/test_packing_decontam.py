@@ -201,3 +201,37 @@ def test_boilerplate_probe_is_broadcast(spark):
     plan = BP.remove_boilerplate_lines(docs)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_pack_invariants_property(spark):
+    """Property test: for random token-count streams, greedy packing
+    never overflows capacity, offsets tile each pack contiguously, and
+    pack ids are dense from 0 per shard."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        st.lists(st.integers(min_value=0, max_value=40), min_size=1, max_size=60),
+        st.integers(min_value=5, max_value=30),
+    )
+    def check(token_counts, capacity):
+        rows = [(i, t) for i, t in enumerate(token_counts)]
+        df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+        out = PK.pack_sequences(df, "doc_id", "n_tokens", capacity, n_shards=2)
+        by_shard = {}
+        for r in sorted(out.collect(), key=lambda r: (r["shard"], r["doc_id"])):
+            by_shard.setdefault(r["shard"], []).append(r)
+        for shard_rows in by_shard.values():
+            fills = {}
+            expected_offset = {}
+            for r in shard_rows:
+                assert r["clamped_tokens"] <= capacity
+                # offset is the pack's fill so far (contiguous tiling)
+                assert r["pack_offset"] == expected_offset.get(r["pack_id"], 0)
+                expected_offset[r["pack_id"]] = r["pack_offset"] + r["clamped_tokens"]
+                fills[r["pack_id"]] = r["pack_offset"] + r["clamped_tokens"]
+                assert fills[r["pack_id"]] <= capacity
+            # dense pack ids from 0, in visit order
+            assert sorted(fills) == list(range(len(fills)))
+
+    check()
