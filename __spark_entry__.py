@@ -1442,6 +1442,26 @@ def q_pipeline_e2e(spark, sf_dir):
     )
 
 
+def q_approx_percentile_guard(spark, sf_dir):
+    # KLL-family percentile sketch beside the exact quantile, same
+    # pattern as q_approx_distinct_guard: the query RETURNS exact values
+    # but only through a guard that the sketch lands within 10% — the
+    # driver hash-checks exact numbers while the sketch path executes.
+    # At 100 TB the sketch is the keeper: fixed-size state, map-side
+    # combinable; the exact percentile needs a full sort per group.
+    e = W.events(spark, sf_dir)
+    v = F.col("value").cast("double")
+    agg = e.groupBy("event_type").agg(
+        F.round(F.percentile(v, F.lit(0.5)), 6).alias("p50_exact"),
+        F.percentile_approx(v, F.lit(0.5), F.lit(10000)).alias("_p50_approx"),
+    )
+    guard = (
+        F.abs(F.col("_p50_approx") - F.col("p50_exact"))
+        <= F.lit(0.10) * (F.abs(F.col("p50_exact")) + F.lit(1.0))
+    )
+    return agg.filter(guard).select("event_type", "p50_exact")
+
+
 def q_text_line_quality(spark, sf_dir):
     # LINE-level Gopher rules (duplicate/bullet/ellipsis line fractions)
     # — the corpus is single-line, so a deterministic multi-line shape is
@@ -1583,6 +1603,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_text_langid": q_text_langid,
         "q_split_assign": q_split_assign,
         "q_dedup_components": q_dedup_components,
+        "q_approx_percentile_guard": q_approx_percentile_guard,
         "q_j1_inc_deletes": q_j1_inc_deletes,
         "q_j2_inc_inserts": q_j2_inc_inserts,
         "q_merge_stats": q_merge_stats,
@@ -2469,6 +2490,11 @@ def oracle_sql() -> dict[str, str]:
               FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
               GROUP BY c.c_custkey) t
             GROUP BY c_count
+        """,
+        "q_approx_percentile_guard": """
+            SELECT event_type,
+                   round(quantile_cont(CAST(value AS DOUBLE), 0.5), 6) AS p50_exact
+            FROM events GROUP BY event_type
         """,
         "q_pipeline_e2e": f"""
             WITH t AS (
