@@ -1462,6 +1462,30 @@ def q_approx_percentile_guard(spark, sf_dir):
     return agg.filter(guard).select("event_type", "p50_exact")
 
 
+def q_tpch_q2_min_supplier(spark, sf_dir):
+    # TPC-H Q2 shape: correlated scalar subquery (cheapest supplier per
+    # part, part-supplier pairs derived from lineitem). Expressed as SQL
+    # so Catalyst's decorrelation rewrites the subquery into an
+    # aggregate + join — the plan a hand-written window/join would give,
+    # from the declarative correlated form. Ties on min acctbal return
+    # every minimal supplier (a deterministic SET, same on both engines).
+    for t in ("lineitem", "part", "supplier"):
+        W.load(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql("""
+        WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+        SELECT p.p_partkey, p.p_brand, s.s_suppkey,
+               CAST(s.s_acctbal AS DOUBLE) AS s_acctbal
+        FROM part p
+        JOIN ps ON p.p_partkey = ps.l_partkey
+        JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+        WHERE p.p_size BETWEEN 10 AND 20
+          AND s.s_acctbal = (SELECT min(s2.s_acctbal)
+                             FROM ps ps2 JOIN supplier s2
+                               ON s2.s_suppkey = ps2.l_suppkey
+                             WHERE ps2.l_partkey = ps.l_partkey)
+    """)
+
+
 def q_text_line_quality(spark, sf_dir):
     # LINE-level Gopher rules (duplicate/bullet/ellipsis line fractions)
     # — the corpus is single-line, so a deterministic multi-line shape is
@@ -1604,6 +1628,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_split_assign": q_split_assign,
         "q_dedup_components": q_dedup_components,
         "q_approx_percentile_guard": q_approx_percentile_guard,
+        "q_tpch_q2_min_supplier": q_tpch_q2_min_supplier,
         "q_j1_inc_deletes": q_j1_inc_deletes,
         "q_j2_inc_inserts": q_j2_inc_inserts,
         "q_merge_stats": q_merge_stats,
@@ -2490,6 +2515,19 @@ def oracle_sql() -> dict[str, str]:
               FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
               GROUP BY c.c_custkey) t
             GROUP BY c_count
+        """,
+        "q_tpch_q2_min_supplier": """
+            WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+            SELECT p.p_partkey, p.p_brand, s.s_suppkey,
+                   CAST(s.s_acctbal AS DOUBLE) AS s_acctbal
+            FROM part p
+            JOIN ps ON p.p_partkey = ps.l_partkey
+            JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+            WHERE p.p_size BETWEEN 10 AND 20
+              AND s.s_acctbal = (SELECT min(s2.s_acctbal)
+                                 FROM ps ps2 JOIN supplier s2
+                                   ON s2.s_suppkey = ps2.l_suppkey
+                                 WHERE ps2.l_partkey = ps.l_partkey)
         """,
         "q_approx_percentile_guard": """
             SELECT event_type,
