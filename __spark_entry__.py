@@ -1061,8 +1061,15 @@ def q_mm_fingerprint_dedup(spark, sf_dir):
 def q_mm_thumbnails(spark, sf_dir):
     # Multimodal tier 3: mapInPandas decode plumbing (deterministic fake
     # decode — codecs absent here; the Arrow batch machinery is real).
+    # The operator's raw BINARY thumb stays internal; the harness surface
+    # projects hex(thumb) so generic result canonicalizers (pandas-based)
+    # can sort/hash the column.
     media = M.synth_media(W.load(spark, sf_dir, "documents"), "doc_id", "text")
-    return M.decode_thumbnails(media)
+    return (
+        M.decode_thumbnails(media)
+        .withColumn("thumb_hex", F.hex("thumb"))
+        .drop("thumb")
+    )
 
 
 def _query_vec(spark, sf_dir) -> list[float]:
@@ -1249,8 +1256,12 @@ def q_approx_distinct_guard(spark, sf_dir):
     # per-type distinct-user count but only through a guard that the
     # sketch estimate lands within 15% (3× the 5% default rsd) — so the
     # driver hash-checks exact values while still executing the sketch
-    # path. At 100 TB the sketch is the one you'd keep: it partial-
-    # aggregates map-side, the exact distinct re-shuffles raw keys.
+    # path. FAIL-LOUD BY DESIGN: the guard filter exists only on the
+    # Spark side (the oracle returns every group), so sketch drift
+    # beyond the bound surfaces as a driver ROW-COUNT mismatch — a
+    # sketch regression cannot pass silently. At 100 TB the sketch is
+    # the one you'd keep: it partial-aggregates map-side, the exact
+    # distinct re-shuffles raw keys.
     e = W.events(spark, sf_dir)
     agg = e.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("n_exact"),
@@ -1447,8 +1458,12 @@ def q_approx_percentile_guard(spark, sf_dir):
     # pattern as q_approx_distinct_guard: the query RETURNS exact values
     # but only through a guard that the sketch lands within 10% — the
     # driver hash-checks exact numbers while the sketch path executes.
-    # At 100 TB the sketch is the keeper: fixed-size state, map-side
-    # combinable; the exact percentile needs a full sort per group.
+    # FAIL-LOUD BY DESIGN: the guard filter is Spark-side only (the
+    # oracle returns every group), so percentile_approx drift beyond
+    # the bound surfaces as a driver row-count mismatch rather than
+    # passing silently. At 100 TB the sketch is the keeper: fixed-size
+    # state, map-side combinable; the exact percentile needs a full
+    # sort per group.
     e = W.events(spark, sf_dir)
     v = F.col("value").cast("double")
     agg = e.groupBy("event_type").agg(
@@ -1483,6 +1498,60 @@ def q_tpch_q2_min_supplier(spark, sf_dir):
                              FROM ps ps2 JOIN supplier s2
                                ON s2.s_suppkey = ps2.l_suppkey
                              WHERE ps2.l_partkey = ps.l_partkey)
+    """)
+
+
+def q_tpch_q21_waiting(spark, sf_dir):
+    # TPC-H Q21 shape: EXISTS + NOT-EXISTS double correlated anti-join —
+    # the classic "suppliers who alone held up the order" decorrelation
+    # test. The synthetic lineitem has no commit/receipt dates, so the
+    # per-row "late" predicate is l_returnflag = 'R' (same intra-row
+    # shape as receiptdate > commitdate in the original). Catalyst
+    # rewrites both subqueries into a left-semi and a left-anti join on
+    # l_orderkey — no nested-loop re-execution per outer row.
+    for t in ("lineitem", "orders", "supplier"):
+        W.load(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql("""
+        SELECT s.s_name, count(*) AS numwait
+        FROM supplier s
+        JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+        JOIN orders o ON o.o_orderkey = l1.l_orderkey
+        WHERE o.o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+          AND EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_returnflag = 'R')
+        GROUP BY s.s_name
+        ORDER BY numwait DESC, s.s_name
+        LIMIT 20
+    """)
+
+
+def q_tpch_q22_global_sales(spark, sf_dir):
+    # TPC-H Q22 shape: NOT-EXISTS anti-join + an uncorrelated scalar-avg
+    # subquery gating the filter. c_nationkey stands in for the phone
+    # country code (schema has no c_phone), and "no open orders"
+    # (o_orderstatus = 'O') stands in for "no orders" because the
+    # synthetic fixture gives every customer at least one order. The
+    # scalar avg broadcasts; the anti-join is a shuffled left-anti on
+    # o_custkey.
+    for t in ("customer", "orders"):
+        W.load(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql("""
+        SELECT c.c_nationkey AS cntrycode, count(*) AS numcust,
+               sum(c.c_acctbal) AS totacctbal
+        FROM customer c
+        WHERE c.c_nationkey IN (1, 3, 5, 8, 11, 13, 17)
+          AND c.c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
+                             WHERE c2.c_acctbal > 0.0
+                               AND c2.c_nationkey IN (1, 3, 5, 8, 11, 13, 17))
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderstatus = 'O')
+        GROUP BY c.c_nationkey
     """)
 
 
@@ -1544,11 +1613,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     windows, multimodal, similarity/ANN, rollup, percentiles, JSON, TPC-H
     q6/q10, event windows); 21–28 are new in round 3 (Gopher quality
     rules, PII scrub, SCD2 history, TPC-H q4/q14, pivot, HLL guard, k-NN
-    join); the rest keep one driver-checked representative per reference
-    component family, with near-duplicate variants (e.g. J1/J2 are
-    filters of J3) last — every entry past position 50 carries a green
-    round-2 driver row and stays oracle-checked via
-    ``scripts/check_oracles.py``."""
+    join); 29-39 are round-3 session-2 additions; 40-44 are the round-4
+    rotation (the three entries that had never had a driver row, plus
+    TPC-H q21/q22); the rest keep one driver-checked representative per
+    reference component family, with near-duplicate variants (e.g.
+    J1/J2 are filters of J3) last — every entry past position 50
+    carries at least one green round-1/2/3 driver row and stays
+    oracle-checked via ``scripts/check_oracles.py``."""
     ordered = {
         # -- 1-20: families that had no driver CORRECTNESS row in round 2
         "q_tpch_q10_returns": q_tpch_q10_returns,
@@ -1592,21 +1663,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_mm_frame_sample": q_mm_frame_sample,
         "q_boilerplate_removal": q_boilerplate_removal,
         "q_pipeline_e2e": q_pipeline_e2e,
+        # -- 40-44: round-4 rotation — the three entries that had never
+        #    had a driver row (placed out-of-window at birth) plus the
+        #    two new TPC-H decorrelation shapes (first driver check)
+        "q_dedup_components": q_dedup_components,
+        "q_approx_percentile_guard": q_approx_percentile_guard,
+        "q_tpch_q2_min_supplier": q_tpch_q2_min_supplier,
+        "q_tpch_q21_waiting": q_tpch_q21_waiting,
+        "q_tpch_q22_global_sales": q_tpch_q22_global_sales,
         # -- one driver-checked representative per component family
-        "q_j3_classify": q_j3_classify,
         "q_j5_apply_changes": q_j5_apply_changes,
         "q_c9_tolerance": q_c9_tolerance,
-        "q_s1_crs_roundtrip": q_s1_crs_roundtrip,
         "q_s3_discovery_pending": q_s3_discovery_pending,
         "q_s5_target_e2e": q_s5_target_e2e,
-        "q_p1_projection": q_p1_projection,
         "q_p5_utf8_clean": q_p5_utf8_clean,
+        "q_dedup_embed_cosine": q_dedup_embed_cosine,
+        # -- 51+: variants/extensions of already-covered families; every
+        #    entry below carries at least one green driver CORRECTNESS
+        #    row from rounds 1-3 (the five rotated out this round —
+        #    q_j3_classify, q_s1_crs_roundtrip, q_p1_projection,
+        #    q_p7_wkt_fixup, q_tpch_q1_pricing — are r2 AND r3 green)
+        #    and remains oracle-checked via scripts/check_oracles.py
+        "q_j3_classify": q_j3_classify,
+        "q_s1_crs_roundtrip": q_s1_crs_roundtrip,
+        "q_p1_projection": q_p1_projection,
         "q_p7_wkt_fixup": q_p7_wkt_fixup,
         "q_tpch_q1_pricing": q_tpch_q1_pricing,
-        "q_dedup_embed_cosine": q_dedup_embed_cosine,
-        # -- 51+: variants/extensions of already-covered families (every
-        #    entry here carries a green round-2/3 driver row and remains
-        #    oracle-checked via scripts/check_oracles.py)
         "q_j4_keyswap_repair": q_j4_keyswap_repair,
         "q_j7_meta_change_summary": q_j7_meta_change_summary,
         "q_s8_change_feed": q_s8_change_feed,
@@ -1626,9 +1708,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_text_tokens": q_text_tokens,
         "q_text_langid": q_text_langid,
         "q_split_assign": q_split_assign,
-        "q_dedup_components": q_dedup_components,
-        "q_approx_percentile_guard": q_approx_percentile_guard,
-        "q_tpch_q2_min_supplier": q_tpch_q2_min_supplier,
         "q_j1_inc_deletes": q_j1_inc_deletes,
         "q_j2_inc_inserts": q_j2_inc_inserts,
         "q_merge_stats": q_merge_stats,
@@ -2231,15 +2310,18 @@ def oracle_sql() -> dict[str, str]:
         "q_mm_metadata": """
             SELECT doc_id AS media_id,
                    octet_length(encode(text)) AS size_bytes,
-                   hex(encode(substr(text, 1, 4))) AS magic_hex
+                   substr(hex(encode(text)), 1, 8) AS magic_hex
             FROM documents
         """,
         "q_mm_fingerprint_dedup": """
             WITH fp AS (
               SELECT doc_id,
+                     -- byte-addressed via hex pairs (Spark hashes UTF-8
+                     -- BYTES; ascii() would hash codepoints on non-ASCII)
                      CAST(coalesce(list_sum(list_transform(
-                       generate_series(1, least(length(text), 64)),
-                       i -> (ascii(substr(text, i, 1)) * ((i * 2654435761) % 2147483647)) % 2147483647
+                       generate_series(1, least(octet_length(encode(text)), 64)),
+                       i -> (CAST('0x' || substr(hex(encode(text)), (i-1)*2+1, 2) AS BIGINT)
+                             * ((i * 2654435761) % 2147483647)) % 2147483647
                      )), 0) % 2147483647 AS BIGINT) AS fingerprint
               FROM documents
             ),
@@ -2250,7 +2332,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id AS media_id,
                    CAST((octet_length(encode(text)) % 640) + 16 AS INT) AS width,
                    CAST((octet_length(encode(text)) % 480) + 16 AS INT) AS height,
-                   encode(substr(text, 1, 16)) AS thumb
+                   substr(hex(encode(text)), 1, 32) AS thumb_hex
             FROM documents
         """,
         "q_sim_cosine_topk": f"""
@@ -2529,6 +2611,36 @@ def oracle_sql() -> dict[str, str]:
                                    ON s2.s_suppkey = ps2.l_suppkey
                                  WHERE ps2.l_partkey = ps.l_partkey)
         """,
+        "q_tpch_q21_waiting": """
+            SELECT s.s_name, count(*) AS numwait
+            FROM supplier s
+            JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+            JOIN orders o ON o.o_orderkey = l1.l_orderkey
+            WHERE o.o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+              AND EXISTS (SELECT 1 FROM lineitem l2
+                          WHERE l2.l_orderkey = l1.l_orderkey
+                            AND l2.l_suppkey <> l1.l_suppkey)
+              AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                              WHERE l3.l_orderkey = l1.l_orderkey
+                                AND l3.l_suppkey <> l1.l_suppkey
+                                AND l3.l_returnflag = 'R')
+            GROUP BY s.s_name
+            ORDER BY numwait DESC, s.s_name
+            LIMIT 20
+        """,
+        "q_tpch_q22_global_sales": """
+            SELECT c.c_nationkey AS cntrycode, count(*) AS numcust,
+                   sum(c.c_acctbal) AS totacctbal
+            FROM customer c
+            WHERE c.c_nationkey IN (1, 3, 5, 8, 11, 13, 17)
+              AND c.c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
+                                 WHERE c2.c_acctbal > 0.0
+                                   AND c2.c_nationkey IN (1, 3, 5, 8, 11, 13, 17))
+              AND NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey
+                                AND o.o_orderstatus = 'O')
+            GROUP BY c.c_nationkey
+        """,
         "q_approx_percentile_guard": """
             SELECT event_type,
                    round(quantile_cont(CAST(value AS DOUBLE), 0.5), 6) AS p50_exact
@@ -2584,10 +2696,14 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY d.doc_id
         """,
         "q_mm_frame_sample": """
+            -- byte-addressed: slice the hex encoding (2 chars/byte) so the
+            -- oracle samples every 16th BYTE like frame_sample, not every
+            -- 16th character (diverges on non-ASCII text otherwise)
             SELECT doc_id AS media_id,
-                   hex(CAST(array_to_string(
-                     list_transform(generate_series(1, len(text), 16),
-                                    i -> text[i:i]), '') AS BLOB)) AS frames_hex
+                   coalesce(array_to_string(
+                     list_transform(generate_series(1, octet_length(encode(text)), 16),
+                                    i -> substr(hex(encode(text)), (i-1)*2+1, 2)),
+                     ''), '') AS frames_hex
             FROM documents
         """,
         "q_text_line_quality": """

@@ -71,7 +71,13 @@ def pack_sequences(
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(id_col, kind="mergesort")
-        clamped = pdf[tokens_col].clip(upper=capacity).astype("int64")
+        # null/NaN token counts pack as 0 tokens (token_count's
+        # blank-text convention) — astype('int64') on NaN would
+        # otherwise fail the whole shard's task
+        clamped = (
+            pdf[tokens_col].fillna(0).clip(lower=0, upper=capacity)
+            .astype("int64")
+        )
         pack_ids, offsets = [], []
         cur, used = 0, 0
         for t in clamped:

@@ -48,6 +48,18 @@ def test_pack_zero_token_docs_take_no_space(spark):
     assert got[3] == (0, 10, 0)
 
 
+def test_pack_null_token_counts_pack_as_zero(spark):
+    # a null n_tokens must not kill the shard's task (NaN astype raises);
+    # it packs as 0 tokens, matching token_count's blank-text convention
+    df = spark.createDataFrame(
+        [(1, 4), (2, None), (3, 6)], "doc_id long, n_tokens long"
+    )
+    out = PK.pack_sequences(df, "doc_id", "n_tokens", 10, n_shards=1)
+    got = {r["doc_id"]: (r["pack_id"], r["pack_offset"], r["clamped_tokens"])
+           for r in out.collect()}
+    assert got == {1: (0, 0, 4), 2: (0, 4, 0), 3: (0, 4, 6)}
+
+
 def test_pack_shards_are_independent_and_deterministic(spark):
     rows = [(i, 7) for i in range(100)]
     df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
