@@ -9,7 +9,14 @@ reporting the per-query MEDIAN — single runs on a noisy VM lie by 3-10×.
 
 Output (single line on stdout; everything else goes to stderr):
     {"metric": "total_query_wall", "value": N, "unit": "sec",
-     "queries": {"q_...": sec, ...}, "sf": 0.1}
+     "queries": {<slowest 5>}, "families": {<per-family sums>},
+     "n_queries": N, "detail": "BENCH_DETAIL.json", "sf": 0.1}
+
+The stdout line is kept SHORT (~1 KB) on purpose: the external driver
+retains only a ~2 KB stdout tail, and a full 90+-query dict overflows it
+(round 3 shipped with ``parsed: null`` for exactly this reason). The
+complete per-query median dict plus raw runs goes to ``BENCH_DETAIL.json``
+beside this script.
 """
 
 from __future__ import annotations
@@ -98,6 +105,7 @@ def main() -> int:
     # stable to one outlier while keeping total bench time bounded.
     repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
     timings: dict[str, float] = {}
+    raw_runs: dict[str, list[float]] = {}
     failed: dict[str, str] = {}
     for name, fn in entry.queries().items():
         runs: list[float] = []
@@ -120,21 +128,58 @@ def main() -> int:
         if runs:
             med = statistics.median(runs)
             timings[name] = round(med, 3)
+            raw_runs[name] = [round(r, 3) for r in runs]
             log(f"{name:34s} {med:7.3f}s  " +
                 " ".join(f"{r:.3f}" for r in runs))
 
     total = round(sum(timings.values()), 3)
-    out = {
+
+    # Full per-query detail to a file (the driver's stdout tail is ~2 KB;
+    # the stdout line below stays small so it always parses).
+    detail = {
         "metric": "total_query_wall",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "raw_runs": raw_runs,
         "sf": sf,
         "repeats": repeats,
         "aggregation": "median_per_query",
     }
     if failed:
-        out["failed"] = failed
+        detail["failed"] = failed
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_DETAIL.json")
+    with open(detail_path, "w") as f:
+        json.dump(detail, f, indent=1, sort_keys=True)
+    log(f"full per-query detail -> {detail_path}")
+
+    def family(name: str) -> str:
+        tok = name.split("_")[1] if "_" in name else name
+        return re.sub(r"\d+$", "", tok) or tok
+
+    families: dict[str, float] = {}
+    for name, sec in timings.items():
+        families[family(name)] = round(
+            families.get(family(name), 0.0) + sec, 3
+        )
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: -kv[1])[:5]
+    )
+    out = {
+        "metric": "total_query_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": slowest,
+        "families": families,
+        "n_queries": len(timings),
+        "detail": "BENCH_DETAIL.json",
+        "sf": sf,
+        "repeats": repeats,
+        "aggregation": "median_per_query",
+    }
+    if failed:
+        out["failed"] = {k: v[:80] for k, v in failed.items()}
     print(json.dumps(out), flush=True)
     return 0
 

@@ -257,6 +257,7 @@ def duplicate_components(
     id_b: str = "id_b",
     max_iter: int = 20,
     checkpoint_every: int = 4,
+    reliable: bool = False,
 ) -> DataFrame:
     """Connected components over a candidate-pair graph → ``(id,
     component)`` where component = the smallest id in the cluster, i.e.
@@ -280,8 +281,32 @@ def duplicate_components(
     ``sum(component)``, which strictly decreases until fixpoint — one
     scalar aggregate over the checkpointed labels per round, no
     driver-side data collect. Output covers ids that appear in ≥1 pair
-    (everything else is trivially its own component)."""
+    (everything else is trivially its own component).
+
+    Durability: the default ``localCheckpoint`` stores label blocks on
+    EXECUTOR storage — fastest, but on a real cluster losing one
+    executor mid-loop kills the job un-recomputably (truncated
+    lineage). Pass ``reliable=True`` on a cluster: each round then uses
+    ``DataFrame.checkpoint``, writing labels to the fault-tolerant
+    checkpoint directory (``spark.sparkContext.setCheckpointDir`` —
+    HDFS/S3 in production; this function sets a local fallback if none
+    is configured). Labels are |V| rows × 2 longs, so the per-round
+    write is tiny next to the candidate-pair shuffle; executor loss
+    then costs one round's recompute, not the job."""
     del checkpoint_every  # kept for API stability; every round checkpoints
+    spark = pairs.sparkSession
+    if reliable and spark.sparkContext.getCheckpointDir() is None:
+        import tempfile  # noqa: PLC0415 — local-mode fallback only
+
+        spark.sparkContext.setCheckpointDir(
+            tempfile.mkdtemp(prefix="bde_components_ckpt_")
+        )
+
+    def materialize(df: DataFrame) -> DataFrame:
+        if reliable:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
     e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     edges = track(
         e.unionByName(
@@ -306,8 +331,8 @@ def duplicate_components(
                     F.col("component"), F.coalesce("_nmin", "component")
                 ).alias("component"),
             )
-            .localCheckpoint(eager=True)
         )
+        labels = materialize(labels)
         s = labels.agg(F.sum("component")).first()[0]
         if s is None or s == prev_sum:
             break

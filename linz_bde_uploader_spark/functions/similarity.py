@@ -176,7 +176,7 @@ def query_signature(query_vec: list[float], planes: int = 8) -> int:
     return qsig
 
 
-def lsh_topk(
+def lsh_topk_full_scan(
     embeddings: DataFrame,
     query_vec: list[float],
     k: int = 10,
@@ -184,12 +184,12 @@ def lsh_topk(
     vec_col: str = "embedding",
     planes: int = 8,
 ) -> DataFrame:
-    """ANN top-k: restrict the exact scan to the query's LSH bucket.
-
-    Computes signatures on the fly — only a scale path when the input is
-    already signature-partitioned; see ``write_bucketed_embeddings`` +
-    ``lsh_topk_bucketed`` for the physical-pruning version.
-    """
+    """ANN top-k computing signatures ON THE FLY: every query hashes the
+    whole table. NOT a scale path — one query over 100 TB re-reads and
+    re-hashes 100 TB. Correct for ad-hoc exploration of an un-bucketed
+    table; anything repeated belongs on the physical layout
+    (``write_bucketed_embeddings`` once, then :func:`lsh_topk` probes
+    with partition pruning)."""
     dims = len(query_vec)
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     qsig = query_signature(query_vec, planes)
@@ -202,6 +202,73 @@ def lsh_topk(
         )
         .orderBy(F.desc("score"), F.col(id_col))
         .limit(k)
+    )
+
+
+def _probe_set(qsig: int, planes: int, probe_radius: int) -> list[int]:
+    """Multi-probe bucket set: the query's signature plus every signature
+    within Hamming distance ``probe_radius``."""
+    probes = {qsig}
+    if probe_radius >= 1:
+        probes.update(qsig ^ (1 << p) for p in range(planes))
+    if probe_radius >= 2:
+        for p1 in range(planes):
+            for p2 in range(p1 + 1, planes):
+                probes.add(qsig ^ (1 << p1) ^ (1 << p2))
+    return sorted(probes)
+
+
+def lsh_topk(
+    source: DataFrame | str,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: int = 8,
+    probe_radius: int = 1,
+    bucket_col: str = "bucket",
+    spark=None,
+) -> DataFrame:
+    """ANN top-k — the DEFAULT entry point, routed to the pruned scan
+    whenever a bucketed layout exists:
+
+    - ``source`` is a PATH (str): probe the signature-partitioned table
+      written by ``write_bucketed_embeddings`` — the bucket predicate is
+      partition pruning at the parquet scan (reads ~probes/2^planes of
+      the data). This is the 100-TB path.
+    - ``source`` is a DataFrame WITH a ``bucket`` column (a bucketed
+      layout read back): filter on the precomputed bucket — no
+      re-hashing; still partition pruning if the DataFrame came from the
+      partitioned layout.
+    - ``source`` is a DataFrame WITHOUT a bucket column: fall back to
+      :func:`lsh_topk_full_scan` (hashes the whole table — fine for
+      ad-hoc exploration, wrong for repeated queries; the docstring
+      there says why).
+    """
+    if isinstance(source, str):
+        if spark is None:
+            from pyspark.sql import SparkSession  # noqa: PLC0415
+
+            spark = SparkSession.getActiveSession()
+        return lsh_topk_bucketed(
+            spark, source, query_vec, k=k, planes=planes,
+            probe_radius=probe_radius, id_col=id_col, vec_col=vec_col,
+        )
+    if bucket_col in source.columns:
+        probes = _probe_set(query_signature(query_vec, planes), planes,
+                            probe_radius)
+        q = F.array(*[F.lit(float(x)) for x in query_vec])
+        return (
+            source.filter(F.col(bucket_col).isin(probes))
+            .select(
+                F.col(id_col),
+                F.round(cosine(F.col(vec_col), q), 6).alias("score"),
+            )
+            .orderBy(F.desc("score"), F.col(id_col))
+            .limit(k)
+        )
+    return lsh_topk_full_scan(
+        source, query_vec, k=k, id_col=id_col, vec_col=vec_col, planes=planes
     )
 
 
@@ -324,16 +391,10 @@ def lsh_topk_bucketed(
     one sign-flip away lands one bit away). The ``bucket IN (...)``
     predicate prunes partitions at the scan: ``.explain`` shows
     PartitionFilters, and only probed directories are read."""
-    qsig = query_signature(query_vec, planes)
-    probes = {qsig}
-    if probe_radius >= 1:
-        probes.update(qsig ^ (1 << p) for p in range(planes))
-    if probe_radius >= 2:
-        for p1 in range(planes):
-            for p2 in range(p1 + 1, planes):
-                probes.add(qsig ^ (1 << p1) ^ (1 << p2))
+    probes = _probe_set(query_signature(query_vec, planes), planes,
+                        probe_radius)
     q = F.array(*[F.lit(float(x)) for x in query_vec])
-    df = spark.read.parquet(path).filter(F.col("bucket").isin(sorted(probes)))
+    df = spark.read.parquet(path).filter(F.col("bucket").isin(probes))
     return (
         df.select(
             F.col(id_col), F.round(cosine(F.col(vec_col), q), 6).alias("score")

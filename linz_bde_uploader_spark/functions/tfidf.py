@@ -54,21 +54,36 @@ def tfidf_topk(
     """Top-``k`` characteristic terms per document: (id, rank, term,
     weight) where ``weight = tf * (N + 1) / (df + 1)`` rounded to 6 dp.
     Ties break on the term string, so the ranking is total and
-    engine-independent."""
-    n_docs = docs.select(id_col).distinct().count()
+    engine-independent.
+
+    The corpus size N is folded into the SAME plan as a broadcast
+    one-row aggregate joined on a constant key (a BroadcastHashJoin, not
+    a nested loop): no separate ``count()`` action, so the whole query
+    is ONE job. N counts every document (including empty ones), matching
+    the previous driver-side ``distinct().count()`` semantics."""
     dtc = doc_term_counts(docs, id_col, text_col)
     df_by_term = dtc.groupBy("term").agg(
         F.count(F.lit(1)).alias("df")
     )
-    scored = dtc.join(df_by_term, "term").select(
-        F.col(id_col),
-        F.col("term"),
-        F.round(
-            F.col("tf").cast("double")
-            * F.lit(float(n_docs + 1))
-            / (F.col("df") + F.lit(1)).cast("double"),
-            6,
-        ).alias("weight"),
+    n_df = F.broadcast(
+        docs.select(id_col).distinct()
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .withColumn("_k", F.lit(1))
+    )
+    scored = (
+        dtc.join(df_by_term, "term")
+        .withColumn("_k", F.lit(1))
+        .join(n_df, "_k")
+        .select(
+            F.col(id_col),
+            F.col("term"),
+            F.round(
+                F.col("tf").cast("double")
+                * (F.col("_n") + F.lit(1)).cast("double")
+                / (F.col("df") + F.lit(1)).cast("double"),
+                6,
+            ).alias("weight"),
+        )
     )
     w = Window.partitionBy(id_col).orderBy(
         F.col("weight").desc(), F.col("term")

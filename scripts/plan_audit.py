@@ -36,6 +36,14 @@ WHITELIST: dict[str, tuple[str, ...]] = {
     # the loop side is the tiny broadcast table — map-only over the big
     # side, which is the designed plan (similarity.py::batch_cosine_topk).
     "q_sim_batch_topk": ("BroadcastNestedLoopJoin",),
+    # TF-IDF folds the corpus size N into the plan as a broadcast of a
+    # ONE-ROW global aggregate (tfidf.py::tfidf_topk) so the whole query
+    # is a single job with no driver-side count() action. Catalyst
+    # constant-folds the synthetic equi-key into a trivially-true
+    # condition, so the join prints as BroadcastNestedLoopJoin — but the
+    # "loop" side is one row: this is exactly the scalar-subquery
+    # execution shape, map-only over the big side at any scale.
+    "q_tfidf_topk": ("BroadcastNestedLoopJoin",),
 }
 
 

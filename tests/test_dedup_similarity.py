@@ -302,6 +302,28 @@ def test_duplicate_components_and_cluster_dedup(spark):
     caching.release_intermediates()
 
 
+def test_duplicate_components_reliable_mode_matches_local(spark):
+    """``reliable=True`` routes each round through fault-tolerant
+    ``DataFrame.checkpoint`` (checkpoint-dir storage an executor loss
+    cannot erase) instead of executor-local ``localCheckpoint``; results
+    must be identical. The function provisions a local checkpoint dir
+    when none is configured, so this also covers the fallback path."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long"
+    )
+    local = {r.id: r.component for r in D.duplicate_components(pairs).collect()}
+    durable = {
+        r.id: r.component
+        for r in D.duplicate_components(pairs, reliable=True).collect()
+    }
+    assert durable == local == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+    # a checkpoint dir must now exist (set by the fallback or earlier)
+    assert spark.sparkContext.getCheckpointDir() is not None
+    from linz_bde_uploader_spark import caching
+
+    caching.release_intermediates()
+
+
 def test_duplicate_components_matches_union_find(spark):
     """Property check: the distributed min-label propagation equals a
     driver-side union-find on random graphs (incl. long chains, which

@@ -3,6 +3,7 @@ mapInPandas decode plumbing, frame sampling, NULL payloads."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from linz_bde_uploader_spark.functions import multimodal as M
@@ -113,6 +114,53 @@ def test_decode_codec_gate(monkeypatch):
     assert M._decode_image(payload) == fake
 
 
+def _tiny_png(w: int, h: int) -> bytes:
+    """A minimal valid 8-bit RGB PNG built with stdlib only (zlib +
+    struct) — no image library needed to CREATE the fixture, so the
+    real-codec test below runs the moment Pillow shows up."""
+    import struct
+    import zlib
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = b"".join(
+        b"\x00" + bytes([y % 256, 0, 255 - y % 256] * w) for y in range(h)
+    )
+    return (b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b""))
+
+
+@pytest.mark.skipif(
+    not M.HAVE_PIL,
+    reason="Pillow absent in this container; this test covers the real "
+           "codec branch automatically wherever Pillow exists",
+)
+def test_decode_real_codec_with_real_png():
+    """The REAL PIL branch end-to-end: a genuine PNG decodes through
+    Image.open + thumbnail, not the deterministic fake."""
+    png = _tiny_png(300, 200)
+    w, h, thumb = M._decode_image(png)
+    # thumbnail fits the 128x128 box preserving aspect ratio
+    assert w == 128 and 80 <= h <= 90
+    assert thumb[:8] == b"\x89PNG\r\n\x1a\n"  # a re-encoded PNG, not payload[:16]
+    assert (w, h, thumb) != M._fake_decode(png)
+
+
+def test_tiny_png_fixture_is_wellformed():
+    """The PNG builder itself stays honest (magic, IHDR first, IEND
+    last) even while Pillow is absent, so the gated test above starts
+    from a valid fixture the day it un-skips."""
+    png = _tiny_png(3, 2)
+    assert png[:8] == b"\x89PNG\r\n\x1a\n"
+    assert png[12:16] == b"IHDR"
+    assert png[-8:-4] == b"IEND"
+
+
 def test_synth_media_shape(spark):
     docs = spark.createDataFrame([(7, "abc")], "doc_id long, text string")
     m = M.synth_media(docs, "doc_id", "text")
@@ -142,3 +190,31 @@ def test_lsh_prebucketed_prunes_and_recalls(spark, tmp_path):
     assert len(res) == 5
     # the query vector itself must be recalled (it's in its own bucket)
     assert res[0].vec_id == 0 and res[0].score == 1.0
+
+    # the DEFAULT entry point, given the path, takes the same pruned
+    # scan (router delegates to the bucketed probe)
+    routed = S.lsh_topk(path, qvec, k=5, planes=6, probe_radius=1,
+                        spark=spark)
+    rplan = routed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [bucket" in rplan
+    assert [(r.vec_id, r.score) for r in routed.collect()] == [
+        (r.vec_id, r.score) for r in res
+    ]
+
+    # a read-back DataFrame that carries the bucket column also probes
+    # (no re-hash) and the bucket predicate still prunes partitions
+    routed_df = S.lsh_topk(spark.read.parquet(path), qvec, k=5, planes=6,
+                           probe_radius=1)
+    dplan = routed_df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [bucket" in dplan
+    assert [(r.vec_id, r.score) for r in routed_df.collect()] == [
+        (r.vec_id, r.score) for r in res
+    ]
+
+    # a bare DataFrame (no bucket column) falls back to the explicit
+    # full-scan API with identical single-bucket results
+    full = S.lsh_topk(df, qvec, k=5, planes=6)
+    explicit = S.lsh_topk_full_scan(df, qvec, k=5, planes=6)
+    assert [tuple(r) for r in full.collect()] == [
+        tuple(r) for r in explicit.collect()
+    ]
