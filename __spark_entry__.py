@@ -1091,9 +1091,12 @@ def q_sim_cosine_above(spark, sf_dir):
 
 
 def q_sim_lsh_topk(spark, sf_dir):
-    # LSH-bucketed ANN (scale path). The signature arithmetic is integer
-    # mixing evaluated in double with an ordered fold — bit-identical
-    # across engines, so the bucket filter is oracle-checkable.
+    # The router's full-scan FALLBACK branch (un-bucketed DataFrame in,
+    # signatures computed on the fly) — the ad-hoc baseline; repeated
+    # queries belong on the bucketed layout (q_sim_lsh_bucketed). The
+    # signature arithmetic is integer mixing evaluated in double with an
+    # ordered fold — bit-identical across engines, so the bucket filter
+    # is oracle-checkable.
     e = W.load(spark, sf_dir, "embeddings")
     return S.lsh_topk(e, _query_vec(spark, sf_dir), k=10, planes=6)
 
@@ -1109,8 +1112,10 @@ def q_sim_lsh_bucketed(spark, sf_dir):
         S.write_bucketed_embeddings(
             W.load(spark, sf_dir, "embeddings"), path, planes=6, dims=64
         )
-    return S.lsh_topk_bucketed(
-        spark, path, _query_vec(spark, sf_dir), k=10, planes=6, probe_radius=1
+    # the router's DEFAULT path: a path in → partition-pruned probe
+    return S.lsh_topk(
+        path, _query_vec(spark, sf_dir), k=10, planes=6, probe_radius=1,
+        spark=spark,
     )
 
 
