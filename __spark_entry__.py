@@ -1560,6 +1560,119 @@ def q_tpch_q22_global_sales(spark, sf_dir):
     """)
 
 
+def q_tpch_q7_volume(spark, sf_dir):
+    # TPC-H Q7 shape: the 6-table volume-shipping join with a symmetric
+    # two-nation disjunction and a year rollup. The two nation lookups
+    # broadcast; the lineitem→orders→customer chain is the only wide
+    # join. Revenue rounds to 4 dp so the double fold order can't leak
+    # into the hash compare.
+    for t in ("lineitem", "orders", "customer", "supplier", "nation"):
+        W.load(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql("""
+        SELECT supp_nation, cust_nation, l_year,
+               round(sum(volume), 4) AS revenue
+        FROM (
+          SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                 year(l.l_shipdate) AS l_year,
+                 l.l_extendedprice * (1 - l.l_discount) AS volume
+          FROM lineitem l
+          JOIN orders o ON o.o_orderkey = l.l_orderkey
+          JOIN customer c ON c.c_custkey = o.o_custkey
+          JOIN supplier s ON s.s_suppkey = l.l_suppkey
+          JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+          JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+          WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+             OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+        ) shipping
+        GROUP BY supp_nation, cust_nation, l_year
+    """)
+
+
+def q_tpch_q12_shipclass(spark, sf_dir):
+    # TPC-H Q12 shape: conditional CASE aggregation over a ranged join
+    # (the synthetic lineitem has no l_shipmode; l_returnflag plays the
+    # ship-class role). One shuffle; the CASE sums partial-aggregate
+    # map-side.
+    for t in ("lineitem", "orders"):
+        W.load(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql("""
+        SELECT l.l_returnflag AS ship_class,
+               sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS high_line_count,
+               sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS low_line_count
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        WHERE l.l_returnflag IN ('A', 'R')
+          AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l.l_shipdate < TIMESTAMP '1998-01-01'
+        GROUP BY l.l_returnflag
+    """)
+
+
+def q_tpch_q15_top_supplier(spark, sf_dir):
+    # TPC-H Q15 shape: CTE reused twice — once joined, once inside a
+    # scalar-max subquery selecting the top revenue supplier(s).
+    # total_revenue is rounded to 4 dp INSIDE the CTE so the double
+    # equality against max() is deterministic on both engines (raw
+    # double sums are fold-order-sensitive; rounded ones are stable at
+    # this magnitude).
+    for t in ("lineitem", "supplier"):
+        W.load(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql("""
+        WITH revenue AS (
+          SELECT l_suppkey AS supplier_no,
+                 round(sum(l_extendedprice * (1 - l_discount)), 4)
+                   AS total_revenue
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate < TIMESTAMP '1996-07-01'
+          GROUP BY l_suppkey
+        )
+        SELECT s.s_suppkey, s.s_name, r.total_revenue
+        FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+        WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """)
+
+
+def q_tpch_q17_small_qty(spark, sf_dir):
+    # TPC-H Q17 shape: correlated scalar AGGREGATE subquery (0.2 × the
+    # per-part average quantity) gating the outer scan — Catalyst
+    # decorrelates it into an aggregate + join on l_partkey. Quantities
+    # are integral doubles, so sum/avg are exact and the comparison is
+    # engine-independent.
+    for t in ("lineitem", "part"):
+        W.load(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql("""
+        SELECT round(sum(l.l_extendedprice) / 7.0, 6) AS avg_yearly
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand = 'Brand#4'
+          AND l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+                              FROM lineitem l2
+                              WHERE l2.l_partkey = l.l_partkey)
+    """)
+
+
+def q_tpch_q20_part_suppliers(spark, sf_dir):
+    # TPC-H Q20 shape: nested IN-subqueries — suppliers IN (grouped
+    # HAVING over lineitems whose part is IN a name-filtered part set).
+    # Both INs decorrelate to semi-joins; the HAVING threshold stands in
+    # for the original 0.5×availqty (no partsupp table in the synthetic
+    # schema). Quantity sums are integral doubles — exact.
+    for t in ("lineitem", "part", "supplier"):
+        W.load(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql("""
+        SELECT s.s_suppkey, s.s_name
+        FROM supplier s
+        WHERE s.s_suppkey IN (
+          SELECT l.l_suppkey FROM lineitem l
+          WHERE l.l_partkey IN (SELECT p_partkey FROM part
+                                WHERE p_name LIKE 'red%')
+          GROUP BY l.l_suppkey, l.l_partkey
+          HAVING sum(l.l_quantity) > 60
+        )
+    """)
+
+
 def q_text_line_quality(spark, sf_dir):
     # LINE-level Gopher rules (duplicate/bullet/ellipsis line fractions)
     # — the corpus is single-line, so a deterministic multi-line shape is
@@ -1620,11 +1733,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     rules, PII scrub, SCD2 history, TPC-H q4/q14, pivot, HLL guard, k-NN
     join); 29-39 are round-3 session-2 additions; 40-44 are the round-4
     rotation (the three entries that had never had a driver row, plus
-    TPC-H q21/q22); the rest keep one driver-checked representative per
-    reference component family, with near-duplicate variants (e.g.
-    J1/J2 are filters of J3) last — every entry past position 50
-    carries at least one green round-1/2/3 driver row and stays
-    oracle-checked via ``scripts/check_oracles.py``."""
+    TPC-H q21/q22); 45-49 are the round-4 TPC-H completion set
+    (q7/q12/q15/q17/q20); 50 is the standing end-to-end target-sink
+    canary. Everything past position 50 carries at least one green
+    round-1/2/3 driver row (the ten rotated out in round 4 are all
+    green in BOTH r2 and r3) and stays oracle-checked via
+    ``scripts/check_oracles.py``."""
     ordered = {
         # -- 1-20: families that had no driver CORRECTNESS row in round 2
         "q_tpch_q10_returns": q_tpch_q10_returns,
@@ -1676,19 +1790,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tpch_q2_min_supplier": q_tpch_q2_min_supplier,
         "q_tpch_q21_waiting": q_tpch_q21_waiting,
         "q_tpch_q22_global_sales": q_tpch_q22_global_sales,
-        # -- one driver-checked representative per component family
+        # -- 45-49: NEW this round — the remaining classic TPC-H shapes
+        #    (volume join, CASE agg, CTE + scalar max, correlated avg,
+        #    nested IN/HAVING), first driver check
+        "q_tpch_q7_volume": q_tpch_q7_volume,
+        "q_tpch_q12_shipclass": q_tpch_q12_shipclass,
+        "q_tpch_q15_top_supplier": q_tpch_q15_top_supplier,
+        "q_tpch_q17_small_qty": q_tpch_q17_small_qty,
+        "q_tpch_q20_part_suppliers": q_tpch_q20_part_suppliers,
+        # -- 50: standing end-to-end canary (stage→merge→write→read)
+        "q_s5_target_e2e": q_s5_target_e2e,
+        # -- 51+: variants/extensions of already-covered families; every
+        #    entry below carries at least one green driver CORRECTNESS
+        #    row from rounds 1-3 (the ten rotated out in round 4 —
+        #    q_j3_classify, q_s1_crs_roundtrip, q_p1_projection,
+        #    q_p7_wkt_fixup, q_tpch_q1_pricing, q_j5_apply_changes,
+        #    q_c9_tolerance, q_s3_discovery_pending, q_p5_utf8_clean,
+        #    q_dedup_embed_cosine — are ALL r2 AND r3 green, j5/c9 also
+        #    r1) and remains oracle-checked via scripts/check_oracles.py
         "q_j5_apply_changes": q_j5_apply_changes,
         "q_c9_tolerance": q_c9_tolerance,
         "q_s3_discovery_pending": q_s3_discovery_pending,
-        "q_s5_target_e2e": q_s5_target_e2e,
         "q_p5_utf8_clean": q_p5_utf8_clean,
         "q_dedup_embed_cosine": q_dedup_embed_cosine,
-        # -- 51+: variants/extensions of already-covered families; every
-        #    entry below carries at least one green driver CORRECTNESS
-        #    row from rounds 1-3 (the five rotated out this round —
-        #    q_j3_classify, q_s1_crs_roundtrip, q_p1_projection,
-        #    q_p7_wkt_fixup, q_tpch_q1_pricing — are r2 AND r3 green)
-        #    and remains oracle-checked via scripts/check_oracles.py
         "q_j3_classify": q_j3_classify,
         "q_s1_crs_roundtrip": q_s1_crs_roundtrip,
         "q_p1_projection": q_p1_projection,
@@ -2645,6 +2769,69 @@ def oracle_sql() -> dict[str, str]:
                               WHERE o.o_custkey = c.c_custkey
                                 AND o.o_orderstatus = 'O')
             GROUP BY c.c_nationkey
+        """,
+        "q_tpch_q7_volume": """
+            SELECT supp_nation, cust_nation, l_year,
+                   round(sum(volume), 4) AS revenue
+            FROM (
+              SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                     year(l.l_shipdate) AS l_year,
+                     l.l_extendedprice * (1 - l.l_discount) AS volume
+              FROM lineitem l
+              JOIN orders o ON o.o_orderkey = l.l_orderkey
+              JOIN customer c ON c.c_custkey = o.o_custkey
+              JOIN supplier s ON s.s_suppkey = l.l_suppkey
+              JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+              JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+              WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                 OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+            ) shipping
+            GROUP BY supp_nation, cust_nation, l_year
+        """,
+        "q_tpch_q12_shipclass": """
+            SELECT l.l_returnflag AS ship_class,
+                   sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS high_line_count,
+                   sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS low_line_count
+            FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+            WHERE l.l_returnflag IN ('A', 'R')
+              AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l.l_shipdate < TIMESTAMP '1998-01-01'
+            GROUP BY l.l_returnflag
+        """,
+        "q_tpch_q15_top_supplier": """
+            WITH revenue AS (
+              SELECT l_suppkey AS supplier_no,
+                     round(sum(l_extendedprice * (1 - l_discount)), 4)
+                       AS total_revenue
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l_shipdate < TIMESTAMP '1996-07-01'
+              GROUP BY l_suppkey
+            )
+            SELECT s.s_suppkey, s.s_name, r.total_revenue
+            FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+            WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+        """,
+        "q_tpch_q17_small_qty": """
+            SELECT round(sum(l.l_extendedprice) / 7.0, 6) AS avg_yearly
+            FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+            WHERE p.p_brand = 'Brand#4'
+              AND l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+                                  FROM lineitem l2
+                                  WHERE l2.l_partkey = l.l_partkey)
+        """,
+        "q_tpch_q20_part_suppliers": """
+            SELECT s.s_suppkey, s.s_name
+            FROM supplier s
+            WHERE s.s_suppkey IN (
+              SELECT l.l_suppkey FROM lineitem l
+              WHERE l.l_partkey IN (SELECT p_partkey FROM part
+                                    WHERE p_name LIKE 'red%')
+              GROUP BY l.l_suppkey, l.l_partkey
+              HAVING sum(l.l_quantity) > 60
+            )
         """,
         "q_approx_percentile_guard": """
             SELECT event_type,
