@@ -1318,6 +1318,22 @@ def q_stratified_sample(spark, sf_dir):
     ).select("doc_id", "lang")
 
 
+def q_mixture_weights(spark, sf_dir):
+    # Data-recipe mixing with UP-sampling: English ×2.5 (every row
+    # twice, the stable half of ids a third time), Chinese ×1, German
+    # ×0.5, everything else ×0.25 — one map-side explode, no shuffle
+    # (functions/sampling.py::mixture_weights). Epoch numbers let a
+    # loader interleave repeats.
+    from linz_bde_uploader_spark.functions import sampling as SP
+
+    d = W.load(spark, sf_dir, "documents")
+    return SP.mixture_weights(
+        d, "doc_id", "lang",
+        {"en": 2.5, "zh": 1.0, "de": 0.5},
+        default_weight=0.25,
+    ).select("doc_id", "lang", "epoch")
+
+
 def q_pack_sequences(spark, sf_dir):
     # Greedy-sequential sequence packing into 256-token training packs,
     # parallel across 8 deterministic shards (functions/packing.py —
@@ -1735,9 +1751,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     rotation (the three entries that had never had a driver row, plus
     TPC-H q21/q22); 45-49 are the round-4 TPC-H completion set
     (q7/q12/q15/q17/q20); 50 is the standing end-to-end target-sink
-    canary. Everything past position 50 carries at least one green
-    round-1/2/3 driver row (the ten rotated out in round 4 are all
-    green in BOTH r2 and r3) and stays oracle-checked via
+    canary; position 12 holds the round-4 mixture-weights query (its
+    slot's previous tenant q_win_moving_avg, r3-green, moved to 51+).
+    Everything past position 50 carries at least one green round-1/2/3
+    driver row (the eleven rotated out in round 4 are green in r3, ten
+    of them in r2 as well) and stays oracle-checked via
     ``scripts/check_oracles.py``."""
     ordered = {
         # -- 1-20: families that had no driver CORRECTNESS row in round 2
@@ -1752,7 +1770,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_event_tumbling_window": q_event_tumbling_window,
         "q_win_sessionize": q_win_sessionize,
         "q_win_topk_per_group": q_win_topk_per_group,
-        "q_win_moving_avg": q_win_moving_avg,
+        "q_mixture_weights": q_mixture_weights,
         "q_mm_metadata": q_mm_metadata,
         "q_mm_fingerprint_dedup": q_mm_fingerprint_dedup,
         "q_mm_thumbnails": q_mm_thumbnails,
@@ -1813,6 +1831,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_s3_discovery_pending": q_s3_discovery_pending,
         "q_p5_utf8_clean": q_p5_utf8_clean,
         "q_dedup_embed_cosine": q_dedup_embed_cosine,
+        "q_win_moving_avg": q_win_moving_avg,
         "q_j3_classify": q_j3_classify,
         "q_s1_crs_roundtrip": q_s1_crs_roundtrip,
         "q_p1_projection": q_p1_projection,
@@ -2667,6 +2686,23 @@ def oracle_sql() -> dict[str, str]:
                   CASE WHEN lang = 'en' THEN 30
                        WHEN lang = 'fr' THEN 80
                        ELSE 50 END
+        """,
+        "q_mixture_weights": """
+            WITH w AS (
+              SELECT doc_id, lang,
+                     (CASE lang WHEN 'en' THEN 2 WHEN 'zh' THEN 1
+                                WHEN 'de' THEN 0 ELSE 0 END
+                      + CASE WHEN ((doc_id % 2147483647) * 2654435761
+                                   % 2147483647) % 100 <
+                                  CASE lang WHEN 'en' THEN 50
+                                            WHEN 'zh' THEN 0
+                                            WHEN 'de' THEN 50
+                                            ELSE 25 END
+                             THEN 1 ELSE 0 END) AS n
+              FROM documents
+            )
+            SELECT doc_id, lang, CAST(u.i AS INT) AS epoch
+            FROM w, unnest(generate_series(1, n)) u(i)
         """,
         # the packer's greedy-sequential recurrence replayed as a
         # recursive CTE: one row advances per shard per iteration, so the

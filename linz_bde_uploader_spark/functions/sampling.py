@@ -108,6 +108,59 @@ def stratified_sample(
     return df.filter(split_bucket(id_col) < rate)
 
 
+def mixture_weights(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    weights: dict[str, float],
+    default_weight: float = 1.0,
+    epoch_col: str = "epoch",
+) -> DataFrame:
+    """Source-weighted corpus mixing with UP-sampling — the data-recipe
+    primitive training pipelines run over raw corpora: weight ``w`` for
+    a stratum means every row appears ``floor(w)`` times, plus once more
+    for the stable ``frac(w)`` fraction of ids (the same mixed-id hash
+    as :func:`split_bucket`, so the extra-copy set is deterministic,
+    nested, and engine-independent). ``w < 1`` downsamples (some rows
+    appear zero times), ``w = 2.5`` shows every row twice and half the
+    rows a third time. Output rows carry ``epoch_col`` (1..n_copies) so
+    a data loader can interleave epochs.
+
+    Scale: one map-side ``explode`` of a per-row sequence — codegen, no
+    shuffle, and rows with zero copies vanish in the same stage. The
+    output is ``sum(w_s · |stratum_s|)`` rows; nothing materializes on
+    the driver. Weights are resolved to 2-dp (floor + integer percent)
+    so the fractional gate is exact integer arithmetic, never a float
+    compare."""
+    resolved: dict[str, tuple[int, int]] = {}
+    for name, w in {**weights, "": default_weight}.items():
+        if w < 0:
+            raise ValueError(f"weight for {name!r} must be >= 0")
+        base = int(w)
+        frac_pct = round((w - base) * SPLIT_BUCKETS)
+        if frac_pct == SPLIT_BUCKETS:  # e.g. 1.999 → treat as 2.0
+            base, frac_pct = base + 1, 0
+        resolved[name] = (base, frac_pct)
+
+    s = F.col(strata_col)
+    d_base, d_frac = resolved.pop("")
+    base_e, frac_e = None, None
+    for name, (b, p) in resolved.items():
+        base_e = (F.when(s == name, b) if base_e is None
+                  else base_e.when(s == name, b))
+        frac_e = (F.when(s == name, p) if frac_e is None
+                  else frac_e.when(s == name, p))
+    base_c = F.lit(d_base) if base_e is None else base_e.otherwise(d_base)
+    frac_c = F.lit(d_frac) if frac_e is None else frac_e.otherwise(d_frac)
+    n = base_c + (split_bucket(id_col) < frac_c).cast("int")
+    # Spark's sequence(1, 0) DESCENDS ([1, 0]) instead of being empty —
+    # gate on n >= 1 and explode an empty array for dropped rows.
+    copies = F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return df.withColumn(epoch_col, F.explode(copies))
+
+
 def deterministic_sample(
     df: DataFrame, id_col: str, percent: int
 ) -> DataFrame:

@@ -166,6 +166,47 @@ def test_stratified_sample_default_rate_and_validation(spark):
         SP.stratified_sample(df, "doc_id", "lang", {"en": 101})
 
 
+def test_mixture_weights_copy_counts_and_epochs(spark):
+    rows = [(i, "en" if i % 2 == 0 else "fr") for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = SP.mixture_weights(df, "doc_id", "lang", {"en": 2.5, "fr": 0.5})
+    per = {(r["doc_id"]): r["n"] for r in
+           out.groupBy("doc_id").count().withColumnRenamed("count", "n")
+           .collect()}
+    # every English doc appears 2 or 3 times; French 0 or 1
+    en_counts = {per.get(i, 0) for i in range(0, 2000, 2)}
+    fr_counts = {per.get(i, 0) for i in range(1, 2000, 2)}
+    assert en_counts == {2, 3}
+    assert fr_counts == {0, 1}
+    # the fractional gates hit ~50% of each stratum
+    n3 = sum(1 for i in range(0, 2000, 2) if per.get(i, 0) == 3)
+    n1 = sum(1 for i in range(1, 2000, 2) if per.get(i, 0) == 1)
+    assert 400 < n3 < 600 and 400 < n1 < 600
+    # epochs number 1..n with no gaps
+    eps = sorted(r["epoch"] for r in out.filter("doc_id = 0").collect())
+    assert eps == list(range(1, per[0] + 1))
+    # the upsampled extra-copy set coincides with the 50% sample
+    # (same hash gate) — deterministic, not partition-dependent
+    extra = {r["doc_id"] for r in out.filter("epoch = 3").collect()}
+    half = {r["doc_id"] for r in
+            SP.deterministic_sample(df.filter("lang='en'"), "doc_id", 50)
+            .collect()}
+    assert extra == half
+
+
+def test_mixture_weights_integer_weight_and_validation(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "doc_id long, lang string"
+    )
+    # integral weights: exact copy counts, no fractional gate involved
+    out = SP.mixture_weights(df, "doc_id", "lang", {"a": 3}, default_weight=0)
+    got = [(r["doc_id"], r["epoch"]) for r in out.collect()]
+    assert sorted(got) == [(1, 1), (1, 2), (1, 3)]
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        SP.mixture_weights(df, "doc_id", "lang", {"a": -0.5})
+
+
 # ------------------------------------------------------- boilerplate
 
 def test_boilerplate_lines_removed_and_order_kept(spark):
