@@ -161,6 +161,44 @@ def test_tiny_png_fixture_is_wellformed():
     assert png[-8:-4] == b"IEND"
 
 
+def test_multimodal_oracles_byte_addressed_on_non_ascii(spark, tmp_path):
+    """Spark's multimodal ops hash/slice UTF-8 BYTES; the DuckDB oracles
+    must agree even when text is not ASCII (they address hex pairs, not
+    characters). Runs the real harness query + its real oracle over a
+    tiny non-ASCII documents table — this is the regression guard for a
+    regenerated fixture that gains non-ASCII text."""
+    import duckdb
+    import pandas as pd
+
+    import __spark_entry__ as entry
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": ["héllo wörld — 中文 test", "plain ascii", "naïve café ø"],
+            "lang": ["de", "en", "fr"],
+            "source": ["src0", "src1", "src2"],
+            "n_chars": [22, 11, 12],
+        }
+    )
+    spark.createDataFrame(pdf).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{tmp_path}/documents.parquet/*.parquet'"
+    )
+    qs, oracles = entry.queries(), entry.oracle_sql()
+    for name in ("q_mm_metadata", "q_mm_thumbnails", "q_mm_frame_sample",
+                 "q_mm_fingerprint_dedup"):
+        got = {
+            tuple(r) for r in qs[name](spark, str(tmp_path)).collect()
+        }
+        want = {tuple(r) for r in con.sql(oracles[name]).fetchall()}
+        assert got == want, name
+
+
 def test_synth_media_shape(spark):
     docs = spark.createDataFrame([(7, "abc")], "doc_id long, text string")
     m = M.synth_media(docs, "doc_id", "text")
