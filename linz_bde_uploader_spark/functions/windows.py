@@ -67,6 +67,48 @@ def session_stats(
     )
 
 
+def session_window_stats(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    gap: str = "30 minutes",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Per-session rollup via Spark's NATIVE ``session_window`` — the
+    operator to prefer on a live stream: with a watermark the state
+    store evicts closed sessions, giving bounded state on an unbounded
+    feed (the lag/running-sum composition in :func:`sessionize` is
+    batch-only — a window over all history can't stream).
+
+    Returns (key, session_start, session_end, n_events) with
+    ``session_end = last event + gap`` (Spark's half-open contract).
+
+    Boundary note vs :func:`sessionize`: an event arriving at EXACTLY
+    ``gap`` after the previous one starts a NEW session here (the window
+    is ``[start, last+gap)``) but stays in the SAME session there
+    (strict ``>`` test) — the two agree on all non-boundary data.
+
+    Scale: same single hash shuffle on the grouping key as any
+    aggregation; session merging happens inside the aggregation, no
+    extra exchange."""
+    src = df
+    if df.isStreaming and watermark:
+        src = df.withWatermark(ts_col, watermark)
+    return (
+        src.groupBy(
+            F.session_window(F.col(ts_col), gap).alias("sw"),
+            F.col(key_col),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col(key_col),
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 def topk_per_group(
     df: DataFrame,
     group_col: str,

@@ -46,6 +46,80 @@ def test_session_stats_rollup(spark, events_df):
     }
 
 
+def test_session_window_stats_matches_manual_sessionize(spark, events_df):
+    """Spark's native session_window must carve the same sessions as the
+    lag/running-sum sessionize on non-boundary data (no delta equals the
+    gap exactly). Timestamps come from the same epoch seconds."""
+    from pyspark.sql import functions as F
+
+    ts = events_df.withColumn("ts", F.timestamp_seconds(F.col("t")))
+    got = {
+        (r.user_id, int(r.session_start.timestamp()), r.n_events)
+        for r in WN.session_window_stats(
+            ts, "user_id", "ts", gap="50 seconds"
+        ).collect()
+    }
+    manual = {
+        (r.user_id, r.start_t, r.n_events)
+        for r in WN.session_stats(
+            events_df, "user_id", "t", "event_id", gap=50
+        ).collect()
+    }
+    assert got == manual
+    # end = last event + gap (the half-open session_window contract)
+    ends = {
+        (r.user_id, int(r.session_start.timestamp())):
+            int(r.session_end.timestamp())
+        for r in WN.session_window_stats(
+            ts, "user_id", "ts", gap="50 seconds"
+        ).collect()
+    }
+    assert ends[(1, 1000)] == 1005 + 50
+    assert ends[(2, 500)] == 500 + 50
+
+
+def test_session_window_stats_streaming_bounded_state(spark, tmp_path):
+    """The native session window is the STREAMING-capable shape: with a
+    watermark it runs in append mode on a real stream (bounded state —
+    closed sessions evict), which the batch-only window composition in
+    sessionize cannot."""
+    from pyspark.sql import functions as F
+
+    src = tmp_path / "events_in"
+    (
+        spark.createDataFrame(
+            [(1, 1000), (1, 1005), (1, 1205), (2, 500)], "user_id long, t long"
+        )
+        .select("user_id", F.timestamp_seconds("t").alias("ts"))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(str(src))
+    )
+    stream = spark.readStream.schema(
+        "user_id long, ts timestamp"
+    ).parquet(str(src))
+    out = WN.session_window_stats(
+        stream, "user_id", "ts", gap="50 seconds", watermark="1 second"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sess_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {
+        (r.user_id, int(r.session_start.timestamp()), r.n_events)
+        for r in spark.sql("SELECT * FROM sess_out").collect()
+    }
+    # append mode emits exactly the sessions the watermark CLOSED
+    # (ends 1055 and 550 ≤ watermark 1204) and withholds the still-open
+    # one (end 1255) — the bounded-state eviction contract itself
+    assert rows == {(1, 1000, 2), (2, 500, 1)}
+
+
 def test_topk_per_group(spark, events_df):
     rows = [
         (r.event_id, r.rank)
