@@ -313,6 +313,18 @@ def duplicate_components(
             e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         ).distinct()
     )
+    # Size the loop's partitioning to the measured edge count (~100k
+    # edges/partition): a candidate graph is usually orders of magnitude
+    # smaller than its corpus, and re-joining a few thousand edges as 32
+    # tasks × N rounds is pure scheduler overhead. The count is one pass
+    # over the just-persisted edges (needed anyway for the first round);
+    # at real scale the computed target equals the existing partition
+    # count and this is a no-op. coalesce() not repartition(): no extra
+    # shuffle, cached blocks are read as-is.
+    n_edges = edges.count()
+    parts = max(1, min(edges.rdd.getNumPartitions(), n_edges // 100_000 + 1))
+    if parts < edges.rdd.getNumPartitions():
+        edges = edges.coalesce(parts)
     labels = edges.select(F.col("src").alias("id")).distinct().select(
         "id", F.col("id").alias("component")
     )
