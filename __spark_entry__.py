@@ -1551,6 +1551,118 @@ def q_tpch_q21_waiting(spark, sf_dir):
     """)
 
 
+def q_tpch_q8_market_share(spark, sf_dir):
+    # TPC-H Q8 shape: one nation's share of a region's import volume by
+    # year — a ratio of two conditional sums over an 8-table join. The
+    # dimension chain (nation ×2, region, part filter) broadcasts; only
+    # lineitem→orders→customer is wide.
+    for t in ("lineitem", "orders", "customer", "supplier", "nation",
+              "region", "part"):
+        W.load(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql("""
+        SELECT o_year,
+               round(sum(CASE WHEN supp_nation = 'NATION_3'
+                              THEN volume ELSE 0 END)
+                     / sum(volume), 6) AS mkt_share
+        FROM (
+          SELECT year(o.o_orderdate) AS o_year,
+                 l.l_extendedprice * (1 - l.l_discount) AS volume,
+                 n1.n_name AS supp_nation
+          FROM lineitem l
+          JOIN orders o ON o.o_orderkey = l.l_orderkey
+          JOIN customer c ON c.c_custkey = o.o_custkey
+          JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+          JOIN region r ON r.r_regionkey = n2.n_regionkey
+                       AND r.r_name = 'ASIA'
+          JOIN supplier s ON s.s_suppkey = l.l_suppkey
+          JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+          JOIN part p ON p.p_partkey = l.l_partkey
+                     AND p.p_type = 'PROMO'
+        ) all_nations
+        GROUP BY o_year
+    """)
+
+
+def q_tpch_q9_profit(spark, sf_dir):
+    # TPC-H Q9 shape: computed profit rolled up by supplier nation and
+    # year. The schema has no partsupp.ps_supplycost, so cost is modeled
+    # as 0.6 × p_retailprice × quantity — the expression shape (and the
+    # LIKE part filter + 5-way join) is the point.
+    for t in ("lineitem", "orders", "supplier", "nation", "part"):
+        W.load(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql("""
+        SELECT nation, o_year, round(sum(amount), 4) AS sum_profit
+        FROM (
+          SELECT n.n_name AS nation, year(o.o_orderdate) AS o_year,
+                 l.l_extendedprice * (1 - l.l_discount)
+                   - 0.6 * p.p_retailprice * l.l_quantity AS amount
+          FROM lineitem l
+          JOIN orders o ON o.o_orderkey = l.l_orderkey
+          JOIN supplier s ON s.s_suppkey = l.l_suppkey
+          JOIN nation n ON n.n_nationkey = s.s_nationkey
+          JOIN part p ON p.p_partkey = l.l_partkey
+          WHERE p.p_name LIKE '%bolt%'
+        ) profit
+        GROUP BY nation, o_year
+    """)
+
+
+def q_tpch_q11_value_share(spark, sf_dir):
+    # TPC-H Q11 shape: per-part value filtered against a GLOBAL-fraction
+    # scalar subquery over the same CTE — group-vs-total decorrelation.
+    # Part value derives from lineitem (no partsupp in the schema).
+    for t in ("lineitem", "supplier", "nation"):
+        W.load(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql("""
+        WITH pv AS (
+          SELECT l_partkey,
+                 sum(l_extendedprice * (1 - l_discount)) AS val
+          FROM lineitem l
+          JOIN supplier s ON s.s_suppkey = l.l_suppkey
+          JOIN nation n ON n.n_nationkey = s.s_nationkey
+                       AND n.n_name IN ('NATION_2', 'NATION_5')
+          GROUP BY l_partkey
+        )
+        SELECT l_partkey, round(val, 4) AS part_value FROM pv
+        WHERE val > (SELECT sum(val) * 0.002 FROM pv)
+    """)
+
+
+def q_tpch_q16_supplier_count(spark, sf_dir):
+    # TPC-H Q16 shape: COUNT(DISTINCT) per attribute group with a NOT IN
+    # exclusion subquery (suppliers in bad standing stand in for the
+    # original comment-LIKE filter). part-supplier pairs derive from
+    # lineitem, as in q_tpch_q2.
+    for t in ("lineitem", "supplier", "part"):
+        W.load(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql("""
+        WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+        SELECT p.p_brand, p.p_type,
+               count(DISTINCT ps.l_suppkey) AS supplier_cnt
+        FROM ps JOIN part p ON p.p_partkey = ps.l_partkey
+        WHERE p.p_size IN (5, 10, 15, 20, 25)
+          AND ps.l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                   WHERE s_acctbal < 0)
+        GROUP BY p.p_brand, p.p_type
+    """)
+
+
+def q_event_session_window(spark, sf_dir):
+    # Native Spark session_window over the events table (30-min gap) —
+    # the streaming-capable sessionizer's batch face, oracle-checked
+    # against manual gap sessionization. Note the boundary contract:
+    # a gap of EXACTLY 30 min closes the session here (half-open
+    # window), hence the >= in the oracle.
+    e = W.events(spark, sf_dir)
+    out = WN.session_window_stats(e, "user_id", "ts_ntz", gap="30 minutes")
+    return out.select(
+        "user_id",
+        F.unix_micros(F.col("session_start").cast("timestamp"))
+         .alias("start_us"),
+        F.col("n_events"),
+    )
+
+
 def q_tpch_q22_global_sales(spark, sf_dir):
     # TPC-H Q22 shape: NOT-EXISTS anti-join + an uncorrelated scalar-avg
     # subquery gating the filter. c_nationkey stands in for the phone
@@ -1755,8 +1867,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     slot's previous tenant q_win_moving_avg, r3-green, moved to 51+).
     Everything past position 50 carries at least one green round-1/2/3
     driver row (the eleven rotated out in round 4 are green in r3, ten
-    of them in r2 as well) and stays oracle-checked via
-    ``scripts/check_oracles.py``."""
+    of them in r2 as well) — except the five born in round 4 after the
+    window filled (tpch q8/q9/q11/q16, event_session_window), which are
+    oracle-checked only and rotate into the round-5 window. All stay
+    oracle-checked via ``scripts/check_oracles.py``."""
     ordered = {
         # -- 1-20: families that had no driver CORRECTNESS row in round 2
         "q_tpch_q10_returns": q_tpch_q10_returns,
@@ -1832,6 +1946,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_p5_utf8_clean": q_p5_utf8_clean,
         "q_dedup_embed_cosine": q_dedup_embed_cosine,
         "q_win_moving_avg": q_win_moving_avg,
+        # -- NEW in round 4, oracle-checked only (no driver row yet —
+        #    scheduled to rotate into the window in round 5, displacing
+        #    entries that will then carry r3+r4 driver rows)
+        "q_tpch_q8_market_share": q_tpch_q8_market_share,
+        "q_tpch_q9_profit": q_tpch_q9_profit,
+        "q_tpch_q11_value_share": q_tpch_q11_value_share,
+        "q_tpch_q16_supplier_count": q_tpch_q16_supplier_count,
+        "q_event_session_window": q_event_session_window,
         "q_j3_classify": q_j3_classify,
         "q_s1_crs_roundtrip": q_s1_crs_roundtrip,
         "q_p1_projection": q_p1_projection,
@@ -2792,6 +2914,87 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY s.s_name
             ORDER BY numwait DESC, s.s_name
             LIMIT 20
+        """,
+        "q_tpch_q8_market_share": """
+            SELECT o_year,
+                   round(sum(CASE WHEN supp_nation = 'NATION_3'
+                                  THEN volume ELSE 0 END)
+                         / sum(volume), 6) AS mkt_share
+            FROM (
+              SELECT year(o.o_orderdate) AS o_year,
+                     l.l_extendedprice * (1 - l.l_discount) AS volume,
+                     n1.n_name AS supp_nation
+              FROM lineitem l
+              JOIN orders o ON o.o_orderkey = l.l_orderkey
+              JOIN customer c ON c.c_custkey = o.o_custkey
+              JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+              JOIN region r ON r.r_regionkey = n2.n_regionkey
+                           AND r.r_name = 'ASIA'
+              JOIN supplier s ON s.s_suppkey = l.l_suppkey
+              JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+              JOIN part p ON p.p_partkey = l.l_partkey
+                         AND p.p_type = 'PROMO'
+            ) all_nations
+            GROUP BY o_year
+        """,
+        "q_tpch_q9_profit": """
+            SELECT nation, o_year, round(sum(amount), 4) AS sum_profit
+            FROM (
+              SELECT n.n_name AS nation, year(o.o_orderdate) AS o_year,
+                     l.l_extendedprice * (1 - l.l_discount)
+                       - 0.6 * p.p_retailprice * l.l_quantity AS amount
+              FROM lineitem l
+              JOIN orders o ON o.o_orderkey = l.l_orderkey
+              JOIN supplier s ON s.s_suppkey = l.l_suppkey
+              JOIN nation n ON n.n_nationkey = s.s_nationkey
+              JOIN part p ON p.p_partkey = l.l_partkey
+              WHERE p.p_name LIKE '%bolt%'
+            ) profit
+            GROUP BY nation, o_year
+        """,
+        "q_tpch_q11_value_share": """
+            WITH pv AS (
+              SELECT l_partkey,
+                     sum(l_extendedprice * (1 - l_discount)) AS val
+              FROM lineitem l
+              JOIN supplier s ON s.s_suppkey = l.l_suppkey
+              JOIN nation n ON n.n_nationkey = s.s_nationkey
+                           AND n.n_name IN ('NATION_2', 'NATION_5')
+              GROUP BY l_partkey
+            )
+            SELECT l_partkey, round(val, 4) AS part_value FROM pv
+            WHERE val > (SELECT sum(val) * 0.002 FROM pv)
+        """,
+        "q_tpch_q16_supplier_count": """
+            WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+            SELECT p.p_brand, p.p_type,
+                   count(DISTINCT ps.l_suppkey) AS supplier_cnt
+            FROM ps JOIN part p ON p.p_partkey = ps.l_partkey
+            WHERE p.p_size IN (5, 10, 15, 20, 25)
+              AND ps.l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                       WHERE s_acctbal < 0)
+            GROUP BY p.p_brand, p.p_type
+        """,
+        "q_event_session_window": """
+            WITH x AS (
+              SELECT user_id, event_id, epoch_us(ts) AS us,
+                     CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                            OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                               >= 1800000000
+                          THEN 1 ELSE 0 END AS is_new
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+            ),
+            s AS (
+              SELECT user_id, us,
+                     sum(is_new) OVER (
+                       PARTITION BY user_id ORDER BY us, event_id
+                       ROWS UNBOUNDED PRECEDING) AS session_id
+              FROM x
+            )
+            SELECT user_id, min(us) AS start_us,
+                   count(*) AS n_events
+            FROM s GROUP BY user_id, session_id
         """,
         "q_tpch_q22_global_sales": """
             SELECT c.c_nationkey AS cntrycode, count(*) AS numcust,
