@@ -6,6 +6,8 @@ full materialization via the ``noop`` sink (computes every column — a bare
 ``count()`` would let column pruning skip most of the work), timed with a
 monotonic clock, and run ``$SPARK_GRAFT_BENCH_REPEATS`` times (default 3)
 reporting the per-query MEDIAN — single runs on a noisy VM lie by 3-10×.
+Repeats are interleaved as full passes over the registry so one host
+stall cannot swallow every sample of the same query.
 
 Output (single line on stdout; everything else goes to stderr):
     {"metric": "total_query_wall", "value": N, "unit": "sec",
@@ -107,30 +109,48 @@ def main() -> int:
     timings: dict[str, float] = {}
     raw_runs: dict[str, list[float]] = {}
     failed: dict[str, str] = {}
-    for name, fn in entry.queries().items():
-        runs: list[float] = []
-        for i in range(repeats):
+    queries = entry.queries()
+    # Repeats are INTERLEAVED (full pass over the registry per repeat)
+    # rather than back-to-back: a multi-second host stall spans tens of
+    # seconds of wall-clock, and back-to-back repeats put all of one
+    # query's samples inside the same stall — the median then reports
+    # 6× for a query that is fine (observed, non-reproducible in
+    # isolation). Interleaving separates a query's samples by the whole
+    # registry, so the median shrugs off any single bad window.
+    for rep in range(repeats):
+        for qi, (name, fn) in enumerate(queries.items()):
+            if name in failed:
+                continue
+            if qi and qi % 20 == 0:
+                # Spark's ContextCleaner releases finished broadcasts and
+                # shuffles only when the JVM GC collects their driver-side
+                # references; over a 100+-query pass G1 defers that long
+                # enough for stale blocks to crowd executor storage and
+                # skew late-query timings. A periodic explicit GC keeps
+                # the cleaner current; ~ms cost every 20 queries.
+                spark.sparkContext._jvm.System.gc()
             t0 = time.monotonic()
             try:
                 df = fn(spark, sf_dir)
                 df.write.mode("overwrite").format("noop").save()
-                runs.append(time.monotonic() - t0)
+                raw_runs.setdefault(name, []).append(
+                    round(time.monotonic() - t0, 3)
+                )
             except Exception as e:  # noqa: BLE001 — a broken query must not hide the rest
                 failed[name] = f"{type(e).__name__}: {e}"
+                raw_runs.pop(name, None)
                 log(f"{name:34s} FAILED {failed[name]}")
                 traceback.print_exc(file=sys.stderr)
-                break
             finally:
                 # Operators persist intermediates (banded projections, JSONL
                 # budget caches); drop them so queries are measured
                 # independently and storage memory never accumulates.
                 spark.catalog.clearCache()
-        if runs:
-            med = statistics.median(runs)
-            timings[name] = round(med, 3)
-            raw_runs[name] = [round(r, 3) for r in runs]
-            log(f"{name:34s} {med:7.3f}s  " +
-                " ".join(f"{r:.3f}" for r in runs))
+        log(f"-- pass {rep + 1}/{repeats} complete")
+    for name, runs in raw_runs.items():
+        med = statistics.median(runs)
+        timings[name] = round(med, 3)
+        log(f"{name:34s} {med:7.3f}s  " + " ".join(f"{r:.3f}" for r in runs))
 
     total = round(sum(timings.values()), 3)
 
