@@ -1,0 +1,128 @@
+"""Measured scaling study: replicate the sf0.1 fixtures K× and time
+representative harness queries at both sizes on the same local[32]
+session.
+
+Replication is key-shifted so join cardinalities scale honestly:
+orders/lineitem shift o_orderkey together (FK preserved; dimension
+tables stay fixed, so per-customer fan-in grows K× — the realistic
+shape), documents get a per-replica text suffix so near-dup operators
+don't degenerate into K-way exact-duplicate cliques, events/embeddings
+shift their ids.
+
+The point is the RATIO column: a query whose wall grows ≤ K× on fixed
+cores has no super-linear term (the thing `scripts/plan_audit.py`
+promises structurally, verified here empirically). Scan-bound queries
+grow far less than K× while local[32] still has idle headroom —
+that headroom is exactly what more executors buy at a real 100-TB
+scale-up.
+
+Usage:
+    python scripts/scale_study.py [--k 10] [--dst /tmp/scale10] [--skip-gen]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import shutil
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SRC = "/root/testdata/sf0.1"
+
+PICK = [
+    "q_tpch_q1_pricing", "q_tpch_q18_bigorders", "q_tpch_q3_revenue_topk",
+    "q_j3_classify", "q_j5_apply_changes", "q_win_sessionize",
+    "q_tfidf_topk", "q_dedup_minhash_pairs", "q_dedup_components",
+    "q_sim_cosine_topk", "q_pack_sequences", "q_event_hopping_window",
+]
+
+
+def generate(spark, dst: str, k: int) -> None:
+    from pyspark.sql import functions as F
+
+    shutil.rmtree(dst, ignore_errors=True)
+    os.makedirs(dst)
+
+    def rep(df, shifts, text_tag=None):
+        parts = []
+        for i in range(k):
+            d = df
+            for col, off in shifts.items():
+                d = d.withColumn(col, F.col(col) + F.lit(i * off))
+            if text_tag and i > 0:
+                d = d.withColumn(
+                    text_tag, F.concat(F.col(text_tag), F.lit(f" v{i}"))
+                )
+            parts.append(d)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    for t in ("region", "nation", "customer", "supplier", "part"):
+        spark.read.parquet(f"{SRC}/{t}.parquet").write.mode(
+            "overwrite"
+        ).parquet(f"{dst}/{t}.parquet")
+    off_o = 1_000_000
+    rep(spark.read.parquet(f"{SRC}/orders.parquet"),
+        {"o_orderkey": off_o}).write.mode("overwrite").parquet(
+        f"{dst}/orders.parquet")
+    rep(spark.read.parquet(f"{SRC}/lineitem.parquet"),
+        {"l_orderkey": off_o}).write.mode("overwrite").parquet(
+        f"{dst}/lineitem.parquet")
+    rep(spark.read.parquet(f"{SRC}/events.parquet"),
+        {"event_id": 1_000_000}).write.mode("overwrite").parquet(
+        f"{dst}/events.parquet")
+    rep(spark.read.parquet(f"{SRC}/documents.parquet"),
+        {"doc_id": 100_000}, text_tag="text").write.mode(
+        "overwrite").parquet(f"{dst}/documents.parquet")
+    rep(spark.read.parquet(f"{SRC}/embeddings.parquet"),
+        {"vec_id": 100_000}).write.mode("overwrite").parquet(
+        f"{dst}/embeddings.parquet")
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--dst", default="/tmp/scale10")
+    ap.add_argument("--skip-gen", action="store_true")
+    args = ap.parse_args()
+
+    import __spark_entry__ as entry
+    from linz_bde_uploader_spark import caching
+    from linz_bde_uploader_spark.session import get_spark
+
+    spark = get_spark()
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if not args.skip_gen:
+        generate(spark, args.dst, args.k)
+
+    qs = entry.queries()
+
+    def med(name: str, sf_dir: str) -> float:
+        runs = []
+        for _ in range(3):
+            t0 = time.monotonic()
+            qs[name](spark, sf_dir).write.mode("overwrite").format(
+                "noop"
+            ).save()
+            runs.append(time.monotonic() - t0)
+            spark.catalog.clearCache()
+            caching.release_intermediates()
+        return statistics.median(runs)
+
+    print(f"{'query':28s} {'sf0.1':>7s} {f'{args.k}x':>7s} {'ratio':>6s}")
+    for name in PICK:
+        a = med(name, SRC)
+        b = med(name, args.dst)
+        print(f"{name:28s} {a:7.2f} {b:7.2f} {b / a:6.2f}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
