@@ -746,6 +746,16 @@ def q_split_assign(spark, sf_dir):
     return SP.with_split(d, "doc_id").select("doc_id", "split")
 
 
+def q_bpe_pair_counts(spark, sf_dir):
+    # Tokenizer training's inner statistic: corpus-wide adjacent
+    # character-pair counts, top-50 by (count desc, pair asc) — the
+    # table a BPE merge step maximizes over (functions/text.py::
+    # char_pair_counts). One partial-agg shuffle over an |alphabet|²
+    # key space; top-k is TakeOrderedAndProject.
+    d = W.load(spark, sf_dir, "documents")
+    return X.char_pair_counts(d, "text", k=50)
+
+
 def q_text_bpe_tokens(spark, sf_dir):
     # Subword-ish counting: BPE-style pretokenization classes (letter
     # runs / digit runs / marks) as a pure regex Column expression.
@@ -1867,10 +1877,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     slot's previous tenant q_win_moving_avg, r3-green, moved to 51+).
     Everything past position 50 carries at least one green round-1/2/3
     driver row (the eleven rotated out in round 4 are green in r3, ten
-    of them in r2 as well) — except the five born in round 4 after the
-    window filled (tpch q8/q9/q11/q16, event_session_window), which are
-    oracle-checked only and rotate into the round-5 window. All stay
-    oracle-checked via ``scripts/check_oracles.py``."""
+    of them in r2 as well) — except the six born in round 4 after the
+    window filled (tpch q8/q9/q11/q16, event_session_window,
+    bpe_pair_counts), which are oracle-checked only and rotate into the
+    round-5 window. All stay oracle-checked via
+    ``scripts/check_oracles.py``."""
     ordered = {
         # -- 1-20: families that had no driver CORRECTNESS row in round 2
         "q_tpch_q10_returns": q_tpch_q10_returns,
@@ -1954,6 +1965,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tpch_q11_value_share": q_tpch_q11_value_share,
         "q_tpch_q16_supplier_count": q_tpch_q16_supplier_count,
         "q_event_session_window": q_event_session_window,
+        "q_bpe_pair_counts": q_bpe_pair_counts,
         "q_j3_classify": q_j3_classify,
         "q_s1_crs_roundtrip": q_s1_crs_roundtrip,
         "q_p1_projection": q_p1_projection,
@@ -2279,6 +2291,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_bpe_tokens
             FROM documents
+        """,
+        "q_bpe_pair_counts": """
+            SELECT pair, cnt FROM (
+              SELECT substr(text, CAST(i AS INT), 2) AS pair,
+                     count(*) AS cnt
+              FROM documents,
+                   unnest(generate_series(1, greatest(length(text) - 1, 1))) u(i)
+              GROUP BY 1
+            )
+            WHERE length(pair) = 2
+            ORDER BY cnt DESC, pair
+            LIMIT 50
         """,
         "q_text_langid": f"""
             SELECT doc_id,

@@ -142,6 +142,39 @@ def bpe_ish_token_count(col: Column | str) -> Column:
     return F.size(F.regexp_extract_all(c, F.lit(BPE_ISH_PATTERN), F.lit(0)))
 
 
+def char_pair_counts(df, text_col: str, k: int = 50):
+    """Corpus-wide counts of ADJACENT character pairs — the statistic a
+    BPE tokenizer-training step maximizes at every merge (Sennrich et
+    al. 2016: repeatedly merge the most frequent adjacent symbol pair).
+    This is the first-iteration pair table over raw characters; a full
+    trainer would re-run it over the re-segmented corpus per merge.
+
+    Returns the top-``k`` (pair, cnt) rows with a TOTAL order
+    (count desc, pair asc) so results are engine-independent.
+
+    Scale: per-document pair extraction is map-side array work; the
+    aggregation is one shuffle with map-side partial aggregation over a
+    key space bounded by |alphabet|² — tiny state no matter the corpus
+    size. Top-k is a TakeOrderedAndProject, no global sort. Character
+    (not byte) addressed on both engines, so non-ASCII text agrees.
+    """
+    from pyspark.sql import functions as _F
+
+    c = _F.col(text_col)
+    pairs = _F.transform(
+        _F.sequence(_F.lit(1), _F.greatest(_F.length(c) - 1, _F.lit(1))),
+        lambda i: c.substr(i, _F.lit(2)),
+    )
+    return (
+        df.select(_F.explode(pairs).alias("pair"))
+        .filter(_F.length("pair") == 2)
+        .groupBy("pair")
+        .agg(_F.count(_F.lit(1)).alias("cnt"))
+        .orderBy(_F.desc("cnt"), _F.col("pair"))
+        .limit(k)
+    )
+
+
 def dup_ngram_fraction(col: Column | str, n: int = 3) -> Column:
     """Fraction of word n-grams that are repeats of an earlier n-gram in
     the same document — the Gopher-style repetition signal (Rae et al.

@@ -217,3 +217,23 @@ def test_tfidf_topk_ranks_rare_terms_highest(spark):
     # doc 2: 'zebra' tf=2 df=1 -> 2*4/2=4.0 beats 'common' 1*4/4=1.0
     assert sorted(by_doc[2])[0][1] == "zebra"
     assert sorted(by_doc[2])[0][2] == 4.0
+
+
+def test_char_pair_counts_exact_and_ordered(spark):
+    # "abab" pairs: ab, ba, ab ; "ba" pairs: ba ; "x" and "" yield none
+    df = spark.createDataFrame(
+        [(1, "abab"), (2, "ba"), (3, "x"), (4, "")], ["doc_id", "text"]
+    )
+    got = [(r["pair"], r["cnt"]) for r in
+           X.char_pair_counts(df, "text", k=10).collect()]
+    # counts: ab=2, ba=2 -> tie broken by pair asc
+    assert got == [("ab", 2), ("ba", 2)]
+    # top-k truncates by (cnt desc, pair asc)
+    top1 = [(r["pair"], r["cnt"]) for r in
+            X.char_pair_counts(df, "text", k=1).collect()]
+    assert top1 == [("ab", 2)]
+    # non-ASCII is character-addressed (é is ONE symbol, not two bytes)
+    df2 = spark.createDataFrame([(1, "héé")], ["doc_id", "text"])
+    got2 = {r["pair"]: r["cnt"] for r in
+            X.char_pair_counts(df2, "text", k=10).collect()}
+    assert got2 == {"hé": 1, "éé": 1}
