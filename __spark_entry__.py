@@ -1748,12 +1748,14 @@ def q_tpch_q12_shipclass(spark, sf_dir):
 
 
 def q_tpch_q15_top_supplier(spark, sf_dir):
-    # TPC-H Q15 shape: CTE reused twice — once joined, once inside a
-    # scalar-max subquery selecting the top revenue supplier(s).
-    # total_revenue is rounded to 4 dp INSIDE the CTE so the double
-    # equality against max() is deterministic on both engines (raw
-    # double sums are fold-order-sensitive; rounded ones are stable at
-    # this magnitude).
+    # TPC-H Q15 shape: revenue CTE + top-revenue supplier selection.
+    # The textbook scalar-max subquery re-evaluates the CTE — Spark
+    # does not materialize WITH, so lineitem would scan TWICE. Here the
+    # max is a window over the AGGREGATED revenue rows (|suppliers|,
+    # tiny at any corpus scale), so the big table scans once; the
+    # DuckDB oracle keeps the textbook scalar-subquery form — results
+    # are identical. total_revenue rounds to 4 dp INSIDE the CTE so the
+    # double equality against max() is deterministic on both engines.
     for t in ("lineitem", "supplier"):
         W.load(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql("""
@@ -1765,10 +1767,15 @@ def q_tpch_q15_top_supplier(spark, sf_dir):
           WHERE l_shipdate >= TIMESTAMP '1996-01-01'
             AND l_shipdate < TIMESTAMP '1996-07-01'
           GROUP BY l_suppkey
+        ),
+        ranked AS (
+          SELECT supplier_no, total_revenue,
+                 max(total_revenue) OVER () AS mx
+          FROM revenue
         )
         SELECT s.s_suppkey, s.s_name, r.total_revenue
-        FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
-        WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+        FROM supplier s JOIN ranked r ON s.s_suppkey = r.supplier_no
+        WHERE r.total_revenue = r.mx
     """)
 
 
