@@ -1641,10 +1641,13 @@ def q_tpch_q11_value_share(spark, sf_dir):
           GROUP BY l_partkey
         ),
         shared AS (
-          SELECT l_partkey, val, sum(val) OVER () AS total FROM pv
+          SELECT l_partkey, val,
+                 sum(val) OVER () AS total,
+                 count(*) OVER () AS cnt
+          FROM pv
         )
         SELECT l_partkey, round(val, 4) AS part_value FROM shared
-        WHERE val > total * 0.002
+        WHERE val > 3.0 * total / cnt
     """)
 
 
@@ -3004,7 +3007,7 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY l_partkey
             )
             SELECT l_partkey, round(val, 4) AS part_value FROM pv
-            WHERE val > (SELECT sum(val) * 0.002 FROM pv)
+            WHERE val > (SELECT 3.0 * sum(val) / count(*) FROM pv)
         """,
         "q_tpch_q16_supplier_count": """
             WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
