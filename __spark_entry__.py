@@ -1633,7 +1633,7 @@ def q_tpch_q11_value_share(spark, sf_dir):
     return spark.sql("""
         WITH pv AS (
           SELECT l_partkey,
-                 sum(l_extendedprice * (1 - l_discount)) AS val
+                 round(sum(l_extendedprice * (1 - l_discount)), 4) AS val
           FROM lineitem l
           JOIN supplier s ON s.s_suppkey = l.l_suppkey
           JOIN nation n ON n.n_nationkey = s.s_nationkey
@@ -1646,8 +1646,8 @@ def q_tpch_q11_value_share(spark, sf_dir):
                  count(*) OVER () AS cnt
           FROM pv
         )
-        SELECT l_partkey, round(val, 4) AS part_value FROM shared
-        WHERE val > 3.0 * total / cnt
+        SELECT l_partkey, val AS part_value FROM shared
+        WHERE val > round(3.0 * total / cnt, 4)
     """)
 
 
@@ -1899,22 +1899,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     driver row (the eleven rotated out in round 4 are green in r3, ten
     of them in r2 as well) — except the six born in round 4 after the
     window filled (tpch q8/q9/q11/q16, event_session_window,
-    bpe_pair_counts), which are oracle-checked only and rotate into the
-    round-5 window. All stay oracle-checked via
-    ``scripts/check_oracles.py``."""
+    bpe_pair_counts) — those six rotated INTO the round-5 window,
+    displacing six r3+r4 double-green tenants (q_percentiles,
+    q_json_extract, q_rollup_acctbal, q_win_sessionize,
+    q_win_topk_per_group, q_pivot_event_day). All stay oracle-checked
+    via ``scripts/check_oracles.py``."""
     ordered = {
         # -- 1-20: families that had no driver CORRECTNESS row in round 2
         "q_tpch_q10_returns": q_tpch_q10_returns,
         "q_tpch_q6_forecast": q_tpch_q6_forecast,
         "q_event_hopping_window": q_event_hopping_window,
-        "q_percentiles": q_percentiles,
-        "q_json_extract": q_json_extract,
-        "q_rollup_acctbal": q_rollup_acctbal,
+        # -- round-5 rotation: the six entries born in round 4 after the
+        #    window filled (never driver-checked) take the slots of six
+        #    r3+r4 double-green tenants (q_percentiles, q_json_extract,
+        #    q_rollup_acctbal, q_win_sessionize, q_win_topk_per_group,
+        #    q_pivot_event_day -> 51+), per scripts/rotation_report.py
+        "q_tpch_q8_market_share": q_tpch_q8_market_share,
+        "q_tpch_q9_profit": q_tpch_q9_profit,
+        "q_tpch_q11_value_share": q_tpch_q11_value_share,
         "q_asof_last_purchase": q_asof_last_purchase,
         "q_range_join_promo": q_range_join_promo,
         "q_event_tumbling_window": q_event_tumbling_window,
-        "q_win_sessionize": q_win_sessionize,
-        "q_win_topk_per_group": q_win_topk_per_group,
+        "q_tpch_q16_supplier_count": q_tpch_q16_supplier_count,
+        "q_event_session_window": q_event_session_window,
         "q_mixture_weights": q_mixture_weights,
         "q_mm_metadata": q_mm_metadata,
         "q_mm_fingerprint_dedup": q_mm_fingerprint_dedup,
@@ -1930,7 +1937,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_scd2_history": q_scd2_history,
         "q_tpch_q4_priority": q_tpch_q4_priority,
         "q_tpch_q14_promo": q_tpch_q14_promo,
-        "q_pivot_event_day": q_pivot_event_day,
+        "q_bpe_pair_counts": q_bpe_pair_counts,
         "q_approx_distinct_guard": q_approx_distinct_guard,
         "q_sim_batch_topk": q_sim_batch_topk,
         # -- 29-34: NEW this session (first driver check)
@@ -1977,15 +1984,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_p5_utf8_clean": q_p5_utf8_clean,
         "q_dedup_embed_cosine": q_dedup_embed_cosine,
         "q_win_moving_avg": q_win_moving_avg,
-        # -- NEW in round 4, oracle-checked only (no driver row yet —
-        #    scheduled to rotate into the window in round 5, displacing
-        #    entries that will then carry r3+r4 driver rows)
-        "q_tpch_q8_market_share": q_tpch_q8_market_share,
-        "q_tpch_q9_profit": q_tpch_q9_profit,
-        "q_tpch_q11_value_share": q_tpch_q11_value_share,
-        "q_tpch_q16_supplier_count": q_tpch_q16_supplier_count,
-        "q_event_session_window": q_event_session_window,
-        "q_bpe_pair_counts": q_bpe_pair_counts,
+        # -- rotated out in round 5 (every one r3 AND r4 driver-green),
+        #    displaced by the six round-4-born entries now in-window
+        "q_percentiles": q_percentiles,
+        "q_json_extract": q_json_extract,
+        "q_rollup_acctbal": q_rollup_acctbal,
+        "q_win_sessionize": q_win_sessionize,
+        "q_win_topk_per_group": q_win_topk_per_group,
+        "q_pivot_event_day": q_pivot_event_day,
         "q_j3_classify": q_j3_classify,
         "q_s1_crs_roundtrip": q_s1_crs_roundtrip,
         "q_p1_projection": q_p1_projection,
@@ -2999,15 +3005,15 @@ def oracle_sql() -> dict[str, str]:
         "q_tpch_q11_value_share": """
             WITH pv AS (
               SELECT l_partkey,
-                     sum(l_extendedprice * (1 - l_discount)) AS val
+                     round(sum(l_extendedprice * (1 - l_discount)), 4) AS val
               FROM lineitem l
               JOIN supplier s ON s.s_suppkey = l.l_suppkey
               JOIN nation n ON n.n_nationkey = s.s_nationkey
                            AND n.n_name IN ('NATION_2', 'NATION_5')
               GROUP BY l_partkey
             )
-            SELECT l_partkey, round(val, 4) AS part_value FROM pv
-            WHERE val > (SELECT 3.0 * sum(val) / count(*) FROM pv)
+            SELECT l_partkey, val AS part_value FROM pv
+            WHERE val > (SELECT round(3.0 * sum(val) / count(*), 4) FROM pv)
         """,
         "q_tpch_q16_supplier_count": """
             WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
@@ -3073,10 +3079,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_tpch_q12_shipclass": """
             SELECT l.l_returnflag AS ship_class,
-                   sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                            THEN 1 ELSE 0 END) AS high_line_count,
-                   sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                            THEN 1 ELSE 0 END) AS low_line_count
+                   CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                   CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
             FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
             WHERE l.l_returnflag IN ('A', 'R')
               AND l.l_shipdate >= TIMESTAMP '1996-01-01'
