@@ -4,10 +4,18 @@ Runs at ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
 ``local[$SPARK_GRAFT_CPUS]`` (default all cores). Each query is executed to
 full materialization via the ``noop`` sink (computes every column — a bare
 ``count()`` would let column pruning skip most of the work), timed with a
-monotonic clock, and run ``$SPARK_GRAFT_BENCH_REPEATS`` times (default 3)
-reporting the per-query MEDIAN — single runs on a noisy VM lie by 3-10×.
+monotonic clock, and run ``$SPARK_GRAFT_BENCH_REPEATS`` times (default 3).
+The reported per-query statistic is the MIN of its runs: on a shared host
+the noise is strictly additive (a stall can only make a run slower, never
+faster), so the min is the closest observable to the query's true cost —
+round 4's median-of-3 was contaminated when one stall overlapped two of a
+query's three interleaved laps (raw 22.9/14.2/4.8 s → median 14.2 for a
+~4.8 s query). The median and raw runs still go to BENCH_DETAIL.json.
 Repeats are interleaved as full passes over the registry so one host
-stall cannot swallow every sample of the same query.
+stall cannot swallow every sample of the same query, and a constant
+SENTINEL query (fixed-size in-memory agg, data-independent) is timed
+every ~20 queries; its timeline in BENCH_DETAIL.json pinpoints any host
+stall post-hoc (a slow sentinel = the host, not the query).
 
 Output (single line on stdout; everything else goes to stderr):
     {"metric": "total_query_wall", "value": N, "unit": "sec",
@@ -102,14 +110,28 @@ def main() -> int:
         if os.path.exists(p):
             spark.read.parquet(p).count()
 
-    # Per-query median over N runs: single-run walls on this VM jitter
-    # 3-10× on unlucky queries, so one sample lies. The median of 3 is
-    # stable to one outlier while keeping total bench time bounded.
+    # Per-query MIN over N runs: single-run walls on this VM jitter
+    # 3-10× on unlucky queries, and host-stall noise is strictly
+    # additive, so the min of N interleaved samples is the most
+    # stall-robust estimator of the query's true cost.
     repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
     timings: dict[str, float] = {}
     raw_runs: dict[str, list[float]] = {}
     failed: dict[str, str] = {}
     queries = entry.queries()
+
+    # Data-independent constant probe: ~100 ms of pure in-memory agg.
+    # Timed on a fixed cadence; any sample far above its own min marks a
+    # host stall window in the (pass, position, wall) timeline.
+    def sentinel() -> float:
+        t0 = time.monotonic()
+        spark.range(20_000_000).selectExpr(
+            "sum(id) AS s", "count(*) AS c"
+        ).write.mode("overwrite").format("noop").save()
+        return round(time.monotonic() - t0, 3)
+
+    sentinel()  # warm its codegen so sample 0 isn't an outlier
+    sentinel_log: list[dict] = []
     # Repeats are INTERLEAVED (full pass over the registry per repeat)
     # rather than back-to-back: a multi-second host stall spans tens of
     # seconds of wall-clock, and back-to-back repeats put all of one
@@ -121,14 +143,18 @@ def main() -> int:
         for qi, (name, fn) in enumerate(queries.items()):
             if name in failed:
                 continue
-            if qi and qi % 20 == 0:
-                # Spark's ContextCleaner releases finished broadcasts and
-                # shuffles only when the JVM GC collects their driver-side
-                # references; over a 100+-query pass G1 defers that long
-                # enough for stale blocks to crowd executor storage and
-                # skew late-query timings. A periodic explicit GC keeps
-                # the cleaner current; ~ms cost every 20 queries.
-                spark.sparkContext._jvm.System.gc()
+            if qi % 20 == 0:
+                if qi:
+                    # Spark's ContextCleaner releases finished broadcasts
+                    # and shuffles only when the JVM GC collects their
+                    # driver-side references; over a 100+-query pass G1
+                    # defers that long enough for stale blocks to crowd
+                    # executor storage and skew late-query timings. A
+                    # periodic explicit GC keeps the cleaner current.
+                    spark.sparkContext._jvm.System.gc()
+                sentinel_log.append(
+                    {"pass": rep, "pos": qi, "wall": sentinel()}
+                )
             t0 = time.monotonic()
             try:
                 df = fn(spark, sf_dir)
@@ -137,8 +163,10 @@ def main() -> int:
                     round(time.monotonic() - t0, 3)
                 )
             except Exception as e:  # noqa: BLE001 — a broken query must not hide the rest
+                # Keep any samples from earlier passes: a transient
+                # one-pass failure must not erase a query from the total
+                # (that silently shrinks total_query_wall vs prior rounds).
                 failed[name] = f"{type(e).__name__}: {e}"
-                raw_runs.pop(name, None)
                 log(f"{name:34s} FAILED {failed[name]}")
                 traceback.print_exc(file=sys.stderr)
             finally:
@@ -148,9 +176,9 @@ def main() -> int:
                 spark.catalog.clearCache()
         log(f"-- pass {rep + 1}/{repeats} complete")
     for name, runs in raw_runs.items():
-        med = statistics.median(runs)
-        timings[name] = round(med, 3)
-        log(f"{name:34s} {med:7.3f}s  " + " ".join(f"{r:.3f}" for r in runs))
+        best = min(runs)
+        timings[name] = round(best, 3)
+        log(f"{name:34s} {best:7.3f}s  " + " ".join(f"{r:.3f}" for r in runs))
 
     total = round(sum(timings.values()), 3)
 
@@ -161,10 +189,14 @@ def main() -> int:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "medians": {
+            n: round(statistics.median(r), 3) for n, r in raw_runs.items()
+        },
         "raw_runs": raw_runs,
+        "sentinel": sentinel_log,
         "sf": sf,
         "repeats": repeats,
-        "aggregation": "median_per_query",
+        "aggregation": "min_per_query",
     }
     if failed:
         detail["failed"] = failed
@@ -193,13 +225,18 @@ def main() -> int:
         "queries": slowest,
         "families": families,
         "n_queries": len(timings),
+        "n_expected": len(queries),
         "detail": "BENCH_DETAIL.json",
         "sf": sf,
         "repeats": repeats,
-        "aggregation": "median_per_query",
+        "aggregation": "min_per_query",
     }
     if failed:
         out["failed"] = {k: v[:80] for k, v in failed.items()}
+    if sentinel_log:
+        walls = [s["wall"] for s in sentinel_log]
+        out["sentinel_min"] = min(walls)
+        out["sentinel_max"] = max(walls)
     print(json.dumps(out), flush=True)
     return 0
 
