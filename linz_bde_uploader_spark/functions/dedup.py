@@ -27,6 +27,25 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from linz_bde_uploader_spark.caching import track
+
+_CKPT_DIR: list[str] = []  # one per process, removed at exit
+
+
+def _local_checkpoint_dir() -> str:
+    """Process-wide local-mode checkpoint dir, registered for removal at
+    interpreter exit — per-call ``mkdtemp`` leaked a directory of label
+    files every invocation. (Checkpoint files must outlive this call:
+    the returned labels DataFrame reads them on each later action, so
+    eager cleanup inside the function would corrupt the result.)"""
+    if not _CKPT_DIR:
+        import atexit  # noqa: PLC0415 — local-mode fallback only
+        import shutil  # noqa: PLC0415
+        import tempfile  # noqa: PLC0415
+
+        d = tempfile.mkdtemp(prefix="bde_components_ckpt_")
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+        _CKPT_DIR.append(d)
+    return _CKPT_DIR[0]
 from linz_bde_uploader_spark.functions.text import (
     HASH_MIX,
     HASH_MOD,
@@ -296,11 +315,18 @@ def duplicate_components(
     del checkpoint_every  # kept for API stability; every round checkpoints
     spark = pairs.sparkSession
     if reliable and spark.sparkContext.getCheckpointDir() is None:
-        import tempfile  # noqa: PLC0415 — local-mode fallback only
-
-        spark.sparkContext.setCheckpointDir(
-            tempfile.mkdtemp(prefix="bde_components_ckpt_")
-        )
+        # A driver-local temp dir is only valid durable storage when the
+        # driver IS the cluster (local mode). On a real cluster it would
+        # silently defeat the fault tolerance `reliable=True` promises —
+        # executors can't read the driver's filesystem — so demand a
+        # configured shared checkpoint dir (HDFS/S3) there.
+        if not spark.sparkContext.master.startswith("local"):
+            raise ValueError(
+                "reliable=True on a cluster requires "
+                "spark.sparkContext.setCheckpointDir(<shared storage>); "
+                "a driver-local fallback would not survive executor loss"
+            )
+        spark.sparkContext.setCheckpointDir(_local_checkpoint_dir())
 
     def materialize(df: DataFrame) -> DataFrame:
         if reliable:

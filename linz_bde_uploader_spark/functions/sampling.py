@@ -131,19 +131,25 @@ def mixture_weights(
     output is ``sum(w_s · |stratum_s|)`` rows; nothing materializes on
     the driver. Weights are resolved to 2-dp (floor + integer percent)
     so the fractional gate is exact integer arithmetic, never a float
-    compare."""
-    resolved: dict[str, tuple[int, int]] = {}
-    for name, w in {**weights, "": default_weight}.items():
+    compare. Rows with a NULL id hash to no bucket, so they never join
+    the fractional extra-copy set — they still receive their stratum's
+    ``floor(w)`` integral copies."""
+
+    def resolve(name: str, w: float) -> tuple[int, int]:
         if w < 0:
             raise ValueError(f"weight for {name!r} must be >= 0")
         base = int(w)
         frac_pct = round((w - base) * SPLIT_BUCKETS)
         if frac_pct == SPLIT_BUCKETS:  # e.g. 1.999 → treat as 2.0
             base, frac_pct = base + 1, 0
-        resolved[name] = (base, frac_pct)
+        return base, frac_pct
+
+    # The default is resolved separately (not merged under a magic dict
+    # key), so an explicit weight for an empty-string stratum is honored.
+    resolved = {name: resolve(name, w) for name, w in weights.items()}
+    d_base, d_frac = resolve("<default>", default_weight)
 
     s = F.col(strata_col)
-    d_base, d_frac = resolved.pop("")
     base_e, frac_e = None, None
     for name, (b, p) in resolved.items():
         base_e = (F.when(s == name, b) if base_e is None
@@ -152,7 +158,11 @@ def mixture_weights(
                   else frac_e.when(s == name, p))
     base_c = F.lit(d_base) if base_e is None else base_e.otherwise(d_base)
     frac_c = F.lit(d_frac) if frac_e is None else frac_e.otherwise(d_frac)
-    n = base_c + (split_bucket(id_col) < frac_c).cast("int")
+    # A NULL id makes split_bucket NULL; coalesce the gate to 0 so such a
+    # row keeps its integral copies instead of silently exploding to zero.
+    n = base_c + F.coalesce(
+        (split_bucket(id_col) < frac_c).cast("int"), F.lit(0)
+    )
     # Spark's sequence(1, 0) DESCENDS ([1, 0]) instead of being empty —
     # gate on n >= 1 and explode an empty array for dropped rows.
     copies = F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(

@@ -207,6 +207,31 @@ def test_mixture_weights_integer_weight_and_validation(spark):
         SP.mixture_weights(df, "doc_id", "lang", {"a": -0.5})
 
 
+def test_mixture_weights_empty_string_stratum_is_weightable(spark):
+    # "" is a legitimate stratum name, not the default's key: an explicit
+    # weight for it must win over default_weight.
+    df = spark.createDataFrame(
+        [(1, ""), (2, "b")], "doc_id long, lang string"
+    )
+    out = SP.mixture_weights(df, "doc_id", "lang", {"": 2}, default_weight=0)
+    got = sorted((r["doc_id"], r["epoch"]) for r in out.collect())
+    assert got == [(1, 1), (1, 2)]
+
+
+def test_mixture_weights_null_id_keeps_integral_copies(spark):
+    # A NULL id can't hash into the fractional extra-copy set, but its
+    # stratum's floor(w) copies must survive (the gate coalesces to 0).
+    df = spark.createDataFrame(
+        [(None, "a"), (7, "a")], "doc_id long, lang string"
+    )
+    out = SP.mixture_weights(df, "doc_id", "lang", {"a": 2.5})
+    counts = {r["doc_id"]: r["n"] for r in
+              out.groupBy("doc_id").count().withColumnRenamed("count", "n")
+              .collect()}
+    assert counts[None] == 2       # floor(2.5), no fractional copy
+    assert counts[7] in (2, 3)
+
+
 # ------------------------------------------------------- boilerplate
 
 def test_boilerplate_lines_removed_and_order_kept(spark):
