@@ -756,6 +756,46 @@ def q_bpe_pair_counts(spark, sf_dir):
     return X.char_pair_counts(d, "text", k=50)
 
 
+def q_bpe_merges(spark, sf_dir):
+    # Iterated BPE tokenizer training (functions/text.py::bpe_train):
+    # six merge rounds, each = map-side pair explode + one bounded-key
+    # partial-agg shuffle + driver scalar argmax; re-segmentation is a
+    # map-only wrapped-symbol replace, checkpointed per round. The
+    # oracle is the same six rounds unrolled as a DuckDB CTE chain.
+    d = W.load(spark, sf_dir, "documents")
+    return X.bpe_train(d, "text", n_merges=6)
+
+
+def q_skew_salted_join(spark, sf_dir):
+    # Hot-key equi-join through the explicit salting escape hatch
+    # (operators/skew.py::salted_join): events' 5-value event_type key
+    # would hash a 100-TB fact table onto 5 tasks; the salt spreads each
+    # hot key over 8, with the tiny dim replicated ×8. The aggregated
+    # result equals the unsalted join, which is exactly what the oracle
+    # checks. Plan shape pinned by tests/test_plan_shapes.py.
+    from linz_bde_uploader_spark.operators.skew import salted_join
+
+    ev = W.load(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    dim = (
+        ev.select("event_type").distinct()
+        .withColumn(
+            "category",
+            F.when(F.col("event_type").isin("click", "view"), "passive")
+            .otherwise("active"),
+        )
+    )
+    joined = salted_join(ev, dim, "event_type", n=8, salt_from=["event_id"])
+    return (
+        joined.groupBy("category")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )
+
+
 def q_text_bpe_tokens(spark, sf_dir):
     # Subword-ish counting: BPE-style pretokenization classes (letter
     # runs / digit runs / marks) as a pure regex Column expression.
@@ -1926,8 +1966,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_mm_metadata": q_mm_metadata,
         "q_mm_fingerprint_dedup": q_mm_fingerprint_dedup,
         "q_mm_thumbnails": q_mm_thumbnails,
-        "q_sim_cosine_topk": q_sim_cosine_topk,
-        "q_sim_cosine_above": q_sim_cosine_above,
+        # -- round-5 births, in-window at birth (rotation rule): their
+        #    displaced tenants q_sim_cosine_topk / q_sim_cosine_above
+        #    each carry THREE green driver rows (r1+r3+r4) -> 51+
+        "q_bpe_merges": q_bpe_merges,
+        "q_skew_salted_join": q_skew_salted_join,
         "q_sim_lsh_topk": q_sim_lsh_topk,
         "q_sim_lsh_bucketed": q_sim_lsh_bucketed,
         "q_sim_ivf_topk": q_sim_ivf_topk,
@@ -1986,6 +2029,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_win_moving_avg": q_win_moving_avg,
         # -- rotated out in round 5 (every one r3 AND r4 driver-green),
         #    displaced by the six round-4-born entries now in-window
+        "q_sim_cosine_topk": q_sim_cosine_topk,
+        "q_sim_cosine_above": q_sim_cosine_above,
         "q_percentiles": q_percentiles,
         "q_json_extract": q_json_extract,
         "q_rollup_acctbal": q_rollup_acctbal,
@@ -2038,6 +2083,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_jaccard_pairs": q_dedup_jaccard_pairs,
     }
     return {name: _released(fn) for name, fn in ordered.items()}
+
+
+def _bpe_merges_sql(n_merges: int = 6) -> str:
+    """DuckDB twin of functions/text.py::bpe_train — the same greedy BPE
+    training loop UNROLLED as one CTE chain (docs{r} / p{r} / w{r} per
+    round), over the identical wrapped-symbol string encoding, so both
+    engines walk the same argmax sequence including ties (count desc,
+    lhs asc, rhs asc total order)."""
+    s1, s2 = "chr(1)", "chr(2)"
+    ctes = [
+        f"""docs0 AS (
+          SELECT regexp_replace(translate(text, {s1}||{s2}, ''), '(?s)(.)',
+                                {s1}||'\\1'||{s2}, 'g') AS txt
+          FROM documents
+          WHERE length(translate(text, {s1}||{s2}, '')) >= 2
+        )"""
+    ]
+    for r in range(1, n_merges + 1):
+        ctes.append(f"""p{r} AS (
+          SELECT q.lhs AS lhs, q.rhs AS rhs, count(*) AS cnt FROM (
+            SELECT unnest(list_transform(range(1, len(s)),
+                          i -> {{'lhs': s[i], 'rhs': s[i+1]}})) AS q
+            FROM (SELECT string_split(substr(txt, 2, length(txt)-2),
+                                      {s2}||{s1}) AS s FROM docs{r-1})
+            WHERE len(s) >= 2
+          ) GROUP BY 1, 2
+        )""")
+        ctes.append(f"""w{r} AS (
+          SELECT lhs, rhs, cnt FROM p{r}
+          ORDER BY cnt DESC, lhs, rhs LIMIT 1
+        )""")
+        ctes.append(f"""docs{r} AS (
+          SELECT replace(txt, {s1}||w.lhs||{s2}||{s1}||w.rhs||{s2},
+                         {s1}||w.lhs||w.rhs||{s2}) AS txt
+          FROM docs{r-1}, w{r} w
+        )""")
+    unions = "\n            UNION ALL ".join(
+        f"SELECT {r} AS step, lhs, rhs, lhs||rhs AS merged, cnt FROM w{r}"
+        for r in range(1, n_merges + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + unions
 
 
 def _lsh_sig_sql(vec_expr: str, planes: int = 6) -> str:
@@ -2329,6 +2415,20 @@ def oracle_sql() -> dict[str, str]:
             WHERE length(pair) = 2
             ORDER BY cnt DESC, pair
             LIMIT 50
+        """,
+        "q_bpe_merges": _bpe_merges_sql(6),
+        "q_skew_salted_join": """
+            WITH dim AS (
+              SELECT DISTINCT event_type,
+                     CASE WHEN event_type IN ('click', 'view')
+                          THEN 'passive' ELSE 'active' END AS category
+              FROM events
+            )
+            SELECT d.category,
+                   count(*) AS n_events,
+                   round(sum(e.value), 4) AS total_value
+            FROM events e JOIN dim d ON d.event_type = e.event_type
+            GROUP BY d.category
         """,
         "q_text_langid": f"""
             SELECT doc_id,

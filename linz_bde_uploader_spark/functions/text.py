@@ -175,6 +175,97 @@ def char_pair_counts(df, text_col: str, k: int = 50):
     )
 
 
+#: wrappers for the BPE trainer's symbol encoding (see bpe_train); chosen
+#: from the C0 control block so they never appear in real text — any
+#: stray occurrence is stripped before segmentation.
+BPE_SOS = "\x01"
+BPE_EOS = "\x02"
+
+
+def bpe_train(df, text_col: str, n_merges: int = 6):
+    """Iterated BPE tokenizer training (Sennrich et al. 2016): repeat
+    ``n_merges`` times — count adjacent symbol pairs corpus-wide, merge
+    the most frequent pair everywhere, re-count over the re-segmented
+    corpus. Returns the merge table ``(step, lhs, rhs, merged, cnt)``
+    with a total tie order (count desc, lhs asc, rhs asc), so the table
+    is engine-independent. :func:`char_pair_counts` is one iteration of
+    this loop's counting step.
+
+    Representation: a document's segmentation is ONE string of wrapped
+    symbols ``\\x01sym\\x02\\x01sym\\x02…`` — merging pair (a, b) is then
+    a plain left-to-right non-overlapping ``replace`` of
+    ``\\x01a\\x02\\x01b\\x02`` with ``\\x01ab\\x02``, which implements
+    greedy BPE merging exactly (adjacent matches share no characters,
+    unlike a space-separated encoding). Re-segmentation is therefore a
+    map-only codegen expression: no shuffle, no Python in the row path.
+
+    Scale: each round = one map-side pair explode + one partial-agg
+    shuffle whose key space is bounded by the (growing) symbol
+    vocabulary², then a driver-side scalar argmax — the global argmax IS
+    the algorithm's sequential dependency, so one 1-row collect per
+    round is the minimum coordination any BPE trainer needs. The corpus
+    re-segmentation is checkpointed per round (like
+    ``duplicate_components``) so round *k* never recomputes rounds
+    1..k-1; the returned merge table itself is driver-resident and
+    needs no checkpoint durability.
+    """
+    spark = df.sparkSession
+    c = F.col(text_col)
+    # strip stray wrapper chars, then wrap every character (incl. \n: (?s))
+    wrapped = F.regexp_replace(
+        F.translate(c, BPE_SOS + BPE_EOS, ""),
+        "(?s)(.)", BPE_SOS + "$1" + BPE_EOS,
+    )
+    docs = df.select(wrapped.alias("txt")).filter(F.length("txt") >= 6)
+    docs = docs.localCheckpoint(eager=True)
+
+    merges: list[tuple[int, str, str, str, int]] = []
+    for step in range(1, n_merges + 1):
+        syms = F.split(
+            F.expr(f"substr(txt, 2, length(txt) - 2)"), BPE_EOS + BPE_SOS
+        )
+        pairs = (
+            docs.select(syms.alias("s"))
+            .filter(F.size("s") >= 2)
+            .select(
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("s") - 1),
+                        lambda i: F.struct(
+                            F.element_at("s", i).alias("lhs"),
+                            F.element_at("s", i + 1).alias("rhs"),
+                        ),
+                    )
+                ).alias("p")
+            )
+            .select("p.lhs", "p.rhs")
+        )
+        top = (
+            pairs.groupBy("lhs", "rhs")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .orderBy(F.desc("cnt"), "lhs", "rhs")
+            .first()
+        )
+        if top is None:  # corpus exhausted (all docs merged to one symbol)
+            break
+        lhs, rhs, cnt = top["lhs"], top["rhs"], top["cnt"]
+        merges.append((step, lhs, rhs, lhs + rhs, cnt))
+        prev = docs
+        docs = docs.withColumn(
+            "txt",
+            F.replace(
+                "txt",
+                F.lit(BPE_SOS + lhs + BPE_EOS + BPE_SOS + rhs + BPE_EOS),
+                F.lit(BPE_SOS + lhs + rhs + BPE_EOS),
+            ),
+        ).localCheckpoint(eager=True)
+        prev.unpersist()
+
+    return spark.createDataFrame(
+        merges, "step int, lhs string, rhs string, merged string, cnt long"
+    )
+
+
 def dup_ngram_fraction(col: Column | str, n: int = 3) -> Column:
     """Fraction of word n-grams that are repeats of an earlier n-gram in
     the same document — the Gopher-style repetition signal (Rae et al.

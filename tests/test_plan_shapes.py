@@ -100,3 +100,26 @@ def test_no_harness_query_compiles_to_scale_smell(spark):
     # broadcast-query loop and TF-IDF's one-row corpus-size broadcast
     # (the scalar-subquery shape) — both map-only over the big side
     assert set(WHITELIST) == {"q_sim_batch_topk", "q_tfidf_topk"}
+
+
+def test_salted_join_shuffles_on_salted_key(spark):
+    """The skew escape hatch must actually change the physical exchange:
+    the join keys include _salt, so a hot key's rows spread over n tasks
+    instead of one. (With broadcast disabled — the cluster-scale shape —
+    the shuffle partitioning must carry the salt column.)"""
+    from linz_bde_uploader_spark.operators.skew import salted_join
+
+    large = spark.range(10_000).selectExpr(
+        "id AS event_id", "'hot' AS k", "id % 7 AS payload"
+    )
+    small = spark.createDataFrame([("hot", 1), ("cold", 2)], ["k", "attr"])
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out = salted_join(large, small, "k", n=8, salt_from=["event_id"])
+        plan = _plan(out)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    join_line = next(ln for ln in plan.splitlines() if "SortMergeJoin" in ln)
+    assert "_salt" in join_line  # (key, salt) composite join key
+    assert "_salt" in plan.split("Exchange hashpartitioning")[1][:120]

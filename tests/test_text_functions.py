@@ -237,3 +237,60 @@ def test_char_pair_counts_exact_and_ordered(spark):
     got2 = {r["pair"]: r["cnt"] for r in
             X.char_pair_counts(df2, "text", k=10).collect()}
     assert got2 == {"hé": 1, "éé": 1}
+
+
+def _greedy_bpe_reference(texts, n):
+    """Pure-Python Sennrich-2016 trainer: the semantics bpe_train must
+    reproduce (greedy left-to-right non-overlapping merges, argmax tie
+    broken by count desc then pair asc)."""
+    segs = [list(t) for t in texts if len(t) >= 2]
+    merges = []
+    for step in range(1, n + 1):
+        cnt: dict = {}
+        for s in segs:
+            for i in range(len(s) - 1):
+                cnt[(s[i], s[i + 1])] = cnt.get((s[i], s[i + 1]), 0) + 1
+        if not cnt:
+            break
+        (l, r), c = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((step, l, r, l + r, c))
+        out = []
+        for s in segs:
+            t, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == l and s[i + 1] == r:
+                    t.append(l + r)
+                    i += 2
+                else:
+                    t.append(s[i])
+                    i += 1
+            out.append(t)
+        segs = out
+    return merges
+
+
+def test_bpe_train_matches_greedy_reference(spark):
+    texts = ["abab ab", "banana", "bananas are bananas", "x", ""]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    got = [tuple(r) for r in X.bpe_train(df, "text", n_merges=5).collect()]
+    assert got == _greedy_bpe_reference(texts, 5)
+
+
+def test_bpe_train_overlapping_runs_merge_greedily(spark):
+    # "aaaa" + pair (a,a): greedy non-overlap yields [aa, aa], so round 2
+    # must see the (aa, aa) pair — the classic off-by-one a naive
+    # space-separated replace encoding gets wrong.
+    df = spark.createDataFrame([(1, "aaaa")], ["doc_id", "text"])
+    got = [tuple(r) for r in X.bpe_train(df, "text", n_merges=2).collect()]
+    assert got == _greedy_bpe_reference(["aaaa"], 2)
+    assert got[1][:2] == (2, "aa")  # round 2 merges (aa, aa)
+
+
+def test_bpe_train_exhausts_early_and_handles_newlines(spark):
+    # multi-line text segments across \n; corpus fully merged stops early
+    df = spark.createDataFrame([(1, "ab\nab")], ["doc_id", "text"])
+    got = [tuple(r) for r in X.bpe_train(df, "text", n_merges=10).collect()]
+    assert got == _greedy_bpe_reference(["ab\nab"], 10)
+    assert 0 < len(got) < 10  # exhausted before the merge budget
