@@ -95,6 +95,12 @@ def copy_partition_sql(table: str, columns: list[str]) -> str:
     return f"COPY {table} ({cols}) FROM STDIN WITH DELIMITER '|' NULL AS ''"
 
 
+def lock_table_sql(table: str) -> str:
+    """The exclusive lock the reference takes on the working copy right
+    before COPY (lib/LINZ/BdeDatabase.pm:537-538)."""
+    return f"LOCK TABLE {table} IN ACCESS EXCLUSIVE MODE"
+
+
 def copy_format_value(v, sep: str = "|") -> str:
     """One value in PostgreSQL COPY text format under the reference's
     options (``DELIMITER '|' NULL AS ''``): None → empty string; backslash,
@@ -118,24 +124,44 @@ def copy_format_row(vals, sep: str = "|") -> str:
     return sep.join(copy_format_value(v, sep) for v in vals) + "\n"
 
 
+#: lines of already-sent COPY data kept for error reports — the exact
+#: window the reference keeps (BdeDatabase.pm:548-551: "We'll keep 16
+#: lines of data to show upon catching an error").
+COPY_ERROR_TAIL_LINES = 16
+
+
 class _CopyReader:
     """File-like view over an iterator of formatted COPY lines:
     ``copy_expert`` pulls with ``read(n)``, so a partition streams into the
     socket without ever materializing in memory — the row-iterator analog
-    of the reference's per-row ``putline`` loop (BdeDatabase.pm:541-556)."""
+    of the reference's per-row ``putline`` loop (BdeDatabase.pm:541-556).
+    The last :data:`COPY_ERROR_TAIL_LINES` pulled lines are retained in
+    ``tail`` for the error report, like the reference's @buf."""
 
     def __init__(self, lines):
+        from collections import deque  # noqa: PLC0415
+
         self._it = iter(lines)
         self._buf = ""
+        self.tail: "deque[str]" = deque(maxlen=COPY_ERROR_TAIL_LINES)
+
+    def _next_line(self) -> str:
+        line = next(self._it)  # may raise StopIteration
+        self.tail.append(line)
+        return line
 
     def read(self, n: int = -1) -> str:
         if n is None or n < 0:
-            out = self._buf + "".join(self._it)
+            out = self._buf
             self._buf = ""
-            return out
+            while True:
+                try:
+                    out += self._next_line()
+                except StopIteration:
+                    return out
         while len(self._buf) < n:
             try:
-                self._buf += next(self._it)
+                self._buf += self._next_line()
             except StopIteration:
                 break
         out, self._buf = self._buf[:n], self._buf[n:]
@@ -165,6 +191,7 @@ def copy_stage(
     upstream to the connection budget."""
     cols = columns or df.columns
     sql = copy_partition_sql(table, cols)
+    lock_sql = lock_table_sql(table)
 
     def write_partition(rows) -> None:
         it = (copy_format_row([r[c] for c in cols]) for r in rows)
@@ -173,7 +200,17 @@ def copy_stage(
         try:
             cur = conn.cursor()
             try:
-                cur.copy_expert(sql, reader)
+                # the reference locks the working copy before COPY
+                # (BdeDatabase.pm:537-538); errors carry the last 16
+                # sent lines like its @buf report (:556-560)
+                cur.execute(lock_sql)
+                try:
+                    cur.copy_expert(sql, reader)
+                except Exception as e:
+                    raise RuntimeError(
+                        f"{e}\nLast {len(reader.tail)} lines of sent "
+                        "COPY data: " + "".join(reader.tail)
+                    ) from e
             finally:
                 cur.close()
             conn.commit()

@@ -146,6 +146,10 @@ def test_copy_stage_end_to_end_with_mock_connection(spark, tmp_path):
             def __init__(self):
                 self.sql = None
                 self.payload = None
+                self.executed = []
+
+            def execute(self, sql):
+                self.executed.append(sql)
 
             def copy_expert(self, sql, reader):
                 self.sql = sql
@@ -193,3 +197,124 @@ def test_copy_stage_end_to_end_with_mock_connection(spark, tmp_path):
         body += payload
     lines = sorted(l for l in body.split("\n") if l)
     assert lines == sorted(["1|alpha|", "2|pipe\\|pipe|x", "3||multi\\nline"])
+
+
+class _WireCursor:
+    """DB-API cursor that pulls the COPY stream the way psycopg's
+    copy_expert actually does — repeated fixed-size read(n) calls until
+    EOF — and records the exact statements and framed bytes."""
+
+    def __init__(self, log, chunk=7, fail_after=None):
+        self.log = log
+        self.chunk = chunk
+        self.fail_after = fail_after
+
+    def execute(self, sql):
+        self.log.append(("execute", sql))
+
+    def copy_expert(self, sql, reader):
+        self.log.append(("copy", sql))
+        stream, pulls = "", 0
+        while True:
+            got = reader.read(self.chunk)
+            if not got:
+                break
+            stream += got
+            pulls += 1
+            if self.fail_after is not None and pulls >= self.fail_after:
+                raise OSError("server closed the connection unexpectedly")
+        self.log.append(("stream", stream))
+
+    def close(self):
+        self.log.append(("cursor_close", None))
+
+
+class _WireConn:
+    def __init__(self, log, **kw):
+        self.log = log
+        self.kw = kw
+
+    def cursor(self):
+        return _WireCursor(self.log, **self.kw)
+
+    def commit(self):
+        self.log.append(("commit", None))
+
+    def rollback(self):
+        self.log.append(("rollback", None))
+
+    def close(self):
+        self.log.append(("close", None))
+
+
+def _run_partition_writer(rows, factory):
+    """Drive copy_stage's per-partition writer directly (single process,
+    no Spark) so the wire log is assertable in-memory."""
+    from linz_bde_uploader_spark.sinks import jdbc as J
+
+    class FakeDF:
+        columns = ["id", "name", "des"]
+
+        def foreachPartition(self, fn):
+            fn(iter(rows))
+
+    J.copy_stage(FakeDF(), factory, "bde_upload_9.pab", FakeDF.columns)
+
+
+def test_copy_stage_wire_protocol_bytes_exact():
+    """The full frame, byte for byte, for a partition holding NULLs, the
+    delimiter, backslashes, tabs and newlines — pulled through chunked
+    read(n) like a real driver socket loop — plus the reference's
+    statement order: LOCK TABLE → COPY → commit
+    (lib/LINZ/BdeDatabase.pm:537-556)."""
+    from pyspark.sql import Row
+
+    rows = [
+        Row(id=1, name="plain", des=None),
+        Row(id=2, name="pi|pe", des="back\\slash"),
+        Row(id=3, name=None, des="tab\there\nand newline"),
+    ]
+    log = []
+    _run_partition_writer(rows, lambda: _WireConn(log, chunk=7))
+    assert [k for k, _ in log] == [
+        "execute", "copy", "stream", "cursor_close", "commit", "close",
+    ]
+    assert log[0][1] == "LOCK TABLE bde_upload_9.pab IN ACCESS EXCLUSIVE MODE"
+    assert log[1][1] == (
+        'COPY bde_upload_9.pab ("id", "name", "des") '
+        "FROM STDIN WITH DELIMITER '|' NULL AS ''"
+    )
+    assert log[2][1] == (
+        "1|plain|\n"
+        "2|pi\\|pe|back\\\\slash\n"
+        "3||tab\\there\\nand newline\n"
+    )
+
+
+def test_copy_stage_empty_partition_sends_empty_frame():
+    log = []
+    _run_partition_writer([], lambda: _WireConn(log))
+    assert ("stream", "") in log and ("commit", None) in log
+
+
+def test_copy_stage_error_reports_last_16_lines_and_rolls_back():
+    """A mid-COPY failure must roll back, and the raised error must carry
+    the tail of sent lines — the reference's 16-line @buf report
+    (BdeDatabase.pm:548-560)."""
+    from pyspark.sql import Row
+
+    import pytest
+
+    rows = [Row(id=i, name=f"r{i}", des=None) for i in range(40)]
+    log = []
+    # chunk of 9 bytes ≈ one line per pull; fail once 20 lines went out
+    with pytest.raises(RuntimeError) as ei:
+        _run_partition_writer(
+            rows, lambda: _WireConn(log, chunk=9, fail_after=20)
+        )
+    msg = str(ei.value)
+    assert "Last 16 lines of sent COPY data:" in msg
+    sent_lines = [l for l in msg.split("COPY data: ")[1].splitlines() if l]
+    assert len(sent_lines) == 16
+    assert sent_lines[-1].startswith("2")  # the most recently sent rows
+    assert ("rollback", None) in log and ("commit", None) not in log
