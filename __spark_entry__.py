@@ -1368,6 +1368,35 @@ def q_stratified_sample(spark, sf_dir):
     ).select("doc_id", "lang")
 
 
+def q_domain_cap(spark, sf_dir):
+    # Web-corpus domain cap: at most 15 docs per source, chosen
+    # deterministically (longest docs first, doc_id tiebreak) — one
+    # hash-partition shuffle + per-group sort, no global sort
+    # (functions/sampling.py::per_group_cap).
+    from linz_bde_uploader_spark.functions import sampling as SP
+
+    d = W.load(spark, sf_dir, "documents")
+    return SP.per_group_cap(
+        d, "source", "n_chars", 15, tiebreak_col="doc_id", ascending=False
+    ).select("doc_id", "source", "n_chars")
+
+
+def q_quality_quantile_filter(spark, sf_dir):
+    # Per-language quality floor: drop each language's shortest 30% of
+    # documents (percent_rank over n_chars within lang) — the
+    # per-stratum quantile cut that stops a high-resource language's
+    # distribution from setting the bar for a low-resource one. Exact
+    # rank arithmetic, one window shuffle
+    # (functions/sampling.py::quantile_filter; the sort-free
+    # percentile_approx two-pass variant is the 100-TB path).
+    from linz_bde_uploader_spark.functions import sampling as SP
+
+    d = W.load(spark, sf_dir, "documents")
+    return SP.quantile_filter(d, "lang", "n_chars", 0.3).select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
 def q_mixture_weights(spark, sf_dir):
     # Data-recipe mixing with UP-sampling: English ×2.5 (every row
     # twice, the stable half of ids a third time), Chinese ×1, German
@@ -1959,11 +1988,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tpch_q11_value_share": q_tpch_q11_value_share,
         "q_asof_last_purchase": q_asof_last_purchase,
         "q_range_join_promo": q_range_join_promo,
-        "q_event_tumbling_window": q_event_tumbling_window,
+        # round-5 births (in-window at birth): domain cap + per-stratum
+        # quantile cut; displaced r3+r4-green tenants
+        # q_event_tumbling_window and q_mm_metadata -> 51+
+        "q_domain_cap": q_domain_cap,
         "q_tpch_q16_supplier_count": q_tpch_q16_supplier_count,
         "q_event_session_window": q_event_session_window,
         "q_mixture_weights": q_mixture_weights,
-        "q_mm_metadata": q_mm_metadata,
+        "q_quality_quantile_filter": q_quality_quantile_filter,
         "q_mm_fingerprint_dedup": q_mm_fingerprint_dedup,
         "q_mm_thumbnails": q_mm_thumbnails,
         # -- round-5 births, in-window at birth (rotation rule): their
@@ -2029,6 +2061,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_win_moving_avg": q_win_moving_avg,
         # -- rotated out in round 5 (every one r3 AND r4 driver-green),
         #    displaced by the six round-4-born entries now in-window
+        "q_event_tumbling_window": q_event_tumbling_window,
+        "q_mm_metadata": q_mm_metadata,
         "q_sim_cosine_topk": q_sim_cosine_topk,
         "q_sim_cosine_above": q_sim_cosine_above,
         "q_percentiles": q_percentiles,
@@ -2958,6 +2992,22 @@ def oracle_sql() -> dict[str, str]:
                   CASE WHEN lang = 'en' THEN 30
                        WHEN lang = 'fr' THEN 80
                        ELSE 50 END
+        """,
+        "q_domain_cap": """
+            SELECT doc_id, source, n_chars FROM (
+              SELECT doc_id, source, n_chars,
+                     row_number() OVER (PARTITION BY source
+                                        ORDER BY n_chars DESC, doc_id) AS rn
+              FROM documents
+            ) WHERE rn <= 15
+        """,
+        "q_quality_quantile_filter": """
+            SELECT doc_id, lang, n_chars FROM (
+              SELECT doc_id, lang, n_chars,
+                     percent_rank() OVER (PARTITION BY lang
+                                          ORDER BY n_chars NULLS FIRST) AS pr
+              FROM documents
+            ) WHERE pr >= 0.3
         """,
         "q_mixture_weights": """
             WITH w AS (

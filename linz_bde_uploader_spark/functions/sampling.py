@@ -171,6 +171,101 @@ def mixture_weights(
     return df.withColumn(epoch_col, F.explode(copies))
 
 
+def per_group_cap(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    n: int,
+    tiebreak_col: str | None = None,
+    ascending: bool = True,
+) -> DataFrame:
+    """Keep at most ``n`` rows per group — the domain-cap primitive of
+    web-corpus curation (limit any one domain/source's share of the
+    training set). Selection is deterministic: rows are ranked by
+    ``order_col`` (then ``tiebreak_col``) inside each group and the
+    first ``n`` survive, so the kept set is a pure function of the data.
+
+    Scale: one hash-partition shuffle on ``group_col`` with a per-group
+    sort — no global sort, no driver involvement. Skew note: a single
+    monster domain serializes into one task's local sort; cap pathology
+    at the source (pre-filter) or salt-prefilter to ~n per salt before
+    the exact pass.
+    """
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    order = [
+        F.col(order_col).asc() if ascending else F.col(order_col).desc()
+    ]
+    if tiebreak_col is not None:
+        order.append(F.col(tiebreak_col).asc())
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    w = Window.partitionBy(group_col).orderBy(*order)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n)
+        .drop("_rn")
+    )
+
+
+def quantile_filter(
+    df: DataFrame,
+    stratum_col: str,
+    score_col: str,
+    q: float,
+    keep: str = "top",
+) -> DataFrame:
+    """Keep each stratum's top (1−q) quality slice — e.g. drop the worst
+    30 % of documents PER LANGUAGE (``q=0.3``), so a high-resource
+    language's score distribution doesn't set the bar for a low-resource
+    one. ``keep="top"`` retains rows with ``percent_rank >= q``;
+    ``keep="bottom"`` retains ``percent_rank <= q`` (for audits of the
+    rejected slice). Exact and engine-independent: ``percent_rank`` is
+    rank arithmetic, no float quantile interpolation.
+
+    Scale: one hash-partition shuffle + per-stratum sort. For 100-TB
+    strata where the full sort is the bottleneck, use
+    :func:`quantile_filter_approx` — same contract, two scan passes, no
+    sort.
+    """
+    if not 0.0 <= q <= 1.0:
+        raise ValueError("q must be within [0, 1]")
+    if keep not in ("top", "bottom"):
+        raise ValueError("keep must be 'top' or 'bottom'")
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    w = Window.partitionBy(stratum_col).orderBy(F.col(score_col).asc())
+    out = df.withColumn("_pr", F.percent_rank().over(w))
+    cond = F.col("_pr") >= q if keep == "top" else F.col("_pr") <= q
+    return out.filter(cond).drop("_pr")
+
+
+def quantile_filter_approx(
+    df: DataFrame,
+    stratum_col: str,
+    score_col: str,
+    q: float,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Sort-free variant of :func:`quantile_filter` for strata too large
+    to sort: pass 1 computes each stratum's approximate q-quantile
+    threshold (``percentile_approx``, a fixed-size sketch with map-side
+    merge), pass 2 is a stateless broadcast-joined filter. Two scans,
+    zero sorts, threshold error bounded by ``1/accuracy`` of the rank —
+    the right trade at 100 TB where the exact window's per-stratum sort
+    dominates.
+    """
+    if not 0.0 <= q <= 1.0:
+        raise ValueError("q must be within [0, 1]")
+    thresholds = df.groupBy(stratum_col).agg(
+        F.percentile_approx(score_col, q, accuracy).alias("_thr")
+    )
+    from pyspark.sql.functions import broadcast  # noqa: PLC0415
+
+    out = df.join(broadcast(thresholds), stratum_col, "left")
+    return out.filter(F.col(score_col) >= F.col("_thr")).drop("_thr")
+
+
 def deterministic_sample(
     df: DataFrame, id_col: str, percent: int
 ) -> DataFrame:

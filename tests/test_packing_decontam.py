@@ -313,3 +313,57 @@ def test_pack_invariants_property(spark):
             assert sorted(fills) == list(range(len(fills)))
 
     check()
+
+
+# ------------------------------------------------- corpus curation caps
+
+def test_per_group_cap_deterministic_and_bounded(spark):
+    from linz_bde_uploader_spark.functions import sampling as SP
+
+    rows = [(i, f"d{i % 3}", 100 - i) for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, domain string, score long")
+    out = SP.per_group_cap(df, "domain", "score", 4,
+                           tiebreak_col="doc_id", ascending=False)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r.domain, []).append(r.doc_id)
+    # highest score = lowest i within each residue class -> first 4 ids
+    assert {k: sorted(v) for k, v in got.items()} == {
+        "d0": [0, 3, 6, 9], "d1": [1, 4, 7, 10], "d2": [2, 5, 8, 11],
+    }
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        SP.per_group_cap(df, "domain", "score", 0)
+
+
+def test_quantile_filter_exact_per_stratum(spark):
+    from linz_bde_uploader_spark.functions import sampling as SP
+
+    # lang a: scores 0..9; lang b: scores 0..4 — per-stratum cut, not global
+    rows = [(i, "a", i) for i in range(10)] + \
+           [(100 + i, "b", i) for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, score long")
+    out = SP.quantile_filter(df, "lang", "score", 0.5)
+    kept = {r.doc_id for r in out.collect()}
+    # percent_rank >= 0.5: a keeps scores 5..9 ((rank-1)/9 >= .5 -> rank>=5.5
+    # -> scores >= 5... rank-1 >= 4.5 -> score >= 5), b keeps 2..4
+    assert kept == {5, 6, 7, 8, 9, 102, 103, 104}
+    # keep="bottom" is the complement plus the boundary row
+    bot = {r.doc_id for r in
+           SP.quantile_filter(df, "lang", "score", 0.5, keep="bottom")
+           .collect()}
+    assert bot == {0, 1, 2, 3, 4, 100, 101, 102}
+
+
+def test_quantile_filter_approx_matches_exact_on_distinct_scores(spark):
+    from linz_bde_uploader_spark.functions import sampling as SP
+
+    rows = [(i, "a" if i % 2 == 0 else "b", float(i)) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, score double")
+    exact = {r.doc_id for r in
+             SP.quantile_filter(df, "lang", "score", 0.3).collect()}
+    approx = {r.doc_id for r in
+              SP.quantile_filter_approx(df, "lang", "score", 0.3).collect()}
+    # high accuracy + distinct scores: the sets differ by at most the
+    # boundary element per stratum
+    assert len(exact.symmetric_difference(approx)) <= 2
