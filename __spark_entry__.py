@@ -1083,10 +1083,18 @@ def q_dedup_embed_cosine(spark, sf_dir):
     # Embedding-cosine near-dup: deterministic bag-of-shingles embedding
     # (stand-in for a model embedding behind the same contract) → banded
     # random-hyperplane LSH candidates → exact cosine verify ≥ 0.9.
+    # auto_scale grows (bands, planes) with log(corpus) so background
+    # candidates stay ~linear; below the 4096-doc reference the params
+    # are the fixed defaults, so the sf0.01 oracle is bit-identical.
     d = W.load(spark, sf_dir, "documents")
     emb = D.with_doc_embedding(d, "text", "_emb", 64).select("doc_id", "_emb")
+    # background_sign_prob 0.65: the synthetic corpus draws from a tiny
+    # vocabulary, so even mean-centered background pairs agree with a
+    # hyperplane ~65% of the time (measured from the sf0.1 candidate
+    # rate); the scaling law needs the real q, not the orthogonal 0.5.
     return S.embedding_near_dup_pairs(
-        emb, id_col="doc_id", vec_col="_emb", dims=64, threshold=0.9
+        emb, id_col="doc_id", vec_col="_emb", dims=64, threshold=0.9,
+        auto_scale=True, background_sign_prob=0.65,
     )
 
 
@@ -1931,6 +1939,27 @@ def q_tfidf_topk(spark, sf_dir):
     return TI.tfidf_topk(d, k=3)
 
 
+def q_inverted_index(spark, sf_dir):
+    # Search-index build: per-term sorted posting lists with df-band
+    # vocabulary pruning (functions/tfidf.py::inverted_index) — one
+    # term-keyed shuffle with map-side partial collect_set; the sort is
+    # per posting list, never global.
+    from linz_bde_uploader_spark.functions import tfidf as TI
+
+    d = W.load(spark, sf_dir, "documents")
+    return TI.inverted_index(d, min_df=5, max_df=400)
+
+
+def q_chunk_documents(spark, sf_dir):
+    # Context-window chunking: 40-token windows with 8-token overlap,
+    # document-bounded (functions/chunking.py) — map-side stride
+    # arithmetic + explode, no shuffle, linear in corpus size.
+    from linz_bde_uploader_spark.functions.chunking import chunk_documents
+
+    d = W.load(spark, sf_dir, "documents")
+    return chunk_documents(d, chunk_tokens=40, overlap=8)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the level-5 incremental merge end-to-end on sf0.001 —
     classify I/U/D/0/X from data presence and apply as a keyed merge."""
@@ -2006,10 +2035,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sim_lsh_topk": q_sim_lsh_topk,
         "q_sim_lsh_bucketed": q_sim_lsh_bucketed,
         "q_sim_ivf_topk": q_sim_ivf_topk,
-        # -- 21-28: NEW in round 3 (first driver check this round)
-        "q_text_gopher_quality": q_text_gopher_quality,
+        # -- 21-28: round-5 births q_inverted_index/q_chunk_documents
+        #    take the slots of r3+r4-green q_text_gopher_quality and
+        #    q_scd2_history (-> 51+)
+        "q_inverted_index": q_inverted_index,
         "q_text_scrub_pii": q_text_scrub_pii,
-        "q_scd2_history": q_scd2_history,
+        "q_chunk_documents": q_chunk_documents,
         "q_tpch_q4_priority": q_tpch_q4_priority,
         "q_tpch_q14_promo": q_tpch_q14_promo,
         "q_bpe_pair_counts": q_bpe_pair_counts,
@@ -2063,6 +2094,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    displaced by the six round-4-born entries now in-window
         "q_event_tumbling_window": q_event_tumbling_window,
         "q_mm_metadata": q_mm_metadata,
+        "q_text_gopher_quality": q_text_gopher_quality,
+        "q_scd2_history": q_scd2_history,
         "q_sim_cosine_topk": q_sim_cosine_topk,
         "q_sim_cosine_above": q_sim_cosine_above,
         "q_percentiles": q_percentiles,
@@ -2992,6 +3025,42 @@ def oracle_sql() -> dict[str, str]:
                   CASE WHEN lang = 'en' THEN 30
                        WHEN lang = 'fr' THEN 80
                        ELSE 50 END
+        """,
+        "q_inverted_index": """
+            SELECT term, df, postings FROM (
+              SELECT term,
+                     CAST(len(list_sort(list(DISTINCT doc_id))) AS BIGINT)
+                       AS df,
+                     list_sort(list(DISTINCT doc_id)) AS postings
+              FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                    FROM documents)
+              WHERE term != ''
+              GROUP BY term
+            ) WHERE df BETWEEN 5 AND 400
+        """,
+        "q_chunk_documents": """
+            WITH t AS (
+              SELECT doc_id,
+                     string_split(trim(text), ' ') AS toks,
+                     CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(string_split(trim(text), ' ')) END AS n
+              FROM documents
+            ),
+            c AS (
+              SELECT doc_id, toks,
+                     CASE WHEN n = 0 THEN 0
+                          ELSE 1 + CAST(floor((greatest(n - 40, 0) + 31)
+                                              / 32.0) AS INT) END AS nc
+              FROM t
+            )
+            SELECT doc_id,
+                   CAST(i AS INT) AS chunk_id,
+                   CAST(len(list_slice(toks, i*32 + 1, i*32 + 40)) AS BIGINT)
+                     AS n_tokens,
+                   array_to_string(list_slice(toks, i*32 + 1, i*32 + 40), ' ')
+                     AS chunk
+            FROM c, unnest(generate_series(0, nc - 1)) u(i)
+            WHERE nc >= 1
         """,
         "q_domain_cap": """
             SELECT doc_id, source, n_chars FROM (

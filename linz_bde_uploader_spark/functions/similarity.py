@@ -533,6 +533,58 @@ def pair_cosine_udf(dims: int):
     return _cos
 
 
+def sign_collision_prob(threshold: float) -> float:
+    """P(a random hyperplane gives two vectors at cosine ``threshold``
+    the same sign bit) = 1 − θ/π (Goemans–Williamson / SimHash)."""
+    import math  # noqa: PLC0415
+
+    return 1.0 - math.acos(threshold) / math.pi
+
+
+def scaled_band_params(
+    n: int,
+    threshold: float,
+    bands: int,
+    planes_per_band: int,
+    reference_n: int = 4096,
+    background_sign_prob: float = 0.5,
+) -> tuple[int, int]:
+    """Grow the LSH banding with corpus size so background candidates
+    stay ~linear in n instead of quadratic.
+
+    With FIXED (bands b, planes w), a background pair collides a band
+    with probability q^w (q = ``background_sign_prob``, the chance one
+    hyperplane gives an UNRELATED pair the same sign — 0.5 for
+    orthogonal vectors, higher when the corpus has residual background
+    similarity), so background candidate volume is b·q^w·n²/2 — a
+    constant FRACTION of all pairs. Harmless at 5k docs; at 10× the
+    round-5 scale study measured 10.8× wall for 10× data, all of it
+    candidate verification. The cure is textbook LSH parameter scaling:
+    add Δw planes with Δw·log(p/q) = log(n/reference_n) — i.e. enough
+    that the background rate falls as fast as n² grows — and multiply
+    bands by (1/p)^Δw (p = :func:`sign_collision_prob` at the
+    threshold), which holds the OR-of-ANDs recall 1−(1−p^w)^b constant
+    by construction. Both grow O(log n) — at 100 TB that is tens of
+    extra planes, still a tiny signature next to the vector itself.
+    Requires q < p, i.e. the background must be separable from the
+    threshold — when it is not, no banding scheme can help.
+    """
+    import math  # noqa: PLC0415
+
+    if n <= reference_n:
+        return bands, planes_per_band
+    p = sign_collision_prob(threshold)
+    if not background_sign_prob < p:
+        raise ValueError(
+            f"background_sign_prob {background_sign_prob} must be below "
+            f"the threshold's sign-collision prob {p:.4f}"
+        )
+    extra = math.ceil(
+        math.log(n / reference_n) / math.log(p / background_sign_prob)
+    )
+    return math.ceil(bands * (1.0 / p) ** extra), planes_per_band + extra
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -542,6 +594,8 @@ def embedding_near_dup_pairs(
     bands: int = 8,
     planes_per_band: int = 12,
     center: bool = True,
+    auto_scale: bool = False,
+    background_sign_prob: float = 0.5,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, score ≥ threshold).
 
@@ -570,6 +624,15 @@ def embedding_near_dup_pairs(
     base = track(df.select(
         F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
     ))
+    if auto_scale:
+        # One scalar count over the persisted projection (the same
+        # driver-coordination budget as duplicate_components'
+        # convergence check) buys ~linear instead of quadratic
+        # background candidate volume — see scaled_band_params.
+        bands, planes_per_band = scaled_band_params(
+            base.count(), threshold, bands, planes_per_band,
+            background_sign_prob=background_sign_prob,
+        )
     keys_udf = lsh_band_keys_udf(dims, bands, planes_per_band, center)
     banded = track(base.select(
         "_id",

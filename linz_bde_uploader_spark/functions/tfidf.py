@@ -93,3 +93,39 @@ def tfidf_topk(
         .filter(F.col("rank") <= k)
         .select(id_col, "rank", "term", "weight")
     )
+
+
+def inverted_index(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 1,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Search-index build: ``(term, df, postings)`` with a SORTED posting
+    list of distinct document ids per term — the batch product a
+    retrieval layer consumes. ``min_df``/``max_df`` drop rare/stopword
+    terms at the aggregate (the classic vocabulary pruning pass).
+
+    Scale: one shuffle keyed by term with map-side partial
+    ``collect_set``; posting lists are per-term, so the reduce state for
+    a term is its df, not the corpus. A stopword-dense term's giant
+    posting list is exactly what ``max_df`` exists to drop — set it, or
+    cap retained lists downstream; the sort is per-list (inside the
+    agg'd array), never a global sort."""
+    if min_df < 1:
+        raise ValueError("min_df must be >= 1")
+    exploded = docs.select(
+        F.col(id_col).alias("_doc"), F.explode(tokens(text_col)).alias("term")
+    ).filter(F.col("term") != "")
+    agg = exploded.groupBy("term").agg(
+        F.sort_array(F.collect_set("_doc")).alias("postings")
+    )
+    out = agg.select(
+        "term",
+        F.size("postings").cast("long").alias("df"),
+        "postings",
+    ).filter(F.col("df") >= min_df)
+    if max_df is not None:
+        out = out.filter(F.col("df") <= max_df)
+    return out

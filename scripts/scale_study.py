@@ -38,6 +38,11 @@ PICK = [
     "q_j3_classify", "q_j5_apply_changes", "q_win_sessionize",
     "q_tfidf_topk", "q_dedup_minhash_pairs", "q_dedup_components",
     "q_sim_cosine_topk", "q_pack_sequences", "q_event_hopping_window",
+    # the ANN/embedding family — the most expensive queries in the bench,
+    # so their 10× behavior must be measured, not asserted (round-5 add)
+    "q_dedup_embed_cosine", "q_sim_lsh_bucketed", "q_mm_fingerprint_dedup",
+    # round-5 births
+    "q_bpe_merges", "q_skew_salted_join",
 ]
 
 
@@ -54,8 +59,28 @@ def generate(spark, dst: str, k: int) -> None:
             for col, off in shifts.items():
                 d = d.withColumn(col, F.col(col) + F.lit(i * off))
             if text_tag and i > 0:
+                # Replicas must be DIFFERENT documents, not near-dups of
+                # each other: a 10× corpus is 10× more pages, not 10
+                # copies. Each replica VOCABULARY-RENAMES the original:
+                # every token maps through md5 keyed by (token, replica),
+                # truncated to the token's own length. A 1-1 word map
+                # preserves the corpus's statistical shape — token
+                # frequency distribution, doc lengths, and every true
+                # near-dup pair WITHIN the replica — while sharing zero
+                # vocabulary across replicas, so true pairs scale exactly
+                # K×. (Partial-text fillers measured in round 5 all
+                # failed: a shared 70% keeps cross-replica cosine ~0.85,
+                # which the OR-of-ANDs LSH bands catch as candidates —
+                # ~half the K² replica pairs enter the verify stage, and
+                # wall grew 11× for 10× data from fixture structure, not
+                # operator behavior.)
                 d = d.withColumn(
-                    text_tag, F.concat(F.col(text_tag), F.lit(f" v{i}"))
+                    text_tag,
+                    F.expr(
+                        f"concat_ws(' ', transform(split({text_tag}, ' '),"
+                        f" t -> substr(md5(concat(t, 'v{i}')), 1,"
+                        f" greatest(length(t), 1))))"
+                    ),
                 )
             parts.append(d)
         out = parts[0]
@@ -90,6 +115,8 @@ def main() -> int:
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--dst", default="/tmp/scale10")
     ap.add_argument("--skip-gen", action="store_true")
+    ap.add_argument("--only", nargs="*", default=None,
+                    help="retime just these PICK queries")
     args = ap.parse_args()
 
     import __spark_entry__ as entry
@@ -117,7 +144,7 @@ def main() -> int:
         return statistics.median(runs)
 
     print(f"{'query':28s} {'sf0.1':>7s} {f'{args.k}x':>7s} {'ratio':>6s}")
-    for name in PICK:
+    for name in (args.only if args.only else PICK):
         a = med(name, SRC)
         b = med(name, args.dst)
         print(f"{name:28s} {a:7.2f} {b:7.2f} {b / a:6.2f}")

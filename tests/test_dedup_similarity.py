@@ -395,3 +395,55 @@ def test_batch_cosine_topk_matches_single_query(spark):
             assert batch[(q_id, rank)] == (row.vec_id, row.score), (q_id, rank)
     # exactly 4 queries x 4 ranks
     assert len(batch) == 16
+
+
+def test_scaled_band_params_law():
+    """Banding must grow with corpus size: identity below the reference,
+    then enough planes that the background rate falls as fast as n²
+    grows, with bands restoring the recall product b·p^w."""
+    from linz_bde_uploader_spark.functions.similarity import (
+        scaled_band_params,
+        sign_collision_prob,
+    )
+
+    # identity below the reference size (oracle exactness at sf0.01)
+    assert scaled_band_params(500, 0.9, 8, 12) == (8, 12)
+    assert scaled_band_params(4096, 0.9, 8, 12) == (8, 12)
+
+    p = sign_collision_prob(0.9)
+    for n, q in [(50_000, 0.5), (50_000, 0.65), (5_000_000, 0.65)]:
+        b, w = scaled_band_params(n, 0.9, 8, 12, background_sign_prob=q)
+        assert w > 12 and b >= 8
+        # background candidate volume per-pair rate must shrink at least
+        # as fast as n grows (the ~linear-candidates invariant)
+        base_rate = 8 * q ** 12
+        new_rate = b * q ** w
+        assert new_rate <= base_rate * 4096 / n * 1.05  # ceil slack
+        # recall product held within a factor ~p of the fixed params
+        assert 8 * p ** 12 * p <= b * p ** w <= 8 * p ** 12 / p
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        # background at/above the threshold's collision prob: inseparable
+        scaled_band_params(50_000, 0.9, 8, 12, background_sign_prob=0.9)
+
+
+def test_embedding_near_dup_auto_scale_identical_below_reference(spark, docs_df):
+    """auto_scale must be a no-op below the reference corpus size, so
+    the sf0.01 oracle stays bit-identical."""
+    from linz_bde_uploader_spark.functions import dedup as D
+    from linz_bde_uploader_spark.functions import similarity as S
+
+    emb = D.with_doc_embedding(docs_df, "text", "_emb", 64).select(
+        "doc_id", "_emb"
+    )
+    fixed = S.embedding_near_dup_pairs(
+        emb, id_col="doc_id", vec_col="_emb", dims=64, threshold=0.8
+    )
+    auto = S.embedding_near_dup_pairs(
+        emb, id_col="doc_id", vec_col="_emb", dims=64, threshold=0.8,
+        auto_scale=True, background_sign_prob=0.65,
+    )
+    assert sorted(map(tuple, fixed.collect())) == \
+        sorted(map(tuple, auto.collect()))
