@@ -47,7 +47,10 @@ def test_rotation_report_flags_unchecked_entries():
     )
     assert out.returncode == 0, out.stdout + out.stderr
     assert "registry: " in out.stdout
-    # the six round-4 births at 51+ must be flagged for rotation until
-    # they earn a driver row (this line self-retires once they do)
-    if "q_bpe_pair_counts" in out.stdout.split("ACTION", 1)[-1]:
-        assert "rotate these into the first 50" in out.stdout
+    # every never-driver-checked entry must either sit INSIDE the first-50
+    # window (OK line: it gets a row next round) or be flagged for
+    # rotation (ACTION line) — never silently unchecked at 51+
+    assert ("ACTION: rotate these into the first 50" in out.stdout
+            or "OK: these get their first driver row next round"
+            in out.stdout
+            or "never driver-checked: 0" in out.stdout)
