@@ -29,6 +29,7 @@ from linz_bde_uploader_spark.functions import dedup as D
 from linz_bde_uploader_spark.functions import multimodal as M
 from linz_bde_uploader_spark.functions import similarity as S
 from linz_bde_uploader_spark.functions import text as X
+from linz_bde_uploader_spark.functions import lm as LM
 from linz_bde_uploader_spark.functions import windows as WN
 from linz_bde_uploader_spark.meta.store import MetaStore
 from linz_bde_uploader_spark.operators import diff as DF_
@@ -754,6 +755,29 @@ def q_bpe_pair_counts(spark, sf_dir):
     # key space; top-k is TakeOrderedAndProject.
     d = W.load(spark, sf_dir, "documents")
     return X.char_pair_counts(d, "text", k=50)
+
+
+def q_lm_perplexity(spark, sf_dir):
+    # CCNet-style LM quality gate (functions/lm.py): train an add-one
+    # bigram LM over the corpus (one partial-agg shuffle; context totals
+    # window the AGGREGATED pair table; vocab-size rides in as a 1-row
+    # broadcast cross join, no separate action), then score every
+    # document's cross-entropy/perplexity via a (prev,cur) hash join.
+    # Oracle: identical arithmetic as a DuckDB CTE chain.
+    d = W.load(spark, sf_dir, "documents")
+    model = LM.train_bigram_lm(d)
+    return LM.score_documents(d, model)
+
+
+def q_dedup_crossdoc(spark, sf_dir):
+    # RefinedWeb-style cross-document duplicated-fragment statistics
+    # (functions/dedup.py::duplicated_shingle_stats): share of each
+    # document's distinct 3-gram shingles that also appear in another
+    # document. Complements MinHash: catches boilerplate mosaics that
+    # pairwise similarity never flags. Two shuffles (doc-freq agg +
+    # join back); state bounded by shingle vocabulary.
+    d = W.load(spark, sf_dir, "documents")
+    return D.duplicated_shingle_stats(d, "doc_id", "text")
 
 
 def q_bpe_merges(spark, sf_dir):
@@ -2052,8 +2076,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stratified_sample": q_stratified_sample,
         "q_tpch_q18_bigorders": q_tpch_q18_bigorders,
         "q_tpch_q19_disjunct": q_tpch_q19_disjunct,
-        "q_custdist": q_custdist,
-        "q_text_line_quality": q_text_line_quality,
+        # -- round-5 session-2 births (in-window at birth, rotation
+        #    rule): bigram-LM perplexity gate + cross-document
+        #    duplicated-shingle stats; displaced tenants q_custdist and
+        #    q_text_line_quality (both r3+r4 driver-green) -> 51+
+        "q_lm_perplexity": q_lm_perplexity,
+        "q_dedup_crossdoc": q_dedup_crossdoc,
         "q_tfidf_topk": q_tfidf_topk,
         "q_mm_frame_sample": q_mm_frame_sample,
         "q_boilerplate_removal": q_boilerplate_removal,
@@ -2084,6 +2112,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    q_c9_tolerance, q_s3_discovery_pending, q_p5_utf8_clean,
         #    q_dedup_embed_cosine — are ALL r2 AND r3 green, j5/c9 also
         #    r1) and remains oracle-checked via scripts/check_oracles.py
+        "q_custdist": q_custdist,
+        "q_text_line_quality": q_text_line_quality,
         "q_j5_apply_changes": q_j5_apply_changes,
         "q_c9_tolerance": q_c9_tolerance,
         "q_s3_discovery_pending": q_s3_discovery_pending,
@@ -2484,6 +2514,67 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 50
         """,
         "q_bpe_merges": _bpe_merges_sql(6),
+        "q_lm_perplexity": """
+            WITH toks AS (
+              SELECT doc_id, string_split(trim(text), ' ') AS l FROM documents
+            ),
+            sized AS (
+              SELECT doc_id, l, len(l) AS n FROM toks WHERE len(l) >= 2
+            ),
+            bi AS (
+              SELECT doc_id, l[i] AS prev, l[i+1] AS cur
+              FROM sized,
+                   LATERAL (SELECT unnest(generate_series(1, n - 1)) AS i) g
+            ),
+            pc AS (
+              SELECT prev, cur, count(*) AS pair_cnt FROM bi GROUP BY prev, cur
+            ),
+            ctx AS (
+              SELECT prev, cur, pair_cnt,
+                     sum(pair_cnt) OVER (PARTITION BY prev) AS ctx_cnt
+              FROM pc
+            ),
+            v AS (
+              SELECT count(DISTINCT tok) AS vocab_size FROM (
+                SELECT prev AS tok FROM bi
+                UNION ALL
+                SELECT cur AS tok FROM bi
+              )
+            ),
+            lm AS (
+              SELECT prev, cur,
+                     ln((pair_cnt + 1.0) / (ctx_cnt + vocab_size)) AS logp
+              FROM ctx, v
+            )
+            SELECT b.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_bigrams,
+                   round(-avg(logp), 4) AS cross_entropy,
+                   round(exp(round(-avg(logp), 4)), 4) AS perplexity
+            FROM bi b JOIN lm USING (prev, cur)
+            GROUP BY b.doc_id
+        """,
+        "q_dedup_crossdoc": f"""
+            WITH t AS (
+              SELECT doc_id, {_TOKS} AS toks, len({_TOKS}) AS n FROM documents
+            ),
+            sv_t AS (
+              SELECT doc_id, list_distinct({_shingle_vals()}) AS svs FROM t
+            ),
+            ex AS (
+              SELECT doc_id, unnest(svs) AS sv FROM sv_t
+            ),
+            freq AS (
+              SELECT sv, count(*) AS doc_freq FROM ex GROUP BY sv
+            )
+            SELECT e.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_shingles,
+                   CAST(sum(CASE WHEN f.doc_freq > 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS dup_shingles,
+                   round(sum(CASE WHEN f.doc_freq > 1 THEN 1.0 ELSE 0.0 END)
+                         / count(*), 4) AS dup_fraction
+            FROM ex e JOIN freq f USING (sv)
+            GROUP BY e.doc_id
+        """,
         "q_skew_salted_join": """
             WITH dim AS (
               SELECT DISTINCT event_type,

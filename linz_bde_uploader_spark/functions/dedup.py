@@ -600,3 +600,84 @@ def with_doc_embedding(
     return staged.withColumn(out_col, _hist(F.col("_de_hs"))).drop(
         "_de_toks", "_de_hs"
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-document duplicated-shingle pruning (RefinedWeb/CCNet-style):
+# drop documents mostly made of text that also appears in OTHER documents,
+# without requiring whole-document near-duplication. Complements MinHash:
+# MinHash finds pairs of similar docs; this finds docs assembled from
+# corpus-common fragments (boilerplate mosaics) that pair-wise similarity
+# never flags.
+
+
+def shingle_doc_freq(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text", n: int = 3) -> DataFrame:
+    """Document frequency of every n-gram shingle hash: ``(sv, doc_freq)``.
+
+    Shingles are DISTINCT within a document first (array_distinct on the
+    map side), so a fragment repeated inside one document counts once —
+    doc_freq > 1 means the fragment crosses document boundaries. One
+    shuffle with map-side partial aggregation; state is bounded by the
+    shingle vocabulary, not corpus size.
+    """
+    staged = df.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("_toks")
+    ).select(
+        F.col(id_col),
+        F.array_distinct(
+            F.transform(
+                shingles_from_tokens(F.col("_toks"), n),
+                lambda s: shingle_value(s),
+            )
+        ).alias("_svs"),
+    )
+    return staged.select(
+        F.explode("_svs").alias("sv")
+    ).groupBy("sv").agg(F.count(F.lit(1)).alias("doc_freq"))
+
+
+def duplicated_shingle_stats(df: DataFrame, id_col: str = "doc_id",
+                             text_col: str = "text", n: int = 3) -> DataFrame:
+    """Per-document cross-duplication statistics:
+    ``(id, n_shingles, dup_shingles, dup_fraction)`` where
+    ``dup_fraction`` is the share of the document's distinct shingles
+    that appear in at least one OTHER document (rounded to 4 dp for
+    engine-stable hashing).
+
+    Two shuffles total: the doc-freq aggregation and the join of
+    exploded doc-shingles back to it (AQE broadcasts the freq table
+    when the shingle vocabulary is small). No all-pairs term anywhere —
+    cost is linear in total shingle volume.
+    """
+    freq = shingle_doc_freq(df, id_col, text_col, n)
+    doc_sh = df.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("_toks")
+    ).select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    shingles_from_tokens(F.col("_toks"), n),
+                    lambda s: shingle_value(s),
+                )
+            )
+        ).alias("sv"),
+    )
+    return doc_sh.join(freq, ["sv"]).groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.sum((F.col("doc_freq") > 1).cast("long")).alias("dup_shingles"),
+        F.round(
+            F.sum((F.col("doc_freq") > 1).cast("double")) / F.count(F.lit(1)), 4
+        ).alias("dup_fraction"),
+    )
+
+
+def prune_cross_duplicated(df: DataFrame, max_dup_fraction: float,
+                           id_col: str = "doc_id", text_col: str = "text",
+                           n: int = 3) -> DataFrame:
+    """Keep documents whose cross-document duplicated-shingle fraction is
+    at most ``max_dup_fraction`` (left-semi against the stats table)."""
+    stats = duplicated_shingle_stats(df, id_col, text_col, n)
+    keep = stats.filter(F.col("dup_fraction") <= max_dup_fraction).select(id_col)
+    return df.join(keep, [id_col], "left_semi")

@@ -1,0 +1,142 @@
+"""N-gram language-model quality filtering — the CCNet-style perplexity
+gate a web-scale training-data pipeline runs after dedup: train a small
+LM on the corpus (or a trusted reference corpus), score every document's
+cross-entropy under it, and drop the tail whose perplexity marks it as
+boilerplate, gibberish, or machine-generated spam.
+
+The model here is an add-one-smoothed bigram LM — deliberately the
+simplest member of the family whose arithmetic is exactly expressible in
+ANSI SQL, so the correctness harness can hash-match every probability
+against DuckDB. A KenLM/fastText scorer plugs in behind the same column
+contract via mapInPandas without changing the surrounding plan.
+
+Scale notes (100 TB): training is one shuffle (partial-agg bigram
+counts); context counts re-aggregate the *aggregated* bigram table, not
+the raw token stream; vocabulary size is a 1-row aggregate cross-joined
+in (broadcast, no separate action — the TF-IDF corpus-size pattern).
+Scoring joins raw doc-bigrams to the counted table on (prev, cur) — a
+plain shuffle hash join AQE will broadcast whenever the trained LM is
+small enough. Nothing is per-row Python and nothing is quadratic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from linz_bde_uploader_spark.functions.text import tokens
+
+
+def doc_bigrams(docs: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Explode each document into ``(id, prev, cur)`` adjacent-token
+    pairs. Documents with fewer than two tokens yield no rows.
+
+    The pair list is built by zipping the token array against itself
+    shifted by one (two ``slice`` calls on a *staged* array attribute) —
+    a pure map-side explode, no shuffle, no positional self-join.
+    """
+    toks = docs.select(
+        F.col(id_col), tokens(F.trim(F.col(text_col))).alias("_toks")
+    ).filter(F.size("_toks") >= 2)
+    sz = F.size("_toks")
+    pairs = F.arrays_zip(
+        F.slice(F.col("_toks"), 1, sz - 1).alias("prev"),
+        F.slice(F.col("_toks"), 2, sz - 1).alias("cur"),
+    )
+    return toks.select(
+        F.col(id_col), F.explode(pairs).alias("_p")
+    ).select(id_col, F.col("_p.prev").alias("prev"), F.col("_p.cur").alias("cur"))
+
+
+def train_bigram_lm(docs: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Train an add-one-smoothed bigram LM over the corpus.
+
+    Returns ``(prev, cur, pair_cnt, ctx_cnt, vocab_size, logp)`` where
+    ``logp = ln((pair_cnt + 1) / (ctx_cnt + vocab_size))``.
+
+    One wide shuffle (bigram counts with map-side combine); context
+    counts are a window-sum over the already-aggregated bigram table
+    (bounded by |bigram vocab|, not corpus size); ``vocab_size`` counts
+    distinct tokens via the same exploded pairs (prev ∪ cur ∪ the last
+    token of every doc is approximated as prev ∪ cur — exact for any
+    corpus where every token type occurs in some bigram, i.e. every
+    document has ≥ 2 tokens; short-doc token types never receive
+    probability mass anyway) and rides in as a broadcast 1-row
+    cross join, so training is a single job with no separate action.
+    """
+    bi = doc_bigrams(docs, id_col, text_col)
+    pair_counts = bi.groupBy("prev", "cur").agg(
+        F.count(F.lit(1)).alias("pair_cnt")
+    )
+    # context totals: re-aggregate the aggregated pairs (window keeps it
+    # one shuffle on `prev` over the compact table)
+    from pyspark.sql import Window
+
+    ctx = Window.partitionBy("prev")
+    with_ctx = pair_counts.withColumn(
+        "ctx_cnt", F.sum("pair_cnt").over(ctx)
+    )
+    vocab = bi.select(
+        F.explode(F.array("prev", "cur")).alias("tok")
+    ).agg(F.count_distinct("tok").alias("vocab_size"))
+    return with_ctx.crossJoin(F.broadcast(vocab)).withColumn(
+        "logp",
+        F.log(
+            (F.col("pair_cnt") + F.lit(1).cast("double"))
+            / (F.col("ctx_cnt") + F.col("vocab_size"))
+        ),
+    )
+
+
+def score_documents(docs: DataFrame, lm: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Score each document's cross-entropy and perplexity under ``lm``
+    (a ``train_bigram_lm`` result, possibly from a different corpus).
+
+    Returns ``(id, n_bigrams, cross_entropy, perplexity)`` with
+    ``cross_entropy = -mean(logp)`` over the document's bigrams and
+    ``perplexity = exp(cross_entropy)``, both rounded to 4 dp so the
+    value is stable across engines' fold orders. Bigrams unseen at
+    training time back off to the smoothed floor
+    ``ln(1 / (ctx_cnt + V))`` (or ``ln(1/V)`` for an unseen context).
+    Documents with fewer than two tokens produce no row.
+    """
+    bi = doc_bigrams(docs, id_col, text_col)
+    # per-context floor for unseen `cur`: distinct (prev, ctx_cnt, V)
+    ctx_tbl = lm.select("prev", "ctx_cnt", "vocab_size").distinct()
+    vocab = lm.select(F.max("vocab_size").alias("_v")).limit(1)
+    scored = (
+        bi.join(lm.select("prev", "cur", "logp"), ["prev", "cur"], "left")
+        .join(ctx_tbl, ["prev"], "left")
+        .crossJoin(F.broadcast(vocab))
+        .withColumn(
+            "_logp",
+            F.coalesce(
+                F.col("logp"),
+                F.log(
+                    F.lit(1.0)
+                    / (F.coalesce(F.col("ctx_cnt"), F.lit(0)) + F.col("_v"))
+                ),
+            ),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(-F.avg("_logp"), 4).alias("cross_entropy"),
+        F.round(F.exp(F.round(-F.avg("_logp"), 4)), 4).alias("perplexity"),
+    )
+
+
+def perplexity_filter(docs: DataFrame, max_perplexity: float,
+                      id_col: str = "doc_id", text_col: str = "text",
+                      lm: DataFrame | None = None) -> DataFrame:
+    """Keep documents whose self-trained (or supplied) LM perplexity is
+    at most ``max_perplexity`` — the CCNet head/middle cut. Documents
+    too short to score (< 2 tokens) are dropped, matching the common
+    pipeline's minimum-length gate."""
+    model = lm if lm is not None else train_bigram_lm(docs, id_col, text_col)
+    scores = score_documents(docs, model, id_col, text_col)
+    keep = scores.filter(F.col("perplexity") <= max_perplexity).select(id_col)
+    return docs.join(keep, [id_col], "left_semi")

@@ -44,6 +44,12 @@ WHITELIST: dict[str, tuple[str, ...]] = {
     # "loop" side is one row: this is exactly the scalar-subquery
     # execution shape, map-only over the big side at any scale.
     "q_tfidf_topk": ("BroadcastNestedLoopJoin",),
+    # The bigram LM folds the vocabulary size V into the plan the same
+    # way TF-IDF folds N: a broadcast ONE-ROW aggregate cross-joined
+    # into the counted-bigram table (lm.py::train_bigram_lm /
+    # score_documents). One row on the loop side — map-only over the
+    # big side, the scalar-subquery execution shape.
+    "q_lm_perplexity": ("BroadcastNestedLoopJoin",),
 }
 
 

@@ -1,0 +1,111 @@
+"""Bigram-LM perplexity gate (functions/lm.py) and cross-document
+duplicated-shingle pruning (functions/dedup.py) — value-level tests
+against hand-computed probabilities plus edge cases the sf-data oracle
+sweep can't reach (short docs, unseen-bigram backoff, empty corpus
+fragments)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from linz_bde_uploader_spark.functions import lm as LM
+from linz_bde_uploader_spark.functions.dedup import (
+    duplicated_shingle_stats,
+    prune_cross_duplicated,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "a b a b"),
+            (2, "a b c"),
+            (3, "x"),       # too short: no bigrams
+            (4, ""),        # empty: no bigrams
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_doc_bigrams_short_docs_yield_nothing(docs):
+    bi = LM.doc_bigrams(docs).collect()
+    ids = {r.doc_id for r in bi}
+    assert ids == {1, 2}
+    d1 = sorted((r.prev, r.cur) for r in bi if r.doc_id == 1)
+    assert d1 == [("a", "b"), ("a", "b"), ("b", "a")]
+
+
+def test_train_bigram_lm_hand_computed(docs):
+    lm = {(r.prev, r.cur): r for r in LM.train_bigram_lm(docs).collect()}
+    # corpus bigrams: (a,b)x3, (b,a)x1, (b,c)x1 ; vocab = {a,b,c}
+    r = lm[("a", "b")]
+    assert (r.pair_cnt, r.ctx_cnt, r.vocab_size) == (3, 3, 3)
+    assert r.logp == pytest.approx(math.log(4 / 6))
+    r = lm[("b", "c")]
+    assert (r.pair_cnt, r.ctx_cnt) == (1, 2)
+    assert r.logp == pytest.approx(math.log(2 / 5))
+
+
+def test_score_documents_self_corpus(docs):
+    model = LM.train_bigram_lm(docs)
+    rows = {r.doc_id: r for r in LM.score_documents(docs, model).collect()}
+    assert set(rows) == {1, 2}  # short/empty docs produce no score row
+    # doc 2: bigrams (a,b) logp=ln(4/6), (b,c) logp=ln(2/5)
+    ce = -(math.log(4 / 6) + math.log(2 / 5)) / 2
+    assert rows[2].n_bigrams == 2
+    assert rows[2].cross_entropy == pytest.approx(round(ce, 4))
+    assert rows[2].perplexity == pytest.approx(round(math.exp(round(ce, 4)), 4))
+
+
+def test_score_unseen_bigram_backoff(spark, docs):
+    model = LM.train_bigram_lm(docs)
+    other = spark.createDataFrame(
+        [(10, "a z"), (11, "q z")], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in LM.score_documents(other, model).collect()}
+    # (a,z): context 'a' seen (ctx_cnt=3, V=3) -> ln(1/6)
+    assert rows[10].cross_entropy == pytest.approx(round(-math.log(1 / 6), 4))
+    # (q,z): context unseen -> ln(1/V) = ln(1/3)
+    assert rows[11].cross_entropy == pytest.approx(round(-math.log(1 / 3), 4))
+
+
+def test_perplexity_filter_keeps_low_tail(spark):
+    d = spark.createDataFrame(
+        [(1, "a b a b a b"), (2, "a b a b a c"), (3, "z q")],
+        "doc_id long, text string",
+    )
+    kept = {r.doc_id for r in
+            LM.perplexity_filter(d, max_perplexity=2.0).collect()}
+    # doc 1 is the most predictable; doc 3's bigram is rare -> high ppl
+    assert 1 in kept and 3 not in kept
+
+
+def test_duplicated_shingle_stats_and_prune(spark):
+    d = spark.createDataFrame(
+        [
+            # NOTE: token_value hashes (length, first char) — test words
+            # must differ in first letter to be distinct features
+            (1, "ab cd ef gh"),        # both shingles shared with doc 2
+            (2, "ab cd ef gh"),        # exact dup of 1
+            (3, "ij kl mn op qr"),     # unique
+        ],
+        "doc_id long, text string",
+    )
+    stats = {r.doc_id: r for r in duplicated_shingle_stats(d).collect()}
+    assert stats[1].n_shingles == 2 and stats[1].dup_fraction == 1.0
+    assert stats[3].dup_shingles == 0 and stats[3].dup_fraction == 0.0
+    kept = {r.doc_id for r in prune_cross_duplicated(d, 0.5).collect()}
+    assert kept == {3}
+
+
+def test_dup_stats_within_doc_repeat_not_counted(spark):
+    # a shingle repeated INSIDE one doc is not cross-document duplication
+    d = spark.createDataFrame(
+        [(1, "aa bb cc aa bb cc"), (2, "dd ee ff")],
+        "doc_id long, text string",
+    )
+    stats = {r.doc_id: r for r in duplicated_shingle_stats(d).collect()}
+    assert stats[1].dup_shingles == 0
+    assert stats[2].dup_shingles == 0
