@@ -29,6 +29,7 @@ from linz_bde_uploader_spark.functions import dedup as D
 from linz_bde_uploader_spark.functions import multimodal as M
 from linz_bde_uploader_spark.functions import similarity as S
 from linz_bde_uploader_spark.functions import text as X
+from linz_bde_uploader_spark.functions import clustering as C
 from linz_bde_uploader_spark.functions import lm as LM
 from linz_bde_uploader_spark.functions import windows as WN
 from linz_bde_uploader_spark.meta.store import MetaStore
@@ -755,6 +756,75 @@ def q_bpe_pair_counts(spark, sf_dir):
     # key space; top-k is TakeOrderedAndProject.
     d = W.load(spark, sf_dir, "documents")
     return X.char_pair_counts(d, "text", k=50)
+
+
+def _kmeans_cte(k: int = 8, iters: int = 3, dims: int = 64) -> str:
+    """DuckDB CTE chain mirroring clustering.kmeans: c0 = vectors of the
+    k smallest ids; a{i} = argmin assignment under c{i} (squared distance
+    rounded 6 dp, ties to the smaller centroid id); c{i+1} = per-cluster
+    per-dimension mean rounded 6 dp. The final assignment a{iters} uses
+    c{iters} — exactly the Spark loop's shape (iters updates, then one
+    final assignment pass)."""
+    parts = [
+        "e AS (SELECT vec_id,"
+        " list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v"
+        " FROM embeddings)",
+        f"c0 AS (SELECT vec_id AS cid, v AS c FROM e WHERE vec_id < {k})",
+    ]
+    dist = (
+        f"round(list_sum(list_transform(generate_series(1, {dims}),"
+        " i -> (e.v[i] - c.c[i]) * (e.v[i] - c.c[i]))), 6)"
+    )
+    for it in range(iters + 1):
+        parts.append(f"""a{it} AS (
+          SELECT vec_id, v, cid AS cluster, d AS sq_dist FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY vec_id ORDER BY d ASC, cid ASC) AS rn
+            FROM (
+              SELECT e.vec_id, e.v, c.cid, {dist} AS d FROM e, c{it} c
+            )
+          ) WHERE rn = 1
+        )""")
+        if it < iters:
+            parts.append(f"""c{it + 1} AS (
+          SELECT cluster AS cid, list(m ORDER BY pos) AS c FROM (
+            SELECT cluster, i AS pos, round(avg(v[i]), 6) AS m
+            FROM a{it},
+                 LATERAL (SELECT unnest(generate_series(1, {dims})) AS i) g
+            GROUP BY cluster, i
+          ) GROUP BY cluster
+        )""")
+    return "WITH " + ",\n".join(parts)
+
+
+def q_kmeans_embeddings(spark, sf_dir):
+    # Deterministic Lloyd's k-means over the embedding corpus
+    # (functions/clustering.py): 3 refinement rounds, each a map-only
+    # assignment (centroids constant-folded into codegen) + one
+    # (cluster, dim)-keyed partial-agg shuffle; the k x dims centroid
+    # matrix collected per round is model state (the bpe_train pattern).
+    # Oracle: the same rounds unrolled as a DuckDB CTE chain.
+    e = W.load(spark, sf_dir, "embeddings")
+    assigned, _ = C.kmeans(e, k=8, n_iters=3)
+    return assigned.select(
+        "vec_id",
+        F.col("cluster").cast("long").alias("cluster"),
+        F.round("sq_dist", 4).alias("sq_dist"),
+    )
+
+
+def q_semdedup(spark, sf_dir):
+    # SemDeDup (cluster-then-dedup): k-means partitions the corpus, then
+    # near-duplicates (cosine >= 0.4 at 4 dp) are removed WITHIN each
+    # cluster — the pair join is keyed by cluster id, bounding the
+    # quadratic term by cluster size instead of corpus size.
+    e = W.load(spark, sf_dir, "embeddings")
+    surv = C.semdedup_prune(e, 0.4, k=8, n_iters=3)
+    return surv.select(
+        "vec_id",
+        F.col("cluster").cast("long").alias("cluster"),
+        F.round("sq_dist", 4).alias("sq_dist"),
+    )
 
 
 def q_lm_perplexity(spark, sf_dir):
@@ -2071,7 +2141,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_approx_distinct_guard": q_approx_distinct_guard,
         "q_sim_batch_topk": q_sim_batch_topk,
         # -- 29-34: NEW this session (first driver check)
-        "q_decontaminate": q_decontaminate,
         "q_pack_sequences": q_pack_sequences,
         "q_stratified_sample": q_stratified_sample,
         "q_tpch_q18_bigorders": q_tpch_q18_bigorders,
@@ -2082,8 +2151,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    q_text_line_quality (both r3+r4 driver-green) -> 51+
         "q_lm_perplexity": q_lm_perplexity,
         "q_dedup_crossdoc": q_dedup_crossdoc,
+        # -- round-5 session-2 births: deterministic k-means and the
+        #    SemDeDup cluster-local near-dup filter built on it;
+        #    displaced tenants q_mm_frame_sample and q_decontaminate
+        #    (both r3+r4 driver-green) -> 51+
+        "q_kmeans_embeddings": q_kmeans_embeddings,
+        "q_semdedup": q_semdedup,
         "q_tfidf_topk": q_tfidf_topk,
-        "q_mm_frame_sample": q_mm_frame_sample,
         "q_boilerplate_removal": q_boilerplate_removal,
         "q_pipeline_e2e": q_pipeline_e2e,
         # -- 40-44: round-4 rotation — the three entries that had never
@@ -2114,6 +2188,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    r1) and remains oracle-checked via scripts/check_oracles.py
         "q_custdist": q_custdist,
         "q_text_line_quality": q_text_line_quality,
+        "q_mm_frame_sample": q_mm_frame_sample,
+        "q_decontaminate": q_decontaminate,
         "q_j5_apply_changes": q_j5_apply_changes,
         "q_c9_tolerance": q_c9_tolerance,
         "q_s3_discovery_pending": q_s3_discovery_pending,
@@ -2514,6 +2590,23 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 50
         """,
         "q_bpe_merges": _bpe_merges_sql(6),
+        "q_kmeans_embeddings": _kmeans_cte(8, 3, 64) + """
+            SELECT vec_id, CAST(cluster AS BIGINT) AS cluster,
+                   round(sq_dist, 4) AS sq_dist
+            FROM a3
+        """,
+        "q_semdedup": _kmeans_cte(8, 3, 64) + """,
+            dup AS (
+              SELECT DISTINCT b.vec_id AS vec_id
+              FROM a3 a JOIN a3 b
+                ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+              WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.4
+            )
+            SELECT vec_id, CAST(cluster AS BIGINT) AS cluster,
+                   round(sq_dist, 4) AS sq_dist
+            FROM a3
+            WHERE vec_id NOT IN (SELECT vec_id FROM dup)
+        """,
         "q_lm_perplexity": """
             WITH toks AS (
               SELECT doc_id, string_split(trim(text), ' ') AS l FROM documents

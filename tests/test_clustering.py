@@ -1,0 +1,81 @@
+"""Deterministic k-means + SemDeDup (functions/clustering.py) —
+hand-checkable geometry, determinism across partition layouts, and the
+cluster-locality property that bounds SemDeDup's quadratic term."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from linz_bde_uploader_spark.functions.clustering import (
+    assign_clusters,
+    kmeans,
+    semdedup_prune,
+)
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    # two tight groups on the x-axis, ids 0/1 seed the two centroids
+    rows = [
+        (0, [0.0, 0.0]),
+        (1, [10.0, 0.0]),
+        (2, [1.0, 0.0]),
+        (3, [11.0, 0.0]),
+        (4, [0.0, 1.0]),
+        (5, [10.0, 1.0]),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_assign_clusters_nearest_and_tiebreak(spark, vecs):
+    cents = [(0, [0.0, 0.0]), (1, [10.0, 0.0])]
+    got = {r.vec_id: r.cluster for r in
+           assign_clusters(vecs, cents).collect()}
+    assert got == {0: 0, 2: 0, 4: 0, 1: 1, 3: 1, 5: 1}
+    # exact tie (point at x=5) goes to the smaller centroid id
+    mid = spark.createDataFrame([(9, [5.0, 0.0])],
+                                "vec_id long, embedding array<double>")
+    assert assign_clusters(mid, cents).collect()[0].cluster == 0
+
+
+def test_kmeans_converges_to_group_means(vecs):
+    assigned, cents = kmeans(vecs, k=2, n_iters=2)
+    cmap = dict(cents)
+    # group means: (1/3, 1/3) and (31/3, 1/3), rounded to 6 dp
+    assert cmap[0] == [round(1 / 3, 6), round(1 / 3, 6)]
+    assert cmap[1] == [round(31 / 3, 6), round(1 / 3, 6)]
+    by_cluster = {r.vec_id: r.cluster for r in assigned.collect()}
+    assert {by_cluster[i] for i in (0, 2, 4)} == {0}
+    assert {by_cluster[i] for i in (1, 3, 5)} == {1}
+
+
+def test_kmeans_partition_invariant(spark, vecs):
+    _, c_a = kmeans(vecs.repartition(1), k=2, n_iters=3)
+    _, c_b = kmeans(vecs.repartition(7), k=2, n_iters=3)
+    assert c_a == c_b
+
+
+def test_kmeans_drops_empty_cluster(spark):
+    # seed 1 starts ON seed 0's point-mass: every point is strictly
+    # closer to (or tied with) centroid 0, so cluster 1 empties out
+    rows = [(0, [0.0, 0.0]), (1, [0.0, 0.0]), (2, [0.1, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    assigned, cents = kmeans(df, k=2, n_iters=2)
+    assert [cid for cid, _ in cents] == [0]
+    assert {r.cluster for r in assigned.collect()} == {0}
+
+
+def test_semdedup_prunes_within_cluster_only(spark):
+    # 0 and 2 are near-identical (same direction); 1/3 far group; the
+    # cross-group cosine is 0 so nothing is pruned across clusters
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.0, 1.0]),
+        (2, [2.0, 0.0]),    # cosine 1.0 with vec 0 -> pruned (larger id)
+        (3, [0.0, 3.0]),    # cosine 1.0 with vec 1 -> pruned
+        (4, [1.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    surv = {r.vec_id for r in
+            semdedup_prune(df, 0.99, k=2, n_iters=1).collect()}
+    assert 0 in surv and 1 in surv
+    assert 2 not in surv and 3 not in surv
