@@ -1242,6 +1242,19 @@ def q_sim_cosine_above(spark, sf_dir):
     return S.cosine_above(e, _query_vec(spark, sf_dir), threshold=0.25)
 
 
+def q_sim_quantized_topk(spark, sf_dir):
+    # Int8 scalar-quantized exact top-k (similarity.py::with_quantized /
+    # quantized_cosine_topk): per-vector symmetric max|x|/127 scaling
+    # (the factor cancels in cosine), integer dot products — exact,
+    # fold-order-free, bit-identical across engines — and a 4x narrower
+    # shuffle/storage footprint at 100 TB. Map-only scoring +
+    # TakeOrderedAndProject, like the float baseline.
+    e = W.load(spark, sf_dir, "embeddings")
+    return S.quantized_cosine_topk(
+        e, _query_vec(spark, sf_dir), k=10, exclude_id=0
+    )
+
+
 def q_sim_lsh_topk(spark, sf_dir):
     # The router's full-scan FALLBACK branch (un-bucketed DataFrame in,
     # signatures computed on the fly) — the ad-hoc baseline; repeated
@@ -2157,8 +2170,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    (both r3+r4 driver-green) -> 51+
         "q_kmeans_embeddings": q_kmeans_embeddings,
         "q_semdedup": q_semdedup,
+        # -- round-5 session-2 birth: int8-quantized exact top-k;
+        #    displaced tenant q_boilerplate_removal (r3+r4 green) -> 51+
+        "q_sim_quantized_topk": q_sim_quantized_topk,
         "q_tfidf_topk": q_tfidf_topk,
-        "q_boilerplate_removal": q_boilerplate_removal,
         "q_pipeline_e2e": q_pipeline_e2e,
         # -- 40-44: round-4 rotation — the three entries that had never
         #    had a driver row (placed out-of-window at birth) plus the
@@ -2190,6 +2205,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_text_line_quality": q_text_line_quality,
         "q_mm_frame_sample": q_mm_frame_sample,
         "q_decontaminate": q_decontaminate,
+        "q_boilerplate_removal": q_boilerplate_removal,
         "q_j5_apply_changes": q_j5_apply_changes,
         "q_c9_tolerance": q_c9_tolerance,
         "q_s3_discovery_pending": q_s3_discovery_pending,
@@ -3011,6 +3027,34 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
             WHERE e.vec_id <> 0
             ORDER BY score DESC, e.vec_id
+            LIMIT 10
+        """,
+        "q_sim_quantized_topk": """
+            WITH e2 AS (
+              SELECT vec_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings
+            ),
+            sc AS (
+              SELECT vec_id, v,
+                     list_max(list_transform(v, x -> abs(x))) / 127.0 AS s
+              FROM e2
+            ),
+            qv AS (
+              SELECT vec_id,
+                     CASE WHEN s = 0
+                          THEN list_transform(v, x -> CAST(0 AS DOUBLE))
+                          ELSE list_transform(v, x -> round(x / s)) END AS q
+              FROM sc
+            ),
+            qq AS (SELECT q FROM qv WHERE vec_id = 0)
+            SELECT e.vec_id,
+                   round(list_inner_product(e.q, qq.q)
+                         / (sqrt(list_inner_product(e.q, e.q))
+                            * sqrt(list_inner_product(qq.q, qq.q))), 6) AS qscore
+            FROM qv e, qq
+            WHERE e.vec_id <> 0
+            ORDER BY qscore DESC, e.vec_id
             LIMIT 10
         """,
         "q_sim_cosine_above": f"""

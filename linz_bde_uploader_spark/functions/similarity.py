@@ -661,3 +661,80 @@ def embedding_near_dup_pairs(
         )
         .filter(F.col("score") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# Int8 scalar quantization — the standard memory/shuffle-width reduction
+# for ANN at scale: 4 bytes/dim (float32) become 1, so a 100-TB embedding
+# shuffle moves ~4x less data, and integer dot products are EXACT (no
+# fold-order ulps), which makes quantized scores bit-identical across
+# engines and runs — a determinism bonus on top of the bandwidth win.
+# Per-vector symmetric scaling (max|x|/127); the scale factor cancels in
+# cosine, so quantized cosine needs no dequantization at all.
+
+
+def with_quantized(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    q_col: str = "qvec",
+    scale_col: str = "qscale",
+) -> DataFrame:
+    """Add ``q_col`` (array<long> in [-127, 127] — int8-valued; the
+    storage sink narrows to tinyint) and ``scale_col`` (the per-vector
+    dequantization factor, max|x|/127). All-zero vectors quantize to
+    zeros with scale 0. Pure map-side Column arithmetic."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    staged = df.withColumn("_qz_v", v).withColumn(
+        scale_col,
+        F.array_max(F.transform(F.col("_qz_v"), lambda x: F.abs(x))) / 127.0,
+    )
+    q = F.when(
+        F.col(scale_col) == 0.0,
+        F.transform(F.col("_qz_v"), lambda x: F.lit(0).cast("long")),
+    ).otherwise(
+        F.transform(
+            F.col("_qz_v"),
+            lambda x: F.round(x / F.col(scale_col)).cast("long"),
+        )
+    )
+    return staged.withColumn(q_col, q).drop("_qz_v")
+
+
+def quantize_vector(vec: list[float]) -> list[int]:
+    """Driver-side twin of :func:`with_quantized` for literal query
+    vectors (same arithmetic: double division, round-half-away)."""
+    import math
+
+    s = max(abs(float(x)) for x in vec) / 127.0 if vec else 0.0
+    if s == 0.0:
+        return [0] * len(vec)
+    out = []
+    for x in vec:
+        r = float(x) / s
+        # Python round() is half-to-even; Spark/DuckDB round half away
+        # from zero — do it explicitly.
+        out.append(int(math.floor(abs(r) + 0.5)) * (1 if r >= 0 else -1))
+    return out
+
+
+def quantized_cosine_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """Exact top-k by cosine over int8-quantized vectors: the query is
+    quantized driver-side, every corpus vector map-side; scores are
+    integer dot products (exact, fold-order-free). Returns
+    ``(id, qscore)`` with qscore rounded to 6 dp."""
+    qq = quantize_vector(query_vec)
+    qlit = F.array(*[F.lit(int(x)) for x in qq])
+    scored = with_quantized(embeddings, vec_col).select(
+        F.col(id_col),
+        F.round(cosine(F.col("qvec"), qlit), 6).alias("qscore"),
+    )
+    if exclude_id is not None:
+        scored = scored.filter(F.col(id_col) != exclude_id)
+    return scored.orderBy(F.desc("qscore"), F.col(id_col)).limit(k)

@@ -447,3 +447,44 @@ def test_embedding_near_dup_auto_scale_identical_below_reference(spark, docs_df)
     )
     assert sorted(map(tuple, fixed.collect())) == \
         sorted(map(tuple, auto.collect()))
+
+
+def test_with_quantized_roundtrip_and_zero(spark):
+    from linz_bde_uploader_spark.functions.similarity import (
+        quantize_vector,
+        with_quantized,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [1.0, -0.5, 0.25, 0.0]), (2, [0.0, 0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    rows = {r.vec_id: r for r in with_quantized(df).collect()}
+    # scale = 1/127; values quantize exactly to ±127, ±64 (0.5*127=63.5
+    # rounds half away from zero), 32 (31.75 -> 32), 0
+    assert rows[1].qvec == [127, -64, 32, 0]
+    assert rows[1].qscale == pytest.approx(1.0 / 127.0)
+    assert rows[2].qvec == [0, 0, 0, 0] and rows[2].qscale == 0.0
+    # driver-side twin must agree element-for-element
+    assert quantize_vector([1.0, -0.5, 0.25, 0.0]) == [127, -64, 32, 0]
+    assert quantize_vector([0.0, 0.0]) == [0, 0]
+
+
+def test_quantized_topk_matches_float_ranking(spark):
+    from linz_bde_uploader_spark.functions.similarity import (
+        cosine_topk,
+        quantized_cosine_topk,
+    )
+
+    # well-separated directions: quantization must preserve the ranking
+    data = [
+        (0, [1.0, 0.0]),
+        (1, [0.9, 0.1]),
+        (2, [0.5, 0.5]),
+        (3, [0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(data, "vec_id long, embedding array<double>")
+    fp = [r.vec_id for r in cosine_topk(df, [1.0, 0.0], k=3, exclude_id=0).collect()]
+    q8 = [r.vec_id for r in
+          quantized_cosine_topk(df, [1.0, 0.0], k=3, exclude_id=0).collect()]
+    assert fp == q8 == [1, 2, 3]
