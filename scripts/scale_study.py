@@ -43,6 +43,12 @@ PICK = [
     "q_dedup_embed_cosine", "q_sim_lsh_bucketed", "q_mm_fingerprint_dedup",
     # round-5 births
     "q_bpe_merges", "q_skew_salted_join",
+    # round-5 session-2 births: LM training+scoring, cross-doc shingle
+    # stats, auto-k k-means and the SemDeDup pair join built on it
+    # (auto_k holds cluster size constant — the property under test),
+    # and the int8-quantized scorer
+    "q_lm_perplexity", "q_dedup_crossdoc", "q_kmeans_embeddings",
+    "q_semdedup", "q_sim_quantized_topk",
 ]
 
 

@@ -79,3 +79,27 @@ def test_semdedup_prunes_within_cluster_only(spark):
             semdedup_prune(df, 0.99, k=2, n_iters=1).collect()}
     assert 0 in surv and 1 in surv
     assert 2 not in surv and 3 not in surv
+
+
+def test_gemm_path_matches_column_path(spark, vecs):
+    # the large-k GEMM strategy must agree with the constant-folded
+    # Column strategy on cluster AND rounded distance
+    from linz_bde_uploader_spark.functions.clustering import (
+        _assign_clusters_gemm,
+    )
+
+    cents = [(0, [0.0, 0.0]), (1, [10.0, 0.0])]
+    a = {r.vec_id: (r.cluster, r.sq_dist)
+         for r in assign_clusters(vecs, cents).collect()}
+    g = {r.vec_id: (r.cluster, r.sq_dist)
+         for r in _assign_clusters_gemm(vecs, cents, "vec_id", "embedding").collect()}
+    assert a == g
+
+
+def test_auto_k_targets_cluster_size():
+    from linz_bde_uploader_spark.functions.clustering import auto_k
+
+    assert auto_k(50) == 8        # oracle scales pin to min_k
+    assert auto_k(500) == 8
+    assert auto_k(2000) == 32     # sf0.1: still the Column path
+    assert auto_k(20000) == 313   # 10x study: GEMM path, ~64/cluster
