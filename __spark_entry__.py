@@ -1259,6 +1259,20 @@ def q_sim_quantized_topk(spark, sf_dir):
     )
 
 
+def q_sim_projected_topk(spark, sf_dir):
+    # Johnson-Lindenstrauss approximate top-k (similarity.py::
+    # project_embeddings / projected_cosine_topk): 64 dims -> 16 via the
+    # SAME deterministic hyperplane family as the LSH signatures (no
+    # stored matrix, no randomness to version), then cosine in the
+    # reduced space — 1/4 the arithmetic and shuffle bytes per vector,
+    # recall per the JL distortion bound. Map-only +
+    # TakeOrderedAndProject, like the exact scorer.
+    e = W.load(spark, sf_dir, "embeddings")
+    return S.projected_cosine_topk(
+        e, _query_vec(spark, sf_dir), k=10, out_dims=16, exclude_id=0
+    )
+
+
 def q_sim_lsh_topk(spark, sf_dir):
     # The router's full-scan FALLBACK branch (un-bucketed DataFrame in,
     # signatures computed on the fly) — the ad-hoc baseline; repeated
@@ -2153,7 +2167,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_text_scrub_pii": q_text_scrub_pii,
         "q_chunk_documents": q_chunk_documents,
         "q_tpch_q4_priority": q_tpch_q4_priority,
-        "q_tpch_q14_promo": q_tpch_q14_promo,
         "q_bpe_pair_counts": q_bpe_pair_counts,
         "q_approx_distinct_guard": q_approx_distinct_guard,
         "q_sim_batch_topk": q_sim_batch_topk,
@@ -2177,6 +2190,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- round-5 session-2 birth: int8-quantized exact top-k;
         #    displaced tenant q_boilerplate_removal (r3+r4 green) -> 51+
         "q_sim_quantized_topk": q_sim_quantized_topk,
+        # -- round-5 session-2 birth: JL random-projection approximate
+        #    top-k; displaced tenant q_tpch_q14_promo (r3+r4 green) -> 51+
+        "q_sim_projected_topk": q_sim_projected_topk,
         "q_tfidf_topk": q_tfidf_topk,
         "q_pipeline_e2e": q_pipeline_e2e,
         # -- 40-44: round-4 rotation — the three entries that had never
@@ -2210,6 +2226,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_mm_frame_sample": q_mm_frame_sample,
         "q_decontaminate": q_decontaminate,
         "q_boilerplate_removal": q_boilerplate_removal,
+        "q_tpch_q14_promo": q_tpch_q14_promo,
         "q_j5_apply_changes": q_j5_apply_changes,
         "q_c9_tolerance": q_c9_tolerance,
         "q_s3_discovery_pending": q_s3_discovery_pending,
@@ -3031,6 +3048,26 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
             WHERE e.vec_id <> 0
             ORDER BY score DESC, e.vec_id
+            LIMIT 10
+        """,
+        "q_sim_projected_topk": """
+            WITH pv AS (
+              SELECT vec_id,
+                     list_transform(generate_series(0, 15), j ->
+                       round(list_sum(list_transform(generate_series(1, 64), i ->
+                         ((((j * 131 + (i - 1)) * 2654435761) % 2147483647)
+                          / 2147483647.0 - 0.5)
+                         * CAST(embedding[i] AS DOUBLE))), 6)) AS p
+              FROM embeddings
+            ),
+            q AS (SELECT p FROM pv WHERE vec_id = 0)
+            SELECT e.vec_id,
+                   round(list_inner_product(e.p, q.p)
+                         / (sqrt(list_inner_product(e.p, e.p))
+                            * sqrt(list_inner_product(q.p, q.p))), 6) AS pscore
+            FROM pv e, q
+            WHERE e.vec_id <> 0
+            ORDER BY pscore DESC, e.vec_id
             LIMIT 10
         """,
         "q_sim_quantized_topk": """

@@ -738,3 +738,81 @@ def quantized_cosine_topk(
     if exclude_id is not None:
         scored = scored.filter(F.col(id_col) != exclude_id)
     return scored.orderBy(F.desc("qscore"), F.col(id_col)).limit(k)
+
+
+# ---------------------------------------------------------------------------
+# Johnson-Lindenstrauss random projection — the dimensionality-reduction
+# step before ANN at scale: project 64-dim embeddings to a handful of
+# dims with the SAME deterministic hyperplane family the LSH signatures
+# use (pure integer-mixing arithmetic, no stored projection matrix, no
+# randomness to version) — distances are approximately preserved while
+# every downstream shuffle moves out_dims/in_dims of the bytes.
+
+
+def project_embedding(
+    vec: Column, in_dims: int, out_dims: int
+) -> Column:
+    """JL projection: out[j] = round(dot(vec, hyperplane_j), 6). The
+    6-dp rounding pins the stored projection across engines (cosine is
+    scale-invariant, so no 1/sqrt(k) normalization is needed)."""
+    return F.array(
+        *[
+            F.round(dot(vec, _hyperplane(j, in_dims)), 6)
+            for j in range(out_dims)
+        ]
+    )
+
+
+def project_embeddings(
+    df: DataFrame,
+    in_dims: int,
+    out_dims: int = 16,
+    vec_col: str = "embedding",
+    out_col: str = "pvec",
+) -> DataFrame:
+    """Add the projected vector column — map-only, codegen arithmetic."""
+    return df.withColumn(
+        out_col, project_embedding(F.col(vec_col), in_dims, out_dims)
+    )
+
+
+def project_vector(query_vec: list[float], out_dims: int) -> list[float]:
+    """Driver-side twin of :func:`project_embedding` for literal query
+    vectors (identical arithmetic and rounding)."""
+    in_dims = len(query_vec)
+    out = []
+    for j in range(out_dims):
+        s = sum(
+            ((((j * 131 + i) * HASH_MIX) % HASH_MOD) / HASH_MOD - 0.5)
+            * float(query_vec[i])
+            for i in range(in_dims)
+        )
+        out.append(round(s, 6))
+    return out
+
+
+def projected_cosine_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    out_dims: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """Approximate top-k: cosine in the JL-projected space. Same
+    map-only TakeOrderedAndProject plan as the exact scorer, on
+    out_dims/in_dims of the arithmetic and shuffle bytes; recall
+    follows the JL distortion bound. Returns (id, pscore) at 6 dp."""
+    in_dims = len(query_vec)
+    pq = project_vector(query_vec, out_dims)
+    qlit = F.array(*[F.lit(float(x)) for x in pq])
+    scored = project_embeddings(
+        embeddings, in_dims, out_dims, vec_col
+    ).select(
+        F.col(id_col),
+        F.round(cosine(F.col("pvec"), qlit), 6).alias("pscore"),
+    )
+    if exclude_id is not None:
+        scored = scored.filter(F.col(id_col) != exclude_id)
+    return scored.orderBy(F.desc("pscore"), F.col(id_col)).limit(k)

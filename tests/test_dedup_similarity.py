@@ -488,3 +488,42 @@ def test_quantized_topk_matches_float_ranking(spark):
     q8 = [r.vec_id for r in
           quantized_cosine_topk(df, [1.0, 0.0], k=3, exclude_id=0).collect()]
     assert fp == q8 == [1, 2, 3]
+
+
+def test_jl_projection_deterministic_and_recall(spark):
+    from linz_bde_uploader_spark.functions.similarity import (
+        cosine_topk,
+        project_vector,
+        projected_cosine_topk,
+    )
+
+    # structured corpus: ids 1-10 are small perturbations of the query
+    # direction (true neighbors, cosine ~0.99+); 11-50 are deterministic
+    # pseudo-random noise (cosine ~0). (The sf fixtures are near-
+    # orthogonal noise where top-10 ordering is itself noise — recall
+    # there measures nothing.)
+    dims = 64
+    qv = [1.0] * dims
+    rows = [(0, qv)]
+    for i in range(1, 11):
+        v = list(qv)
+        v[i] += 0.3
+        rows.append((i, v))
+    for i in range(11, 51):
+        rows.append((i, [((i * 131 + d) * 2654435761 % 97) / 97.0 - 0.5
+                         for d in range(dims)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    # driver twin matches the Spark column arithmetic: score of vec 0
+    # against itself in projected space is exactly 1
+    self_score = (
+        projected_cosine_topk(df, qv, k=1, out_dims=16).collect()[0]
+    )
+    assert self_score.vec_id == 0 and self_score.pscore == pytest.approx(1.0)
+    exact = {r.vec_id for r in cosine_topk(df, qv, k=10, exclude_id=0).collect()}
+    assert exact == set(range(1, 11))
+    approx = {r.vec_id for r in
+              projected_cosine_topk(df, qv, k=10, out_dims=16,
+                                    exclude_id=0).collect()}
+    # JL distortion preserves genuinely-near neighbors
+    assert len(exact & approx) >= 8
+    assert project_vector(qv, 4) == project_vector(qv, 4)  # stable
