@@ -758,6 +758,44 @@ def q_bpe_pair_counts(spark, sf_dir):
     return X.char_pair_counts(d, "text", k=50)
 
 
+def _cms_sql(k: int = 20, width: int = 256) -> str:
+    """DuckDB twin of sketches.heavy_hitters_verified: identical affine
+    integer hashing per depth row, exact top-k, least() over the cells."""
+    from linz_bde_uploader_spark.functions.sketches import CMS_PARAMS
+
+    tv = "(length(tok) * 17 + ascii(tok) * 31) % 2147483647"
+    unions = "\n              UNION ALL ".join(
+        f"SELECT {i} AS row, ((v * {a} + {b}) % 2147483647) % {width} AS bucket FROM tv"
+        for i, (a, b) in enumerate(CMS_PARAMS)
+    )
+    joins = "\n            ".join(
+        f"JOIN cells c{i} ON c{i}.row = {i} AND "
+        f"c{i}.bucket = ((e.v * {a} + {b}) % 2147483647) % {width}"
+        for i, (a, b) in enumerate(CMS_PARAMS)
+    )
+    least = ", ".join(f"c{i}.cnt" for i in range(len(CMS_PARAMS)))
+    return f"""
+        WITH tk AS (
+          SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+        ),
+        tv AS (SELECT tok, {tv} AS v FROM tk),
+        exact AS (
+          SELECT tok, count(*) AS exact_cnt, min(v) AS v
+          FROM tv GROUP BY tok
+          ORDER BY exact_cnt DESC, tok LIMIT {k}
+        ),
+        cells AS (
+          SELECT row, bucket, count(*) AS cnt FROM (
+              {unions}
+          ) GROUP BY row, bucket
+        )
+        SELECT e.tok, CAST(e.exact_cnt AS BIGINT) AS exact_cnt,
+               CAST(least({least}) AS BIGINT) AS cms_est
+        FROM exact e
+            {joins}
+    """
+
+
 def _kmeans_cte(k: int = 8, iters: int = 3, dims: int = 64) -> str:
     """DuckDB CTE chain mirroring clustering.kmeans: c0 = vectors of the
     k smallest ids; a{i} = argmin assignment under c{i} (squared distance
@@ -829,6 +867,21 @@ def q_semdedup(spark, sf_dir):
         F.col("cluster").cast("long").alias("cluster"),
         F.round("sq_dist", 4).alias("sq_dist"),
     )
+
+
+def q_cms_heavy_hitters(spark, sf_dir):
+    # Count-min sketch audit (functions/sketches.py): build the
+    # depth x width sketch over the token stream (one partial-agg
+    # shuffle whose key space IS the sketch — bounded state at any
+    # corpus size), then annotate the exact top-20 tokens with their
+    # sketch estimates via broadcast cell joins. est >= exact by
+    # construction; the oracle replicates the integer hashing exactly.
+    from linz_bde_uploader_spark.functions.sketches import (
+        heavy_hitters_verified,
+    )
+
+    d = W.load(spark, sf_dir, "documents")
+    return heavy_hitters_verified(d, "text", k=20)
 
 
 def q_lm_perplexity(spark, sf_dir):
@@ -2166,7 +2219,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_inverted_index": q_inverted_index,
         "q_text_scrub_pii": q_text_scrub_pii,
         "q_chunk_documents": q_chunk_documents,
-        "q_tpch_q4_priority": q_tpch_q4_priority,
+        # -- round-5 session-2 birth: count-min sketch heavy-hitters
+        #    audit; displaced tenant q_tpch_q4_priority (r3+r4) -> 51+
+        "q_cms_heavy_hitters": q_cms_heavy_hitters,
         "q_bpe_pair_counts": q_bpe_pair_counts,
         "q_approx_distinct_guard": q_approx_distinct_guard,
         "q_sim_batch_topk": q_sim_batch_topk,
@@ -2227,6 +2282,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_decontaminate": q_decontaminate,
         "q_boilerplate_removal": q_boilerplate_removal,
         "q_tpch_q14_promo": q_tpch_q14_promo,
+        "q_tpch_q4_priority": q_tpch_q4_priority,
         "q_j5_apply_changes": q_j5_apply_changes,
         "q_c9_tolerance": q_c9_tolerance,
         "q_s3_discovery_pending": q_s3_discovery_pending,
@@ -2644,6 +2700,7 @@ def oracle_sql() -> dict[str, str]:
             FROM a3
             WHERE vec_id NOT IN (SELECT vec_id FROM dup)
         """,
+        "q_cms_heavy_hitters": _cms_sql(),
         "q_lm_perplexity": """
             WITH toks AS (
               SELECT doc_id, string_split(trim(text), ' ') AS l FROM documents

@@ -294,3 +294,31 @@ def test_bpe_train_exhausts_early_and_handles_newlines(spark):
     got = [tuple(r) for r in X.bpe_train(df, "text", n_merges=10).collect()]
     assert got == _greedy_bpe_reference(["ab\nab"], 10)
     assert 0 < len(got) < 10  # exhausted before the merge budget
+
+
+def test_countmin_upper_bound_and_exactness(spark):
+    # est >= exact always; with few distinct tokens and width 256 there
+    # are no collisions, so est == exact
+    from linz_bde_uploader_spark.functions.sketches import (
+        countmin_estimate,
+        countmin_table,
+        heavy_hitters_verified,
+    )
+    from pyspark.sql import functions as F
+
+    d = spark.createDataFrame(
+        [(1, "alpha beta alpha"), (2, "beta gamma beta alpha")],
+        "doc_id long, text string",
+    )
+    hh = {r.tok: (r.exact_cnt, r.cms_est)
+          for r in heavy_hitters_verified(d, k=10).collect()}
+    assert hh["alpha"] == (3, 3)
+    assert hh["beta"] == (3, 3)
+    assert hh["gamma"] == (1, 1)
+    # sketch state is bounded by depth x width regardless of input
+    cms = countmin_table(d, width=16, depth=4)
+    assert cms.count() <= 4 * 16
+    # unseen key estimates 0 or a collision-inflated value, never less
+    unseen = spark.createDataFrame([("zzz",)], "tok string")
+    est = countmin_estimate(cms, unseen, width=16, depth=4).collect()[0]
+    assert est.cms_est >= 0
