@@ -42,14 +42,15 @@ KEYSWAP_SHIFT = 20_000
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "documents":
-        # The synthetic documents.parquet is a single row group, so the
-        # scan yields ONE partition and every per-document sketch
-        # (minhash/simhash/embedding) runs single-threaded. A row-group
-        # can't be split, so fan out explicitly: ~10 MB shuffled once
-        # buys full-core parallelism for the expensive per-row work.
-        # (On a real corpus the input arrives as many files/row groups
-        # and this is a no-op-sized safety net.)
+    if name in ("documents", "embeddings"):
+        # The synthetic documents/embeddings parquet is a single row
+        # group, so the scan yields ONE partition and every per-row
+        # sketch (minhash/simhash/embedding hash, k-means assignment,
+        # pair cosine) runs single-threaded. A row-group can't be
+        # split, so fan out explicitly: ~10 MB shuffled once buys
+        # full-core parallelism for the expensive per-row work. (On a
+        # real corpus the input arrives as many files/row groups and
+        # this is a no-op-sized safety net.)
         par = spark.sparkContext.defaultParallelism
         if df.rdd.getNumPartitions() < par:
             df = df.repartition(par)
