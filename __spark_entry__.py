@@ -917,6 +917,21 @@ def q_bpe_merges(spark, sf_dir):
     return X.bpe_train(d, "text", n_merges=6)
 
 
+def q_bpe_encode(spark, sf_dir):
+    # The serving half of the BPE story: train 4 merges
+    # (text.bpe_train), then encode the FULL corpus with the resulting
+    # merge table (text.bpe_encode) — a chain of map-only wrapped-symbol
+    # replaces, no shuffle — returning per-document post-merge symbol
+    # counts (what a token-budget planner consumes). Oracle: the
+    # training CTE chain plus a parallel per-document apply chain.
+    d = W.load(spark, sf_dir, "documents")
+    table = X.bpe_train(d, "text", n_merges=4)
+    merges = [
+        (r["lhs"], r["rhs"]) for r in table.orderBy("step").collect()
+    ]
+    return X.bpe_encode(d, merges)
+
+
 def q_skew_salted_join(spark, sf_dir):
     # Hot-key equi-join through the explicit salting escape hatch
     # (operators/skew.py::salted_join): events' 5-value event_type key
@@ -2223,7 +2238,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    audit; displaced tenant q_tpch_q4_priority (r3+r4) -> 51+
         "q_cms_heavy_hitters": q_cms_heavy_hitters,
         "q_bpe_pair_counts": q_bpe_pair_counts,
-        "q_approx_distinct_guard": q_approx_distinct_guard,
+        # -- round-5 session-2 birth: BPE encode (the trainer's serving
+        #    half); displaced tenant q_approx_distinct_guard (r3+r4) -> 51+
+        "q_bpe_encode": q_bpe_encode,
         "q_sim_batch_topk": q_sim_batch_topk,
         # -- 29-34: NEW this session (first driver check)
         "q_pack_sequences": q_pack_sequences,
@@ -2283,6 +2300,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_boilerplate_removal": q_boilerplate_removal,
         "q_tpch_q14_promo": q_tpch_q14_promo,
         "q_tpch_q4_priority": q_tpch_q4_priority,
+        "q_approx_distinct_guard": q_approx_distinct_guard,
         "q_j5_apply_changes": q_j5_apply_changes,
         "q_c9_tolerance": q_c9_tolerance,
         "q_s3_discovery_pending": q_s3_discovery_pending,
@@ -2390,6 +2408,37 @@ def _bpe_merges_sql(n_merges: int = 6) -> str:
         for r in range(1, n_merges + 1)
     )
     return "WITH " + ",\n".join(ctes) + "\n" + unions
+
+
+def _bpe_encode_sql(n_merges: int = 4) -> str:
+    """DuckDB twin of text.bpe_encode composed with its own training:
+    the _bpe_merges_sql training chain (docs{r}/p{r}/w{r}) derives the
+    merge table, and a parallel e{r} chain applies each round's winner
+    to the FULL corpus (doc ids kept, no length filter — encoding serves
+    every document, training ignored the degenerate ones)."""
+    train = _bpe_merges_sql(n_merges)
+    ctes_part = train[len("WITH "):train.rindex(")") + 1]
+    s1, s2 = "chr(1)", "chr(2)"
+    extra = [f"""e0 AS (
+          SELECT doc_id,
+                 regexp_replace(translate(text, {s1}||{s2}, ''), '(?s)(.)',
+                                {s1}||'\\1'||{s2}, 'g') AS txt
+          FROM documents
+        )"""]
+    for r in range(1, n_merges + 1):
+        extra.append(f"""e{r} AS (
+          SELECT doc_id, replace(txt, {s1}||w.lhs||{s2}||{s1}||w.rhs||{s2},
+                                 {s1}||w.lhs||w.rhs||{s2}) AS txt
+          FROM e{r-1}, w{r} w
+        )""")
+    return (
+        "WITH " + ctes_part + ",\n" + ",\n".join(extra) + f"""
+        SELECT doc_id,
+               CAST(len(string_split(substr(txt, 2, length(txt) - 2),
+                                     {s2}||{s1})) AS BIGINT) AS n_syms
+        FROM e{n_merges}
+    """
+    )
 
 
 def _lsh_sig_sql(vec_expr: str, planes: int = 6) -> str:
@@ -2683,6 +2732,7 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 50
         """,
         "q_bpe_merges": _bpe_merges_sql(6),
+        "q_bpe_encode": _bpe_encode_sql(4),
         "q_kmeans_embeddings": _kmeans_cte(8, 3, 64) + """
             SELECT vec_id, CAST(cluster AS BIGINT) AS cluster,
                    round(sq_dist, 4) AS sq_dist

@@ -403,3 +403,39 @@ def scrub_pii(col: Column | str, patterns=PII_PATTERNS) -> Column:
     for pat, tag in patterns:
         c = F.regexp_replace(c, pat, tag)
     return c
+
+
+def bpe_encode(df, merges, text_col: str = "text", id_col: str = "doc_id"):
+    """Apply a trained merge table to encode every document — the
+    serving half of :func:`bpe_train` (train once, encode the corpus).
+
+    ``merges`` is the driver-side list of ``(lhs, rhs)`` in step order
+    (the trainer's sequential output IS the tokenizer definition). Each
+    merge is the same wrapped-symbol left-to-right ``replace`` the
+    trainer uses, so encoding is a chain of map-only codegen
+    expressions: no shuffle, no Python, linear in corpus bytes
+    regardless of merge count. Returns ``(id, n_syms)`` — the
+    post-merge symbol count per document (the quantity a token-budget
+    planner needs).
+    """
+    c = F.col(text_col)
+    wrapped = F.regexp_replace(
+        F.translate(c, BPE_SOS + BPE_EOS, ""),
+        "(?s)(.)", BPE_SOS + "$1" + BPE_EOS,
+    )
+    enc = df.select(F.col(id_col), wrapped.alias("_txt"))
+    for lhs, rhs in merges:
+        enc = enc.withColumn(
+            "_txt",
+            F.replace(
+                "_txt",
+                F.lit(BPE_SOS + lhs + BPE_EOS + BPE_SOS + rhs + BPE_EOS),
+                F.lit(BPE_SOS + lhs + rhs + BPE_EOS),
+            ),
+        )
+    syms = F.split(
+        F.expr("substr(_txt, 2, length(_txt) - 2)"), BPE_EOS + BPE_SOS
+    )
+    return enc.select(
+        F.col(id_col), F.size(syms).cast("long").alias("n_syms")
+    )

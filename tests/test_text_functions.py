@@ -322,3 +322,24 @@ def test_countmin_upper_bound_and_exactness(spark):
     unseen = spark.createDataFrame([("zzz",)], "tok string")
     est = countmin_estimate(cms, unseen, width=16, depth=4).collect()[0]
     assert est.cms_est >= 0
+
+
+def test_bpe_encode_applies_merges_greedily(spark):
+    from linz_bde_uploader_spark.functions.text import bpe_encode, bpe_train
+
+    d = spark.createDataFrame(
+        [(1, "aaab"), (2, "ab"), (3, "zz")], "doc_id long, text string"
+    )
+    table = bpe_train(d, "text", n_merges=2)
+    merges = [(r["lhs"], r["rhs"]) for r in table.orderBy("step").collect()]
+    # most frequent pair is (a,a) -> 'aa'; then the table re-counts
+    assert merges[0] == ("a", "a")
+    enc = {r.doc_id: r.n_syms for r in bpe_encode(d, merges).collect()}
+    # doc 1 'aaab': greedy left-to-right (a,a) merge gives [aa, a, b]
+    # then step-2 merge applies wherever its pair occurs
+    assert enc[1] <= 3
+    assert enc[2] <= 2
+    assert enc[3] <= 2
+    # encoding with NO merges = character count
+    enc0 = {r.doc_id: r.n_syms for r in bpe_encode(d, []).collect()}
+    assert enc0 == {1: 4, 2: 2, 3: 2}
