@@ -48,7 +48,8 @@ PICK = [
     # (auto_k holds cluster size constant — the property under test),
     # and the int8-quantized scorer
     "q_lm_perplexity", "q_dedup_crossdoc", "q_kmeans_embeddings",
-    "q_semdedup", "q_sim_quantized_topk",
+    "q_semdedup", "q_sim_quantized_topk", "q_cms_heavy_hitters",
+    "q_bpe_encode",
 ]
 
 
