@@ -869,6 +869,19 @@ def q_semdedup(spark, sf_dir):
     )
 
 
+def q_weighted_sample(spark, sf_dir):
+    # Deterministic weighted sampling without replacement
+    # (sampling.py::weighted_sample, Efraimidis-Spirakis): inclusion
+    # probability proportional to n_chars, realized as a stateless
+    # top-n over ln(u)/w keys — TakeOrderedAndProject, reproducible
+    # across engines/partitionings, salt = fresh draw. The data-recipe
+    # primitive for "sample N documents weighted by quality/length".
+    from linz_bde_uploader_spark.functions.sampling import weighted_sample
+
+    d = W.load(spark, sf_dir, "documents")
+    return weighted_sample(d, 50, "n_chars").select("doc_id", "skey")
+
+
 def q_cms_heavy_hitters(spark, sf_dir):
     # Count-min sketch audit (functions/sketches.py): build the
     # depth x width sketch over the token stream (one partial-agg
@@ -2244,7 +2257,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sim_batch_topk": q_sim_batch_topk,
         # -- 29-34: NEW this session (first driver check)
         "q_pack_sequences": q_pack_sequences,
-        "q_stratified_sample": q_stratified_sample,
+        # -- round-5 session-2 birth: ES weighted sampling; displaced
+        #    tenant q_stratified_sample (same family, r3+r4 green) -> 51+
+        "q_weighted_sample": q_weighted_sample,
         "q_tpch_q18_bigorders": q_tpch_q18_bigorders,
         "q_tpch_q19_disjunct": q_tpch_q19_disjunct,
         # -- round-5 session-2 births (in-window at birth, rotation
@@ -2301,6 +2316,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tpch_q14_promo": q_tpch_q14_promo,
         "q_tpch_q4_priority": q_tpch_q4_priority,
         "q_approx_distinct_guard": q_approx_distinct_guard,
+        "q_stratified_sample": q_stratified_sample,
         "q_j5_apply_changes": q_j5_apply_changes,
         "q_c9_tolerance": q_c9_tolerance,
         "q_s3_discovery_pending": q_s3_discovery_pending,
@@ -2749,6 +2765,16 @@ def oracle_sql() -> dict[str, str]:
                    round(sq_dist, 4) AS sq_dist
             FROM a3
             WHERE vec_id NOT IN (SELECT vec_id FROM dup)
+        """,
+        "q_weighted_sample": """
+            SELECT doc_id,
+                   round(ln((((doc_id * 2654435761) % 2147483647) + 1)
+                            / 2147483648.0)
+                         / CAST(n_chars AS DOUBLE), 6) AS skey
+            FROM documents
+            WHERE n_chars IS NOT NULL AND n_chars > 0
+            ORDER BY skey DESC, doc_id
+            LIMIT 50
         """,
         "q_cms_heavy_hitters": _cms_sql(),
         "q_lm_perplexity": """

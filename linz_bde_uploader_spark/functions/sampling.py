@@ -276,3 +276,37 @@ def deterministic_sample(
     if not 0 <= percent <= SPLIT_BUCKETS:
         raise ValueError("percent must be within [0, 100]")
     return df.filter(split_bucket(id_col) < percent)
+
+
+def es_key(id_col: Column | str, weight_col: Column | str,
+           salt: int = 0) -> Column:
+    """Efraimidis–Spirakis sampling key: ln(u)/w with u a deterministic
+    uniform hash of the id — the largest-n keys ARE a weighted sample
+    without replacement. Rounded to 6 dp (ties broken by id downstream)
+    so libm ulp differences can't flip the order across engines."""
+    i = F.col(id_col) if isinstance(id_col, str) else id_col
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    # u in (0, 1]: never exactly 0, so ln(u) is finite. The salt adds
+    # BEFORE the multiply so it permutes the id->u map (a post-multiply
+    # offset would only shift every u by the same amount — "fresh draw"
+    # in name only).
+    u = (((i.cast("long") + F.lit(salt)) * HASH_MIX) % HASH_MOD + 1) / (
+        HASH_MOD + 1.0
+    )
+    return F.round(F.log(u) / w.cast("double"), 6)
+
+
+def weighted_sample(df: DataFrame, n: int, weight_col: str,
+                    id_col: str = "doc_id", salt: int = 0) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement: take the n
+    largest ES keys (each row's inclusion probability is proportional
+    to its weight, exactly the A-ES reservoir semantics, but as a
+    stateless top-n — TakeOrderedAndProject, no reservoir state, no
+    shuffle beyond the final n-row gather). Non-positive and NULL
+    weights are excluded (they have no sampling mass). Deterministic in
+    (id, weight, salt): reruns, engines, and partitionings select the
+    SAME rows, and a different ``salt`` is a fresh draw."""
+    keyed = df.filter(
+        F.col(weight_col).isNotNull() & (F.col(weight_col) > 0)
+    ).withColumn("skey", es_key(id_col, weight_col, salt))
+    return keyed.orderBy(F.desc("skey"), F.col(id_col)).limit(n)

@@ -367,3 +367,24 @@ def test_quantile_filter_approx_matches_exact_on_distinct_scores(spark):
     # high accuracy + distinct scores: the sets differ by at most the
     # boundary element per stratum
     assert len(exact.symmetric_difference(approx)) <= 2
+
+
+def test_weighted_sample_deterministic_and_weighted(spark):
+    from linz_bde_uploader_spark.functions.sampling import weighted_sample
+
+    rows = [(i, 1 if i < 50 else 100) for i in range(100)]
+    d = spark.createDataFrame(rows, "doc_id long, w long")
+    a = [r.doc_id for r in weighted_sample(d, 20, "w").collect()]
+    b = [r.doc_id for r in weighted_sample(d.repartition(7), 20, "w").collect()]
+    assert a == b  # partition-invariant, same draw
+    # heavy weights dominate the sample (100x mass on ids 50-99)
+    heavy = sum(1 for i in a if i >= 50)
+    assert heavy >= 15
+    # a different salt is a different draw
+    c = [r.doc_id for r in weighted_sample(d, 20, "w", salt=7).collect()]
+    assert c != a
+    # zero/NULL weights never selected
+    d2 = spark.createDataFrame(
+        [(1, 0), (2, None), (3, 5)], "doc_id long, w long"
+    )
+    assert [r.doc_id for r in weighted_sample(d2, 3, "w").collect()] == [3]
