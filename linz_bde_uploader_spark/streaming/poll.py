@@ -150,3 +150,33 @@ def running_counts_stateful(grouped, state_timeout: str = "NoTimeout"):
         outputMode="update",
         timeoutConf=state_timeout,
     )
+
+
+def interval_join_stream(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "lts",
+    right_ts: str = "rts",
+    watermark: str = "10 minutes",
+    max_gap: str = "5 minutes",
+):
+    """Watermarked stream-stream interval join — the streaming analog of
+    the batch range join: match right-side events to left-side events on
+    ``key`` when the right timestamp falls within [left_ts, left_ts +
+    max_gap]. Both sides carry watermarks, so Spark bounds the join
+    state: a buffered left row is dropped once the right watermark
+    passes its interval's end — the condition every production
+    stream-stream join needs to avoid unbounded state (reference has no
+    streaming; this extends §2.8's watermark machinery to joins).
+    """
+    l = left.withWatermark(left_ts, watermark).alias("l")
+    r = right.withWatermark(right_ts, watermark).alias("r")
+    return l.join(
+        r,
+        F.expr(
+            f"l.{key} = r.{key} AND "
+            f"r.{right_ts} >= l.{left_ts} AND "
+            f"r.{right_ts} <= l.{left_ts} + interval {max_gap}"
+        ),
+    )

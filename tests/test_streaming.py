@@ -179,3 +179,49 @@ def test_streaming_dedup_bounded_state(spark, tmp_path):
         [(1, None), (1, None), (2, None)], "doc_id long, ts timestamp"
     )
     assert streaming_dedup(static, ["doc_id"]).count() == 2
+
+
+def test_interval_join_stream(spark, tmp_path):
+    from linz_bde_uploader_spark.streaming.poll import interval_join_stream
+
+    lschema = T.StructType([
+        T.StructField("k", T.LongType()),
+        T.StructField("lts", T.TimestampType()),
+    ])
+    rschema = T.StructType([
+        T.StructField("k", T.LongType()),
+        T.StructField("rts", T.TimestampType()),
+        T.StructField("val", T.StringType()),
+    ])
+    ldir, rdir = tmp_path / "l", tmp_path / "r"
+    ldir.mkdir(); rdir.mkdir()
+    from datetime import datetime
+
+    t0 = datetime(2026, 8, 14, 12, 0, 0)
+    t2 = datetime(2026, 8, 14, 12, 2, 0)
+    t30 = datetime(2026, 8, 14, 12, 30, 0)
+    spark.createDataFrame([(1, t0), (2, t0)], lschema).write.mode(
+        "append").parquet(str(ldir))
+    # k=1 within the 5-minute gap; k=2 outside it; k=3 unmatched key
+    spark.createDataFrame(
+        [(1, t2, "in"), (2, t30, "late"), (3, t2, "nokey")], rschema
+    ).write.mode("append").parquet(str(rdir))
+
+    ls = spark.readStream.schema(lschema).parquet(str(ldir))
+    rs = spark.readStream.schema(rschema).parquet(str(rdir))
+    joined = interval_join_stream(ls, rs, "k")
+    q = (
+        joined.select("l.k", "val")
+        .writeStream.format("memory")
+        .queryName("ivj")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r.k, r.val) for r in spark.sql("SELECT * FROM ivj").collect()}
+    assert got == {(1, "in")}
+    # both sides carry event-time watermarks (bounded join state)
+    plan = joined._jdf.queryExecution().analyzed().toString()
+    assert plan.count("EventTimeWatermark") == 2
