@@ -2188,26 +2188,18 @@ def _released(fn):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order is significant: the external correctness driver
-    evaluates the FIRST 50 entries only. Positions 1–20 are the operator
-    families that had no driver row in round 2 (as-of, range join,
-    windows, multimodal, similarity/ANN, rollup, percentiles, JSON, TPC-H
-    q6/q10, event windows); 21–28 are new in round 3 (Gopher quality
-    rules, PII scrub, SCD2 history, TPC-H q4/q14, pivot, HLL guard, k-NN
-    join); 29-39 are round-3 session-2 additions; 40-44 are the round-4
-    rotation (the three entries that had never had a driver row, plus
-    TPC-H q21/q22); 45-49 are the round-4 TPC-H completion set
-    (q7/q12/q15/q17/q20); 50 is the standing end-to-end target-sink
-    canary; position 12 holds the round-4 mixture-weights query (its
-    slot's previous tenant q_win_moving_avg, r3-green, moved to 51+).
-    Everything past position 50 carries at least one green round-1/2/3
-    driver row (the eleven rotated out in round 4 are green in r3, ten
-    of them in r2 as well) — except the six born in round 4 after the
-    window filled (tpch q8/q9/q11/q16, event_session_window,
-    bpe_pair_counts) — those six rotated INTO the round-5 window,
-    displacing six r3+r4 double-green tenants (q_percentiles,
-    q_json_extract, q_rollup_acctbal, q_win_sessionize,
-    q_win_topk_per_group, q_pivot_event_day). All stay oracle-checked
-    via ``scripts/check_oracles.py``."""
+    evaluates the FIRST 50 entries only. The standing rotation rule
+    (mechanically audited by ``scripts/rotation_report.py``, which also
+    prints the full per-entry driver-row history): every entry that has
+    NEVER had a driver CORRECTNESS row sits inside the first-50 window —
+    new queries enter the window at birth, each displacing a tenant that
+    already carries at least two green driver rows (the inline comments
+    below name each displacement); everything at 51+ therefore has at
+    least one historical green driver row and stays oracle-checked every
+    session via ``scripts/check_oracles.py``. Entries with a RED row in
+    some past round (see rotation_report) are kept in-window until they
+    earn a green one. Position 50 is the standing end-to-end target-sink
+    canary (``q_s5_target_e2e``)."""
     ordered = {
         # -- 1-20: families that had no driver CORRECTNESS row in round 2
         "q_tpch_q10_returns": q_tpch_q10_returns,
