@@ -869,6 +869,77 @@ def q_semdedup(spark, sf_dir):
     )
 
 
+def _pagerank_sql(iters: int = 4) -> str:
+    """DuckDB twin of graph.pagerank over the symmetrized purchase
+    graph (customer 2k / supplier 2k+1 node encoding), unrolled like
+    the k-means/BPE oracles: r{i} CTE per power iteration, every sum
+    and rank rounded to 9 dp, final output at 6 dp."""
+    ctes = ["""ed AS (
+          SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst
+          FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        )""",
+        """edges AS (
+          SELECT src, dst FROM ed
+          UNION
+          SELECT dst AS src, src AS dst FROM ed
+        )""",
+        "nodes AS (SELECT DISTINCT src AS node FROM edges)",
+        "num AS (SELECT count(*) AS n FROM nodes)",
+        "outdeg AS (SELECT src, count(*) AS od FROM edges GROUP BY src)",
+        """r0 AS (
+          SELECT node, round(CAST(1.0 AS DOUBLE) / n, 9) AS rank
+          FROM nodes, num
+        )"""]
+    d = "CAST(0.85 AS DOUBLE)"
+    base = f"(CAST(1.0 AS DOUBLE) - {d}) / num.n"
+    for i in range(1, iters + 1):
+        ctes.append(f"""r{i} AS (
+          SELECT nd.node,
+                 round({base} + {d} * coalesce(c.s, 0.0), 9) AS rank
+          FROM nodes nd CROSS JOIN num
+          LEFT JOIN (
+            SELECT e.dst AS node, round(sum(r.rank / o.od), 9) AS s
+            FROM edges e
+            JOIN r{i - 1} r ON r.node = e.src
+            JOIN outdeg o ON o.src = e.src
+            GROUP BY e.dst
+          ) c ON c.node = nd.node
+        )""")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+        SELECT node, round(rank, 6) AS rank
+        FROM r{iters}
+        ORDER BY rank DESC, node
+        LIMIT 25
+    """
+    )
+
+
+def q_graph_pagerank(spark, sf_dir):
+    # Deterministic PageRank (functions/graph.py) over the symmetrized
+    # customer-supplier purchase graph — the domain-centrality quality
+    # prior a web-corpus pipeline computes (Common Crawl-style host
+    # ranking), and the engine's second iterative graph operator after
+    # connected components. Each iteration: one edge-rank join + one
+    # partial-agg contribution shuffle, plan kept flat by eager local
+    # checkpoints; 9-dp per-iteration rounding re-syncs engines.
+    from linz_bde_uploader_spark.functions.graph import pagerank, symmetrize
+
+    o = W.load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = W.load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    ed = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    ranks = pagerank(symmetrize(ed), n_iters=4)
+    return ranks.orderBy(F.desc("rank"), F.col("node")).limit(25)
+
+
 def q_weighted_sample(spark, sf_dir):
     # Deterministic weighted sampling without replacement
     # (sampling.py::weighted_sample, Efraimidis-Spirakis): inclusion
@@ -2253,7 +2324,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    tenant q_stratified_sample (same family, r3+r4 green) -> 51+
         "q_weighted_sample": q_weighted_sample,
         "q_tpch_q18_bigorders": q_tpch_q18_bigorders,
-        "q_tpch_q19_disjunct": q_tpch_q19_disjunct,
+        # -- round-5 session-2 birth: PageRank centrality; displaced
+        #    tenant q_tpch_q19_disjunct (r3+r4 green) -> 51+
+        "q_graph_pagerank": q_graph_pagerank,
         # -- round-5 session-2 births (in-window at birth, rotation
         #    rule): bigram-LM perplexity gate + cross-document
         #    duplicated-shingle stats; displaced tenants q_custdist and
@@ -2309,6 +2382,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tpch_q4_priority": q_tpch_q4_priority,
         "q_approx_distinct_guard": q_approx_distinct_guard,
         "q_stratified_sample": q_stratified_sample,
+        "q_tpch_q19_disjunct": q_tpch_q19_disjunct,
         "q_j5_apply_changes": q_j5_apply_changes,
         "q_c9_tolerance": q_c9_tolerance,
         "q_s3_discovery_pending": q_s3_discovery_pending,
@@ -2758,6 +2832,7 @@ def oracle_sql() -> dict[str, str]:
             FROM a3
             WHERE vec_id NOT IN (SELECT vec_id FROM dup)
         """,
+        "q_graph_pagerank": _pagerank_sql(4),
         "q_weighted_sample": """
             SELECT doc_id,
                    round(ln((((doc_id * 2654435761) % 2147483647) + 1)

@@ -27,7 +27,7 @@ from linz_bde_uploader_spark.functions.text import token_value, tokens
 CMS_PARAMS = [
     (1000003, 17),
     (1000033, 257),
-    (1000037, 5) ,
+    (1000037, 5),
     (1000039, 65537),
 ]
 
