@@ -51,10 +51,24 @@ def pagerank(
     rank'(v) = (1-d)/N + d * Σ_{u→v} rank(u)/outdeg(u), all sums and
     ranks rounded to 9 dp per iteration (see module docstring).
     """
-    e = edges.select("src", "dst")
-    nodes = e.select(F.col("src").alias("node")).distinct()
+    from linz_bde_uploader_spark.caching import track
+
+    # The edge list, node set and outdegrees are loop INVARIANTS read by
+    # every iteration — persist them once (the components/LSH staging
+    # pattern) or the upstream derivation (often a join) re-executes
+    # n_iters+2 times.
+    e = track(edges.select("src", "dst"))
+    # Size the loop's partitioning to the measured edge count, like
+    # duplicate_components: iterating a few-thousand-edge graph as 32
+    # tasks x n_iters rounds is pure scheduler overhead, and at real
+    # scale the computed target equals the existing partition count.
+    n_edges = e.count()
+    parts = max(1, min(e.rdd.getNumPartitions(), n_edges // 100_000 + 1))
+    if parts < e.rdd.getNumPartitions():
+        e = e.coalesce(parts)
+    nodes = track(e.select(F.col("src").alias("node")).distinct())
     n = nodes.count()
-    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
+    outdeg = track(e.groupBy("src").agg(F.count(F.lit(1)).alias("od")))
     base = (1.0 - damping) / n
     # F.round (half-away-from-zero, like SQL round) — NOT Python round()
     # (half-to-even), which would diverge from the oracle at boundaries

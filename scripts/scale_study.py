@@ -49,7 +49,7 @@ PICK = [
     # and the int8-quantized scorer
     "q_lm_perplexity", "q_dedup_crossdoc", "q_kmeans_embeddings",
     "q_semdedup", "q_sim_quantized_topk", "q_cms_heavy_hitters",
-    "q_bpe_encode",
+    "q_bpe_encode", "q_graph_pagerank", "q_weighted_sample",
 ]
 
 
