@@ -980,6 +980,16 @@ def q_lm_perplexity(spark, sf_dir):
     return LM.score_documents(d, model)
 
 
+def q_lm_collocations(spark, sf_dir):
+    # PMI collocation extraction (functions/lm.py::collocations): one
+    # bigram-count shuffle, marginals re-aggregated from the counted
+    # pair table (prev via window, cur via broadcast), corpus total as
+    # a 1-row broadcast — the multiword-expression pass a tokenizer
+    # pipeline runs before choosing merge candidates.
+    d = W.load(spark, sf_dir, "documents")
+    return LM.collocations(d, min_count=5, k=30)
+
+
 def q_dedup_crossdoc(spark, sf_dir):
     # RefinedWeb-style cross-document duplicated-fragment statistics
     # (functions/dedup.py::duplicated_shingle_stats): share of each
@@ -2275,7 +2285,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- 1-20: families that had no driver CORRECTNESS row in round 2
         "q_tpch_q10_returns": q_tpch_q10_returns,
         "q_tpch_q6_forecast": q_tpch_q6_forecast,
-        "q_event_hopping_window": q_event_hopping_window,
+        # -- round-5 session-2 birth: PMI collocations; displaced tenant
+        #    q_event_hopping_window (r3+r4 green; the event-window
+        #    family keeps q_event_session_window in-window) -> 51+
+        "q_lm_collocations": q_lm_collocations,
         # -- round-5 rotation: the six entries born in round 4 after the
         #    window filled (never driver-checked) take the slots of six
         #    r3+r4 double-green tenants (q_percentiles, q_json_extract,
@@ -2383,6 +2396,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_approx_distinct_guard": q_approx_distinct_guard,
         "q_stratified_sample": q_stratified_sample,
         "q_tpch_q19_disjunct": q_tpch_q19_disjunct,
+        "q_event_hopping_window": q_event_hopping_window,
         "q_j5_apply_changes": q_j5_apply_changes,
         "q_c9_tolerance": q_c9_tolerance,
         "q_s3_discovery_pending": q_s3_discovery_pending,
@@ -2833,6 +2847,36 @@ def oracle_sql() -> dict[str, str]:
             WHERE vec_id NOT IN (SELECT vec_id FROM dup)
         """,
         "q_graph_pagerank": _pagerank_sql(4),
+        "q_lm_collocations": """
+            WITH toks AS (
+              SELECT doc_id, string_split(trim(text), ' ') AS l FROM documents
+            ),
+            sized AS (
+              SELECT doc_id, l, len(l) AS n FROM toks WHERE len(l) >= 2
+            ),
+            bi AS (
+              SELECT l[i] AS prev, l[i+1] AS cur
+              FROM sized,
+                   LATERAL (SELECT unnest(generate_series(1, n - 1)) AS i) g
+            ),
+            pc AS (
+              SELECT prev, cur, count(*) AS pair_cnt FROM bi GROUP BY prev, cur
+            ),
+            marg AS (
+              SELECT prev, cur, pair_cnt,
+                     sum(pair_cnt) OVER (PARTITION BY prev) AS prev_cnt,
+                     sum(pair_cnt) OVER (PARTITION BY cur) AS cur_cnt,
+                     sum(pair_cnt) OVER () AS total
+              FROM pc
+            )
+            SELECT prev, cur, CAST(pair_cnt AS BIGINT) AS pair_cnt,
+                   round(ln((CAST(pair_cnt AS DOUBLE) * total)
+                            / (CAST(prev_cnt AS DOUBLE) * cur_cnt)), 4) AS pmi
+            FROM marg
+            WHERE pair_cnt >= 5
+            ORDER BY pmi DESC, prev, cur
+            LIMIT 30
+        """,
         "q_weighted_sample": """
             SELECT doc_id,
                    round(ln((((doc_id * 2654435761) % 2147483647) + 1)

@@ -140,3 +140,46 @@ def perplexity_filter(docs: DataFrame, max_perplexity: float,
     scores = score_documents(docs, model, id_col, text_col)
     keep = scores.filter(F.col("perplexity") <= max_perplexity).select(id_col)
     return docs.join(keep, [id_col], "left_semi")
+
+
+def collocations(docs: DataFrame, min_count: int = 5, k: int = 30,
+                 id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Top-k collocations by pointwise mutual information:
+    PMI(a,b) = ln( p(a,b) / (p(a)·p(b)) ) over adjacent-token pairs —
+    the corpus-statistics pass that surfaces multiword expressions
+    ("new york", "machine learning") worth protecting from tokenizers
+    and shingle hashers.
+
+    One bigram-count shuffle; unigram totals re-aggregate the counted
+    pair table (prev-marginal + a broadcast of the cur-marginal), and
+    the corpus total rides in as a 1-row broadcast — the TF-IDF/LM
+    scalar pattern, single job. ``min_count`` keeps noise pairs out
+    (PMI is variance-maximal at count 1). PMI rounded to 4 dp;
+    deterministic total order (pmi desc, prev, cur).
+    """
+    bi = doc_bigrams(docs, id_col, text_col)
+    pairs = bi.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("pair_cnt"))
+    from pyspark.sql import Window
+
+    w_prev = Window.partitionBy("prev")
+    with_marg = pairs.withColumn(
+        "prev_cnt", F.sum("pair_cnt").over(w_prev)
+    )
+    cur_marg = pairs.groupBy("cur").agg(F.sum("pair_cnt").alias("cur_cnt"))
+    total = pairs.agg(F.sum("pair_cnt").alias("total"))
+    scored = (
+        with_marg.join(F.broadcast(cur_marg), ["cur"])
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("pair_cnt") >= min_count)
+        .select(
+            "prev", "cur", "pair_cnt",
+            F.round(
+                F.log(
+                    (F.col("pair_cnt").cast("double") * F.col("total"))
+                    / (F.col("prev_cnt").cast("double") * F.col("cur_cnt"))
+                ),
+                4,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.desc("pmi"), "prev", "cur").limit(k)

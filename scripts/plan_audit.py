@@ -50,6 +50,11 @@ WHITELIST: dict[str, tuple[str, ...]] = {
     # score_documents). One row on the loop side — map-only over the
     # big side, the scalar-subquery execution shape.
     "q_lm_perplexity": ("BroadcastNestedLoopJoin",),
+    # PMI collocations: the corpus bigram TOTAL is a broadcast ONE-ROW
+    # aggregate cross-joined into the counted pair table (lm.py::
+    # collocations) — the same scalar-subquery shape as TF-IDF's N and
+    # the LM's V; map-only over the big side.
+    "q_lm_collocations": ("BroadcastNestedLoopJoin",),
 }
 
 

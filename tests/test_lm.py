@@ -109,3 +109,19 @@ def test_dup_stats_within_doc_repeat_not_counted(spark):
     stats = {r.doc_id: r for r in duplicated_shingle_stats(d).collect()}
     assert stats[1].dup_shingles == 0
     assert stats[2].dup_shingles == 0
+
+
+def test_collocations_pmi_hand_computed(spark):
+    # corpus engineered so ("new","york") is a strong collocation:
+    # always adjacent, both words rare elsewhere
+    rows = [(i, "new york is big and new york is old") for i in range(3)]
+    rows += [(10 + i, "the cat is on the mat and the dog is old")
+             for i in range(3)]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    top = LM.collocations(d, min_count=6, k=5).collect()
+    assert top[0].prev == "new" and top[0].cur == "york"
+    # hand PMI: pair_cnt=6, prev_cnt(new)=6, cur_cnt(york)=6, total=54
+    assert top[0].pair_cnt == 6
+    assert top[0].pmi == pytest.approx(round(math.log(6 * 54 / (6 * 6)), 4))
+    # min_count gates the noise pairs: only the three count-6 pairs pass
+    assert len(top) == 3
