@@ -151,9 +151,10 @@ def collocations(docs: DataFrame, min_count: int = 5, k: int = 30,
     and shingle hashers.
 
     One bigram-count shuffle; unigram totals re-aggregate the counted
-    pair table (prev-marginal + a broadcast of the cur-marginal), and
-    the corpus total rides in as a 1-row broadcast — the TF-IDF/LM
-    scalar pattern, single job. ``min_count`` keeps noise pairs out
+    pair table (prev-marginal as a window, cur-marginal as an equi-join
+    AQE may broadcast), and the corpus total rides in as a 1-row
+    broadcast — the TF-IDF/LM scalar pattern. ``min_count`` keeps
+    noise pairs out
     (PMI is variance-maximal at count 1). PMI rounded to 4 dp;
     deterministic total order (pmi desc, prev, cur).
     """
@@ -165,10 +166,13 @@ def collocations(docs: DataFrame, min_count: int = 5, k: int = 30,
     with_marg = pairs.withColumn(
         "prev_cnt", F.sum("pair_cnt").over(w_prev)
     )
+    # cur-marginal is VOCABULARY-sized — no broadcast hint (at web scale
+    # that table is far past any broadcast limit; AQE broadcasts it
+    # whenever it actually is small). Only the 1-row total is forced.
     cur_marg = pairs.groupBy("cur").agg(F.sum("pair_cnt").alias("cur_cnt"))
     total = pairs.agg(F.sum("pair_cnt").alias("total"))
     scored = (
-        with_marg.join(F.broadcast(cur_marg), ["cur"])
+        with_marg.join(cur_marg, ["cur"])
         .crossJoin(F.broadcast(total))
         .filter(F.col("pair_cnt") >= min_count)
         .select(
