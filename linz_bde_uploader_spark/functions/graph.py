@@ -43,6 +43,7 @@ def pagerank(
     edges: DataFrame,
     n_iters: int = 4,
     damping: float = 0.85,
+    checkpoint_every: int = 2,
 ) -> DataFrame:
     """Power-iteration PageRank over a directed edge list ``(src, dst)``
     in which every node appears as a source (use :func:`symmetrize` for
@@ -75,25 +76,29 @@ def pagerank(
     ranks = nodes.withColumn(
         "rank", F.round(F.lit(1.0 / n), ITER_DP)
     ).localCheckpoint(eager=True)
-    for _ in range(n_iters):
+    checkpointed = [ranks]
+    for it in range(n_iters):
         contrib = (
             e.join(ranks, e["src"] == ranks["node"])
             .join(outdeg, "src")
             .groupBy(F.col("dst").alias("node"))
             .agg(F.round(F.sum(F.col("rank") / F.col("od")), ITER_DP).alias("s"))
         )
-        prev = ranks
-        ranks = (
-            nodes.join(contrib, "node", "left")
-            .select(
-                "node",
-                F.round(
-                    F.lit(base)
-                    + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0)),
-                    ITER_DP,
-                ).alias("rank"),
-            )
-            .localCheckpoint(eager=True)
+        ranks = nodes.join(contrib, "node", "left").select(
+            "node",
+            F.round(
+                F.lit(base)
+                + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0)),
+                ITER_DP,
+            ).alias("rank"),
         )
-        prev.unpersist()
+        # Materialize every `checkpoint_every` rounds (and on the last):
+        # enough to keep the plan from doubling per iteration, without
+        # paying an eager write for EVERY round — measured ~1 s/round of
+        # pure fixed cost on small graphs.
+        if (it + 1) % checkpoint_every == 0 or it == n_iters - 1:
+            ranks = ranks.localCheckpoint(eager=True)
+            while checkpointed:
+                checkpointed.pop().unpersist()
+            checkpointed.append(ranks)
     return ranks.select("node", F.round("rank", OUT_DP).alias("rank"))
