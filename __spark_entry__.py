@@ -1011,6 +1011,16 @@ def q_bpe_merges(spark, sf_dir):
     return X.bpe_train(d, "text", n_merges=6)
 
 
+def q_dedup_scrub_spans(spark, sf_dir):
+    # ExactSubstr-style span scrubbing (dedup.py::scrub_duplicated_spans):
+    # tokens covered by a 3-gram shingle shared by >= 10 documents are
+    # REMOVED, the rest of the document survives — boilerplate vanishes,
+    # unique prose stays. One doc-freq shuffle + one positional join;
+    # the rebuild is a pure array filter.
+    d = W.load(spark, sf_dir, "documents")
+    return D.scrub_duplicated_spans(d, "doc_id", "text", n=3, min_doc_freq=10)
+
+
 def q_bpe_encode(spark, sf_dir):
     # The serving half of the BPE story: train 4 merges
     # (text.bpe_train), then encode the FULL corpus with the resulting
@@ -2316,7 +2326,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_skew_salted_join": q_skew_salted_join,
         "q_sim_lsh_topk": q_sim_lsh_topk,
         "q_sim_lsh_bucketed": q_sim_lsh_bucketed,
-        "q_sim_ivf_topk": q_sim_ivf_topk,
+        # -- round-5 session-2 birth: duplicated-span scrubbing;
+        #    displaced tenant q_sim_ivf_topk (r3+r4 green; the ANN
+        #    family keeps five other entries in-window) -> 51+
+        "q_dedup_scrub_spans": q_dedup_scrub_spans,
         # -- 21-28: round-5 births q_inverted_index/q_chunk_documents
         #    take the slots of r3+r4-green q_text_gopher_quality and
         #    q_scd2_history (-> 51+)
@@ -2397,6 +2410,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stratified_sample": q_stratified_sample,
         "q_tpch_q19_disjunct": q_tpch_q19_disjunct,
         "q_event_hopping_window": q_event_hopping_window,
+        "q_sim_ivf_topk": q_sim_ivf_topk,
         "q_j5_apply_changes": q_j5_apply_changes,
         "q_c9_tolerance": q_c9_tolerance,
         "q_s3_discovery_pending": q_s3_discovery_pending,
@@ -2888,6 +2902,43 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 50
         """,
         "q_cms_heavy_hitters": _cms_sql(),
+        "q_dedup_scrub_spans": f"""
+            WITH t AS (
+              SELECT doc_id, {_TOKS} AS toks, len({_TOKS}) AS n FROM documents
+            ),
+            sv_t AS (
+              SELECT doc_id, n, toks, {_shingle_vals()} AS svs FROM t
+            ),
+            ex AS (
+              SELECT doc_id, n, i AS start, svs[i] AS sv
+              FROM sv_t,
+                   LATERAL (SELECT unnest(generate_series(1, len(svs))) AS i) g
+            ),
+            freq AS (
+              SELECT sv, count(*) AS doc_freq
+              FROM (SELECT DISTINCT doc_id, sv FROM ex) GROUP BY sv
+            ),
+            dup AS (
+              SELECT DISTINCT e.doc_id, p
+              FROM ex e
+              JOIN freq f USING (sv),
+                   LATERAL (SELECT unnest(generate_series(e.start,
+                                   least(e.start + 2, e.n))) AS p) q
+              WHERE f.doc_freq >= 10
+            ),
+            agg AS (SELECT doc_id, list(p) AS dups FROM dup GROUP BY doc_id)
+            SELECT s.doc_id,
+                   CAST(s.n - len(s.kept) AS BIGINT) AS n_removed,
+                   array_to_string(
+                     list_transform(s.kept, i -> s.toks[i]), ' ') AS clean_text
+            FROM (
+              SELECT sv_t.doc_id, sv_t.n, sv_t.toks,
+                     list_filter(generate_series(1, sv_t.n),
+                       i -> NOT list_contains(coalesce(a.dups, []::BIGINT[]), i)
+                     ) AS kept
+              FROM sv_t LEFT JOIN agg a USING (doc_id)
+            ) s
+        """,
         "q_lm_perplexity": """
             WITH toks AS (
               SELECT doc_id, string_split(trim(text), ' ') AS l FROM documents

@@ -689,3 +689,72 @@ def prune_cross_duplicated(df: DataFrame, max_dup_fraction: float,
     stats = duplicated_shingle_stats(df, id_col, text_col, n)
     keep = stats.filter(F.col("dup_fraction") <= max_dup_fraction).select(id_col)
     return df.join(keep, [id_col], "left_semi")
+
+
+def scrub_duplicated_spans(df: DataFrame, id_col: str = "doc_id",
+                           text_col: str = "text", n: int = 3,
+                           min_doc_freq: int = 2) -> DataFrame:
+    """ExactSubstr-style span scrubbing (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better"): REMOVE from each
+    document every token covered by an n-gram shingle that also appears
+    in at least ``min_doc_freq - 1`` OTHER documents, keeping the rest
+    of the document. Complements :func:`prune_cross_duplicated` (which
+    drops whole documents): boilerplate spans vanish, unique prose
+    survives.
+
+    Returns ``(id, n_removed, clean_text)``.
+
+    Plan: the doc-frequency table comes from the staged distinct
+    shingle set (one partial-agg shuffle); duplicated SPAN STARTS are
+    the positional shingle list joined against it; covered positions
+    explode map-side (≤ n per dup start, clamped to doc length for the
+    padded short-doc shingle) into a per-doc position set; the rebuild
+    is a pure array filter — no Python, no quadratic term, shuffle
+    volume bounded by shingle volume.
+    """
+    staged = df.select(
+        F.col(id_col),
+        tokens(F.col(text_col)).alias("_toks"),
+    ).withColumn("_n", F.size("_toks")).withColumn(
+        "_svs",
+        F.transform(
+            shingles_from_tokens(F.col("_toks"), n), lambda s: shingle_value(s)
+        ),
+    )
+    ex = staged.select(
+        F.col(id_col), F.col("_n"),
+        F.posexplode(F.col("_svs")).alias("_p0", "sv"),
+    ).select(
+        id_col, "_n", (F.col("_p0") + 1).alias("start"), "sv"
+    )
+    freq = (
+        ex.select(id_col, "sv").distinct()
+        .groupBy("sv").agg(F.count(F.lit(1)).alias("doc_freq"))
+    )
+    dup_pos = (
+        ex.join(freq.filter(F.col("doc_freq") >= min_doc_freq), ["sv"])
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(
+                    F.col("start"),
+                    F.least(F.col("start") + (n - 1), F.col("_n")),
+                )
+            ).alias("pos"),
+        )
+        .distinct()
+        .groupBy(id_col)
+        .agg(F.collect_set("pos").alias("_dups"))
+    )
+    joined = staged.join(dup_pos, [id_col], "left").withColumn(
+        "_dups", F.coalesce(F.col("_dups"), F.array().cast("array<int>"))
+    )
+    kept = F.filter(
+        F.col("_toks"),
+        lambda t, i: ~F.array_contains(F.col("_dups"), (i + 1).cast("int")),
+    )
+    return joined.select(
+        F.col(id_col),
+        (F.col("_n") - F.size(kept)).cast("long").alias("n_removed"),
+        F.concat_ws(" ", kept).alias("clean_text"),
+    )

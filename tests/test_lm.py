@@ -125,3 +125,38 @@ def test_collocations_pmi_hand_computed(spark):
     assert top[0].pmi == pytest.approx(round(math.log(6 * 54 / (6 * 6)), 4))
     # min_count gates the noise pairs: only the three count-6 pairs pass
     assert len(top) == 3
+
+
+def test_scrub_duplicated_spans(spark):
+    from linz_bde_uploader_spark.functions.dedup import scrub_duplicated_spans
+
+    d = spark.createDataFrame(
+        [
+            # "ab cd ef" is a shared 3-gram between docs 1 and 2;
+            # the tails are unique (distinct first letters per token)
+            (1, "ab cd ef gh ij"),
+            (2, "ab cd ef kl mn"),
+            (3, "op qr st uv wx"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in
+           scrub_duplicated_spans(d, n=3, min_doc_freq=2).collect()}
+    # positions 1-3 scrubbed in docs 1 and 2; tails survive
+    assert out[1].n_removed == 3 and out[1].clean_text == "gh ij"
+    assert out[2].n_removed == 3 and out[2].clean_text == "kl mn"
+    assert out[3].n_removed == 0 and out[3].clean_text == "op qr st uv wx"
+
+
+def test_scrub_spans_within_doc_repeat_survives(spark):
+    from linz_bde_uploader_spark.functions.dedup import scrub_duplicated_spans
+
+    # a span repeated INSIDE one doc is not cross-document boilerplate
+    d = spark.createDataFrame(
+        [(1, "aa bb cc aa bb cc"), (2, "dd ee ff gg hh ii")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in
+           scrub_duplicated_spans(d, n=3, min_doc_freq=2).collect()}
+    assert out[1].n_removed == 0
+    assert out[2].n_removed == 0
