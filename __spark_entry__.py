@@ -2910,7 +2910,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, n, toks, {_shingle_vals()} AS svs FROM t
             ),
             ex AS (
-              SELECT doc_id, n, i AS start, svs[i] AS sv
+              SELECT doc_id, i AS start, svs[i] AS sv
               FROM sv_t,
                    LATERAL (SELECT unnest(generate_series(1, len(svs))) AS i) g
             ),
@@ -2919,11 +2919,14 @@ def oracle_sql() -> dict[str, str]:
               FROM (SELECT DISTINCT doc_id, sv FROM ex) GROUP BY sv
             ),
             dup AS (
+              -- unclamped span: out-of-range positions (padded short-doc
+              -- shingle only) are never selected by the rebuild's
+              -- generate_series(1, n)
               SELECT DISTINCT e.doc_id, p
               FROM ex e
               JOIN freq f USING (sv),
                    LATERAL (SELECT unnest(generate_series(e.start,
-                                   least(e.start + 2, e.n))) AS p) q
+                                   e.start + 2)) AS p) q
               WHERE f.doc_freq >= 10
             ),
             agg AS (SELECT doc_id, list(p) AS dups FROM dup GROUP BY doc_id)

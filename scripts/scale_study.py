@@ -50,6 +50,7 @@ PICK = [
     "q_lm_perplexity", "q_dedup_crossdoc", "q_kmeans_embeddings",
     "q_semdedup", "q_sim_quantized_topk", "q_cms_heavy_hitters",
     "q_bpe_encode", "q_graph_pagerank", "q_weighted_sample",
+    "q_lm_collocations", "q_dedup_scrub_spans",
 ]
 
 
