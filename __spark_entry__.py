@@ -953,6 +953,33 @@ def q_weighted_sample(spark, sf_dir):
     return weighted_sample(d, 50, "n_chars").select("doc_id", "skey")
 
 
+def q_quality_histogram(spark, sf_dir):
+    # Corpus calibration histogram: fixed-width length buckets x quality
+    # score, with per-cell share of corpus — the reporting primitive a
+    # curation run emits before choosing filter thresholds. One
+    # partial-agg shuffle over a bounded (bucket, score) key space; the
+    # corpus total is a window over the aggregated cells.
+    d = W.load(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    cells = (
+        d.select(
+            F.floor(F.length("text") / 100).cast("long").alias("len_bucket"),
+            X.quality_score(F.col("text")).cast("long").alias("quality"),
+        )
+        .groupBy("len_bucket", "quality")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    return cells.select(
+        "len_bucket", "quality", "n_docs",
+        F.round(
+            F.col("n_docs") / F.sum("n_docs").over(
+                Window.partitionBy()
+            ), 4
+        ).alias("share"),
+    )
+
+
 def q_cms_heavy_hitters(spark, sf_dir):
     # Count-min sketch audit (functions/sketches.py): build the
     # depth x width sketch over the token stream (one partial-agg
@@ -2293,8 +2320,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     canary (``q_s5_target_e2e``)."""
     ordered = {
         # -- 1-20: families that had no driver CORRECTNESS row in round 2
-        "q_tpch_q10_returns": q_tpch_q10_returns,
         "q_tpch_q6_forecast": q_tpch_q6_forecast,
+        # -- round-5 session-2 birth: corpus calibration histogram;
+        #    displaced tenant q_tpch_q10_returns (r3+r4 green; a dozen
+        #    other TPC-H shapes stay in-window) -> 51+
+        "q_quality_histogram": q_quality_histogram,
         # -- round-5 session-2 birth: PMI collocations; displaced tenant
         #    q_event_hopping_window (r3+r4 green; the event-window
         #    family keeps q_event_session_window in-window) -> 51+
@@ -2411,6 +2441,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tpch_q19_disjunct": q_tpch_q19_disjunct,
         "q_event_hopping_window": q_event_hopping_window,
         "q_sim_ivf_topk": q_sim_ivf_topk,
+        "q_tpch_q10_returns": q_tpch_q10_returns,
         "q_j5_apply_changes": q_j5_apply_changes,
         "q_c9_tolerance": q_c9_tolerance,
         "q_s3_discovery_pending": q_s3_discovery_pending,
@@ -3036,6 +3067,20 @@ def oracle_sql() -> dict[str, str]:
         "q_text_fingerprint": f"""
             WITH t AS (SELECT doc_id, {_TOKS} AS toks, {tokn} AS n FROM documents)
             SELECT doc_id, {fp} AS fp FROM t
+        """,
+        "q_quality_histogram": f"""
+            WITH cells AS (
+              SELECT CAST(floor(length(text) / 100) AS BIGINT) AS len_bucket,
+                     CAST((CASE WHEN length(text) >= 100 THEN 1 ELSE 0 END)
+                        + (CASE WHEN round(CAST(length(text) - ({tokn} - 1) AS DOUBLE) / greatest({tokn}, 1), 6) BETWEEN 3 AND 10 THEN 1 ELSE 0 END)
+                        + (CASE WHEN round(CAST({stop_cnt} AS DOUBLE) / greatest({tokn}, 1), 6) >= 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS quality,
+                     count(*) AS n_docs
+              FROM documents
+              GROUP BY 1, 2
+            )
+            SELECT len_bucket, quality, CAST(n_docs AS BIGINT) AS n_docs,
+                   round(CAST(n_docs AS DOUBLE) / sum(n_docs) OVER (), 4) AS share
+            FROM cells
         """,
         "q_dedup_minhash_sig": _MINHASH_SIGS + "SELECT * FROM sigs",
         "q_dedup_minhash_pairs": _MINHASH_SIGS + """
