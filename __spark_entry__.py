@@ -1745,6 +1745,24 @@ def q_mixture_weights(spark, sf_dir):
     ).select("doc_id", "lang", "epoch")
 
 
+def q_pipeline_chunk_pack(spark, sf_dir):
+    # The training-sequence preparation funnel end-to-end: chunk each
+    # document into 64-token windows (map-only stride explode), then
+    # greedily pack the CHUNKS into 256-token training packs (sharded
+    # applyInPandas) — the integration of two proven operators, with a
+    # composed oracle: the chunk CTE feeding the recursive pack CTE.
+    from linz_bde_uploader_spark.functions import packing as PK
+    from linz_bde_uploader_spark.functions.chunking import chunk_documents
+
+    d = W.load(spark, sf_dir, "documents")
+    ch = chunk_documents(d, chunk_tokens=64, overlap=0)
+    items = ch.select(
+        (F.col("doc_id") * 100 + F.col("chunk_id")).alias("cid"),
+        F.col("n_tokens"),
+    )
+    return PK.pack_sequences(items, "cid", "n_tokens", capacity=256, n_shards=8)
+
+
 def q_pack_sequences(spark, sf_dir):
     # Greedy-sequential sequence packing into 256-token training packs,
     # parallel across 8 deterministic shards (functions/packing.py —
@@ -2374,8 +2392,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    half); displaced tenant q_approx_distinct_guard (r3+r4) -> 51+
         "q_bpe_encode": q_bpe_encode,
         "q_sim_batch_topk": q_sim_batch_topk,
-        # -- 29-34: NEW this session (first driver check)
-        "q_pack_sequences": q_pack_sequences,
+        # -- round-5 session-2 birth: chunk->pack composite funnel;
+        #    displaced tenant q_pack_sequences (same family, r3+r4
+        #    green) -> 51+
+        "q_pipeline_chunk_pack": q_pipeline_chunk_pack,
         # -- round-5 session-2 birth: ES weighted sampling; displaced
         #    tenant q_stratified_sample (same family, r3+r4 green) -> 51+
         "q_weighted_sample": q_weighted_sample,
@@ -2442,6 +2462,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_event_hopping_window": q_event_hopping_window,
         "q_sim_ivf_topk": q_sim_ivf_topk,
         "q_tpch_q10_returns": q_tpch_q10_returns,
+        "q_pack_sequences": q_pack_sequences,
         "q_j5_apply_changes": q_j5_apply_changes,
         "q_c9_tolerance": q_c9_tolerance,
         "q_s3_discovery_pending": q_s3_discovery_pending,
@@ -3736,6 +3757,53 @@ def oracle_sql() -> dict[str, str]:
               FROM r JOIN seq s ON s.shard = r.shard AND s.rn = r.rn + 1
             )
             SELECT shard, doc_id, t AS clamped_tokens, pack_id, pack_offset FROM r
+        """,
+        "q_pipeline_chunk_pack": f"""
+            WITH RECURSIVE t AS (
+              SELECT doc_id,
+                     string_split(trim(text), ' ') AS toks,
+                     CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(string_split(trim(text), ' ')) END AS n
+              FROM documents
+            ),
+            c AS (
+              SELECT doc_id, toks,
+                     CASE WHEN n = 0 THEN 0
+                          ELSE 1 + CAST(floor((greatest(n - 64, 0) + 63)
+                                              / 64.0) AS INT) END AS nc
+              FROM t
+            ),
+            ch AS (
+              SELECT doc_id * 100 + i AS cid,
+                     CAST(len(list_slice(toks, i*64 + 1, i*64 + 64)) AS BIGINT)
+                       AS nt
+              FROM c, unnest(generate_series(0, nc - 1)) u(i)
+              WHERE nc >= 1
+            ),
+            tk AS (
+              SELECT CAST(((cid % 2147483647) * 2654435761 % 2147483647) % 8
+                          AS INTEGER) AS shard,
+                     cid,
+                     CAST(least(nt, 256) AS BIGINT) AS t
+              FROM ch
+            ), seq AS (
+              SELECT shard, cid, t,
+                     row_number() OVER (PARTITION BY shard ORDER BY cid) AS rn
+              FROM tk
+            ), r AS (
+              SELECT shard, cid, t, rn,
+                     CAST(0 AS BIGINT) AS pack_id,
+                     CAST(0 AS BIGINT) AS pack_offset,
+                     t AS used
+              FROM seq WHERE rn = 1
+              UNION ALL
+              SELECT s.shard, s.cid, s.t, s.rn,
+                     CASE WHEN r.used + s.t > 256 THEN r.pack_id + 1 ELSE r.pack_id END,
+                     CASE WHEN r.used + s.t > 256 THEN CAST(0 AS BIGINT) ELSE r.used END,
+                     CASE WHEN r.used + s.t > 256 THEN s.t ELSE r.used + s.t END
+              FROM r JOIN seq s ON s.shard = r.shard AND s.rn = r.rn + 1
+            )
+            SELECT shard, cid, t AS clamped_tokens, pack_id, pack_offset FROM r
         """,
         "q_tpch_q18_bigorders": """
             SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
