@@ -1756,8 +1756,12 @@ def q_pipeline_chunk_pack(spark, sf_dir):
 
     d = W.load(spark, sf_dir, "documents")
     ch = chunk_documents(d, chunk_tokens=64, overlap=0)
+    # 1e6 multiplier: a doc would need >1M chunks (>64M tokens) before
+    # cids collide across documents — doc_id*100 collided at >100 chunks
+    # (~6.4k tokens), corrupting pack identity and the per-shard
+    # order-by-cid tiebreak.
     items = ch.select(
-        (F.col("doc_id") * 100 + F.col("chunk_id")).alias("cid"),
+        (F.col("doc_id") * 1_000_000 + F.col("chunk_id")).alias("cid"),
         F.col("n_tokens"),
     )
     return PK.pack_sequences(items, "cid", "n_tokens", capacity=256, n_shards=8)
@@ -2285,11 +2289,22 @@ def q_inverted_index(spark, sf_dir):
     # Search-index build: per-term sorted posting lists with df-band
     # vocabulary pruning (functions/tfidf.py::inverted_index) — one
     # term-keyed shuffle with map-side partial collect_set; the sort is
-    # per posting list, never global.
+    # per posting list, never global. The posting list is surfaced as a
+    # space-joined STRING (not array<long>): the external driver's
+    # canonicalizer pandas-sorts every output column and cannot hash
+    # list values (r5 driver err), so complex-typed output columns are
+    # banned registry-wide (tests/test_plan_shapes.py pins this).
     from linz_bde_uploader_spark.functions import tfidf as TI
 
     d = W.load(spark, sf_dir, "documents")
-    return TI.inverted_index(d, min_df=5, max_df=400)
+    idx = TI.inverted_index(d, min_df=5, max_df=400)
+    return idx.select(
+        "term",
+        "df",
+        F.array_join(F.col("postings").cast("array<string>"), " ").alias(
+            "postings_str"
+        ),
+    )
 
 
 def q_chunk_documents(spark, sf_dir):
@@ -2588,10 +2603,17 @@ def _bpe_encode_sql(n_merges: int = 4) -> str:
           FROM documents
         )"""]
     for r in range(1, n_merges + 1):
+        # LEFT JOIN (not cross): if training exhausts merges before
+        # n_merges, w{r} is empty — a cross join would empty e{r} and
+        # every later round, while the Spark side (bpe_encode with the
+        # shorter collected merge list) still encodes all documents.
+        # With no w row, replace(txt, NULL, ...) is NULL and coalesce
+        # passes txt through unchanged — the same degradation.
         extra.append(f"""e{r} AS (
-          SELECT doc_id, replace(txt, {s1}||w.lhs||{s2}||{s1}||w.rhs||{s2},
-                                 {s1}||w.lhs||w.rhs||{s2}) AS txt
-          FROM e{r-1}, w{r} w
+          SELECT doc_id,
+                 coalesce(replace(txt, {s1}||w.lhs||{s2}||{s1}||w.rhs||{s2},
+                                  {s1}||w.lhs||w.rhs||{s2}), txt) AS txt
+          FROM e{r-1} LEFT JOIN w{r} w ON TRUE
         )""")
     return (
         "WITH " + ctes_part + ",\n" + ",\n".join(extra) + f"""
@@ -2945,7 +2967,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_weighted_sample": """
             SELECT doc_id,
-                   round(ln((((doc_id * 2654435761) % 2147483647) + 1)
+                   round(ln(((((doc_id % 2147483647) * 2654435761)
+                              % 2147483647) + 1)
                             / 2147483648.0)
                          / CAST(n_chars AS DOUBLE), 6) AS skey
             FROM documents
@@ -3660,7 +3683,9 @@ def oracle_sql() -> dict[str, str]:
                        ELSE 50 END
         """,
         "q_inverted_index": """
-            SELECT term, df, postings FROM (
+            SELECT term, df,
+                   array_to_string(postings, ' ') AS postings_str
+            FROM (
               SELECT term,
                      CAST(len(list_sort(list(DISTINCT doc_id))) AS BIGINT)
                        AS df,
@@ -3774,7 +3799,7 @@ def oracle_sql() -> dict[str, str]:
               FROM t
             ),
             ch AS (
-              SELECT doc_id * 100 + i AS cid,
+              SELECT doc_id * 1000000 + i AS cid,
                      CAST(len(list_slice(toks, i*64 + 1, i*64 + 64)) AS BIGINT)
                        AS nt
               FROM c, unnest(generate_series(0, nc - 1)) u(i)

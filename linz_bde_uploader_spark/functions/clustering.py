@@ -149,7 +149,13 @@ def _assign_clusters_gemm(
                 - 2.0 * (x @ cmat.T)
                 + cnorm[None, :]
             )
-            d2 = np.round(np.maximum(d2, 0.0), ROUND_DP)
+            # Half-AWAY-from-zero, matching F.round / DuckDB round on the
+            # Column path (np.round is half-to-even and can flip an
+            # argmin at an exact .5 boundary at the ROUND_DP-th decimal;
+            # d2 >= 0 here so no sign term needed) — same contract as
+            # similarity.quantize_vector.
+            scale = 10.0 ** ROUND_DP
+            d2 = np.floor(np.maximum(d2, 0.0) * scale + 0.5) / scale
             idx = np.argmin(d2, axis=1)
             out.loc[valid, "cluster"] = cids[idx]
             out.loc[valid, "sq_dist"] = d2[np.arange(len(idx)), idx]

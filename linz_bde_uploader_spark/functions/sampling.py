@@ -289,10 +289,18 @@ def es_key(id_col: Column | str, weight_col: Column | str,
     # u in (0, 1]: never exactly 0, so ln(u) is finite. The salt adds
     # BEFORE the multiply so it permutes the id->u map (a post-multiply
     # offset would only shift every u by the same amount — "fresh draw"
-    # in name only).
-    u = (((i.cast("long") + F.lit(salt)) * HASH_MIX) % HASH_MOD + 1) / (
-        HASH_MOD + 1.0
-    )
+    # in name only). Same overflow discipline as split_bucket: pre-reduce
+    # mod HASH_MOD (< 2^31) before the HASH_MIX (< 2^32) multiply so the
+    # product stays below 2^63, and pmod (not %) so negative ids still
+    # land in [0, HASH_MOD) — otherwise u <= 0, ln(u) is NULL, and those
+    # rows silently vanish from the sample.
+    u = (
+        F.pmod(
+            F.pmod(i.cast("long") + F.lit(salt), F.lit(HASH_MOD)) * HASH_MIX,
+            F.lit(HASH_MOD),
+        )
+        + 1
+    ) / (HASH_MOD + 1.0)
     return F.round(F.log(u) / w.cast("double"), 6)
 
 

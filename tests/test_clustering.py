@@ -101,5 +101,5 @@ def test_auto_k_targets_cluster_size():
 
     assert auto_k(50) == 8        # oracle scales pin to min_k
     assert auto_k(500) == 8
-    assert auto_k(2000) == 32     # sf0.1: still the Column path
+    assert auto_k(2000) == 32     # sf0.1: k=32 > COLUMN_PATH_MAX_K=16 -> GEMM path
     assert auto_k(20000) == 313   # 10x study: GEMM path, ~64/cluster

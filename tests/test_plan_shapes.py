@@ -106,6 +106,34 @@ def test_no_harness_query_compiles_to_scale_smell(spark):
     }
 
 
+def test_no_complex_output_columns(spark):
+    """Every registered harness query must surface only atomic-typed
+    output columns. The external driver canonicalizes results with a
+    pandas sort over all columns, which hashes values — Array/Map/Struct
+    columns are unhashable and turn an oracle-exact answer into a driver
+    `err` (r5: q_inverted_index's array<long> postings). Serialize
+    complex values (array_join / to_json) at the query surface instead.
+    Schema-only — no execution."""
+    import sys
+
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import __spark_entry__ as entry
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    offenders = {}
+    for name, fn in entry.queries().items():
+        bad = [
+            f.name
+            for f in fn(spark, sf_dir).schema.fields
+            if isinstance(f.dataType, (ArrayType, MapType, StructType))
+        ]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, offenders
+
+
 def test_salted_join_shuffles_on_salted_key(spark):
     """The skew escape hatch must actually change the physical exchange:
     the join keys include _salt, so a hot key's rows spread over n tasks
