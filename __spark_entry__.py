@@ -940,6 +940,128 @@ def q_graph_pagerank(spark, sf_dir):
     return ranks.orderBy(F.desc("rank"), F.col("node")).limit(25)
 
 
+def _pagerank_directed_sql(iters: int = 4) -> str:
+    """DuckDB twin of graph.pagerank(dangling=True) over the DIRECTED
+    purchase graph (customer→supplier, no symmetrize): node set is
+    src ∪ dst, and every iteration redistributes the dangling mass
+    DM = Σ rank(outdeg-0 nodes) uniformly — here every supplier is
+    dangling, so the correction carries real mass (without it the
+    oracle and any real host-ranking both bias low)."""
+    ctes = ["""edges AS (
+          SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst
+          FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        )""",
+        """nodes AS (
+          SELECT DISTINCT node FROM (
+            SELECT src AS node FROM edges
+            UNION ALL
+            SELECT dst AS node FROM edges
+          )
+        )""",
+        "num AS (SELECT count(*) AS n FROM nodes)",
+        "outdeg AS (SELECT src, count(*) AS od FROM edges GROUP BY src)",
+        """r0 AS (
+          SELECT node, round(CAST(1.0 AS DOUBLE) / n, 9) AS rank
+          FROM nodes, num
+        )"""]
+    d = "CAST(0.85 AS DOUBLE)"
+    base = f"(CAST(1.0 AS DOUBLE) - {d}) / num.n"
+    for i in range(1, iters + 1):
+        ctes.append(f"""dm{i} AS (
+          SELECT round(coalesce(sum(r.rank), 0.0), 9) AS m
+          FROM r{i - 1} r LEFT JOIN outdeg o ON o.src = r.node
+          WHERE o.src IS NULL
+        )""")
+        ctes.append(f"""r{i} AS (
+          SELECT nd.node,
+                 round({base} + {d} * (coalesce(c.s, 0.0) + dm.m / num.n),
+                       9) AS rank
+          FROM nodes nd CROSS JOIN num CROSS JOIN dm{i} dm
+          LEFT JOIN (
+            SELECT e.dst AS node, round(sum(r.rank / o.od), 9) AS s
+            FROM edges e
+            JOIN r{i - 1} r ON r.node = e.src
+            JOIN outdeg o ON o.src = e.src
+            GROUP BY e.dst
+          ) c ON c.node = nd.node
+        )""")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+        SELECT node, round(rank, 6) AS rank
+        FROM r{iters}
+        ORDER BY rank DESC, node
+        LIMIT 25
+    """
+    )
+
+
+def q_graph_pagerank_directed(spark, sf_dir):
+    # Directed PageRank WITH the dangling-mass correction
+    # (functions/graph.py::pagerank(dangling=True)): customer→supplier
+    # purchase edges, NOT symmetrized — every supplier has outdegree 0,
+    # so each iteration redistributes the supplier-parked rank mass as
+    # a 1-row scalar broadcast (the TF-IDF corpus-size pattern). The
+    # symmetrize-only variant silently mis-ranks any real link graph
+    # (Common Crawl-style host ranking is directed).
+    from linz_bde_uploader_spark.functions.graph import pagerank
+
+    o = W.load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = W.load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    ed = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    ranks = pagerank(ed, n_iters=4, dangling=True)
+    return ranks.orderBy(F.desc("rank"), F.col("node")).limit(25)
+
+
+def q_lm_trigram_perplexity(spark, sf_dir):
+    # Interpolated trigram LM perplexity gate (functions/lm.py::
+    # trigram_score_documents): λ3·ML3 + λ2·ML2 + λ1·add-one-unigram —
+    # the next-order upgrade of the bigram CCNet-style gate. Three
+    # partial-agg count shuffles to train; scoring joins the doc-trigram
+    # stream to the counted tables (AQE broadcasts small LMs) plus the
+    # 1-row totals broadcast (whitelisted scalar-subquery shape).
+    from linz_bde_uploader_spark.functions import lm as LM
+
+    d = W.load(spark, sf_dir, "documents")
+    return LM.trigram_score_documents(d)
+
+
+def q_quality_classifier(spark, sf_dir):
+    # FastText-style hashed-feature linear quality classifier
+    # (functions/text.py::quality_classifier): token → 64-bucket feature
+    # hash → deterministic weight → sequential-fold mean → sigmoid gate.
+    # Map-only plan: zero shuffles, zero UDFs, whole-stage codegen; the
+    # per-doc sum is a sequential left fold (bit-identical to DuckDB
+    # list_sum), so no fold-order drift before the 6-dp round.
+    d = W.load(spark, sf_dir, "documents")
+    out = X.quality_classifier(d)
+    return out.withColumn("keep", F.col("keep").cast("int"))
+
+
+def q_corpus_shuffle(spark, sf_dir):
+    # Deterministic corpus shuffle + sharding (functions/sampling.py::
+    # deterministic_shuffle): reproducible global permutation (mixed-id
+    # hash sort key) → (shard, pos_in_shard), the last step before a
+    # training run. ONE shuffle (window hash-partition on shard) + a
+    # per-shard sort — no global sort, no driver collect; a different
+    # salt is a fresh epoch permutation.
+    from linz_bde_uploader_spark.functions.sampling import (
+        deterministic_shuffle,
+    )
+
+    d = W.load(spark, sf_dir, "documents").select("doc_id")
+    return deterministic_shuffle(d, n_shards=8).select(
+        "doc_id", "shard", "pos_in_shard"
+    )
+
+
 def q_weighted_sample(spark, sf_dir):
     # Deterministic weighted sampling without replacement
     # (sampling.py::weighted_sample, Efraimidis-Spirakis): inclusion
@@ -2352,8 +2474,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     earn a green one. Position 50 is the standing end-to-end target-sink
     canary (``q_s5_target_e2e``)."""
     ordered = {
-        # -- 1-20: families that had no driver CORRECTNESS row in round 2
-        "q_tpch_q6_forecast": q_tpch_q6_forecast,
+        # -- round-6 births (in-window at birth): directed PageRank with
+        #    the dangling-mass correction, interpolated trigram LM gate,
+        #    hashed-feature linear quality classifier, deterministic
+        #    corpus shuffle; displaced tenants (each r3+r4+r5 triple
+        #    green) q_tpch_q6_forecast, q_asof_last_purchase,
+        #    q_range_join_promo, q_mm_fingerprint_dedup -> 51+
+        "q_graph_pagerank_directed": q_graph_pagerank_directed,
+        "q_lm_trigram_perplexity": q_lm_trigram_perplexity,
+        "q_quality_classifier": q_quality_classifier,
+        "q_corpus_shuffle": q_corpus_shuffle,
         # -- round-5 session-2 birth: corpus calibration histogram;
         #    displaced tenant q_tpch_q10_returns (r3+r4 green; a dozen
         #    other TPC-H shapes stay in-window) -> 51+
@@ -2370,8 +2500,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tpch_q8_market_share": q_tpch_q8_market_share,
         "q_tpch_q9_profit": q_tpch_q9_profit,
         "q_tpch_q11_value_share": q_tpch_q11_value_share,
-        "q_asof_last_purchase": q_asof_last_purchase,
-        "q_range_join_promo": q_range_join_promo,
         # round-5 births (in-window at birth): domain cap + per-stratum
         # quantile cut; displaced r3+r4-green tenants
         # q_event_tumbling_window and q_mm_metadata -> 51+
@@ -2380,7 +2508,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_event_session_window": q_event_session_window,
         "q_mixture_weights": q_mixture_weights,
         "q_quality_quantile_filter": q_quality_quantile_filter,
-        "q_mm_fingerprint_dedup": q_mm_fingerprint_dedup,
         "q_mm_thumbnails": q_mm_thumbnails,
         # -- round-5 births, in-window at birth (rotation rule): their
         #    displaced tenants q_sim_cosine_topk / q_sim_cosine_above
@@ -2464,6 +2591,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    q_c9_tolerance, q_s3_discovery_pending, q_p5_utf8_clean,
         #    q_dedup_embed_cosine — are ALL r2 AND r3 green, j5/c9 also
         #    r1) and remains oracle-checked via scripts/check_oracles.py
+        # -- rotated out in round 6 (each r3 AND r4 AND r5 driver-green),
+        #    displaced by the four round-6 births now in-window
+        "q_tpch_q6_forecast": q_tpch_q6_forecast,
+        "q_asof_last_purchase": q_asof_last_purchase,
+        "q_range_join_promo": q_range_join_promo,
+        "q_mm_fingerprint_dedup": q_mm_fingerprint_dedup,
         "q_custdist": q_custdist,
         "q_text_line_quality": q_text_line_quality,
         "q_mm_frame_sample": q_mm_frame_sample,
@@ -2935,6 +3068,97 @@ def oracle_sql() -> dict[str, str]:
             WHERE vec_id NOT IN (SELECT vec_id FROM dup)
         """,
         "q_graph_pagerank": _pagerank_sql(4),
+        "q_graph_pagerank_directed": _pagerank_directed_sql(4),
+        "q_lm_trigram_perplexity": """
+            WITH toks AS (
+              SELECT doc_id, string_split(trim(text), ' ') AS l FROM documents
+            ),
+            uni AS (
+              SELECT t AS tok, count(*) AS c
+              FROM (SELECT unnest(l) AS t FROM toks) GROUP BY 1
+            ),
+            tot AS (
+              SELECT CAST(sum(c) AS DOUBLE) AS tt,
+                     CAST(count(*) AS BIGINT) AS v
+              FROM uni
+            ),
+            sized2 AS (
+              SELECT doc_id, l, len(l) AS n FROM toks WHERE len(l) >= 2
+            ),
+            bi AS (
+              SELECT w1, w2, count(*) AS c FROM (
+                SELECT l[i] AS w1, l[i+1] AS w2
+                FROM sized2,
+                     LATERAL (SELECT unnest(generate_series(1, n - 1)) AS i) g
+              ) GROUP BY w1, w2
+            ),
+            sized3 AS (
+              SELECT doc_id, l, len(l) AS n FROM toks WHERE len(l) >= 3
+            ),
+            doctri AS (
+              SELECT doc_id, l[i] AS w1, l[i+1] AS w2, l[i+2] AS w3
+              FROM sized3,
+                   LATERAL (SELECT unnest(generate_series(1, n - 2)) AS i) g
+            ),
+            tri AS (
+              SELECT w1, w2, w3, count(*) AS c FROM doctri GROUP BY 1, 2, 3
+            ),
+            sc AS (
+              SELECT d.doc_id,
+                     ln(0.6 * coalesce(CAST(tc.c AS DOUBLE) / b12.c, 0.0)
+                        + 0.3 * coalesce(CAST(b23.c AS DOUBLE) / u2.c, 0.0)
+                        + 0.1 * ((coalesce(u3.c, 0) + 1.0)
+                                 / (tot.tt + tot.v))) AS lp
+              FROM doctri d
+              LEFT JOIN tri tc
+                ON tc.w1 = d.w1 AND tc.w2 = d.w2 AND tc.w3 = d.w3
+              LEFT JOIN bi b12 ON b12.w1 = d.w1 AND b12.w2 = d.w2
+              LEFT JOIN bi b23 ON b23.w1 = d.w2 AND b23.w2 = d.w3
+              LEFT JOIN uni u2 ON u2.tok = d.w2
+              LEFT JOIN uni u3 ON u3.tok = d.w3
+              CROSS JOIN tot
+            )
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_trigrams,
+                   round(-avg(lp), 4) AS cross_entropy,
+                   round(exp(round(-avg(lp), 4)), 4) AS perplexity
+            FROM sc GROUP BY doc_id
+        """,
+        "q_quality_classifier": f"""
+            SELECT doc_id, n_tokens, logit,
+                   round(1.0 / (1.0 + exp(-logit)), 6) AS prob,
+                   CAST(round(1.0 / (1.0 + exp(-logit)), 6) >= 0.5 AS INT)
+                     AS keep
+            FROM (
+              SELECT doc_id,
+                     CAST(n AS BIGINT) AS n_tokens,
+                     round(CASE WHEN n > 0 THEN 0.0 + 4.0 * (s / n)
+                                ELSE 0.0 END, 6) AS logit
+              FROM (
+                SELECT doc_id, len(tk) AS n,
+                       list_sum(list_transform(tk, t ->
+                         CAST(((({_tokval('t')} % 64) + 1) * 2654435761)
+                              % 2147483647 AS DOUBLE) / 2147483647 - 0.5
+                       )) AS s
+                FROM (SELECT doc_id, string_split(trim(text), ' ') AS tk
+                      FROM documents)
+              )
+            )
+        """,
+        "q_corpus_shuffle": """
+            SELECT doc_id, shard,
+                   CAST(row_number() OVER (
+                          PARTITION BY shard ORDER BY skey, doc_id
+                        ) - 1 AS BIGINT) AS pos_in_shard
+            FROM (
+              SELECT doc_id,
+                     ((doc_id % 2147483647) * 2654435761) % 2147483647
+                       AS skey,
+                     (((doc_id % 2147483647) * 2654435761) % 2147483647) % 8
+                       AS shard
+              FROM documents
+            )
+        """,
         "q_lm_collocations": """
             WITH toks AS (
               SELECT doc_id, string_split(trim(text), ' ') AS l FROM documents

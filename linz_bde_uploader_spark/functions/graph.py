@@ -44,13 +44,25 @@ def pagerank(
     n_iters: int = 4,
     damping: float = 0.85,
     checkpoint_every: int = 2,
+    dangling: bool = False,
 ) -> DataFrame:
-    """Power-iteration PageRank over a directed edge list ``(src, dst)``
-    in which every node appears as a source (use :func:`symmetrize` for
-    undirected graphs). Returns ``(node, rank)`` with rank at 6 dp.
+    """Power-iteration PageRank over a directed edge list ``(src, dst)``.
+    Returns ``(node, rank)`` with rank at 6 dp.
 
-    rank'(v) = (1-d)/N + d * Σ_{u→v} rank(u)/outdeg(u), all sums and
-    ranks rounded to 9 dp per iteration (see module docstring).
+    rank'(v) = (1-d)/N + d * (Σ_{u→v} rank(u)/outdeg(u) [+ DM/N]),
+    all sums and ranks rounded to 9 dp per iteration (see module
+    docstring).
+
+    ``dangling=False`` (default) assumes every node has outdegree >= 1
+    — true for symmetrized edge sets (:func:`symmetrize`). For a REAL
+    directed graph (web/host link graphs, purchase graphs), pass
+    ``dangling=True``: the node set becomes src ∪ dst, and each
+    iteration redistributes the rank mass parked on dangling nodes
+    (outdegree 0) uniformly — DM = Σ_{u: outdeg(u)=0} rank(u), one
+    1-row scalar aggregate broadcast per iteration (the TF-IDF
+    corpus-size pattern; compiles to the whitelisted one-row-BNLJ
+    scalar-subquery shape). Without the correction a directed graph
+    leaks the dangling mass and every rank is biased low.
     """
     from linz_bde_uploader_spark.caching import track
 
@@ -67,7 +79,14 @@ def pagerank(
     parts = max(1, min(e.rdd.getNumPartitions(), n_edges // 100_000 + 1))
     if parts < e.rdd.getNumPartitions():
         e = e.coalesce(parts)
-    nodes = track(e.select(F.col("src").alias("node")).distinct())
+    if dangling:
+        nodes = track(
+            e.select(F.col("src").alias("node"))
+            .unionByName(e.select(F.col("dst").alias("node")))
+            .distinct()
+        )
+    else:
+        nodes = track(e.select(F.col("src").alias("node")).distinct())
     n = nodes.count()
     outdeg = track(e.groupBy("src").agg(F.count(F.lit(1)).alias("od")))
     base = (1.0 - damping) / n
@@ -84,11 +103,27 @@ def pagerank(
             .groupBy(F.col("dst").alias("node"))
             .agg(F.round(F.sum(F.col("rank") / F.col("od")), ITER_DP).alias("s"))
         )
-        ranks = nodes.join(contrib, "node", "left").select(
+        new = nodes.join(contrib, "node", "left")
+        extra = F.lit(0.0)
+        if dangling:
+            # DM = rank mass parked on outdegree-0 nodes this iteration:
+            # a 1-row aggregate (anti-join against the outdegree table)
+            # broadcast-cross-joined in — O(1) state, no driver action.
+            dm = ranks.join(
+                outdeg, ranks["node"] == outdeg["src"], "left_anti"
+            ).agg(
+                F.round(
+                    F.coalesce(F.sum("rank"), F.lit(0.0)), ITER_DP
+                ).alias("_dm")
+            )
+            new = new.crossJoin(F.broadcast(dm))
+            extra = F.col("_dm") / F.lit(float(n))
+        ranks = new.select(
             "node",
             F.round(
                 F.lit(base)
-                + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0)),
+                + F.lit(damping)
+                * (F.coalesce(F.col("s"), F.lit(0.0)) + extra),
                 ITER_DP,
             ).alias("rank"),
         )

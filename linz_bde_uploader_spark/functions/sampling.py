@@ -318,3 +318,52 @@ def weighted_sample(df: DataFrame, n: int, weight_col: str,
         F.col(weight_col).isNotNull() & (F.col(weight_col) > 0)
     ).withColumn("skey", es_key(id_col, weight_col, salt))
     return keyed.orderBy(F.desc("skey"), F.col(id_col)).limit(n)
+
+
+def shuffle_key(id_col: Column | str, salt: int = 0) -> Column:
+    """Deterministic permutation key: the same pre-reduced Knuth mix as
+    :func:`split_bucket` / :func:`es_key` (overflow-safe, pmod-positive),
+    with a salt for fresh epoch orders."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return F.pmod(
+        F.pmod(c.cast("long") + F.lit(salt), F.lit(HASH_MOD)) * HASH_MIX,
+        F.lit(HASH_MOD),
+    )
+
+
+def deterministic_shuffle(
+    df: DataFrame,
+    n_shards: int,
+    id_col: str = "doc_id",
+    salt: int = 0,
+) -> DataFrame:
+    """Reproducible global shuffle + sharding — the last step before a
+    training run: every row gets a ``shard`` in ``[0, n_shards)`` and a
+    ``pos_in_shard`` (0-based), and the induced global order
+    ``(shard, pos_in_shard)`` is a pure function of ``(id, salt)`` —
+    identical on any engine, partitioning, or day, unlike
+    ``df.orderBy(rand())``. A different ``salt`` is a fresh epoch
+    permutation. Ties (hash collisions) break by id, so the order is
+    total.
+
+    Scale: ONE shuffle — the window's hash-partition on ``shard`` —
+    then a per-shard sort for ``row_number``; no global sort, no driver
+    collect. Shard sizes are balanced in expectation (the key is
+    uniform); each shard sorts independently, so the peak per-task
+    state is one shard's keys, which ``n_shards`` directly controls.
+    A writer partitions output by ``shard`` and streams rows in
+    ``pos_in_shard`` order."""
+    from pyspark.sql import Window
+
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    key = shuffle_key(id_col, salt)
+    w = Window.partitionBy("shard").orderBy("_skey", id_col)
+    return (
+        df.withColumn("_skey", key)
+        .withColumn("shard", F.pmod(F.col("_skey"), F.lit(n_shards)))
+        .withColumn(
+            "pos_in_shard", (F.row_number().over(w) - 1).cast("long")
+        )
+        .drop("_skey")
+    )

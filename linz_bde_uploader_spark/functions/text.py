@@ -439,3 +439,78 @@ def bpe_encode(df, merges, text_col: str = "text", id_col: str = "doc_id"):
     return enc.select(
         F.col(id_col), F.size(syms).cast("long").alias("n_syms")
     )
+
+
+#: hashed-feature dimensionality for the linear quality classifier —
+#: small enough that the weight formula constant-folds per bucket,
+#: large enough that common tokens spread over distinct buckets.
+QC_DIM = 64
+
+
+def _qc_weight(j: Column) -> Column:
+    """Deterministic pseudo-random weight in [-0.5, 0.5) for feature
+    bucket ``j`` — the Knuth-mix arithmetic every other fixture hash in
+    the engine uses, evaluated in double. A trained fastText/logistic
+    model drops its real weights into the same slot (a 64-float
+    broadcast) without changing the plan."""
+    return (
+        ((j + 1).cast("long") * HASH_MIX % HASH_MOD).cast("double")
+        / HASH_MOD
+        - 0.5
+    )
+
+
+def quality_classifier(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = QC_DIM,
+    scale: float = 4.0,
+    bias: float = 0.0,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """FastText-style linear quality gate: hash each token into ``dim``
+    feature buckets, dot the mean feature-weight vector with a (here:
+    deterministic fixture) weight table, and squash through a sigmoid —
+    the industry-standard learned quality filter (fastText's supervised
+    classifier over hashed n-gram features) as pure Column arithmetic.
+
+    Returns ``(id, n_tokens, logit, prob, keep)`` with
+    ``logit = round(bias + scale * mean_i w[feature(t_i)], 6)``,
+    ``prob = round(sigmoid(logit), 6)``, ``keep = prob >= threshold``.
+    Empty documents score ``logit = bias``.
+
+    Determinism: the per-document sum is a SEQUENTIAL left fold over
+    the token array (``F.aggregate``) — bit-identical to DuckDB's
+    ``list_sum`` and Python ``sum`` — so no fold-order ulp drift before
+    the 6-dp round.
+
+    Scale: map-only — tokenization, hashing, the fold, and the sigmoid
+    are all whole-stage-codegen expressions; NO shuffle, no UDF, no
+    model-table join (weights are arithmetic of the bucket id; a real
+    trained model would broadcast a dim-row table instead). Linear in
+    corpus bytes."""
+    toks = tokens(F.trim(F.col(text_col)))
+    terms = F.transform(
+        toks, lambda t: _qc_weight(F.pmod(token_value(t), F.lit(dim)))
+    )
+    s = F.aggregate(
+        terms, F.lit(0.0), lambda acc, v: acc + v
+    )
+    n = F.size(toks)
+    logit = F.round(
+        F.when(n > 0, F.lit(bias) + F.lit(scale) * (s / n)).otherwise(
+            F.lit(float(bias))
+        ),
+        6,
+    )
+    prob = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("logit"))), 6)
+    return (
+        docs.select(
+            F.col(id_col),
+            n.cast("long").alias("n_tokens"),
+            logit.alias("logit"),
+        )
+        .withColumn("prob", prob)
+        .withColumn("keep", F.col("prob") >= F.lit(threshold))
+    )

@@ -55,6 +55,10 @@ WHITELIST: dict[str, tuple[str, ...]] = {
     # collocations) — the same scalar-subquery shape as TF-IDF's N and
     # the LM's V; map-only over the big side.
     "q_lm_collocations": ("BroadcastNestedLoopJoin",),
+    # The trigram LM folds (total_tokens, vocab_size) into the scoring
+    # join as a broadcast ONE-ROW aggregate (lm.py::
+    # trigram_score_documents) — the identical scalar-subquery shape.
+    "q_lm_trigram_perplexity": ("BroadcastNestedLoopJoin",),
 }
 
 

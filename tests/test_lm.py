@@ -160,3 +160,55 @@ def test_scrub_spans_within_doc_repeat_survives(spark):
            scrub_duplicated_spans(d, n=3, min_doc_freq=2).collect()}
     assert out[1].n_removed == 0
     assert out[2].n_removed == 0
+
+
+def test_doc_trigrams_short_docs_yield_nothing(docs):
+    tri = LM.doc_trigrams(docs).collect()
+    ids = {r.doc_id for r in tri}
+    assert ids == {1, 2}  # doc 3 ("x") and doc 4 ("") have < 3 tokens
+    d1 = sorted((r.w1, r.w2, r.w3) for r in tri if r.doc_id == 1)
+    assert d1 == [("a", "b", "a"), ("b", "a", "b")]
+
+
+def test_trigram_score_hand_computed(docs):
+    # corpus token stream: a b a b | a b c | x | '' (empty token from
+    # the empty doc) -> T=9, V=5 {a,b,c,x,''}
+    # bigram counts: ab:3 ba:1 bc:1 ; trigram counts: aba:1 bab:1 abc:1
+    # doc 2 has ONE trigram (a,b,c):
+    #   p = 0.6*(abc/ab) + 0.3*(bc/uni(b)) + 0.1*((uni(c)+1)/(T+V))
+    #     = 0.6*(1/3) + 0.3*(1/3) + 0.1*(2/14)
+    p = 0.6 * (1 / 3) + 0.3 * (1 / 3) + 0.1 * (2 / 14)
+    rows = {r.doc_id: r for r in LM.trigram_score_documents(docs).collect()}
+    assert set(rows) == {1, 2}
+    assert rows[2].n_trigrams == 1
+    assert rows[2].cross_entropy == pytest.approx(-math.log(p), abs=1e-4)
+    assert rows[2].perplexity == pytest.approx(1 / p, abs=2e-3)
+
+
+def test_trigram_unseen_backoff_is_finite(spark, docs):
+    # score a document whose trigram/bigram contexts were never trained:
+    # ML terms back off to 0, the add-one unigram floor keeps p > 0
+    lm = LM.train_trigram_lm(docs)
+    other = spark.createDataFrame(
+        [(9, "q r s t")], "doc_id long, text string"
+    )
+    rows = LM.trigram_score_documents(other, lm=lm).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.n_trigrams == 2
+    assert math.isfinite(r.cross_entropy) and r.cross_entropy > 0
+    # exactly the unigram floor: p = 0.1 * (0+1)/(9+5) per trigram
+    floor_p = 0.1 * (1 / 14)
+    assert r.cross_entropy == pytest.approx(-math.log(floor_p), abs=1e-4)
+
+
+def test_trigram_partition_invariant(spark, docs):
+    a = sorted(
+        (r.doc_id, r.cross_entropy)
+        for r in LM.trigram_score_documents(docs).collect()
+    )
+    b = sorted(
+        (r.doc_id, r.cross_entropy)
+        for r in LM.trigram_score_documents(docs.repartition(5)).collect()
+    )
+    assert a == b

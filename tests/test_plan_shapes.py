@@ -97,12 +97,13 @@ def test_no_harness_query_compiles_to_scale_smell(spark):
             offenders[name] = hits
     assert not offenders, offenders
     # the whitelist must stay minimal and intentional: the batch-kNN
-    # broadcast-query loop plus the three one-row scalar broadcasts
+    # broadcast-query loop plus the four one-row scalar broadcasts
     # (TF-IDF's corpus size N, the bigram LM's vocabulary size V, the
-    # collocations' bigram total) — all map-only over the big side
+    # collocations' bigram total, the trigram LM's totals row) — all
+    # map-only over the big side
     assert set(WHITELIST) == {
         "q_sim_batch_topk", "q_tfidf_topk", "q_lm_perplexity",
-        "q_lm_collocations",
+        "q_lm_collocations", "q_lm_trigram_perplexity",
     }
 
 

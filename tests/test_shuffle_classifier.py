@@ -1,0 +1,129 @@
+"""Deterministic corpus shuffle (sampling.deterministic_shuffle) and the
+hashed-feature linear quality classifier (text.quality_classifier) —
+permutation/partition invariants and hand-checked scoring."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from linz_bde_uploader_spark.functions.sampling import (
+    deterministic_shuffle,
+    shuffle_key,
+    weighted_sample,
+)
+from linz_bde_uploader_spark.functions.text import (
+    HASH_MIX,
+    HASH_MOD,
+    QC_DIM,
+    quality_classifier,
+)
+
+
+@pytest.fixture(scope="module")
+def ids(spark):
+    return spark.range(0, 200).selectExpr("id AS doc_id")
+
+
+def test_shuffle_covers_all_rows_contiguously(ids):
+    out = deterministic_shuffle(ids, n_shards=8).collect()
+    assert len(out) == 200
+    assert {r.shard for r in out} <= set(range(8))
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r.pos_in_shard)
+    for shard, positions in by_shard.items():
+        assert sorted(positions) == list(range(len(positions)))
+
+
+def test_shuffle_partition_and_rerun_invariant(ids):
+    a = sorted(
+        (r.doc_id, r.shard, r.pos_in_shard)
+        for r in deterministic_shuffle(ids, n_shards=8).collect()
+    )
+    b = sorted(
+        (r.doc_id, r.shard, r.pos_in_shard)
+        for r in deterministic_shuffle(ids.repartition(13), n_shards=8).collect()
+    )
+    assert a == b
+
+
+def test_shuffle_salt_is_fresh_permutation(ids):
+    a = {r.doc_id: (r.shard, r.pos_in_shard)
+         for r in deterministic_shuffle(ids, n_shards=8).collect()}
+    b = {r.doc_id: (r.shard, r.pos_in_shard)
+         for r in deterministic_shuffle(ids, n_shards=8, salt=1).collect()}
+    assert a != b                       # order actually changed
+    assert set(a) == set(b)             # same rows, different placement
+
+
+def test_shuffle_key_matches_python(spark):
+    rows = spark.createDataFrame(
+        [(5,), (123456789,)], "doc_id long"
+    ).select(shuffle_key("doc_id").alias("k")).collect()
+    expect = [((i % HASH_MOD) * HASH_MIX) % HASH_MOD
+              for i in (5, 123456789)]
+    assert [r.k for r in rows] == expect
+
+
+def test_weighted_sample_survives_extreme_ids(spark):
+    # the es_key overflow fix: ids past ~3.47e9 (and negative ids) used
+    # to overflow int64 in the pre-fix multiply, NULL the key, and
+    # silently vanish from the sample
+    df = spark.createDataFrame(
+        [(4_000_000_000, 10.0), (-7, 10.0), (1, 10.0)],
+        "doc_id long, w double",
+    )
+    got = weighted_sample(df, 3, "w").collect()
+    assert {r.doc_id for r in got} == {4_000_000_000, -7, 1}
+    assert all(r.skey is not None for r in got)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "ab cd ab"),
+            (2, "zz"),
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def _py_weight(tok: str) -> float:
+    tv = (len(tok) * 17 + (ord(tok[0]) if tok else 0) * 31) % HASH_MOD
+    j = tv % QC_DIM
+    return ((j + 1) * HASH_MIX % HASH_MOD) / HASH_MOD - 0.5
+
+
+def test_classifier_matches_python_fold(docs):
+    rows = {r.doc_id: r for r in quality_classifier(docs).collect()}
+    for doc_id, text in [(1, "ab cd ab"), (2, "zz")]:
+        toks = text.split(" ")
+        s = sum(_py_weight(t) for t in toks)  # sequential fold
+        logit = 0.0 + 4.0 * (s / len(toks))
+        r = rows[doc_id]
+        assert r.logit == pytest.approx(logit, abs=1e-6)
+        assert r.prob == pytest.approx(1 / (1 + math.exp(-r.logit)), abs=1e-6)
+        assert r.keep == (r.prob >= 0.5)
+    # '' splits to [''] — still scored, n_tokens 1
+    assert rows[3].n_tokens == 1
+
+
+def test_classifier_is_map_only(docs):
+    plan = (
+        quality_classifier(docs)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan  # zero shuffles
+    assert "EvalPython" not in plan  # zero Python in the row path
+
+
+def test_classifier_partition_invariant(docs):
+    a = sorted((r.doc_id, r.prob) for r in quality_classifier(docs).collect())
+    b = sorted(
+        (r.doc_id, r.prob)
+        for r in quality_classifier(docs.repartition(5)).collect()
+    )
+    assert a == b
