@@ -1594,6 +1594,19 @@ def q_sim_projected_topk(spark, sf_dir):
     )
 
 
+def q_sim_pq_topk(spark, sf_dir):
+    # Product-quantization ADC top-k (similarity.py::pq_codebooks /
+    # pq_encode / pq_topk): 64 dims -> 8 subspaces x 16-entry codebooks
+    # (deterministic smallest-id seeding, the IVF contract), vectors
+    # scored via an M x K driver-side lookup table against their CODES —
+    # the FAISS-style memory-bound ANN path whose scan is 32x narrower
+    # than the float baseline. Encode + score are pure map-side Column
+    # arithmetic; plan is map-only + TakeOrderedAndProject.
+    e = W.load(spark, sf_dir, "embeddings")
+    books = S.pq_codebooks(e)
+    return S.pq_topk(e, _query_vec(spark, sf_dir), books, k=10, exclude_id=0)
+
+
 def q_sim_lsh_topk(spark, sf_dir):
     # The router's full-scan FALLBACK branch (un-bucketed DataFrame in,
     # signatures computed on the fly) — the ad-hoc baseline; repeated
@@ -2514,7 +2527,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    each carry THREE green driver rows (r1+r3+r4) -> 51+
         "q_bpe_merges": q_bpe_merges,
         "q_skew_salted_join": q_skew_salted_join,
-        "q_sim_lsh_topk": q_sim_lsh_topk,
+        # -- round-6 birth: product-quantization ADC top-k; displaced
+        #    tenant q_sim_lsh_topk (r3+r4+r5 green; the LSH family keeps
+        #    q_sim_lsh_bucketed in-window) -> 51+
+        "q_sim_pq_topk": q_sim_pq_topk,
         "q_sim_lsh_bucketed": q_sim_lsh_bucketed,
         # -- round-5 session-2 birth: duplicated-span scrubbing;
         #    displaced tenant q_sim_ivf_topk (r3+r4 green; the ANN
@@ -2592,7 +2608,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    q_dedup_embed_cosine — are ALL r2 AND r3 green, j5/c9 also
         #    r1) and remains oracle-checked via scripts/check_oracles.py
         # -- rotated out in round 6 (each r3 AND r4 AND r5 driver-green),
-        #    displaced by the four round-6 births now in-window
+        #    displaced by the five round-6 births now in-window
+        "q_sim_lsh_topk": q_sim_lsh_topk,
         "q_tpch_q6_forecast": q_tpch_q6_forecast,
         "q_asof_last_purchase": q_asof_last_purchase,
         "q_range_join_promo": q_range_join_promo,
@@ -3659,6 +3676,62 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
             WHERE e.vec_id <> 0
             ORDER BY score DESC, e.vec_id
+            LIMIT 10
+        """,
+        "q_sim_pq_topk": f"""
+            WITH ms AS (SELECT unnest(generate_series(0, 7)) AS m),
+            cb AS (
+              SELECT m.m,
+                     row_number() OVER (PARTITION BY m.m ORDER BY c.vec_id)
+                       - 1 AS code,
+                     list_slice(c.embedding, m.m*8 + 1, m.m*8 + 8) AS cv
+              FROM embeddings c, ms m
+              WHERE c.vec_id < 16
+            ),
+            sub AS (
+              SELECT v.vec_id, m.m,
+                     list_slice(v.embedding, m.m*8 + 1, m.m*8 + 8) AS sv
+              FROM embeddings v, ms m
+            ),
+            dists AS (
+              SELECT s.vec_id, s.m, c.code,
+                     round(list_sum(list_transform(generate_series(1, 8),
+                       i -> (CAST(s.sv[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE))
+                            * (CAST(s.sv[i] AS DOUBLE)
+                               - CAST(c.cv[i] AS DOUBLE)))), 9) AS d2
+              FROM sub s JOIN cb c ON c.m = s.m
+            ),
+            codes AS (
+              SELECT vec_id, m, code FROM (
+                SELECT vec_id, m, code,
+                       row_number() OVER (
+                         PARTITION BY vec_id, m ORDER BY d2, code
+                       ) AS rn
+                FROM dists
+              ) WHERE rn = 1
+            ),
+            cp AS (
+              SELECT vec_id,
+                     {", ".join(f"max(CASE WHEN m = {mi} THEN code END) AS c{mi}" for mi in range(8))}
+              FROM codes GROUP BY vec_id
+            ),
+            q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+            lut AS (
+              SELECT c.m, c.code,
+                     round(list_sum(list_transform(generate_series(1, 8),
+                       i -> (CAST(q.qv[c.m*8 + i] AS DOUBLE)
+                             - CAST(c.cv[i] AS DOUBLE))
+                            * (CAST(q.qv[c.m*8 + i] AS DOUBLE)
+                               - CAST(c.cv[i] AS DOUBLE)))), 9) AS d2
+              FROM cb c, q
+            )
+            SELECT v.vec_id,
+                   round({" + ".join(f"l{mi}.d2" for mi in range(8))}, 6)
+                     AS approx_dist
+            FROM cp v
+            {" ".join(f"JOIN lut l{mi} ON l{mi}.m = {mi} AND l{mi}.code = v.c{mi}" for mi in range(8))}
+            WHERE v.vec_id <> 0
+            ORDER BY approx_dist, v.vec_id
             LIMIT 10
         """,
         "q_sim_projected_topk": """

@@ -527,3 +527,73 @@ def test_jl_projection_deterministic_and_recall(spark):
     # JL distortion preserves genuinely-near neighbors
     assert len(exact & approx) >= 8
     assert project_vector(qv, 4) == project_vector(qv, 4)  # stable
+
+
+class TestProductQuantization:
+    @staticmethod
+    def _vecs(spark, n=40, dims=16, seed_stride=7):
+        # deterministic synthetic vectors (no RNG: value = f(id, dim))
+        rows = [
+            (i, [((i * seed_stride + j * 13) % 29 - 14) / 14.0
+                 for j in range(dims)])
+            for i in range(n)
+        ]
+        return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    def test_codebooks_shape_and_determinism(self, spark):
+        from linz_bde_uploader_spark.functions.similarity import pq_codebooks
+
+        df = self._vecs(spark)
+        books = pq_codebooks(df, n_subspaces=4, n_codes=8)
+        assert len(books) == 4
+        assert all(len(b) == 8 for b in books)
+        assert all(len(cv) == 4 for b in books for cv in b)
+        assert books == pq_codebooks(df.repartition(5), n_subspaces=4, n_codes=8)
+
+    def test_encode_codes_in_range_and_self_is_nearest(self, spark):
+        from linz_bde_uploader_spark.functions.similarity import (
+            pq_codebooks, pq_encode,
+        )
+
+        df = self._vecs(spark)
+        books = pq_codebooks(df, n_subspaces=4, n_codes=8)
+        enc = {r.vec_id: r for r in pq_encode(df, books).collect()}
+        for r in enc.values():
+            for mi in range(4):
+                assert 0 <= r[f"pq_c{mi}"] < 8
+        # a codebook-seed vector's sub-vectors are exactly its own codes
+        for vid in range(8):
+            for mi in range(4):
+                assert enc[vid][f"pq_c{mi}"] == vid
+
+    def test_adc_topk_orders_by_quantized_distance(self, spark):
+        from linz_bde_uploader_spark.functions.similarity import (
+            cosine_topk, pq_codebooks, pq_topk,
+        )
+
+        df = self._vecs(spark, n=60)
+        q = [float(x) for x in df.filter("vec_id = 0").first().embedding]
+        books = pq_codebooks(df, n_subspaces=4, n_codes=8)
+        got = pq_topk(df, q, books, k=10, exclude_id=0).collect()
+        assert len(got) == 10
+        dists = [r.approx_dist for r in got]
+        assert dists == sorted(dists)
+        # recall sanity: the ADC top-10 overlaps the exact cosine top-10
+        exact = {r.vec_id for r in cosine_topk(df, q, k=10, exclude_id=0).collect()}
+        assert len({r.vec_id for r in got} & exact) >= 3
+
+    def test_adc_plan_is_map_only(self, spark):
+        from linz_bde_uploader_spark.functions.similarity import (
+            pq_codebooks, pq_topk,
+        )
+
+        df = self._vecs(spark)
+        q = [float(x) for x in df.filter("vec_id = 0").first().embedding]
+        books = pq_codebooks(df, n_subspaces=4, n_codes=8)
+        plan = (
+            pq_topk(df, q, books, k=5)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "TakeOrderedAndProject" in plan
+        assert "EvalPython" not in plan
+        assert "Exchange" not in plan  # map-only + final top-k gather
