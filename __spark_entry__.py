@@ -1075,6 +1075,50 @@ def q_weighted_sample(spark, sf_dir):
     return weighted_sample(d, 50, "n_chars").select("doc_id", "skey")
 
 
+def q_dedup_incremental(spark, sf_dir):
+    # Incremental near-dup gate (functions/dedup.py::
+    # incremental_minhash_filter): a "new batch" (two-digit sources,
+    # src10..src19) probed against the LSH band-key index of the
+    # "existing corpus" (one-digit sources) — the continuous-ingestion
+    # shape: index reduced to distinct (band, key) longs once and
+    # reusable across batches, probe is an O(batch·bands) semi-join,
+    # no pair materialization.
+    from linz_bde_uploader_spark.functions.dedup import (
+        incremental_minhash_filter,
+    )
+
+    d = W.load(spark, sf_dir, "documents")
+    index = d.filter(F.length("source") == 4)
+    new = d.filter(F.length("source") == 5)
+    return incremental_minhash_filter(new, index).select("doc_id", "source")
+
+
+def q_weighted_sample_per_group(spark, sf_dir):
+    # Per-stratum Efraimidis-Spirakis sampling (functions/sampling.py::
+    # weighted_sample_per_group): 20 docs per language, inclusion
+    # probability proportional to n_chars within the stratum — one
+    # window shuffle on lang, stateless keys, engine/partitioning
+    # reproducible, salt = fresh draw.
+    from linz_bde_uploader_spark.functions.sampling import (
+        weighted_sample_per_group,
+    )
+
+    d = W.load(spark, sf_dir, "documents")
+    return weighted_sample_per_group(d, 20, "n_chars", "lang").select(
+        "doc_id", "lang", "skey"
+    )
+
+
+def q_corpus_zipf(spark, sf_dir):
+    # Zipf rank-frequency corpus statistic (functions/text.py::
+    # zipf_topk): top-100 tokens + the least-squares ln-ln slope — the
+    # corpus-health report (template spam visibly bends the curve). One
+    # count shuffle + top-n; rank/slope are window aggregates over the
+    # BOUNDED top-n set only.
+    d = W.load(spark, sf_dir, "documents")
+    return X.zipf_topk(d, top_n=100)
+
+
 def q_quality_histogram(spark, sf_dir):
     # Corpus calibration histogram: fixed-width length buckets x quality
     # score, with per-cell share of corpus — the reporting primitive a
@@ -2540,7 +2584,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    take the slots of r3+r4-green q_text_gopher_quality and
         #    q_scd2_history (-> 51+)
         "q_inverted_index": q_inverted_index,
-        "q_text_scrub_pii": q_text_scrub_pii,
+        # -- round-6 birth: incremental minhash gate; displaced tenant
+        #    q_text_scrub_pii (r3+r4+r5 green) -> 51+
+        "q_dedup_incremental": q_dedup_incremental,
         "q_chunk_documents": q_chunk_documents,
         # -- round-5 session-2 birth: count-min sketch heavy-hitters
         #    audit; displaced tenant q_tpch_q4_priority (r3+r4) -> 51+
@@ -2549,7 +2595,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- round-5 session-2 birth: BPE encode (the trainer's serving
         #    half); displaced tenant q_approx_distinct_guard (r3+r4) -> 51+
         "q_bpe_encode": q_bpe_encode,
-        "q_sim_batch_topk": q_sim_batch_topk,
+        # -- round-6 birth: per-stratum ES sampling; displaced tenant
+        #    q_sim_batch_topk (r3+r4+r5 green) -> 51+
+        "q_weighted_sample_per_group": q_weighted_sample_per_group,
         # -- round-5 session-2 birth: chunk->pack composite funnel;
         #    displaced tenant q_pack_sequences (same family, r3+r4
         #    green) -> 51+
@@ -2557,7 +2605,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- round-5 session-2 birth: ES weighted sampling; displaced
         #    tenant q_stratified_sample (same family, r3+r4 green) -> 51+
         "q_weighted_sample": q_weighted_sample,
-        "q_tpch_q18_bigorders": q_tpch_q18_bigorders,
+        # -- round-6 birth: Zipf rank-frequency statistic; displaced
+        #    tenant q_tpch_q18_bigorders (r3+r4+r5 green) -> 51+
+        "q_corpus_zipf": q_corpus_zipf,
         # -- round-5 session-2 birth: PageRank centrality; displaced
         #    tenant q_tpch_q19_disjunct (r3+r4 green) -> 51+
         "q_graph_pagerank": q_graph_pagerank,
@@ -2608,8 +2658,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    q_dedup_embed_cosine — are ALL r2 AND r3 green, j5/c9 also
         #    r1) and remains oracle-checked via scripts/check_oracles.py
         # -- rotated out in round 6 (each r3 AND r4 AND r5 driver-green),
-        #    displaced by the five round-6 births now in-window
+        #    displaced by the eight round-6 births now in-window
         "q_sim_lsh_topk": q_sim_lsh_topk,
+        "q_text_scrub_pii": q_text_scrub_pii,
+        "q_sim_batch_topk": q_sim_batch_topk,
+        "q_tpch_q18_bigorders": q_tpch_q18_bigorders,
         "q_tpch_q6_forecast": q_tpch_q6_forecast,
         "q_asof_last_purchase": q_asof_last_purchase,
         "q_range_join_promo": q_range_join_promo,
@@ -3206,6 +3259,47 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY pmi DESC, prev, cur
             LIMIT 30
         """,
+        "q_weighted_sample_per_group": """
+            SELECT doc_id, lang, skey FROM (
+              SELECT doc_id, lang, skey,
+                     row_number() OVER (
+                       PARTITION BY lang ORDER BY skey DESC, doc_id
+                     ) AS rn
+              FROM (
+                SELECT doc_id, lang,
+                       round(ln(((((doc_id % 2147483647) * 2654435761)
+                                  % 2147483647) + 1)
+                                / 2147483648.0)
+                             / CAST(n_chars AS DOUBLE), 6) AS skey
+                FROM documents
+                WHERE n_chars IS NOT NULL AND n_chars > 0
+              )
+            ) WHERE rn <= 20
+        """,
+        "q_corpus_zipf": """
+            WITH uni AS (
+              SELECT t AS tok, count(*) AS freq
+              FROM (SELECT unnest(string_split(trim(text), ' ')) AS t
+                    FROM documents)
+              WHERE t != '' GROUP BY 1
+            ),
+            top AS (SELECT tok, freq FROM uni ORDER BY freq DESC, tok LIMIT 100),
+            ranked AS (
+              SELECT CAST(row_number() OVER (ORDER BY freq DESC, tok)
+                          AS BIGINT) AS rank,
+                     tok, freq
+              FROM top
+            )
+            SELECT rank, tok, freq,
+                   round((count(*) OVER ()
+                          * sum(ln(rank) * ln(freq)) OVER ()
+                          - sum(ln(rank)) OVER () * sum(ln(freq)) OVER ())
+                         / (count(*) OVER ()
+                            * sum(ln(rank) * ln(rank)) OVER ()
+                            - sum(ln(rank)) OVER ()
+                              * sum(ln(rank)) OVER ()), 4) AS zipf_slope
+            FROM ranked
+        """,
         "q_weighted_sample": """
             SELECT doc_id,
                    round(ln(((((doc_id % 2147483647) * 2654435761)
@@ -3368,6 +3462,32 @@ def oracle_sql() -> dict[str, str]:
             FROM cells
         """,
         "q_dedup_minhash_sig": _MINHASH_SIGS + "SELECT * FROM sigs",
+        "q_dedup_incremental": _MINHASH_SIGS + """
+            , bands AS (
+              SELECT doc_id, 0 AS band, ((0*31 + mh0)*31 + mh1) % 2147483647 AS key FROM sigs
+              UNION ALL
+              SELECT doc_id, 1, ((1*31 + mh2)*31 + mh3) % 2147483647 FROM sigs
+              UNION ALL
+              SELECT doc_id, 2, ((2*31 + mh4)*31 + mh5) % 2147483647 FROM sigs
+              UNION ALL
+              SELECT doc_id, 3, ((3*31 + mh6)*31 + mh7) % 2147483647 FROM sigs
+            ),
+            idx AS (
+              SELECT DISTINCT b.band, b.key
+              FROM bands b JOIN documents d ON d.doc_id = b.doc_id
+              WHERE length(d.source) = 4
+            ),
+            hits AS (
+              SELECT DISTINCT b.doc_id
+              FROM bands b
+              JOIN documents d ON d.doc_id = b.doc_id
+              JOIN idx i ON i.band = b.band AND i.key = b.key
+              WHERE length(d.source) = 5
+            )
+            SELECT d.doc_id, d.source FROM documents d
+            WHERE length(d.source) = 5
+              AND d.doc_id NOT IN (SELECT doc_id FROM hits)
+        """,
         "q_dedup_minhash_pairs": _MINHASH_SIGS + """
             , bands AS (
               SELECT doc_id, 0 AS band, ((0*31 + mh0)*31 + mh1) % 2147483647 AS key FROM sigs

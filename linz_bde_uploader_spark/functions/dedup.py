@@ -770,3 +770,50 @@ def scrub_duplicated_spans(df: DataFrame, id_col: str = "doc_id",
         (F.size("_toks") - F.size(kept)).cast("long").alias("n_removed"),
         F.concat_ws(" ", kept).alias("clean_text"),
     )
+
+
+def incremental_minhash_filter(
+    new_docs: DataFrame,
+    index_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bands: int = 4,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """Incremental near-dup gate: drop NEW documents that LSH-collide
+    with an EXISTING corpus — the operational shape of continuous
+    ingestion (a crawl batch probed against the deduplicated corpus
+    built so far), vs. :func:`minhash_candidate_pairs`' one-shot
+    self-join. A new doc is dropped when ANY of its MinHash band keys
+    matches any index band key.
+
+    Scale: the index side reduces to its DISTINCT ``(band, key)`` set —
+    O(corpus·bands) longs ONCE, reusable across batches (persist or
+    write it; at 100 TB this is the thing you keep, not the text).
+    The probe explodes the new batch's band keys and LEFT SEMI joins on
+    ``(band, key)`` — shuffle volume O(batch·bands), never touching the
+    index text. No pair materialization, nothing quadratic."""
+    n_sig = bands * rows_per_band
+    idx_keys = (
+        with_minhash_signature(index_docs, text_col, "_sig", n_sig)
+        .select(
+            F.posexplode(
+                minhash_band_keys(F.col("_sig"), bands, rows_per_band)
+            ).alias("_band", "_key")
+        )
+        .distinct()
+    )
+    probe_keys = with_minhash_signature(
+        new_docs, text_col, "_sig", n_sig
+    ).select(
+        F.col(id_col),
+        F.posexplode(
+            minhash_band_keys(F.col("_sig"), bands, rows_per_band)
+        ).alias("_band", "_key"),
+    )
+    hits = (
+        probe_keys.join(idx_keys, ["_band", "_key"], "left_semi")
+        .select(id_col)
+        .distinct()
+    )
+    return new_docs.join(hits, [id_col], "left_anti")

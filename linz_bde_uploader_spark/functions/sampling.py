@@ -367,3 +367,36 @@ def deterministic_shuffle(
         )
         .drop("_skey")
     )
+
+
+def weighted_sample_per_group(
+    df: DataFrame,
+    n: int,
+    weight_col: str,
+    group_col: str,
+    id_col: str = "doc_id",
+    salt: int = 0,
+) -> DataFrame:
+    """Per-stratum Efraimidis-Spirakis sampling: the ``n`` largest ES
+    keys WITHIN each group — "sample N documents per language, weighted
+    by quality/length" — with exactly :func:`weighted_sample`'s
+    stateless determinism (same rows on any engine/partitioning; a
+    different salt is a fresh draw; non-positive/NULL weights excluded).
+
+    Scale: ONE shuffle — the window's hash-partition on the group — and
+    a per-group sort; no global sort, no reservoir state, no per-group
+    driver loop. Contrast :func:`per_group_cap`, which keeps the top-n
+    BY a column value; this keeps a weighted random sample."""
+    from pyspark.sql import Window
+
+    keyed = df.filter(
+        F.col(weight_col).isNotNull() & (F.col(weight_col) > 0)
+    ).withColumn("skey", es_key(id_col, weight_col, salt))
+    w = Window.partitionBy(group_col).orderBy(
+        F.desc("skey"), F.col(id_col)
+    )
+    return (
+        keyed.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n)
+        .drop("_rn")
+    )

@@ -514,3 +514,45 @@ def quality_classifier(
         .withColumn("prob", prob)
         .withColumn("keep", F.col("prob") >= F.lit(threshold))
     )
+
+
+def zipf_topk(docs: DataFrame, top_n: int = 100,
+              text_col: str = "text") -> DataFrame:
+    """Zipf rank-frequency table: the ``top_n`` most frequent tokens
+    with their rank and the least-squares slope of ln(freq) ~ ln(rank)
+    fitted over those rows — the corpus-health statistic curation runs
+    report (natural language sits near slope -1; a pile of boilerplate
+    or template spam visibly flattens or steepens it).
+
+    Returns ``(rank, tok, freq, zipf_slope)``; the slope column is the
+    same fitted value on every row. Slope at 4 dp.
+
+    Scale: one partial-agg count shuffle over the token stream, a
+    TakeOrderedAndProject for the top-n, then rank + slope as window
+    aggregates over the BOUNDED top-n set (a single small partition by
+    construction — never the full vocabulary)."""
+    from pyspark.sql import Window
+
+    uni = (
+        docs.select(F.explode(tokens(F.trim(F.col(text_col)))).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    top = uni.orderBy(F.desc("freq"), "tok").limit(top_n)
+    ranked = top.withColumn(
+        "rank",
+        F.row_number()
+        .over(Window.orderBy(F.desc("freq"), "tok"))
+        .cast("long"),
+    )
+    x = F.log(F.col("rank").cast("double"))
+    y = F.log(F.col("freq").cast("double"))
+    wall = Window.partitionBy()
+    n = F.count(F.lit(1)).over(wall).cast("double")
+    sx, sy = F.sum(x).over(wall), F.sum(y).over(wall)
+    sxy, sxx = F.sum(x * y).over(wall), F.sum(x * x).over(wall)
+    slope = F.round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4)
+    return ranked.select(
+        "rank", "tok", "freq", slope.alias("zipf_slope")
+    )

@@ -127,3 +127,74 @@ def test_classifier_partition_invariant(docs):
         for r in quality_classifier(docs.repartition(5)).collect()
     )
     assert a == b
+
+
+class TestGroupedSamplingZipfIncremental:
+    def test_weighted_sample_per_group_sizes_and_determinism(self, spark):
+        from linz_bde_uploader_spark.functions.sampling import (
+            weighted_sample_per_group,
+        )
+
+        df = spark.createDataFrame(
+            [(i, "g" + str(i % 3), float(1 + i % 7)) for i in range(90)],
+            "doc_id long, grp string, w double",
+        )
+        out = weighted_sample_per_group(df, 5, "w", "grp").collect()
+        by_grp = {}
+        for r in out:
+            by_grp.setdefault(r.grp, set()).add(r.doc_id)
+        assert all(len(v) == 5 for v in by_grp.values())
+        assert set(by_grp) == {"g0", "g1", "g2"}
+        again = {
+            (r.grp, r.doc_id)
+            for r in weighted_sample_per_group(df.repartition(7), 5, "w", "grp").collect()
+        }
+        assert {(r.grp, r.doc_id) for r in out} == again
+
+    def test_zipf_slope_and_ranks(self, spark):
+        from linz_bde_uploader_spark.functions.text import zipf_topk
+
+        # freq(tok_i) proportional to 1/i -> slope ~ -1
+        rows = []
+        did = 0
+        for i, tok in enumerate(["aa", "bb", "cc", "dd", "ee"], start=1):
+            for _ in range(60 // i):
+                rows.append((did, tok)); did += 1
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = zipf_topk(df, top_n=5).collect()
+        assert [r.rank for r in sorted(out, key=lambda r: r.rank)] == [1, 2, 3, 4, 5]
+        assert out[0].zipf_slope == pytest.approx(-1.0, abs=0.1)
+        assert len({r.zipf_slope for r in out}) == 1  # same slope every row
+
+    def test_incremental_filter_drops_known_keeps_novel(self, spark):
+        from linz_bde_uploader_spark.functions.dedup import (
+            incremental_minhash_filter,
+        )
+
+        # 3-word shingles: docs need >= 3 tokens; the duplicate shares
+        # all shingles with the index, the novel one shares none
+        index = spark.createDataFrame(
+            [(1, "alpha beta gamma delta epsilon zeta")],
+            "doc_id long, text string",
+        )
+        new = spark.createDataFrame(
+            [
+                (10, "alpha beta gamma delta epsilon zeta"),  # exact dup
+                (11, "qq ww ee rr tt yy"),                    # novel
+            ],
+            "doc_id long, text string",
+        )
+        kept = {r.doc_id for r in incremental_minhash_filter(new, index).collect()}
+        assert kept == {11}
+
+    def test_incremental_filter_empty_index_keeps_all(self, spark):
+        from linz_bde_uploader_spark.functions.dedup import (
+            incremental_minhash_filter,
+        )
+
+        index = spark.createDataFrame([], "doc_id long, text string")
+        new = spark.createDataFrame(
+            [(1, "a b c d"), (2, "e f g h")], "doc_id long, text string"
+        )
+        kept = {r.doc_id for r in incremental_minhash_filter(new, index).collect()}
+        assert kept == {1, 2}
