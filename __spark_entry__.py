@@ -1119,6 +1119,37 @@ def q_corpus_zipf(spark, sf_dir):
     return X.zipf_topk(d, top_n=100)
 
 
+def q_pipeline_quality_funnel(spark, sf_dir):
+    # The production quality-gate STACK in one declarative plan — the
+    # curation funnel a pipeline actually ships: Gopher structural rules
+    # (map-only Column arithmetic) AND self-trained bigram-LM perplexity
+    # <= 30 (CCNet-style) AND hashed-feature classifier prob >= 0.5
+    # (fastText-style, map-only). Survivors carry all three signals.
+    # One plan: the three signal branches join on doc_id; Catalyst
+    # pipelines the two map-only branches into the scans, so the only
+    # shuffles are the LM's count/score joins.
+    from linz_bde_uploader_spark.functions import lm as LM
+
+    d = W.load(spark, sf_dir, "documents")
+    sigs = d.select(
+        "doc_id", "lang", X.gopher_pass("text").alias("g_pass")
+    )
+    ppl = LM.score_documents(d, LM.train_bigram_lm(d)).select(
+        "doc_id", "perplexity"
+    )
+    clf = X.quality_classifier(d).select("doc_id", "prob")
+    return (
+        sigs.join(ppl, "doc_id")
+        .join(clf, "doc_id")
+        .filter(
+            F.col("g_pass")
+            & (F.col("perplexity") <= 30.0)
+            & (F.col("prob") >= 0.5)
+        )
+        .select("doc_id", "lang", "perplexity", "prob")
+    )
+
+
 def q_quality_histogram(spark, sf_dir):
     # Corpus calibration histogram: fixed-width length buckets x quality
     # score, with per-cell share of corpus — the reporting primitive a
@@ -2630,7 +2661,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    top-k; displaced tenant q_tpch_q14_promo (r3+r4 green) -> 51+
         "q_sim_projected_topk": q_sim_projected_topk,
         "q_tfidf_topk": q_tfidf_topk,
-        "q_pipeline_e2e": q_pipeline_e2e,
+        # -- round-6 birth: three-gate quality funnel (Gopher + LM ppl +
+        #    classifier in one plan); displaced tenant q_pipeline_e2e
+        #    (r3+r4+r5 green; family keeps q_pipeline_chunk_pack and
+        #    this funnel in-window) -> 51+
+        "q_pipeline_quality_funnel": q_pipeline_quality_funnel,
         # -- 40-44: round-4 rotation — the three entries that had never
         #    had a driver row (placed out-of-window at birth) plus the
         #    two new TPC-H decorrelation shapes (first driver check)
@@ -2660,6 +2695,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- rotated out in round 6 (each r3 AND r4 AND r5 driver-green),
         #    displaced by the eight round-6 births now in-window
         "q_sim_lsh_topk": q_sim_lsh_topk,
+        "q_pipeline_e2e": q_pipeline_e2e,
         "q_text_scrub_pii": q_text_scrub_pii,
         "q_sim_batch_topk": q_sim_batch_topk,
         "q_tpch_q18_bigorders": q_tpch_q18_bigorders,
@@ -3275,6 +3311,86 @@ def oracle_sql() -> dict[str, str]:
                 WHERE n_chars IS NOT NULL AND n_chars > 0
               )
             ) WHERE rn <= 20
+        """,
+        "q_pipeline_quality_funnel": f"""
+            WITH toks AS (
+              SELECT doc_id, string_split(trim(text), ' ') AS l FROM documents
+            ),
+            sized AS (
+              SELECT doc_id, l, len(l) AS n FROM toks WHERE len(l) >= 2
+            ),
+            bi AS (
+              SELECT doc_id, l[i] AS prev, l[i+1] AS cur
+              FROM sized,
+                   LATERAL (SELECT unnest(generate_series(1, n - 1)) AS i) g
+            ),
+            pc AS (
+              SELECT prev, cur, count(*) AS pair_cnt FROM bi GROUP BY prev, cur
+            ),
+            ctx AS (
+              SELECT prev, cur, pair_cnt,
+                     sum(pair_cnt) OVER (PARTITION BY prev) AS ctx_cnt
+              FROM pc
+            ),
+            v AS (
+              SELECT count(DISTINCT tok) AS vocab_size FROM (
+                SELECT prev AS tok FROM bi
+                UNION ALL
+                SELECT cur AS tok FROM bi
+              )
+            ),
+            lmt AS (
+              SELECT prev, cur,
+                     ln((pair_cnt + 1.0) / (ctx_cnt + vocab_size)) AS logp
+              FROM ctx, v
+            ),
+            ppl AS (
+              SELECT b.doc_id,
+                     round(exp(round(-avg(logp), 4)), 4) AS perplexity
+              FROM bi b JOIN lmt USING (prev, cur)
+              GROUP BY b.doc_id
+            ),
+            clf AS (
+              SELECT doc_id,
+                     round(1.0 / (1.0 + exp(-logit)), 6) AS prob
+              FROM (
+                SELECT doc_id,
+                       round(CASE WHEN n > 0 THEN 0.0 + 4.0 * (s / n)
+                                  ELSE 0.0 END, 6) AS logit
+                FROM (
+                  SELECT doc_id, len(tk) AS n,
+                         list_sum(list_transform(tk, t ->
+                           CAST(((({_tokval('t')} % 64) + 1) * 2654435761)
+                                % 2147483647 AS DOUBLE) / 2147483647 - 0.5
+                         )) AS s
+                  FROM (SELECT doc_id, string_split(trim(text), ' ') AS tk
+                        FROM documents)
+                )
+              )
+            ),
+            gph AS (
+              SELECT doc_id, lang,
+                     (n BETWEEN 5 AND 100000)
+                     AND (round(CAST(list_sum(list_transform(tks, t -> len(t)))
+                                     AS DOUBLE) / nz, 6) BETWEEN 2.0 AND 10.0)
+                     AND (round(CAST(len(list_filter(tks,
+                             t -> regexp_matches(t, '[A-Za-z]')))
+                                     AS DOUBLE) / nz, 6) >= 0.8)
+                     AND (len(list_filter(tks, t -> t IN {_STOPLIST})) >= 2)
+                     AND (round(CAST(len(regexp_extract_all(text, '#|\\.\\.\\.'))
+                                     AS DOUBLE) / nz, 6) <= 0.1)
+                       AS g_pass
+              FROM (
+                SELECT doc_id, lang, text, {_TOKS} AS tks, len({_TOKS}) AS n,
+                       greatest(len({_TOKS}), 1) AS nz
+                FROM documents
+              )
+            )
+            SELECT g.doc_id, g.lang, p.perplexity, c.prob
+            FROM gph g
+            JOIN ppl p ON p.doc_id = g.doc_id
+            JOIN clf c ON c.doc_id = g.doc_id
+            WHERE g.g_pass AND p.perplexity <= 30.0 AND c.prob >= 0.5
         """,
         "q_corpus_zipf": """
             WITH uni AS (

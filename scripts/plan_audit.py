@@ -59,6 +59,9 @@ WHITELIST: dict[str, tuple[str, ...]] = {
     # join as a broadcast ONE-ROW aggregate (lm.py::
     # trigram_score_documents) — the identical scalar-subquery shape.
     "q_lm_trigram_perplexity": ("BroadcastNestedLoopJoin",),
+    # The quality funnel composes the bigram LM's scorer, inheriting its
+    # one-row V broadcast (the q_lm_perplexity shape, same plan node).
+    "q_pipeline_quality_funnel": ("BroadcastNestedLoopJoin",),
 }
 
 
