@@ -2303,6 +2303,28 @@ def q_tpch_q16_supplier_count(spark, sf_dir):
     """)
 
 
+def q_event_funnel(spark, sf_dir):
+    # Ordered conversion funnel (functions/windows.py::event_funnel):
+    # view -> click-after-view -> purchase-after-click, deepest stage
+    # per user. Chained user-keyed aggregations (partitioning reused,
+    # state O(users)); no quadratic stage-pairing self-join.
+    from linz_bde_uploader_spark.functions.windows import event_funnel
+
+    e = W.events(spark, sf_dir)
+    return event_funnel(e, ["view", "click", "purchase"])
+
+
+def q_event_cohort_retention(spark, sf_dir):
+    # Cohort retention triangle (functions/windows.py::
+    # cohort_retention): users bucketed by first-event day, counted
+    # active per day offset. First-day agg + one user-keyed join + a
+    # bounded (cohort, offset) partial agg.
+    from linz_bde_uploader_spark.functions.windows import cohort_retention
+
+    e = W.events(spark, sf_dir)
+    return cohort_retention(e)
+
+
 def q_event_session_window(spark, sf_dir):
     # Native Spark session_window over the events table (30-min gap) —
     # the streaming-capable sessionizer's batch face, oracle-checked
@@ -2660,7 +2682,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- round-5 session-2 birth: JL random-projection approximate
         #    top-k; displaced tenant q_tpch_q14_promo (r3+r4 green) -> 51+
         "q_sim_projected_topk": q_sim_projected_topk,
-        "q_tfidf_topk": q_tfidf_topk,
+        # -- round-6 birth: ordered conversion funnel; displaced tenant
+        #    q_tfidf_topk (r3+r4+r5 green; tfidf family keeps
+        #    q_inverted_index in-window) -> 51+
+        "q_event_funnel": q_event_funnel,
         # -- round-6 birth: three-gate quality funnel (Gopher + LM ppl +
         #    classifier in one plan); displaced tenant q_pipeline_e2e
         #    (r3+r4+r5 green; family keeps q_pipeline_chunk_pack and
@@ -2670,7 +2695,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    had a driver row (placed out-of-window at birth) plus the
         #    two new TPC-H decorrelation shapes (first driver check)
         "q_dedup_components": q_dedup_components,
-        "q_approx_percentile_guard": q_approx_percentile_guard,
+        # -- round-6 birth: cohort retention triangle; displaced tenant
+        #    q_approx_percentile_guard (r4+r5 green) -> 51+
+        "q_event_cohort_retention": q_event_cohort_retention,
         "q_tpch_q2_min_supplier": q_tpch_q2_min_supplier,
         "q_tpch_q21_waiting": q_tpch_q21_waiting,
         "q_tpch_q22_global_sales": q_tpch_q22_global_sales,
@@ -2696,6 +2723,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    displaced by the eight round-6 births now in-window
         "q_sim_lsh_topk": q_sim_lsh_topk,
         "q_pipeline_e2e": q_pipeline_e2e,
+        "q_tfidf_topk": q_tfidf_topk,
+        "q_approx_percentile_guard": q_approx_percentile_guard,
         "q_text_scrub_pii": q_text_scrub_pii,
         "q_sim_batch_topk": q_sim_batch_topk,
         "q_tpch_q18_bigorders": q_tpch_q18_bigorders,
@@ -3311,6 +3340,43 @@ def oracle_sql() -> dict[str, str]:
                 WHERE n_chars IS NOT NULL AND n_chars > 0
               )
             ) WHERE rn <= 20
+        """,
+        "q_event_funnel": """
+            WITH t1 AS (
+              SELECT user_id, min(ts) AS t1 FROM events
+              WHERE event_type = 'view' GROUP BY 1
+            ),
+            t2 AS (
+              SELECT e.user_id, min(e.ts) AS t2
+              FROM events e JOIN t1 ON t1.user_id = e.user_id
+              WHERE e.event_type = 'click' AND e.ts > t1.t1
+              GROUP BY 1
+            ),
+            t3 AS (
+              SELECT e.user_id, min(e.ts) AS t3
+              FROM events e JOIN t2 ON t2.user_id = e.user_id
+              WHERE e.event_type = 'purchase' AND e.ts > t2.t2
+              GROUP BY 1
+            )
+            SELECT t1.user_id,
+                   CAST(CASE WHEN t3.user_id IS NOT NULL THEN 3
+                             WHEN t2.user_id IS NOT NULL THEN 2
+                             ELSE 1 END AS INT) AS stage
+            FROM t1
+            LEFT JOIN t2 ON t2.user_id = t1.user_id
+            LEFT JOIN t3 ON t3.user_id = t1.user_id
+        """,
+        "q_event_cohort_retention": """
+            WITH f AS (
+              SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+              FROM events GROUP BY 1
+            )
+            SELECT f.cohort_day,
+                   datediff('day', f.cohort_day, CAST(e.ts AS DATE))
+                     AS day_offset,
+                   CAST(count(DISTINCT e.user_id) AS BIGINT) AS active_users
+            FROM events e JOIN f ON f.user_id = e.user_id
+            GROUP BY 1, 2
         """,
         "q_pipeline_quality_funnel": f"""
             WITH toks AS (

@@ -902,17 +902,17 @@ def pq_encode(
             f"_sub{mi}", F.slice(F.col(vec_col), mi * d + 1, d)
         )
     for mi, book in enumerate(books):
-        dists = F.array(
-            *[
-                F.round(
-                    _sqd(
-                        F.col(f"_sub{mi}"),
-                        F.array(*[F.lit(float(x)) for x in cv]),
-                    ),
-                    9,
-                )
-                for cv in book
-            ]
+        # ONE transform lambda over the literal codebook (array of
+        # arrays), not K unrolled fold expressions: identical arithmetic
+        # and fold order per code, but a K× smaller codegen tree — the
+        # unrolled form measurably pays whole-stage-codegen compile cost
+        # (the k-means COLUMN_PATH_MAX_K lesson, here fixed by looping
+        # the data instead of the plan).
+        cb_lit = F.array(
+            *[F.array(*[F.lit(float(x)) for x in cv]) for cv in book]
+        )
+        dists = F.transform(
+            cb_lit, lambda cv: F.round(_sqd(F.col(f"_sub{mi}"), cv), 9)
         )
         out = out.withColumn(
             f"pq_c{mi}",

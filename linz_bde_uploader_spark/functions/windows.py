@@ -149,3 +149,81 @@ def moving_avg(
         .rowsBetween(-preceding, Window.currentRow)
     )
     return df.withColumn(out_col, F.round(F.avg(value_col).over(w), 6))
+
+
+def event_funnel(
+    events: DataFrame,
+    stages: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts_ntz",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered funnel analysis: for each user, the deepest stage reached
+    where stage ``i+1`` must occur STRICTLY AFTER the user's earliest
+    completion of stage ``i`` (the classic conversion funnel — view →
+    click → purchase). Returns ``(user, stage)`` for users who reached
+    stage 1; ``stage`` is 1-based depth.
+
+    Scale: ``len(stages)`` chained aggregations, each keyed on the user
+    — the same hash partitioning reused across every step (no exchange
+    re-shuffle once co-partitioned), state O(users), and NO per-user
+    event self-join (the naive stage-pairing join is quadratic in
+    events-per-user; this is linear). Skewed users cost one partition's
+    sort, the windows-module caveat."""
+    if not stages:
+        raise ValueError("stages must be non-empty")
+    cur = (
+        events.filter(F.col(type_col) == stages[0])
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("t1"))
+    )
+    for i, st in enumerate(stages[1:], start=2):
+        nxt = (
+            events.filter(F.col(type_col) == st)
+            .join(cur.select(user_col, f"t{i-1}"), user_col)
+            .filter(F.col(ts_col) > F.col(f"t{i-1}"))
+            .groupBy(user_col)
+            .agg(F.min(ts_col).alias(f"t{i}"))
+        )
+        cur = cur.join(nxt, user_col, "left")
+    stage = None
+    for i in range(len(stages), 1, -1):
+        cond = F.col(f"t{i}").isNotNull()
+        stage = (
+            F.when(cond, i) if stage is None else stage.when(cond, i)
+        )
+    stage = F.lit(1) if stage is None else stage.otherwise(1)
+    return cur.select(
+        F.col(user_col), stage.cast("int").alias("stage")
+    )
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts_ntz",
+) -> DataFrame:
+    """Cohort retention matrix: users grouped by the DAY of their first
+    event, counted as active per day offset — the
+    ``(cohort_day, day_offset, active_users)`` triangle every
+    engagement dashboard draws.
+
+    Scale: one agg for first-days (state O(users)), one user-keyed join
+    back to events (AQE broadcasts the first-day table when small), one
+    partial-agg count-distinct over the bounded (cohort, offset) key
+    space. Nothing quadratic, nothing per-user on the driver."""
+    first = events.groupBy(user_col).agg(
+        F.min(F.to_date(ts_col)).alias("cohort_day")
+    )
+    return (
+        events.join(first, user_col)
+        .select(
+            "cohort_day",
+            F.datediff(F.to_date(ts_col), F.col("cohort_day"))
+            .cast("long")
+            .alias("day_offset"),
+            F.col(user_col),
+        )
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count_distinct(user_col).alias("active_users"))
+    )

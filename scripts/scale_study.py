@@ -51,6 +51,13 @@ PICK = [
     "q_semdedup", "q_sim_quantized_topk", "q_cms_heavy_hitters",
     "q_bpe_encode", "q_graph_pagerank", "q_weighted_sample",
     "q_lm_collocations", "q_dedup_scrub_spans",
+    # round-6 births: the directed-graph correction, the trigram LM (3
+    # n-gram count shuffles — the heaviest new training pass), the PQ
+    # encode+ADC scan, the incremental minhash probe, the map-only
+    # classifier, the window-sharded shuffle, and the composed funnel
+    "q_graph_pagerank_directed", "q_lm_trigram_perplexity",
+    "q_sim_pq_topk", "q_dedup_incremental", "q_quality_classifier",
+    "q_corpus_shuffle", "q_pipeline_quality_funnel",
 ]
 
 

@@ -156,3 +156,78 @@ def test_moving_avg_frame(spark, events_df):
     assert got[12] == 5.0          # frame = [8, 2]
     assert got[13] == 4.0          # frame = [2, 6]
     assert got[20] == 9.0
+
+
+class TestFunnelCohort:
+    @staticmethod
+    def _events(spark):
+        # user 1: full funnel in order; user 2: click BEFORE view (stage
+        # 1 only), later click doesn't exist; user 3: view+click, no
+        # purchase; user 4: never views
+        from datetime import datetime as DT
+
+        rows = [
+            (1, DT(2024, 1, 1, 10), 1, "view"),
+            (2, DT(2024, 1, 1, 11), 1, "click"),
+            (3, DT(2024, 1, 1, 12), 1, "purchase"),
+            (4, DT(2024, 1, 1, 9), 2, "click"),
+            (5, DT(2024, 1, 1, 10), 2, "view"),
+            (6, DT(2024, 1, 1, 8), 3, "view"),
+            (7, DT(2024, 1, 1, 9), 3, "click"),
+            (8, DT(2024, 1, 1, 7), 4, "purchase"),
+        ]
+        return spark.createDataFrame(
+            rows, "event_id long, ts_ntz timestamp_ntz, user_id long, event_type string"
+        )
+
+    def test_funnel_stage_ordering_is_strict(self, spark):
+        from linz_bde_uploader_spark.functions.windows import event_funnel
+
+        out = {
+            r.user_id: r.stage
+            for r in event_funnel(
+                self._events(spark), ["view", "click", "purchase"]
+            ).collect()
+        }
+        # user 2's click precedes their view -> stage stays 1;
+        # user 4 never viewed -> absent entirely
+        assert out == {1: 3, 2: 1, 3: 2}
+
+    def test_funnel_equal_timestamp_not_counted(self, spark):
+        from datetime import datetime as DT
+
+        from linz_bde_uploader_spark.functions.windows import event_funnel
+
+        df = spark.createDataFrame(
+            [(1, DT(2024, 1, 1, 10), 7, "view"),
+             (2, DT(2024, 1, 1, 10), 7, "click")],
+            "event_id long, ts_ntz timestamp_ntz, user_id long, event_type string",
+        )
+        out = event_funnel(df, ["view", "click"]).collect()
+        assert out[0].stage == 1  # strictly-after contract
+
+    def test_cohort_retention_triangle(self, spark):
+        from datetime import datetime as DT
+
+        from linz_bde_uploader_spark.functions.windows import cohort_retention
+
+        df = spark.createDataFrame(
+            [
+                (1, DT(2024, 1, 1, 5), 1, "view"),
+                (2, DT(2024, 1, 2, 5), 1, "view"),   # day 1 return
+                (3, DT(2024, 1, 1, 6), 2, "view"),
+                (4, DT(2024, 1, 3, 6), 2, "view"),   # day 2 return
+                (5, DT(2024, 1, 2, 7), 3, "view"),   # later cohort
+            ],
+            "event_id long, ts_ntz timestamp_ntz, user_id long, event_type string",
+        )
+        out = {
+            (str(r.cohort_day), r.day_offset): r.active_users
+            for r in cohort_retention(df).collect()
+        }
+        assert out == {
+            ("2024-01-01", 0): 2,
+            ("2024-01-01", 1): 1,
+            ("2024-01-01", 2): 1,
+            ("2024-01-02", 0): 1,
+        }
