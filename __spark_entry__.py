@@ -2517,6 +2517,19 @@ def q_tfidf_topk(spark, sf_dir):
     return TI.tfidf_topk(d, k=3)
 
 
+def q_bm25_topk(spark, sf_dir):
+    # Okapi BM25 retrieval (functions/tfidf.py::bm25_topk): top-20 docs
+    # for a fixed 3-term query — the lexical half of hybrid retrieval
+    # and the standard hard-negative miner. One map-side pass computes
+    # per-doc length + query-term tfs; N/avgdl/dfs are ONE 1-row
+    # aggregate broadcast (the TF-IDF scalar shape, whitelisted);
+    # ranking is TakeOrderedAndProject.
+    from linz_bde_uploader_spark.functions.tfidf import bm25_topk
+
+    d = W.load(spark, sf_dir, "documents")
+    return bm25_topk(d, ["scan", "merge", "vector"], k=20)
+
+
 def q_inverted_index(spark, sf_dir):
     # Search-index build: per-term sorted posting lists with df-band
     # vocabulary pruning (functions/tfidf.py::inverted_index) — one
@@ -2708,7 +2721,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tpch_q12_shipclass": q_tpch_q12_shipclass,
         "q_tpch_q15_top_supplier": q_tpch_q15_top_supplier,
         "q_tpch_q17_small_qty": q_tpch_q17_small_qty,
-        "q_tpch_q20_part_suppliers": q_tpch_q20_part_suppliers,
+        # -- round-6 birth: Okapi BM25 retrieval; displaced tenant
+        #    q_tpch_q20_part_suppliers (r4+r5 green) -> 51+
+        "q_bm25_topk": q_bm25_topk,
         # -- 50: standing end-to-end canary (stage→merge→write→read)
         "q_s5_target_e2e": q_s5_target_e2e,
         # -- 51+: variants/extensions of already-covered families; every
@@ -2725,6 +2740,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pipeline_e2e": q_pipeline_e2e,
         "q_tfidf_topk": q_tfidf_topk,
         "q_approx_percentile_guard": q_approx_percentile_guard,
+        "q_tpch_q20_part_suppliers": q_tpch_q20_part_suppliers,
         "q_text_scrub_pii": q_text_scrub_pii,
         "q_sim_batch_topk": q_sim_batch_topk,
         "q_tpch_q18_bigorders": q_tpch_q18_bigorders,
@@ -4280,6 +4296,50 @@ def oracle_sql() -> dict[str, str]:
                   CASE WHEN lang = 'en' THEN 30
                        WHEN lang = 'fr' THEN 80
                        ELSE 50 END
+        """,
+        "q_bm25_topk": """
+            WITH pd AS (
+              SELECT doc_id,
+                     len(string_split(trim(text), ' ')) AS dl,
+                     len(list_filter(string_split(trim(text), ' '),
+                                     t -> t = 'scan')) AS tf0,
+                     len(list_filter(string_split(trim(text), ' '),
+                                     t -> t = 'merge')) AS tf1,
+                     len(list_filter(string_split(trim(text), ' '),
+                                     t -> t = 'vector')) AS tf2
+              FROM documents
+            ),
+            st AS (
+              SELECT count(*) AS n,
+                     CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+                     sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+                     sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+                     sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+              FROM pd
+            )
+            SELECT doc_id, bm25 FROM (
+              SELECT doc_id,
+                     round(
+                       ln(CAST(1.0 AS DOUBLE) + (n - df0 + CAST(0.5 AS DOUBLE)) / (df0 + CAST(0.5 AS DOUBLE)))
+                       * (CAST(tf0 AS DOUBLE) * CAST(2.2 AS DOUBLE)
+                          / (CAST(tf0 AS DOUBLE) + CAST(1.2 AS DOUBLE)
+                             * (CAST(0.25 AS DOUBLE)
+                                + CAST(0.75 AS DOUBLE) * dl / avgdl)))
+                       + ln(CAST(1.0 AS DOUBLE) + (n - df1 + CAST(0.5 AS DOUBLE)) / (df1 + CAST(0.5 AS DOUBLE)))
+                       * (CAST(tf1 AS DOUBLE) * CAST(2.2 AS DOUBLE)
+                          / (CAST(tf1 AS DOUBLE) + CAST(1.2 AS DOUBLE)
+                             * (CAST(0.25 AS DOUBLE)
+                                + CAST(0.75 AS DOUBLE) * dl / avgdl)))
+                       + ln(CAST(1.0 AS DOUBLE) + (n - df2 + CAST(0.5 AS DOUBLE)) / (df2 + CAST(0.5 AS DOUBLE)))
+                       * (CAST(tf2 AS DOUBLE) * CAST(2.2 AS DOUBLE)
+                          / (CAST(tf2 AS DOUBLE) + CAST(1.2 AS DOUBLE)
+                             * (CAST(0.25 AS DOUBLE)
+                                + CAST(0.75 AS DOUBLE) * dl / avgdl))),
+                       6) AS bm25
+              FROM pd, st
+            ) WHERE bm25 > 0
+            ORDER BY bm25 DESC, doc_id
+            LIMIT 20
         """,
         "q_inverted_index": """
             SELECT term, df,

@@ -129,3 +129,92 @@ def inverted_index(
     if max_df is not None:
         out = out.filter(F.col("df") <= max_df)
     return out
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Okapi BM25 retrieval: the ``k`` best documents for a bag of query
+    terms — the lexical ranking half of every hybrid (BM25 + dense)
+    retrieval stack, and the standard hard-negative miner for embedding
+    training data.
+
+        score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1-b+b·len/avgdl))
+        idf(t)   = ln(1 + (N - df + 0.5)/(df + 0.5))
+
+    Determinism: idf's argument is an exact rational of integers; the
+    one ln call is shared by both engines and the final score rounds to
+    6 dp; the per-document term-score sum runs over the FIXED query
+    term order (a left-to-right chain, not a fold over data).
+
+    Scale: tf counts are FILTERED to the query terms before the
+    aggregate (predicate pushdown: the shuffle carries only matching
+    postings, a tiny fraction of the corpus); df/N/avgdl are one
+    corpus-stats pass whose 1-row result broadcasts (the TF-IDF
+    scalar-subquery shape); final ranking is TakeOrderedAndProject."""
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    qlits = [F.lit(t) for t in query_terms]
+    toks = docs.select(
+        F.col(id_col), tokens(F.trim(F.col(text_col))).alias("_toks")
+    )
+    # one corpus pass: doc length + per-query-term tf (pure map side).
+    # NB the closure factory: a `lambda t, q=q:` default-arg binding
+    # would give the lambda TWO parameters, which PySpark's HOF layer
+    # interprets as the (element, index) form — q would silently become
+    # the array INDEX column.
+    def _eq(qcol):
+        return lambda t: t == qcol
+
+    per_doc = toks.select(
+        F.col(id_col),
+        F.size("_toks").alias("_len"),
+        *[
+            F.size(F.filter("_toks", _eq(q))).alias(f"_tf{i}")
+            for i, q in enumerate(qlits)
+        ],
+    )
+    # corpus stats: N, avgdl, df per query term — ONE 1-row aggregate
+    stats = per_doc.agg(
+        F.count(F.lit(1)).alias("_n"),
+        (F.sum("_len").cast("double") / F.count(F.lit(1))).alias("_avgdl"),
+        *[
+            F.sum((F.col(f"_tf{i}") > 0).cast("long")).alias(f"_df{i}")
+            for i in range(len(query_terms))
+        ],
+    )
+    scored = per_doc.crossJoin(F.broadcast(stats))
+    score = None
+    for i in range(len(query_terms)):
+        tf = F.col(f"_tf{i}").cast("double")
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("_n") - F.col(f"_df{i}") + F.lit(0.5))
+            / (F.col(f"_df{i}") + F.lit(0.5))
+        )
+        term = idf * (
+            tf * (k1 + 1.0)
+            / (
+                tf
+                + F.lit(k1)
+                * (
+                    F.lit(1.0 - b)
+                    + F.lit(b) * F.col("_len") / F.col("_avgdl")
+                )
+            )
+        )
+        score = term if score is None else score + term
+    return (
+        scored.select(
+            F.col(id_col), F.round(score, 6).alias("bm25")
+        )
+        .filter(F.col("bm25") > 0)
+        .orderBy(F.desc("bm25"), F.col(id_col))
+        .limit(k)
+    )

@@ -62,6 +62,10 @@ WHITELIST: dict[str, tuple[str, ...]] = {
     # The quality funnel composes the bigram LM's scorer, inheriting its
     # one-row V broadcast (the q_lm_perplexity shape, same plan node).
     "q_pipeline_quality_funnel": ("BroadcastNestedLoopJoin",),
+    # BM25 folds (N, avgdl, per-term dfs) into the scoring pass as a
+    # broadcast ONE-ROW aggregate (tfidf.py::bm25_topk) — the same
+    # scalar-subquery shape as TF-IDF's N.
+    "q_bm25_topk": ("BroadcastNestedLoopJoin",),
 }
 
 

@@ -198,3 +198,55 @@ class TestGroupedSamplingZipfIncremental:
         )
         kept = {r.doc_id for r in incremental_minhash_filter(new, index).collect()}
         assert kept == {1, 2}
+
+
+class TestBM25:
+    @pytest.fixture(scope="class")
+    def corpus(self, spark):
+        return spark.createDataFrame(
+            [
+                (1, "spark scan scan scan"),
+                (2, "scan merge"),
+                (3, "merge merge merge merge merge merge merge merge"),
+                (4, "nothing relevant here at all"),
+            ],
+            "doc_id long, text string",
+        )
+
+    def test_bm25_relevance_ordering(self, spark, corpus):
+        from linz_bde_uploader_spark.functions.tfidf import bm25_topk
+
+        out = bm25_topk(corpus, ["scan"], k=10).collect()
+        ids = [r.doc_id for r in out]
+        assert ids[0] == 1          # highest tf wins
+        assert set(ids) == {1, 2}   # zero-score docs filtered
+        assert all(r.bm25 > 0 for r in out)
+
+    def test_bm25_length_normalization(self, spark, corpus):
+        from linz_bde_uploader_spark.functions.tfidf import bm25_topk
+
+        # 'merge' appears once in the short doc 2 and 8x in the long doc
+        # 3 — saturation + length norm keep doc 3 ahead but bounded
+        out = {r.doc_id: r.bm25 for r in bm25_topk(corpus, ["merge"], k=10).collect()}
+        assert out[3] > out[2]
+        assert out[3] < out[2] * (1.2 + 1) / 1.2 * 8  # far below linear tf
+
+    def test_bm25_multi_term_is_sum(self, spark, corpus):
+        from linz_bde_uploader_spark.functions.tfidf import bm25_topk
+
+        single = {r.doc_id: r.bm25 for r in bm25_topk(corpus, ["scan"], k=10).collect()}
+        multi = {r.doc_id: r.bm25 for r in bm25_topk(corpus, ["scan", "merge"], k=10).collect()}
+        # doc 2 matches both terms: its multi score exceeds either single
+        assert multi[2] > single[2]
+
+    def test_bm25_plan_single_bnlj_broadcast(self, spark, corpus):
+        from linz_bde_uploader_spark.functions.tfidf import bm25_topk
+
+        plan = (
+            bm25_topk(corpus, ["scan"], k=5)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "TakeOrderedAndProject" in plan
+        assert "EvalPython" not in plan
+        # the 1-row stats broadcast is the only join
+        assert plan.count("BroadcastNestedLoopJoin") == 1
