@@ -1045,6 +1045,18 @@ def q_quality_classifier(spark, sf_dir):
     return out.withColumn("keep", F.col("keep").cast("int"))
 
 
+def q_negative_samples(spark, sf_dir):
+    # Deterministic contrastive negative sampling (functions/
+    # sampling.py::negative_samples): 4 pseudo-random non-self ids per
+    # anchor over the dense id space — map-only explode + integer
+    # arithmetic, no join, no shuffle; the cheap-negative half of a
+    # contrastive pair generator (hard negatives via BM25/ANN).
+    from linz_bde_uploader_spark.functions.sampling import negative_samples
+
+    d = W.load(spark, sf_dir, "documents").select("doc_id")
+    return negative_samples(d, k=4)
+
+
 def q_corpus_shuffle(spark, sf_dir):
     # Deterministic corpus shuffle + sharding (functions/sampling.py::
     # deterministic_shuffle): reproducible global permutation (mixed-id
@@ -2629,7 +2641,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_domain_cap": q_domain_cap,
         "q_tpch_q16_supplier_count": q_tpch_q16_supplier_count,
         "q_event_session_window": q_event_session_window,
-        "q_mixture_weights": q_mixture_weights,
+        # -- round-6 birth: contrastive negative sampling; displaced
+        #    tenant q_mixture_weights (r4+r5 green; sampling family
+        #    keeps four entries in-window) -> 51+
+        "q_negative_samples": q_negative_samples,
         "q_quality_quantile_filter": q_quality_quantile_filter,
         "q_mm_thumbnails": q_mm_thumbnails,
         # -- round-5 births, in-window at birth (rotation rule): their
@@ -2741,6 +2756,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tfidf_topk": q_tfidf_topk,
         "q_approx_percentile_guard": q_approx_percentile_guard,
         "q_tpch_q20_part_suppliers": q_tpch_q20_part_suppliers,
+        "q_mixture_weights": q_mixture_weights,
         "q_text_scrub_pii": q_text_scrub_pii,
         "q_sim_batch_topk": q_sim_batch_topk,
         "q_tpch_q18_bigorders": q_tpch_q18_bigorders,
@@ -3295,6 +3311,16 @@ def oracle_sql() -> dict[str, str]:
                       FROM documents)
               )
             )
+        """,
+        "q_negative_samples": """
+            SELECT doc_id, CAST(j AS INT) AS j,
+                   (doc_id + 1
+                    + (((doc_id + j*131) % 2147483647) * 2654435761)
+                      % 2147483647
+                      % ((SELECT count(*) FROM documents) - 1))
+                   % (SELECT count(*) FROM documents) AS neg_id
+            FROM documents,
+                 (SELECT unnest(generate_series(0, 3)) AS j) g
         """,
         "q_corpus_shuffle": """
             SELECT doc_id, shard,

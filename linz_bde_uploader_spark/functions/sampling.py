@@ -400,3 +400,48 @@ def weighted_sample_per_group(
         .filter(F.col("_rn") <= n)
         .drop("_rn")
     )
+
+
+def negative_samples(
+    df: DataFrame,
+    k: int,
+    n_total: int | None = None,
+    id_col: str = "doc_id",
+    salt: int = 0,
+) -> DataFrame:
+    """Deterministic negative sampling for contrastive training pairs:
+    each row gets ``k`` pseudo-random OTHER ids —
+    ``(anchor id, j, neg_id)`` with ``neg_id = (id + 1 + mix(id, j,
+    salt) mod (n-1)) mod n``, so a negative can never equal its anchor
+    and the draw is a pure function of ``(id, j, salt)`` (engine- and
+    partitioning-independent; a new salt is a fresh draw).
+
+    Assumes the DENSE ``0..n-1`` id space a sharded corpus has after
+    :func:`deterministic_shuffle` (compose: shuffle first, sample
+    negatives over the positional ids). ``n_total`` is collected once
+    when not supplied — one count action, model-state scalar.
+
+    Scale: map-only — an inline ``explode`` of the k-sequence plus
+    integer arithmetic; no join against the corpus, no shuffle. The
+    standard cheap-negative generator for embedding/contrastive
+    training (hard negatives come from the BM25/ANN operators)."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    n = df.count() if n_total is None else n_total
+    if n < 2:
+        raise ValueError("need at least 2 rows to sample negatives")
+    i = F.col(id_col).cast("long")
+    j = F.col("j")
+    mix = F.pmod(
+        F.pmod(i + F.lit(salt) + j * 131, F.lit(HASH_MOD)) * HASH_MIX,
+        F.lit(HASH_MOD),
+    )
+    neg = F.pmod(i + 1 + F.pmod(mix, F.lit(n - 1)), F.lit(n))
+    return df.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("j"),
+    ).select(
+        id_col,
+        F.col("j").cast("int").alias("j"),
+        neg.alias("neg_id"),
+    )

@@ -250,3 +250,35 @@ class TestBM25:
         assert "EvalPython" not in plan
         # the 1-row stats broadcast is the only join
         assert plan.count("BroadcastNestedLoopJoin") == 1
+
+
+class TestNegativeSamples:
+    def test_never_self_and_in_range(self, spark):
+        from linz_bde_uploader_spark.functions.sampling import negative_samples
+
+        df = spark.range(0, 50).selectExpr("id AS doc_id")
+        out = negative_samples(df, k=5).collect()
+        assert len(out) == 250
+        for r in out:
+            assert 0 <= r.neg_id < 50
+            assert r.neg_id != r.doc_id
+
+    def test_deterministic_and_salt_varies(self, spark):
+        from linz_bde_uploader_spark.functions.sampling import negative_samples
+
+        df = spark.range(0, 30).selectExpr("id AS doc_id")
+        a = sorted((r.doc_id, r.j, r.neg_id)
+                   for r in negative_samples(df, k=3).collect())
+        b = sorted((r.doc_id, r.j, r.neg_id)
+                   for r in negative_samples(df.repartition(7), k=3).collect())
+        c = sorted((r.doc_id, r.j, r.neg_id)
+                   for r in negative_samples(df, k=3, salt=9).collect())
+        assert a == b
+        assert a != c
+
+    def test_requires_two_rows(self, spark):
+        from linz_bde_uploader_spark.functions.sampling import negative_samples
+
+        df = spark.range(0, 1).selectExpr("id AS doc_id")
+        with pytest.raises(ValueError):
+            negative_samples(df, k=2)
