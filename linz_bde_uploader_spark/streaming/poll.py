@@ -180,3 +180,27 @@ def interval_join_stream(
             f"r.{right_ts} <= l.{left_ts} + interval {max_gap}"
         ),
     )
+
+
+def quality_gate_stream(
+    df: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Streaming face of the hashed-feature quality classifier
+    (``functions.text.quality_classifier``): score each arriving
+    document and pass only those with ``prob >= threshold`` — the
+    ingest-time quality gate of a continuous crawl pipeline.
+
+    The classifier is pure stateless Column arithmetic (map-only, no
+    aggregation), so it attaches to a stream UNCHANGED: no watermark,
+    no state store, every micro-batch independent. Identical scores to
+    the batch operator by construction — the parity test feeds the same
+    rows both ways."""
+    from linz_bde_uploader_spark.functions.text import quality_classifier
+
+    scored = quality_classifier(
+        df, id_col=id_col, text_col=text_col, threshold=threshold
+    )
+    return scored.filter(F.col("keep"))

@@ -225,3 +225,48 @@ def test_interval_join_stream(spark, tmp_path):
     # both sides carry event-time watermarks (bounded join state)
     plan = joined._jdf.queryExecution().analyzed().toString()
     assert plan.count("EventTimeWatermark") == 2
+
+
+def test_quality_gate_stream_matches_batch(spark, tmp_path):
+    """quality_gate_stream: stateless map-only gate attaches to a file
+    stream unchanged; streamed survivors and scores equal the batch
+    classifier exactly (no watermark, no state)."""
+    from linz_bde_uploader_spark.functions.text import quality_classifier
+    from linz_bde_uploader_spark.streaming.poll import quality_gate_stream
+
+    src = tmp_path / "qdocs"
+    src.mkdir()
+    rows = [(i, f"tok{i % 7} word the a {'x' * (i % 5)}") for i in range(40)]
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+        "append"
+    ).parquet(str(src))
+
+    # threshold chosen from the batch score distribution so the gate
+    # non-trivially splits the stream (some pass, some dropped)
+    batch_all = quality_classifier(
+        spark.createDataFrame(rows, "doc_id long, text string")
+    ).collect()
+    probs = sorted(r.prob for r in batch_all)
+    thr = probs[len(probs) // 2]
+
+    gated = quality_gate_stream(
+        spark.readStream.schema("doc_id long, text string").parquet(str(src)),
+        threshold=thr,
+    )
+    assert gated.isStreaming
+    q = (
+        gated.writeStream.format("memory")
+        .queryName("qgate")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_qg"))
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        (r.doc_id, r.prob)
+        for r in spark.sql("SELECT doc_id, prob FROM qgate").collect()
+    }
+    batch = {(r.doc_id, r.prob) for r in batch_all if r.prob >= thr}
+    assert streamed == batch
+    assert streamed                       # gate passes something...
+    assert len(streamed) < len(batch_all)  # ...and drops something
