@@ -1360,6 +1360,41 @@ def q_dedup_components(spark, sf_dir):
     return comp.select(F.col("id").alias("doc_id"), "component")
 
 
+def q_dedup_keep_best(spark, sf_dir):
+    # Quality-aware cluster dedup (functions/dedup.py::
+    # keep_best_per_cluster): survivors = the highest-quality member of
+    # each MinHash-LSH near-dup cluster (ties: lowest id), singletons
+    # survive as themselves — the curation-grade refinement of the
+    # min-id canonical. One label join + one component-keyed window on
+    # top of the proven components pass.
+    d = W.load(spark, sf_dir, "documents")
+    pairs = D.minhash_candidate_pairs(d, "doc_id", "text")
+    comp = D.duplicate_components(pairs)
+    scored = d.select(
+        "doc_id", X.quality_score(F.col("text")).cast("long").alias("q")
+    )
+    return D.keep_best_per_cluster(scored, comp, "q")
+
+
+def q_corpus_datasheet(spark, sf_dir):
+    # Per-language corpus datasheet (the "datasheet for datasets"
+    # reporting primitive): docs, token volume, char bounds, mean
+    # quality per stratum — one partial-agg shuffle over a bounded
+    # (lang) key space; every input signal is map-side Column
+    # arithmetic.
+    d = W.load(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(X.token_count("text")).cast("long").alias("n_tokens"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.round(F.avg("n_chars"), 4).alias("mean_chars"),
+        F.round(
+            F.avg(X.quality_score(F.col("text")).cast("double")), 4
+        ).alias("mean_quality"),
+    )
+
+
 def q_dedup_simhash(spark, sf_dir):
     d = W.load(spark, sf_dir, "documents")
     return D.with_simhash(d, "text", "sh", 16).select("doc_id", "sh")
@@ -2734,8 +2769,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    nested IN/HAVING), first driver check
         "q_tpch_q7_volume": q_tpch_q7_volume,
         "q_tpch_q12_shipclass": q_tpch_q12_shipclass,
-        "q_tpch_q15_top_supplier": q_tpch_q15_top_supplier,
-        "q_tpch_q17_small_qty": q_tpch_q17_small_qty,
+        # -- round-6 births: quality-aware cluster dedup + per-language
+        #    corpus datasheet; displaced tenants q_tpch_q15_top_supplier
+        #    and q_tpch_q17_small_qty (both r4+r5 green; TPC-H keeps
+        #    q2/q21/q22/q7/q12 in-window) -> 51+
+        "q_dedup_keep_best": q_dedup_keep_best,
+        "q_corpus_datasheet": q_corpus_datasheet,
         # -- round-6 birth: Okapi BM25 retrieval; displaced tenant
         #    q_tpch_q20_part_suppliers (r4+r5 green) -> 51+
         "q_bm25_topk": q_bm25_topk,
@@ -2756,6 +2795,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tfidf_topk": q_tfidf_topk,
         "q_approx_percentile_guard": q_approx_percentile_guard,
         "q_tpch_q20_part_suppliers": q_tpch_q20_part_suppliers,
+        "q_tpch_q15_top_supplier": q_tpch_q15_top_supplier,
+        "q_tpch_q17_small_qty": q_tpch_q17_small_qty,
         "q_mixture_weights": q_mixture_weights,
         "q_text_scrub_pii": q_text_scrub_pii,
         "q_sim_batch_topk": q_sim_batch_topk,
@@ -3757,6 +3798,72 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT src AS doc_id, least(src, min(dst)) AS component
             FROM reach GROUP BY src
+        """,
+        "q_dedup_keep_best": _MINHASH_SIGS.replace(
+            "WITH t AS", "WITH RECURSIVE t AS", 1
+        ) + f"""
+            , bands AS (
+              SELECT doc_id, 0 AS band, ((0*31 + mh0)*31 + mh1) % 2147483647 AS key FROM sigs
+              UNION ALL
+              SELECT doc_id, 1, ((1*31 + mh2)*31 + mh3) % 2147483647 FROM sigs
+              UNION ALL
+              SELECT doc_id, 2, ((2*31 + mh4)*31 + mh5) % 2147483647 FROM sigs
+              UNION ALL
+              SELECT doc_id, 3, ((3*31 + mh6)*31 + mh7) % 2147483647 FROM sigs
+            ),
+            pairs AS (
+              SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+              FROM bands l JOIN bands r
+                ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
+            ),
+            sym AS (
+              SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION
+              SELECT id_b, id_a FROM pairs
+            ),
+            reach AS (
+              SELECT src, dst FROM sym
+              UNION
+              SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
+            ),
+            comp AS (
+              SELECT src AS doc_id, least(src, min(dst)) AS component
+              FROM reach GROUP BY src
+            ),
+            qual AS (
+              SELECT doc_id,
+                     CAST((CASE WHEN length(text) >= 100 THEN 1 ELSE 0 END)
+                        + (CASE WHEN round(CAST(length(text) - ({tokn} - 1) AS DOUBLE) / greatest({tokn}, 1), 6) BETWEEN 3 AND 10 THEN 1 ELSE 0 END)
+                        + (CASE WHEN round(CAST({stop_cnt} AS DOUBLE) / greatest({tokn}, 1), 6) >= 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS quality
+              FROM documents
+            ),
+            lab AS (
+              SELECT q.doc_id,
+                     coalesce(c.component, q.doc_id) AS component,
+                     q.quality
+              FROM qual q LEFT JOIN comp c ON c.doc_id = q.doc_id
+            )
+            SELECT doc_id, component, quality FROM (
+              SELECT lab.*,
+                     row_number() OVER (
+                       PARTITION BY component ORDER BY quality DESC, doc_id
+                     ) AS rn
+              FROM lab
+            ) WHERE rn = 1
+        """,
+        "q_corpus_datasheet": f"""
+            SELECT lang,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum({tokn}) AS BIGINT) AS n_tokens,
+                   min(n_chars) AS min_chars,
+                   max(n_chars) AS max_chars,
+                   round(avg(n_chars), 4) AS mean_chars,
+                   round(avg(CAST(
+                     (CASE WHEN length(text) >= 100 THEN 1 ELSE 0 END)
+                     + (CASE WHEN round(CAST(length(text) - ({tokn} - 1) AS DOUBLE) / greatest({tokn}, 1), 6) BETWEEN 3 AND 10 THEN 1 ELSE 0 END)
+                     + (CASE WHEN round(CAST({stop_cnt} AS DOUBLE) / greatest({tokn}, 1), 6) >= 0.05 THEN 1 ELSE 0 END)
+                     AS DOUBLE)), 4) AS mean_quality
+            FROM documents GROUP BY lang
         """,
         "q_dedup_simhash": f"""
             WITH t AS (

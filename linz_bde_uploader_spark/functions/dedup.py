@@ -817,3 +817,48 @@ def incremental_minhash_filter(
         .distinct()
     )
     return new_docs.join(hits, [id_col], "left_anti")
+
+
+def keep_best_per_cluster(
+    docs: DataFrame,
+    components: DataFrame,
+    quality_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Curation-grade cluster dedup: keep the HIGHEST-``quality_col``
+    member of each near-dup cluster (ties: lowest id) — what a real
+    pipeline wants instead of :func:`duplicate_components`' arbitrary
+    min-id canonical (the near-dups differ precisely in the junk the
+    quality signal measures: truncation, boilerplate, mojibake).
+    Documents absent from the pair graph are their own singleton
+    cluster and always survive. Returns ``(id, component, quality)``
+    for the survivors.
+
+    Scale: one left join of the corpus against the component labels
+    (|labels| ≤ |docs in pairs| ≪ corpus; AQE broadcasts when small)
+    and one window shuffle keyed by component — no pair
+    materialization here, the expensive part already happened in the
+    components pass."""
+    from pyspark.sql import Window
+
+    lab = (
+        docs.select(F.col(id_col), F.col(quality_col).alias("quality"))
+        .join(
+            components.select(
+                F.col("id").alias(id_col), F.col("component")
+            ),
+            id_col,
+            "left",
+        )
+        .withColumn(
+            "component", F.coalesce(F.col("component"), F.col(id_col))
+        )
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.desc("quality"), F.col(id_col)
+    )
+    return (
+        lab.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(id_col, "component", "quality")
+    )

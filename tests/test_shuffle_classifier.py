@@ -282,3 +282,36 @@ class TestNegativeSamples:
         df = spark.range(0, 1).selectExpr("id AS doc_id")
         with pytest.raises(ValueError):
             negative_samples(df, k=2)
+
+
+class TestKeepBestDatasheet:
+    def test_keep_best_prefers_quality_then_id(self, spark):
+        from linz_bde_uploader_spark.functions.dedup import (
+            keep_best_per_cluster,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, 0), (2, 3), (3, 3), (9, 1)],  # 9 = singleton
+            "doc_id long, q long",
+        )
+        comp = spark.createDataFrame(
+            [(1, 1), (2, 1), (3, 1)], "id long, component long"
+        )
+        out = {(r.doc_id, r.component) for r in
+               keep_best_per_cluster(docs, comp, "q").collect()}
+        # cluster 1: quality 3 tie between 2 and 3 -> lowest id 2 wins
+        # (NOT the min-id member 1, whose quality is 0)
+        assert out == {(2, 1), (9, 9)}
+
+    def test_keep_best_all_singletons_identity(self, spark):
+        from linz_bde_uploader_spark.functions.dedup import (
+            keep_best_per_cluster,
+        )
+
+        docs = spark.createDataFrame(
+            [(i, i % 4) for i in range(10)], "doc_id long, q long"
+        )
+        comp = spark.createDataFrame([], "id long, component long")
+        out = keep_best_per_cluster(docs, comp, "q").collect()
+        assert {r.doc_id for r in out} == set(range(10))
+        assert all(r.component == r.doc_id for r in out)
