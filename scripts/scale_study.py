@@ -58,6 +58,11 @@ PICK = [
     "q_graph_pagerank_directed", "q_lm_trigram_perplexity",
     "q_sim_pq_topk", "q_dedup_incremental", "q_quality_classifier",
     "q_corpus_shuffle", "q_pipeline_quality_funnel",
+    # round-6 session-2 births: quality-aware cluster dedup (components
+    # + window), BM25's filtered-tf pass, the chained-agg funnel, the
+    # Zipf count+top-n, grouped ES sampling, and negative sampling
+    "q_dedup_keep_best", "q_bm25_topk", "q_event_funnel",
+    "q_corpus_zipf", "q_weighted_sample_per_group", "q_negative_samples",
 ]
 
 
