@@ -127,11 +127,17 @@ def pagerank(
                 ITER_DP,
             ).alias("rank"),
         )
-        # Materialize every `checkpoint_every` rounds (and on the last):
-        # enough to keep the plan from doubling per iteration, without
-        # paying an eager write for EVERY round — measured ~1 s/round of
-        # pure fixed cost on small graphs.
-        if (it + 1) % checkpoint_every == 0 or it == n_iters - 1:
+        # Materialize every `checkpoint_every` rounds: enough to keep the
+        # plan from doubling per iteration, without paying an eager write
+        # for EVERY round — measured ~1 s/round of pure fixed cost on
+        # small graphs. The LAST iteration is deliberately NOT
+        # checkpointed: the caller's action materializes it anyway, and
+        # the redundant eager write measured another ~1.4 s of pure
+        # overhead per call. (A caller running MANY actions over the
+        # result should persist it — recomputation is bounded by
+        # `checkpoint_every` iterations from the last kept checkpoint,
+        # which stays pinned for exactly this reason.)
+        if (it + 1) % checkpoint_every == 0 and it != n_iters - 1:
             ranks = ranks.localCheckpoint(eager=True)
             while checkpointed:
                 checkpointed.pop().unpersist()
