@@ -250,6 +250,11 @@ def bpe_train(df, text_col: str, n_merges: int = 6):
             break
         lhs, rhs, cnt = top["lhs"], top["rhs"], top["cnt"]
         merges.append((step, lhs, rhs, lhs + rhs, cnt))
+        if step == n_merges:
+            # the final round's winner is recorded; re-segmenting (and
+            # eagerly checkpointing) the corpus once more would feed
+            # nothing — the merge table is the trainer's only output
+            break
         prev = docs
         docs = docs.withColumn(
             "txt",
