@@ -66,6 +66,14 @@ WHITELIST: dict[str, tuple[str, ...]] = {
     # broadcast ONE-ROW aggregate (tfidf.py::bm25_topk) — the same
     # scalar-subquery shape as TF-IDF's N.
     "q_bm25_topk": ("BroadcastNestedLoopJoin",),
+    # Passage retrieval composes chunking with bm25_topk, inheriting the
+    # same one-row corpus-stats broadcast.
+    "q_passage_retrieval": ("BroadcastNestedLoopJoin",),
+    # Directed PageRank's dangling-mass correction is a ONE-ROW rank
+    # aggregate broadcast-cross-joined per iteration (graph.py::
+    # pagerank(dangling=True)); it appears in the final plan now that
+    # the last iteration is no longer eagerly checkpointed.
+    "q_graph_pagerank_directed": ("BroadcastNestedLoopJoin",),
 }
 
 
