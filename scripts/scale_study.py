@@ -63,6 +63,7 @@ PICK = [
     # Zipf count+top-n, grouped ES sampling, and negative sampling
     "q_dedup_keep_best", "q_bm25_topk", "q_event_funnel",
     "q_corpus_zipf", "q_weighted_sample_per_group", "q_negative_samples",
+    "q_passage_retrieval",
 ]
 
 
