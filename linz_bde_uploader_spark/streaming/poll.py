@@ -204,3 +204,77 @@ def quality_gate_stream(
         df, id_col=id_col, text_col=text_col, threshold=threshold
     )
     return scored.filter(F.col("keep"))
+
+
+CMS_STREAM_STATE_SCHEMA = "counts array<long>"
+CMS_STREAM_OUTPUT_SCHEMA = "row int, bucket int, cnt long"
+
+
+def countmin_stream(
+    df: DataFrame,
+    text_col: str = "text",
+    width: int = 64,
+    depth: int = 4,
+    state_timeout: str = "NoTimeout",
+):
+    """Streaming count-min sketch via ``applyInPandasWithState`` — the
+    bounded-state frequency estimator maintained ACROSS micro-batches
+    (the batch face is ``functions.sketches.countmin_table``; the hash
+    family and additivity are identical, so a streamed sketch equals
+    the batch sketch over the same rows — the parity test pins it).
+
+    Sharding: each sketch ROW is one state group (depth groups), its
+    state the row's ``width`` counters — state is depth·width longs
+    total at ANY key cardinality, the property that makes a sketch the
+    only frequency story an unbounded stream supports. Updates are
+    vectorized per batch (token hash → bucket bincount), emitted in
+    ``update`` mode as the row's nonzero cells."""
+    import numpy as np
+    import pandas as pd
+
+    from linz_bde_uploader_spark.functions.sketches import (
+        CMS_PARAMS, HASH_MOD,
+    )
+    from linz_bde_uploader_spark.functions.text import tokens
+
+    params = CMS_PARAMS[:depth]
+    tv = F.explode(tokens(F.trim(F.col(text_col)))).alias("tok")
+    hashed = df.select(tv).select(
+        (
+            (F.length("tok").cast("long") * 17
+             + F.ascii("tok").cast("long") * 31) % HASH_MOD
+        ).alias("_tv")
+    )
+    exploded = hashed.select(
+        F.explode(
+            F.array(*[F.lit(i) for i in range(depth)])
+        ).alias("row"),
+        F.col("_tv"),
+    )
+
+    def update(key, pdfs, state):
+        row = int(key[0])
+        a, b = params[row]
+        counts = (
+            np.asarray(state.get[0], dtype=np.int64)
+            if state.exists
+            else np.zeros(width, dtype=np.int64)
+        )
+        for pdf in pdfs:
+            tvs = pdf["_tv"].to_numpy(dtype=np.int64)
+            buckets = ((tvs * a + b) % HASH_MOD) % width
+            counts += np.bincount(buckets, minlength=width)
+        state.update((counts.tolist(),))
+        nz = np.nonzero(counts)[0]
+        yield pd.DataFrame(
+            {"row": row, "bucket": nz.astype("int32"),
+             "cnt": counts[nz]}
+        )
+
+    return exploded.groupBy("row").applyInPandasWithState(
+        update,
+        outputStructType=CMS_STREAM_OUTPUT_SCHEMA,
+        stateStructType=CMS_STREAM_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=state_timeout,
+    )

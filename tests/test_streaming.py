@@ -270,3 +270,51 @@ def test_quality_gate_stream_matches_batch(spark, tmp_path):
     assert streamed == batch
     assert streamed                       # gate passes something...
     assert len(streamed) < len(batch_all)  # ...and drops something
+
+
+def test_countmin_stream_matches_batch_sketch(spark, tmp_path):
+    """countmin_stream: the streamed depth x width sketch accumulated
+    across TWO micro-batches equals the batch countmin_table over the
+    union of the rows (same hash family, additive counts)."""
+    from linz_bde_uploader_spark.functions.sketches import countmin_table
+    from linz_bde_uploader_spark.streaming.poll import countmin_stream
+
+    src = tmp_path / "cdocs"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt_cms")
+    batch1 = [(1, "aa bb aa cc"), (2, "bb dd")]
+    batch2 = [(3, "aa ee ff"), (4, "gg aa bb")]
+    schema = "doc_id long, text string"
+    spark.createDataFrame(batch1, schema).write.mode("append").parquet(str(src))
+
+    latest: dict = {}
+
+    def run_once():
+        sk = countmin_stream(
+            spark.readStream.schema(schema).parquet(str(src)),
+            width=64, depth=4,
+        )
+        q = (
+            sk.writeStream.foreachBatch(
+                lambda df, _id: latest.update(
+                    {(r.row, r.bucket): r.cnt for r in df.collect()}
+                )
+            )
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    spark.createDataFrame(batch2, schema).write.mode("append").parquet(str(src))
+    run_once()  # state restored from checkpoint, batch 2 accumulates
+
+    both = spark.createDataFrame(batch1 + batch2, schema)
+    expect = {
+        (r.row, r.bucket): r.cnt
+        for r in countmin_table(both, width=64, depth=4).collect()
+    }
+    got_nonzero = {k: v for k, v in latest.items() if v > 0}
+    assert got_nonzero == expect
