@@ -2631,6 +2631,43 @@ def q_chunk_documents(spark, sf_dir):
     return chunk_documents(d, chunk_tokens=40, overlap=8)
 
 
+def q_dsir_select(spark, sf_dir):
+    # DSIR importance resampling (Xie et al., NeurIPS 2023;
+    # functions/dsir.py): fit hashed-unigram multinomials for a TARGET
+    # slice (here: the English documents) and the raw corpus, weight
+    # every doc by its log-likelihood ratio, and Gumbel-top-k resample —
+    # "select raw data that looks like the target distribution", the
+    # published recipe behind domain-targeted pretraining mixes. Two
+    # corpus passes, dim-row broadcast model, integer fixed-point sums;
+    # deterministic in (id, salt).
+    from linz_bde_uploader_spark.functions import dsir as DS
+
+    d = W.load(spark, sf_dir, "documents")
+    return DS.dsir_select(d, n=200, target=F.col("lang") == "en")
+
+
+def q_text_entropy(spark, sf_dir):
+    # Per-doc token Shannon entropy + normalized diversity
+    # (text.py::token_entropy): the lexical-diversity quality signal
+    # (template spam and stuck-generation loops collapse to the low
+    # tail). H = ln n - (1/n)*sum(c ln c) with 1e-6 fixed-point integer
+    # sums — fold-order-free across engines; two key-compatible
+    # partial-agg shuffles, no UDF.
+    return X.token_entropy(W.load(spark, sf_dir, "documents"))
+
+
+def q_ann_recall(spark, sf_dir):
+    # Recall@20 audit of the compressed ANN scorers against the exact
+    # float ranking (similarity.py::ann_recall) — the "measure, don't
+    # guess" gate a pipeline runs before trusting int8 / JL-projected
+    # indexes at scale; same audit role as the count-min and
+    # approx-percentile guard queries. k-row semi-joins only.
+    e = W.load(spark, sf_dir, "embeddings")
+    return S.ann_recall(
+        e, _query_vec(spark, sf_dir), k=20, out_dims=16, exclude_id=0
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the level-5 incremental merge end-to-end on sf0.001 —
     classify I/U/D/0/X from data presence and apply as a keyed merge."""
@@ -2703,7 +2740,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    keeps four entries in-window) -> 51+
         "q_negative_samples": q_negative_samples,
         "q_quality_quantile_filter": q_quality_quantile_filter,
-        "q_mm_thumbnails": q_mm_thumbnails,
+        # -- round-6 session-3 birth: DSIR importance resampling;
+        #    displaced tenant q_mm_thumbnails (r4+r5 green after its r3
+        #    red; multimodal family keeps q_mm_fingerprint_dedup
+        #    oracle-checked at 51+) -> 51+
+        "q_dsir_select": q_dsir_select,
         # -- round-5 births, in-window at birth (rotation rule): their
         #    displaced tenants q_sim_cosine_topk / q_sim_cosine_above
         #    each carry THREE green driver rows (r1+r3+r4) -> 51+
@@ -2713,7 +2754,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    tenant q_sim_lsh_topk (r3+r4+r5 green; the LSH family keeps
         #    q_sim_lsh_bucketed in-window) -> 51+
         "q_sim_pq_topk": q_sim_pq_topk,
-        "q_sim_lsh_bucketed": q_sim_lsh_bucketed,
+        # -- round-6 session-3 birth: per-doc token-entropy diversity
+        #    signal; displaced tenant q_sim_lsh_bucketed (r3+r4+r5
+        #    triple green) -> 51+
+        "q_text_entropy": q_text_entropy,
         # -- round-5 session-2 birth: duplicated-span scrubbing;
         #    displaced tenant q_sim_ivf_topk (r3+r4 green; the ANN
         #    family keeps five other entries in-window) -> 51+
@@ -2784,7 +2828,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    q_approx_percentile_guard (r4+r5 green) -> 51+
         "q_event_cohort_retention": q_event_cohort_retention,
         "q_tpch_q2_min_supplier": q_tpch_q2_min_supplier,
-        "q_tpch_q21_waiting": q_tpch_q21_waiting,
+        # -- round-6 session-3 birth: ANN recall@k self-evaluation;
+        #    displaced tenant q_tpch_q21_waiting (r4+r5 green; TPC-H
+        #    keeps q2/q7/q12 in-window) -> 51+
+        "q_ann_recall": q_ann_recall,
         # -- round-6 birth: RAG passage retrieval (chunk + BM25 in one
         #    plan); displaced tenant q_tpch_q22_global_sales (r4+r5
         #    green; TPC-H keeps q2/q21/q7/q12 in-window) -> 51+
@@ -2813,6 +2860,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    q_c9_tolerance, q_s3_discovery_pending, q_p5_utf8_clean,
         #    q_dedup_embed_cosine — are ALL r2 AND r3 green, j5/c9 also
         #    r1) and remains oracle-checked via scripts/check_oracles.py
+        # -- rotated out in round-6 session 3 by the three late births
+        #    (q_dsir_select, q_text_entropy, q_ann_recall): thumbnails
+        #    r4+r5 green (its r3 red was cleared in r4), the other two
+        #    r3/r4+r5 green
+        "q_mm_thumbnails": q_mm_thumbnails,
+        "q_sim_lsh_bucketed": q_sim_lsh_bucketed,
+        "q_tpch_q21_waiting": q_tpch_q21_waiting,
         # -- rotated out in round 6 (each r3 AND r4 AND r5 driver-green),
         #    displaced by the eight round-6 births now in-window
         "q_sim_lsh_topk": q_sim_lsh_topk,
@@ -3602,6 +3656,76 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY skey DESC, doc_id
             LIMIT 50
         """,
+        "q_dsir_select": f"""
+            WITH t AS (
+              SELECT doc_id,
+                     CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_t,
+                     unnest(string_split(text, ' ')) AS tok
+              FROM documents
+            ),
+            tb AS (
+              SELECT doc_id, is_t, {_tokval("tok")} % 256 AS b FROM t
+            ),
+            bc AS (
+              SELECT b, count(*) AS raw_c, sum(is_t) AS tgt_c
+              FROM tb GROUP BY b
+            ),
+            tot AS (SELECT sum(raw_c) AS r, sum(tgt_c) AS tg FROM bc),
+            lam AS (
+              SELECT b,
+                     CAST(round((ln((tgt_c + 1.0) / (tg + 256.0))
+                                 - ln((raw_c + 1.0) / (r + 256.0)))
+                                * 1000000) AS BIGINT) AS li
+              FROM bc, tot
+            ),
+            d AS (
+              SELECT tb.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                     CAST(sum(li) AS BIGINT) AS s
+              FROM tb JOIN lam USING (b)
+              GROUP BY tb.doc_id
+            ),
+            sc AS (
+              SELECT doc_id, n_tokens, round(s / 1000000.0, 6) AS logw,
+                     -ln(-ln(((((doc_id % 2147483647) * 2654435761)
+                               % 2147483647) + 1)
+                             / 2147483648.0)) AS g
+              FROM d
+            )
+            SELECT doc_id, n_tokens, logw, round(logw + g, 6) AS score
+            FROM sc
+            ORDER BY score DESC, doc_id
+            LIMIT 200
+        """,
+        "q_text_entropy": """
+            WITH t AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+              FROM documents
+            ),
+            c AS (
+              SELECT doc_id, tok, count(*) AS c FROM t GROUP BY doc_id, tok
+            ),
+            a AS (
+              SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+                     CAST(count(*) AS BIGINT) AS n_distinct,
+                     CAST(sum(CAST(round(CAST(c AS DOUBLE)
+                                         * ln(CAST(c AS DOUBLE))
+                                         * 1000000) AS BIGINT))
+                          AS BIGINT) AS s
+              FROM c GROUP BY doc_id
+            ),
+            e AS (
+              SELECT doc_id, n_tokens, n_distinct,
+                     round(ln(CAST(n_tokens AS DOUBLE))
+                           - (s / 1000000.0) / n_tokens, 6) AS entropy_nats
+              FROM a
+            )
+            SELECT doc_id, n_tokens, n_distinct, entropy_nats,
+                   CASE WHEN n_distinct > 1
+                        THEN round(entropy_nats
+                                   / ln(CAST(n_distinct AS DOUBLE)), 6)
+                        ELSE 0.0 END AS norm_entropy
+            FROM e
+        """,
         "q_cms_heavy_hitters": _cms_sql(),
         "q_dedup_scrub_spans": f"""
             WITH t AS (
@@ -4258,6 +4382,78 @@ def oracle_sql() -> dict[str, str]:
             WHERE e.vec_id <> 0
             ORDER BY qscore DESC, e.vec_id
             LIMIT 10
+        """,
+        "q_ann_recall": f"""
+            WITH e2 AS (
+              SELECT vec_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings
+            ),
+            sc AS (
+              SELECT vec_id, v,
+                     list_max(list_transform(v, x -> abs(x))) / 127.0 AS s
+              FROM e2
+            ),
+            qv AS (
+              SELECT vec_id,
+                     CASE WHEN s = 0
+                          THEN list_transform(v, x -> CAST(0 AS DOUBLE))
+                          ELSE list_transform(v, x -> round(x / s)) END AS q
+              FROM sc
+            ),
+            qq AS (SELECT q FROM qv WHERE vec_id = 0),
+            quant AS (
+              SELECT e.vec_id,
+                     round(list_inner_product(e.q, qq.q)
+                           / (sqrt(list_inner_product(e.q, e.q))
+                              * sqrt(list_inner_product(qq.q, qq.q))), 6)
+                       AS qscore
+              FROM qv e, qq
+              WHERE e.vec_id <> 0
+              ORDER BY qscore DESC, e.vec_id
+              LIMIT 20
+            ),
+            pv AS (
+              SELECT vec_id,
+                     list_transform(generate_series(0, 15), j ->
+                       round(list_sum(list_transform(generate_series(1, 64), i ->
+                         ((((j * 131 + (i - 1)) * 2654435761) % 2147483647)
+                          / 2147483647.0 - 0.5)
+                         * CAST(embedding[i] AS DOUBLE))), 6)) AS p
+              FROM embeddings
+            ),
+            pq0 AS (SELECT p FROM pv WHERE vec_id = 0),
+            proj AS (
+              SELECT e.vec_id,
+                     round(list_inner_product(e.p, pq0.p)
+                           / (sqrt(list_inner_product(e.p, e.p))
+                              * sqrt(list_inner_product(pq0.p, pq0.p))), 6)
+                       AS pscore
+              FROM pv e, pq0
+              WHERE e.vec_id <> 0
+              ORDER BY pscore DESC, e.vec_id
+              LIMIT 20
+            ),
+            exact AS (
+              SELECT e.vec_id, {cos} AS score
+              FROM embeddings e,
+                   (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+              WHERE e.vec_id <> 0
+              ORDER BY score DESC, e.vec_id
+              LIMIT 20
+            )
+            SELECT * FROM (
+              SELECT 'int8' AS method, CAST(20 AS BIGINT) AS k,
+                     CAST(count(*) AS BIGINT) AS hits,
+                     round(count(*) / 20.0, 6) AS recall
+              FROM quant JOIN exact USING (vec_id)
+              UNION ALL
+              SELECT 'jl16' AS method, CAST(20 AS BIGINT) AS k,
+                     CAST(count(*) AS BIGINT) AS hits,
+                     round(count(*) / 20.0, 6) AS recall
+              FROM proj JOIN exact USING (vec_id)
+            )
+            ORDER BY method
         """,
         "q_sim_cosine_above": f"""
             SELECT e.vec_id, {cos} AS score

@@ -1,0 +1,147 @@
+"""DSIR — Data Selection via Importance Resampling (Xie et al., NeurIPS
+2023) over hashed unigram features, as two declarative Spark jobs.
+
+Given a raw corpus and a TARGET predicate (rows that look like the
+distribution you want more of — a wiki/book slice, a high-quality
+subset), DSIR:
+
+1. fits two bag-of-hashed-ngram multinomials over ``dim`` feature
+   buckets — one from the target rows, one from the whole corpus —
+   with add-one smoothing;
+2. weights every document by its log-likelihood ratio
+   ``log w(d) = Σ_t  [ log p_target(b(t)) − log p_raw(b(t)) ]``
+   summed over the document's tokens; and
+3. resamples ``n`` documents WITHOUT replacement with probability
+   ∝ exp(log w) via the Gumbel-top-k trick.
+
+Everything is deterministic and oracle-expressible:
+
+- the feature hash is the engine-standard :func:`token_value`
+  (length/first-char mix — swap in a real hash behind the same column
+  contract) reduced mod ``dim``;
+- the per-bucket log-ratio is computed in double from exact integer
+  counts (IEEE-identical on any engine) and then frozen to a 1e-6
+  fixed-point BIGINT, so the per-document sum is an INTEGER sum —
+  fold-order-free, no float drift between Spark's partial aggregates
+  and a serial oracle;
+- the Gumbel perturbation uses a hashed uniform (the same pre-reduced
+  Knuth mix as ``sampling.es_key``; u ∈ (0,1], so ``-ln(-ln u)`` is
+  finite) instead of ``rand()`` — re-runs, engines, and partitionings
+  select the SAME documents, and a different ``salt`` is a fresh draw.
+
+Scale (100 TB): two passes over the tokenized corpus — one to count
+bucket frequencies (map-side explode, partial-agg shuffle whose state
+is ``dim`` rows), one to score documents (broadcast the ``dim``-row
+log-ratio table — model state, never a data-plane collect — then one
+doc-keyed partial-agg shuffle). The totals needed for smoothing are an
+unpartitioned window over the ``dim``-row aggregate, not a driver
+round-trip. The final selection is a TakeOrderedAndProject top-n, not a
+global sort. Nothing grows super-linearly: state is O(dim), work is
+O(corpus tokens).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from linz_bde_uploader_spark.functions.text import (
+    HASH_MIX,
+    HASH_MOD,
+    token_value,
+    tokens,
+)
+
+#: hashed-feature dimensionality for the importance model. Small enough
+#: that the log-ratio table is a trivially broadcastable model (dim
+#: rows), large enough that frequent tokens spread over distinct
+#: buckets. The published recipe uses 10k buckets of word bigrams; the
+#: knob scales without a plan change.
+DSIR_DIM = 256
+
+#: fixed-point scale freezing the per-bucket log-ratio to integers so
+#: per-document sums are exact in any aggregation order.
+_FP = 1_000_000
+
+
+def dsir_logratio(
+    docs: DataFrame,
+    target: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = DSIR_DIM,
+) -> DataFrame:
+    """Per-document DSIR importance weight: ``(id, n_tokens, logw)``
+    where ``logw`` is the hashed-unigram log-likelihood ratio of the
+    target model over the raw model (add-one smoothed), rounded to 6 dp.
+    Documents with zero tokens carry no evidence and are omitted (they
+    can never be meaningfully up-weighted)."""
+    toks = docs.select(
+        F.col(id_col).alias("_id"),
+        target.cast("int").alias("_t"),
+        F.explode(tokens(F.col(text_col))).alias("_tok"),
+    ).withColumn("_b", F.pmod(token_value(F.col("_tok")), F.lit(dim)))
+
+    counts = toks.groupBy("_b").agg(
+        F.count(F.lit(1)).alias("_raw"),
+        F.sum("_t").cast("long").alias("_tgt"),
+    )
+    # Smoothing totals via an unpartitioned window over the dim-row
+    # aggregate: tiny by construction, and it keeps the whole model fit
+    # inside one declarative plan (no scalar-subquery BNLJ, no collect).
+    whole = Window.partitionBy()
+    ratio = (
+        F.log((F.col("_tgt") + F.lit(1.0))
+              / (F.sum("_tgt").over(whole) + F.lit(float(dim))))
+        - F.log((F.col("_raw") + F.lit(1.0))
+                / (F.sum("_raw").over(whole) + F.lit(float(dim))))
+    )
+    lam = counts.select(
+        "_b", F.round(ratio * _FP).cast("long").alias("_li")
+    )
+
+    scored = (
+        toks.join(F.broadcast(lam), "_b")
+        .groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("_li").alias("_s"),
+        )
+    )
+    return scored.select(
+        F.col("_id").alias(id_col),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round(F.col("_s") / F.lit(float(_FP)), 6).alias("logw"),
+    )
+
+
+def dsir_select(
+    docs: DataFrame,
+    n: int,
+    target: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = DSIR_DIM,
+    salt: int = 0,
+) -> DataFrame:
+    """Gumbel-top-k importance resampling: the ``n`` documents with the
+    largest ``logw + Gumbel(hash(id, salt))`` are a sample without
+    replacement with inclusion probability ∝ exp(logw) — the standard
+    reduction, with the noise drawn from a deterministic hashed uniform
+    so the selection is reproducible. Returns
+    ``(id, n_tokens, logw, score)`` ordered by the perturbed score."""
+    w = dsir_logratio(docs, target, id_col, text_col, dim)
+    u = (
+        F.pmod(
+            F.pmod(F.col(id_col).cast("long") + F.lit(salt),
+                   F.lit(HASH_MOD)) * HASH_MIX,
+            F.lit(HASH_MOD),
+        )
+        + 1
+    ) / (HASH_MOD + 1.0)
+    score = F.round(F.col("logw") + (-F.log(-F.log(u))), 6)
+    return (
+        w.withColumn("score", score)
+        .orderBy(F.desc("score"), F.col(id_col))
+        .limit(n)
+    )

@@ -963,3 +963,64 @@ def pq_topk(
     if exclude_id is not None:
         scored = scored.filter(F.col(id_col) != exclude_id)
     return scored.orderBy(F.asc("approx_dist"), F.col(id_col)).limit(k)
+
+
+def ann_recall(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 20,
+    out_dims: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """Recall@k self-evaluation for the compressed ANN scorers — measure,
+    don't guess: for one query, compute the EXACT float cosine top-k and
+    the top-k under each lossy representation (int8 scalar quantization;
+    Johnson-Lindenstrauss projection to ``out_dims``), and report the
+    overlap fraction. This is the audit a pipeline runs before trusting
+    a cheaper index at 100 TB — the same role the count-min and
+    approx-percentile guard queries play for their sketches.
+
+    Returns one row per method: ``(method, k, hits, recall)`` with
+    ``recall = hits / k`` at 6 dp, ordered by method name.
+
+    Scale: each branch is the already-scale-audited map-only scorer plus
+    a TakeOrderedAndProject; the overlap join is k-row against k-row
+    (broadcast hash semi-join, never a data-plane shuffle). Work is a
+    constant number of corpus scans; a production harness would persist
+    the scored candidates and sweep k without re-scanning."""
+    exact = cosine_topk(
+        embeddings, query_vec, k=k, id_col=id_col, vec_col=vec_col,
+        exclude_id=exclude_id,
+    ).select(id_col)
+    variants = [
+        (
+            "int8",
+            quantized_cosine_topk(
+                embeddings, query_vec, k=k, id_col=id_col,
+                vec_col=vec_col, exclude_id=exclude_id,
+            ).select(id_col),
+        ),
+        (
+            f"jl{out_dims}",
+            projected_cosine_topk(
+                embeddings, query_vec, k=k, out_dims=out_dims,
+                id_col=id_col, vec_col=vec_col, exclude_id=exclude_id,
+            ).select(id_col),
+        ),
+    ]
+    out = None
+    for name, approx in variants:
+        row = (
+            approx.join(exact, id_col, "left_semi")
+            .agg(F.count(F.lit(1)).alias("hits"))
+            .select(
+                F.lit(name).alias("method"),
+                F.lit(k).cast("long").alias("k"),
+                F.col("hits").cast("long").alias("hits"),
+                F.round(F.col("hits") / F.lit(float(k)), 6).alias("recall"),
+            )
+        )
+        out = row if out is None else out.unionAll(row)
+    return out.orderBy("method")

@@ -561,3 +561,69 @@ def zipf_topk(docs: DataFrame, top_n: int = 100,
     return ranked.select(
         "rank", "tok", "freq", slope.alias("zipf_slope")
     )
+
+
+def token_entropy(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document token-level Shannon entropy — the lexical-diversity
+    quality signal (near-random token streams score high, template spam
+    and stuck-generation loops score pathologically low; CCNet-family
+    pipelines cut both tails). Returns
+    ``(id, n_tokens, n_distinct, entropy_nats, norm_entropy)`` where
+    ``norm_entropy = H / ln(n_distinct)`` ∈ [0, 1] (0 when a document
+    has a single distinct token, i.e. no diversity to normalize).
+
+    Numerics: uses the aggregation-friendly identity
+    ``H = ln n − (1/n) Σ_t c_t ln c_t`` so the only data-dependent sum
+    is over per-(doc, token) counts. Each ``c ln c`` term is computed in
+    double from exact integers (IEEE-identical on any engine) and frozen
+    to a 1e-6 fixed-point BIGINT, making the per-document sum an INTEGER
+    sum — fold-order-free, no drift between Spark's partial aggregates
+    and a serial oracle. Outputs round at 6 dp.
+
+    Scale: two key-compatible partial-agg shuffles — (doc, token)
+    counts, then per-doc — both map-side combined; state per reducer is
+    one document's vocabulary. No window, no collect, no UDF; linear in
+    corpus tokens."""
+    c = (
+        docs.select(
+            F.col(id_col).alias("_id"),
+            F.explode(tokens(F.col(text_col))).alias("_tok"),
+        )
+        .groupBy("_id", "_tok")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    cd = F.col("_c").cast("double")
+    term = F.round(cd * F.log(cd) * 1_000_000).cast("long")
+    a = c.groupBy("_id").agg(
+        F.sum("_c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        F.sum(term).alias("_s"),
+    )
+    ent = F.round(
+        F.log(F.col("n_tokens").cast("double"))
+        - (F.col("_s") / F.lit(1_000_000.0)) / F.col("n_tokens"),
+        6,
+    )
+    return (
+        a.withColumn("entropy_nats", ent)
+        .withColumn(
+            "norm_entropy",
+            F.when(
+                F.col("n_distinct") > 1,
+                F.round(
+                    F.col("entropy_nats")
+                    / F.log(F.col("n_distinct").cast("double")),
+                    6,
+                ),
+            ).otherwise(F.lit(0.0)),
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            "n_tokens",
+            "n_distinct",
+            "entropy_nats",
+            "norm_entropy",
+        )
+    )

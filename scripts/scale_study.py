@@ -64,6 +64,10 @@ PICK = [
     "q_dedup_keep_best", "q_bm25_topk", "q_event_funnel",
     "q_corpus_zipf", "q_weighted_sample_per_group", "q_negative_samples",
     "q_passage_retrieval",
+    # round-6 session-3 births: DSIR's two token passes + dim-row
+    # broadcast model, the entropy double-agg, and the ANN recall audit
+    # (three corpus scans + k-row semi-joins)
+    "q_dsir_select", "q_text_entropy", "q_ann_recall",
 ]
 
 

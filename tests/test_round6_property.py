@@ -122,3 +122,31 @@ def test_shuffle_is_permutation_over_arbitrary_ids(ids):
         seen[shard] = seen.get(shard, 0) + 1
     assert len(pos) == len(ids)
     assert len(set(pos.values())) == len(ids)
+
+
+@settings(max_examples=300, suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(st.integers(min_value=1, max_value=500),
+                min_size=1, max_size=40))
+def test_entropy_identity_matches_direct_form(counts):
+    # token_entropy computes H = ln n - (1/n) sum c ln c (the
+    # aggregation-friendly form); it must equal -sum p ln p exactly
+    n = sum(counts)
+    viaid = math.log(n) - sum(c * math.log(c) for c in counts) / n
+    direct = -sum((c / n) * math.log(c / n) for c in counts)
+    assert abs(viaid - direct) < 1e-9
+    assert -1e-12 <= viaid <= math.log(len(counts)) + 1e-9
+
+
+@settings(max_examples=300, suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(TOK, min_size=1, max_size=30), st.integers(0, 3))
+def test_dsir_bucket_and_fixed_point_bounds(toks, dim_pow):
+    # the DSIR feature bucket is always in [0, dim); the fixed-point
+    # log-ratio stays well inside int64 for any count split
+    dim = 64 << dim_pow
+    for t in toks:
+        tv = (len(t) * 17 + ord(t[0]) * 31) % HASH_MOD
+        assert 0 <= tv % dim < dim
+    # extreme smoothed ratio: 1 target hit among huge raw mass
+    lam = (math.log((1 + 1.0) / (1 + dim))
+           - math.log((10**12 + 1.0) / (10**12 + dim))) * 1_000_000
+    assert abs(lam) < 2**62
