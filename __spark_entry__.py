@@ -2668,6 +2668,54 @@ def q_ann_recall(spark, sf_dir):
     )
 
 
+def q_text_langid_confusion(spark, sf_dir):
+    # Language-id confusion matrix vs the labeled lang column
+    # (text.py::langid_confusion): per-(label, prediction) counts and
+    # the per-language capture fraction — the audit run before trusting
+    # a classifier as a corpus filter (the ann_recall pattern for text).
+    return X.langid_confusion(W.load(spark, sf_dir, "documents"))
+
+
+def q_hybrid_rrf(spark, sf_dir):
+    # Hybrid retrieval via reciprocal-rank fusion (tfidf.py::rrf_fuse,
+    # Cormack et al. 2009): fuse the BM25 lexical top-20 with the
+    # dense top-20 (shingle-embedding cosine to doc 0's vector) without
+    # score calibration — the standard two-tower retrieval merge. Each
+    # ranker keeps its own scale design; the fusion itself joins two
+    # 20-row lists. Doc 0's 64-dim embedding is a one-row model-state
+    # collect (the _query_vec pattern).
+    from linz_bde_uploader_spark.functions import tfidf as TI
+
+    d = W.load(spark, sf_dir, "documents")
+    lex = TI.with_rank(
+        TI.bm25_topk(d, ["scan", "merge", "vector"], k=20), "bm25"
+    )
+    emb = D.with_doc_embedding(d, "text")
+    q0 = emb.filter(F.col("doc_id") == 0).select("_emb").first()[0]
+    qv = F.array(*[F.lit(float(x)) for x in q0])
+    sem = TI.with_rank(
+        emb.filter(F.col("doc_id") != 0)
+        .select(
+            "doc_id", F.round(S.cosine(F.col("_emb"), qv), 6).alias("cs")
+        )
+        .orderBy(F.desc("cs"), "doc_id")
+        .limit(20),
+        "cs",
+    )
+    return TI.rrf_fuse([("lex", lex), ("sem", sem)], top_n=10)
+
+
+def q_source_overlap(spark, sf_dir):
+    # Cross-source near-dup contamination matrix
+    # (dedup.py::source_overlap_matrix): verified LSH+Jaccard pairs
+    # attributed to unordered source pairs — which feeds mirror each
+    # other, the datasheet stat consulted before fixing mixture weights.
+    d = W.load(spark, sf_dir, "documents")
+    return D.source_overlap_matrix(
+        d, "doc_id", "text", "source", threshold=0.08
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the level-5 incremental merge end-to-end on sf0.001 —
     classify I/U/D/0/X from data presence and apply as a keyed merge."""
@@ -2823,11 +2871,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- 40-44: round-4 rotation — the three entries that had never
         #    had a driver row (placed out-of-window at birth) plus the
         #    two new TPC-H decorrelation shapes (first driver check)
-        "q_dedup_components": q_dedup_components,
+        # -- round-6 session-3 birth: langid confusion-matrix audit;
+        #    displaced tenant q_dedup_components (r4+r5 green; the dedup
+        #    family keeps several entries in-window) -> 51+
+        "q_text_langid_confusion": q_text_langid_confusion,
         # -- round-6 birth: cohort retention triangle; displaced tenant
         #    q_approx_percentile_guard (r4+r5 green) -> 51+
         "q_event_cohort_retention": q_event_cohort_retention,
-        "q_tpch_q2_min_supplier": q_tpch_q2_min_supplier,
+        # -- round-6 session-3 birth: RRF hybrid retrieval fusion;
+        #    displaced tenant q_tpch_q2_min_supplier (r4+r5 green;
+        #    TPC-H keeps q7/q12 in-window) -> 51+
+        "q_hybrid_rrf": q_hybrid_rrf,
         # -- round-6 session-3 birth: ANN recall@k self-evaluation;
         #    displaced tenant q_tpch_q21_waiting (r4+r5 green; TPC-H
         #    keeps q2/q7/q12 in-window) -> 51+
@@ -2839,7 +2893,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- 45-49: NEW this round — the remaining classic TPC-H shapes
         #    (volume join, CASE agg, CTE + scalar max, correlated avg,
         #    nested IN/HAVING), first driver check
-        "q_tpch_q7_volume": q_tpch_q7_volume,
+        # -- round-6 session-3 birth: cross-source near-dup overlap
+        #    matrix; displaced tenant q_tpch_q7_volume (r4+r5 green;
+        #    TPC-H keeps q12 in-window on its red-hold) -> 51+
+        "q_source_overlap": q_source_overlap,
         "q_tpch_q12_shipclass": q_tpch_q12_shipclass,
         # -- round-6 births: quality-aware cluster dedup + per-language
         #    corpus datasheet; displaced tenants q_tpch_q15_top_supplier
@@ -2867,6 +2924,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_mm_thumbnails": q_mm_thumbnails,
         "q_sim_lsh_bucketed": q_sim_lsh_bucketed,
         "q_tpch_q21_waiting": q_tpch_q21_waiting,
+        "q_dedup_components": q_dedup_components,
+        "q_tpch_q2_min_supplier": q_tpch_q2_min_supplier,
+        "q_tpch_q7_volume": q_tpch_q7_volume,
         # -- rotated out in round 6 (each r3 AND r4 AND r5 driver-green),
         #    displaced by the eight round-6 births now in-window
         "q_sim_lsh_topk": q_sim_lsh_topk,
@@ -3656,6 +3716,24 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY skey DESC, doc_id
             LIMIT 50
         """,
+        "q_text_langid_confusion": f"""
+            WITH p AS (
+              SELECT lang,
+                     CASE WHEN len(list_filter({_TOKS},
+                                               t -> t IN {_STOPLIST})) >= 3
+                          THEN 'en' ELSE 'other' END AS pred
+              FROM documents
+            ),
+            c AS (
+              SELECT lang, pred, CAST(count(*) AS BIGINT) AS n_docs
+              FROM p GROUP BY 1, 2
+            )
+            SELECT lang, pred, n_docs,
+                   round(CAST(n_docs AS DOUBLE)
+                         / CAST(sum(n_docs) OVER (PARTITION BY lang)
+                                AS DOUBLE), 6) AS frac_of_lang
+            FROM c
+        """,
         "q_dsir_select": f"""
             WITH t AS (
               SELECT doc_id,
@@ -3695,6 +3773,91 @@ def oracle_sql() -> dict[str, str]:
             FROM sc
             ORDER BY score DESC, doc_id
             LIMIT 200
+        """,
+        "q_hybrid_rrf": _SHINGLE_HASHES + f"""
+            , e0 AS (
+              SELECT doc_id,
+                     [{", ".join(f"CAST(len(list_filter(hs, h -> h % 64 = {d})) AS DOUBLE)" for d in range(64))}] AS e
+              FROM sh_h
+            ),
+            q0 AS (SELECT e FROM e0 WHERE doc_id = 0),
+            sem AS (
+              SELECT d.doc_id,
+                     round(({_DOT64.format(a="d.e", b="q0.e")})
+                           / (sqrt({_DOT64.format(a="d.e", b="d.e")})
+                              * sqrt({_DOT64.format(a="q0.e", b="q0.e")})),
+                           6) AS cs
+              FROM e0 d, q0
+              WHERE d.doc_id <> 0
+              ORDER BY cs DESC, d.doc_id
+              LIMIT 20
+            ),
+            semr AS (
+              SELECT doc_id,
+                     row_number() OVER (ORDER BY cs DESC, doc_id)
+                       AS sem_rank
+              FROM sem
+            ),
+            pd AS (
+              SELECT doc_id,
+                     len(string_split(trim(text), ' ')) AS dl,
+                     len(list_filter(string_split(trim(text), ' '),
+                                     t -> t = 'scan')) AS tf0,
+                     len(list_filter(string_split(trim(text), ' '),
+                                     t -> t = 'merge')) AS tf1,
+                     len(list_filter(string_split(trim(text), ' '),
+                                     t -> t = 'vector')) AS tf2
+              FROM documents
+            ),
+            st AS (
+              SELECT count(*) AS n,
+                     CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+                     sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+                     sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+                     sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+              FROM pd
+            ),
+            bm AS (
+              SELECT doc_id, bm25 FROM (
+                SELECT doc_id,
+                       round(
+                         ln(CAST(1.0 AS DOUBLE) + (n - df0 + CAST(0.5 AS DOUBLE)) / (df0 + CAST(0.5 AS DOUBLE)))
+                         * (CAST(tf0 AS DOUBLE) * CAST(2.2 AS DOUBLE)
+                            / (CAST(tf0 AS DOUBLE) + CAST(1.2 AS DOUBLE)
+                               * (CAST(0.25 AS DOUBLE)
+                                  + CAST(0.75 AS DOUBLE) * dl / avgdl)))
+                         + ln(CAST(1.0 AS DOUBLE) + (n - df1 + CAST(0.5 AS DOUBLE)) / (df1 + CAST(0.5 AS DOUBLE)))
+                         * (CAST(tf1 AS DOUBLE) * CAST(2.2 AS DOUBLE)
+                            / (CAST(tf1 AS DOUBLE) + CAST(1.2 AS DOUBLE)
+                               * (CAST(0.25 AS DOUBLE)
+                                  + CAST(0.75 AS DOUBLE) * dl / avgdl)))
+                         + ln(CAST(1.0 AS DOUBLE) + (n - df2 + CAST(0.5 AS DOUBLE)) / (df2 + CAST(0.5 AS DOUBLE)))
+                         * (CAST(tf2 AS DOUBLE) * CAST(2.2 AS DOUBLE)
+                            / (CAST(tf2 AS DOUBLE) + CAST(1.2 AS DOUBLE)
+                               * (CAST(0.25 AS DOUBLE)
+                                  + CAST(0.75 AS DOUBLE) * dl / avgdl))),
+                         6) AS bm25
+                FROM pd, st
+              ) WHERE bm25 > 0
+              ORDER BY bm25 DESC, doc_id
+              LIMIT 20
+            ),
+            bmr AS (
+              SELECT doc_id,
+                     row_number() OVER (ORDER BY bm25 DESC, doc_id)
+                       AS lex_rank
+              FROM bm
+            ),
+            f AS (
+              SELECT coalesce(b.doc_id, s.doc_id) AS doc_id,
+                     b.lex_rank, s.sem_rank,
+                     round(coalesce(1.0 / (60 + b.lex_rank), 0.0)
+                           + coalesce(1.0 / (60 + s.sem_rank), 0.0),
+                           6) AS rrf
+              FROM bmr b FULL OUTER JOIN semr s ON b.doc_id = s.doc_id
+            )
+            SELECT doc_id, lex_rank, sem_rank, rrf
+            FROM f ORDER BY rrf DESC, doc_id LIMIT 10
         """,
         "q_text_entropy": """
             WITH t AS (
@@ -4052,6 +4215,45 @@ def oracle_sql() -> dict[str, str]:
               FROM cand c JOIN sh a ON a.doc_id = c.id_a JOIN sh b ON b.doc_id = c.id_b
             )
             SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.08
+        """,
+        "q_source_overlap": _MINHASH_SIGS + f"""
+            , bands AS (
+              SELECT doc_id, 0 AS band, ((0*31 + mh0)*31 + mh1) % 2147483647 AS key FROM sigs
+              UNION ALL
+              SELECT doc_id, 1, ((1*31 + mh2)*31 + mh3) % 2147483647 FROM sigs
+              UNION ALL
+              SELECT doc_id, 2, ((2*31 + mh4)*31 + mh5) % 2147483647 FROM sigs
+              UNION ALL
+              SELECT doc_id, 3, ((3*31 + mh6)*31 + mh7) % 2147483647 FROM sigs
+            ),
+            cand AS (
+              SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+              FROM bands l JOIN bands r
+                ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
+            ),
+            sh AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(generate_series(1, greatest(n-2, 1)),
+                       i -> toks[least(i, n)] || ' ' || toks[least(i+1, n)] || ' ' || toks[least(i+2, n)])) AS s
+              FROM t
+            ),
+            pairs AS (
+              SELECT c.id_a, c.id_b,
+                     round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                           / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+              FROM cand c JOIN sh a ON a.doc_id = c.id_a JOIN sh b ON b.doc_id = c.id_b
+            ),
+            vp AS (SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.08)
+            SELECT least(da.source, db.source) AS source_a,
+                   greatest(da.source, db.source) AS source_b,
+                   CAST(count(*) AS BIGINT) AS n_pairs,
+                   round((CAST(sum(CAST(round(vp.jaccard * 1000000) AS BIGINT))
+                               AS BIGINT) / 1000000.0)
+                         / count(*), 6) AS mean_jaccard
+            FROM vp
+            JOIN documents da ON da.doc_id = vp.id_a
+            JOIN documents db ON db.doc_id = vp.id_b
+            GROUP BY 1, 2
         """,
         "q_tpch_q10_returns": """
             SELECT c_custkey, c_name, n_name,

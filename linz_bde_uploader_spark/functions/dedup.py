@@ -862,3 +862,63 @@ def keep_best_per_cluster(
         .filter(F.col("_rn") == 1)
         .select(id_col, "component", "quality")
     )
+
+
+def source_overlap_matrix(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    group_col: str,
+    threshold: float = 0.08,
+    n: int = 3,
+    bands: int = 4,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """Cross-source contamination matrix: how much near-duplicate mass
+    each pair of sources shares — the datasheet statistic that tells a
+    curation team which feeds are re-crawls/mirrors of each other
+    before mixture weights are chosen. Built on the verified two-phase
+    pipeline (:func:`candidate_jaccard_verify`: LSH candidates → exact
+    n-gram Jaccard), then each surviving pair is attributed to its
+    unordered source pair (diagonal = within-source duplication).
+
+    Returns ``(source_a, source_b, n_pairs, mean_jaccard)`` with
+    ``source_a <= source_b``. The mean is computed from 1e-6
+    fixed-point integer sums, so it is exact in any aggregation order
+    (the DSIR/entropy discipline).
+
+    Scale: the pair volume is the verified near-dup set (already
+    banded + verified, never all-pairs); attributing sources is two
+    narrow id-equi-joins against the (id, source) projection; the final
+    aggregate is bounded by |sources|² cells."""
+    pairs = candidate_jaccard_verify(
+        df, id_col, text_col, threshold, n, bands, rows_per_band
+    )
+    g = df.select(F.col(id_col), F.col(group_col))
+    j = pairs.join(
+        g.select(F.col(id_col).alias("id_a"), F.col(group_col).alias("_ga")),
+        "id_a",
+    ).join(
+        g.select(F.col(id_col).alias("id_b"), F.col(group_col).alias("_gb")),
+        "id_b",
+    )
+    return (
+        j.select(
+            F.least("_ga", "_gb").alias("source_a"),
+            F.greatest("_ga", "_gb").alias("source_b"),
+            F.round(F.col("jaccard") * 1_000_000).cast("long").alias("_ji"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum("_ji").alias("_s"),
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "n_pairs",
+            F.round(
+                (F.col("_s") / F.lit(1_000_000.0)) / F.col("n_pairs"), 6
+            ).alias("mean_jaccard"),
+        )
+    )

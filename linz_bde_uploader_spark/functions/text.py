@@ -627,3 +627,36 @@ def token_entropy(
             "norm_entropy",
         )
     )
+
+
+def langid_confusion(
+    docs: DataFrame,
+    label_col: str = "lang",
+    text_col: str = "text",
+    min_hits: int = 3,
+) -> DataFrame:
+    """Confusion matrix of the heuristic language id against labeled
+    languages — the evaluation a pipeline runs before trusting a
+    classifier as a corpus filter (same measure-don't-guess role as
+    :func:`similarity.ann_recall` plays for ANN). Returns one row per
+    ``(lang, pred)`` cell: document count and the fraction of that
+    labeled language the cell captures — so the 'en'→'en' row IS the
+    classifier's recall on English, and 'xx'→'en' rows are the
+    contamination a naive English filter would admit.
+
+    Scale: one partial-agg shuffle to a |langs| x |preds| bounded cell
+    table, then a window over that tiny table for the per-language
+    fractions. The classifier itself is map-only Column arithmetic; a
+    model-based id (fastText et al.) slots into the same ``pred``
+    column via mapInPandas without changing the audit."""
+    from pyspark.sql import Window
+
+    cells = docs.groupBy(
+        F.col(label_col).alias("lang"),
+        lang_guess(F.col(text_col), min_hits).alias("pred"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    w = Window.partitionBy("lang")
+    return cells.withColumn(
+        "frac_of_lang",
+        F.round(F.col("n_docs") / F.sum("n_docs").over(w), 6),
+    )

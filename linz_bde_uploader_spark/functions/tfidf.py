@@ -218,3 +218,63 @@ def bm25_topk(
         .orderBy(F.desc("bm25"), F.col(id_col))
         .limit(k)
     )
+
+
+def with_rank(
+    df: DataFrame, order_col: str, id_col: str = "doc_id",
+    descending: bool = True,
+) -> DataFrame:
+    """1-based dense ranking of an ALREADY-BOUNDED result (a top-k
+    list), ties broken by id. The single-partition window is fine by
+    construction — rank only what you already limited."""
+    order = [
+        F.desc(order_col) if descending else F.asc(order_col),
+        F.col(id_col),
+    ]
+    return df.withColumn(
+        "rank", F.row_number().over(Window.orderBy(*order)).cast("long")
+    )
+
+
+def rrf_fuse(
+    ranked: list[tuple[str, DataFrame]],
+    id_col: str = "doc_id",
+    k: int = 60,
+    top_n: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) — the standard way
+    hybrid retrieval merges a lexical (BM25) and a dense (embedding)
+    ranking without score calibration:
+
+        rrf(d) = Σ_r 1 / (k + rank_r(d))      (absent → contributes 0)
+
+    ``ranked`` is ``[(name, df)]`` where each df carries ``(id, rank)``
+    (see :func:`with_rank`); the output keeps each input rank as
+    ``<name>_rank`` (NULL where a ranker missed the document) plus the
+    fused ``rrf`` at 6 dp, top-``top_n`` by (rrf DESC, id).
+
+    Determinism: ranks are exact integers; the fused sum is a FIXED
+    left-to-right chain over the (small, ordered) ranker list, not a
+    fold over data — bit-identical on any engine.
+
+    Scale: every input is already a k-row top list, so the full-outer
+    join chain and the final TakeOrderedAndProject touch O(Σ k) rows —
+    never the corpus. The expensive part is the upstream rankers, which
+    carry their own scale designs."""
+    if not ranked:
+        raise ValueError("ranked must be non-empty")
+    out = None
+    for name, df in ranked:
+        r = df.select(F.col(id_col), F.col("rank").alias(f"{name}_rank"))
+        out = r if out is None else out.join(r, id_col, "full_outer")
+    score = None
+    for name, _ in ranked:
+        term = F.coalesce(
+            F.lit(1.0) / (F.lit(k) + F.col(f"{name}_rank")), F.lit(0.0)
+        )
+        score = term if score is None else score + term
+    return (
+        out.withColumn("rrf", F.round(score, 6))
+        .orderBy(F.desc("rrf"), F.col(id_col))
+        .limit(top_n)
+    )

@@ -69,6 +69,10 @@ WHITELIST: dict[str, tuple[str, ...]] = {
     # Passage retrieval composes chunking with bm25_topk, inheriting the
     # same one-row corpus-stats broadcast.
     "q_passage_retrieval": ("BroadcastNestedLoopJoin",),
+    # RRF hybrid retrieval fuses the bm25_topk lexical ranking, again
+    # inheriting its one-row corpus-stats broadcast (the fusion itself
+    # is an equi full-outer join of two bounded top-k lists).
+    "q_hybrid_rrf": ("BroadcastNestedLoopJoin",),
     # Directed PageRank's dangling-mass correction is a ONE-ROW rank
     # aggregate broadcast-cross-joined per iteration (graph.py::
     # pagerank(dangling=True)); it appears in the final plan now that

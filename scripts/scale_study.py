@@ -68,6 +68,10 @@ PICK = [
     # broadcast model, the entropy double-agg, and the ANN recall audit
     # (three corpus scans + k-row semi-joins)
     "q_dsir_select", "q_text_entropy", "q_ann_recall",
+    # round-6 session-3 births, second batch: RRF fusion (two rankers +
+    # bounded join), the langid confusion agg, and the source-overlap
+    # matrix (verified pair volume + two metadata joins)
+    "q_hybrid_rrf", "q_text_langid_confusion", "q_source_overlap",
 ]
 
 
