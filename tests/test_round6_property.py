@@ -150,3 +150,33 @@ def test_dsir_bucket_and_fixed_point_bounds(toks, dim_pow):
     lam = (math.log((1 + 1.0) / (1 + dim))
            - math.log((10**12 + 1.0) / (10**12 + dim))) * 1_000_000
     assert abs(lam) < 2**62
+
+
+@settings(max_examples=300, suppress_health_check=[HealthCheck.too_slow])
+@given(st.integers(min_value=1, max_value=1000),
+       st.integers(min_value=1, max_value=1000),
+       st.integers(min_value=1, max_value=200))
+def test_rrf_contribution_monotone_and_bounded(r1, r2, k):
+    # a better (smaller) rank must contribute strictly more, and any
+    # single-ranker score is bounded by 1/(k+1)
+    c1, c2 = 1.0 / (k + r1), 1.0 / (k + r2)
+    if r1 < r2:
+        assert c1 > c2
+    assert 0 < c1 <= 1.0 / (k + 1)
+
+
+@settings(max_examples=200, suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(st.floats(min_value=0.0, max_value=1.0,
+                          allow_nan=False), min_size=1, max_size=50))
+def test_overlap_fixed_point_mean_is_order_free_and_bounded(js):
+    # source_overlap_matrix's 1e-6 fixed-point mean: permutation-proof
+    # (integer sum) and within the jaccard bounds
+    import random
+
+    fixed = sum(round(j * 1_000_000) for j in js)
+    mean = round((fixed / 1_000_000.0) / len(js), 6)
+    shuffled = js[:]
+    random.Random(0).shuffle(shuffled)
+    fixed2 = sum(round(j * 1_000_000) for j in shuffled)
+    assert fixed == fixed2
+    assert -1e-6 <= mean <= 1.0 + 1e-6
