@@ -278,3 +278,31 @@ def countmin_stream(
         outputMode="update",
         timeoutConf=state_timeout,
     )
+
+
+def langid_confusion_stream(
+    df: DataFrame,
+    label_col: str = "lang",
+    text_col: str = "text",
+    min_hits: int = 3,
+) -> DataFrame:
+    """Streaming face of the langid confusion-matrix audit
+    (``functions.text.langid_confusion``): running per-(label,
+    prediction) document counts over an ingest stream — the live DRIFT
+    monitor for a classifier that gates a continuous crawl (a feed
+    whose 'en'→'other' cell starts growing is changing under the gate).
+
+    The prediction is stateless Column arithmetic; the running
+    aggregation's key space is |langs| × |preds| — BOUNDED, so the
+    state store stays a handful of rows at any stream length and no
+    watermark is required for the all-time monitor (compose with a
+    time window upstream for windowed drift). Emit in update/complete
+    mode. The per-language fraction column of the batch operator is a
+    window function (not streamable); compute it over the emitted
+    cells — they are tiny by construction."""
+    from linz_bde_uploader_spark.functions.text import lang_guess
+
+    return df.groupBy(
+        F.col(label_col).alias("lang"),
+        lang_guess(F.col(text_col), min_hits).alias("pred"),
+    ).agg(F.count(F.lit(1)).alias("n_docs"))

@@ -318,3 +318,54 @@ def test_countmin_stream_matches_batch_sketch(spark, tmp_path):
     }
     got_nonzero = {k: v for k, v in latest.items() if v > 0}
     assert got_nonzero == expect
+
+
+def test_langid_confusion_stream_matches_batch(spark, tmp_path):
+    """langid_confusion_stream: the running (label, prediction) cell
+    counts accumulated across TWO micro-batches equal the batch
+    confusion matrix over the union of the rows; state is the bounded
+    cell table."""
+    from linz_bde_uploader_spark.functions.text import langid_confusion
+    from linz_bde_uploader_spark.streaming.poll import (
+        langid_confusion_stream,
+    )
+
+    src = tmp_path / "ldocs"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt_lc")
+    en = "the cat is on the mat and the dog is in the house"
+    zz = "zork blix quum vrex plon klag snee brum"
+    batch1 = [(1, en, "en"), (2, zz, "en"), (3, zz, "zh")]
+    batch2 = [(4, en, "zh"), (5, en, "en"), (6, zz, "zh")]
+    schema = "doc_id long, text string, lang string"
+    spark.createDataFrame(batch1, schema).write.mode("append").parquet(str(src))
+
+    def drain():
+        q = (
+            langid_confusion_stream(
+                spark.readStream.schema(schema).parquet(str(src))
+            )
+            .writeStream.format("memory")
+            .queryName("lconf")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {
+            (r.lang, r.pred): r.n_docs
+            for r in spark.sql("SELECT * FROM lconf").collect()
+        }
+
+    first = drain()
+    assert first == {("en", "en"): 1, ("en", "other"): 1, ("zh", "other"): 1}
+
+    spark.createDataFrame(batch2, schema).write.mode("append").parquet(str(src))
+    second = drain()
+    both = spark.createDataFrame(batch1 + batch2, schema)
+    batch_cells = {
+        (r.lang, r.pred): r.n_docs for r in langid_confusion(both).collect()
+    }
+    assert second == batch_cells
+    assert second[("en", "en")] == 2 and second[("zh", "en")] == 1
