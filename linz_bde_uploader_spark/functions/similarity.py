@@ -1024,3 +1024,68 @@ def ann_recall(
         )
         out = row if out is None else out.unionAll(row)
     return out.orderBy("method")
+
+
+def mips_augment(
+    embeddings: DataFrame,
+    max_norm: float,
+    vec_col: str = "embedding",
+    out_col: str = "_aug",
+) -> DataFrame:
+    """Maximum-inner-product search via the norm-augmentation reduction
+    (Bachrach et al. 2014 / Shrivastava-Li): append one component
+    ``sqrt(M² − |x|²)`` to every vector, where ``M`` is (at least) the
+    corpus max norm. Every augmented vector then has norm exactly M, so
+    COSINE order against an augmented query ``(q, 0)`` equals
+    INNER-PRODUCT order against the original vectors — which lets the
+    existing cosine ANN layouts (LSH buckets, IVF lists, int8/PQ codes)
+    serve MIPS queries unchanged. ``M`` is model state (one scalar from
+    a corpus pass — the _query_vec/centroid collect pattern), not a
+    per-query cost.
+
+    Map-only Column arithmetic; norms clipped at M so float dust can't
+    produce sqrt of a negative."""
+    if max_norm <= 0:
+        raise ValueError("max_norm must be positive")
+    v = F.col(vec_col)
+    n2 = dot(v, v)
+    extra = F.sqrt(F.greatest(F.lit(max_norm * max_norm) - n2, F.lit(0.0)))
+    return embeddings.withColumn(
+        out_col,
+        F.concat(
+            F.transform(v, lambda x: x.cast("double")), F.array(extra)
+        ),
+    )
+
+
+def corpus_max_norm(
+    embeddings: DataFrame, vec_col: str = "embedding"
+) -> float:
+    """The scalar M for :func:`mips_augment` — one aggregate over the
+    corpus, collected as model state (O(1), like IVF seeds)."""
+    v = F.col(vec_col)
+    row = embeddings.agg(F.max(F.sqrt(dot(v, v))).alias("m")).first()
+    return float(row.m)
+
+
+def mips_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """Exact top-k by INNER PRODUCT (the recommendation/retrieval
+    scoring where vector length carries signal — popularity-scaled item
+    embeddings — and cosine is the wrong order). Same shape as
+    :func:`cosine_topk`: constant-folded query literal, map-only score,
+    TakeOrderedAndProject; score at 6 dp, ties by id."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = embeddings.select(
+        F.col(id_col),
+        F.round(dot(F.col(vec_col), q), 6).alias("ip"),
+    )
+    if exclude_id is not None:
+        scored = scored.filter(F.col(id_col) != exclude_id)
+    return scored.orderBy(F.desc("ip"), F.col(id_col)).limit(k)

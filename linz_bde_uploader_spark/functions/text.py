@@ -660,3 +660,64 @@ def langid_confusion(
         "frac_of_lang",
         F.round(F.col("n_docs") / F.sum("n_docs").over(w), 6),
     )
+
+
+#: default topic lexicon for the keyword classifier — deterministic
+#: fixture; a curated taxonomy (or a model's top features) drops into
+#: the same {topic: (words...)} shape without changing the plan.
+TOPIC_LEXICON: dict[str, tuple[str, ...]] = {
+    "data": ("table", "query", "rows", "merge", "scan", "index"),
+    "ml": ("model", "training", "vector", "embedding", "tokens"),
+    "web": ("page", "site", "link", "browser", "click"),
+}
+
+
+def topic_classify(
+    docs: DataFrame,
+    lexicon: dict[str, tuple[str, ...]] | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_hits: int = 1,
+) -> DataFrame:
+    """Keyword-lexicon topic classification — the cheap taxonomy
+    bucketing step (RedPajama/CC-style domain tagging) that routes
+    documents to per-topic mixture weights. Counts each topic's lexicon
+    hits per document and assigns the argmax (ties broken by topic name
+    order; below ``min_hits`` → 'other').
+
+    Scale: the lexicon is a compile-time constant folded into Column
+    expressions — map-only, no join, no shuffle, no UDF; one
+    ``F.size(F.filter(...))`` per topic over the token array. A
+    thousand-word lexicon per topic still folds; a learned classifier
+    (fastText) slots in behind the same (id, topic, hits) contract.
+    Returns ``(id, topic, hits)``."""
+    lex = lexicon or TOPIC_LEXICON
+    toks = tokens(F.col(text_col))
+
+    # Closure factory, NOT `lambda x, words=words:` — a default arg
+    # gives the lambda two parameters, which PySpark's HOF layer
+    # interprets as the (element, index) form (words would silently
+    # become the array index; see bm25_topk for the same trap).
+    def _in(words):
+        return lambda x: x.isin(*words)
+
+    hit_cols = {
+        t: F.size(F.filter(toks, _in(words)))
+        for t, words in sorted(lex.items())
+    }
+    best_topic, best_hits = None, None
+    for t, c in hit_cols.items():  # name order: deterministic tiebreak
+        if best_topic is None:
+            best_topic, best_hits = F.lit(t), c
+        else:
+            take = c > best_hits
+            best_topic = F.when(take, F.lit(t)).otherwise(best_topic)
+            best_hits = F.when(take, c).otherwise(best_hits)
+    topic = F.when(best_hits >= min_hits, best_topic).otherwise(
+        F.lit("other")
+    )
+    return docs.select(
+        F.col(id_col),
+        topic.alias("topic"),
+        best_hits.cast("long").alias("hits"),
+    )

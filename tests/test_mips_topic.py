@@ -1,0 +1,104 @@
+"""MIPS norm-augmentation reduction (similarity.mips_augment /
+mips_topk) and the keyword-lexicon topic classifier
+(text.topic_classify) — round-7-queue operators, pytest-covered ahead
+of their rotation slots."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from linz_bde_uploader_spark.functions import similarity as S
+from linz_bde_uploader_spark.functions import text as X
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    rng = random.Random(11)
+    rows = []
+    for i in range(40):
+        scale = rng.uniform(0.2, 3.0)  # length carries signal -> MIPS
+        rows.append(
+            (i, [scale * rng.uniform(-1, 1) for _ in range(16)])
+        )
+    return rows, spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def test_mips_topk_matches_python_inner_product(spark, vecs):
+    rows, df = vecs
+    q = rows[0][1]
+    got = [r.vec_id for r in S.mips_topk(df, q, k=5, exclude_id=0).collect()]
+    twin = sorted(
+        ((round(sum(a * b for a, b in zip(v, q)), 6), -i), i)
+        for i, v in rows
+        if i != 0
+    )
+    expect = [i for _, i in sorted(twin, key=lambda t: (-t[0][0], t[1]))][:5]
+    assert got == expect
+
+
+def test_augmented_cosine_order_equals_inner_product_order(spark, vecs):
+    rows, df = vecs
+    q = rows[0][1]
+    m = S.corpus_max_norm(df)
+    assert m > 0
+    aug = S.mips_augment(df, m)
+    # augmented norms are all exactly M (up to float dust)
+    norms = aug.select(
+        F.sqrt(S.dot(F.col("_aug"), F.col("_aug"))).alias("n")
+    ).collect()
+    assert all(r.n == pytest.approx(m, rel=1e-6) for r in norms)
+    # cosine ranking against (q, 0) == inner-product ranking against q
+    aq = [float(x) for x in q] + [0.0]
+    cos_rank = [
+        r.vec_id
+        for r in S.cosine_topk(
+            aug.select("vec_id", F.col("_aug").alias("embedding")),
+            aq, k=10, exclude_id=0,
+        ).collect()
+    ]
+    ip_rank = [
+        r.vec_id for r in S.mips_topk(df, q, k=10, exclude_id=0).collect()
+    ]
+    assert cos_rank == ip_rank
+
+
+def test_mips_augment_rejects_bad_max_norm(spark, vecs):
+    _, df = vecs
+    with pytest.raises(ValueError):
+        S.mips_augment(df, 0.0)
+
+
+def test_topic_classify_argmax_ties_and_floor(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the query uses a table scan and an index"),   # data
+            (2, "training a model on tokens and embedding vector"),  # ml
+            (3, "click the link on the page"),                 # web
+            (4, "table model"),                                # tie data/ml -> data
+            (5, "nothing relevant whatsoever"),                # other
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: (r.topic, r.hits) for r in X.topic_classify(df).collect()}
+    assert got[1] == ("data", 4)
+    assert got[2] == ("ml", 5)
+    assert got[3] == ("web", 3)
+    assert got[4] == ("data", 1)   # tie broken by topic name order
+    assert got[5] == ("other", 0)
+
+
+def test_topic_classify_custom_lexicon_and_floor(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "alpha alpha beta beta")],
+        ["doc_id", "text"],
+    )
+    lex = {"a": ("alpha",), "b": ("beta",)}
+    got = {
+        r.doc_id: (r.topic, r.hits)
+        for r in X.topic_classify(df, lexicon=lex, min_hits=2).collect()
+    }
+    assert got[1] == ("other", 1)  # below min_hits
+    assert got[2] == ("a", 2)      # tie at 2 -> name order
