@@ -64,23 +64,64 @@ DSIR_DIM = 256
 _FP = 1_000_000
 
 
+def _feature_stream(
+    docs: DataFrame,
+    target: Column,
+    id_col: str,
+    text_col: str,
+    dim: int,
+    ngram: int,
+) -> DataFrame:
+    """One row per hashed n-gram feature occurrence:
+    ``(_id, _t, _b)``. ``ngram=1`` hashes single tokens; ``ngram=2``
+    hashes adjacent pairs (zip the token array against itself shifted
+    by one — the ``lm.doc_bigrams`` idiom: map-side explode, no
+    shuffle), which is the published DSIR feature set. Bigram docs
+    need >= 2 tokens; shorter ones carry no bigram evidence."""
+    if ngram == 1:
+        return docs.select(
+            F.col(id_col).alias("_id"),
+            target.cast("int").alias("_t"),
+            F.explode(tokens(F.col(text_col))).alias("_tok"),
+        ).withColumn("_b", F.pmod(token_value(F.col("_tok")), F.lit(dim)))
+    if ngram != 2:
+        raise ValueError("ngram must be 1 or 2")
+    toks = docs.select(
+        F.col(id_col).alias("_id"),
+        target.cast("int").alias("_t"),
+        tokens(F.col(text_col)).alias("_toks"),
+    ).filter(F.size("_toks") >= 2)
+    sz = F.size("_toks")
+    pairs = F.arrays_zip(
+        F.slice(F.col("_toks"), 1, sz - 1).alias("p"),
+        F.slice(F.col("_toks"), 2, sz - 1).alias("c"),
+    )
+    ex = toks.select(
+        "_id", "_t", F.explode(pairs).alias("_pr")
+    )
+    bv = F.pmod(
+        token_value(F.col("_pr.p")) * 31 + token_value(F.col("_pr.c")),
+        F.lit(HASH_MOD),
+    )
+    return ex.withColumn("_b", F.pmod(bv, F.lit(dim))).drop("_pr")
+
+
 def dsir_logratio(
     docs: DataFrame,
     target: Column,
     id_col: str = "doc_id",
     text_col: str = "text",
     dim: int = DSIR_DIM,
+    ngram: int = 1,
 ) -> DataFrame:
     """Per-document DSIR importance weight: ``(id, n_tokens, logw)``
-    where ``logw`` is the hashed-unigram log-likelihood ratio of the
-    target model over the raw model (add-one smoothed), rounded to 6 dp.
-    Documents with zero tokens carry no evidence and are omitted (they
-    can never be meaningfully up-weighted)."""
-    toks = docs.select(
-        F.col(id_col).alias("_id"),
-        target.cast("int").alias("_t"),
-        F.explode(tokens(F.col(text_col))).alias("_tok"),
-    ).withColumn("_b", F.pmod(token_value(F.col("_tok")), F.lit(dim)))
+    where ``logw`` is the hashed-n-gram log-likelihood ratio of the
+    target model over the raw model (add-one smoothed), rounded to 6 dp
+    (``n_tokens`` counts the FEATURES scored — tokens for ``ngram=1``,
+    adjacent pairs for ``ngram=2``, the published recipe's feature
+    set). Documents with zero features carry no evidence and are
+    omitted (they can never be meaningfully up-weighted)."""
+    toks = _feature_stream(docs, target, id_col, text_col, dim, ngram)
 
     counts = toks.groupBy("_b").agg(
         F.count(F.lit(1)).alias("_raw"),
@@ -123,6 +164,7 @@ def dsir_select(
     text_col: str = "text",
     dim: int = DSIR_DIM,
     salt: int = 0,
+    ngram: int = 1,
 ) -> DataFrame:
     """Gumbel-top-k importance resampling: the ``n`` documents with the
     largest ``logw + Gumbel(hash(id, salt))`` are a sample without
@@ -130,7 +172,7 @@ def dsir_select(
     reduction, with the noise drawn from a deterministic hashed uniform
     so the selection is reproducible. Returns
     ``(id, n_tokens, logw, score)`` ordered by the perturbed score."""
-    w = dsir_logratio(docs, target, id_col, text_col, dim)
+    w = dsir_logratio(docs, target, id_col, text_col, dim, ngram)
     u = (
         F.pmod(
             F.pmod(F.col(id_col).cast("long") + F.lit(salt),

@@ -163,3 +163,51 @@ def test_ann_recall_perfect_on_self(spark):
     for _m, (k, hits, recall) in got.items():
         assert 0 <= hits <= k
         assert recall == pytest.approx(hits / k, abs=1e-9)
+
+
+def _dsir_bigram_twin(dim: int = DS.DSIR_DIM):
+    """Serial twin of the ngram=2 feature path."""
+    raw: dict[int, int] = {}
+    tgt: dict[int, int] = {}
+    per_doc: dict[int, list[int]] = {}
+    for doc_id, text, lang in DOCS:
+        toks = text.split(" ")
+        for p, c in zip(toks, toks[1:]):
+            b = ((_tokval(p) * 31 + _tokval(c)) % HASH_MOD) % dim
+            per_doc.setdefault(doc_id, []).append(b)
+            raw[b] = raw.get(b, 0) + 1
+            if lang == "en":
+                tgt[b] = tgt.get(b, 0) + 1
+    r_tot, t_tot = sum(raw.values()), sum(tgt.values())
+    lam = {
+        b: round(
+            (math.log((tgt.get(b, 0) + 1.0) / (t_tot + dim))
+             - math.log((raw[b] + 1.0) / (r_tot + dim))) * 1_000_000
+        )
+        for b in raw
+    }
+    return {
+        doc_id: (len(bs), round(sum(lam[b] for b in bs) / 1_000_000.0, 6))
+        for doc_id, bs in per_doc.items()
+    }
+
+
+def test_dsir_bigram_features_match_serial_twin(spark, docs):
+    got = {
+        r.doc_id: (r.n_tokens, r.logw)
+        for r in DS.dsir_logratio(
+            docs, F.col("lang") == "en", ngram=2
+        ).collect()
+    }
+    twin = _dsir_bigram_twin()
+    assert set(got) == set(twin)
+    for doc_id, (nf, logw) in twin.items():
+        assert got[doc_id] == (nf, pytest.approx(logw, abs=1e-9)), doc_id
+    # bigram evidence separates target-vocab docs more sharply than the
+    # shared-unigram doc 4 (its bigrams differ from docs 1-2's)
+    assert got[1][1] > got[3][1] and got[2][1] > got[5][1]
+
+
+def test_dsir_rejects_bad_ngram(spark, docs):
+    with pytest.raises(ValueError):
+        DS.dsir_logratio(docs, F.col("lang") == "en", ngram=3).collect()
