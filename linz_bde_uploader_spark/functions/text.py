@@ -721,3 +721,48 @@ def topic_classify(
         topic.alias("topic"),
         best_hits.cast("long").alias("hits"),
     )
+
+
+def token_fertility(
+    docs: DataFrame,
+    group_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenizer-fertility datasheet: UTF-8 bytes per subword token by
+    group — the statistic that shows which languages a tokenizer
+    under-serves (high bytes/token = more tokens per byte of content =
+    shorter effective context and higher training cost for that
+    language). Uses the BPE-ish regex token count
+    (:func:`bpe_ish_token_count`) as the subword estimate; a trained
+    tokenizer's count drops into the same column.
+
+    Returns ``(group, n_docs, total_bytes, total_tokens,
+    bytes_per_token)`` with the ratio at 6 dp, computed from exact
+    integer sums (order-free across engines).
+
+    Scale: one map-side projection + one bounded partial-agg shuffle
+    (|groups| rows); no UDF, no second pass."""
+    per = docs.select(
+        F.col(group_col).alias("group"),
+        F.octet_length(F.col(text_col)).cast("long").alias("_b"),
+        bpe_ish_token_count(F.col(text_col)).cast("long").alias("_t"),
+    )
+    return (
+        per.groupBy("group")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("_b").alias("total_bytes"),
+            F.sum("_t").alias("total_tokens"),
+        )
+        .withColumn(
+            "bytes_per_token",
+            F.when(
+                F.col("total_tokens") > 0,
+                F.round(
+                    F.col("total_bytes")
+                    / F.col("total_tokens").cast("double"),
+                    6,
+                ),
+            ).otherwise(F.lit(0.0)),
+        )
+    )

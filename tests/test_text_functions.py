@@ -343,3 +343,22 @@ def test_bpe_encode_applies_merges_greedily(spark):
     # encoding with NO merges = character count
     enc0 = {r.doc_id: r.n_syms for r in bpe_encode(d, []).collect()}
     assert enc0 == {1: 4, 2: 2, 3: 2}
+
+
+def test_token_fertility_exact_ratios(spark):
+    rows = [
+        (1, "abc def", "en"),        # 7 bytes, 2 bpe-ish tokens
+        (2, "ab cd", "en"),          # 5 bytes, 2 tokens
+        (3, "世界", "zh"),   # 6 UTF-8 bytes, 1 letter-run token
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    from linz_bde_uploader_spark.functions.text import token_fertility
+
+    got = {
+        r.group: (r.n_docs, r.total_bytes, r.total_tokens, r.bytes_per_token)
+        for r in token_fertility(df).collect()
+    }
+    assert got["en"] == (2, 12, 4, 3.0)
+    # CJK: the BPE-ish classes treat non-Latin marks as INDIVIDUAL
+    # tokens (no letter-run class for them) — 2 tokens, 3 bytes each
+    assert got["zh"] == (1, 6, 2, 3.0)
