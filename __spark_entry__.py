@@ -2702,7 +2702,16 @@ def q_hybrid_rrf(spark, sf_dir):
         .limit(20),
         "cs",
     )
-    return TI.rrf_fuse([("lex", lex), ("sem", sem)], top_n=10)
+    fused = TI.rrf_fuse([("lex", lex), ("sem", sem)], top_n=10)
+    # Harness surface: sentinel absent ranks as 0 ("unranked"; real
+    # ranks are >= 1) — the driver's pandas canonicalizer is happiest
+    # with NULL-free columns (the q_inverted_index lesson, same class).
+    return fused.select(
+        "doc_id",
+        F.coalesce("lex_rank", F.lit(0).cast("long")).alias("lex_rank"),
+        F.coalesce("sem_rank", F.lit(0).cast("long")).alias("sem_rank"),
+        "rrf",
+    )
 
 
 def q_source_overlap(spark, sf_dir):
@@ -3850,7 +3859,8 @@ def oracle_sql() -> dict[str, str]:
             ),
             f AS (
               SELECT coalesce(b.doc_id, s.doc_id) AS doc_id,
-                     b.lex_rank, s.sem_rank,
+                     coalesce(b.lex_rank, 0) AS lex_rank,
+                     coalesce(s.sem_rank, 0) AS sem_rank,
                      round(coalesce(1.0 / (60 + b.lex_rank), 0.0)
                            + coalesce(1.0 / (60 + s.sem_rank), 0.0),
                            6) AS rrf
