@@ -18,7 +18,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from linz_bde_uploader_spark.functions.text import HASH_MIX, HASH_MOD
+from linz_bde_uploader_spark.functions.text import (
+    HASH_MIX,
+    HASH_MOD,
+    token_count,
+)
 
 #: granularity of split percentages (hash buckets per row id)
 SPLIT_BUCKETS = 100
@@ -444,4 +448,71 @@ def negative_samples(
         id_col,
         F.col("j").cast("int").alias("j"),
         neg.alias("neg_id"),
+    )
+
+
+def mixture_plan(
+    docs: DataFrame,
+    weights: dict[str, float],
+    budget_tokens: int,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Mixture PLANNING — the step before :func:`mixture_weights`:
+    given desired mixture proportions and a total token budget, measure
+    what each source can supply and derive the per-source sampling
+    plan. For each source s with available ``tokens_s`` and normalized
+    proportion ``p_s``:
+
+        target_tokens   = round(B · p_s)
+        sample_fraction = min(1, target / tokens_s)   (subsample when
+                                                       over-supplied)
+        epochs          = ceil(target / tokens_s)     (repeat when
+                                                       under-supplied —
+                                                       the value fed to
+                                                       mixture_weights)
+
+    Sources absent from ``weights`` get proportion 0 (reported, not
+    silently dropped — the no-silent-caps rule). Returns ``(source,
+    n_docs, tokens, target_tokens, sample_fraction, epochs)``.
+
+    Scale: one map-side token-count projection + one bounded partial-agg
+    shuffle (|sources| rows); the plan arithmetic is constant-folded
+    per-row Column math over that tiny table. Fully deterministic:
+    integer token sums, weights normalized to exact Python floats
+    before entering the plan."""
+    if budget_tokens <= 0:
+        raise ValueError("budget_tokens must be positive")
+    if any(w < 0 for w in weights.values()):
+        raise ValueError("weights must be >= 0")
+    total_w = sum(weights.values())
+    if total_w <= 0:
+        raise ValueError("at least one weight must be positive")
+    norm = {k: w / total_w for k, w in weights.items()}
+
+    per = docs.select(
+        F.col(group_col).alias("source"),
+        token_count(F.col(text_col)).cast("long").alias("_t"),
+    )
+    agg = per.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("_t").alias("tokens"),
+    )
+    p = F.lit(0.0)
+    for name, w in sorted(norm.items()):
+        p = F.when(F.col("source") == name, F.lit(w)).otherwise(p)
+    target = F.round(F.lit(float(budget_tokens)) * p).cast("long")
+    frac = F.when(F.col("tokens") > 0,
+                  F.round(F.least(F.lit(1.0),
+                                  target / F.col("tokens")), 6)
+                  ).otherwise(F.lit(0.0))
+    epochs = F.when(
+        (F.col("tokens") > 0) & (target > 0),
+        F.ceil(target / F.col("tokens")).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    return agg.select(
+        "source", "n_docs", "tokens",
+        target.alias("target_tokens"),
+        frac.alias("sample_fraction"),
+        epochs.alias("epochs"),
     )

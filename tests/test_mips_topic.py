@@ -102,3 +102,48 @@ def test_topic_classify_custom_lexicon_and_floor(spark):
     }
     assert got[1] == ("other", 1)  # below min_hits
     assert got[2] == ("a", 2)      # tie at 2 -> name order
+
+
+def test_mixture_plan_budget_arithmetic(spark):
+    from linz_bde_uploader_spark.functions.sampling import mixture_plan
+
+    df = spark.createDataFrame(
+        [
+            # big: 3 docs x 4 tokens = 12 tokens
+            (1, "a b c d", "big"), (2, "a b c d", "big"), (3, "a b c d", "big"),
+            # small: 1 doc x 2 tokens
+            (4, "a b", "small"),
+            # unlisted: present in corpus, absent from weights
+            (5, "x y z", "stray"),
+        ],
+        ["doc_id", "text", "source"],
+    )
+    plan = {
+        r.source: r
+        for r in mixture_plan(
+            df, {"big": 1.0, "small": 1.0}, budget_tokens=12
+        ).collect()
+    }
+    big, small, stray = plan["big"], plan["small"], plan["stray"]
+    # 50/50 of 12 -> 6 tokens each
+    assert (big.tokens, big.target_tokens) == (12, 6)
+    assert big.sample_fraction == pytest.approx(0.5, abs=1e-9)
+    assert big.epochs == 1
+    # small supplies 2, needs 6 -> 3 epochs, fraction capped at 1
+    assert (small.tokens, small.target_tokens) == (2, 6)
+    assert small.sample_fraction == 1.0
+    assert small.epochs == 3
+    # unlisted source reported with zero plan, not dropped
+    assert (stray.target_tokens, stray.sample_fraction, stray.epochs) == (0, 0.0, 0)
+
+
+def test_mixture_plan_rejects_bad_inputs(spark):
+    from linz_bde_uploader_spark.functions.sampling import mixture_plan
+
+    df = spark.createDataFrame([(1, "a", "s")], ["doc_id", "text", "source"])
+    with pytest.raises(ValueError):
+        mixture_plan(df, {"s": 1.0}, budget_tokens=0)
+    with pytest.raises(ValueError):
+        mixture_plan(df, {"s": -1.0}, budget_tokens=10)
+    with pytest.raises(ValueError):
+        mixture_plan(df, {"s": 0.0}, budget_tokens=10)
