@@ -1089,3 +1089,57 @@ def mips_topk(
     if exclude_id is not None:
         scored = scored.filter(F.col(id_col) != exclude_id)
     return scored.orderBy(F.desc("ip"), F.col(id_col)).limit(k)
+
+
+def batch_ann_recall(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+    salt_buckets: int = 32,
+) -> DataFrame:
+    """:func:`ann_recall` at evaluation scale: recall@k of the
+    int8-quantized scorer against the exact float ranking for a whole
+    QUERY SET — the audit you actually run before switching an index
+    over (one query's recall is an anecdote; a query set is a
+    measurement). Returns one row per query:
+    ``(q_id, k, hits, recall)`` — aggregate/percentile the column for
+    the report; queries with zero overlap report 0, not a missing row.
+
+    Scale: both rankings come from :func:`batch_cosine_topk` (broadcast
+    query set, salted local top-k — map-only over the corpus, the
+    audited plan); the overlap is a (q_id, id)-keyed semi-join of two
+    |Q|·k-row lists. Two corpus scans total, independent of |Q|."""
+    exact = batch_cosine_topk(
+        embeddings, queries, k, id_col, vec_col, q_id_col, q_vec_col,
+        salt_buckets,
+    ).select(q_id_col, id_col)
+    eq = with_quantized(embeddings, vec_col, q_col="_bq").select(
+        F.col(id_col), F.col("_bq").alias(vec_col)
+    )
+    qq = with_quantized(queries, q_vec_col, q_col="_bqq").select(
+        F.col(q_id_col), F.col("_bqq").alias(q_vec_col)
+    )
+    approx = batch_cosine_topk(
+        eq, qq, k, id_col, vec_col, q_id_col, q_vec_col, salt_buckets
+    ).select(q_id_col, id_col)
+    hits = (
+        approx.join(exact, [q_id_col, id_col], "left_semi")
+        .groupBy(q_id_col)
+        .agg(F.count(F.lit(1)).alias("_h"))
+    )
+    return (
+        queries.select(q_id_col)
+        .join(hits, q_id_col, "left")
+        .select(
+            F.col(q_id_col),
+            F.lit(k).cast("long").alias("k"),
+            F.coalesce(F.col("_h"), F.lit(0)).cast("long").alias("hits"),
+            F.round(
+                F.coalesce(F.col("_h"), F.lit(0)) / F.lit(float(k)), 6
+            ).alias("recall"),
+        )
+    )

@@ -211,3 +211,40 @@ def test_dsir_bigram_features_match_serial_twin(spark, docs):
 def test_dsir_rejects_bad_ngram(spark, docs):
     with pytest.raises(ValueError):
         DS.dsir_logratio(docs, F.col("lang") == "en", ngram=3).collect()
+
+
+def test_batch_ann_recall_matches_python_twin(spark):
+    import random
+
+    rng = random.Random(23)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(25)]
+    e = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    qrows = [(i, v) for i, v in rows[:3]]
+    q = spark.createDataFrame(qrows, ["q_id", "q_vec"])
+    k = 5
+    got = {
+        r.q_id: (r.k, r.hits, r.recall)
+        for r in S.batch_ann_recall(e, q, k=k).collect()
+    }
+    assert set(got) == {0, 1, 2}
+
+    def topk(vecs, qv, qid):
+        def cos(a, b):
+            d = sum(x * y for x, y in zip(a, b))
+            na = sum(x * x for x in a) ** 0.5
+            nb = sum(x * x for x in b) ** 0.5
+            return round(d / (na * nb), 6)
+
+        scored = sorted(
+            ((-cos(v, qv), i) for i, v in vecs if i != qid)
+        )[:k]
+        return {i for _, i in scored}
+
+    quant = [(i, S.quantize_vector(v)) for i, v in rows]
+    for qid, qv in qrows:
+        exact = topk(rows, qv, qid)
+        approx = topk(quant, S.quantize_vector(qv), qid)
+        hits = len(exact & approx)
+        assert got[qid] == (k, hits, round(hits / k, 6)), qid
+    # identical 16-dim vectors under int8: recall should be high
+    assert sum(h for _, h, _r in got.values()) >= 2 * k
