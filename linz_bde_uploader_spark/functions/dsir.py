@@ -187,3 +187,107 @@ def dsir_select(
         .orderBy(F.desc("score"), F.col(id_col))
         .limit(n)
     )
+
+
+def logratio_model(
+    docs: DataFrame,
+    target: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = DSIR_DIM,
+    ngram: int = 1,
+) -> list[int]:
+    """Freeze the DSIR importance model: the per-bucket fixed-point
+    log-ratios as a dense ``dim``-length list (buckets with no corpus
+    occurrences get the all-smoothing ratio ``ln((0+1)/(T+dim)) −
+    ln((0+1)/(R+dim))``, so unseen features still score consistently).
+    This is model state — O(dim) scalars, the IVF-centroid/BPE-merge
+    collect pattern — that :func:`score_with_model` (and the streaming
+    gate built on it) folds into a map-only plan: train offline on the
+    corpus, serve online on the stream."""
+    feats = _feature_stream(docs, target, id_col, text_col, dim, ngram)
+    counts = feats.groupBy("_b").agg(
+        F.count(F.lit(1)).alias("_raw"),
+        F.sum("_t").cast("long").alias("_tgt"),
+    )
+    rows = counts.collect()
+    r_tot = sum(r._raw for r in rows)
+    t_tot = sum(r._tgt for r in rows)
+    import math
+
+    def li(raw: int, tgt: int) -> int:
+        v = (
+            math.log((tgt + 1.0) / (t_tot + float(dim)))
+            - math.log((raw + 1.0) / (r_tot + float(dim)))
+        ) * _FP
+        return int(math.floor(abs(v) + 0.5)) * (1 if v >= 0 else -1)
+
+    lam = [li(0, 0)] * dim
+    for r in rows:
+        lam[int(r._b)] = li(int(r._raw), int(r._tgt))
+    return lam
+
+
+def score_with_model(
+    df: DataFrame,
+    lam: list[int],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 1,
+) -> DataFrame:
+    """Score documents against a FROZEN model from
+    :func:`logratio_model` — map-only: the λ table is a literal array
+    folded into codegen (element_at per feature, sequential integer
+    fold), so there is no join, no shuffle, and the plan attaches to a
+    STREAM unchanged (the quality-gate pattern). Returns
+    ``(id, n_tokens, logw)``; zero-feature documents score logw 0.0
+    with n_tokens 0 (they carry no evidence either way).
+
+    Exactly matches :func:`dsir_logratio` on the same corpus the model
+    was fit on — the parity test pins it."""
+    if ngram not in (1, 2):
+        raise ValueError("ngram must be 1 or 2")
+    dim = len(lam)
+    lam_lit = F.array(*[F.lit(int(x)) for x in lam])
+    toks = tokens(F.col(text_col))
+    if ngram == 1:
+        feats = F.transform(
+            toks,
+            lambda t: F.element_at(
+                lam_lit, (F.pmod(token_value(t), F.lit(dim)) + 1).cast("int")
+            ),
+        )
+        n = F.size(toks)
+    else:
+        sz = F.size(toks)
+        pairs = F.arrays_zip(
+            F.slice(toks, 1, sz - 1).alias("p"),
+            F.slice(toks, 2, sz - 1).alias("c"),
+        )
+        feats = F.transform(
+            pairs,
+            lambda pr: F.element_at(
+                lam_lit,
+                (
+                    F.pmod(
+                        F.pmod(
+                            token_value(pr["p"]) * 31 + token_value(pr["c"]),
+                            F.lit(HASH_MOD),
+                        ),
+                        F.lit(dim),
+                    )
+                    + 1
+                ).cast("int"),
+            ),
+        )
+        n = F.when(sz >= 2, sz - 1).otherwise(F.lit(0))
+    s = F.aggregate(
+        feats, F.lit(0).cast("long"), lambda acc, v: acc + v
+    )
+    return df.select(
+        F.col(id_col),
+        n.cast("long").alias("n_tokens"),
+        F.when(
+            n > 0, F.round(s / F.lit(float(_FP)), 6)
+        ).otherwise(F.lit(0.0)).alias("logw"),
+    )

@@ -306,3 +306,26 @@ def langid_confusion_stream(
         F.col(label_col).alias("lang"),
         lang_guess(F.col(text_col), min_hits).alias("pred"),
     ).agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+def dsir_gate_stream(
+    df: DataFrame,
+    lam: list[int],
+    threshold: float = 0.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 1,
+) -> DataFrame:
+    """Streaming face of DSIR: score arriving documents against a
+    FROZEN importance model (``functions.dsir.logratio_model``, fit
+    offline on the corpus) and pass those with ``logw >= threshold`` —
+    the train-offline/serve-online shape of an importance-gated ingest
+    pipeline. The λ table is a literal array folded into codegen
+    (``score_with_model``): map-only, no join, no state, no watermark —
+    every micro-batch independent, append mode. Identical scores to
+    the batch scorer by construction; re-fit the model periodically and
+    restart the query to pick up drift."""
+    from linz_bde_uploader_spark.functions.dsir import score_with_model
+
+    scored = score_with_model(df, lam, id_col, text_col, ngram)
+    return scored.filter(F.col("logw") >= threshold)

@@ -248,3 +248,48 @@ def test_batch_ann_recall_matches_python_twin(spark):
         assert got[qid] == (k, hits, round(hits / k, 6)), qid
     # identical 16-dim vectors under int8: recall should be high
     assert sum(h for _, h, _r in got.values()) >= 2 * k
+
+
+def test_frozen_model_scores_match_batch_logratio(spark, docs):
+    for ngram in (1, 2):
+        lam = DS.logratio_model(docs, F.col("lang") == "en", ngram=ngram)
+        assert len(lam) == DS.DSIR_DIM
+        frozen = {
+            r.doc_id: (r.n_tokens, r.logw)
+            for r in DS.score_with_model(docs, lam, ngram=ngram).collect()
+        }
+        batch = {
+            r.doc_id: (r.n_tokens, r.logw)
+            for r in DS.dsir_logratio(
+                docs, F.col("lang") == "en", ngram=ngram
+            ).collect()
+        }
+        for doc_id, nt_lw in batch.items():
+            assert frozen[doc_id] == nt_lw, (ngram, doc_id)
+
+
+def test_score_with_model_unseen_and_empty_features(spark, docs):
+    lam = DS.logratio_model(docs, F.col("lang") == "en")
+    new = spark.createDataFrame(
+        [(99, "november oscar papa"), (100, "alpha beta")],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r for r in DS.score_with_model(new, lam).collect()}
+    # unseen-vocab doc still scores via the all-smoothing buckets —
+    # exactly sum(lam[bucket]) (slightly POSITIVE here: T < R makes the
+    # add-one smoothed unseen ratio favor the smaller target corpus)
+    assert got[99].n_tokens == 3
+    exp99 = round(
+        sum(lam[_tokval(t) % DS.DSIR_DIM]
+            for t in ("november", "oscar", "papa")) / 1_000_000.0, 6
+    )
+    assert got[99].logw == pytest.approx(exp99, abs=1e-9)
+    exp100 = round(
+        sum(lam[_tokval(t) % DS.DSIR_DIM] for t in ("alpha", "beta"))
+        / 1_000_000.0, 6
+    )
+    assert got[100].logw == pytest.approx(exp100, abs=1e-9)
+    # bigram scorer: one-token doc has zero features -> logw 0.0
+    one = spark.createDataFrame([(7, "alpha")], ["doc_id", "text"])
+    r = DS.score_with_model(one, lam, ngram=2).collect()[0]
+    assert (r.n_tokens, r.logw) == (0, 0.0)

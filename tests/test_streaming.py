@@ -369,3 +369,58 @@ def test_langid_confusion_stream_matches_batch(spark, tmp_path):
     }
     assert second == batch_cells
     assert second[("en", "en")] == 2 and second[("zh", "en")] == 1
+
+
+def test_dsir_gate_stream_matches_batch_scores(spark, tmp_path):
+    """dsir_gate_stream: a model frozen on a batch corpus gates a file
+    stream map-only; streamed survivors and logw equal the batch
+    scorer exactly (train offline, serve online)."""
+    from pyspark.sql import functions as F
+
+    from linz_bde_uploader_spark.functions import dsir as DS
+    from linz_bde_uploader_spark.streaming.poll import dsir_gate_stream
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta alpha gamma", "en"),
+            (2, "alpha beta beta", "en"),
+            (3, "zulu xray zulu xray zulu", "other"),
+            (4, "quebec romeo sierra", "other"),
+        ],
+        ["doc_id", "text", "lang"],
+    )
+    lam = DS.logratio_model(corpus, F.col("lang") == "en")
+
+    src = tmp_path / "ddocs"
+    src.mkdir()
+    arriving = [(10, "alpha beta"), (11, "zulu xray"), (12, "tango uniform")]
+    schema = "doc_id long, text string"
+    spark.createDataFrame(arriving, schema).write.mode("append").parquet(str(src))
+
+    batch = {
+        r.doc_id: r.logw
+        for r in DS.score_with_model(
+            spark.createDataFrame(arriving, schema), lam
+        ).collect()
+    }
+    thr = sorted(batch.values())[1]  # middle value: gate splits the stream
+
+    gated = dsir_gate_stream(
+        spark.readStream.schema(schema).parquet(str(src)), lam, threshold=thr
+    )
+    assert gated.isStreaming
+    q = (
+        gated.writeStream.format("memory")
+        .queryName("dgate")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_dg"))
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        (r.doc_id, r.logw)
+        for r in spark.sql("SELECT doc_id, logw FROM dgate").collect()
+    }
+    expect = {(i, w) for i, w in batch.items() if w >= thr}
+    assert streamed == expect
+    assert 0 < len(streamed) < len(arriving)
