@@ -106,6 +106,40 @@ def _feature_stream(
     return ex.withColumn("_b", F.pmod(bv, F.lit(dim))).drop("_pr")
 
 
+def _lam_table(feats: DataFrame, dim: int, with_default: bool = False) -> DataFrame:
+    """The frozen per-bucket log-ratio table ``(_b, _li)`` — ONE plan
+    shared by the batch scorer and the offline model fit, so both sides
+    round the SAME JVM ``ln`` (a driver-side ``math.log`` twin could
+    disagree by an ulp exactly at a 1e-6 rounding boundary — ADVICE r6).
+
+    Smoothing totals via an unpartitioned window over the dim-row
+    aggregate: tiny by construction, and it keeps the whole model fit
+    inside one declarative plan (no scalar-subquery BNLJ, no collect).
+    ``with_default`` unions one all-zero sentinel row (``_b = -1``):
+    zero counts leave the window totals unchanged, so its ratio IS the
+    all-smoothing default for unseen buckets — through the same ``ln``."""
+    counts = feats.groupBy("_b").agg(
+        F.count(F.lit(1)).alias("_raw"),
+        F.sum("_t").cast("long").alias("_tgt"),
+    )
+    if with_default:
+        counts = counts.unionByName(
+            feats.sparkSession.createDataFrame(
+                [(-1, 0, 0)], "_b long, _raw long, _tgt long"
+            )
+        )
+    whole = Window.partitionBy()
+    ratio = (
+        F.log((F.col("_tgt") + F.lit(1.0))
+              / (F.sum("_tgt").over(whole) + F.lit(float(dim))))
+        - F.log((F.col("_raw") + F.lit(1.0))
+                / (F.sum("_raw").over(whole) + F.lit(float(dim))))
+    )
+    return counts.select(
+        "_b", F.round(ratio * _FP).cast("long").alias("_li")
+    )
+
+
 def dsir_logratio(
     docs: DataFrame,
     target: Column,
@@ -122,24 +156,7 @@ def dsir_logratio(
     set). Documents with zero features carry no evidence and are
     omitted (they can never be meaningfully up-weighted)."""
     toks = _feature_stream(docs, target, id_col, text_col, dim, ngram)
-
-    counts = toks.groupBy("_b").agg(
-        F.count(F.lit(1)).alias("_raw"),
-        F.sum("_t").cast("long").alias("_tgt"),
-    )
-    # Smoothing totals via an unpartitioned window over the dim-row
-    # aggregate: tiny by construction, and it keeps the whole model fit
-    # inside one declarative plan (no scalar-subquery BNLJ, no collect).
-    whole = Window.partitionBy()
-    ratio = (
-        F.log((F.col("_tgt") + F.lit(1.0))
-              / (F.sum("_tgt").over(whole) + F.lit(float(dim))))
-        - F.log((F.col("_raw") + F.lit(1.0))
-                / (F.sum("_raw").over(whole) + F.lit(float(dim))))
-    )
-    lam = counts.select(
-        "_b", F.round(ratio * _FP).cast("long").alias("_li")
-    )
+    lam = _lam_table(toks, dim)
 
     scored = (
         toks.join(F.broadcast(lam), "_b")
@@ -204,27 +221,18 @@ def logratio_model(
     This is model state — O(dim) scalars, the IVF-centroid/BPE-merge
     collect pattern — that :func:`score_with_model` (and the streaming
     gate built on it) folds into a map-only plan: train offline on the
-    corpus, serve online on the stream."""
+    corpus, serve online on the stream.
+
+    The frozen λ is collected from the SAME :func:`_lam_table` plan the
+    batch scorer joins against (one JVM ``ln`` + one rounding for both
+    faces — exact parity by construction, not by libm agreement)."""
     feats = _feature_stream(docs, target, id_col, text_col, dim, ngram)
-    counts = feats.groupBy("_b").agg(
-        F.count(F.lit(1)).alias("_raw"),
-        F.sum("_t").cast("long").alias("_tgt"),
-    )
-    rows = counts.collect()
-    r_tot = sum(r._raw for r in rows)
-    t_tot = sum(r._tgt for r in rows)
-    import math
-
-    def li(raw: int, tgt: int) -> int:
-        v = (
-            math.log((tgt + 1.0) / (t_tot + float(dim)))
-            - math.log((raw + 1.0) / (r_tot + float(dim)))
-        ) * _FP
-        return int(math.floor(abs(v) + 0.5)) * (1 if v >= 0 else -1)
-
-    lam = [li(0, 0)] * dim
+    rows = _lam_table(feats, dim, with_default=True).collect()
+    default = next(int(r._li) for r in rows if r._b == -1)
+    lam = [default] * dim
     for r in rows:
-        lam[int(r._b)] = li(int(r._raw), int(r._tgt))
+        if r._b >= 0:
+            lam[int(r._b)] = int(r._li)
     return lam
 
 

@@ -472,9 +472,13 @@ def mixture_plan(
                                                        the value fed to
                                                        mixture_weights)
 
-    Sources absent from ``weights`` get proportion 0 (reported, not
-    silently dropped — the no-silent-caps rule). Returns ``(source,
-    n_docs, tokens, target_tokens, sample_fraction, epochs)``.
+    The no-silent-caps rule holds in BOTH directions: sources absent
+    from ``weights`` get proportion 0 (reported, not dropped), and
+    sources named in ``weights`` but EMPTY in ``docs`` still emit a row
+    (n_docs=0, tokens=0, their nonzero ``target_tokens`` visible) so an
+    under-supplied source never silently vanishes from the budget.
+    Returns ``(source, n_docs, tokens, target_tokens, sample_fraction,
+    epochs)``.
 
     Scale: one map-side token-count projection + one bounded partial-agg
     shuffle (|sources| rows); the plan arithmetic is constant-folded
@@ -493,9 +497,17 @@ def mixture_plan(
     per = docs.select(
         F.col(group_col).alias("source"),
         token_count(F.col(text_col)).cast("long").alias("_t"),
+        F.lit(1).cast("long").alias("_one"),
     )
-    agg = per.groupBy("source").agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
+    # Seed a zero row per weight key BEFORE the agg so an empty source
+    # still surfaces (n_docs counts only real rows via the _one marker);
+    # |weights| literal rows, same single partial-agg shuffle.
+    spark = docs.sparkSession
+    seed = spark.createDataFrame(
+        [(k, 0, 0) for k in sorted(norm)], "source string, _t long, _one long"
+    )
+    agg = per.unionByName(seed).groupBy("source").agg(
+        F.sum("_one").alias("n_docs"),
         F.sum("_t").alias("tokens"),
     )
     p = F.lit(0.0)

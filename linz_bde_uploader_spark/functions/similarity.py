@@ -873,7 +873,18 @@ def pq_codebooks(
         .select(id_col, vec_col)
         .collect()
     )
+    if len(rows) != n_codes:
+        raise ValueError(
+            f"pq_codebooks needs exactly {n_codes} seed rows with "
+            f"{id_col} in [0, {n_codes}); found {len(rows)} — a smaller "
+            "codebook would silently change every code assignment"
+        )
     vecs = [[float(x) for x in r[1]] for r in rows]
+    if len(vecs[0]) % n_subspaces:
+        raise ValueError(
+            f"embedding dim {len(vecs[0])} not divisible by "
+            f"n_subspaces={n_subspaces}"
+        )
     d = len(vecs[0]) // n_subspaces
     return [
         [v[mi * d:(mi + 1) * d] for v in vecs] for mi in range(n_subspaces)

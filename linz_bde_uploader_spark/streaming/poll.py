@@ -238,7 +238,11 @@ def countmin_stream(
     from linz_bde_uploader_spark.functions.text import tokens
 
     params = CMS_PARAMS[:depth]
-    tv = F.explode(tokens(F.trim(F.col(text_col)))).alias("tok")
+    # Tokenize EXACTLY like the batch face (sketches.countmin_table):
+    # plain single-space split, NO trim — on padded text the split's
+    # empty edge tokens must hash into both sketches identically or the
+    # claimed stream==batch parity breaks.
+    tv = F.explode(tokens(F.col(text_col))).alias("tok")
     hashed = df.select(tv).select(
         (
             (F.length("tok").cast("long") * 17

@@ -550,6 +550,23 @@ class TestProductQuantization:
         assert all(len(cv) == 4 for b in books for cv in b)
         assert books == pq_codebooks(df.repartition(5), n_subspaces=4, n_codes=8)
 
+    def test_codebooks_reject_short_or_indivisible_input(self, spark):
+        """Fewer qualifying rows than n_codes must be a loud ValueError,
+        not a silently smaller codebook (ADVICE r6); same for an
+        embedding dim that doesn't split into n_subspaces."""
+        import pytest as _pytest
+
+        from linz_bde_uploader_spark.functions.similarity import pq_codebooks
+
+        df = self._vecs(spark, n=5)
+        with _pytest.raises(ValueError, match="seed rows"):
+            pq_codebooks(df, n_subspaces=4, n_codes=8)
+        empty = self._vecs(spark, n=0)
+        with _pytest.raises(ValueError, match="seed rows"):
+            pq_codebooks(empty, n_subspaces=4, n_codes=8)
+        with _pytest.raises(ValueError, match="divisible"):
+            pq_codebooks(self._vecs(spark, dims=16), n_subspaces=5, n_codes=8)
+
     def test_encode_codes_in_range_and_self_is_nearest(self, spark):
         from linz_bde_uploader_spark.functions.similarity import (
             pq_codebooks, pq_encode,

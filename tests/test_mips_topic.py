@@ -137,6 +137,29 @@ def test_mixture_plan_budget_arithmetic(spark):
     assert (stray.target_tokens, stray.sample_fraction, stray.epochs) == (0, 0.0, 0)
 
 
+def test_mixture_plan_reports_empty_weighted_source(spark):
+    """A source named in weights but absent from the data must still emit
+    a row (tokens=0, its target_tokens visible) — the inverse direction
+    of the no-silent-caps rule (ADVICE r6)."""
+    from linz_bde_uploader_spark.functions.sampling import mixture_plan
+
+    df = spark.createDataFrame(
+        [(1, "a b c d", "big")], ["doc_id", "text", "source"]
+    )
+    plan = {
+        r.source: r
+        for r in mixture_plan(
+            df, {"big": 1.0, "ghost": 1.0}, budget_tokens=8
+        ).collect()
+    }
+    ghost = plan["ghost"]
+    assert (ghost.n_docs, ghost.tokens) == (0, 0)
+    assert ghost.target_tokens == 4          # its budget share, visible
+    assert (ghost.sample_fraction, ghost.epochs) == (0.0, 0)
+    assert plan["big"].n_docs == 1           # seed rows don't inflate counts
+    assert plan["big"].tokens == 4
+
+
 def test_mixture_plan_rejects_bad_inputs(spark):
     from linz_bde_uploader_spark.functions.sampling import mixture_plan
 

@@ -282,7 +282,10 @@ def test_countmin_stream_matches_batch_sketch(spark, tmp_path):
     src = tmp_path / "cdocs"
     src.mkdir()
     ckpt = str(tmp_path / "ckpt_cms")
-    batch1 = [(1, "aa bb aa cc"), (2, "bb dd")]
+    # Row 2 is whitespace-padded ON PURPOSE: split(' ', ...) yields empty
+    # edge tokens, and both faces must hash them identically (the stream
+    # once trimmed and diverged here — ADVICE r6).
+    batch1 = [(1, "aa bb aa cc"), (2, " bb dd ")]
     batch2 = [(3, "aa ee ff"), (4, "gg aa bb")]
     schema = "doc_id long, text string"
     spark.createDataFrame(batch1, schema).write.mode("append").parquet(str(src))
