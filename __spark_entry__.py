@@ -1729,6 +1729,43 @@ def q_sim_pq_topk(spark, sf_dir):
     return S.pq_topk(e, _query_vec(spark, sf_dir), books, k=10, exclude_id=0)
 
 
+def q_sim_mips_topk(spark, sf_dir):
+    # Maximum-inner-product top-k (similarity.py::mips_topk) plus the
+    # norm-augmentation invariant that lets every cosine ANN layout
+    # serve MIPS unchanged (mips_augment / corpus_max_norm; Bachrach et
+    # al. 2014): append sqrt(M^2 - |x|^2) so all vectors have norm
+    # exactly M, making cosine order == inner-product order. The row
+    # surface carries the proof: aug_norm == round(M, 4) on every hit.
+    # Exact scorer is map-only + TakeOrderedAndProject; M is one scalar
+    # of model state; the 10-row top-k join broadcasts.
+    e = W.load(spark, sf_dir, "embeddings")
+    m = S.corpus_max_norm(e)
+    top = S.mips_topk(e, _query_vec(spark, sf_dir), k=10, exclude_id=0)
+    aug = S.mips_augment(e, m).select(
+        "vec_id",
+        F.round(F.sqrt(S.dot(F.col("_aug"), F.col("_aug"))), 4).alias(
+            "aug_norm"
+        ),
+    )
+    return top.join(aug, "vec_id").orderBy(F.desc("ip"), "vec_id")
+
+
+def q_batch_ann_recall(spark, sf_dir):
+    # Recall@10 of the int8-quantized scorer vs the exact float ranking
+    # for a whole QUERY SET (similarity.py::batch_ann_recall) — the
+    # evaluation-scale form of q_ann_recall: one query's recall is an
+    # anecdote, a query set is a measurement. Both rankings ride the
+    # audited batch_cosine_topk plan (broadcast query set, salted local
+    # top-k, map-only over the corpus); the overlap is a (q_id, id)
+    # semi-join of two |Q|*k-row lists. Two corpus scans, independent
+    # of |Q|; zero-overlap queries report 0, not a missing row.
+    e = W.load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 97 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return S.batch_ann_recall(e, q, k=10).orderBy("q_id")
+
+
 def q_sim_lsh_topk(spark, sf_dir):
     # The router's full-scan FALLBACK branch (un-bucketed DataFrame in,
     # signatures computed on the fly) — the ad-hoc baseline; repeated
@@ -2000,6 +2037,25 @@ def q_mixture_weights(spark, sf_dir):
         {"en": 2.5, "zh": 1.0, "de": 0.5},
         default_weight=0.25,
     ).select("doc_id", "lang", "epoch")
+
+
+def q_mixture_plan(spark, sf_dir):
+    # Mixture PLANNING (sampling.py::mixture_plan) — the step before
+    # mixture_weights: measure what each source can supply, then derive
+    # per-source target tokens / sample fraction / epochs for a fixed
+    # token budget. The weight set names a source with NO rows
+    # ('ghost') on purpose: the no-silent-caps rule cuts both ways, so
+    # an under-supplied source must still surface with its nonzero
+    # target_tokens. One map-side token-count projection + one bounded
+    # partial-agg shuffle (|sources|+|weights| rows).
+    from linz_bde_uploader_spark.functions import sampling as SP
+
+    d = W.load(spark, sf_dir, "documents")
+    return SP.mixture_plan(
+        d,
+        {"src0": 0.5, "src1": 0.3, "ghost": 0.2},
+        budget_tokens=20000,
+    ).orderBy("source")
 
 
 def q_pipeline_chunk_pack(spark, sf_dir):
@@ -2646,6 +2702,20 @@ def q_dsir_select(spark, sf_dir):
     return DS.dsir_select(d, n=200, target=F.col("lang") == "en")
 
 
+def q_dsir_select_bigram(spark, sf_dir):
+    # DSIR over hashed BIGRAM features (dsir.py ngram=2) — the feature
+    # set the published recipe actually uses (Xie et al. use 10k-bucket
+    # word bigrams): adjacent token pairs hashed into the model buckets
+    # via the zip-shift idiom (slice the token array against itself —
+    # map-side, no extra shuffle vs unigrams). Same two corpus passes,
+    # dim-row broadcast model, integer fixed-point sums; docs with < 2
+    # tokens carry no bigram evidence and are omitted.
+    from linz_bde_uploader_spark.functions import dsir as DS
+
+    d = W.load(spark, sf_dir, "documents")
+    return DS.dsir_select(d, n=200, target=F.col("lang") == "en", ngram=2)
+
+
 def q_text_entropy(spark, sf_dir):
     # Per-doc token Shannon entropy + normalized diversity
     # (text.py::token_entropy): the lexical-diversity quality signal
@@ -2674,6 +2744,39 @@ def q_text_langid_confusion(spark, sf_dir):
     # the per-language capture fraction — the audit run before trusting
     # a classifier as a corpus filter (the ann_recall pattern for text).
     return X.langid_confusion(W.load(spark, sf_dir, "documents"))
+
+
+#: lexicon for the registered topic-classify query — built from the
+#: synthetic corpus's actual vocabulary so the per-topic hit counts
+#: genuinely compete (the module's TOPIC_LEXICON fixture words barely
+#: occur in this corpus); the oracle SQL is generated from this same
+#: dict, so the two can't drift.
+_TOPIC_LEX = {
+    "compute": ("scan", "filter", "sort", "merge", "join", "agg"),
+    "storage": ("table", "row", "column", "key", "part", "batch"),
+    "stream": ("stream", "window", "spark", "query", "value", "data"),
+}
+
+
+def q_topic_classify(spark, sf_dir):
+    # Keyword-lexicon topic classification (text.py::topic_classify) —
+    # the cheap taxonomy bucketing (RedPajama/CC-style domain tagging)
+    # that routes documents to per-topic mixture weights: per-topic
+    # lexicon hit counts, argmax with name-order tiebreak, 'other'
+    # below min_hits. The lexicon is a compile-time constant folded
+    # into Column expressions — map-only, no join, no shuffle, no UDF.
+    d = W.load(spark, sf_dir, "documents")
+    return X.topic_classify(d, lexicon=_TOPIC_LEX, min_hits=2)
+
+
+def q_token_fertility(spark, sf_dir):
+    # Tokenizer-fertility datasheet (text.py::token_fertility): UTF-8
+    # bytes per BPE-ish subword token by language — the statistic that
+    # shows which languages a tokenizer under-serves (high bytes/token
+    # = shorter effective context + higher cost for that language).
+    # Exact integer sums (order-free across engines), ratio at 6 dp;
+    # one map-side projection + one |langs|-row partial-agg shuffle.
+    return X.token_fertility(W.load(spark, sf_dir, "documents"))
 
 
 def q_hybrid_rrf(spark, sf_dir):
@@ -2770,10 +2873,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lm_trigram_perplexity": q_lm_trigram_perplexity,
         "q_quality_classifier": q_quality_classifier,
         "q_corpus_shuffle": q_corpus_shuffle,
-        # -- round-5 session-2 birth: corpus calibration histogram;
-        #    displaced tenant q_tpch_q10_returns (r3+r4 green; a dozen
-        #    other TPC-H shapes stay in-window) -> 51+
-        "q_quality_histogram": q_quality_histogram,
+        # -- round-7 birth: keyword-lexicon topic classifier; displaced
+        #    tenant q_quality_histogram (r5+r6 green) -> 51+
+        "q_topic_classify": q_topic_classify,
         # -- round-5 session-2 birth: PMI collocations; displaced tenant
         #    q_event_hopping_window (r3+r4 green; the event-window
         #    family keeps q_event_session_window in-window) -> 51+
@@ -2783,9 +2885,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    r3+r4 double-green tenants (q_percentiles, q_json_extract,
         #    q_rollup_acctbal, q_win_sessionize, q_win_topk_per_group,
         #    q_pivot_event_day -> 51+), per scripts/rotation_report.py
-        "q_tpch_q8_market_share": q_tpch_q8_market_share,
-        "q_tpch_q9_profit": q_tpch_q9_profit,
-        "q_tpch_q11_value_share": q_tpch_q11_value_share,
+        # -- round-7 births: DSIR bigram features, tokenizer-fertility
+        #    datasheet, mixture planner; displaced tenants
+        #    q_tpch_q8_market_share, q_tpch_q9_profit,
+        #    q_tpch_q11_value_share (each r5+r6 green; a dozen TPC-H
+        #    shapes stay oracle-checked at 51+) -> 51+
+        "q_dsir_select_bigram": q_dsir_select_bigram,
+        "q_token_fertility": q_token_fertility,
+        "q_mixture_plan": q_mixture_plan,
         # round-5 births (in-window at birth): domain cap + per-stratum
         # quantile cut; displaced r3+r4-green tenants
         # q_event_tumbling_window and q_mm_metadata -> 51+
@@ -2862,12 +2969,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    (both r3+r4 driver-green) -> 51+
         "q_kmeans_embeddings": q_kmeans_embeddings,
         "q_semdedup": q_semdedup,
-        # -- round-5 session-2 birth: int8-quantized exact top-k;
-        #    displaced tenant q_boilerplate_removal (r3+r4 green) -> 51+
-        "q_sim_quantized_topk": q_sim_quantized_topk,
-        # -- round-5 session-2 birth: JL random-projection approximate
-        #    top-k; displaced tenant q_tpch_q14_promo (r3+r4 green) -> 51+
-        "q_sim_projected_topk": q_sim_projected_topk,
+        # -- round-7 births: MIPS norm-augmentation top-k + query-set
+        #    ANN recall audit; displaced tenants q_sim_quantized_topk
+        #    and q_sim_projected_topk (each r5+r6 green; the int8/JL
+        #    scorers stay exercised THROUGH these two — mips rides the
+        #    cosine layouts, batch recall re-ranks the int8 path) -> 51+
+        "q_sim_mips_topk": q_sim_mips_topk,
+        "q_batch_ann_recall": q_batch_ann_recall,
         # -- round-6 birth: ordered conversion funnel; displaced tenant
         #    q_tfidf_topk (r3+r4+r5 green; tfidf family keeps
         #    q_inverted_index in-window) -> 51+
@@ -2926,6 +3034,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    q_c9_tolerance, q_s3_discovery_pending, q_p5_utf8_clean,
         #    q_dedup_embed_cosine — are ALL r2 AND r3 green, j5/c9 also
         #    r1) and remains oracle-checked via scripts/check_oracles.py
+        # -- rotated out in round 7 by the six queued-operator births
+        #    (q_topic_classify, q_dsir_select_bigram, q_token_fertility,
+        #    q_mixture_plan, q_sim_mips_topk, q_batch_ann_recall): every
+        #    displaced tenant r5 AND r6 driver-green
+        "q_quality_histogram": q_quality_histogram,
+        "q_tpch_q8_market_share": q_tpch_q8_market_share,
+        "q_tpch_q9_profit": q_tpch_q9_profit,
+        "q_tpch_q11_value_share": q_tpch_q11_value_share,
+        "q_sim_quantized_topk": q_sim_quantized_topk,
+        "q_sim_projected_topk": q_sim_projected_topk,
         # -- rotated out in round-6 session 3 by the three late births
         #    (q_dsir_select, q_text_entropy, q_ann_recall): thumbnails
         #    r4+r5 green (its r3 red was cleared in r4), the other two
@@ -3134,6 +3252,39 @@ def _lsh_sig_sql(vec_expr: str, planes: int = 6) -> str:
 
 
 _STOPLIST = "('" + "','".join(X.EN_STOPWORDS) + "')"
+
+
+def _topic_sql() -> str:
+    """DuckDB twin of text.py::topic_classify over _TOPIC_LEX — generated
+    from the SAME dict the Spark query uses, so lexicon edits can't
+    drift. The nested CASE mirrors the Spark argmax exactly: iterate
+    topics in name order, replace only on a STRICTLY greater count, so
+    the earliest name wins ties."""
+    names = sorted(_TOPIC_LEX)
+    hits = {
+        t: "len(list_filter(toks, x -> x IN ('"
+        + "','".join(_TOPIC_LEX[t])
+        + "')))"
+        for t in names
+    }
+    a, b, c = names
+    return f"""
+        WITH tk AS (
+          SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        ),
+        h AS (
+          SELECT doc_id, {hits[a]} AS ha, {hits[b]} AS hb, {hits[c]} AS hc
+          FROM tk
+        )
+        SELECT doc_id,
+               CASE WHEN best >= 2 THEN
+                 CASE WHEN ha >= hb AND ha >= hc THEN '{a}'
+                      WHEN hb >= hc THEN '{b}'
+                      ELSE '{c}' END
+               ELSE 'other' END AS topic,
+               CAST(best AS BIGINT) AS hits
+        FROM (SELECT doc_id, ha, hb, hc, greatest(ha, hb, hc) AS best FROM h)
+    """
 
 _DOT64 = (
     "list_sum(list_transform(generate_series(1, 64), "
@@ -3392,6 +3543,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_bpe_tokens
             FROM documents
+        """,
+        "q_topic_classify": _topic_sql(),
+        "q_token_fertility": """
+            SELECT "group", n_docs, total_bytes, total_tokens,
+                   CASE WHEN total_tokens > 0
+                        THEN round(total_bytes / CAST(total_tokens AS DOUBLE), 6)
+                        ELSE 0.0 END AS bytes_per_token
+            FROM (
+              SELECT lang AS "group",
+                     CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+                     CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))) AS BIGINT) AS total_tokens
+              FROM documents GROUP BY lang
+            )
         """,
         "q_bpe_pair_counts": """
             SELECT pair, cnt FROM (
@@ -3752,6 +3917,50 @@ def oracle_sql() -> dict[str, str]:
             ),
             tb AS (
               SELECT doc_id, is_t, {_tokval("tok")} % 256 AS b FROM t
+            ),
+            bc AS (
+              SELECT b, count(*) AS raw_c, sum(is_t) AS tgt_c
+              FROM tb GROUP BY b
+            ),
+            tot AS (SELECT sum(raw_c) AS r, sum(tgt_c) AS tg FROM bc),
+            lam AS (
+              SELECT b,
+                     CAST(round((ln((tgt_c + 1.0) / (tg + 256.0))
+                                 - ln((raw_c + 1.0) / (r + 256.0)))
+                                * 1000000) AS BIGINT) AS li
+              FROM bc, tot
+            ),
+            d AS (
+              SELECT tb.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                     CAST(sum(li) AS BIGINT) AS s
+              FROM tb JOIN lam USING (b)
+              GROUP BY tb.doc_id
+            ),
+            sc AS (
+              SELECT doc_id, n_tokens, round(s / 1000000.0, 6) AS logw,
+                     -ln(-ln(((((doc_id % 2147483647) * 2654435761)
+                               % 2147483647) + 1)
+                             / 2147483648.0)) AS g
+              FROM d
+            )
+            SELECT doc_id, n_tokens, logw, round(logw + g, 6) AS score
+            FROM sc
+            ORDER BY score DESC, doc_id
+            LIMIT 200
+        """,
+        "q_dsir_select_bigram": f"""
+            WITH tk AS (
+              SELECT doc_id,
+                     CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_t,
+                     string_split(text, ' ') AS toks
+              FROM documents
+            ),
+            tb AS (
+              SELECT doc_id, is_t,
+                     (({_tokval("toks[i]")} * 31
+                       + {_tokval("toks[i+1]")}) % 2147483647) % 256 AS b
+              FROM tk, unnest(generate_series(1, len(toks) - 1)) u(i)
+              WHERE len(toks) >= 2
             ),
             bc AS (
               SELECT b, count(*) AS raw_c, sum(is_t) AS tgt_c
@@ -4567,6 +4776,101 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY pscore DESC, e.vec_id
             LIMIT 10
         """,
+        "q_sim_mips_topk": f"""
+            WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+            top AS (
+              SELECT e.vec_id,
+                     round({_DOT64.format(a="e.embedding", b="q.embedding")}, 6)
+                       AS ip
+              FROM embeddings e, q
+              WHERE e.vec_id <> 0
+              ORDER BY ip DESC, e.vec_id
+              LIMIT 10
+            ),
+            m AS (
+              SELECT max(sqrt({_DOT64.format(a="e.embedding", b="e.embedding")}))
+                       AS mx
+              FROM embeddings e
+            ),
+            n2t AS (
+              SELECT e.vec_id,
+                     ({_DOT64.format(a="e.embedding", b="e.embedding")}) AS n2
+              FROM embeddings e
+            ),
+            augn AS (
+              SELECT vec_id, n2,
+                     sqrt(greatest(m.mx * m.mx - n2, 0.0)) AS s
+              FROM n2t, m
+            )
+            SELECT t.vec_id, t.ip,
+                   round(sqrt(a.n2 + a.s * a.s), 4) AS aug_norm
+            FROM top t JOIN augn a USING (vec_id)
+            ORDER BY t.ip DESC, t.vec_id
+        """,
+        "q_batch_ann_recall": f"""
+            WITH q AS (
+              SELECT vec_id AS q_id, embedding AS q_vec
+              FROM embeddings WHERE vec_id % 97 = 0
+            ),
+            ex AS (
+              SELECT q_id, vec_id FROM (
+                SELECT q.q_id, e.vec_id,
+                       row_number() OVER (
+                         PARTITION BY q.q_id
+                         ORDER BY round(({_DOT64.format(a="e.embedding", b="q.q_vec")})
+                                        / (sqrt({_DOT64.format(a="e.embedding", b="e.embedding")})
+                                           * sqrt({_DOT64.format(a="q.q_vec", b="q.q_vec")})), 6)
+                                    DESC, e.vec_id
+                       ) AS rn
+                FROM embeddings e CROSS JOIN q
+                WHERE e.vec_id <> q.q_id
+              ) WHERE rn <= 10
+            ),
+            e2 AS (
+              SELECT vec_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings
+            ),
+            sc AS (
+              SELECT vec_id, v,
+                     list_max(list_transform(v, x -> abs(x))) / 127.0 AS s
+              FROM e2
+            ),
+            qv AS (
+              SELECT vec_id,
+                     CASE WHEN s = 0
+                          THEN list_transform(v, x -> CAST(0 AS DOUBLE))
+                          ELSE list_transform(v, x -> round(x / s)) END AS qe
+              FROM sc
+            ),
+            qq AS (
+              SELECT vec_id AS q_id, qe AS qvec FROM qv WHERE vec_id % 97 = 0
+            ),
+            ap AS (
+              SELECT q_id, vec_id FROM (
+                SELECT qq.q_id, e.vec_id,
+                       row_number() OVER (
+                         PARTITION BY qq.q_id
+                         ORDER BY round(list_inner_product(e.qe, qq.qvec)
+                                        / (sqrt(list_inner_product(e.qe, e.qe))
+                                           * sqrt(list_inner_product(qq.qvec, qq.qvec))), 6)
+                                    DESC, e.vec_id
+                       ) AS rn
+                FROM qv e CROSS JOIN qq
+                WHERE e.vec_id <> qq.q_id
+              ) WHERE rn <= 10
+            ),
+            h AS (
+              SELECT ap.q_id, count(*) AS hits
+              FROM ap JOIN ex ON ap.q_id = ex.q_id AND ap.vec_id = ex.vec_id
+              GROUP BY ap.q_id
+            )
+            SELECT q.q_id, CAST(10 AS BIGINT) AS k,
+                   CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+                   round(coalesce(h.hits, 0) / 10.0, 6) AS recall
+            FROM q LEFT JOIN h ON q.q_id = h.q_id
+            ORDER BY q.q_id
+        """,
         "q_sim_quantized_topk": """
             WITH e2 AS (
               SELECT vec_id,
@@ -5022,6 +5326,42 @@ def oracle_sql() -> dict[str, str]:
                                           ORDER BY n_chars NULLS FIRST) AS pr
               FROM documents
             ) WHERE pr >= 0.3
+        """,
+        "q_mixture_plan": """
+            WITH agg AS (
+              SELECT source,
+                     CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum(len(string_split(trim(text), ' '))) AS BIGINT) AS tokens
+              FROM documents GROUP BY source
+            ),
+            keys AS (SELECT * FROM (VALUES ('ghost'), ('src0'), ('src1')) k(source)),
+            fl AS (
+              SELECT coalesce(a.source, k.source) AS source,
+                     coalesce(a.n_docs, 0) AS n_docs,
+                     coalesce(a.tokens, 0) AS tokens
+              FROM agg a FULL OUTER JOIN keys k ON a.source = k.source
+            ),
+            pl AS (
+              SELECT source, n_docs, tokens,
+                     CAST(round(20000.0 * (CASE source WHEN 'ghost' THEN 0.2
+                                                       WHEN 'src0' THEN 0.5
+                                                       WHEN 'src1' THEN 0.3
+                                                       ELSE 0.0 END)) AS BIGINT)
+                       AS target_tokens
+              FROM fl
+            )
+            SELECT source,
+                   CAST(n_docs AS BIGINT) AS n_docs,
+                   CAST(tokens AS BIGINT) AS tokens,
+                   target_tokens,
+                   CASE WHEN tokens > 0
+                        THEN round(least(1.0, target_tokens / tokens), 6)
+                        ELSE 0.0 END AS sample_fraction,
+                   CASE WHEN tokens > 0 AND target_tokens > 0
+                        THEN CAST(ceil(target_tokens / tokens) AS BIGINT)
+                        ELSE CAST(0 AS BIGINT) END AS epochs
+            FROM pl
+            ORDER BY source
         """,
         "q_mixture_weights": """
             WITH w AS (

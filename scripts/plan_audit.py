@@ -36,6 +36,11 @@ WHITELIST: dict[str, tuple[str, ...]] = {
     # the loop side is the tiny broadcast table — map-only over the big
     # side, which is the designed plan (similarity.py::batch_cosine_topk).
     "q_sim_batch_topk": ("BroadcastNestedLoopJoin",),
+    # Query-set ANN recall runs batch_cosine_topk twice (exact + int8),
+    # inheriting the same tiny-broadcast kNN shape: the non-equi
+    # (id != q_id) join loops over the BROADCAST query set only —
+    # map-only over the corpus side (similarity.py::batch_ann_recall).
+    "q_batch_ann_recall": ("BroadcastNestedLoopJoin",),
     # TF-IDF folds the corpus size N into the plan as a broadcast of a
     # ONE-ROW global aggregate (tfidf.py::tfidf_topk) so the whole query
     # is a single job with no driver-side count() action. Catalyst

@@ -96,14 +96,15 @@ def test_no_harness_query_compiles_to_scale_smell(spark):
         if hits:
             offenders[name] = hits
     assert not offenders, offenders
-    # the whitelist must stay minimal and intentional: the batch-kNN
-    # broadcast-query loop plus the four one-row scalar broadcasts
+    # the whitelist must stay minimal and intentional: the two batch-kNN
+    # broadcast-query loops (q_sim_batch_topk and the query-set recall
+    # audit built on the same plan) plus the one-row scalar broadcasts
     # (TF-IDF's corpus size N, the bigram LM's vocabulary size V, the
     # collocations' bigram total, the trigram LM's totals row) — all
     # map-only over the big side
     assert set(WHITELIST) == {
-        "q_sim_batch_topk", "q_tfidf_topk", "q_lm_perplexity",
-        "q_lm_collocations", "q_lm_trigram_perplexity",
+        "q_sim_batch_topk", "q_batch_ann_recall", "q_tfidf_topk",
+        "q_lm_perplexity", "q_lm_collocations", "q_lm_trigram_perplexity",
         "q_pipeline_quality_funnel", "q_bm25_topk",
         "q_passage_retrieval", "q_graph_pagerank_directed",
         "q_hybrid_rrf",
