@@ -916,6 +916,133 @@ def _pagerank_sql(iters: int = 4) -> str:
     )
 
 
+def _host_datasheet_sql(iters: int = 4) -> str:
+    """DuckDB twin of q_host_datasheet: the same messy-URL synthesis,
+    the canonicalization regexp chain step-for-step (RE2 ``\\1``
+    backrefs instead of Java's ``$1``; explicit 'g' where Spark's
+    always-global regexp_replace can hit multiple times), the
+    quality-classifier prob, the fixed-point host rollup, and a
+    directed PageRank unroll over the host link graph."""
+    scheme_host = r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*"
+    prob = (
+        "round(1.0 / (1.0 + exp(-round(CASE WHEN len(tk) > 0 THEN "
+        "0.0 + 4.0 * (list_sum(list_transform(tk, t -> "
+        f"CAST(((({_tokval('t')} % 64) + 1) * 2654435761) % 2147483647 "
+        "AS DOUBLE) / 2147483647 - 0.5)) / len(tk)) ELSE 0.0 END, 6))), 6)"
+    )
+    pr_ctes = [
+        """ed AS (
+          SELECT DISTINCT source || '.example.com' AS src,
+                 'src' || CAST(doc_id % 7 AS VARCHAR) || '.example.com' AS dst
+          FROM documents
+          WHERE source || '.example.com'
+                <> 'src' || CAST(doc_id % 7 AS VARCHAR) || '.example.com'
+        )""",
+        "nodes AS (SELECT DISTINCT src AS node FROM ed)",
+        "num AS (SELECT count(*) AS n FROM nodes)",
+        "outdeg AS (SELECT src, count(*) AS od FROM ed GROUP BY src)",
+        """r0 AS (
+          SELECT node, round(CAST(1.0 AS DOUBLE) / n, 9) AS rank
+          FROM nodes, num
+        )""",
+    ]
+    dmp = "CAST(0.85 AS DOUBLE)"
+    base = f"(CAST(1.0 AS DOUBLE) - {dmp}) / num.n"
+    for i in range(1, iters + 1):
+        pr_ctes.append(f"""r{i} AS (
+          SELECT nd.node,
+                 round({base} + {dmp} * coalesce(c.s, 0.0), 9) AS rank
+          FROM nodes nd CROSS JOIN num
+          LEFT JOIN (
+            SELECT e.dst AS node, round(sum(r.rank / o.od), 9) AS s
+            FROM ed e
+            JOIN r{i - 1} r ON r.node = e.src
+            JOIN outdeg o ON o.src = e.src
+            GROUP BY e.dst
+          ) c ON c.node = nd.node
+        )""")
+    return (
+        r"""
+        WITH d0 AS (
+          SELECT doc_id, text,
+                 CASE doc_id % 4
+                   WHEN 0 THEN 'HTTPS://WWW.' || upper(source)
+                        || '.Example.COM/docs/' || CAST(doc_id % 10 AS VARCHAR)
+                        || '/?utm_source=feed&ref=abc'
+                   WHEN 1 THEN 'http://' || source
+                        || '.example.com:80/docs/' || CAST(doc_id % 10 AS VARCHAR)
+                   WHEN 2 THEN 'https://' || source
+                        || '.example.com:443/docs/' || CAST(doc_id % 10 AS VARCHAR)
+                        || '/'
+                   ELSE 'https://m.' || source
+                        || '.example.com/docs/' || CAST(doc_id % 10 AS VARCHAR)
+                        || '?id=7&utm_campaign=x#frag'
+                 END AS url
+          FROM documents
+        ),
+        c1 AS (
+          SELECT doc_id, text, regexp_replace(url, '#.*$', '') AS u FROM d0
+        ),
+        c2 AS (
+          SELECT doc_id, text,
+                 lower(regexp_extract(u, '"""
+        + scheme_host
+        + r"""')) AS sh,
+                 regexp_replace(u, '"""
+        + scheme_host
+        + r"""', '') AS rest
+          FROM c1
+        ),
+        c3 AS (
+          SELECT doc_id, text,
+                 regexp_replace(regexp_replace(regexp_replace(sh,
+                   '^(http://.*):80$', '\1'),
+                   '^(https://.*):443$', '\1'),
+                   '^(https?://)(www\.|m\.)', '\1') AS sh,
+                 regexp_replace(regexp_replace(regexp_replace(
+                 regexp_replace(regexp_replace(regexp_replace(rest,
+                   '([?&])(utm_[^&#=]*|ref|session|fbclid|gclid)=[^&#]*', '\1', 'g'),
+                   '\?&+', '?'),
+                   '&&+', '&', 'g'),
+                   '/\?', '?'),
+                   '[?&]+$', ''),
+                   '/$', '') AS rest
+          FROM c2
+        ),
+        hosts AS (
+          SELECT doc_id, text,
+                 regexp_extract(sh || rest, '://([^/?#:]*)', 1) AS host,
+                 sh || rest AS cu
+          FROM c3
+        ),
+        qp AS (
+          SELECT doc_id, """
+        + prob
+        + r""" AS prob
+          FROM (SELECT doc_id, string_split(trim(text), ' ') AS tk
+                FROM documents)
+        ),
+        agg AS (
+          SELECT h.host,
+                 CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(count(DISTINCT h.cu) AS BIGINT) AS n_urls,
+                 round(CAST(sum(CAST(round(q.prob * 1000000) AS BIGINT))
+                            AS BIGINT)
+                       / (count(*) * 1000000.0), 6) AS mean_quality
+          FROM hosts h JOIN qp q USING (doc_id)
+          GROUP BY h.host
+        ),
+        """
+        + ",\n".join(pr_ctes)
+        + f"""
+        SELECT a.host, a.n_docs, a.n_urls, a.mean_quality,
+               coalesce(round(r{iters}.rank, 6), 0.0) AS host_rank
+        FROM agg a LEFT JOIN r{iters} ON r{iters}.node = a.host
+        ORDER BY a.host
+    """
+    )
+
+
 def q_graph_pagerank(spark, sf_dir):
     # Deterministic PageRank (functions/graph.py) over the symmetrized
     # customer-supplier purchase graph — the domain-centrality quality
@@ -938,6 +1065,59 @@ def q_graph_pagerank(spark, sf_dir):
     )
     ranks = pagerank(symmetrize(ed), n_iters=4)
     return ranks.orderBy(F.desc("rank"), F.col("node")).limit(25)
+
+
+def q_host_datasheet(spark, sf_dir):
+    # URL canonicalization + host-level datasheet (functions/urls.py):
+    # the link between the dedup stack and the centrality/quality
+    # priors. Messy URL variants are synthesized deterministically per
+    # doc (case soup, www./m. mirrors, default ports, tracking params,
+    # trailing slashes — four variants that all collapse to one
+    # canonical form), then rolled up per host: doc count, DISTINCT
+    # canonical URLs (the post-canonicalization dedup denominator),
+    # fixed-point mean quality-classifier prob, and the host's PageRank
+    # over a deterministic host link graph — the Common Crawl-style
+    # host quality prior. Canonicalization is a map-only regexp chain;
+    # the rollup is one |hosts|-row partial-agg shuffle; the rank join
+    # broadcasts a bounded table.
+    from linz_bde_uploader_spark.functions import urls as U
+    from linz_bde_uploader_spark.functions.graph import pagerank
+
+    d = W.load(spark, sf_dir, "documents")
+    m = F.pmod(F.col("doc_id"), F.lit(4))
+    pid = F.pmod(F.col("doc_id"), F.lit(10)).cast("string")
+    url = (
+        F.when(m == 0, F.concat(
+            F.lit("HTTPS://WWW."), F.upper(F.col("source")),
+            F.lit(".Example.COM/docs/"), pid,
+            F.lit("/?utm_source=feed&ref=abc")))
+        .when(m == 1, F.concat(
+            F.lit("http://"), F.col("source"),
+            F.lit(".example.com:80/docs/"), pid))
+        .when(m == 2, F.concat(
+            F.lit("https://"), F.col("source"),
+            F.lit(".example.com:443/docs/"), pid, F.lit("/")))
+        .otherwise(F.concat(
+            F.lit("https://m."), F.col("source"),
+            F.lit(".example.com/docs/"), pid,
+            F.lit("?id=7&utm_campaign=x#frag")))
+    )
+    docs = d.withColumn("url", url).select("doc_id", "url").join(
+        X.quality_classifier(d).select("doc_id", "prob"), "doc_id"
+    )
+    edges = (
+        d.select(
+            F.concat(F.col("source"), F.lit(".example.com")).alias("src"),
+            F.concat(
+                F.lit("src"), F.pmod(F.col("doc_id"), F.lit(7)).cast("string"),
+                F.lit(".example.com"),
+            ).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    ranks = pagerank(edges, n_iters=4)
+    return U.host_datasheet(docs, "url", "prob", ranks=ranks).orderBy("host")
 
 
 def _pagerank_directed_sql(iters: int = 4) -> str:
@@ -1374,6 +1554,21 @@ def q_dedup_keep_best(spark, sf_dir):
         "doc_id", X.quality_score(F.col("text")).cast("long").alias("q")
     )
     return D.keep_best_per_cluster(scored, comp, "q")
+
+
+def q_dedup_paragraph(spark, sf_dir):
+    # Paragraph-grain near-dup stats (functions/dedup.py::
+    # paragraph_dedup_stats) — the RefinedWeb/CCNet practice of
+    # deduplicating at paragraph granularity BEFORE document
+    # granularity: pages are rarely whole-document duplicates, their
+    # boilerplate paragraphs are. Documents explode into 32-token
+    # pseudo-paragraphs map-side; the BANDED MinHash machinery runs on
+    # paragraphs unchanged (candidates from the band-key equi-join,
+    # never all-pairs), exact Jaccard verifies candidates only,
+    # within-doc repetition is excluded, and one doc-keyed partial agg
+    # reports the per-document duplicated-paragraph fraction.
+    d = W.load(spark, sf_dir, "documents")
+    return D.paragraph_dedup_stats(d)
 
 
 def q_corpus_datasheet(spark, sf_dir):
@@ -2897,7 +3092,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # quantile cut; displaced r3+r4-green tenants
         # q_event_tumbling_window and q_mm_metadata -> 51+
         "q_domain_cap": q_domain_cap,
-        "q_tpch_q16_supplier_count": q_tpch_q16_supplier_count,
+        # -- round-7 birth: URL canonicalization + per-host datasheet
+        #    (canonical-URL dedup denominator, fixed-point mean quality,
+        #    host PageRank prior); displaced tenant
+        #    q_tpch_q16_supplier_count (r5+r6 green) -> 51+
+        "q_host_datasheet": q_host_datasheet,
         "q_event_session_window": q_event_session_window,
         # -- round-6 birth: contrastive negative sampling; displaced
         #    tenant q_mixture_weights (r4+r5 green; sampling family
@@ -2922,10 +3121,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    signal; displaced tenant q_sim_lsh_bucketed (r3+r4+r5
         #    triple green) -> 51+
         "q_text_entropy": q_text_entropy,
-        # -- round-5 session-2 birth: duplicated-span scrubbing;
-        #    displaced tenant q_sim_ivf_topk (r3+r4 green; the ANN
-        #    family keeps five other entries in-window) -> 51+
-        "q_dedup_scrub_spans": q_dedup_scrub_spans,
+        # -- round-7 birth: paragraph-grain near-dup stats (banded LSH
+        #    over 32-token windows + exact verify, cross-doc only);
+        #    displaced tenant q_dedup_scrub_spans (r5+r6 green; the
+        #    span/fragment family keeps q_dedup_crossdoc and
+        #    q_dedup_incremental in-window) -> 51+
+        "q_dedup_paragraph": q_dedup_paragraph,
         # -- 21-28: round-5 births q_inverted_index/q_chunk_documents
         #    take the slots of r3+r4-green q_text_gopher_quality and
         #    q_scd2_history (-> 51+)
@@ -3039,6 +3240,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    q_mixture_plan, q_sim_mips_topk, q_batch_ann_recall): every
         #    displaced tenant r5 AND r6 driver-green
         "q_quality_histogram": q_quality_histogram,
+        "q_tpch_q16_supplier_count": q_tpch_q16_supplier_count,
+        "q_dedup_scrub_spans": q_dedup_scrub_spans,
         "q_tpch_q8_market_share": q_tpch_q8_market_share,
         "q_tpch_q9_profit": q_tpch_q9_profit,
         "q_tpch_q11_value_share": q_tpch_q11_value_share,
@@ -3590,6 +3793,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE vec_id NOT IN (SELECT vec_id FROM dup)
         """,
         "q_graph_pagerank": _pagerank_sql(4),
+        "q_host_datasheet": _host_datasheet_sql(4),
         "q_graph_pagerank_directed": _pagerank_directed_sql(4),
         "q_lm_trigram_perplexity": """
             WITH toks AS (
@@ -4405,6 +4609,76 @@ def oracle_sql() -> dict[str, str]:
               FROM documents
             )
             SELECT doc_id, CAST({_simhash_sql_bits(16)} AS BIGINT) AS sh FROM t
+        """,
+        # paragraph grain: the SAME shingle/minhash/band/verify chain as
+        # the document-grain oracles, re-keyed by the composite pid over
+        # 32-token windows; // is DuckDB floor division (ids nonnegative,
+        # so it equals Spark's DIV)
+        "q_dedup_paragraph": f"""
+            WITH t0 AS (
+              SELECT doc_id, {_TOKS} AS dt FROM documents
+            ),
+            p0 AS (
+              SELECT doc_id * 1000000 + (i - 1) AS pid,
+                     array_to_string(dt[((i-1)*32 + 1):((i-1)*32 + 32)], ' ') AS para
+              FROM t0,
+                   unnest(generate_series(1, CAST(ceil(len(dt) / 32.0) AS BIGINT))) u(i)
+              WHERE len(dt) > 0
+            ),
+            t AS (
+              SELECT pid, string_split(para, ' ') AS toks,
+                     len(string_split(para, ' ')) AS n
+              FROM p0
+            ),
+            sv_t AS (
+              SELECT pid, {_shingle_vals()} AS sv FROM t
+            ),
+            sigs AS (
+              SELECT pid,
+                     {_minhash_cols()}
+              FROM sv_t
+            ),
+            bands AS (
+              SELECT pid, 0 AS band, ((0*31 + mh0)*31 + mh1) % 2147483647 AS key FROM sigs
+              UNION ALL
+              SELECT pid, 1, ((1*31 + mh2)*31 + mh3) % 2147483647 FROM sigs
+              UNION ALL
+              SELECT pid, 2, ((2*31 + mh4)*31 + mh5) % 2147483647 FROM sigs
+              UNION ALL
+              SELECT pid, 3, ((3*31 + mh6)*31 + mh7) % 2147483647 FROM sigs
+            ),
+            cand AS (
+              SELECT DISTINCT l.pid AS id_a, r.pid AS id_b
+              FROM bands l JOIN bands r
+                ON l.band = r.band AND l.key = r.key AND l.pid < r.pid
+            ),
+            sh AS (
+              SELECT pid,
+                     list_distinct(list_transform(generate_series(1, greatest(n-2, 1)),
+                       i -> toks[least(i, n)] || ' ' || toks[least(i+1, n)] || ' ' || toks[least(i+2, n)])) AS s
+              FROM t
+            ),
+            ver AS (
+              SELECT c.id_a, c.id_b
+              FROM cand c JOIN sh a ON a.pid = c.id_a JOIN sh b ON b.pid = c.id_b
+              WHERE round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                          / len(list_distinct(list_concat(a.s, b.s))), 6) >= 0.5
+                AND (c.id_a // 1000000) <> (c.id_b // 1000000)
+            ),
+            dup AS (
+              SELECT DISTINCT pid FROM (
+                SELECT id_a AS pid FROM ver
+                UNION ALL
+                SELECT id_b FROM ver
+              )
+            )
+            SELECT CAST(p.pid // 1000000 AS BIGINT) AS doc_id,
+                   CAST(count(*) AS BIGINT) AS n_paras,
+                   CAST(sum(CASE WHEN d.pid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS dup_paras,
+                   round(sum(CASE WHEN d.pid IS NOT NULL THEN 1.0 ELSE 0.0 END)
+                         / count(*), 4) AS dup_fraction
+            FROM p0 p LEFT JOIN dup d ON d.pid = p.pid
+            GROUP BY 1
         """,
         "q_dedup_jaccard_pairs": _MINHASH_SIGS + f"""
             , bands AS (

@@ -922,3 +922,136 @@ def source_overlap_matrix(
             ).alias("mean_jaccard"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Paragraph-grain near-dup (RefinedWeb/CCNet practice): real CC-scale
+# pipelines dedup at paragraph granularity BEFORE document granularity —
+# a page is rarely a whole-document duplicate, but its boilerplate
+# paragraphs (navigation, footers, license blocks) are duplicated across
+# thousands of pages. The paragraph layer reuses the banded MinHash
+# machinery unchanged: a paragraph is just a shorter document with a
+# composite id.
+
+#: composite paragraph id stride: pid = doc_id * stride + para_idx.
+#: A document would need >= 1e6 paragraphs before ids collide.
+PARA_STRIDE = 1_000_000
+
+
+def paragraphs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    para_tokens: int = 32,
+) -> DataFrame:
+    """Explode documents into fixed-token-window pseudo-paragraphs:
+    ``(id, para_idx, para)`` — the chunking idiom (map-side posexplode,
+    no shuffle). Corpora with real paragraph boundaries split on the
+    separator upstream and feed the same ``(id, para_idx, para)``
+    contract; the window form is what makes the operator total on
+    boundary-free text. Empty text yields ONE empty paragraph (the
+    single-space ``tokens()`` convention: split never returns an empty
+    array); NULL text yields none."""
+    if para_tokens <= 0:
+        raise ValueError("para_tokens must be positive")
+    staged = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+    n = F.size(F.col("_toks"))
+    n_para = F.ceil(n / F.lit(float(para_tokens))).cast("int")
+    # Generator input INLINE (the scrub_duplicated_spans lesson); the
+    # token array itself is a staged attribute, so each window's slice
+    # reads a computed array. sequence() is guarded for NULL text
+    # (size(NULL) is NULL -> otherwise-branch empty array); non-NULL
+    # text always has size >= 1 under the split convention, so the
+    # [0, -1] downward-sequence trap cannot trigger there.
+    wins = F.when(
+        n > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_para - 1),
+            lambda i: F.array_join(
+                F.slice(F.col("_toks"), i * para_tokens + 1, para_tokens),
+                " ",
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return staged.select(
+        F.col(id_col),
+        F.posexplode(wins).alias("para_idx", "para"),
+    )
+
+
+def paragraph_dedup_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    para_tokens: int = 32,
+    threshold: float = 0.5,
+    n: int = 3,
+    bands: int = 4,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """Per-document duplicated-PARAGRAPH fraction:
+    ``(id, n_paras, dup_paras, dup_fraction)`` where a paragraph is
+    "duplicated" when it survives the two-phase near-dup pipeline
+    (banded MinHash-LSH candidates -> exact n-gram Jaccard >= threshold)
+    against a paragraph of a DIFFERENT document. Within-document
+    repetition is internal structure, not corpus duplication, and is
+    excluded. ``dup_fraction`` at 4 dp (the duplicated_shingle_stats
+    convention).
+
+    Scale: the paragraph explode is map-side; candidates come from the
+    banded self-equi-join (O(paras x bands) shuffle, never all-pairs);
+    the exact verify touches candidate pairs only; the rollup is one
+    doc-keyed partial agg. Same posture as the document-grain pipeline
+    — paragraphs just multiply the row count by ~docs_tokens/para_tokens.
+    """
+    pdf = paragraphs(df, id_col, text_col, para_tokens).select(
+        (F.col(id_col) * PARA_STRIDE + F.col("para_idx")).alias("pid"),
+        F.col("para"),
+    )
+    pairs = candidate_jaccard_verify(
+        pdf, "pid", "para", threshold, n, bands, rows_per_band
+    )
+    cross = pairs.filter(
+        F.expr(f"id_a DIV {PARA_STRIDE}") != F.expr(f"id_b DIV {PARA_STRIDE}")
+    )
+    dup_pids = (
+        cross.select(F.col("id_a").alias("pid"))
+        .unionByName(cross.select(F.col("id_b").alias("pid")))
+        .distinct()
+        .withColumn("_dup", F.lit(1))
+    )
+    return (
+        pdf.join(dup_pids, "pid", "left")
+        .groupBy(F.expr(f"pid DIV {PARA_STRIDE}").alias(id_col))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_paras"),
+            F.sum(F.coalesce(F.col("_dup"), F.lit(0)))
+            .cast("long")
+            .alias("dup_paras"),
+            F.round(
+                F.sum(F.coalesce(F.col("_dup"), F.lit(0)).cast("double"))
+                / F.count(F.lit(1)),
+                4,
+            ).alias("dup_fraction"),
+        )
+    )
+
+
+def prune_paragraph_duplicated(
+    df: DataFrame,
+    max_dup_fraction: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    para_tokens: int = 32,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Keep documents whose duplicated-paragraph fraction is at most
+    ``max_dup_fraction`` — the :func:`prune_cross_duplicated` contract
+    at paragraph grain (left-semi against the stats table)."""
+    stats = paragraph_dedup_stats(
+        df, id_col, text_col, para_tokens, threshold
+    )
+    keep = stats.filter(
+        F.col("dup_fraction") <= max_dup_fraction
+    ).select(id_col)
+    return df.join(keep, [id_col], "left_semi")

@@ -614,3 +614,136 @@ class TestProductQuantization:
         assert "TakeOrderedAndProject" in plan
         assert "EvalPython" not in plan
         assert "Exchange" not in plan  # map-only + final top-k gather
+
+
+class TestParagraphDedup:
+    def test_paragraphs_window_shapes_and_empty_doc(self, spark):
+        from linz_bde_uploader_spark.functions.dedup import paragraphs
+
+        df = spark.createDataFrame(
+            [(1, " ".join(f"w{i}" for i in range(70))), (2, "a b"), (3, ""),
+             (4, None)],
+            "doc_id long, text string",
+        )
+        got = paragraphs(df, para_tokens=32).collect()
+        by_doc = {}
+        for r in got:
+            by_doc.setdefault(r.doc_id, []).append(r)
+        # 70 tokens -> windows of 32/32/6; 2 tokens -> one short window
+        assert [len(r.para.split(" ")) for r in sorted(by_doc[1], key=lambda r: r.para_idx)] == [32, 32, 6]
+        assert [r.para for r in by_doc[2]] == ["a b"]
+        # empty text = one empty paragraph (tokens() split convention);
+        # NULL text = none (and no [0,-1] downward-sequence trap)
+        assert [r.para for r in by_doc[3]] == [""]
+        assert 4 not in by_doc
+        # windows tile the doc exactly
+        rebuilt = " ".join(
+            r.para for r in sorted(by_doc[1], key=lambda r: r.para_idx)
+        )
+        assert rebuilt == " ".join(f"w{i}" for i in range(70))
+
+    def test_paragraph_dedup_stats_flags_cross_doc_only(self, spark):
+        from linz_bde_uploader_spark.functions.dedup import (
+            paragraph_dedup_stats, prune_paragraph_duplicated,
+        )
+
+        boiler = " ".join(f"nav{i}" for i in range(32))     # shared block
+        uniq = lambda tag: " ".join(f"{tag}{i}" for i in range(32))
+        df = spark.createDataFrame(
+            [
+                # doc 1: boilerplate + unique  -> 1/2 duplicated
+                (1, boiler + " " + uniq("alpha")),
+                # doc 2: same boilerplate + unique -> 1/2 duplicated
+                (2, boiler + " " + uniq("beta")),
+                # doc 3: internal repetition ONLY -> 0 duplicated
+                (3, uniq("gamma") + " " + uniq("gamma")),
+                # doc 4: fully unique
+                (4, uniq("delta")),
+            ],
+            "doc_id long, text string",
+        )
+        got = {r.doc_id: r for r in paragraph_dedup_stats(df).collect()}
+        assert (got[1].n_paras, got[1].dup_paras, got[1].dup_fraction) == (2, 1, 0.5)
+        assert (got[2].n_paras, got[2].dup_paras, got[2].dup_fraction) == (2, 1, 0.5)
+        # within-doc repetition is NOT corpus duplication
+        assert got[3].dup_paras == 0
+        assert got[4].dup_paras == 0
+        kept = sorted(
+            r.doc_id
+            for r in prune_paragraph_duplicated(df, 0.4).collect()
+        )
+        assert kept == [3, 4]
+
+    def test_paragraph_stats_match_serial_twin(self, spark):
+        """Full pipeline vs a Python twin on a small corpus (same
+        shingle/minhash arithmetic via the module helpers)."""
+        from linz_bde_uploader_spark.functions import dedup as D
+
+        texts = {
+            i: " ".join(
+                f"w{(i * 7 + j * 3) % 11}" for j in range(48)
+            )
+            for i in range(8)
+        }
+        df = spark.createDataFrame(
+            [(i, t) for i, t in texts.items()], "doc_id long, text string"
+        )
+        got = {r.doc_id: r for r in D.paragraph_dedup_stats(df).collect()}
+        # twin: paragraphs
+        paras = {}
+        for i, t in texts.items():
+            toks = t.split(" ")
+            for p in range((len(toks) + 31) // 32):
+                paras[i * D.PARA_STRIDE + p] = toks[p * 32:(p + 1) * 32]
+
+        def shingle_strs(tk):
+            m = len(tk)
+            return {
+                " ".join(
+                    tk[min(k, m - 1)] for k in (j, j + 1, j + 2)
+                )
+                for j in range(max(m - 2, 1))
+            }
+
+        def shingle_vals(tk):
+            m = len(tk)
+            out = []
+            for j in range(max(m - 2, 1)):
+                v = 0
+                for k in (j, j + 1, j + 2):
+                    t_ = tk[min(k, m - 1)]
+                    v = v * 961 + (len(t_) * 17 + ord(t_[0]) * 31) % 2147483647
+                out.append(v % 2147483647)
+            return out
+
+        # candidates via band keys
+        def band_keys(tk):
+            vals = shingle_vals(tk)
+            sig = [
+                min((x * a + b) % 2147483647 for x in vals)
+                for a, b in D.MINHASH_PARAMS[:8]
+            ]
+            return [
+                ((b_ * 31 + sig[b_ * 2]) * 31 + sig[b_ * 2 + 1]) % 2147483647
+                for b_ in range(4)
+            ]
+
+        keys = {pid: band_keys(tk) for pid, tk in paras.items()}
+        dup = set()
+        ids = sorted(paras)
+        for x in range(len(ids)):
+            for y in range(x + 1, len(ids)):
+                a, b = ids[x], ids[y]
+                if a // D.PARA_STRIDE == b // D.PARA_STRIDE:
+                    continue
+                if not any(keys[a][i] == keys[b][i] for i in range(4)):
+                    continue
+                sa, sb = shingle_strs(paras[a]), shingle_strs(paras[b])
+                j = len(sa & sb) / len(sa | sb)
+                if round(j, 6) >= 0.5:
+                    dup.add(a)
+                    dup.add(b)
+        for i in texts:
+            n_p = sum(1 for pid in paras if pid // D.PARA_STRIDE == i)
+            d_p = sum(1 for pid in dup if pid // D.PARA_STRIDE == i)
+            assert (got[i].n_paras, got[i].dup_paras) == (n_p, d_p), i

@@ -1,0 +1,105 @@
+"""URL canonicalization + host datasheet (functions/urls.py).
+
+Reference parity note: the reference engine has no URL layer; this is
+part of the training-data-pipeline surface (C4/RefinedWeb-style URL
+dedup prep and host-level quality priors).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from linz_bde_uploader_spark.functions.urls import (
+    canonicalize_url,
+    host_datasheet,
+    url_host,
+)
+
+
+def _canon(spark, urls):
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    return [
+        r.c for r in df.select(canonicalize_url("url").alias("c")).collect()
+    ]
+
+
+def test_canonicalize_collapses_equivalent_variants(spark):
+    """Four messy spellings of the same resource → one canonical form."""
+    variants = [
+        "HTTPS://WWW.Ex.COM/Docs/3/?utm_source=feed&ref=abc",
+        "https://ex.com:443/Docs/3/",
+        "https://m.ex.com/Docs/3",
+        "https://ex.com/Docs/3#section-2",
+    ]
+    got = set(_canon(spark, variants))
+    assert got == {"https://ex.com/Docs/3"}
+
+
+def test_canonicalize_contract_details(spark):
+    cases = {
+        # http default port stripped; https port on http scheme kept
+        "http://a.com:80/x": "http://a.com/x",
+        "http://a.com:443/x": "http://a.com:443/x",
+        # path/query case preserved, host case folded
+        "HTTP://A.COM/Path?Q=V": "http://a.com/Path?Q=V",
+        # tracking params stripped wherever they sit; real params kept
+        "https://a.com/x?utm_a=1&id=7&gclid=z&page=2": "https://a.com/x?id=7&page=2",
+        # all-tracking query vanishes entirely, then trailing slash too
+        "https://a.com/x/?utm_a=1&ref=r": "https://a.com/x",
+        # root slash also stripped (documented simplification)
+        "https://a.com/": "https://a.com",
+        # fragment-only difference collapses
+        "https://a.com/x#frag": "https://a.com/x",
+    }
+    got = _canon(spark, list(cases))
+    assert got == list(cases.values())
+
+
+def test_url_host_extracts_canonical_host(spark):
+    df = spark.createDataFrame(
+        [("HTTPS://WWW.Sub.Ex.COM:443/a/b?c=1#d",)], "url string"
+    )
+    r = df.select(
+        url_host(canonicalize_url("url")).alias("h")
+    ).collect()[0]
+    assert r.h == "sub.ex.com"
+
+
+def test_host_datasheet_rollup_and_rank_join(spark):
+    docs = spark.createDataFrame(
+        [
+            # host a: 3 docs, 2 distinct canonical urls (rows 1+2 collapse)
+            (1, "https://WWW.a.com/p/1/", 0.25),
+            (2, "https://a.com/p/1?utm_x=1", 0.5),
+            (3, "https://a.com/p/2", 0.75),
+            # host b: 1 doc, no rank row -> sentinel 0.0
+            (4, "http://b.com:80/q", 0.5),
+        ],
+        "doc_id long, url string, prob double",
+    )
+    ranks = spark.createDataFrame(
+        [("a.com", 0.61), ("unrelated.com", 0.2)], "node string, rank double"
+    )
+    got = {
+        r.host: r
+        for r in host_datasheet(docs, "url", "prob", ranks=ranks).collect()
+    }
+    assert set(got) == {"a.com", "b.com"}
+    a, b = got["a.com"], got["b.com"]
+    assert (a.n_docs, a.n_urls) == (3, 2)
+    assert a.mean_quality == pytest.approx(0.5, abs=1e-9)  # (0.25+0.5+0.75)/3
+    assert a.host_rank == pytest.approx(0.61, abs=1e-9)
+    assert (b.n_docs, b.n_urls, b.host_rank) == (1, 1, 0.0)
+
+
+def test_host_datasheet_mean_is_fixed_point_stable(spark):
+    """The mean is computed over 1e-6 fixed-point integers: partition
+    layout cannot change it."""
+    rows = [(i, f"https://h.com/{i % 5}", 0.1 + (i % 7) * 0.123456)
+            for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, url string, prob double")
+    one = host_datasheet(docs, "url", "prob").collect()[0]
+    many = host_datasheet(
+        docs.repartition(13), "url", "prob"
+    ).collect()[0]
+    assert one.mean_quality == many.mean_quality
+    assert one.n_urls == 5
