@@ -242,6 +242,7 @@ def score_with_model(
     id_col: str = "doc_id",
     text_col: str = "text",
     ngram: int = 1,
+    passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
     """Score documents against a FROZEN model from
     :func:`logratio_model` — map-only: the λ table is a literal array
@@ -292,8 +293,11 @@ def score_with_model(
     s = F.aggregate(
         feats, F.lit(0).cast("long"), lambda acc, v: acc + v
     )
+    # passthrough: extra input columns carried through (gate-chain
+    # composition — see text.quality_classifier for the same knob).
     return df.select(
         F.col(id_col),
+        *[F.col(c) for c in passthrough],
         n.cast("long").alias("n_tokens"),
         F.when(
             n > 0, F.round(s / F.lit(float(_FP)), 6)

@@ -473,6 +473,7 @@ def quality_classifier(
     scale: float = 4.0,
     bias: float = 0.0,
     threshold: float = 0.5,
+    passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
     """FastText-style linear quality gate: hash each token into ``dim``
     feature buckets, dot the mean feature-weight vector with a (here:
@@ -510,9 +511,13 @@ def quality_classifier(
         6,
     )
     prob = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("logit"))), 6)
+    # ``passthrough`` carries extra input columns into the output —
+    # what lets gate COMPOSITIONS (streaming quality -> DSIR chains)
+    # keep the text flowing without a join.
     return (
         docs.select(
             F.col(id_col),
+            *[F.col(c) for c in passthrough],
             n.cast("long").alias("n_tokens"),
             logit.alias("logit"),
         )

@@ -333,3 +333,45 @@ def dsir_gate_stream(
 
     scored = score_with_model(df, lam, id_col, text_col, ngram)
     return scored.filter(F.col("logw") >= threshold)
+
+
+def ingest_gate_stream(
+    df: DataFrame,
+    lam: list[int],
+    dsir_threshold: float = 0.0,
+    quality_threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 1,
+) -> DataFrame:
+    """The COMPOSED online serving path a training-data pipeline
+    actually runs on a live crawl feed: hashed-feature quality gate
+    first (the cheaper reject — most junk dies before the importance
+    model looks at it), then the frozen-DSIR importance gate, in ONE
+    streamed plan. Both stages are pure Column arithmetic over literal
+    model state (the classifier weights are bucket arithmetic, the λ
+    table a folded literal array), so the whole chain is map-only —
+    no join, no state store, no watermark; every micro-batch
+    independent, append mode.
+
+    Returns ``(id, prob, n_tokens, logw)`` for the survivors —
+    identical rows to running the two batch operators in sequence over
+    the same input (the parity test pins it). Re-fit ``lam``
+    periodically offline and restart the query to track drift."""
+    from linz_bde_uploader_spark.functions.dsir import score_with_model
+    from linz_bde_uploader_spark.functions.text import quality_classifier
+
+    q = quality_classifier(
+        df,
+        id_col=id_col,
+        text_col=text_col,
+        threshold=quality_threshold,
+        passthrough=(text_col,),
+    )
+    passed = q.filter(F.col("keep")).select(id_col, text_col, "prob")
+    s = score_with_model(
+        passed, lam, id_col, text_col, ngram, passthrough=("prob",)
+    )
+    return s.filter(F.col("logw") >= dsir_threshold).select(
+        id_col, "prob", "n_tokens", "logw"
+    )

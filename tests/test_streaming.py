@@ -427,3 +427,78 @@ def test_dsir_gate_stream_matches_batch_scores(spark, tmp_path):
     expect = {(i, w) for i, w in batch.items() if w >= thr}
     assert streamed == expect
     assert 0 < len(streamed) < len(arriving)
+
+
+def test_ingest_gate_stream_matches_batch_chain(spark, tmp_path):
+    """ingest_gate_stream: the composed quality->DSIR online gate over
+    TWO micro-batches equals running the two batch operators in
+    sequence over the union — and each gate individually rejects
+    something, so the composition (not one gate alone) is what's
+    being verified."""
+    from pyspark.sql import functions as F
+
+    from linz_bde_uploader_spark.functions import dsir as DS
+    from linz_bde_uploader_spark.functions.text import quality_classifier
+    from linz_bde_uploader_spark.streaming.poll import ingest_gate_stream
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta alpha gamma", "en"),
+            (2, "alpha beta beta", "en"),
+            (3, "zulu xray zulu xray zulu", "other"),
+            (4, "quebec romeo sierra", "other"),
+        ],
+        ["doc_id", "text", "lang"],
+    )
+    lam = DS.logratio_model(corpus, F.col("lang") == "en")
+
+    schema = "doc_id long, text string"
+    batch1 = [(10, "alpha beta"), (11, "zulu xray"), (12, "alpha alpha beta")]
+    batch2 = [(13, "tango uniform"), (14, "beta gamma alpha")]
+    both = spark.createDataFrame(batch1 + batch2, schema)
+
+    # pick thresholds so BOTH gates reject at least one arriving doc
+    probs = {r.doc_id: r.prob for r in quality_classifier(both).collect()}
+    scores = {r.doc_id: r.logw for r in DS.score_with_model(both, lam).collect()}
+    q_thr = sorted(probs.values())[1]
+    survivors_q = [i for i, p in probs.items() if p >= q_thr]
+    d_thr = sorted(scores[i] for i in survivors_q)[1]
+    expect = {
+        (i, probs[i], scores[i])
+        for i in survivors_q
+        if scores[i] >= d_thr
+    }
+    assert 0 < len(expect) < len(survivors_q) < len(probs)
+
+    src = tmp_path / "idocs"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt_ig")
+    spark.createDataFrame(batch1, schema).write.mode("append").parquet(str(src))
+
+    seen: set = set()
+
+    def run_once():
+        gated = ingest_gate_stream(
+            spark.readStream.schema(schema).parquet(str(src)),
+            lam,
+            dsir_threshold=d_thr,
+            quality_threshold=q_thr,
+        )
+        assert gated.isStreaming
+        q = (
+            gated.writeStream.foreachBatch(
+                lambda bdf, _id: seen.update(
+                    (r.doc_id, r.prob, r.logw) for r in bdf.collect()
+                )
+            )
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    assert seen and seen < expect          # batch 1 survivors only so far
+    spark.createDataFrame(batch2, schema).write.mode("append").parquet(str(src))
+    run_once()                             # resumes from checkpoint
+    assert seen == expect
