@@ -1952,10 +1952,17 @@ def q_batch_ann_recall(spark, sf_dir):
     # anecdote, a query set is a measurement. Both rankings ride the
     # audited batch_cosine_topk plan (broadcast query set, salted local
     # top-k, map-only over the corpus); the overlap is a (q_id, id)
-    # semi-join of two |Q|*k-row lists. Two corpus scans, independent
-    # of |Q|; zero-overlap queries report 0, not a missing row.
+    # semi-join of two |Q|*k-row lists. The query set is a FIXED-SIZE
+    # sample (<= 64 queries), not a fixed fraction of the corpus: the
+    # 10x scale study measured the fraction form at 4.7x wall (N x |Q|
+    # pair volume is quadratic when |Q| grows with N) — a recall
+    # measurement needs a bounded sample, and with it the audit is two
+    # linear corpus scans. Zero-overlap queries report 0, not a
+    # missing row.
     e = W.load(spark, sf_dir, "embeddings")
-    q = e.filter(F.col("vec_id") % 97 == 0).select(
+    q = e.filter(
+        (F.col("vec_id") % 97 == 0) & (F.col("vec_id") < 97 * 64)
+    ).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
     return S.batch_ann_recall(e, q, k=10).orderBy("q_id")
@@ -5084,7 +5091,7 @@ def oracle_sql() -> dict[str, str]:
         "q_batch_ann_recall": f"""
             WITH q AS (
               SELECT vec_id AS q_id, embedding AS q_vec
-              FROM embeddings WHERE vec_id % 97 = 0
+              FROM embeddings WHERE vec_id % 97 = 0 AND vec_id < {97 * 64}
             ),
             ex AS (
               SELECT q_id, vec_id FROM (
@@ -5118,7 +5125,8 @@ def oracle_sql() -> dict[str, str]:
               FROM sc
             ),
             qq AS (
-              SELECT vec_id AS q_id, qe AS qvec FROM qv WHERE vec_id % 97 = 0
+              SELECT vec_id AS q_id, qe AS qvec
+              FROM qv WHERE vec_id % 97 = 0 AND vec_id < {97 * 64}
             ),
             ap AS (
               SELECT q_id, vec_id FROM (

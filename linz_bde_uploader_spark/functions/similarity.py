@@ -1123,7 +1123,12 @@ def batch_ann_recall(
     Scale: both rankings come from :func:`batch_cosine_topk` (broadcast
     query set, salted local top-k — map-only over the corpus, the
     audited plan); the overlap is a (q_id, id)-keyed semi-join of two
-    |Q|·k-row lists. Two corpus scans total, independent of |Q|."""
+    |Q|·k-row lists. Two corpus scans total. Pass a BOUNDED query
+    sample: scored pair volume is N·|Q|, so a query set that is a fixed
+    FRACTION of the corpus makes the audit quadratic in corpus size
+    (measured 4.7× wall at 10× data before the harness query capped its
+    sample at 64) — recall is a statistic, a fixed-size sample measures
+    it at any corpus size."""
     exact = batch_cosine_topk(
         embeddings, queries, k, id_col, vec_col, q_id_col, q_vec_col,
         salt_buckets,

@@ -72,6 +72,14 @@ PICK = [
     # bounded join), the langid confusion agg, and the source-overlap
     # matrix (verified pair volume + two metadata joins)
     "q_hybrid_rrf", "q_text_langid_confusion", "q_source_overlap",
+    # round-7 births: MIPS exact scan + augment invariant, the double
+    # batch-kNN recall audit (two corpus scans x |Q| broadcast), the
+    # bounded mixture/fertility/topic aggs, DSIR over bigram features
+    # (one more zip-shift than unigram), paragraph-grain banded LSH
+    # (rows x ~docs_tokens/32), and the URL canonicalize + host rollup
+    "q_sim_mips_topk", "q_batch_ann_recall", "q_mixture_plan",
+    "q_topic_classify", "q_token_fertility", "q_dsir_select_bigram",
+    "q_dedup_paragraph", "q_host_datasheet",
 ]
 
 
