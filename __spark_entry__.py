@@ -1556,6 +1556,29 @@ def q_dedup_keep_best(spark, sf_dir):
     return D.keep_best_per_cluster(scored, comp, "q")
 
 
+def q_dedup_winnow(spark, sf_dir):
+    # Winnowing fingerprints (Schleimer/Wilkerson/Aiken SIGMOD 2003 —
+    # the MOSS algorithm; dedup.py::winnow_pairs): min shingle hash per
+    # sliding window, so ANY shared token run of length >= w+n-1 shares
+    # a fingerprint — POSITIONAL copy detection MinHash can't give
+    # (partial copies inside otherwise-unique pages). Ubiquitous
+    # fingerprints (df > 8) drop before pairing (the paper's own
+    # boilerplate rule — and what keeps the fp-keyed self-join linear);
+    # pairs report their rare-shared-fingerprint count.
+    d = W.load(spark, sf_dir, "documents")
+    return D.winnow_pairs(d, "doc_id", "text")
+
+
+def q_text_oov(spark, sf_dir):
+    # Out-of-vocabulary datasheet (text.py::oov_stats): per-doc OOV rate
+    # against the corpus's own top-V vocabulary — the coverage audit
+    # behind a tokenizer/vocab decision (OOV-tail documents are what a
+    # fixed vocab shreds into bytes or UNK). V=16 against this corpus's
+    # ~30-word vocabulary so the statistic actually separates docs. One
+    # token-count agg + TakeOrdered top-V + broadcast membership join.
+    return X.oov_stats(W.load(spark, sf_dir, "documents"), vocab_size=16)
+
+
 def q_dedup_paragraph(spark, sf_dir):
     # Paragraph-grain near-dup stats (functions/dedup.py::
     # paragraph_dedup_stats) — the RefinedWeb/CCNet practice of
@@ -3145,7 +3168,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- round-5 session-2 birth: count-min sketch heavy-hitters
         #    audit; displaced tenant q_tpch_q4_priority (r3+r4) -> 51+
         "q_cms_heavy_hitters": q_cms_heavy_hitters,
-        "q_bpe_pair_counts": q_bpe_pair_counts,
+        # -- round-7 birth: OOV-rate datasheet vs the corpus top-V
+        #    vocabulary; displaced tenant q_bpe_pair_counts (r5+r6
+        #    green; the BPE family keeps merges + encode in-window) -> 51+
+        "q_text_oov": q_text_oov,
         # -- round-5 session-2 birth: BPE encode (the trainer's serving
         #    half); displaced tenant q_approx_distinct_guard (r3+r4) -> 51+
         "q_bpe_encode": q_bpe_encode,
@@ -3170,7 +3196,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    duplicated-shingle stats; displaced tenants q_custdist and
         #    q_text_line_quality (both r3+r4 driver-green) -> 51+
         "q_lm_perplexity": q_lm_perplexity,
-        "q_dedup_crossdoc": q_dedup_crossdoc,
+        # -- round-7 birth: winnowing (MOSS) positional copy detection;
+        #    displaced tenant q_dedup_crossdoc (r5+r6 green; the
+        #    fragment family keeps q_dedup_paragraph in-window) -> 51+
+        "q_dedup_winnow": q_dedup_winnow,
         # -- round-5 session-2 births: deterministic k-means and the
         #    SemDeDup cluster-local near-dup filter built on it;
         #    displaced tenants q_mm_frame_sample and q_decontaminate
@@ -3249,6 +3278,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_quality_histogram": q_quality_histogram,
         "q_tpch_q16_supplier_count": q_tpch_q16_supplier_count,
         "q_dedup_scrub_spans": q_dedup_scrub_spans,
+        "q_dedup_crossdoc": q_dedup_crossdoc,
+        "q_bpe_pair_counts": q_bpe_pair_counts,
         "q_tpch_q8_market_share": q_tpch_q8_market_share,
         "q_tpch_q9_profit": q_tpch_q9_profit,
         "q_tpch_q11_value_share": q_tpch_q11_value_share,
@@ -4616,6 +4647,50 @@ def oracle_sql() -> dict[str, str]:
               FROM documents
             )
             SELECT doc_id, CAST({_simhash_sql_bits(16)} AS BIGINT) AS sh FROM t
+        """,
+        # winnowing: min shingle-hash per sliding window over the SAME
+        # sh_h shingle-hash CTE the sketch oracles use; w=4 windows are
+        # hs[i:i+3] (DuckDB list slices are inclusive)
+        "q_dedup_winnow": _SHINGLE_HASHES + """
+            , fps AS (
+              SELECT DISTINCT doc_id, fp FROM (
+                SELECT doc_id,
+                       unnest(list_transform(
+                         generate_series(1, greatest(len(hs) - 3, 1)),
+                         i -> list_min(hs[i:i+3]))) AS fp
+                FROM sh_h
+              )
+            ),
+            rare AS (
+              SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 8
+            ),
+            fr AS (SELECT f.doc_id, f.fp FROM fps f JOIN rare USING (fp))
+            SELECT l.doc_id AS id_a, r.doc_id AS id_b,
+                   CAST(count(*) AS BIGINT) AS shared_fps
+            FROM fr l JOIN fr r ON l.fp = r.fp AND l.doc_id < r.doc_id
+            GROUP BY 1, 2
+            HAVING count(*) >= 2
+        """,
+        "q_text_oov": """
+            WITH tk AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+              FROM documents
+            ),
+            vc AS (
+              SELECT tok FROM (
+                SELECT tok, count(*) AS c FROM tk GROUP BY tok
+                ORDER BY c DESC, tok
+                LIMIT 16
+              )
+            )
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_tokens,
+                   CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                     AS oov_tokens,
+                   round(sum(CASE WHEN v.tok IS NULL THEN 1.0 ELSE 0.0 END)
+                         / count(*), 4) AS oov_fraction
+            FROM tk LEFT JOIN vc v ON v.tok = tk.tok
+            GROUP BY doc_id
         """,
         # paragraph grain: the SAME shingle/minhash/band/verify chain as
         # the document-grain oracles, re-keyed by the composite pid over

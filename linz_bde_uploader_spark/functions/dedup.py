@@ -1055,3 +1055,105 @@ def prune_paragraph_duplicated(
         F.col("dup_fraction") <= max_dup_fraction
     ).select(id_col)
     return df.join(keep, [id_col], "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD 2003 — the
+# MOSS algorithm): select the MINIMUM shingle hash from every sliding
+# window of w consecutive shingles. The selection guarantee is positional,
+# which MinHash cannot give: ANY shared token run of length >= w + n - 1
+# shares at least one selected fingerprint, so partial copies (a lifted
+# paragraph inside an otherwise-unique page) are detected even when
+# whole-document similarity is negligible. Complements MinHash (whole-doc
+# similarity) and the shingle-df scrubber (fragment frequency).
+
+
+def winnow_fingerprints(toks: Column, w: int = 4, n: int = 3) -> Column:
+    """Distinct winnowed fingerprints of a STAGED token array: min
+    shingle hash per length-``w`` window (value-min — deterministic and
+    engine-independent, unlike the paper's rightmost-tie rule which
+    needs positions). Short docs (< w shingles) contribute their single
+    global min. Pure array Column arithmetic — map-only."""
+    hs = shingle_hashes_from_tokens(toks, n)
+    m = F.size(hs)
+    wins = F.transform(
+        F.sequence(F.lit(1), F.greatest(m - (w - 1), F.lit(1))),
+        lambda i: F.array_min(F.slice(hs, i, w)),
+    )
+    return F.array_distinct(wins)
+
+
+def winnow_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    w: int = 4,
+    n: int = 3,
+    min_shared: int = 2,
+    max_doc_freq: int = 8,
+) -> DataFrame:
+    """Document pairs sharing >= ``min_shared`` winnowed fingerprints:
+    ``(id_a, id_b, shared_fps)`` — the MOSS copy-detection report.
+
+    Fingerprints appearing in more than ``max_doc_freq`` documents are
+    dropped BEFORE pairing (the paper's own practice: ubiquitous
+    fingerprints are boilerplate, and a fingerprint shared by k docs
+    would emit k² pairs — the cap is what keeps the self-join linear at
+    corpus scale, the same reason the LSH bands auto-scale). Shared
+    counts are therefore counts of RARE shared fingerprints.
+
+    Plan: map-side fingerprint explode (staged once, feeding both the
+    frequency aggregate and the pair join — the crossdoc lesson), a
+    bounded-df filter, then a fingerprint-keyed self-equi-join;
+    shuffle volume O(docs · fingerprints/doc), never all-pairs. The
+    window minima are an Arrow-vectorized numpy pass over the staged
+    JVM shingle hashes (the with_doc_embedding precedent: a per-window
+    ``array_min(slice(...))`` HOF lambda is interpreted per element —
+    O(w · windows) lambda dispatches per doc dominated the wall; the
+    numpy sliding-window min is integer arithmetic, bit-identical to
+    the Column form, which the parity test pins)."""
+
+    @F.pandas_udf("array<long>")
+    def _fps(hs: pd.Series) -> pd.Series:
+        def one(a):
+            if a is None:
+                return None
+            arr = np.asarray(a, dtype=np.int64)
+            if len(arr) <= w:
+                mins = arr.min(keepdims=True)
+            else:
+                mins = np.lib.stride_tricks.sliding_window_view(
+                    arr, w
+                ).min(axis=1)
+            _, idx = np.unique(mins, return_index=True)
+            return mins[np.sort(idx)]
+
+        return hs.map(one)
+
+    ex = track(
+        df.select(
+            F.col(id_col), tokens(F.col(text_col)).alias("_toks")
+        ).select(
+            F.col(id_col),
+            shingle_hashes_from_tokens(F.col("_toks"), n).alias("_hs"),
+        ).select(
+            F.col(id_col),
+            F.explode(_fps(F.col("_hs"))).alias("fp"),
+        )
+    )
+    rare = ex.join(
+        ex.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") <= max_doc_freq)
+        .select("fp"),
+        "fp",
+    )
+    l = rare.select(F.col("fp"), F.col(id_col).alias("id_a"))
+    r = rare.select(F.col("fp"), F.col(id_col).alias("id_b"))
+    return (
+        l.join(r, ["fp"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_fps"))
+        .filter(F.col("shared_fps") >= min_shared)
+    )

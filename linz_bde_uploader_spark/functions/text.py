@@ -771,3 +771,53 @@ def token_fertility(
             ).otherwise(F.lit(0.0)),
         )
     )
+
+
+def oov_stats(
+    docs: DataFrame,
+    vocab_size: int = 1000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document out-of-vocabulary rate against the corpus's own
+    top-``vocab_size`` token vocabulary: ``(id, n_tokens, oov_tokens,
+    oov_fraction)`` with the fraction at 4 dp. The coverage statistic a
+    tokenizer/vocab decision is audited with — documents living in the
+    OOV tail are the ones a fixed vocabulary will shred into bytes
+    (cost) or UNK (signal loss). Vocabulary ties break deterministically
+    (count desc, token asc).
+
+    Scale: one token-count aggregate (map-side combine, state = token
+    vocabulary), a TakeOrdered top-V (never a global sort), then the
+    V-row vocabulary BROADCASTS into a map-side membership join — one
+    more doc-keyed partial agg and done. Linear in corpus tokens; the
+    vocabulary table is model-state sized at any corpus."""
+    if vocab_size <= 0:
+        raise ValueError("vocab_size must be positive")
+    tok = docs.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
+    )
+    vocab = (
+        tok.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .orderBy(F.desc("_c"), F.col("tok"))
+        .limit(vocab_size)
+        .select("tok", F.lit(1).alias("_in"))
+    )
+    return (
+        tok.join(F.broadcast(vocab), "tok", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum(F.when(F.col("_in").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("oov_tokens"),
+            F.round(
+                F.sum(
+                    F.when(F.col("_in").isNull(), 1.0).otherwise(0.0)
+                )
+                / F.count(F.lit(1)),
+                4,
+            ).alias("oov_fraction"),
+        )
+    )

@@ -80,6 +80,9 @@ PICK = [
     "q_sim_mips_topk", "q_batch_ann_recall", "q_mixture_plan",
     "q_topic_classify", "q_token_fertility", "q_dsir_select_bigram",
     "q_dedup_paragraph", "q_host_datasheet",
+    # round-7 session-2 births: winnowing's fp-keyed self-join (df cap
+    # bounds per-key fanout) and the OOV broadcast-membership agg
+    "q_dedup_winnow", "q_text_oov",
 ]
 
 

@@ -747,3 +747,85 @@ class TestParagraphDedup:
             n_p = sum(1 for pid in paras if pid // D.PARA_STRIDE == i)
             d_p = sum(1 for pid in dup if pid // D.PARA_STRIDE == i)
             assert (got[i].n_paras, got[i].dup_paras) == (n_p, d_p), i
+
+
+class TestWinnowing:
+    def test_fingerprints_match_python_twin(self, spark):
+        from linz_bde_uploader_spark.functions.dedup import (
+            winnow_fingerprints,
+        )
+
+        text = "the quick brown fox jumps over the lazy dog again and again"
+        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        got = df.select(
+            winnow_fingerprints(F.split(F.col("text"), " "), 4, 3).alias("f")
+        ).collect()[0].f
+        hs = _shingle_hashes(text)
+        wins = [
+            min(hs[i:i + 4]) for i in range(max(len(hs) - 3, 1))
+        ]
+        expect = list(dict.fromkeys(wins))  # array_distinct keeps order
+        assert got == expect
+
+    def test_shared_run_guarantee_and_boilerplate_cap(self, spark):
+        """Two docs sharing a long token run must pair (the w+n-1
+        guarantee); a run shared by MORE than max_doc_freq docs is
+        boilerplate and must NOT produce pairs."""
+        from linz_bde_uploader_spark.functions.dedup import winnow_pairs
+
+        shared = " ".join(f"copy{i}" for i in range(16))
+        boiler = " ".join(f"nav{i}" for i in range(16))
+        rows = [
+            (1, shared + " " + "u1a u1b u1c u1d u1e"),
+            (2, "u2a u2b u2c u2d u2e " + shared),
+            (3, "solo3a solo3b solo3c solo3d solo3e solo3f"),
+        ]
+        # 10 docs sharing the same boilerplate run: df(fp) = 10 > 8
+        rows += [
+            (100 + i, boiler + f" tail{i}a tail{i}b tail{i}c")
+            for i in range(10)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        pairs = {
+            (r.id_a, r.id_b): r.shared_fps
+            for r in winnow_pairs(df).collect()
+        }
+        assert (1, 2) in pairs and pairs[(1, 2)] >= 2
+        # no boilerplate-only pair survives the df cap
+        assert all(a == 1 and b == 2 for (a, b) in pairs)
+
+    def test_udf_fingerprints_equal_column_form(self, spark):
+        """winnow_pairs' Arrow window-min must emit exactly the Column
+        winnow_fingerprints set (same integer arithmetic)."""
+        from linz_bde_uploader_spark.functions.dedup import (
+            winnow_fingerprints, winnow_pairs,
+        )
+
+        texts = [
+            (i, " ".join(f"w{(i * 5 + j) % 9}" for j in range(3 + i)))
+            for i in range(12)
+        ]
+        df = spark.createDataFrame(texts, "doc_id long, text string")
+        col_pairs = None
+        # column-form reference: rebuild the pair pipeline by hand
+        ex = df.select(
+            F.col("doc_id"),
+            F.explode(
+                winnow_fingerprints(F.split(F.col("text"), " "))
+            ).alias("fp"),
+        )
+        freq = ex.groupBy("fp").count().filter(F.col("count") <= 8).select("fp")
+        rare = ex.join(freq, "fp")
+        l = rare.select("fp", F.col("doc_id").alias("id_a"))
+        r = rare.select("fp", F.col("doc_id").alias("id_b"))
+        col_pairs = {
+            (x.id_a, x.id_b): x.n
+            for x in l.join(r, ["fp"]).filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") >= 2).collect()
+        }
+        got = {
+            (x.id_a, x.id_b): x.shared_fps
+            for x in winnow_pairs(df).collect()
+        }
+        assert got == col_pairs

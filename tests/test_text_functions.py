@@ -362,3 +362,39 @@ def test_token_fertility_exact_ratios(spark):
     # CJK: the BPE-ish classes treat non-Latin marks as INDIVIDUAL
     # tokens (no letter-run class for them) — 2 tokens, 3 bytes each
     assert got["zh"] == (1, 6, 2, 3.0)
+
+
+def test_oov_stats_against_hand_count(spark):
+    from linz_bde_uploader_spark.functions.text import oov_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "aa aa bb rare1"),      # aa x2, bb, rare1
+            (2, "aa bb bb rare2 rare2"),
+            (3, "aa bb"),
+        ],
+        "doc_id long, text string",
+    )
+    # corpus counts: aa=4, bb=4, rare1=1, rare2=2 -> top-2 = (aa, bb)
+    got = {r.doc_id: r for r in oov_stats(df, vocab_size=2).collect()}
+    assert (got[1].n_tokens, got[1].oov_tokens, got[1].oov_fraction) == (4, 1, 0.25)
+    assert (got[2].n_tokens, got[2].oov_tokens, got[2].oov_fraction) == (5, 2, 0.4)
+    assert (got[3].n_tokens, got[3].oov_tokens, got[3].oov_fraction) == (2, 0, 0.0)
+
+
+def test_oov_vocab_ties_break_by_token_order(spark):
+    """Equal-count tokens at the V boundary pick deterministically by
+    token ascending — the oracle relies on it."""
+    from linz_bde_uploader_spark.functions.text import oov_stats
+
+    df = spark.createDataFrame(
+        [(1, "zz yy"), (2, "zz yy"), (3, "zz yy")],
+        "doc_id long, text string",
+    )
+    # counts: yy=3, zz=3; V=1 -> vocab = {yy} (asc tiebreak), zz is OOV
+    got = {r.doc_id: r for r in oov_stats(df, vocab_size=1).collect()}
+    assert all(r.oov_tokens == 1 for r in got.values())
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        oov_stats(df, vocab_size=0)
