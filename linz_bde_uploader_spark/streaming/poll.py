@@ -335,6 +335,62 @@ def dsir_gate_stream(
     return scored.filter(F.col("logw") >= threshold)
 
 
+def dedup_gate_stream(
+    df: DataFrame,
+    index_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bands: int = 4,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """Streaming face of the incremental MinHash ingestion gate
+    (``dedup.incremental_minhash_filter``): drop arriving documents
+    whose ANY MinHash band key collides with the already-deduplicated
+    corpus index — the ingest-time near-dup gate of a continuous crawl.
+
+    The batch operator's shape (explode → semi-join → distinct →
+    anti-join) is not streamable (the distinct is stateful, stream-
+    static LEFT ANTI is unsupported), so the stream face re-expresses
+    it as ``bands`` STREAM-STATIC LEFT OUTER joins — one per band
+    position, each against that band's DISTINCT static key set (at
+    most one match per key, so no row duplication and no state) — and
+    keeps rows where every band missed. Exactly the batch survivor set
+    (the parity test pins it); no watermark, append mode.
+
+    Scale: the static band-key sets are O(corpus·bands) longs — the
+    artifact a 100-TB pipeline persists instead of re-hashing the
+    corpus (broadcast when they fit, shuffled stream-static join
+    otherwise); the stream side is map-only signature arithmetic."""
+    from linz_bde_uploader_spark.functions.dedup import (
+        minhash_band_keys, with_minhash_signature,
+    )
+
+    n_sig = bands * rows_per_band
+    idx = (
+        with_minhash_signature(index_docs, text_col, "_sig", n_sig)
+        .select(
+            F.posexplode(
+                minhash_band_keys(F.col("_sig"), bands, rows_per_band)
+            ).alias("_band", "_key")
+        )
+        .distinct()
+    )
+    out = with_minhash_signature(df, text_col, "_sig", n_sig).withColumn(
+        "_bk", minhash_band_keys(F.col("_sig"), bands, rows_per_band)
+    )
+    for b in range(bands):
+        kb = idx.filter(F.col("_band") == b).select(
+            F.col("_key").alias(f"_k{b}"), F.lit(1).alias(f"_h{b}")
+        )
+        out = out.join(
+            kb, F.element_at(F.col("_bk"), b + 1) == F.col(f"_k{b}"), "left"
+        ).drop(f"_k{b}")
+    survive = F.lit(True)
+    for b in range(bands):
+        survive = survive & F.col(f"_h{b}").isNull()
+    return out.filter(survive).select(*df.columns)
+
+
 def ingest_gate_stream(
     df: DataFrame,
     lam: list[int],

@@ -502,3 +502,57 @@ def test_ingest_gate_stream_matches_batch_chain(spark, tmp_path):
     spark.createDataFrame(batch2, schema).write.mode("append").parquet(str(src))
     run_once()                             # resumes from checkpoint
     assert seen == expect
+
+
+def test_dedup_gate_stream_matches_batch_filter(spark, tmp_path):
+    """dedup_gate_stream: the per-band stream-static left-outer
+    reformulation must pass EXACTLY the batch incremental filter's
+    survivor set — including a doc colliding on only ONE band."""
+    from linz_bde_uploader_spark.functions.dedup import (
+        incremental_minhash_filter,
+    )
+    from linz_bde_uploader_spark.streaming.poll import dedup_gate_stream
+
+    index = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog near the bank"),
+            (2, "completely different text about spark partitions and joins"),
+        ],
+        "doc_id long, text string",
+    )
+    arriving = [
+        # near-dup of index doc 1 -> must be dropped
+        (10, "the quick brown fox jumps over the lazy dog near the bend"),
+        # fresh content -> must survive
+        (11, "quarterly revenue tables grouped by region and product line"),
+        (12, "a totally novel sentence with unique words like zyzzyva"),
+    ]
+    schema = "doc_id long, text string"
+    batch_survivors = {
+        r.doc_id
+        for r in incremental_minhash_filter(
+            spark.createDataFrame(arriving, schema), index
+        ).collect()
+    }
+    assert 10 not in batch_survivors and len(batch_survivors) >= 1
+
+    src = tmp_path / "gdocs"
+    src.mkdir()
+    spark.createDataFrame(arriving, schema).write.mode("append").parquet(str(src))
+    gated = dedup_gate_stream(
+        spark.readStream.schema(schema).parquet(str(src)), index
+    )
+    assert gated.isStreaming
+    assert [f.name for f in gated.schema.fields] == ["doc_id", "text"]
+    q = (
+        gated.writeStream.format("memory")
+        .queryName("dgate2")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_dg2"))
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        r.doc_id for r in spark.sql("SELECT doc_id FROM dgate2").collect()
+    }
+    assert streamed == batch_survivors
