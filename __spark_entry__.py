@@ -2283,6 +2283,23 @@ def q_mixture_plan(spark, sf_dir):
     ).orderBy("source")
 
 
+def q_mixture_perplexity(spark, sf_dir):
+    # CCNet-style perplexity-bucketed mixture plan (functions/lm.py::
+    # perplexity_mixture_plan, Wenzek et al. 2020): train the bigram LM
+    # (audited q_lm_perplexity plan), split each language into
+    # head/middle/tail by percent_rank over a TOTAL order
+    # (perplexity asc, doc_id asc — engine-independent even on tied
+    # 4-dp scores), then budget tokens across the three buckets with
+    # the audited mixture_plan arithmetic — oversample fluent text
+    # without silently dropping the tail. LM plan + ONE per-language
+    # window shuffle + one 3-row partial-agg shuffle.
+    d = W.load(spark, sf_dir, "documents")
+    return LM.perplexity_mixture_plan(
+        d, {"head": 0.5, "middle": 0.3, "tail": 0.2},
+        budget_tokens=50000,
+    ).orderBy("bucket")
+
+
 def q_pipeline_chunk_pack(spark, sf_dir):
     # The training-sequence preparation funnel end-to-end: chunk each
     # document into 64-token windows (map-only stride explode), then
@@ -3101,10 +3118,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- round-7 birth: keyword-lexicon topic classifier; displaced
         #    tenant q_quality_histogram (r5+r6 green) -> 51+
         "q_topic_classify": q_topic_classify,
-        # -- round-5 session-2 birth: PMI collocations; displaced tenant
-        #    q_event_hopping_window (r3+r4 green; the event-window
-        #    family keeps q_event_session_window in-window) -> 51+
-        "q_lm_collocations": q_lm_collocations,
         # -- round-5 rotation: the six entries born in round 4 after the
         #    window filled (never driver-checked) take the slots of six
         #    r3+r4 double-green tenants (q_percentiles, q_json_extract,
@@ -3118,6 +3131,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dsir_select_bigram": q_dsir_select_bigram,
         "q_token_fertility": q_token_fertility,
         "q_mixture_plan": q_mixture_plan,
+        # -- round-7 session-2 birth: CCNet perplexity-bucketed mixture
+        #    plan; displaced tenant q_lm_collocations (r5+r6 green) ->
+        #    51+ (the LM family keeps q_lm_perplexity in-window)
+        "q_mixture_perplexity": q_mixture_perplexity,
         # round-5 births (in-window at birth): domain cap + per-stratum
         # quantile cut; displaced r3+r4-green tenants
         # q_event_tumbling_window and q_mm_metadata -> 51+
@@ -3275,6 +3292,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    (q_topic_classify, q_dsir_select_bigram, q_token_fertility,
         #    q_mixture_plan, q_sim_mips_topk, q_batch_ann_recall): every
         #    displaced tenant r5 AND r6 driver-green
+        # -- rotated out in round-7 session 2 by the perplexity-mixture
+        #    birth (displacement noted at the birth entry above):
+        "q_lm_collocations": q_lm_collocations,
         "q_quality_histogram": q_quality_histogram,
         "q_tpch_q16_supplier_count": q_tpch_q16_supplier_count,
         "q_dedup_scrub_spans": q_dedup_scrub_spans,
@@ -5719,6 +5739,98 @@ def oracle_sql() -> dict[str, str]:
                         ELSE CAST(0 AS BIGINT) END AS epochs
             FROM pl
             ORDER BY source
+        """,
+        # q_lm_perplexity's CTE chain scores each doc, then CCNet
+        # bucketing: percent_rank over the TOTAL order (ppl, doc_id)
+        # per language, tercile CASE, and q_mixture_plan's seeded plan
+        # arithmetic over the three buckets.
+        "q_mixture_perplexity": """
+            WITH toks AS (
+              SELECT doc_id, string_split(trim(text), ' ') AS l FROM documents
+            ),
+            sized AS (
+              SELECT doc_id, l, len(l) AS n FROM toks WHERE len(l) >= 2
+            ),
+            bi AS (
+              SELECT doc_id, l[i] AS prev, l[i+1] AS cur
+              FROM sized,
+                   LATERAL (SELECT unnest(generate_series(1, n - 1)) AS i) g
+            ),
+            pc AS (
+              SELECT prev, cur, count(*) AS pair_cnt FROM bi GROUP BY prev, cur
+            ),
+            ctx AS (
+              SELECT prev, cur, pair_cnt,
+                     sum(pair_cnt) OVER (PARTITION BY prev) AS ctx_cnt
+              FROM pc
+            ),
+            v AS (
+              SELECT count(DISTINCT tok) AS vocab_size FROM (
+                SELECT prev AS tok FROM bi
+                UNION ALL
+                SELECT cur AS tok FROM bi
+              )
+            ),
+            lm AS (
+              SELECT prev, cur,
+                     ln((pair_cnt + 1.0) / (ctx_cnt + vocab_size)) AS logp
+              FROM ctx, v
+            ),
+            ppl AS (
+              SELECT b.doc_id,
+                     round(exp(round(-avg(logp), 4)), 4) AS perplexity
+              FROM bi b JOIN lm USING (prev, cur)
+              GROUP BY b.doc_id
+            ),
+            bk AS (
+              SELECT d.doc_id, d.text,
+                     percent_rank() OVER (
+                       PARTITION BY d.lang
+                       ORDER BY p.perplexity, d.doc_id) AS pr
+              FROM documents d JOIN ppl p USING (doc_id)
+            ),
+            lab AS (
+              SELECT CASE WHEN pr < 1.0/3 THEN 'head'
+                          WHEN pr < 2.0/3 THEN 'middle'
+                          ELSE 'tail' END AS bucket,
+                     len(string_split(trim(text), ' ')) AS t
+              FROM bk
+            ),
+            agg AS (
+              SELECT bucket,
+                     CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum(t) AS BIGINT) AS tokens
+              FROM lab GROUP BY bucket
+            ),
+            keys AS (SELECT * FROM (VALUES ('head'), ('middle'), ('tail'))
+                     k(bucket)),
+            fl AS (
+              SELECT coalesce(a.bucket, k.bucket) AS bucket,
+                     coalesce(a.n_docs, 0) AS n_docs,
+                     coalesce(a.tokens, 0) AS tokens
+              FROM agg a FULL OUTER JOIN keys k ON a.bucket = k.bucket
+            ),
+            pl AS (
+              SELECT bucket, n_docs, tokens,
+                     CAST(round(50000.0 * (CASE bucket WHEN 'head' THEN 0.5
+                                                       WHEN 'middle' THEN 0.3
+                                                       WHEN 'tail' THEN 0.2
+                                                       ELSE 0.0 END))
+                          AS BIGINT) AS target_tokens
+              FROM fl
+            )
+            SELECT bucket,
+                   CAST(n_docs AS BIGINT) AS n_docs,
+                   CAST(tokens AS BIGINT) AS tokens,
+                   target_tokens,
+                   CASE WHEN tokens > 0
+                        THEN round(least(1.0, target_tokens / tokens), 6)
+                        ELSE 0.0 END AS sample_fraction,
+                   CASE WHEN tokens > 0 AND target_tokens > 0
+                        THEN CAST(ceil(target_tokens / tokens) AS BIGINT)
+                        ELSE CAST(0 AS BIGINT) END AS epochs
+            FROM pl
+            ORDER BY bucket
         """,
         "q_mixture_weights": """
             WITH w AS (

@@ -324,3 +324,95 @@ def collocations(docs: DataFrame, min_count: int = 5, k: int = 30,
         )
     )
     return scored.orderBy(F.desc("pmi"), "prev", "cur").limit(k)
+
+
+def perplexity_buckets(
+    docs: DataFrame,
+    lm: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    stratum_col: str = "lang",
+    cuts: tuple[float, float] = (1.0 / 3.0, 2.0 / 3.0),
+    labels: tuple[str, str, str] = ("head", "middle", "tail"),
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): score
+    every document under a bigram LM, then split each stratum
+    (language, by default) into head / middle / tail by perplexity
+    percentile — PER STRATUM, so a high-resource language's score
+    distribution doesn't define "fluent" for a low-resource one.
+
+    Bucketing is rank arithmetic, not float quantile interpolation:
+    ``percent_rank`` over a TOTAL order (perplexity asc, id asc — the
+    id tiebreak makes the cut engine-independent even on tied 4-dp
+    scores). Documents too short to score (< 2 tokens) are dropped,
+    matching :func:`perplexity_filter`'s minimum-length gate.
+
+    Returns ``docs``' scoreable rows plus ``(perplexity, ppl_bucket)``.
+
+    Scale: LM train/score is the audited :func:`score_documents` plan;
+    bucketing adds ONE hash-partition shuffle + per-stratum sort. A
+    stratum is a language — tens of values, heavily skewed toward the
+    head languages; for corpora where one language's sort dominates,
+    cut on the two-pass histogram edges of
+    :func:`~linz_bde_uploader_spark.functions.sampling.quantile_filter_approx`
+    instead (same contract, no sort).
+    """
+    if not 0.0 < cuts[0] < cuts[1] < 1.0:
+        raise ValueError("cuts must satisfy 0 < c1 < c2 < 1")
+    model = lm if lm is not None else train_bigram_lm(docs, id_col, text_col)
+    scores = score_documents(docs, model, id_col, text_col).select(
+        id_col, "perplexity"
+    )
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    w = Window.partitionBy(stratum_col).orderBy(
+        F.col("perplexity").asc(), F.col(id_col).asc()
+    )
+    return (
+        docs.join(scores, [id_col])
+        .withColumn("_pr", F.percent_rank().over(w))
+        .withColumn(
+            "ppl_bucket",
+            F.when(F.col("_pr") < F.lit(cuts[0]), F.lit(labels[0]))
+            .when(F.col("_pr") < F.lit(cuts[1]), F.lit(labels[1]))
+            .otherwise(F.lit(labels[2])),
+        )
+        .drop("_pr")
+    )
+
+
+def perplexity_mixture_plan(
+    docs: DataFrame,
+    weights: dict[str, float],
+    budget_tokens: int,
+    lm: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    stratum_col: str = "lang",
+) -> DataFrame:
+    """The CCNet recipe's last step as a measured plan: bucket the
+    corpus head/middle/tail by per-language perplexity
+    (:func:`perplexity_buckets`), then budget tokens ACROSS the buckets
+    (e.g. ``{"head": .5, "middle": .35, "tail": .15}`` — oversample
+    fluent text without silently discarding the tail) via
+    :func:`~linz_bde_uploader_spark.functions.sampling.mixture_plan`'s
+    arithmetic. Returns one row per bucket: ``(bucket, n_docs, tokens,
+    target_tokens, sample_fraction, epochs)`` — including a zero row
+    for any weighted bucket the corpus can't supply.
+
+    Scale: the bucketing plan above + one map-side token-count
+    projection + one 3-row partial-agg shuffle.
+    """
+    from linz_bde_uploader_spark.functions.sampling import (  # noqa: PLC0415
+        mixture_plan,
+    )
+
+    unknown = set(weights) - {"head", "middle", "tail"}
+    if unknown:
+        raise ValueError(f"weights must be keyed by bucket labels: {unknown}")
+    bucketed = perplexity_buckets(docs, lm, id_col, text_col, stratum_col)
+    plan = mixture_plan(
+        bucketed, weights, budget_tokens,
+        group_col="ppl_bucket", text_col=text_col,
+    )
+    return plan.withColumnRenamed("source", "bucket")

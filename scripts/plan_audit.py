@@ -78,6 +78,10 @@ WHITELIST: dict[str, tuple[str, ...]] = {
     # inheriting its one-row corpus-stats broadcast (the fusion itself
     # is an equi full-outer join of two bounded top-k lists).
     "q_hybrid_rrf": ("BroadcastNestedLoopJoin",),
+    # The CCNet perplexity-bucketed mixture composes the bigram LM's
+    # scorer, inheriting its one-row V broadcast (the q_lm_perplexity
+    # shape, same plan node).
+    "q_mixture_perplexity": ("BroadcastNestedLoopJoin",),
     # Directed PageRank's dangling-mass correction is a ONE-ROW rank
     # aggregate broadcast-cross-joined per iteration (graph.py::
     # pagerank(dangling=True)); it appears in the final plan now that

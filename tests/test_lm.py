@@ -212,3 +212,54 @@ def test_trigram_partition_invariant(spark, docs):
         for r in LM.trigram_score_documents(docs.repartition(5)).collect()
     )
     assert a == b
+
+
+class TestPerplexityBuckets:
+    """CCNet head/middle/tail bucketing + bucketed mixture plan."""
+
+    @pytest.fixture(scope="class")
+    def corpus(self, spark):
+        # two strata; per-doc perplexities vary with repetitiveness.
+        rows = []
+        fills = ["a b c d e", "a a b b c", "a b a b a", "c d e a b",
+                 "e d c b a", "a a a a b", "b c d e a", "d e a b c",
+                 "a b c a b"]
+        for i, t in enumerate(fills):
+            rows.append((i, t, "en"))
+        for i, t in enumerate(fills[:6]):
+            rows.append((100 + i, t + " c", "de"))
+        rows.append((999, "x", "en"))   # < 2 tokens: dropped
+        return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+    def test_buckets_match_python_percent_rank(self, corpus):
+        out = LM.perplexity_buckets(corpus).collect()
+        assert all(r.doc_id != 999 for r in out)
+        scores = {r.doc_id: r.perplexity for r in out}
+        langs = {r.doc_id: r.lang for r in out}
+        got = {r.doc_id: r.ppl_bucket for r in out}
+        for lang in {"en", "de"}:
+            ids = sorted((scores[i], i) for i in scores if langs[i] == lang)
+            n = len(ids)
+            for rank, (_, did) in enumerate(ids):
+                pr = rank / (n - 1) if n > 1 else 0.0
+                want = ("head" if pr < 1 / 3
+                        else "middle" if pr < 2 / 3 else "tail")
+                assert got[did] == want, (lang, did, pr)
+
+    def test_mixture_plan_over_buckets(self, corpus):
+        plan = LM.perplexity_mixture_plan(
+            corpus, {"head": 0.5, "middle": 0.3, "tail": 0.2},
+            budget_tokens=1000,
+        ).orderBy("bucket").collect()
+        assert [r.bucket for r in plan] == ["head", "middle", "tail"]
+        # every bucket supplies rows here; plan arithmetic sanity
+        for r in plan:
+            assert r.n_docs > 0 and r.tokens > 0
+            assert r.sample_fraction <= 1.0
+            assert r.epochs >= 1
+        targets = {r.bucket: r.target_tokens for r in plan}
+        assert targets == {"head": 500, "middle": 300, "tail": 200}
+
+    def test_unknown_weight_key_raises(self, corpus):
+        with pytest.raises(ValueError, match="bucket labels"):
+            LM.perplexity_mixture_plan(corpus, {"hd": 1.0}, 10)
