@@ -1120,6 +1120,44 @@ def q_host_datasheet(spark, sf_dir):
     return U.host_datasheet(docs, "url", "prob", ranks=ranks).orderBy("host")
 
 
+def q_url_blocklist(spark, sf_dir):
+    # URL blocklist gate (functions/urls.py::blocklist_filter) — the
+    # filter a web-corpus pipeline runs FIRST (C4/RefinedWeb domain
+    # blocklists; the reference's analog is its dataset include/exclude
+    # gate). Messy URLs are synthesized per doc (case soup, www./files.
+    # subdomains, default ports, tracking params), canonicalized, and
+    # gated by (a) a blocked-host DataFrame via the SCALE path — host
+    # suffix array exploded map-side and broadcast-hash-joined against
+    # the list, so subdomains match on label boundaries — and (b) a
+    # robots-style path pattern. Host beats pattern; 'ok' is the
+    # sentinel (no NULL surfaces).
+    from linz_bde_uploader_spark.functions import urls as U
+
+    d = W.load(spark, sf_dir, "documents")
+    pid = F.pmod(F.col("doc_id"), F.lit(10)).cast("string")
+    m = F.pmod(F.col("doc_id"), F.lit(3))
+    url = (
+        F.when(m == 0, F.concat(
+            F.lit("https://WWW."), F.upper(F.col("source")),
+            F.lit(".Example.COM/p/"), pid, F.lit("/?utm_source=x")))
+        .when(m == 1, F.concat(
+            F.lit("http://files."), F.col("source"),
+            F.lit(".example.com:80/p/"), pid))
+        .otherwise(F.concat(
+            F.lit("https://"), F.col("source"),
+            F.lit(".example.com/p/"), pid, F.lit("?gclid=1")))
+    )
+    docs = d.select("doc_id", "source").withColumn("url", url)
+    blocked = spark.createDataFrame(
+        [("src3.example.com",), ("src7.example.com",)], "host string"
+    )
+    return (
+        U.blocklist_filter(docs, blocked, [r"/p/7$"])
+        .select("doc_id", "host", "canon_url", "block_reason")
+        .orderBy("doc_id")
+    )
+
+
 def _pagerank_directed_sql(iters: int = 4) -> str:
     """DuckDB twin of graph.pagerank(dangling=True) over the DIRECTED
     purchase graph (customer→supplier, no symmetrize): node set is
@@ -3135,20 +3173,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    plan; displaced tenant q_lm_collocations (r5+r6 green) ->
         #    51+ (the LM family keeps q_lm_perplexity in-window)
         "q_mixture_perplexity": q_mixture_perplexity,
-        # round-5 births (in-window at birth): domain cap + per-stratum
-        # quantile cut; displaced r3+r4-green tenants
-        # q_event_tumbling_window and q_mm_metadata -> 51+
-        "q_domain_cap": q_domain_cap,
         # -- round-7 birth: URL canonicalization + per-host datasheet
         #    (canonical-URL dedup denominator, fixed-point mean quality,
         #    host PageRank prior); displaced tenant
         #    q_tpch_q16_supplier_count (r5+r6 green) -> 51+
         "q_host_datasheet": q_host_datasheet,
+        # -- round-7 session-2 birth: URL blocklist gate (suffix-join
+        #    scale path + robots-style pattern); displaced tenant
+        #    q_domain_cap (r5+r6 green; the sampling family keeps
+        #    q_quality_quantile_filter and q_weighted_sample in-window)
+        #    -> 51+
+        "q_url_blocklist": q_url_blocklist,
         "q_event_session_window": q_event_session_window,
         # -- round-6 birth: contrastive negative sampling; displaced
         #    tenant q_mixture_weights (r4+r5 green; sampling family
         #    keeps four entries in-window) -> 51+
         "q_negative_samples": q_negative_samples,
+        # round-5 birth (in-window at birth): per-stratum quantile cut;
+        # displaced r3+r4-green tenant q_mm_metadata -> 51+
         "q_quality_quantile_filter": q_quality_quantile_filter,
         # -- round-6 session-3 birth: DSIR importance resampling;
         #    displaced tenant q_mm_thumbnails (r4+r5 green after its r3
@@ -3293,8 +3335,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    q_mixture_plan, q_sim_mips_topk, q_batch_ann_recall): every
         #    displaced tenant r5 AND r6 driver-green
         # -- rotated out in round-7 session 2 by the perplexity-mixture
-        #    birth (displacement noted at the birth entry above):
+        #    and url-blocklist births (displacements noted at the birth
+        #    entries above):
         "q_lm_collocations": q_lm_collocations,
+        "q_domain_cap": q_domain_cap,
         "q_quality_histogram": q_quality_histogram,
         "q_tpch_q16_supplier_count": q_tpch_q16_supplier_count,
         "q_dedup_scrub_spans": q_dedup_scrub_spans,
@@ -3852,6 +3896,70 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_graph_pagerank": _pagerank_sql(4),
         "q_host_datasheet": _host_datasheet_sql(4),
+        # Same canonicalization regexp chain as the host datasheet's
+        # oracle (RE2 \1 backrefs, explicit 'g'), then the blocklist
+        # semantics as plain SQL: label-boundary subdomain match is
+        # exact-host OR '%.host' LIKE, pattern gate is regexp_matches
+        # on the canonical URL, host beats pattern.
+        "q_url_blocklist": r"""
+            WITH d0 AS (
+              SELECT doc_id,
+                     CASE doc_id % 3
+                       WHEN 0 THEN 'https://WWW.' || upper(source)
+                            || '.Example.COM/p/'
+                            || CAST(doc_id % 10 AS VARCHAR)
+                            || '/?utm_source=x'
+                       WHEN 1 THEN 'http://files.' || source
+                            || '.example.com:80/p/'
+                            || CAST(doc_id % 10 AS VARCHAR)
+                       ELSE 'https://' || source || '.example.com/p/'
+                            || CAST(doc_id % 10 AS VARCHAR) || '?gclid=1'
+                     END AS url
+              FROM documents
+            ),
+            c1 AS (
+              SELECT doc_id, regexp_replace(url, '#.*$', '') AS u FROM d0
+            ),
+            c2 AS (
+              SELECT doc_id,
+                     lower(regexp_extract(u,
+                       '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*')) AS sh,
+                     regexp_replace(u,
+                       '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*', '') AS rest
+              FROM c1
+            ),
+            c3 AS (
+              SELECT doc_id,
+                     regexp_replace(regexp_replace(regexp_replace(sh,
+                       '^(http://.*):80$', '\1'),
+                       '^(https://.*):443$', '\1'),
+                       '^(https?://)(www\.|m\.)', '\1') AS sh,
+                     regexp_replace(regexp_replace(regexp_replace(
+                     regexp_replace(regexp_replace(regexp_replace(rest,
+                       '([?&])(utm_[^&#=]*|ref|session|fbclid|gclid)=[^&#]*',
+                       '\1', 'g'),
+                       '\?&+', '?'),
+                       '&&+', '&', 'g'),
+                       '/\?', '?'),
+                       '[?&]+$', ''),
+                       '/$', '') AS rest
+              FROM c2
+            ),
+            hosts AS (
+              SELECT doc_id,
+                     regexp_extract(sh || rest, '://([^/?#:]*)', 1) AS host,
+                     sh || rest AS cu
+              FROM c3
+            )
+            SELECT doc_id, host, cu AS canon_url,
+                   CASE WHEN host IN ('src3.example.com', 'src7.example.com')
+                          OR host LIKE '%.src3.example.com'
+                          OR host LIKE '%.src7.example.com' THEN 'host'
+                        WHEN regexp_matches(cu, '/p/7$') THEN 'pattern'
+                        ELSE 'ok' END AS block_reason
+            FROM hosts
+            ORDER BY doc_id
+        """,
         "q_graph_pagerank_directed": _pagerank_directed_sql(4),
         "q_lm_trigram_perplexity": """
             WITH toks AS (

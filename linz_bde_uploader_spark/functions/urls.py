@@ -116,3 +116,98 @@ def host_datasheet(
             "host_rank", F.coalesce(F.col("host_rank"), F.lit(0.0))
         )
     return out
+
+
+def host_suffixes(col: Column | str) -> Column:
+    """All label-boundary suffixes of a host, longest first:
+    ``files.src3.example.com`` → ``[files.src3.example.com,
+    src3.example.com, example.com, com]``. Label-boundary matching is
+    what makes blocklists correct: ``src10.example.com`` is NOT a
+    subdomain of ``src1.example.com``, substring/endswith-without-dot
+    checks get that wrong. Pure array arithmetic (split + transform +
+    slice), map-only."""
+    h = F.col(col) if isinstance(col, str) else col
+    labels = F.split(h, r"\.")
+    n = F.size(labels)
+    return F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.array_join(F.slice(labels, i, n - i + 1), "."),
+    )
+
+
+def blocklist_filter(
+    docs: DataFrame,
+    blocked_hosts,
+    blocked_patterns: "tuple[str, ...] | list[str]" = (),
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    host_col: str = "host",
+) -> DataFrame:
+    """URL blocklist gate — the first filter a web-corpus pipeline runs
+    (C4 and RefinedWeb both open with a domain blocklist before any
+    content heuristic; the reference pipeline's analog is its
+    dataset-level include/exclude gate, `bin/linz_bde_uploader.pl`
+    table-subset options). Canonicalizes ``url_col``
+    (:func:`canonicalize_url`), extracts the host, and labels every
+    document:
+
+    - ``'host'``    — the host IS a blocked host or a subdomain of one
+      (label-boundary suffix match via :func:`host_suffixes`);
+    - ``'pattern'`` — the canonical URL matches one of
+      ``blocked_patterns`` (Java-regex; a robots.txt ``Disallow:
+      /prefix`` rule is the anchored pattern ``://host/prefix``);
+    - ``'ok'``      — neither. Host beats pattern when both hit.
+
+    ``blocked_hosts`` is either a small Python sequence — compiled to a
+    constant-folded boolean chain, zero joins, the right shape for a
+    hand-curated list — or a ``DataFrame`` with ``host_col`` (the
+    UT1-style millions-of-hosts case): the doc host's suffix array is
+    exploded (×~4, map-side) and broadcast-hash-joined against the
+    distinct blocklist, then distinct hit ids rejoin the corpus. No
+    row ever leaves as NULL: ``block_reason`` is a 3-value sentinel
+    column (driver-surface rule).
+
+    Returns ``docs`` + ``(canon_url, host, block_reason)``.
+
+    Scale: list path is map-only. DataFrame path adds one explode +
+    broadcast join + two id-keyed shuffles (distinct + rejoin), all
+    equi-joins — no BNLJ; the blocklist broadcast is bounded by the
+    curated list size, not the corpus.
+    """
+    canon = canonicalize_url(F.col(url_col))
+    base = docs.withColumn("canon_url", canon).withColumn(
+        "host", url_host(F.col("canon_url"))
+    )
+    pat_hit = F.lit(False)
+    for p in blocked_patterns:
+        pat_hit = pat_hit | F.col("canon_url").rlike(p)
+
+    if isinstance(blocked_hosts, DataFrame):
+        bl = blocked_hosts.select(
+            F.col(host_col).alias("_bhost")
+        ).distinct()
+        hit_ids = (
+            base.select(
+                F.col(id_col),
+                F.explode(host_suffixes("host")).alias("_suf"),
+            )
+            .join(F.broadcast(bl), F.col("_suf") == F.col("_bhost"))
+            .select(id_col)
+            .distinct()
+            .withColumn("_host_hit", F.lit(True))
+        )
+        out = base.join(hit_ids, [id_col], "left")
+        host_hit = F.coalesce(F.col("_host_hit"), F.lit(False))
+    else:
+        host_hit = F.lit(False)
+        for h in blocked_hosts:
+            host_hit = host_hit | (F.col("host") == F.lit(h)) | F.col(
+                "host"
+            ).endswith("." + h)
+        out = base
+    return out.withColumn(
+        "block_reason",
+        F.when(host_hit, F.lit("host"))
+        .when(pat_hit, F.lit("pattern"))
+        .otherwise(F.lit("ok")),
+    ).drop("_host_hit")

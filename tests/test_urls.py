@@ -9,8 +9,10 @@ import pytest
 from pyspark.sql import functions as F
 
 from linz_bde_uploader_spark.functions.urls import (
+    blocklist_filter,
     canonicalize_url,
     host_datasheet,
+    host_suffixes,
     url_host,
 )
 
@@ -103,3 +105,56 @@ def test_host_datasheet_mean_is_fixed_point_stable(spark):
     ).collect()[0]
     assert one.mean_quality == many.mean_quality
     assert one.n_urls == 5
+
+
+class TestBlocklistFilter:
+    """blocklist_filter: list path vs DataFrame suffix-join path."""
+
+    @pytest.fixture(scope="class")
+    def docs(self, spark):
+        rows = [
+            (0, "https://WWW.Bad.Example.COM/p/1?utm_source=x"),
+            (1, "http://files.bad.example.com:80/p/2"),       # subdomain
+            (2, "https://badexample.com/p/3"),                # NOT a subdomain
+            (3, "https://good.org/casino/win"),               # pattern hit
+            (4, "https://bad.example.com/casino/win"),        # host beats pattern
+            (5, "https://good.org/p/9"),
+        ]
+        return spark.createDataFrame(rows, "doc_id long, url string")
+
+    BLOCKED = ["bad.example.com"]
+    PATTERNS = [r"/casino"]
+
+    def expected(self):
+        return {0: "host", 1: "host", 2: "ok", 3: "pattern",
+                4: "host", 5: "ok"}
+
+    def test_list_path(self, docs):
+        out = blocklist_filter(docs, self.BLOCKED, self.PATTERNS)
+        assert {r.doc_id: r.block_reason for r in out.collect()} == self.expected()
+
+    def test_dataframe_path_matches_list_path(self, spark, docs):
+        bl = spark.createDataFrame(
+            [(h,) for h in self.BLOCKED * 2], "host string"  # dup rows ok
+        )
+        out = blocklist_filter(docs, bl, self.PATTERNS)
+        assert {r.doc_id: r.block_reason for r in out.collect()} == self.expected()
+        # no NULLs on the surface, canon/host columns present
+        for r in out.collect():
+            assert r.block_reason in {"host", "pattern", "ok"}
+            assert r.canon_url and r.host
+
+    def test_host_suffixes_label_boundaries(self, spark):
+        df = spark.createDataFrame(
+            [("files.src3.example.com",), ("src10.example.com",)],
+            "host string",
+        )
+        got = {
+            r.host: r.s
+            for r in df.select("host", host_suffixes("host").alias("s")).collect()
+        }
+        assert got["files.src3.example.com"] == [
+            "files.src3.example.com", "src3.example.com", "example.com", "com",
+        ]
+        # src10 must NOT contain any suffix of src1's host
+        assert "src1.example.com" not in got["src10.example.com"]
