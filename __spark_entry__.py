@@ -2373,6 +2373,22 @@ def q_pack_sequences(spark, sf_dir):
     return PK.pack_sequences(d, "doc_id", "n_tokens", capacity=256, n_shards=8)
 
 
+def q_pack_bestfit(spark, sf_dir):
+    # Best-fit-decreasing packing into 256-token training packs
+    # (functions/packing.py::pack_best_fit): longest-first visit, each
+    # doc into the open pack with the smallest remainder that fits —
+    # fewer packs than greedy-sequential at the cost of in-pack order.
+    # Same 8-shard layout as q_pack_sequences; the oracle replays the
+    # exact recurrence as a recursive CTE whose state is the remainder
+    # LIST indexed by pack_id.
+    from linz_bde_uploader_spark.functions import packing as PK
+
+    d = W.load(spark, sf_dir, "documents").select(
+        "doc_id", X.token_count("text").alias("n_tokens")
+    )
+    return PK.pack_best_fit(d, "doc_id", "n_tokens", capacity=256, n_shards=8)
+
+
 def q_tpch_q18_bigorders(spark, sf_dir):
     # TPC-H Q18 (large-volume customers): orders whose lineitems sum past
     # 300 units. The HAVING subquery becomes an aggregated semi side;
@@ -3237,10 +3253,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- round-6 birth: per-stratum ES sampling; displaced tenant
         #    q_sim_batch_topk (r3+r4+r5 green) -> 51+
         "q_weighted_sample_per_group": q_weighted_sample_per_group,
-        # -- round-5 session-2 birth: chunk->pack composite funnel;
-        #    displaced tenant q_pack_sequences (same family, r3+r4
-        #    green) -> 51+
-        "q_pipeline_chunk_pack": q_pipeline_chunk_pack,
+        # -- round-7 session-2 birth: best-fit-decreasing packing;
+        #    displaced tenant q_pipeline_chunk_pack (r5+r6 green; the
+        #    packing family keeps this entry in-window,
+        #    q_pack_sequences and the chunk->pack funnel stay
+        #    oracle-checked at 51+) -> 51+
+        "q_pack_bestfit": q_pack_bestfit,
         # -- round-5 session-2 birth: ES weighted sampling; displaced
         #    tenant q_stratified_sample (same family, r3+r4 green) -> 51+
         "q_weighted_sample": q_weighted_sample,
@@ -3339,6 +3357,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    entries above):
         "q_lm_collocations": q_lm_collocations,
         "q_domain_cap": q_domain_cap,
+        "q_pipeline_chunk_pack": q_pipeline_chunk_pack,
         "q_quality_histogram": q_quality_histogram,
         "q_tpch_q16_supplier_count": q_tpch_q16_supplier_count,
         "q_dedup_scrub_spans": q_dedup_scrub_spans,
@@ -5983,6 +6002,53 @@ def oracle_sql() -> dict[str, str]:
                      CASE WHEN r.used + s.t > 256 THEN r.pack_id + 1 ELSE r.pack_id END,
                      CASE WHEN r.used + s.t > 256 THEN CAST(0 AS BIGINT) ELSE r.used END,
                      CASE WHEN r.used + s.t > 256 THEN s.t ELSE r.used + s.t END
+              FROM r JOIN seq s ON s.shard = r.shard AND s.rn = r.rn + 1
+            )
+            SELECT shard, doc_id, t AS clamped_tokens, pack_id, pack_offset FROM r
+        """,
+        # Best-fit-decreasing replayed exactly: rows visited longest
+        # first; recursion state is the remainder LIST indexed by
+        # pack_id, so list_min(list_filter(rem, >= t)) is the best fit
+        # and list_position's first match is the lowest-pack-id
+        # tiebreak (a pack whose remainder equals the best value fits
+        # by definition).
+        "q_pack_bestfit": f"""
+            WITH RECURSIVE tk AS (
+              SELECT CAST(((doc_id % 2147483647) * 2654435761 % 2147483647) % 8 AS INTEGER) AS shard,
+                     doc_id,
+                     CAST(least(len({_TOKS}), 256) AS BIGINT) AS t
+              FROM documents
+            ), seq AS (
+              SELECT shard, doc_id, t,
+                     row_number() OVER (PARTITION BY shard ORDER BY t DESC, doc_id) AS rn
+              FROM tk
+            ), r AS (
+              SELECT shard, doc_id, t, rn,
+                     CAST(0 AS BIGINT) AS pack_id,
+                     CAST(0 AS BIGINT) AS pack_offset,
+                     [256 - t] AS rem
+              FROM seq WHERE rn = 1
+              UNION ALL
+              SELECT s.shard, s.doc_id, s.t, s.rn,
+                     CASE WHEN list_min(list_filter(r.rem, x -> x >= s.t)) IS NULL
+                          THEN CAST(len(r.rem) AS BIGINT)
+                          ELSE CAST(list_position(r.rem,
+                                 list_min(list_filter(r.rem, x -> x >= s.t))) - 1
+                               AS BIGINT) END,
+                     CASE WHEN list_min(list_filter(r.rem, x -> x >= s.t)) IS NULL
+                          THEN CAST(0 AS BIGINT)
+                          ELSE CAST(256 - list_min(list_filter(r.rem, x -> x >= s.t))
+                               AS BIGINT) END,
+                     CASE WHEN list_min(list_filter(r.rem, x -> x >= s.t)) IS NULL
+                          THEN r.rem || [256 - s.t]
+                          ELSE list_slice(r.rem, 1,
+                                 list_position(r.rem,
+                                   list_min(list_filter(r.rem, x -> x >= s.t))) - 1)
+                               || [list_min(list_filter(r.rem, x -> x >= s.t)) - s.t]
+                               || list_slice(r.rem,
+                                 list_position(r.rem,
+                                   list_min(list_filter(r.rem, x -> x >= s.t))) + 1,
+                                 len(r.rem)) END
               FROM r JOIN seq s ON s.shard = r.shard AND s.rn = r.rn + 1
             )
             SELECT shard, doc_id, t AS clamped_tokens, pack_id, pack_offset FROM r

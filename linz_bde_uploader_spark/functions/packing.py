@@ -118,3 +118,91 @@ def pack_utilization(packed: DataFrame, capacity: int) -> DataFrame:
             "mean_fill"
         ),
     )
+
+
+def pack_best_fit(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    capacity: int,
+    n_shards: int = 8,
+) -> DataFrame:
+    """Best-fit-decreasing packing — the classic bin-packing heuristic
+    (≤ 11/9·OPT + 1 packs) as the higher-utilization alternative to
+    :func:`pack_sequences`' greedy-sequential policy, at the cost of
+    losing document order inside a pack.
+
+    Within each shard, documents are visited LONGEST FIRST (tokens
+    desc, id asc — a total order) and placed into the open pack with
+    the SMALLEST remaining capacity that still fits (ties → lowest
+    pack_id); a document no pack can hold opens a new one. Over-length
+    documents are clamped to one full pack, null/negative counts pack
+    as 0 (``pack_sequences``' conventions).
+
+    Returns the same surface as :func:`pack_sequences`:
+    ``(shard, id_col, clamped_tokens, pack_id, pack_offset)`` where
+    ``pack_offset`` is the placement position inside the pack.
+
+    Why applyInPandas: the bag of open-pack remainders is running
+    state no window expression carries; the oracle replays the exact
+    recurrence as a recursive CTE whose state is the remainder LIST
+    indexed by pack_id (list_min∘list_filter = best fit,
+    list_position = lowest-index tiebreak).
+
+    Scale: identical layout to :func:`pack_sequences` — one shuffle to
+    the deterministic shard key, then a per-shard numpy scan (the
+    best-fit probe is a vectorized mask over the ≤|packs| remainder
+    array, O(n·packs) C-speed per shard; shard count sizes groups to
+    executor memory, packs never span shards).
+    """
+    if capacity <= 0:
+        raise ValueError("capacity must be positive")
+
+    import numpy as np  # noqa: PLC0415
+
+    out_schema = (
+        f"shard int, {id_col} long, clamped_tokens long, "
+        "pack_id long, pack_offset long"
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.assign(
+            _t=pdf[tokens_col].fillna(0).clip(lower=0, upper=capacity)
+            .astype("int64")
+        ).sort_values(
+            ["_t", id_col], ascending=[False, True], kind="mergesort"
+        )
+        rem = np.empty(len(pdf), dtype=np.int64)  # grows; rem[:n_packs]
+        n_packs = 0
+        pack_ids = np.empty(len(pdf), dtype=np.int64)
+        offsets = np.empty(len(pdf), dtype=np.int64)
+        for j, t in enumerate(pdf["_t"].to_numpy()):
+            open_rem = rem[:n_packs]
+            fits = np.nonzero(open_rem >= t)[0]
+            if fits.size:
+                pos = fits[np.argmin(open_rem[fits])]
+                # np.argmin returns the FIRST minimum → lowest pack_id
+                pack_ids[j] = pos
+                offsets[j] = capacity - rem[pos]
+                rem[pos] -= t
+            else:
+                pack_ids[j] = n_packs
+                offsets[j] = 0
+                rem[n_packs] = capacity - t
+                n_packs += 1
+        return pd.DataFrame(
+            {
+                "shard": pdf["shard"].astype("int32").to_numpy(),
+                id_col: pdf[id_col].astype("int64").to_numpy(),
+                "clamped_tokens": pdf["_t"].to_numpy(),
+                "pack_id": pack_ids,
+                "pack_offset": offsets,
+            }
+        )
+
+    sharded = df.select(
+        shard_of(id_col, n_shards).cast("int").alias("shard"),
+        F.col(id_col).cast("long").alias(id_col),
+        F.col(tokens_col).alias(tokens_col),
+    )
+    return sharded.groupBy("shard").applyInPandas(pack, out_schema)

@@ -388,3 +388,98 @@ def test_weighted_sample_deterministic_and_weighted(spark):
         [(1, 0), (2, None), (3, 5)], "doc_id long, w long"
     )
     assert [r.doc_id for r in weighted_sample(d2, 3, "w").collect()] == [3]
+
+
+# ------------------------------------------------ best-fit-decreasing
+
+def _bfd_reference(rows, capacity):
+    """Plain-Python twin of pack_best_fit's per-shard policy."""
+    out = {}
+    rem = []
+    for did, t in sorted(rows, key=lambda x: (-min(max(x[1] or 0, 0), capacity), x[0])):
+        t = min(max(t or 0, 0), capacity)
+        fits = [(r, i) for i, r in enumerate(rem) if r >= t]
+        if fits:
+            best, pos = min(fits)
+            out[did] = (pos, capacity - rem[pos], t)
+            rem[pos] -= t
+        else:
+            out[did] = (len(rem), 0, t)
+            rem.append(capacity - t)
+    return out
+
+
+def _bfd(spark, rows, capacity, n_shards=1):
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    out = PK.pack_best_fit(df, "doc_id", "n_tokens", capacity, n_shards)
+    return {r["doc_id"]: (r["pack_id"], r["pack_offset"], r["clamped_tokens"])
+            for r in out.collect()}
+
+
+def test_bestfit_hand_example(spark):
+    # capacity 10, visit longest-first: 10 fills pack 0; 5 opens pack 1;
+    # 4 best-fits pack 1 (rem 5); 3 fits nothing (rems 0,1) -> pack 2;
+    # 1 best-fits pack 1 (rem 1 < rem 7 of pack 2).
+    got = _bfd(spark, [(1, 4), (2, 5), (3, 3), (4, 10), (5, 1)], 10)
+    assert got == {
+        4: (0, 0, 10),
+        2: (1, 0, 5),
+        1: (1, 5, 4),
+        3: (2, 0, 3),
+        5: (1, 9, 1),
+    }
+
+
+def test_bestfit_tie_picks_lowest_pack_id(spark):
+    # two packs at remainder 4; the 4-token doc goes to pack 0
+    got = _bfd(spark, [(1, 6), (2, 6), (3, 4)], 10)
+    assert got[3] == (0, 6, 4)
+
+
+def test_bestfit_matches_python_reference_and_beats_greedy(spark):
+    rows = [(i, (i * 37) % 23) for i in range(80)] + [(900, None), (901, -3)]
+    cap = 25
+    got = _bfd(spark, rows, cap)
+    assert got == _bfd_reference(rows, cap)
+    greedy_packs = len(
+        {v[0] for v in _packed(spark, [(i, t or 0) for i, t in rows], cap).values()}
+    )
+    bfd_packs = len({v[0] for v in got.values()})
+    assert bfd_packs <= greedy_packs
+
+
+def test_bestfit_invariants_property(spark):
+    """Same invariants as greedy packing — no overflow, dense pack ids —
+    plus best-fit's own: no document that could have fit an open pack
+    ever opened a new one (checked via the reference twin)."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        st.lists(st.integers(min_value=0, max_value=40), min_size=1, max_size=60),
+        st.integers(min_value=5, max_value=30),
+    )
+    def check(token_counts, capacity):
+        rows = [(i, t) for i, t in enumerate(token_counts)]
+        df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+        out = PK.pack_best_fit(df, "doc_id", "n_tokens", capacity, n_shards=2)
+        by_shard = {}
+        for r in out.collect():
+            by_shard.setdefault(r["shard"], []).append(
+                (r["doc_id"], r["pack_id"], r["pack_offset"], r["clamped_tokens"])
+            )
+        for shard_rows in by_shard.values():
+            fills = {}
+            for _, pid, off, t in shard_rows:
+                assert t <= capacity
+                fills[pid] = fills.get(pid, 0) + t
+                assert fills[pid] <= capacity
+            assert sorted(fills) == list(range(len(fills)))
+            ref = _bfd_reference(
+                [(did, t) for did, _, _, t in shard_rows], capacity
+            )
+            assert {d: v for d, v in ref.items()} == {
+                did: (pid, off, t) for did, pid, off, t in shard_rows
+            }
+
+    check()
