@@ -117,3 +117,102 @@ def heavy_hitters_verified(
     return countmin_estimate(cms, exact, "tok", width, depth).select(
         "tok", "exact_cnt", "cms_est"
     )
+
+
+def _bin_of(score, lo: float, hi: float, n_bins: int):
+    """Histogram bin of a score: clamped floor((x-lo)/w) — out-of-range
+    values land in the edge bins (documented clamp, never dropped)."""
+    w = (hi - lo) / n_bins
+    raw = F.floor((score - F.lit(float(lo))) / F.lit(w)).cast("int")
+    return F.least(F.greatest(raw, F.lit(0)), F.lit(n_bins - 1))
+
+
+def histogram_sketch(
+    df: DataFrame,
+    score_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 128,
+    stratum_col: str | None = None,
+) -> DataFrame:
+    """Fixed-bin histogram sketch — the mergeable quantile estimator for
+    score distributions whose range is known up front (lengths, quality
+    probabilities, perplexities): state is ``n_bins`` counters per
+    stratum regardless of row count, merges are counter adds (so the
+    batch and streamed faces are exactly equal over the same rows), and
+    any quantile reads as a cumulative-sum scan with error bounded by
+    one bin width. The GK/t-digest trade (adaptive bins, no range
+    assumption) buys accuracy the pipeline's bounded, pre-rounded
+    scores don't need — and costs the cross-engine exactness every
+    estimator here keeps.
+
+    Returns ``(stratum?, bin, cnt)``; NULL scores are dropped (no rank).
+
+    Scale: one map-side bin projection + one partial-agg shuffle whose
+    key space IS the sketch (≤ |strata|·n_bins keys — reducers see the
+    sketch, not the data)."""
+    if not hi > lo:
+        raise ValueError("hi must exceed lo")
+    if n_bins <= 0:
+        raise ValueError("n_bins must be positive")
+    keys = ([stratum_col] if stratum_col else []) + ["bin"]
+    return (
+        df.filter(F.col(score_col).isNotNull())
+        .select(
+            *([stratum_col] if stratum_col else []),
+            _bin_of(F.col(score_col), lo, hi, n_bins).alias("bin"),
+        )
+        .groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def sketch_quantiles(
+    sketch: DataFrame,
+    qs: "list[float] | tuple[float, ...]",
+    lo: float,
+    hi: float,
+    n_bins: int,
+    stratum_col: str | None = None,
+) -> DataFrame:
+    """Quantile estimates from a :func:`histogram_sketch`: for each q,
+    the UPPER EDGE of the first bin whose cumulative count reaches rank
+    ``ceil(q·N)`` — a deterministic, engine-exact read (no float
+    interpolation), over-estimating by at most one bin width.
+
+    Returns ``(stratum?, q, est)``.
+
+    Scale: the input is already ≤ |strata|·n_bins rows; one window
+    cumsum + one bounded agg over it — driver-free and constant-cost
+    at any corpus size."""
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    if not qs:
+        raise ValueError("qs must be non-empty")
+    for q in qs:
+        if not 0.0 < q <= 1.0:
+            raise ValueError("each q must be in (0, 1]")
+    w = (hi - lo) / n_bins
+    part = [stratum_col] if stratum_col else []
+    win = Window.partitionBy(*part).orderBy("bin")
+    tot = Window.partitionBy(*part)
+    cum = sketch.select(
+        *part,
+        "bin",
+        F.sum("cnt").over(win).alias("_cum"),
+        F.sum("cnt").over(tot).alias("_n"),
+    )
+    qlit = F.explode(
+        F.array(*[F.lit(float(q)) for q in qs])
+    ).alias("q")
+    per_q = cum.select(*part, "bin", "_cum", "_n", qlit)
+    hit = F.when(
+        F.col("_cum") >= F.ceil(F.col("q") * F.col("_n")), F.col("bin")
+    )
+    return (
+        per_q.groupBy(*part, "q")
+        .agg(
+            (F.lit(float(lo)) + F.lit(w) * (F.min(hit) + F.lit(1)))
+            .alias("est")
+        )
+    )
