@@ -937,6 +937,40 @@ def source_overlap_matrix(
 #: A document would need >= 1e6 paragraphs before ids collide.
 PARA_STRIDE = 1_000_000
 
+#: id domain the arithmetic packing is valid over: doc_id must be a
+#: NONNEGATIVE long < MAX_PACKED_DOC_ID. Negative ids would misgroup
+#: (long DIV truncates toward zero, so -1 and +1 paragraphs both land
+#: in doc "0"-adjacent buckets) and ids >= 2^63/stride overflow and
+#: wrap silently in non-ANSI mode. ``_packed_pid`` enforces the domain
+#: at execution time with ``raise_error`` instead of assuming it.
+MAX_PACKED_DOC_ID = (1 << 63) // PARA_STRIDE  # ~9.22e12
+
+
+def _packed_pid(id_col: str) -> Column:
+    """``doc_id * PARA_STRIDE + para_idx`` guarded by a loud runtime
+    domain check: any doc id outside ``[0, MAX_PACKED_DOC_ID)`` raises
+    with the offending value rather than silently misgrouping
+    (negative DIV) or wrapping (long overflow). The guard is one
+    JVM-side comparison per row — free next to the shingle work.
+    Hash-derived 64-bit ids exceed the domain: remap them (e.g.
+    ``row_number`` or ``zipWithIndex``-style dense ids) before calling
+    the paragraph-grain operators."""
+    c = F.col(id_col)
+    return F.when(
+        (c >= 0) & (c < MAX_PACKED_DOC_ID),
+        c.cast("long") * PARA_STRIDE + F.col("para_idx"),
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "paragraph id packing requires 0 <= doc id < "
+                    f"{MAX_PACKED_DOC_ID}; got "
+                ),
+                c.cast("string"),
+            )
+        ).cast("long")
+    )
+
 
 def paragraphs(
     df: DataFrame,
@@ -998,6 +1032,13 @@ def paragraph_dedup_stats(
     excluded. ``dup_fraction`` at 4 dp (the duplicated_shingle_stats
     convention).
 
+    Id domain: ``id_col`` must hold NONNEGATIVE longs below
+    ``MAX_PACKED_DOC_ID`` (~9.22e12) — the composite-pid arithmetic is
+    guarded by a runtime ``raise_error`` check (see ``_packed_pid``),
+    so out-of-domain ids (negative, or hash-derived full-width 64-bit)
+    fail loudly instead of silently misgrouping; densify such ids
+    upstream.
+
     Scale: the paragraph explode is map-side; candidates come from the
     banded self-equi-join (O(paras x bands) shuffle, never all-pairs);
     the exact verify touches candidate pairs only; the rollup is one
@@ -1005,7 +1046,7 @@ def paragraph_dedup_stats(
     — paragraphs just multiply the row count by ~docs_tokens/para_tokens.
     """
     pdf = paragraphs(df, id_col, text_col, para_tokens).select(
-        (F.col(id_col) * PARA_STRIDE + F.col("para_idx")).alias("pid"),
+        _packed_pid(id_col).alias("pid"),
         F.col("para"),
     )
     pairs = candidate_jaccard_verify(

@@ -494,8 +494,13 @@ def mixture_plan(
         raise ValueError("at least one weight must be positive")
     norm = {k: w / total_w for k, w in weights.items()}
 
+    # Source is reported as STRING regardless of group_col's type: the
+    # weights dict keys are strings, and the seed rows below union in
+    # string values — an implicit unionByName coercion would silently
+    # change the output schema (or fail under strict ANSI resolution),
+    # so cast explicitly here.
     per = docs.select(
-        F.col(group_col).alias("source"),
+        F.col(group_col).cast("string").alias("source"),
         token_count(F.col(text_col)).cast("long").alias("_t"),
         F.lit(1).cast("long").alias("_one"),
     )

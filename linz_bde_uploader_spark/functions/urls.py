@@ -182,9 +182,12 @@ def blocklist_filter(
     for p in blocked_patterns:
         pat_hit = pat_hit | F.col("canon_url").rlike(p)
 
+    # The canonical host is lowercased by canonicalize_url, so blocklist
+    # entries must be compared case-folded too — an entry with any
+    # uppercase would otherwise never match anything.
     if isinstance(blocked_hosts, DataFrame):
         bl = blocked_hosts.select(
-            F.col(host_col).alias("_bhost")
+            F.lower(F.col(host_col)).alias("_bhost")
         ).distinct()
         hit_ids = (
             base.select(
@@ -201,6 +204,7 @@ def blocklist_filter(
     else:
         host_hit = F.lit(False)
         for h in blocked_hosts:
+            h = h.lower()
             host_hit = host_hit | (F.col("host") == F.lit(h)) | F.col(
                 "host"
             ).endswith("." + h)

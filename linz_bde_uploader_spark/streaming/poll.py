@@ -365,6 +365,19 @@ def dedup_gate_stream(
         minhash_band_keys, with_minhash_signature,
     )
 
+    # The gate's internal columns would silently OVERWRITE same-named
+    # input columns (withColumn/join replace, not error), corrupting
+    # the final select(*df.columns) — refuse loudly instead.
+    reserved = {"_sig", "_bk"} | {
+        f"_{p}{b}" for b in range(bands) for p in ("h", "k")
+    }
+    clash = reserved & set(df.columns)
+    if clash:
+        raise ValueError(
+            "dedup_gate_stream reserves internal column names "
+            f"{sorted(reserved)}; rename input columns {sorted(clash)}"
+        )
+
     n_sig = bands * rows_per_band
     idx = (
         with_minhash_signature(index_docs, text_col, "_sig", n_sig)

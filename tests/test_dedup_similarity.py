@@ -674,6 +674,22 @@ class TestParagraphDedup:
         )
         assert kept == [3, 4]
 
+    def test_paragraph_packing_rejects_out_of_domain_ids(self, spark):
+        """The composite-pid arithmetic is only valid for nonnegative
+        ids < MAX_PACKED_DOC_ID — out-of-domain ids must raise at
+        execution time, not silently misgroup (r7 advice)."""
+        from linz_bde_uploader_spark.functions.dedup import (
+            MAX_PACKED_DOC_ID, paragraph_dedup_stats,
+        )
+
+        txt = " ".join(f"w{i}" for i in range(40))
+        for bad in (-1, MAX_PACKED_DOC_ID):
+            df = spark.createDataFrame(
+                [(bad, txt), (1, txt)], "doc_id long, text string"
+            )
+            with pytest.raises(Exception, match="paragraph id packing"):
+                paragraph_dedup_stats(df).collect()
+
     def test_paragraph_stats_match_serial_twin(self, spark):
         """Full pipeline vs a Python twin on a small corpus (same
         shingle/minhash arithmetic via the module helpers)."""

@@ -137,6 +137,21 @@ def test_mixture_plan_budget_arithmetic(spark):
     assert (stray.target_tokens, stray.sample_fraction, stray.epochs) == (0, 0.0, 0)
 
 
+def test_mixture_plan_nonstring_group_col_reports_string_source(spark):
+    # group_col of a non-string type must not silently coerce the output
+    # schema through the seed-row union (r7 advice): source is always
+    # reported as string.
+    from linz_bde_uploader_spark.functions.sampling import mixture_plan
+
+    df = spark.createDataFrame(
+        [(1, "a b c d", 7), (2, "a b", 8)], ["doc_id", "text", "source"]
+    )
+    out = mixture_plan(df, {"7": 1.0}, budget_tokens=4, group_col="source")
+    assert dict(out.dtypes)["source"] == "string"
+    plan = {r.source: r for r in out.collect()}
+    assert plan["7"].target_tokens == 4 and plan["8"].target_tokens == 0
+
+
 def test_mixture_plan_reports_empty_weighted_source(spark):
     """A source named in weights but absent from the data must still emit
     a row (tokens=0, its target_tokens visible) — the inverse direction

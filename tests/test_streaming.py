@@ -556,3 +556,22 @@ def test_dedup_gate_stream_matches_batch_filter(spark, tmp_path):
         r.doc_id for r in spark.sql("SELECT doc_id FROM dgate2").collect()
     }
     assert streamed == batch_survivors
+
+
+def test_dedup_gate_stream_rejects_reserved_column_names(spark):
+    """Input columns colliding with the gate's internal temp names
+    would be silently overwritten — the gate must refuse loudly
+    (r7 advice)."""
+    from linz_bde_uploader_spark.streaming.poll import dedup_gate_stream
+
+    index = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    bad = spark.createDataFrame(
+        [(2, "x y z", 9)], "doc_id long, text string, _sig long"
+    )
+    with pytest.raises(ValueError, match="_sig"):
+        dedup_gate_stream(bad, index)
+    bad2 = spark.createDataFrame(
+        [(2, "x y z", 9)], "doc_id long, text string, _h0 long"
+    )
+    with pytest.raises(ValueError, match="_h0"):
+        dedup_gate_stream(bad2, index)

@@ -144,6 +144,17 @@ class TestBlocklistFilter:
             assert r.block_reason in {"host", "pattern", "ok"}
             assert r.canon_url and r.host
 
+    def test_mixed_case_entries_still_match(self, spark, docs):
+        # canonical hosts are lowercased, so blocklist entries must be
+        # case-folded before comparing — an uppercase entry used to
+        # match nothing (r7 advice).
+        upper = ["Bad.Example.COM"]
+        out = blocklist_filter(docs, upper, self.PATTERNS)
+        assert {r.doc_id: r.block_reason for r in out.collect()} == self.expected()
+        bl = spark.createDataFrame([(h,) for h in upper], "host string")
+        out2 = blocklist_filter(docs, bl, self.PATTERNS)
+        assert {r.doc_id: r.block_reason for r in out2.collect()} == self.expected()
+
     def test_host_suffixes_label_boundaries(self, spark):
         df = spark.createDataFrame(
             [("files.src3.example.com",), ("src10.example.com",)],
