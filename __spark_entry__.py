@@ -1632,6 +1632,34 @@ def q_dedup_paragraph(spark, sf_dir):
     return D.paragraph_dedup_stats(d)
 
 
+def q_fuzzy_join(spark, sf_dir):
+    # Blocked fuzzy matching / record linkage (functions/linkage.py::
+    # best_matches) — the approximate-key complement of the reference's
+    # exact keyed-merge machinery (sql/02-bde_control_functions.sql.in
+    # change-classification joins assume clean keys; real catalog feeds
+    # don't have them). A deterministic "dirty" part catalog is
+    # synthesized (every 5th name loses its last char, the next gains a
+    # trailing 's') and linked back to the clean name dictionary:
+    # DISTINCT keys only reach the matcher (dictionary-first), candidate
+    # pairs come from two unioned blocking passes (first/last token
+    # equi-joins — never a cartesian), a length band prunes before the
+    # levenshtein verify, and the best match per dirty name is a
+    # deterministic struct-min (dist, then name). Unmatched names keep
+    # the ('', -1) sentinel — no silent drops, no NULL surfaces.
+    from linz_bde_uploader_spark.functions import linkage as LK
+
+    p = W.load(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    dirty = p.select(
+        F.when(k % 5 == 0, F.expr("substring(p_name, 1, length(p_name) - 1)"))
+        .when(k % 5 == 1, F.concat(F.col("p_name"), F.lit("s")))
+        .otherwise(F.col("p_name"))
+        .alias("dirty_name")
+    )
+    clean = p.select("p_name")
+    return LK.best_matches(dirty, clean, "dirty_name", "p_name", max_dist=2)
+
+
 def q_corpus_datasheet(spark, sf_dir):
     # Per-language corpus datasheet (the "datasheet for datasets"
     # reporting primitive): docs, token volume, char bounds, mean
@@ -3217,7 +3245,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    displaced tenants q_sim_cosine_topk / q_sim_cosine_above
         #    each carry THREE green driver rows (r1+r3+r4) -> 51+
         "q_bpe_merges": q_bpe_merges,
-        "q_skew_salted_join": q_skew_salted_join,
+        # -- round-8 birth: blocked fuzzy matching / record linkage
+        #    (dictionary-first, two blocking passes, levenshtein verify
+        #    on candidates only); displaced tenant q_skew_salted_join
+        #    (r6+r7 green; the salted-join demo stays oracle-checked
+        #    at 51+) -> 51+
+        "q_fuzzy_join": q_fuzzy_join,
         # -- round-6 birth: product-quantization ADC top-k; displaced
         #    tenant q_sim_lsh_topk (r3+r4+r5 green; the LSH family keeps
         #    q_sim_lsh_bucketed in-window) -> 51+
@@ -3355,6 +3388,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- rotated out in round-7 session 2 by the perplexity-mixture
         #    and url-blocklist births (displacements noted at the birth
         #    entries above):
+        # -- rotated out in round 8 (displacements noted at the birth
+        #    entries above); every displaced tenant r6 AND r7 green:
+        "q_skew_salted_join": q_skew_salted_join,
         "q_lm_collocations": q_lm_collocations,
         "q_domain_cap": q_domain_cap,
         "q_pipeline_chunk_pack": q_pipeline_chunk_pack,
@@ -4598,6 +4634,51 @@ def oracle_sql() -> dict[str, str]:
                          / count(*), 4) AS dup_fraction
             FROM ex e JOIN freq f USING (sv)
             GROUP BY e.doc_id
+        """,
+        # fuzzy linkage: same dictionary-first + two blocking passes +
+        # length band + levenshtein chain; best match via row_number
+        # ordered (dist, cname) = Spark's struct-min tie-break. The
+        # skew guard's oversized-block drop is omitted here — at this
+        # vocabulary no block can exceed the 10k default.
+        "q_fuzzy_join": """
+            WITH dirty AS (
+              SELECT DISTINCT CASE
+                WHEN p_partkey % 5 = 0 THEN substr(p_name, 1, length(p_name) - 1)
+                WHEN p_partkey % 5 = 1 THEN p_name || 's'
+                ELSE p_name END AS name
+              FROM part
+            ),
+            cleand AS (SELECT DISTINCT p_name AS cname FROM part),
+            lk AS (
+              SELECT name, unnest(list_distinct([string_split(name, ' ')[1],
+                                                 string_split(name, ' ')[-1]])) AS bk
+              FROM dirty
+            ),
+            rk AS (
+              SELECT cname, unnest(list_distinct([string_split(cname, ' ')[1],
+                                                  string_split(cname, ' ')[-1]])) AS bk
+              FROM cleand
+            ),
+            cand AS (
+              SELECT DISTINCT name, cname
+              FROM lk JOIN rk USING (bk)
+              WHERE abs(length(name) - length(cname)) <= 2
+            ),
+            verified AS (
+              SELECT name, cname, levenshtein(name, cname) AS dist
+              FROM cand WHERE levenshtein(name, cname) <= 2
+            ),
+            best AS (
+              SELECT name, cname, dist,
+                     row_number() OVER (PARTITION BY name
+                                        ORDER BY dist, cname) AS rn
+              FROM verified
+            )
+            SELECT d.name AS dirty_name,
+                   coalesce(b.cname, '') AS match_name,
+                   CAST(coalesce(b.dist, -1) AS BIGINT) AS dist
+            FROM dirty d
+            LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON b.name = d.name
         """,
         "q_skew_salted_join": """
             WITH dim AS (
