@@ -1660,6 +1660,21 @@ def q_fuzzy_join(spark, sf_dir):
     return LK.best_matches(dirty, clean, "dirty_name", "p_name", max_dist=2)
 
 
+def q_dedup_containment(spark, sf_dir):
+    # Directional near-SUPERSET detection (dedup.py::containment_pairs;
+    # Broder's resemblance/containment pair, SEQUENCES 1997): C(sub in
+    # super) = |S_sub ∩ S_super| / |S_sub| over distinct shingle sets.
+    # Jaccard dedup misses the quote-expansion/scraped-and-padded case
+    # by construction (a paragraph lifted into a 100x page has tiny
+    # Jaccard, containment ~1); candidates come from the rare-shared-
+    # shingle inverted index (NOT MinHash bands — banded LSH under-
+    # recalls exactly these asymmetric pairs), boilerplate shingles
+    # (df > 8) drop before the self-join, and the exact intersection
+    # runs on candidate pairs only.
+    d = W.load(spark, sf_dir, "documents")
+    return D.containment_pairs(d, "doc_id", "text", threshold=0.6)
+
+
 def q_corpus_datasheet(spark, sf_dir):
     # Per-language corpus datasheet (the "datasheet for datasets"
     # reporting primitive): docs, token volume, char bounds, mean
@@ -3269,9 +3284,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    take the slots of r3+r4-green q_text_gopher_quality and
         #    q_scd2_history (-> 51+)
         "q_inverted_index": q_inverted_index,
-        # -- round-6 birth: incremental minhash gate; displaced tenant
-        #    q_text_scrub_pii (r3+r4+r5 green) -> 51+
-        "q_dedup_incremental": q_dedup_incremental,
+        # -- round-8 birth: directional containment (near-superset)
+        #    detection over the rare-shingle inverted index; displaced
+        #    tenant q_dedup_incremental (r6+r7 green; the dedup family
+        #    keeps paragraph/winnow/keep_best in-window) -> 51+
+        "q_dedup_containment": q_dedup_containment,
         "q_chunk_documents": q_chunk_documents,
         # -- round-5 session-2 birth: count-min sketch heavy-hitters
         #    audit; displaced tenant q_tpch_q4_priority (r3+r4) -> 51+
@@ -3391,6 +3408,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- rotated out in round 8 (displacements noted at the birth
         #    entries above); every displaced tenant r6 AND r7 green:
         "q_skew_salted_join": q_skew_salted_join,
+        "q_dedup_incremental": q_dedup_incremental,
         "q_lm_collocations": q_lm_collocations,
         "q_domain_cap": q_domain_cap,
         "q_pipeline_chunk_pack": q_pipeline_chunk_pack,
@@ -4875,6 +4893,45 @@ def oracle_sql() -> dict[str, str]:
               FROM documents
             )
             SELECT doc_id, CAST({_simhash_sql_bits(16)} AS BIGINT) AS sh FROM t
+        """,
+        # containment: distinct shingle-hash sets from the SAME sh_h
+        # CTE; rare-shingle (df<=8) inverted-index candidates sharing
+        # >=2 rare shingles, exact intersection on candidates, both
+        # directions emitted where C(sub in super) >= 0.6
+        "q_dedup_containment": _SHINGLE_HASHES + """
+            , exd AS (
+              SELECT doc_id, unnest(list_distinct(hs)) AS sv
+              FROM sh_h WHERE len(hs) > 0
+            ),
+            sizes AS (SELECT doc_id, count(*) AS sz FROM exd GROUP BY doc_id),
+            rare AS (SELECT sv FROM exd GROUP BY sv HAVING count(*) <= 8),
+            rex AS (SELECT e.doc_id, e.sv FROM exd e JOIN rare USING (sv)),
+            cpair AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM rex a JOIN rex b ON a.sv = b.sv AND a.doc_id < b.doc_id
+              GROUP BY 1, 2 HAVING count(*) >= 2
+            ),
+            inter AS (
+              SELECT p.id_a, p.id_b, count(*) AS shared
+              FROM cpair p
+              JOIN exd a ON a.doc_id = p.id_a
+              JOIN exd b ON b.doc_id = p.id_b AND b.sv = a.sv
+              GROUP BY 1, 2
+            ),
+            dirs AS (
+              SELECT i.id_a AS id_sub, i.id_b AS id_super,
+                     round(i.shared * 1.0 / sa.sz, 4) AS containment,
+                     CAST(sa.sz AS BIGINT) AS n_sub,
+                     CAST(i.shared AS BIGINT) AS n_shared
+              FROM inter i JOIN sizes sa ON sa.doc_id = i.id_a
+              UNION ALL
+              SELECT i.id_b, i.id_a,
+                     round(i.shared * 1.0 / sb.sz, 4),
+                     CAST(sb.sz AS BIGINT), CAST(i.shared AS BIGINT)
+              FROM inter i JOIN sizes sb ON sb.doc_id = i.id_b
+            )
+            SELECT id_sub, id_super, containment, n_sub, n_shared
+            FROM dirs WHERE containment >= 0.6
         """,
         # winnowing: min shingle-hash per sliding window over the SAME
         # sh_h shingle-hash CTE the sketch oracles use; w=4 windows are

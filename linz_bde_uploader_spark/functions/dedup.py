@@ -1124,6 +1124,97 @@ def winnow_fingerprints(toks: Column, w: int = 4, n: int = 3) -> Column:
     return F.array_distinct(wins)
 
 
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.6,
+    n: int = 3,
+    min_shared: int = 2,
+    max_doc_freq: int = 8,
+) -> DataFrame:
+    """Directional near-SUPERSET detection: ``(id_sub, id_super,
+    containment, n_sub, n_shared)`` where ``containment = |S_sub ∩
+    S_super| / |S_sub|`` over DISTINCT n-gram shingle-hash sets, kept
+    when ``containment >= threshold``. Both directions of a pair can
+    emit (mutual near-supersets ARE near-duplicates); ``containment``
+    at 4 dp.
+
+    Jaccard-based dedup misses this case by construction: a paragraph
+    fully lifted into a 100× larger page has Jaccard ~ |sub|/|super|
+    (tiny) but containment ~ 1.0 — the asymmetric statistic is the
+    one that catches quote-expansion, scraped-and-padded, and
+    aggregator pages (Broder's original resemblance/containment pair,
+    SEQUENCES 1997).
+
+    Candidates come from the RARE-shared-shingle inverted index (the
+    winnow_pairs shape), NOT MinHash bands: banded LSH is tuned for
+    symmetric Jaccard and under-recalls exactly the asymmetric pairs
+    this operator exists for, while a contained doc shares ALL its
+    shingles with its superset — any of its rare shingles co-keys the
+    pair. Shingles in more than ``max_doc_freq`` docs are dropped
+    before pairing (boilerplate; keeps the self-join linear — a shingle
+    shared by k docs emits k² pairs otherwise); pairs must share
+    >= ``min_shared`` rare shingles. The exact intersection then runs
+    on candidate pairs only (one ``array_intersect`` over the two
+    staged distinct-shingle arrays per candidate).
+    """
+    sh = track(
+        df.select(
+            F.col(id_col), tokens(F.col(text_col)).alias("_toks")
+        ).select(
+            F.col(id_col),
+            F.array_distinct(
+                shingle_hashes_from_tokens(F.col("_toks"), n)
+            ).alias("_sh"),
+        ).filter(F.size("_sh") > 0)
+    )
+    ex = sh.select(F.col(id_col), F.explode(F.col("_sh")).alias("sv"))
+    rare = ex.join(
+        ex.groupBy("sv")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") <= max_doc_freq)
+        .select("sv"),
+        "sv",
+    )
+    pairs = (
+        rare.select(F.col("sv"), F.col(id_col).alias("id_a"))
+        .join(rare.select(F.col("sv"), F.col(id_col).alias("id_b")), "sv")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("_shared_rare"))
+        .filter(F.col("_shared_rare") >= min_shared)
+    )
+    joined = pairs.join(
+        sh.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("_sha")),
+        "id_a",
+    ).join(
+        sh.select(F.col(id_col).alias("id_b"), F.col("_sh").alias("_shb")),
+        "id_b",
+    ).select(
+        "id_a",
+        "id_b",
+        F.size(F.array_intersect("_sha", "_shb")).alias("_inter"),
+        F.size("_sha").alias("_na"),
+        F.size("_shb").alias("_nb"),
+    )
+    def _dir(sub, sup, nsub):
+        return joined.select(
+            F.col(sub).alias("id_sub"),
+            F.col(sup).alias("id_super"),
+            F.round(F.col("_inter").cast("double") / F.col(nsub), 4).alias(
+                "containment"
+            ),
+            F.col(nsub).cast("long").alias("n_sub"),
+            F.col("_inter").cast("long").alias("n_shared"),
+        )
+    return (
+        _dir("id_a", "id_b", "_na")
+        .unionByName(_dir("id_b", "id_a", "_nb"))
+        .filter(F.col("containment") >= threshold)
+    )
+
+
 def winnow_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -765,6 +765,105 @@ class TestParagraphDedup:
             assert (got[i].n_paras, got[i].dup_paras) == (n_p, d_p), i
 
 
+class TestContainment:
+    def test_lifted_paragraph_detected_despite_tiny_jaccard(self, spark):
+        """A small doc fully contained in a much larger one has tiny
+        Jaccard but containment ~1.0 — the asymmetric statistic must
+        catch it, directionally."""
+        from linz_bde_uploader_spark.functions.dedup import (
+            containment_pairs, ngram_jaccard,
+        )
+
+        para = " ".join(f"p{i}" for i in range(12))
+        page = para + " " + " ".join(f"u{i}" for i in range(80))
+        df = spark.createDataFrame(
+            [(1, para), (2, page), (3, " ".join(f"z{i}" for i in range(20)))],
+            "doc_id long, text string",
+        )
+        # sanity: symmetric Jaccard on the pair is small
+        jac = df.filter(F.col("doc_id") == 1).select(
+            ngram_jaccard(F.lit(para), F.lit(page)).alias("j")
+        ).collect()[0].j
+        assert jac < 0.2
+        got = {
+            (r.id_sub, r.id_super): r
+            for r in containment_pairs(df, threshold=0.6).collect()
+        }
+        assert set(got) == {(1, 2)}  # only the sub->super direction
+        r = got[(1, 2)]
+        assert r.containment == 1.0 and r.n_shared == r.n_sub
+
+    def test_mutual_containment_emits_both_directions(self, spark):
+        from linz_bde_uploader_spark.functions.dedup import containment_pairs
+
+        a = " ".join(f"w{i}" for i in range(30))
+        df = spark.createDataFrame(
+            [(1, a), (2, a + " extraz")], "doc_id long, text string"
+        )
+        got = {
+            (r.id_sub, r.id_super): r.containment
+            for r in containment_pairs(df, threshold=0.6).collect()
+        }
+        assert (1, 2) in got and (2, 1) in got
+        assert got[(1, 2)] == 1.0 and got[(2, 1)] < 1.0
+
+    def test_boilerplate_shingles_do_not_pair(self, spark):
+        """A shingle run shared by more than max_doc_freq docs is
+        boilerplate — docs sharing ONLY that run must not pair."""
+        from linz_bde_uploader_spark.functions.dedup import containment_pairs
+
+        # token_value hashes (length, first char) — per-doc tokens need
+        # DISTINCT first letters to be distinct features
+        boiler = " ".join(f"b{i}" for i in range(10))
+        rows = [
+            (i, boiler + " " + " ".join(
+                f"{chr(99 + i)}{j}" for j in range(10)))
+            for i in range(12)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        assert containment_pairs(
+            df, threshold=0.3, max_doc_freq=8
+        ).count() == 0
+
+    def test_matches_python_twin(self, spark):
+        from linz_bde_uploader_spark.functions.dedup import containment_pairs
+
+        texts = {
+            i: " ".join(f"w{(i * 5 + j) % 13}" for j in range(20 + i))
+            for i in range(6)
+        }
+        df = spark.createDataFrame(
+            list(texts.items()), "doc_id long, text string"
+        )
+        got = {
+            (r.id_sub, r.id_super): (r.containment, r.n_sub, r.n_shared)
+            for r in containment_pairs(
+                df, threshold=0.0, min_shared=1, max_doc_freq=10
+            ).collect()
+        }
+        sets = {i: set(_shingle_hashes(t)) for i, t in texts.items()}
+        dfreq = {}
+        for s in sets.values():
+            for v in s:
+                dfreq[v] = dfreq.get(v, 0) + 1
+        expect = {}
+        for i in sets:
+            for j in sets:
+                if i == j:
+                    continue
+                rare_shared = sum(
+                    1 for v in sets[i] & sets[j] if dfreq[v] <= 10
+                )
+                if rare_shared >= 1:
+                    inter = len(sets[i] & sets[j])
+                    expect[(i, j)] = (
+                        round(inter / len(sets[i]) + 1e-12, 4),
+                        len(sets[i]),
+                        inter,
+                    )
+        assert got == expect
+
+
 class TestWinnowing:
     def test_fingerprints_match_python_twin(self, spark):
         from linz_bde_uploader_spark.functions.dedup import (
