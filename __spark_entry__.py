@@ -1675,6 +1675,50 @@ def q_dedup_containment(spark, sf_dir):
     return D.containment_pairs(d, "doc_id", "text", threshold=0.6)
 
 
+def q_robots_gate(spark, sf_dir):
+    # Robots-exclusion gate (functions/urls.py::robots_gate) — crawl
+    # compliance per RFC 9309 / Google precedence: longest matching
+    # path-prefix rule wins, allow beats disallow on a length tie, no
+    # match means allowed. The rules table is the parsed per-host
+    # robots.txt form a crawler materializes; the match is one
+    # BROADCAST equi-join on host (prefix test as join residual), a
+    # doc-keyed struct-max winner agg (score = 2*len + is_allow, ties
+    # on the prefix string — deterministic), one id rejoin. The rules
+    # cover every precedence case: longer allow overriding a disallow,
+    # a disallow-everything host with a carve-out, and an exact tie.
+    from linz_bde_uploader_spark.functions import urls as U
+
+    d = W.load(spark, sf_dir, "documents")
+    pid = F.pmod(F.col("doc_id"), F.lit(10)).cast("string")
+    section = F.element_at(
+        F.array(F.lit("admin"), F.lit("p"), F.lit("static")),
+        (F.pmod(F.col("doc_id"), F.lit(3)) + 1).cast("int"),
+    )
+    docs = d.select("doc_id", "source").withColumn(
+        "url",
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example.com/"),
+            section, F.lit("/"), pid,
+        ),
+    )
+    rules = spark.createDataFrame(
+        [
+            ("src0.example.com", "disallow", "/admin"),
+            ("src0.example.com", "allow", "/admin/4"),
+            ("src1.example.com", "disallow", "/"),
+            ("src1.example.com", "allow", "/static"),
+            ("src2.example.com", "allow", "/p"),
+            ("src2.example.com", "disallow", "/p"),
+        ],
+        "host string, directive string, path_prefix string",
+    )
+    return (
+        U.robots_gate(docs, rules)
+        .select("doc_id", "host", "path", "robots_allowed", "matched_rule")
+        .orderBy("doc_id")
+    )
+
+
 def q_corpus_datasheet(spark, sf_dir):
     # Per-language corpus datasheet (the "datasheet for datasets"
     # reporting primitive): docs, token volume, char bounds, mean
@@ -3244,10 +3288,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    -> 51+
         "q_url_blocklist": q_url_blocklist,
         "q_event_session_window": q_event_session_window,
-        # -- round-6 birth: contrastive negative sampling; displaced
-        #    tenant q_mixture_weights (r4+r5 green; sampling family
-        #    keeps four entries in-window) -> 51+
-        "q_negative_samples": q_negative_samples,
+        # -- round-8 birth: robots-exclusion gate (RFC 9309 longest-
+        #    prefix precedence, broadcast host join + struct-max
+        #    winner); displaced tenant q_negative_samples (r6+r7
+        #    green) -> 51+
+        "q_robots_gate": q_robots_gate,
         # round-5 birth (in-window at birth): per-stratum quantile cut;
         # displaced r3+r4-green tenant q_mm_metadata -> 51+
         "q_quality_quantile_filter": q_quality_quantile_filter,
@@ -3409,6 +3454,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    entries above); every displaced tenant r6 AND r7 green:
         "q_skew_salted_join": q_skew_salted_join,
         "q_dedup_incremental": q_dedup_incremental,
+        "q_negative_samples": q_negative_samples,
         "q_lm_collocations": q_lm_collocations,
         "q_domain_cap": q_domain_cap,
         "q_pipeline_chunk_pack": q_pipeline_chunk_pack,
@@ -3974,6 +4020,46 @@ def oracle_sql() -> dict[str, str]:
         # semantics as plain SQL: label-boundary subdomain match is
         # exact-host OR '%.host' LIKE, pattern gate is regexp_matches
         # on the canonical URL, host beats pattern.
+        # robots gate: same synthetic host scheme, clean URLs (the
+        # canonicalization soup is q_url_blocklist's job); winner =
+        # row_number over (score DESC, prefix DESC) = Spark's
+        # struct-max (two rules with equal score share a directive by
+        # construction — score parity encodes it)
+        "q_robots_gate": """
+            WITH d0 AS (
+              SELECT doc_id,
+                     source || '.example.com' AS host,
+                     '/' || (CASE doc_id % 3 WHEN 0 THEN 'admin'
+                             WHEN 1 THEN 'p' ELSE 'static' END)
+                         || '/' || CAST(doc_id % 10 AS VARCHAR) AS path
+              FROM documents
+            ),
+            rules(rhost, dir, pfx) AS (VALUES
+              ('src0.example.com', 'disallow', '/admin'),
+              ('src0.example.com', 'allow', '/admin/4'),
+              ('src1.example.com', 'disallow', '/'),
+              ('src1.example.com', 'allow', '/static'),
+              ('src2.example.com', 'allow', '/p'),
+              ('src2.example.com', 'disallow', '/p')
+            ),
+            m AS (
+              SELECT d.doc_id, r.dir, r.pfx,
+                     row_number() OVER (
+                       PARTITION BY d.doc_id
+                       ORDER BY length(r.pfx) * 2
+                                + CASE WHEN r.dir = 'allow' THEN 1 ELSE 0 END
+                                DESC,
+                                r.pfx DESC) AS rn
+              FROM d0 d
+              JOIN rules r ON r.rhost = d.host AND starts_with(d.path, r.pfx)
+            )
+            SELECT d.doc_id, d.host, d.path,
+                   coalesce(w.dir = 'allow', TRUE) AS robots_allowed,
+                   coalesce(w.dir || ':' || w.pfx, '') AS matched_rule
+            FROM d0 d
+            LEFT JOIN (SELECT * FROM m WHERE rn = 1) w ON w.doc_id = d.doc_id
+            ORDER BY d.doc_id
+        """,
         "q_url_blocklist": r"""
             WITH d0 AS (
               SELECT doc_id,

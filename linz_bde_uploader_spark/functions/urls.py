@@ -215,3 +215,86 @@ def blocklist_filter(
         .when(pat_hit, F.lit("pattern"))
         .otherwise(F.lit("ok")),
     ).drop("_host_hit")
+
+
+def url_path(col: Column | str) -> Column:
+    """Path of a CANONICAL url: everything after the authority, query
+    string excluded; the root path surfaces as ``/`` (canonicalization
+    strips the trailing slash, so the bare-host form maps back)."""
+    u = F.col(col) if isinstance(col, str) else col
+    rest = F.regexp_replace(u, _SCHEME_HOST, "")
+    path = F.regexp_replace(rest, r"[?#].*$", "")
+    return F.when(path == "", F.lit("/")).otherwise(path)
+
+
+def robots_gate(
+    docs: DataFrame,
+    rules: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Robots-exclusion gate over a parsed rules table — the crawl-
+    compliance filter a web pipeline runs alongside the blocklist.
+
+    ``rules`` is ``(host, directive, path_prefix)`` with directive
+    ``allow`` / ``disallow`` (other rows are ignored) — the parsed form
+    of per-host ``robots.txt`` files for the crawler's user-agent.
+    Precedence follows the robots-exclusion RFC 9309 / Google
+    semantics: the MOST SPECIFIC (longest path-prefix) matching rule
+    wins; on a length tie, allow beats disallow; a URL matching no
+    rule is allowed. Prefixes are literal (no ``*``/``$`` wildcards —
+    the overwhelmingly common case; a wildcard rule set compiles to
+    patterns upstream if ever needed).
+
+    Returns ``docs`` + ``(canon_url, host, path, robots_allowed,
+    matched_rule)``; ``matched_rule`` is ``directive:prefix`` or the
+    ``''`` sentinel (no NULL surfaces).
+
+    Scale: rules tables are tiny (curated per-host) — the match is one
+    BROADCAST hash equi-join on host with the prefix test as a join
+    residual, then a doc-keyed partial agg takes the winner as a
+    struct-max (score = 2·len(prefix) + is_allow, ties broken on the
+    prefix string — fully deterministic), and one id-keyed rejoin.
+    Everything else is map-side regexp arithmetic.
+    """
+    base = docs.withColumn(
+        "canon_url", canonicalize_url(F.col(url_col))
+    ).withColumn("host", url_host(F.col("canon_url"))).withColumn(
+        "path", url_path(F.col("canon_url"))
+    )
+    r = rules.select(
+        F.lower(F.col("host")).alias("_rhost"),
+        F.lower(F.col("directive")).alias("_dir"),
+        F.col("path_prefix").alias("_pfx"),
+    ).filter(F.col("_dir").isin("allow", "disallow"))
+    score = (
+        F.length("_pfx") * 2 + F.when(F.col("_dir") == "allow", 1).otherwise(0)
+    )
+    matches = (
+        base.select(F.col(id_col), F.col("host"), F.col("path"))
+        .join(
+            F.broadcast(r),
+            (F.col("host") == F.col("_rhost"))
+            & F.col("path").startswith(F.col("_pfx")),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.max(F.struct(score.alias("s"), F.col("_pfx").alias("p"),
+                           F.col("_dir").alias("d"))).alias("_w")
+        )
+    )
+    return (
+        base.join(matches, [id_col], "left")
+        .withColumn(
+            "robots_allowed",
+            F.coalesce(F.col("_w.d") == "allow", F.lit(True)),
+        )
+        .withColumn(
+            "matched_rule",
+            F.coalesce(
+                F.concat(F.col("_w.d"), F.lit(":"), F.col("_w.p")),
+                F.lit(""),
+            ),
+        )
+        .drop("_w")
+    )

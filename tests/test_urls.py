@@ -155,6 +155,65 @@ class TestBlocklistFilter:
         out2 = blocklist_filter(docs, bl, self.PATTERNS)
         assert {r.doc_id: r.block_reason for r in out2.collect()} == self.expected()
 
+    def test_robots_gate_precedence(self, spark):
+        from linz_bde_uploader_spark.functions.urls import robots_gate
+
+        docs = spark.createDataFrame(
+            [
+                (0, "https://a.example.com/p/2"),     # disallow /p
+                (1, "https://a.example.com/p/1/x"),   # allow /p/1 (longer wins)
+                (2, "https://a.example.com/q"),        # no match -> allowed
+                (3, "https://b.example.com/anything"), # disallow /
+                (4, "https://c.example.com/p/2"),      # no rules host
+                (5, "https://a.example.com/t/z"),      # tie: allow beats disallow
+                (6, "https://A.EXAMPLE.com/p/9"),      # case-folded host match
+                (7, "https://a.example.com"),          # root path "/"
+            ],
+            "doc_id long, url string",
+        )
+        rules = spark.createDataFrame(
+            [
+                ("a.example.com", "disallow", "/p"),
+                ("a.example.com", "allow", "/p/1"),
+                ("B.example.com", "Disallow", "/"),
+                ("a.example.com", "allow", "/t"),
+                ("a.example.com", "disallow", "/t"),
+                ("a.example.com", "noise", "/ignored"),
+            ],
+            "host string, directive string, path_prefix string",
+        )
+        got = {
+            r.doc_id: (r.robots_allowed, r.matched_rule)
+            for r in robots_gate(docs, rules).collect()
+        }
+        assert got[0] == (False, "disallow:/p")
+        assert got[1] == (True, "allow:/p/1")
+        assert got[2] == (True, "")                  # sentinel, not NULL
+        assert got[3] == (False, "disallow:/")
+        assert got[4] == (True, "")
+        assert got[5] == (True, "allow:/t")          # tie -> allow
+        assert got[6] == (False, "disallow:/p")      # host case-folded
+        assert got[7] == (True, "")                  # root path, no "/" rule on a
+
+    def test_robots_gate_root_path_and_longest_prefix_tiebreak(self, spark):
+        from linz_bde_uploader_spark.functions.urls import robots_gate
+
+        docs = spark.createDataFrame(
+            [(0, "https://h.org/"), (1, "https://h.org/abc")],
+            "doc_id long, url string",
+        )
+        rules = spark.createDataFrame(
+            [("h.org", "disallow", "/a"), ("h.org", "disallow", "/ab")],
+            "host string, directive string, path_prefix string",
+        )
+        got = {
+            r.doc_id: (r.path, r.robots_allowed, r.matched_rule)
+            for r in robots_gate(docs, rules).collect()
+        }
+        assert got[0] == ("/", True, "")
+        # longest matching prefix reported
+        assert got[1] == ("/abc", False, "disallow:/ab")
+
     def test_host_suffixes_label_boundaries(self, spark):
         df = spark.createDataFrame(
             [("files.src3.example.com",), ("src10.example.com",)],
