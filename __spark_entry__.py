@@ -1719,6 +1719,34 @@ def q_robots_gate(spark, sf_dir):
     )
 
 
+def q_layout_skipping(spark, sf_dir):
+    # Data-skipping layout audit (functions/layout.py) — the quantified
+    # case for range-clustering a 100-TB fact table: build the zonemap
+    # (per-storage-unit min/max/count) tables a range-clustered and a
+    # hash layout would produce for orders.o_totalprice, replay a
+    # 4-predicate workload against both, and report prunable-unit
+    # fraction + rows actually scanned per layout. Two-pass boundary
+    # computation (RangePartitioner shape: one driver-collected min/max
+    # agg, then map-side bucket math); the audit arithmetic runs on the
+    # 32-row zonemap tables only, predicate fan-out via generator
+    # explode of a literal array — no BNLJ, no cartesian.
+    from linz_bde_uploader_spark.functions import layout as LY
+
+    o = W.load(spark, sf_dir, "orders")
+    return LY.skipping_audit(
+        o,
+        "o_totalprice",
+        "o_orderkey",
+        [
+            (0.0, 50_000.0),
+            (100_000.0, 110_000.0),
+            (450_000.0, 500_000.0),
+            (600_000.0, 700_000.0),
+        ],
+        n_buckets=32,
+    ).orderBy("pred_id")
+
+
 def q_corpus_datasheet(spark, sf_dir):
     # Per-language corpus datasheet (the "datasheet for datasets"
     # reporting primitive): docs, token volume, char bounds, mean
@@ -3334,7 +3362,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    tenant q_dedup_incremental (r6+r7 green; the dedup family
         #    keeps paragraph/winnow/keep_best in-window) -> 51+
         "q_dedup_containment": q_dedup_containment,
-        "q_chunk_documents": q_chunk_documents,
+        # -- round-8 birth: zonemap data-skipping audit (range vs hash
+        #    layout, RangePartitioner-style two-pass boundaries);
+        #    displaced tenant q_chunk_documents (r6+r7 green; the
+        #    chunking family keeps q_pipeline_chunk_pack oracle-checked
+        #    at 51+) -> 51+
+        "q_layout_skipping": q_layout_skipping,
         # -- round-5 session-2 birth: count-min sketch heavy-hitters
         #    audit; displaced tenant q_tpch_q4_priority (r3+r4) -> 51+
         "q_cms_heavy_hitters": q_cms_heavy_hitters,
@@ -3455,6 +3488,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_skew_salted_join": q_skew_salted_join,
         "q_dedup_incremental": q_dedup_incremental,
         "q_negative_samples": q_negative_samples,
+        "q_chunk_documents": q_chunk_documents,
         "q_lm_collocations": q_lm_collocations,
         "q_domain_cap": q_domain_cap,
         "q_pipeline_chunk_pack": q_pipeline_chunk_pack,
@@ -4738,6 +4772,64 @@ def oracle_sql() -> dict[str, str]:
                          / count(*), 4) AS dup_fraction
             FROM ex e JOIN freq f USING (sv)
             GROUP BY e.doc_id
+        """,
+        # zonemap skipping audit: EXACT same IEEE-double bucket
+        # arithmetic as layout.py (width = (hi-lo)/32 then
+        # floor((v-lo)/width), top value clamped) — the boundary floors
+        # agree bit-for-bit because the expression shapes match
+        "q_layout_skipping": """
+            WITH mm AS (
+              SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi
+              FROM orders
+            ),
+            rb AS (
+              SELECT least(31, CAST(floor((o_totalprice - mm.lo)
+                       / ((mm.hi - mm.lo) / 32)) AS INT)) AS bucket,
+                     o_totalprice AS v
+              FROM orders, mm
+            ),
+            hb AS (
+              SELECT CAST(o_orderkey % 32 AS INT) AS bucket,
+                     o_totalprice AS v
+              FROM orders
+            ),
+            zr AS (SELECT bucket, min(v) AS zmin, max(v) AS zmax,
+                          count(*) AS n_rows FROM rb GROUP BY bucket),
+            zh AS (SELECT bucket, min(v) AS zmin, max(v) AS zmax,
+                          count(*) AS n_rows FROM hb GROUP BY bucket),
+            preds(pred_id, plo, phi) AS (VALUES
+              (0, 0.0, 50000.0),
+              (1, 100000.0, 110000.0),
+              (2, 450000.0, 500000.0),
+              (3, 600000.0, 700000.0)
+            ),
+            ar AS (
+              SELECT p.pred_id, p.plo, p.phi,
+                     round(sum(CASE WHEN zmax < p.plo OR zmin > p.phi
+                               THEN 1 ELSE 0 END) * 1.0 / count(*), 4)
+                       AS pruned_range,
+                     CAST(sum(CASE WHEN zmax < p.plo OR zmin > p.phi
+                              THEN 0 ELSE n_rows END) AS BIGINT)
+                       AS scanned_rows_range
+              FROM zr, preds p GROUP BY 1, 2, 3
+            ),
+            ah AS (
+              SELECT p.pred_id,
+                     round(sum(CASE WHEN zmax < p.plo OR zmin > p.phi
+                               THEN 1 ELSE 0 END) * 1.0 / count(*), 4)
+                       AS pruned_hash,
+                     CAST(sum(CASE WHEN zmax < p.plo OR zmin > p.phi
+                              THEN 0 ELSE n_rows END) AS BIGINT)
+                       AS scanned_rows_hash
+              FROM zh, preds p GROUP BY 1
+            )
+            SELECT CAST(ar.pred_id AS BIGINT) AS pred_id,
+                   CAST(ar.plo AS DOUBLE) AS lo,
+                   CAST(ar.phi AS DOUBLE) AS hi,
+                   ar.pruned_range, ah.pruned_hash,
+                   ar.scanned_rows_range, ah.scanned_rows_hash
+            FROM ar JOIN ah USING (pred_id)
+            ORDER BY pred_id
         """,
         # fuzzy linkage: same dictionary-first + two blocking passes +
         # length band + levenshtein chain; best match via row_number
