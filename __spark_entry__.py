@@ -1747,6 +1747,20 @@ def q_layout_skipping(spark, sf_dir):
     ).orderBy("pred_id")
 
 
+def q_lm_kneser_ney(spark, sf_dir):
+    # Interpolated Kneser-Ney bigram perplexity (lm.py::
+    # train_kn_bigram_lm / kn_score_documents; Kneser & Ney 1995, Chen
+    # & Goodman 1999) — THE standard n-gram smoothing: discounted mass
+    # goes to the CONTINUATION distribution (distinct contexts a word
+    # follows), not raw frequency, fixing the "Francisco" pathology
+    # add-one smoothing can't. One bigram-count shuffle, two window
+    # passes over the compact pair table for the N1+ statistics, T/V
+    # as broadcast one-row aggregates (whitelisted scalar-subquery
+    # BNLJ), then the standard per-doc scoring joins.
+    d = W.load(spark, sf_dir, "documents")
+    return LM.kn_score_documents(d)
+
+
 def q_corpus_datasheet(spark, sf_dir):
     # Per-language corpus datasheet (the "datasheet for datasets"
     # reporting primitive): docs, token volume, char bounds, mean
@@ -3400,7 +3414,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    rule): bigram-LM perplexity gate + cross-document
         #    duplicated-shingle stats; displaced tenants q_custdist and
         #    q_text_line_quality (both r3+r4 driver-green) -> 51+
-        "q_lm_perplexity": q_lm_perplexity,
+        # -- round-8 birth: interpolated Kneser-Ney bigram perplexity;
+        #    displaced tenant q_lm_perplexity (green r5-r7; the LM
+        #    family keeps the trigram + KN scorers in-window, add-one
+        #    bigram stays oracle-checked at 51+) -> 51+
+        "q_lm_kneser_ney": q_lm_kneser_ney,
         # -- round-7 birth: winnowing (MOSS) positional copy detection;
         #    displaced tenant q_dedup_crossdoc (r5+r6 green; the
         #    fragment family keeps q_dedup_paragraph in-window) -> 51+
@@ -3489,6 +3507,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_incremental": q_dedup_incremental,
         "q_negative_samples": q_negative_samples,
         "q_chunk_documents": q_chunk_documents,
+        "q_lm_perplexity": q_lm_perplexity,
         "q_lm_collocations": q_lm_collocations,
         "q_domain_cap": q_domain_cap,
         "q_pipeline_chunk_pack": q_pipeline_chunk_pack,
@@ -4711,6 +4730,52 @@ def oracle_sql() -> dict[str, str]:
                      ) AS kept
               FROM sv_t LEFT JOIN agg a USING (doc_id)
             ) s
+        """,
+        # Kneser-Ney: same bigram CTE as the add-one LM; the N1+
+        # statistics are window counts over the compact pair table and
+        # the probability expression mirrors lm.py's shape exactly
+        # (left-assoc double arithmetic, greatest floor)
+        "q_lm_kneser_ney": """
+            WITH toks AS (
+              SELECT doc_id, string_split(trim(text), ' ') AS l FROM documents
+            ),
+            sized AS (
+              SELECT doc_id, l, len(l) AS n FROM toks WHERE len(l) >= 2
+            ),
+            bi AS (
+              SELECT doc_id, l[i] AS prev, l[i+1] AS cur
+              FROM sized,
+                   LATERAL (SELECT unnest(generate_series(1, n - 1)) AS i) g
+            ),
+            pc AS (
+              SELECT prev, cur, count(*) AS pair_cnt FROM bi GROUP BY prev, cur
+            ),
+            st AS (
+              SELECT prev, cur, pair_cnt,
+                     sum(pair_cnt) OVER (PARTITION BY prev) AS ctx_cnt,
+                     count(*) OVER (PARTITION BY prev) AS n1f,
+                     count(*) OVER (PARTITION BY cur) AS n1b
+              FROM pc
+            ),
+            tv AS (
+              SELECT (SELECT count(*) FROM pc) AS T,
+                     (SELECT count(DISTINCT tok) FROM (
+                        SELECT prev AS tok FROM pc
+                        UNION ALL SELECT cur FROM pc)) AS V
+            ),
+            lm AS (
+              SELECT prev, cur,
+                     ln(greatest(pair_cnt - 0.75, 0.0) / ctx_cnt
+                        + (0.75 * n1f / ctx_cnt)
+                          * ((n1b + 1.0) / (T + V))) AS logp
+              FROM st, tv
+            )
+            SELECT b.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_bigrams,
+                   round(-avg(logp), 4) AS cross_entropy,
+                   round(exp(round(-avg(logp), 4)), 4) AS perplexity
+            FROM bi b JOIN lm USING (prev, cur)
+            GROUP BY b.doc_id
         """,
         "q_lm_perplexity": """
             WITH toks AS (

@@ -142,6 +142,120 @@ def perplexity_filter(docs: DataFrame, max_perplexity: float,
     return docs.join(keep, [id_col], "left_semi")
 
 
+#: absolute-discount mass moved to the continuation distribution —
+#: Kneser-Ney's published default (Chen & Goodman 1999 use 0.75 as the
+#: fixed-discount baseline).
+KN_DISCOUNT = 0.75
+
+
+def train_kn_bigram_lm(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text",
+                       discount: float = KN_DISCOUNT) -> DataFrame:
+    """Interpolated Kneser-Ney bigram LM (Kneser & Ney 1995; Chen &
+    Goodman 1999's interpolated form) — the standard n-gram smoothing,
+    and the one add-one smoothing approximates worst: probability mass
+    freed by absolute discounting goes to the CONTINUATION distribution
+    (how many distinct contexts a word follows), not raw frequency, so
+    frequent-but-fixed collocation tails ("Francisco") stop stealing
+    mass from genuinely versatile words:
+
+        p(w|v) = max(c(v,w) - D, 0) / c(v)
+                 + (D · N1+(v,·) / c(v)) · pcont(w)
+        pcont(w) = (N1+(·,w) + 1) / (T + V)
+
+    with ``N1+(v,·)`` the distinct continuations of context ``v``,
+    ``N1+(·,w)`` the distinct contexts preceding ``w``, ``T`` the
+    distinct-bigram count and ``V`` the vocabulary size. The +1/(T+V)
+    floor on the continuation term keeps p > 0 for words unseen in any
+    bigram, so the model scores out-of-corpus documents without NULLs
+    (the trigram LM's add-one-floor convention).
+
+    Returns ``(prev, cur, pair_cnt, ctx_cnt, n1f, n1b, T, V, logp)``.
+
+    Scale: one bigram-count shuffle with map-side combine; the
+    context/continuation statistics are two window passes over the
+    already-aggregated pair table (bounded by |bigram vocab|); T and V
+    ride in as broadcast ONE-ROW aggregates (the whitelisted
+    scalar-subquery BNLJ shape shared with TF-IDF's N and the add-one
+    LM's V)."""
+    from pyspark.sql import Window
+
+    bi = doc_bigrams(docs, id_col, text_col)
+    pc = bi.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("pair_cnt"))
+    wp, wc = Window.partitionBy("prev"), Window.partitionBy("cur")
+    m = (
+        pc.withColumn("ctx_cnt", F.sum("pair_cnt").over(wp))
+        .withColumn("n1f", F.count(F.lit(1)).over(wp))
+        .withColumn("n1b", F.count(F.lit(1)).over(wc))
+    )
+    totals = pc.agg(F.count(F.lit(1)).alias("T"))
+    vocab = pc.select(
+        F.explode(F.array("prev", "cur")).alias("tok")
+    ).agg(F.count_distinct("tok").alias("V"))
+    d = F.lit(float(discount))
+    return (
+        m.crossJoin(F.broadcast(totals))
+        .crossJoin(F.broadcast(vocab))
+        .withColumn(
+            "logp",
+            F.log(
+                F.greatest(F.col("pair_cnt") - d, F.lit(0.0))
+                / F.col("ctx_cnt")
+                + (d * F.col("n1f") / F.col("ctx_cnt"))
+                * ((F.col("n1b") + F.lit(1.0)) / (F.col("T") + F.col("V")))
+            ),
+        )
+    )
+
+
+def kn_score_documents(docs: DataFrame, lm: DataFrame | None = None,
+                       id_col: str = "doc_id", text_col: str = "text",
+                       discount: float = KN_DISCOUNT) -> DataFrame:
+    """Score documents under a Kneser-Ney bigram LM (self-trained when
+    ``lm`` is None): ``(id, n_bigrams, cross_entropy, perplexity)``
+    rounded to 4 dp (the :func:`score_documents` contract); documents
+    with fewer than two tokens produce no row.
+
+    Out-of-corpus back-off ladder, all derived from the model table so
+    foreign documents score without NULLs: unseen (prev, cur) with a
+    seen context scores the interpolation weight times the word's
+    continuation probability; an unseen context backs off to the
+    continuation probability alone; an unseen word bottoms out at the
+    ``1/(T+V)`` continuation floor."""
+    model = lm if lm is not None else train_kn_bigram_lm(
+        docs, id_col, text_col, discount
+    )
+    dbi = doc_bigrams(docs, id_col, text_col)
+    ctx_tbl = model.select("prev", "ctx_cnt", "n1f").distinct()
+    cont_tbl = model.select("cur", "n1b").distinct()
+    tv = model.select("T", "V").limit(1)
+    d = F.lit(float(discount))
+    pcont = (F.coalesce(F.col("n1b"), F.lit(0)) + F.lit(1.0)) / (
+        F.col("T") + F.col("V")
+    )
+    scored = (
+        dbi.join(model.select("prev", "cur", "logp"), ["prev", "cur"], "left")
+        .join(ctx_tbl, ["prev"], "left")
+        .join(cont_tbl, ["cur"], "left")
+        .crossJoin(F.broadcast(tv))
+        .withColumn(
+            "_logp",
+            F.coalesce(
+                F.col("logp"),
+                F.when(
+                    F.col("ctx_cnt").isNotNull(),
+                    F.log((d * F.col("n1f") / F.col("ctx_cnt")) * pcont),
+                ).otherwise(F.log(pcont)),
+            ),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(-F.avg("_logp"), 4).alias("cross_entropy"),
+        F.round(F.exp(F.round(-F.avg("_logp"), 4)), 4).alias("perplexity"),
+    )
+
+
 def doc_trigrams(docs: DataFrame, id_col: str = "doc_id",
                  text_col: str = "text") -> DataFrame:
     """Explode each document into ``(id, w1, w2, w3)`` adjacent-token

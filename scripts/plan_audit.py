@@ -55,6 +55,12 @@ WHITELIST: dict[str, tuple[str, ...]] = {
     # score_documents). One row on the loop side — map-only over the
     # big side, the scalar-subquery execution shape.
     "q_lm_perplexity": ("BroadcastNestedLoopJoin",),
+    # Kneser-Ney inherits the same shape twice over: the T (bigram
+    # types) and V (vocab) ONE-ROW aggregates broadcast into the pair
+    # table, and the scorer's (T, V) row broadcast into the doc-bigram
+    # stream (lm.py::train_kn_bigram_lm / kn_score_documents). Every
+    # loop side is one row — map-only over the big side.
+    "q_lm_kneser_ney": ("BroadcastNestedLoopJoin",),
     # PMI collocations: the corpus bigram TOTAL is a broadcast ONE-ROW
     # aggregate cross-joined into the counted pair table (lm.py::
     # collocations) — the same scalar-subquery shape as TF-IDF's N and

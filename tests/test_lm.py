@@ -162,6 +162,88 @@ def test_scrub_spans_within_doc_repeat_survives(spark):
     assert out[2].n_removed == 0
 
 
+def test_kn_model_hand_computed(docs):
+    """Corpus bigrams: (a,b)x3 (docs 1+2), (b,a)x1, (b,c)x1. T=3
+    types, V=3. Hand-check p(b|a) and p(c|b) against the
+    interpolated-KN formula."""
+    m = {(r.prev, r.cur): r for r in LM.train_kn_bigram_lm(docs).collect()}
+    ab = m[("a", "b")]
+    assert (ab.pair_cnt, ab.ctx_cnt, ab.n1f, ab.n1b, ab.T, ab.V) == (
+        3, 3, 1, 1, 3, 3)
+    # p(b|a) = (3-.75)/3 + (.75*1/3)*((1+1)/(3+3))
+    p_ab = (3 - 0.75) / 3 + (0.75 * 1 / 3) * ((1 + 1) / 6)
+    assert ab.logp == pytest.approx(math.log(p_ab), abs=1e-12)
+    bc = m[("b", "c")]
+    assert (bc.pair_cnt, bc.ctx_cnt, bc.n1f, bc.n1b) == (1, 2, 2, 1)
+    p_bc = (1 - 0.75) / 2 + (0.75 * 2 / 2) * ((1 + 1) / 6)
+    assert bc.logp == pytest.approx(math.log(p_bc), abs=1e-12)
+
+
+def test_kn_mass_sums_to_one_per_seen_context(spark):
+    """Interpolated KN is a proper distribution over the vocabulary for
+    every seen context — Σ_w p(w|v) = 1 when pcont uses the exact
+    (unfloored) continuation ratio; with the +1/(T+V) floor the total
+    exceeds 1 by exactly D·N1+(v,·)/c(v) · (V_extra mass). Verify the
+    DISCOUNTED frequency part + interpolation weight add to 1 over
+    seen continuations + reserved mass."""
+    docs = spark.createDataFrame(
+        [(1, "a b a c a b b a")], "doc_id long, text string"
+    )
+    m = [r for r in LM.train_kn_bigram_lm(docs).collect() if r.prev == "a"]
+    cc = m[0].ctx_cnt
+    freq_part = sum((r.pair_cnt - 0.75) / cc for r in m)
+    reserved = 0.75 * m[0].n1f / cc
+    assert freq_part + reserved == pytest.approx(1.0, abs=1e-12)
+
+
+def test_kn_score_self_corpus_and_python_twin(docs):
+    got = {r.doc_id: r for r in LM.kn_score_documents(docs).collect()}
+    assert set(got) == {1, 2}
+    # twin
+    pairs = {("a", "b"): 3, ("b", "a"): 1, ("b", "c"): 1}
+    ctx = {"a": 3, "b": 2}
+    n1f = {"a": 1, "b": 2}
+    n1b = {"b": 1, "a": 1, "c": 1}
+    T = V = 3
+
+    def p(v, w):
+        return max(pairs[(v, w)] - 0.75, 0) / ctx[v] + (
+            0.75 * n1f[v] / ctx[v]
+        ) * ((n1b[w] + 1) / (T + V))
+
+    for did, bis in {1: [("a", "b"), ("b", "a"), ("a", "b")],
+                     2: [("a", "b"), ("b", "c")]}.items():
+        ce = -sum(math.log(p(v, w)) for v, w in bis) / len(bis)
+        assert got[did].cross_entropy == pytest.approx(round(ce, 4), abs=5e-5)
+        assert got[did].n_bigrams == len(bis)
+
+
+def test_kn_backoff_ladder_out_of_corpus(spark, docs):
+    """Foreign docs: unseen pair w/ seen context, unseen context, and a
+    fully unseen word must all score finite (no NULL, no -inf)."""
+    model = LM.train_kn_bigram_lm(docs)
+    foreign = spark.createDataFrame(
+        [(9, "a c"),    # seen context 'a', pair (a,c) unseen
+         (10, "c a"),   # context 'c' never a prev
+         (11, "q q")],  # word never seen at all
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in
+           LM.kn_score_documents(foreign, model).collect()}
+    assert set(got) == {9, 10, 11}
+    for r in got.values():
+        assert r.perplexity > 0 and math.isfinite(r.cross_entropy)
+    # unseen pair, seen context: lam('a') * pcont('c')
+    exp9 = -math.log((0.75 * 1 / 3) * ((1 + 1) / 6))
+    assert got[9].cross_entropy == pytest.approx(round(exp9, 4), abs=5e-5)
+    # unseen context: pcont('a') = (1+1)/6
+    exp10 = -math.log((1 + 1) / 6)
+    assert got[10].cross_entropy == pytest.approx(round(exp10, 4), abs=5e-5)
+    # fully unseen word: floor 1/(T+V)
+    exp11 = -math.log(1 / 6)
+    assert got[11].cross_entropy == pytest.approx(round(exp11, 4), abs=5e-5)
+
+
 def test_doc_trigrams_short_docs_yield_nothing(docs):
     tri = LM.doc_trigrams(docs).collect()
     ids = {r.doc_id for r in tri}
