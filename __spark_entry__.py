@@ -1761,6 +1761,27 @@ def q_lm_kneser_ney(spark, sf_dir):
     return LM.kn_score_documents(d)
 
 
+def q_split_leakage(spark, sf_dir):
+    # Train/test leakage audit (sampling.py::split_leakage_audit) —
+    # quantifies evaluation contamination BEFORE it happens: near-dup
+    # pairs (the banded-LSH + exact-Jaccard pipeline, same 0.08
+    # threshold as q_dedup_jaccard_pairs) that straddle the split
+    # boundary under the naive per-document hash split vs the
+    # group-aware split (docs inherit their SOURCE id's split, so a
+    # source can never straddle). The gap between the two rows is why
+    # real pipelines split by host/source, not by document. Split
+    # assignment is the engine-shared integer hash; the audit is two
+    # id-keyed joins + one agg unpivoted by stack.
+    from linz_bde_uploader_spark.functions.sampling import (
+        split_leakage_audit,
+    )
+
+    d = W.load(spark, sf_dir, "documents").withColumn(
+        "_grp", F.regexp_extract("source", "[0-9]+", 0).cast("long")
+    )
+    return split_leakage_audit(d, "_grp", threshold=0.08).orderBy("policy")
+
+
 def q_corpus_datasheet(spark, sf_dir):
     # Per-language corpus datasheet (the "datasheet for datasets"
     # reporting primitive): docs, token volume, char bounds, mean
@@ -3335,9 +3356,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    winner); displaced tenant q_negative_samples (r6+r7
         #    green) -> 51+
         "q_robots_gate": q_robots_gate,
-        # round-5 birth (in-window at birth): per-stratum quantile cut;
-        # displaced r3+r4-green tenant q_mm_metadata -> 51+
-        "q_quality_quantile_filter": q_quality_quantile_filter,
+        # -- round-8 birth: train/test near-dup leakage audit (doc-hash
+        #    vs group-hash split policies); displaced tenant
+        #    q_quality_quantile_filter (green r5-r7) -> 51+
+        "q_split_leakage": q_split_leakage,
         # -- round-6 session-3 birth: DSIR importance resampling;
         #    displaced tenant q_mm_thumbnails (r4+r5 green after its r3
         #    red; multimodal family keeps q_mm_fingerprint_dedup
@@ -3508,6 +3530,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_negative_samples": q_negative_samples,
         "q_chunk_documents": q_chunk_documents,
         "q_lm_perplexity": q_lm_perplexity,
+        "q_quality_quantile_filter": q_quality_quantile_filter,
         "q_lm_collocations": q_lm_collocations,
         "q_domain_cap": q_domain_cap,
         "q_pipeline_chunk_pack": q_pipeline_chunk_pack,
@@ -5318,6 +5341,81 @@ def oracle_sql() -> dict[str, str]:
               FROM cand c JOIN sh a ON a.doc_id = c.id_a JOIN sh b ON b.doc_id = c.id_b
             )
             SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.08
+        """,
+        # split leakage: the SAME banded-candidate + exact-Jaccard pair
+        # chain as q_dedup_jaccard_pairs, then the engine-shared split
+        # hash applied to the doc id (doc_hash policy) and the source's
+        # numeric id (group_hash policy), one agg, two policy rows
+        "q_split_leakage": _MINHASH_SIGS + f"""
+            , bands AS (
+              SELECT doc_id, 0 AS band, ((0*31 + mh0)*31 + mh1) % 2147483647 AS key FROM sigs
+              UNION ALL
+              SELECT doc_id, 1, ((1*31 + mh2)*31 + mh3) % 2147483647 FROM sigs
+              UNION ALL
+              SELECT doc_id, 2, ((2*31 + mh4)*31 + mh5) % 2147483647 FROM sigs
+              UNION ALL
+              SELECT doc_id, 3, ((3*31 + mh6)*31 + mh7) % 2147483647 FROM sigs
+            ),
+            cand AS (
+              SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+              FROM bands l JOIN bands r
+                ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
+            ),
+            sh AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(generate_series(1, greatest(n-2, 1)),
+                       i -> toks[least(i, n)] || ' ' || toks[least(i+1, n)] || ' ' || toks[least(i+2, n)])) AS s
+              FROM t
+            ),
+            vp AS (
+              SELECT c.id_a, c.id_b
+              FROM cand c JOIN sh a ON a.doc_id = c.id_a
+                          JOIN sh b ON b.doc_id = c.id_b
+              WHERE round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                          / len(list_distinct(list_concat(a.s, b.s))), 6)
+                    >= 0.08
+            ),
+            g AS (
+              SELECT doc_id,
+                     CAST(regexp_extract(source, '[0-9]+') AS BIGINT) AS grp
+              FROM documents
+            ),
+            spl AS (
+              SELECT doc_id,
+                     CASE WHEN ((doc_id % 2147483647) * 2654435761 % 2147483647) % 100 < 90 THEN 'train'
+                          WHEN ((doc_id % 2147483647) * 2654435761 % 2147483647) % 100 < 95 THEN 'val'
+                          ELSE 'test' END AS nsplit,
+                     CASE WHEN ((grp % 2147483647) * 2654435761 % 2147483647) % 100 < 90 THEN 'train'
+                          WHEN ((grp % 2147483647) * 2654435761 % 2147483647) % 100 < 95 THEN 'val'
+                          ELSE 'test' END AS gsplit
+              FROM g
+            ),
+            jj AS (
+              SELECT a.nsplit AS na, b.nsplit AS nb,
+                     a.gsplit AS ga, b.gsplit AS gb
+              FROM vp JOIN spl a ON a.doc_id = vp.id_a
+                      JOIN spl b ON b.doc_id = vp.id_b
+            ),
+            ag AS (
+              SELECT count(*) AS n,
+                     sum(CASE WHEN na != nb THEN 1 ELSE 0 END) AS xd,
+                     sum(CASE WHEN ga != gb THEN 1 ELSE 0 END) AS xg
+              FROM jj
+            )
+            SELECT 'doc_hash' AS policy, CAST(n AS BIGINT) AS n_pairs,
+                   CAST(coalesce(xd, 0) AS BIGINT) AS cross_pairs,
+                   CASE WHEN n > 0
+                        THEN round(coalesce(xd, 0) * 1.0 / n, 4)
+                        ELSE 0.0 END AS leak_rate
+            FROM ag
+            UNION ALL
+            SELECT 'group_hash', CAST(n AS BIGINT),
+                   CAST(coalesce(xg, 0) AS BIGINT),
+                   CASE WHEN n > 0
+                        THEN round(coalesce(xg, 0) * 1.0 / n, 4)
+                        ELSE 0.0 END
+            FROM ag
+            ORDER BY policy
         """,
         "q_source_overlap": _MINHASH_SIGS + f"""
             , bands AS (

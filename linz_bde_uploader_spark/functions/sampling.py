@@ -533,3 +533,99 @@ def mixture_plan(
         frac.alias("sample_fraction"),
         epochs.alias("epochs"),
     )
+
+
+def split_leakage_audit(
+    docs: DataFrame,
+    group_col: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    splits: dict[str, int] | None = None,
+    n: int = 3,
+    bands: int = 4,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """Quantify evaluation contamination BEFORE it happens: how many
+    near-duplicate pairs straddle the train/val/test boundary under
+
+    - ``doc_hash``   — the naive per-document hash split, and
+    - ``group_hash`` — the group-aware split (every document of a
+      group — host, source, author — inherits the GROUP id's split, so
+      a group can never straddle the boundary).
+
+    Returns one row per policy: ``(policy, n_pairs, cross_pairs,
+    leak_rate)`` over the corpus's near-dup pairs (two-phase banded
+    MinHash candidates -> exact n-gram Jaccard >= ``threshold``, the
+    :func:`dedup.candidate_jaccard_verify` scale shape). A near-dup
+    pair crossing the boundary IS leakage: the test member is a
+    paraphrase of a training member, and reported test loss lies. The
+    standard mitigation — split by the unit that correlates with
+    duplication — is exactly what ``group_hash`` measures; the gap
+    between the two rows is the audit's deliverable.
+
+    ``group_col`` must be an integer column identifying the leakage
+    unit (map hosts/sources to dense ids upstream — the split hash is
+    integer arithmetic shared with the oracle engine).
+
+    Scale: the pair work IS the dedup pipeline (banded, never
+    all-pairs); split assignment is map-side integer hashing; the
+    audit itself is two id-keyed joins of the pair list against the
+    per-doc split table and ONE aggregate, unpivoted to a policy row
+    pair by a generator ``stack`` — no extra shuffle, no BNLJ."""
+    from linz_bde_uploader_spark.functions.dedup import (
+        candidate_jaccard_verify,
+    )
+
+    pairs = candidate_jaccard_verify(
+        docs, id_col, text_col, threshold, n, bands, rows_per_band
+    ).select("id_a", "id_b")
+    spl = with_split(
+        docs.select(F.col(id_col), F.col(group_col)), id_col, splits,
+        "nsplit",
+    )
+    spl = with_split(spl, group_col, splits, "gsplit").select(
+        id_col, "nsplit", "gsplit"
+    )
+    j = pairs.join(
+        spl.select(
+            F.col(id_col).alias("id_a"),
+            F.col("nsplit").alias("_na"),
+            F.col("gsplit").alias("_ga"),
+        ),
+        "id_a",
+    ).join(
+        spl.select(
+            F.col(id_col).alias("id_b"),
+            F.col("nsplit").alias("_nb"),
+            F.col("gsplit").alias("_gb"),
+        ),
+        "id_b",
+    )
+    agg = j.agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.sum((F.col("_na") != F.col("_nb")).cast("long")).alias("_xd"),
+        F.sum((F.col("_ga") != F.col("_gb")).cast("long")).alias("_xg"),
+    )
+    out = agg.select(
+        F.expr(
+            "stack(2, 'doc_hash', _xd, 'group_hash', _xg)"
+            " as (policy, cross_pairs)"
+        ),
+        F.col("_n").alias("n_pairs"),
+    )
+    return out.select(
+        "policy",
+        "n_pairs",
+        F.coalesce(F.col("cross_pairs"), F.lit(0)).alias("cross_pairs"),
+        F.when(
+            F.col("n_pairs") > 0,
+            F.round(
+                F.coalesce(F.col("cross_pairs"), F.lit(0)).cast("double")
+                / F.col("n_pairs"),
+                4,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("leak_rate"),
+    )

@@ -137,6 +137,69 @@ def test_mixture_plan_budget_arithmetic(spark):
     assert (stray.target_tokens, stray.sample_fraction, stray.epochs) == (0, 0.0, 0)
 
 
+def test_split_leakage_audit_matches_python_twin(spark):
+    """Near-dup pairs from identical-text clones; leakage counted under
+    both split policies must equal the hash-twin computation."""
+    from linz_bde_uploader_spark.functions.sampling import (
+        split_leakage_audit,
+    )
+
+    HASH_MOD, HASH_MIX = 2147483647, 2654435761
+
+    def bucket(i):
+        return ((i % HASH_MOD) * HASH_MIX % HASH_MOD) % 100
+
+    def split_of(i):
+        b = bucket(i)
+        return "train" if b < 90 else ("val" if b < 95 else "test")
+
+    # clone pairs (identical text -> certain near-dup); unique docs use
+    # distinct first letters (token_value hashes length+first char)
+    t1 = " ".join(f"a{i}" for i in range(12))
+    t2 = " ".join(f"b{i}" for i in range(12))
+    t3 = " ".join(f"c{i}" for i in range(12))
+    rows = []
+    for base, (txt, grp_pair) in enumerate(
+        [(t1, (0, 0)), (t2, (0, 1)), (t3, (2, 2))]
+    ):
+        ga, gb = grp_pair
+        rows += [(100 * base + 1, txt, ga), (100 * base + 2, txt, gb)]
+    # plus a unique singleton
+    rows.append((999, " ".join(f"z{i}" for i in range(12)), 3))
+    df = spark.createDataFrame(rows, "doc_id long, text string, grp long")
+
+    got = {r.policy: r for r in
+           split_leakage_audit(df, "grp", threshold=0.9).collect()}
+    pair_ids = [(1, 2), (101, 102), (201, 202)]
+    groups = {1: 0, 2: 0, 101: 0, 102: 1, 201: 2, 202: 2}
+    xd = sum(split_of(a) != split_of(b) for a, b in pair_ids)
+    xg = sum(
+        split_of(groups[a]) != split_of(groups[b]) for a, b in pair_ids
+    )
+    assert got["doc_hash"].n_pairs == 3 == got["group_hash"].n_pairs
+    assert got["doc_hash"].cross_pairs == xd
+    assert got["group_hash"].cross_pairs == xg
+    assert got["doc_hash"].leak_rate == round(xd / 3, 4)
+    # same-group clone pairs can NEVER leak under the group policy
+    same_group_pairs = [(a, b) for a, b in pair_ids if groups[a] == groups[b]]
+    assert len(same_group_pairs) == 2 and xg <= 1
+
+
+def test_split_leakage_audit_empty_pairset(spark):
+    from linz_bde_uploader_spark.functions.sampling import (
+        split_leakage_audit,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "aa bb cc dd", 0), (2, "ee ff gg hh", 1)],
+        "doc_id long, text string, grp long",
+    )
+    got = {r.policy: r for r in
+           split_leakage_audit(df, "grp", threshold=0.9).collect()}
+    for r in got.values():
+        assert (r.n_pairs, r.cross_pairs, r.leak_rate) == (0, 0, 0.0)
+
+
 def test_mixture_plan_nonstring_group_col_reports_string_source(spark):
     # group_col of a non-string type must not silently coerce the output
     # schema through the seed-row union (r7 advice): source is always
