@@ -1782,6 +1782,34 @@ def q_split_leakage(spark, sf_dir):
     return split_leakage_audit(d, "_grp", threshold=0.08).orderBy("policy")
 
 
+def q_bloom_filter_audit(spark, sf_dir):
+    # Bloom-filter probe audit (functions/bloom.py) — the runtime-filter
+    # primitive behind semi-join pruning at 100 TB (Spark's own bloom
+    # runtime filters / Iceberg bloom columns), made auditable: build
+    # the set-bit table over the order-placing customer keys, probe the
+    # full customer dictionary, and score fill ratio + false-positive
+    # rate against exact membership — the number that decides whether
+    # m_bits/n_hashes are worth their broadcast bytes BEFORE the big
+    # run. Pure engine-shared integer hashing (no engine-private hash);
+    # build/probe are map-side explodes + a broadcast bit join; the
+    # exact check is a key-dictionary semi-join. No false negatives by
+    # construction (n_maybe >= n_true is the invariant).
+    from linz_bde_uploader_spark.functions import bloom as B
+
+    o = W.load(spark, sf_dir, "orders")
+    c = W.load(spark, sf_dir, "customer")
+    # probe = real customer keys + a ghost-key set (shifted ids that
+    # exist nowhere) so the FP rate is measured over actual
+    # non-members — the synthetic corpus gives every customer an
+    # order, which would leave nothing to false-positive on
+    probe = c.select(F.col("c_custkey")).unionByName(
+        c.select((F.col("c_custkey") + F.lit(1_000_000)).alias("c_custkey"))
+    )
+    return B.bloom_probe_audit(
+        o, probe, "o_custkey", "c_custkey", n_hashes=3, m_bits=2048
+    )
+
+
 def q_corpus_datasheet(spark, sf_dir):
     # Per-language corpus datasheet (the "datasheet for datasets"
     # reporting primitive): docs, token volume, char bounds, mean
@@ -3411,9 +3439,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    vocabulary; displaced tenant q_bpe_pair_counts (r5+r6
         #    green; the BPE family keeps merges + encode in-window) -> 51+
         "q_text_oov": q_text_oov,
-        # -- round-5 session-2 birth: BPE encode (the trainer's serving
-        #    half); displaced tenant q_approx_distinct_guard (r3+r4) -> 51+
-        "q_bpe_encode": q_bpe_encode,
+        # -- round-8 birth: Bloom-filter probe audit (runtime-filter
+        #    FP-rate scoring); displaced tenant q_bpe_encode (green
+        #    r5-r7; the BPE family keeps q_bpe_merges in-window) -> 51+
+        "q_bloom_filter_audit": q_bloom_filter_audit,
         # -- round-6 birth: per-stratum ES sampling; displaced tenant
         #    q_sim_batch_topk (r3+r4+r5 green) -> 51+
         "q_weighted_sample_per_group": q_weighted_sample_per_group,
@@ -3531,6 +3560,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_chunk_documents": q_chunk_documents,
         "q_lm_perplexity": q_lm_perplexity,
         "q_quality_quantile_filter": q_quality_quantile_filter,
+        "q_bpe_encode": q_bpe_encode,
         "q_lm_collocations": q_lm_collocations,
         "q_domain_cap": q_domain_cap,
         "q_pipeline_chunk_pack": q_pipeline_chunk_pack,
@@ -4860,6 +4890,58 @@ def oracle_sql() -> dict[str, str]:
                          / count(*), 4) AS dup_fraction
             FROM ex e JOIN freq f USING (sv)
             GROUP BY e.doc_id
+        """,
+        # bloom audit: the SAME integer hash family
+        # ((k mod M)·(MIX + i·STRIDE) mod M) mod m over i in 0..2;
+        # probe keys with zero set bits never reach the inner bit join,
+        # which matches the maybe-set definition (got == need > 0)
+        "q_bloom_filter_audit": """
+            WITH bk AS (SELECT DISTINCT o_custkey AS k FROM orders),
+            pk AS (
+              SELECT DISTINCT k FROM (
+                SELECT c_custkey AS k FROM customer
+                UNION ALL
+                SELECT c_custkey + 1000000 FROM customer
+              )
+            ),
+            bbits AS (
+              SELECT DISTINCT ((k % 2147483647) * (2654435761 + i * 40503)
+                               % 2147483647) % 2048 AS bit
+              FROM bk, unnest(generate_series(0, 2)) u(i)
+            ),
+            pbits AS (
+              SELECT DISTINCT k,
+                     ((k % 2147483647) * (2654435761 + i * 40503)
+                      % 2147483647) % 2048 AS bit
+              FROM pk, unnest(generate_series(0, 2)) u(i)
+            ),
+            pneed AS (SELECT k, count(*) AS need FROM pbits GROUP BY k),
+            hits AS (
+              SELECT p.k, count(*) AS got
+              FROM pbits p JOIN bbits USING (bit)
+              GROUP BY p.k
+            ),
+            maybe AS (
+              SELECT h.k FROM hits h JOIN pneed n ON n.k = h.k
+              WHERE h.got = n.need
+            ),
+            ag AS (
+              SELECT (SELECT count(*) FROM pk) AS n_probe,
+                     (SELECT count(*) FROM pk JOIN bk USING (k)) AS n_true,
+                     (SELECT count(*) FROM maybe) AS n_maybe,
+                     (SELECT count(*) FROM bbits) AS bits_set
+            )
+            SELECT CAST(2048 AS BIGINT) AS m_bits,
+                   CAST(3 AS BIGINT) AS n_hashes,
+                   CAST(bits_set AS BIGINT) AS bits_set,
+                   round(bits_set / 2048.0, 4) AS fill_ratio,
+                   CAST(n_probe AS BIGINT) AS n_probe,
+                   CAST(n_true AS BIGINT) AS n_true,
+                   CAST(n_maybe AS BIGINT) AS n_maybe,
+                   CAST(n_maybe - n_true AS BIGINT) AS false_positives,
+                   round((n_maybe - n_true) * 1.0
+                         / greatest(n_probe - n_true, 1), 4) AS fp_rate
+            FROM ag
         """,
         # zonemap skipping audit: EXACT same IEEE-double bucket
         # arithmetic as layout.py (width = (hi-lo)/32 then
