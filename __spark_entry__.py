@@ -1810,6 +1810,19 @@ def q_bloom_filter_audit(spark, sf_dir):
     )
 
 
+def q_event_growth(spark, sf_dir):
+    # Daily growth accounting (functions/windows.py::growth_accounting)
+    # — the DAU decomposition every engagement dashboard draws: active
+    # vs first-seen-today vs returning, plus the running distinct-ever
+    # total (a running sum of per-day new counts — no per-user state in
+    # any window frame; the cumulative window runs over the |days|-row
+    # per-day table only).
+    from linz_bde_uploader_spark.functions.windows import growth_accounting
+
+    e = W.events(spark, sf_dir)
+    return growth_accounting(e)
+
+
 def q_corpus_datasheet(spark, sf_dir):
     # Per-language corpus datasheet (the "datasheet for datasets"
     # reporting primitive): docs, token volume, char bounds, mean
@@ -3378,7 +3391,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    q_quality_quantile_filter and q_weighted_sample in-window)
         #    -> 51+
         "q_url_blocklist": q_url_blocklist,
-        "q_event_session_window": q_event_session_window,
+        # -- round-8 birth: daily growth accounting (new/returning/
+        #    cumulative DAU decomposition); displaced tenant
+        #    q_event_session_window (r6+r7 green; the event family
+        #    keeps funnel + cohort retention in-window) -> 51+
+        "q_event_growth": q_event_growth,
         # -- round-8 birth: robots-exclusion gate (RFC 9309 longest-
         #    prefix precedence, broadcast host join + struct-max
         #    winner); displaced tenant q_negative_samples (r6+r7
@@ -3561,6 +3578,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lm_perplexity": q_lm_perplexity,
         "q_quality_quantile_filter": q_quality_quantile_filter,
         "q_bpe_encode": q_bpe_encode,
+        "q_event_session_window": q_event_session_window,
         "q_lm_collocations": q_lm_collocations,
         "q_domain_cap": q_domain_cap,
         "q_pipeline_chunk_pack": q_pipeline_chunk_pack,
@@ -4397,6 +4415,30 @@ def oracle_sql() -> dict[str, str]:
             FROM t1
             LEFT JOIN t2 ON t2.user_id = t1.user_id
             LEFT JOIN t3 ON t3.user_id = t1.user_id
+        """,
+        "q_event_growth": """
+            WITH f AS (
+              SELECT user_id, min(CAST(ts AS DATE)) AS fd
+              FROM events GROUP BY 1
+            ),
+            d AS (
+              SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+            ),
+            pd AS (
+              SELECT d.day, count(*) AS active_users,
+                     sum(CASE WHEN d.day = f.fd THEN 1 ELSE 0 END)
+                       AS new_users
+              FROM d JOIN f USING (user_id) GROUP BY d.day
+            )
+            SELECT day,
+                   CAST(active_users AS BIGINT) AS active_users,
+                   CAST(new_users AS BIGINT) AS new_users,
+                   CAST(active_users - new_users AS BIGINT)
+                     AS returning_users,
+                   CAST(sum(new_users) OVER (ORDER BY day
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                     AS cumulative_users
+            FROM pd
         """,
         "q_event_cohort_retention": """
             WITH f AS (

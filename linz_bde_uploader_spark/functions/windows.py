@@ -227,3 +227,56 @@ def cohort_retention(
         .groupBy("cohort_day", "day_offset")
         .agg(F.count_distinct(user_col).alias("active_users"))
     )
+
+
+def growth_accounting(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts_ntz",
+) -> DataFrame:
+    """Daily growth accounting — the complement of
+    :func:`cohort_retention`'s triangle: one row per active day with
+
+    ``(day, active_users, new_users, returning_users,
+    cumulative_users)``
+
+    where ``new_users`` were first seen that day, ``returning = active
+    - new``, and ``cumulative_users`` is the running total of
+    first-sightings (= distinct users ever seen through that day —
+    computed as a running SUM of the per-day new counts, which equals
+    the windowed count-distinct without ever holding per-user state in
+    a window frame).
+
+    Scale: one agg for first-days (state O(users)), one distinct over
+    (day, user) — both partial-aggregated shuffles — a user-keyed join
+    (AQE broadcasts the first-day table when small), one bounded
+    per-day agg, and the cumulative window runs over the tiny per-DAY
+    table only (|days| rows), not over events."""
+    from pyspark.sql import Window
+
+    first = events.groupBy(user_col).agg(
+        F.min(F.to_date(ts_col)).alias("_first_day")
+    )
+    daily = events.select(
+        F.to_date(ts_col).alias("day"), F.col(user_col)
+    ).distinct()
+    per_day = (
+        daily.join(first, user_col)
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("active_users"),
+            F.sum(
+                (F.col("day") == F.col("_first_day")).cast("long")
+            ).alias("new_users"),
+        )
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return per_day.select(
+        "day",
+        "active_users",
+        "new_users",
+        (F.col("active_users") - F.col("new_users")).alias(
+            "returning_users"
+        ),
+        F.sum("new_users").over(w).cast("long").alias("cumulative_users"),
+    )

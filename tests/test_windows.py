@@ -231,3 +231,59 @@ class TestFunnelCohort:
             ("2024-01-01", 2): 1,
             ("2024-01-02", 0): 1,
         }
+
+
+class TestGrowthAccounting:
+    def test_new_returning_cumulative(self, spark):
+        from datetime import datetime as DT
+
+        from linz_bde_uploader_spark.functions.windows import (
+            growth_accounting,
+        )
+
+        df = spark.createDataFrame(
+            [
+                (1, DT(2024, 1, 1, 5), 1, "view"),
+                (2, DT(2024, 1, 1, 6), 1, "view"),   # same user+day dedup
+                (3, DT(2024, 1, 1, 7), 2, "view"),
+                (4, DT(2024, 1, 2, 5), 1, "view"),   # returning
+                (5, DT(2024, 1, 2, 6), 3, "view"),   # new on day 2
+                (6, DT(2024, 1, 4, 5), 3, "view"),   # gap day, returning
+            ],
+            "event_id long, ts_ntz timestamp_ntz, user_id long, event_type string",
+        )
+        out = {str(r.day): r for r in growth_accounting(df).collect()}
+        d1, d2, d4 = out["2024-01-01"], out["2024-01-02"], out["2024-01-04"]
+        assert (d1.active_users, d1.new_users, d1.returning_users,
+                d1.cumulative_users) == (2, 2, 0, 2)
+        assert (d2.active_users, d2.new_users, d2.returning_users,
+                d2.cumulative_users) == (2, 1, 1, 3)
+        # inactive day 3 emits no row; cumulative carries through day 4
+        assert "2024-01-03" not in out
+        assert (d4.active_users, d4.new_users, d4.returning_users,
+                d4.cumulative_users) == (1, 0, 1, 3)
+
+    def test_cumulative_equals_distinct_ever_seen(self, spark):
+        from datetime import datetime as DT
+
+        from linz_bde_uploader_spark.functions.windows import (
+            growth_accounting,
+        )
+
+        rows = [
+            (i, DT(2024, 1, 1 + (i * 3) % 7, 8), (i * 5) % 11, "view")
+            for i in range(40)
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "event_id long, ts_ntz timestamp_ntz, user_id long, event_type string",
+        )
+        out = sorted(growth_accounting(df).collect(), key=lambda r: r.day)
+        seen = set()
+        by_day = {}
+        for i, d, u, _ in rows:
+            by_day.setdefault(d.date(), set()).add(u)
+        for r in out:
+            seen |= by_day[r.day]
+            assert r.cumulative_users == len(seen)
+            assert r.active_users == len(by_day[r.day])
