@@ -444,3 +444,42 @@ def ingest_gate_stream(
     return s.filter(F.col("logw") >= dsir_threshold).select(
         id_col, "prob", "n_tokens", "logw"
     )
+
+
+def crawl_gate_stream(
+    df: DataFrame,
+    blocked_hosts: "list[str]",
+    robots_rules: "list[tuple[str, str, str]]",
+    url_col: str = "url",
+    text_col: str = "text",
+) -> DataFrame:
+    """The crawl-frontier gate as ONE streamed map-only plan — the
+    filter chain a live web crawl runs on every arriving page, in
+    gate-cost order:
+
+    1. host blocklist (``urls.blocklist_filter`` list path — a
+       constant-folded boolean chain; the cheapest reject first),
+    2. robots compliance (``urls.robots_gate_local`` — the rules list
+       compiled to a precedence-sorted CASE chain, the stream-safe
+       form of the RFC 9309 longest-prefix match),
+    3. PII scrub on the survivors (``text.scrub_pii`` — chained
+       regexp_replace, the standard pre-training redaction).
+
+    Everything is per-row Column arithmetic: no join, no state store,
+    no watermark; every micro-batch independent, append mode. Rows
+    identical to running the three batch operators in sequence (the
+    parity test pins it, including against the DataFrame-path robots
+    gate). Returns the surviving rows with ``canon_url``, ``host``,
+    and the scrubbed ``text``."""
+    from linz_bde_uploader_spark.functions.text import scrub_pii
+    from linz_bde_uploader_spark.functions.urls import (
+        blocklist_filter, robots_gate_local,
+    )
+
+    gated = blocklist_filter(df, blocked_hosts, (), url_col).filter(
+        F.col("block_reason") == "ok"
+    ).drop("block_reason", "canon_url", "host")
+    compliant = robots_gate_local(gated, robots_rules, url_col).filter(
+        F.col("robots_allowed")
+    ).drop("robots_allowed", "matched_rule", "path")
+    return compliant.withColumn(text_col, scrub_pii(F.col(text_col)))

@@ -575,3 +575,78 @@ def test_dedup_gate_stream_rejects_reserved_column_names(spark):
     )
     with pytest.raises(ValueError, match="_h0"):
         dedup_gate_stream(bad2, index)
+
+
+def test_crawl_gate_stream_matches_batch_composition(spark, tmp_path):
+    """crawl_gate_stream (blocklist -> robots -> PII scrub in one
+    map-only streamed plan) must pass exactly the rows and text the
+    three batch operators produce in sequence — including parity of
+    the CASE-chain robots form against the DataFrame-path gate."""
+    from linz_bde_uploader_spark.functions.text import scrub_pii
+    from linz_bde_uploader_spark.functions.urls import (
+        blocklist_filter, robots_gate, robots_gate_local,
+    )
+    from linz_bde_uploader_spark.streaming.poll import crawl_gate_stream
+
+    rows = [
+        (0, "https://bad.example.com/p/1", "clean text"),
+        (1, "https://a.example.com/p/2", "mail me a@b.co"),   # robots-blocked
+        (2, "https://a.example.com/p/1/x", "mail me a@b.co"), # allow carve-out
+        (3, "https://ok.org/anything", "call 555-123-4567"),
+        (4, "https://a.example.com/q", "no pii here"),
+    ]
+    schema = "doc_id long, url string, text string"
+    blocked = ["bad.example.com"]
+    rules = [
+        ("a.example.com", "disallow", "/p"),
+        ("a.example.com", "allow", "/p/1"),
+    ]
+    df = spark.createDataFrame(rows, schema)
+
+    # batch composition (DataFrame-path robots gate as the reference)
+    b1 = blocklist_filter(df, blocked, (), "url").filter(
+        F.col("block_reason") == "ok"
+    ).drop("block_reason", "canon_url", "host")
+    rules_df = spark.createDataFrame(
+        rules, "host string, directive string, path_prefix string"
+    )
+    b2 = robots_gate(b1, rules_df, "url").filter(F.col("robots_allowed"))
+    batch = {
+        r.doc_id: r.text
+        for r in b2.withColumn("text", scrub_pii(F.col("text"))).collect()
+    }
+    assert set(batch) == {2, 3, 4}
+    assert "a@b.co" not in batch[2] and "555-123-4567" not in batch[3]
+
+    # local CASE-chain robots parity on the same rows
+    loc = {
+        r.doc_id: (r.robots_allowed, r.matched_rule)
+        for r in robots_gate_local(df, rules, "url").collect()
+    }
+    dfp = {
+        r.doc_id: (r.robots_allowed, r.matched_rule)
+        for r in robots_gate(df, rules_df, "url").collect()
+    }
+    assert loc == dfp
+
+    # streamed form
+    src = tmp_path / "crawl"
+    src.mkdir()
+    spark.createDataFrame(rows, schema).write.mode("append").parquet(str(src))
+    gated = crawl_gate_stream(
+        spark.readStream.schema(schema).parquet(str(src)), blocked, rules
+    )
+    assert gated.isStreaming
+    q = (
+        gated.writeStream.format("memory")
+        .queryName("cgate")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_cg"))
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        r.doc_id: r.text
+        for r in spark.sql("SELECT doc_id, text FROM cgate").collect()
+    }
+    assert streamed == batch
