@@ -83,6 +83,16 @@ PICK = [
     # round-7 session-2 births: winnowing's fp-keyed self-join (df cap
     # bounds per-key fanout) and the OOV broadcast-membership agg
     "q_dedup_winnow", "q_text_oov",
+    # round-8 births: the blocked fuzzy matcher (dictionary-first, so
+    # pair work scales with distinct names, not rows), containment's
+    # rare-shingle inverted self-join, the robots broadcast gate, the
+    # zonemap audit (two tiny-table replays + one min/max pass), KN's
+    # two window passes over the pair table, the leakage audit riding
+    # the banded pair pipeline, the bloom bit explode + broadcast bit
+    # join, and growth accounting's two bounded aggs
+    "q_fuzzy_join", "q_dedup_containment", "q_robots_gate",
+    "q_layout_skipping", "q_lm_kneser_ney", "q_split_leakage",
+    "q_bloom_filter_audit", "q_event_growth",
 ]
 
 
