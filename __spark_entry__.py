@@ -1823,6 +1823,19 @@ def q_event_growth(spark, sf_dir):
     return growth_accounting(e)
 
 
+def q_quality_calibration(spark, sf_dir):
+    # Calibration audit (text.py::quality_calibration): the learned
+    # quality gate's P(keep), binned, against the empirical Gopher-
+    # rules pass rate per bin — the check run before trusting a
+    # learned filter to replace the rule stack at corpus scale
+    # (miscalibration here is silent corpus skew there). Both signals
+    # are map-only Column arithmetic; the only shuffle is the
+    # n_bins-key partial agg; mean_prob averages 1e-6 fixed-point ints
+    # (the host-datasheet convention) so fold order cannot drift it.
+    d = W.load(spark, sf_dir, "documents")
+    return X.quality_calibration(d, n_bins=10)
+
+
 def q_corpus_datasheet(spark, sf_dir):
     # Per-language corpus datasheet (the "datasheet for datasets"
     # reporting primitive): docs, token volume, char bounds, mean
@@ -3405,11 +3418,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    vs group-hash split policies); displaced tenant
         #    q_quality_quantile_filter (green r5-r7) -> 51+
         "q_split_leakage": q_split_leakage,
-        # -- round-6 session-3 birth: DSIR importance resampling;
-        #    displaced tenant q_mm_thumbnails (r4+r5 green after its r3
-        #    red; multimodal family keeps q_mm_fingerprint_dedup
-        #    oracle-checked at 51+) -> 51+
-        "q_dsir_select": q_dsir_select,
+        # -- round-8 birth: learned-vs-rules quality calibration audit;
+        #    displaced tenant q_dsir_select (r6+r7 green; the DSIR
+        #    family keeps q_dsir_select_bigram in-window) -> 51+
+        "q_quality_calibration": q_quality_calibration,
         # -- round-5 births, in-window at birth (rotation rule): their
         #    displaced tenants q_sim_cosine_topk / q_sim_cosine_above
         #    each carry THREE green driver rows (r1+r3+r4) -> 51+
@@ -3579,6 +3591,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_quality_quantile_filter": q_quality_quantile_filter,
         "q_bpe_encode": q_bpe_encode,
         "q_event_session_window": q_event_session_window,
+        "q_dsir_select": q_dsir_select,
         "q_lm_collocations": q_lm_collocations,
         "q_domain_cap": q_domain_cap,
         "q_pipeline_chunk_pack": q_pipeline_chunk_pack,
@@ -4298,6 +4311,53 @@ def oracle_sql() -> dict[str, str]:
                    round(-avg(lp), 4) AS cross_entropy,
                    round(exp(round(-avg(lp), 4)), 4) AS perplexity
             FROM sc GROUP BY doc_id
+        """,
+        # calibration: the classifier's prob chain joined with the
+        # gopher passes predicate, binned; fixed-point mean (1e-6 ints)
+        "q_quality_calibration": f"""
+            WITH probs AS (
+              SELECT doc_id,
+                     round(1.0 / (1.0 + exp(-logit)), 6) AS prob
+              FROM (
+                SELECT doc_id,
+                       round(CASE WHEN n > 0 THEN 0.0 + 4.0 * (s / n)
+                             ELSE 0.0 END, 6) AS logit
+                FROM (
+                  SELECT doc_id, len(tk) AS n,
+                         list_sum(list_transform(tk, t ->
+                           CAST(((({_tokval('t')} % 64) + 1) * 2654435761)
+                                % 2147483647 AS DOUBLE) / 2147483647 - 0.5
+                         )) AS s
+                  FROM (SELECT doc_id, string_split(trim(text), ' ') AS tk
+                        FROM documents)
+                )
+              )
+            ),
+            gp AS (
+              SELECT doc_id,
+                     CASE WHEN (n BETWEEN 5 AND 100000)
+                       AND (round(CAST(list_sum(list_transform(toks, t -> len(t))) AS DOUBLE) / nz, 6) BETWEEN 2.0 AND 10.0)
+                       AND (round(CAST(len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]'))) AS DOUBLE) / nz, 6) >= 0.8)
+                       AND (len(list_filter(toks, t -> t IN {_STOPLIST})) >= 2)
+                       AND (round(CAST(len(regexp_extract_all(text, '#|\\.\\.\\.')) AS DOUBLE) / nz, 6) <= 0.1)
+                     THEN 1 ELSE 0 END AS gpass
+              FROM (
+                SELECT doc_id, text, {_TOKS} AS toks, len({_TOKS}) AS n,
+                       greatest(len({_TOKS}), 1) AS nz
+                FROM documents
+              )
+            ),
+            per AS (
+              SELECT least(9, CAST(floor(p.prob * 10) AS BIGINT)) AS bin,
+                     CAST(round(p.prob * 1000000.0) AS BIGINT) AS fp,
+                     g.gpass
+              FROM probs p JOIN gp g USING (doc_id)
+            )
+            SELECT bin, CAST(count(*) AS BIGINT) AS n_docs,
+                   round(sum(fp) / (count(*) * 1000000.0), 6) AS mean_prob,
+                   round(sum(gpass) * 1.0 / count(*), 4)
+                     AS gopher_pass_frac
+            FROM per GROUP BY bin
         """,
         "q_quality_classifier": f"""
             SELECT doc_id, n_tokens, logit,

@@ -821,3 +821,53 @@ def oov_stats(
             ).alias("oov_fraction"),
         )
     )
+
+
+def quality_calibration(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_bins: int = 10,
+) -> DataFrame:
+    """Calibration audit of the learned quality gate against the
+    rule-based one: bucket :func:`quality_classifier`'s P(keep) into
+    ``n_bins`` equal-width bins and report, per bin,
+
+    ``(bin, n_docs, mean_prob, gopher_pass_frac)``
+
+    — predicted probability vs the EMPIRICAL :func:`gopher_pass` rate.
+    A well-calibrated classifier tracks the diagonal; a flat
+    ``gopher_pass_frac`` across bins means the score carries no signal
+    the rules don't. This is the audit run before trusting a learned
+    filter to replace (or gate ahead of) the rule stack at corpus
+    scale — miscalibration here is silent corpus skew there.
+
+    Determinism: ``prob`` is already 6-dp-rounded by the classifier;
+    ``mean_prob`` averages 1e-6 fixed-point integers (the
+    host-datasheet convention) so partial-agg fold order cannot drift
+    the mean; fractions at 4 dp.
+
+    Scale: both signals are map-only Column arithmetic; the only
+    shuffle is the final ``n_bins``-key partial agg."""
+    if n_bins <= 0:
+        raise ValueError("n_bins must be positive")
+    q = quality_classifier(
+        docs, id_col, text_col, passthrough=(text_col,)
+    )
+    b = F.least(
+        F.lit(n_bins - 1), F.floor(F.col("prob") * n_bins)
+    ).cast("long")
+    per = q.select(
+        b.alias("bin"),
+        F.round(F.col("prob") * 1e6).cast("long").alias("_p"),
+        gopher_pass(F.col(text_col)).cast("long").alias("_gp"),
+    )
+    return per.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.round(
+            F.sum("_p") / (F.count(F.lit(1)) * F.lit(1e6)), 6
+        ).alias("mean_prob"),
+        F.round(
+            F.sum("_gp").cast("double") / F.count(F.lit(1)), 4
+        ).alias("gopher_pass_frac"),
+    )

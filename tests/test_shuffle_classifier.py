@@ -315,3 +315,58 @@ class TestKeepBestDatasheet:
         out = keep_best_per_cluster(docs, comp, "q").collect()
         assert {r.doc_id for r in out} == set(range(10))
         assert all(r.component == r.doc_id for r in out)
+
+
+class TestQualityCalibration:
+    def test_bins_and_twin(self, spark):
+        from linz_bde_uploader_spark.functions.text import (
+            gopher_pass, quality_calibration, quality_classifier,
+        )
+
+        # mixed corpus: normal sentences (pass gopher) + junk (fail)
+        rows = [(i, "the quick brown fox jumps over the lazy dog again "
+                    + f"w{i} x{i}") for i in range(6)]
+        rows += [(10 + i, "### ... ### ... ###") for i in range(3)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r.bin: r for r in quality_calibration(df, n_bins=4).collect()}
+        # twin from the public pieces
+        q = quality_classifier(df, passthrough=("text",))
+        probe = q.select(
+            "doc_id", "prob",
+            gopher_pass(F.col("text")).alias("gp"),
+        ).collect()
+        import collections
+        twin = collections.defaultdict(list)
+        for r in probe:
+            b = min(3, int(r.prob * 4))
+            twin[b].append(r)
+        assert set(out) == set(twin)
+        for b, rs in twin.items():
+            assert out[b].n_docs == len(rs)
+            assert out[b].mean_prob == pytest.approx(
+                round(sum(round(r.prob * 1e6) for r in rs)
+                      / (len(rs) * 1e6), 6), abs=1e-9)
+            assert out[b].gopher_pass_frac == pytest.approx(
+                round(sum(r.gp for r in rs) / len(rs) + 1e-12, 4), abs=1e-9)
+        # total docs conserved across bins (no silent drops)
+        assert sum(r.n_docs for r in out.values()) == 9
+
+    def test_prob_one_clamps_into_last_bin(self, spark):
+        from linz_bde_uploader_spark.functions.text import (
+            quality_calibration,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "aa bb cc dd ee")], "doc_id long, text string"
+        )
+        rows = quality_calibration(df, n_bins=5).collect()
+        assert all(0 <= r.bin <= 4 for r in rows)
+
+    def test_rejects_bad_bins(self, spark):
+        from linz_bde_uploader_spark.functions.text import (
+            quality_calibration,
+        )
+
+        df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+        with pytest.raises(ValueError):
+            quality_calibration(df, n_bins=0)
