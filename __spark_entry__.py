@@ -1836,6 +1836,28 @@ def q_quality_calibration(spark, sf_dir):
     return X.quality_calibration(d, n_bins=10)
 
 
+def q_curriculum(spark, sf_dir):
+    # Curriculum-learning schedule (sampling.py::curriculum_schedule
+    # composed with lm.py::kn_score_documents): per-doc Kneser-Ney
+    # cross-entropy as the difficulty signal, exact-quartile phase
+    # boundaries (two-pass RangePartitioner shape: one percentile agg
+    # to the driver, then a map-side threshold chain), deterministic
+    # in-phase shuffled positions via the (phase, shard) window — no
+    # global sort, peak per-task state one shard of one phase. A
+    # loader streams phase 0 first: "train on the easy quarter first"
+    # materialized. Inherits the KN scorer's whitelisted one-row T/V
+    # broadcasts.
+    from linz_bde_uploader_spark.functions.sampling import (
+        curriculum_schedule,
+    )
+
+    d = W.load(spark, sf_dir, "documents")
+    scores = LM.kn_score_documents(d).select(
+        "doc_id", F.col("cross_entropy").alias("difficulty")
+    )
+    return curriculum_schedule(scores, n_phases=4, n_shards=4)
+
+
 def q_corpus_datasheet(spark, sf_dir):
     # Per-language corpus datasheet (the "datasheet for datasets"
     # reporting primitive): docs, token volume, char bounds, mean
@@ -3372,7 +3394,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_graph_pagerank_directed": q_graph_pagerank_directed,
         "q_lm_trigram_perplexity": q_lm_trigram_perplexity,
         "q_quality_classifier": q_quality_classifier,
-        "q_corpus_shuffle": q_corpus_shuffle,
+        # -- round-8 birth: KN-difficulty curriculum schedule (quartile
+        #    phases + sharded deterministic in-phase order); displaced
+        #    tenant q_corpus_shuffle (r6+r7 green; the shuffle idiom
+        #    stays exercised through the curriculum's shard/pos window
+        #    and q_corpus_shuffle's oracle at 51+) -> 51+
+        "q_curriculum": q_curriculum,
         # -- round-7 birth: keyword-lexicon topic classifier; displaced
         #    tenant q_quality_histogram (r5+r6 green) -> 51+
         "q_topic_classify": q_topic_classify,
@@ -3592,6 +3619,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bpe_encode": q_bpe_encode,
         "q_event_session_window": q_event_session_window,
         "q_dsir_select": q_dsir_select,
+        "q_corpus_shuffle": q_corpus_shuffle,
         "q_lm_collocations": q_lm_collocations,
         "q_domain_cap": q_domain_cap,
         "q_pipeline_chunk_pack": q_pipeline_chunk_pack,
@@ -4885,6 +4913,73 @@ def oracle_sql() -> dict[str, str]:
                      ) AS kept
               FROM sv_t LEFT JOIN agg a USING (doc_id)
             ) s
+        """,
+        # curriculum: the KN scoring chain feeding exact quartile
+        # boundaries (quantile_cont == Spark's interpolated percentile
+        # over the same 4-dp doubles), the shared shuffle-key hash, and
+        # the (phase, shard) ranking window
+        "q_curriculum": """
+            WITH toks AS (
+              SELECT doc_id, string_split(trim(text), ' ') AS l FROM documents
+            ),
+            sized AS (
+              SELECT doc_id, l, len(l) AS n FROM toks WHERE len(l) >= 2
+            ),
+            bi AS (
+              SELECT doc_id, l[i] AS prev, l[i+1] AS cur
+              FROM sized,
+                   LATERAL (SELECT unnest(generate_series(1, n - 1)) AS i) g
+            ),
+            pc AS (
+              SELECT prev, cur, count(*) AS pair_cnt FROM bi GROUP BY prev, cur
+            ),
+            st AS (
+              SELECT prev, cur, pair_cnt,
+                     sum(pair_cnt) OVER (PARTITION BY prev) AS ctx_cnt,
+                     count(*) OVER (PARTITION BY prev) AS n1f,
+                     count(*) OVER (PARTITION BY cur) AS n1b
+              FROM pc
+            ),
+            tv AS (
+              SELECT (SELECT count(*) FROM pc) AS T,
+                     (SELECT count(DISTINCT tok) FROM (
+                        SELECT prev AS tok FROM pc
+                        UNION ALL SELECT cur FROM pc)) AS V
+            ),
+            lm AS (
+              SELECT prev, cur,
+                     ln(greatest(pair_cnt - 0.75, 0.0) / ctx_cnt
+                        + (0.75 * n1f / ctx_cnt)
+                          * ((n1b + 1.0) / (T + V))) AS logp
+              FROM st, tv
+            ),
+            sc AS (
+              SELECT b.doc_id,
+                     round(-avg(logp), 4) AS difficulty
+              FROM bi b JOIN lm USING (prev, cur)
+              GROUP BY b.doc_id
+            ),
+            qb AS (
+              SELECT quantile_cont(difficulty, [0.25, 0.5, 0.75]) AS q
+              FROM sc
+            ),
+            ph AS (
+              SELECT s.doc_id, s.difficulty,
+                     CAST(CAST(s.difficulty > qb.q[1] AS INT)
+                          + CAST(s.difficulty > qb.q[2] AS INT)
+                          + CAST(s.difficulty > qb.q[3] AS INT)
+                          AS BIGINT) AS phase,
+                     ((s.doc_id % 2147483647) * 2654435761) % 2147483647
+                       AS skey
+              FROM sc s, qb
+            )
+            SELECT doc_id, difficulty, phase,
+                   CAST(skey % 4 AS BIGINT) AS shard,
+                   CAST(row_number() OVER (
+                          PARTITION BY phase, skey % 4
+                          ORDER BY skey, doc_id) - 1 AS BIGINT)
+                     AS pos_in_shard
+            FROM ph
         """,
         # Kneser-Ney: same bigram CTE as the add-one LM; the N1+
         # statistics are window counts over the compact pair table and

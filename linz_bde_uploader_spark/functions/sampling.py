@@ -629,3 +629,73 @@ def split_leakage_audit(
         .otherwise(F.lit(0.0))
         .alias("leak_rate"),
     )
+
+
+def curriculum_schedule(
+    scores: DataFrame,
+    id_col: str = "doc_id",
+    difficulty_col: str = "difficulty",
+    n_phases: int = 4,
+    n_shards: int = 8,
+    salt: int = 0,
+) -> DataFrame:
+    """Curriculum-learning schedule: split the corpus into
+    ``n_phases`` easy-to-hard phases by exact difficulty percentiles
+    and give every row a deterministic position within its phase —
+    the materialized form of "train on the easy quarter first"
+    (Bengio et al. 2009; the data-side half of every curriculum
+    recipe). Returns ``scores`` + ``(phase, shard, pos_in_shard)``:
+    a loader streams phase 0's shards first, each shard already in
+    its reproducible shuffled order.
+
+    ``scores`` is ``(id, difficulty)`` — any per-document scalar
+    (LM cross-entropy, length, quality) works; compose with
+    :func:`lm.kn_score_documents` for the standard perplexity
+    curriculum. Phase boundaries are EXACT interpolated percentiles
+    (two-pass: one percentile aggregate collected to the driver —
+    the RangePartitioner shape — then a map-side threshold chain);
+    a row exactly on a boundary goes to the EASIER phase. Within a
+    phase, ordering is the :func:`deterministic_shuffle` contract:
+    ``(phase, shard, pos_in_shard)`` is a pure function of
+    ``(id, salt)`` and the boundaries — same schedule on any engine,
+    partitioning, or day; a new salt is a fresh epoch permutation.
+
+    Scale: the percentile agg is one pass (exact percentile holds
+    per-partition sorted runs — swap for approx_percentile at
+    extreme cardinalities and accept boundary jitter); the ranking
+    window hash-partitions on (phase, shard), so peak per-task state
+    is one shard of one phase — ``n_shards`` controls it directly.
+    No global sort anywhere."""
+    from pyspark.sql import Window
+
+    from linz_bde_uploader_spark.caching import track
+
+    if n_phases < 1:
+        raise ValueError("n_phases must be >= 1")
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    # The boundary pass is an ACTION over the scores — persist them so
+    # an expensive upstream difficulty signal (an LM train+score) runs
+    # once, not once per pass (the two-pass RangePartitioner shape
+    # always stages its input).
+    scores = track(scores)
+    bounds: list[float] = []
+    if n_phases > 1:
+        ps = ", ".join(repr(i / n_phases) for i in range(1, n_phases))
+        row = scores.agg(
+            F.expr(f"percentile({difficulty_col}, array({ps}))").alias("b")
+        ).collect()[0]
+        bounds = [float(x) for x in row.b]
+    phase = F.lit(0)
+    for b in bounds:
+        phase = phase + (F.col(difficulty_col) > F.lit(b)).cast("int")
+    w = Window.partitionBy("phase", "shard").orderBy("_skey", id_col)
+    return (
+        scores.withColumn("phase", phase.cast("long"))
+        .withColumn("_skey", shuffle_key(id_col, salt))
+        .withColumn("shard", F.pmod(F.col("_skey"), F.lit(n_shards)))
+        .withColumn(
+            "pos_in_shard", (F.row_number().over(w) - 1).cast("long")
+        )
+        .drop("_skey")
+    )

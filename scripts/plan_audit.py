@@ -61,6 +61,10 @@ WHITELIST: dict[str, tuple[str, ...]] = {
     # stream (lm.py::train_kn_bigram_lm / kn_score_documents). Every
     # loop side is one row — map-only over the big side.
     "q_lm_kneser_ney": ("BroadcastNestedLoopJoin",),
+    # The KN-difficulty curriculum composes kn_score_documents, so it
+    # inherits the same one-row T/V broadcasts — nothing else in its
+    # plan loops.
+    "q_curriculum": ("BroadcastNestedLoopJoin",),
     # PMI collocations: the corpus bigram TOTAL is a broadcast ONE-ROW
     # aggregate cross-joined into the counted pair table (lm.py::
     # collocations) — the same scalar-subquery shape as TF-IDF's N and

@@ -92,7 +92,8 @@ PICK = [
     # join, and growth accounting's two bounded aggs
     "q_fuzzy_join", "q_dedup_containment", "q_robots_gate",
     "q_layout_skipping", "q_lm_kneser_ney", "q_split_leakage",
-    "q_bloom_filter_audit", "q_event_growth",
+    "q_bloom_filter_audit", "q_event_growth", "q_quality_calibration",
+    "q_curriculum",
 ]
 
 

@@ -370,3 +370,58 @@ class TestQualityCalibration:
         df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
         with pytest.raises(ValueError):
             quality_calibration(df, n_bins=0)
+
+
+class TestCurriculumSchedule:
+    def test_phases_by_exact_quartiles(self, spark):
+        from linz_bde_uploader_spark.functions.sampling import (
+            curriculum_schedule,
+        )
+
+        scores = spark.createDataFrame(
+            [(i, float(i)) for i in range(8)], "doc_id long, difficulty double"
+        )
+        out = {r.doc_id: r for r in
+               curriculum_schedule(scores, n_phases=4, n_shards=2).collect()}
+        # exact quartiles of 0..7: 1.75, 3.5, 5.25; boundary -> easier phase
+        expect = {0: 0, 1: 0, 2: 1, 3: 1, 4: 2, 5: 2, 6: 3, 7: 3}
+        assert {k: v.phase for k, v in out.items()} == expect
+
+    def test_positions_dense_and_deterministic(self, spark):
+        from linz_bde_uploader_spark.functions.sampling import (
+            curriculum_schedule,
+        )
+
+        scores = spark.createDataFrame(
+            [(i, float(i % 5)) for i in range(40)],
+            "doc_id long, difficulty double",
+        )
+        a = curriculum_schedule(scores, n_phases=2, n_shards=4).collect()
+        b = curriculum_schedule(
+            scores.repartition(7), n_phases=2, n_shards=4
+        ).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # layout-proof
+        import collections
+        by = collections.defaultdict(list)
+        for r in a:
+            by[(r.phase, r.shard)].append(r.pos_in_shard)
+        for pos in by.values():
+            assert sorted(pos) == list(range(len(pos)))  # dense 0..n-1
+        # fresh salt permutes within phases but keeps phase membership
+        c = {r.doc_id: r.phase for r in
+             curriculum_schedule(scores, n_phases=2, n_shards=4,
+                                 salt=7).collect()}
+        assert c == {r.doc_id: r.phase for r in a}
+
+    def test_single_phase_no_boundaries(self, spark):
+        from linz_bde_uploader_spark.functions.sampling import (
+            curriculum_schedule,
+        )
+
+        scores = spark.createDataFrame(
+            [(1, 9.0), (2, 1.0)], "doc_id long, difficulty double"
+        )
+        rows = curriculum_schedule(scores, n_phases=1, n_shards=1).collect()
+        assert {r.phase for r in rows} == {0}
+        with pytest.raises(ValueError):
+            curriculum_schedule(scores, n_phases=0)
