@@ -1858,6 +1858,41 @@ def q_curriculum(spark, sf_dir):
     return curriculum_schedule(scores, n_phases=4, n_shards=4)
 
 
+def q_event_anomaly(spark, sf_dir):
+    # Robust volume-anomaly flags (windows.py::daily_anomalies;
+    # Iglewicz & Hoaglin modified z-score) — the pipeline-monitoring
+    # primitive: per event type, flag days whose count deviates from
+    # the type's MEDIAN by > 3.5 MAD-scaled robust z (median/MAD, so a
+    # broken day can't mask itself by inflating a mean/stddev
+    # baseline). One data-sized daily agg; medians and the rejoin run
+    # over the bounded (type x days) table.
+    from linz_bde_uploader_spark.functions.windows import daily_anomalies
+
+    e = W.events(spark, sf_dir)
+    return daily_anomalies(e)
+
+
+def q_crawl_novelty(spark, sf_dir):
+    # Crawl-over-crawl novelty accounting (dedup.py::snapshot_novelty)
+    # — the per-snapshot number a continuous pipeline reports (monthly
+    # CC cycles re-fetch most of the prior one): even-numbered sources
+    # play the PREVIOUS snapshot, odd-numbered the NEW one; every new
+    # doc classifies as exact_dup (positional fingerprint seen before),
+    # near_dup (MinHash band collision, fingerprint new) or novel. The
+    # previous snapshot contributes only its two distinct key sets
+    # (fingerprints + band keys — the artifacts a pipeline persists
+    # between snapshots); both probes are equi-joins, the rollup one
+    # bounded per-source agg.
+    d = W.load(spark, sf_dir, "documents").withColumn(
+        "_par", F.pmod(
+            F.regexp_extract("source", "[0-9]+", 0).cast("long"), F.lit(2)
+        )
+    )
+    prev = d.filter(F.col("_par") == 0)
+    new = d.filter(F.col("_par") == 1)
+    return D.snapshot_novelty(new, prev, group_col="source")
+
+
 def q_corpus_datasheet(spark, sf_dir):
     # Per-language corpus datasheet (the "datasheet for datasets"
     # reporting primitive): docs, token volume, char bounds, mean
@@ -3555,13 +3590,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- 40-44: round-4 rotation — the three entries that had never
         #    had a driver row (placed out-of-window at birth) plus the
         #    two new TPC-H decorrelation shapes (first driver check)
-        # -- round-6 session-3 birth: langid confusion-matrix audit;
-        #    displaced tenant q_dedup_components (r4+r5 green; the dedup
-        #    family keeps several entries in-window) -> 51+
-        "q_text_langid_confusion": q_text_langid_confusion,
-        # -- round-6 birth: cohort retention triangle; displaced tenant
-        #    q_approx_percentile_guard (r4+r5 green) -> 51+
-        "q_event_cohort_retention": q_event_cohort_retention,
+        # -- round-8 birth: crawl-over-crawl novelty accounting;
+        #    displaced tenant q_text_langid_confusion (r6+r7 green)
+        #    -> 51+
+        "q_crawl_novelty": q_crawl_novelty,
+        # -- round-8 birth: MAD robust volume-anomaly flags; displaced
+        #    tenant q_event_cohort_retention (r6+r7 green; the event
+        #    family keeps funnel + growth + anomaly in-window) -> 51+
+        "q_event_anomaly": q_event_anomaly,
         # -- round-6 session-3 birth: RRF hybrid retrieval fusion;
         #    displaced tenant q_tpch_q2_min_supplier (r4+r5 green;
         #    TPC-H keeps q7/q12 in-window) -> 51+
@@ -3620,6 +3656,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_event_session_window": q_event_session_window,
         "q_dsir_select": q_dsir_select,
         "q_corpus_shuffle": q_corpus_shuffle,
+        "q_event_cohort_retention": q_event_cohort_retention,
+        "q_text_langid_confusion": q_text_langid_confusion,
         "q_lm_collocations": q_lm_collocations,
         "q_domain_cap": q_domain_cap,
         "q_pipeline_chunk_pack": q_pipeline_chunk_pack,
@@ -4503,6 +4541,33 @@ def oracle_sql() -> dict[str, str]:
             FROM t1
             LEFT JOIN t2 ON t2.user_id = t1.user_id
             LEFT JOIN t3 ON t3.user_id = t1.user_id
+        """,
+        # MAD anomaly: exact interpolated medians (DuckDB median ==
+        # Spark median over the same integer counts); zero MAD -> z 0,
+        # nothing flagged (the documented constant-series contract)
+        "q_event_anomaly": """
+            WITH daily AS (
+              SELECT event_type AS key, CAST(ts AS DATE) AS day,
+                     count(*) AS n
+              FROM events GROUP BY 1, 2
+            ),
+            med AS (SELECT key, median(n) AS med FROM daily GROUP BY key),
+            dev AS (
+              SELECT d.key, d.day, d.n, m.med
+              FROM daily d JOIN med m USING (key)
+            ),
+            mad AS (
+              SELECT key, median(abs(n - med)) AS mad FROM dev GROUP BY key
+            )
+            SELECT d.key, d.day, CAST(d.n AS BIGINT) AS n, d.med, m.mad,
+                   CASE WHEN m.mad > 0
+                        THEN round(0.6745 * (d.n - d.med) / m.mad, 4)
+                        ELSE 0.0 END AS robust_z,
+                   CASE WHEN m.mad > 0
+                        THEN abs(round(0.6745 * (d.n - d.med) / m.mad, 4))
+                             > 3.5
+                        ELSE FALSE END AS is_anomaly
+            FROM dev d JOIN mad m USING (key)
         """,
         "q_event_growth": """
             WITH f AS (
@@ -5695,6 +5760,64 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 0.0 END
             FROM ag
             ORDER BY policy
+        """,
+        # crawl novelty: sigs over ALL docs once, then parity split on
+        # the source's numeric id; previous snapshot contributes only
+        # its DISTINCT fingerprint and band-key sets
+        "q_crawl_novelty": _MINHASH_SIGS + f"""
+            , fpt AS (SELECT doc_id, {fp} AS fp FROM t)
+            , par AS (
+              SELECT doc_id, source,
+                     CAST(regexp_extract(source, '[0-9]+') AS BIGINT) % 2
+                       AS pr
+              FROM documents
+            )
+            , bk AS (
+              SELECT doc_id, 0 AS band, ((0*31 + mh0)*31 + mh1) % 2147483647 AS key FROM sigs
+              UNION ALL
+              SELECT doc_id, 1, ((1*31 + mh2)*31 + mh3) % 2147483647 FROM sigs
+              UNION ALL
+              SELECT doc_id, 2, ((2*31 + mh4)*31 + mh5) % 2147483647 FROM sigs
+              UNION ALL
+              SELECT doc_id, 3, ((3*31 + mh6)*31 + mh7) % 2147483647 FROM sigs
+            )
+            , prevfp AS (
+              SELECT DISTINCT f.fp
+              FROM fpt f JOIN par p USING (doc_id) WHERE p.pr = 0
+            )
+            , prevbk AS (
+              SELECT DISTINCT b.band, b.key
+              FROM bk b JOIN par p USING (doc_id) WHERE p.pr = 0
+            )
+            , newd AS (SELECT doc_id, source FROM par WHERE pr = 1)
+            , nhit AS (
+              SELECT DISTINCT b.doc_id
+              FROM bk b JOIN newd USING (doc_id)
+              JOIN prevbk pb ON pb.band = b.band AND pb.key = b.key
+            )
+            , xhit AS (
+              SELECT f.doc_id
+              FROM fpt f JOIN newd USING (doc_id)
+              JOIN prevfp pf ON pf.fp = f.fp
+            )
+            , cls AS (
+              SELECT nd.source,
+                     CASE WHEN x.doc_id IS NOT NULL THEN 1 ELSE 0 END AS xh,
+                     CASE WHEN nh.doc_id IS NOT NULL THEN 1 ELSE 0 END AS nh
+              FROM newd nd
+              LEFT JOIN xhit x ON x.doc_id = nd.doc_id
+              LEFT JOIN nhit nh ON nh.doc_id = nd.doc_id
+            )
+            SELECT source AS "group",
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(xh) AS BIGINT) AS exact_dup,
+                   CAST(sum(CASE WHEN nh = 1 AND xh = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS near_dup,
+                   CAST(sum(CASE WHEN nh = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS novel,
+                   round(sum(CASE WHEN nh = 0 THEN 1.0 ELSE 0.0 END)
+                         / count(*), 4) AS novelty_rate
+            FROM cls GROUP BY source
         """,
         "q_source_overlap": _MINHASH_SIGS + f"""
             , bands AS (

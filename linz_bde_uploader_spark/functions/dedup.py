@@ -1315,3 +1315,102 @@ def winnow_pairs(
         .agg(F.count(F.lit(1)).cast("long").alias("shared_fps"))
         .filter(F.col("shared_fps") >= min_shared)
     )
+
+
+def snapshot_novelty(
+    new_docs: DataFrame,
+    prev_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str | None = None,
+    bands: int = 4,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """Crawl-over-crawl novelty accounting — the number a continuous
+    web pipeline reports every snapshot (monthly Common Crawl cycles
+    re-fetch most of the previous one): classify every NEW-snapshot
+    document against the PREVIOUS snapshot as
+
+    - ``exact_dup`` — positional fingerprint already present,
+    - ``near_dup``  — some MinHash band key collides (the
+      :func:`incremental_minhash_filter` criterion) but the
+      fingerprint is new,
+    - ``novel``     — neither,
+
+    and report per ``group_col`` (or one ``'all'`` row):
+    ``(group, n_docs, exact_dup, near_dup, novel, novelty_rate)`` with
+    ``novelty_rate = novel / n_docs`` at 4 dp. The three classes
+    partition the snapshot (identical text always band-collides, so an
+    exact hit is never counted again as near).
+
+    Scale: the previous snapshot contributes two DISTINCT key sets —
+    fingerprints (one long per doc) and band keys (``bands`` longs per
+    doc) — the artifacts a production pipeline persists between
+    snapshots instead of re-reading the old crawl; both joins are
+    equi-joins against those bounded sets, the new side is map-only
+    signature arithmetic, and the rollup is one bounded partial agg.
+    """
+    from linz_bde_uploader_spark.functions.text import fingerprint
+
+    n_sig = bands * rows_per_band
+    prev_fp = (
+        prev_docs.select(fingerprint(F.col(text_col)).alias("_fp"))
+        .distinct()
+        .withColumn("_xhit", F.lit(1))
+    )
+    prev_bk = (
+        with_minhash_signature(prev_docs, text_col, "_sig", n_sig)
+        .select(
+            F.posexplode(
+                minhash_band_keys(F.col("_sig"), bands, rows_per_band)
+            ).alias("_band", "_key")
+        )
+        .distinct()
+    )
+    grp = (
+        F.col(group_col).cast("string")
+        if group_col is not None
+        else F.lit("all")
+    )
+    base = with_minhash_signature(new_docs, text_col, "_sig", n_sig).select(
+        F.col(id_col),
+        grp.alias("grp"),
+        fingerprint(F.col(text_col)).alias("_fp"),
+        F.col("_sig"),
+    )
+    near_ids = (
+        base.select(
+            F.col(id_col),
+            F.posexplode(
+                minhash_band_keys(F.col("_sig"), bands, rows_per_band)
+            ).alias("_band", "_key"),
+        )
+        .join(prev_bk.select("_band", "_key"), ["_band", "_key"])
+        .select(id_col)
+        .distinct()
+        .withColumn("_nhit", F.lit(1))
+    )
+    flagged = (
+        base.join(prev_fp, "_fp", "left")
+        .join(near_ids, [id_col], "left")
+        .select(
+            "grp",
+            F.coalesce(F.col("_xhit"), F.lit(0)).alias("_x"),
+            F.coalesce(F.col("_nhit"), F.lit(0)).alias("_n"),
+        )
+    )
+    return flagged.groupBy(F.col("grp").alias("group")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("_x").cast("long").alias("exact_dup"),
+        F.sum(
+            F.when((F.col("_n") == 1) & (F.col("_x") == 0), 1).otherwise(0)
+        ).cast("long").alias("near_dup"),
+        F.sum(F.when(F.col("_n") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("novel"),
+        F.round(
+            F.sum(F.when(F.col("_n") == 0, 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)),
+            4,
+        ).alias("novelty_rate"),
+    )

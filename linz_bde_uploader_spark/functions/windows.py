@@ -280,3 +280,65 @@ def growth_accounting(
         ),
         F.sum("new_users").over(w).cast("long").alias("cumulative_users"),
     )
+
+
+def daily_anomalies(
+    events: DataFrame,
+    ts_col: str = "ts_ntz",
+    key_col: str = "event_type",
+    threshold: float = 3.5,
+) -> DataFrame:
+    """Robust anomaly detection on daily event volumes — the pipeline-
+    monitoring primitive (is today's feed broken?): per ``key_col``,
+    flag days whose count deviates from the key's MEDIAN by more than
+    ``threshold`` robust z-scores, where
+
+        robust_z = 0.6745 · (n - median) / MAD
+        MAD      = median(|n - median|)
+
+    (Iglewicz & Hoaglin's modified z-score — median/MAD instead of
+    mean/stddev, so a single broken day cannot mask itself by inflating
+    the baseline, which is exactly the failure mode of a plain z-score
+    on pipeline volumes). Returns ``(key, day, n, med, mad, robust_z,
+    is_anomaly)``; a zero MAD (constant series) yields ``robust_z = 0``
+    and flags nothing — a constant series has no scale to judge
+    deviation against, and the 4-dp rounding keeps both engines
+    identical.
+
+    Scale: the daily count agg is the only data-sized shuffle; the
+    median/MAD aggregates and the rejoin run over the bounded
+    (key × days) table. Exact interpolated medians (Spark ``median`` ==
+    DuckDB ``median``) — at extreme key cardinalities swap for
+    approx_percentile and accept boundary jitter."""
+    daily = (
+        events.select(
+            F.col(key_col).alias("key"), F.to_date(ts_col).alias("day")
+        )
+        .groupBy("key", "day")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    med = daily.groupBy("key").agg(F.median("n").alias("med"))
+    dev = daily.join(med, "key").withColumn(
+        "_dev", F.abs(F.col("n") - F.col("med"))
+    )
+    mad = dev.groupBy("key").agg(F.median("_dev").alias("mad"))
+    z = F.when(
+        F.col("mad") > 0,
+        F.round(
+            F.lit(0.6745) * (F.col("n") - F.col("med")) / F.col("mad"), 4
+        ),
+    ).otherwise(F.lit(0.0))
+    return (
+        dev.join(mad, "key")
+        .select(
+            "key",
+            "day",
+            "n",
+            "med",
+            "mad",
+            z.alias("robust_z"),
+        )
+        .withColumn(
+            "is_anomaly", F.abs(F.col("robust_z")) > F.lit(threshold)
+        )
+    )

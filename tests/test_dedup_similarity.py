@@ -864,6 +864,52 @@ class TestContainment:
         assert got == expect
 
 
+class TestSnapshotNovelty:
+    def test_three_way_classification(self, spark):
+        from linz_bde_uploader_spark.functions.dedup import snapshot_novelty
+
+        base = " ".join(f"w{i}" for i in range(20))
+        prev = spark.createDataFrame(
+            [(1, base), (2, " ".join(f"x{i}" for i in range(20)))],
+            "doc_id long, text string",
+        )
+        new = spark.createDataFrame(
+            [
+                (10, base, "a"),                       # exact dup of prev 1
+                (11, base + " extraz", "a"),           # near dup (bands hit)
+                (12, " ".join(f"z{i}" for i in range(20)), "b"),  # novel
+                (13, " ".join(f"q{i}" for i in range(20)), "b"),  # novel
+            ],
+            "doc_id long, text string, src string",
+        )
+        out = {r.group: r for r in
+               snapshot_novelty(new, prev, group_col="src").collect()}
+        a, b = out["a"], out["b"]
+        assert (a.n_docs, a.exact_dup, a.near_dup, a.novel) == (2, 1, 1, 0)
+        assert a.novelty_rate == 0.0
+        assert (b.n_docs, b.exact_dup, b.near_dup, b.novel) == (2, 0, 0, 2)
+        assert b.novelty_rate == 1.0
+
+    def test_overall_row_and_partition_invariance(self, spark):
+        from linz_bde_uploader_spark.functions.dedup import snapshot_novelty
+
+        prev = spark.createDataFrame(
+            [(i, " ".join(f"p{i}x{j}" for j in range(15))) for i in range(6)],
+            "doc_id long, text string",
+        )
+        new = spark.createDataFrame(
+            [(100 + i, " ".join(f"n{i}y{j}" for j in range(15)))
+             for i in range(4)],
+            "doc_id long, text string",
+        )
+        r1 = snapshot_novelty(new, prev).collect()
+        r2 = snapshot_novelty(new.repartition(5), prev.repartition(3)).collect()
+        assert len(r1) == 1 and r1[0].group == "all"
+        assert sorted(map(tuple, r1)) == sorted(map(tuple, r2))
+        row = r1[0]
+        assert row.exact_dup + row.near_dup + row.novel == row.n_docs
+
+
 class TestWinnowing:
     def test_fingerprints_match_python_twin(self, spark):
         from linz_bde_uploader_spark.functions.dedup import (

@@ -287,3 +287,65 @@ class TestGrowthAccounting:
             seen |= by_day[r.day]
             assert r.cumulative_users == len(seen)
             assert r.active_users == len(by_day[r.day])
+
+
+class TestDailyAnomalies:
+    def test_spike_flagged_constant_series_not(self, spark):
+        from datetime import datetime as DT
+
+        from linz_bde_uploader_spark.functions.windows import daily_anomalies
+
+        rows = []
+        eid = 0
+        # "view": alternating 2/3 a day for 6 days (nonzero MAD), then a
+        # 40-event spike on day 7
+        for d in range(1, 7):
+            for _ in range(2 + d % 2):
+                rows.append((eid, DT(2024, 1, d, 8), 1, "view")); eid += 1
+        for _ in range(40):
+            rows.append((eid, DT(2024, 1, 7, 8), 1, "view")); eid += 1
+        # "click": constant 3/day -> MAD 0, nothing flagged
+        for d in range(1, 8):
+            for _ in range(3):
+                rows.append((eid, DT(2024, 1, d, 8), 1, "click")); eid += 1
+        df = spark.createDataFrame(
+            rows,
+            "event_id long, ts_ntz timestamp_ntz, user_id long, event_type string",
+        )
+        out = {(r.key, str(r.day)): r for r in daily_anomalies(df).collect()}
+        spike = out[("view", "2024-01-07")]
+        assert spike.is_anomaly and spike.n == 40
+        # verify against a python twin
+        import statistics
+        counts = [2 + d % 2 for d in range(1, 7)] + [40]
+        med = statistics.median(counts)
+        mad = statistics.median([abs(c - med) for c in counts])
+        if mad > 0:
+            zz = round(0.6745 * (40 - med) / mad, 4)
+            assert spike.robust_z == zz
+        for d in range(1, 8):
+            r = out[("click", f"2024-01-0{d}")]
+            assert not r.is_anomaly and r.robust_z == 0.0
+
+    def test_mad_zero_spike_still_unflagged_documented(self, spark):
+        """A 6-same + 1-spike series has MAD 0 (the dev-0 majority), so
+        robust_z is 0 by the documented zero-MAD contract — the test
+        pins the CONTRACT; callers needing spike detection on
+        near-constant series lower the aggregation grain."""
+        from datetime import datetime as DT
+
+        from linz_bde_uploader_spark.functions.windows import daily_anomalies
+
+        rows = []
+        eid = 0
+        for d in range(1, 7):
+            rows.append((eid, DT(2024, 2, d, 8), 1, "x")); eid += 1
+        for _ in range(50):
+            rows.append((eid, DT(2024, 2, 7, 8), 1, "x")); eid += 1
+        df = spark.createDataFrame(
+            rows,
+            "event_id long, ts_ntz timestamp_ntz, user_id long, event_type string",
+        )
+        out = {str(r.day): r for r in daily_anomalies(df).collect()}
+        assert out["2024-02-07"].mad == 0.0
+        assert not out["2024-02-07"].is_anomaly
