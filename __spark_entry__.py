@@ -1893,6 +1893,41 @@ def q_crawl_novelty(spark, sf_dir):
     return D.snapshot_novelty(new, prev, group_col="source")
 
 
+def q_dq_audit(spark, sf_dir):
+    # Data-quality audit datasheet (functions/dq.py) — the pre-load
+    # checks an ETL engine runs before trusting a snapshot (the general
+    # form of the reference's row-tolerance + key-validity gates,
+    # sql/02-bde_control_functions.sql.in:2006-2083): null rates,
+    # range violations, cross-table referential integrity (left join
+    # against the parent's distinct key set, NULL keys excluded — they
+    # are the null check's finding), and an internal-consistency check
+    # (documents.n_chars vs length(text)). One scan + one conditional
+    # agg per check, unioned into (check, n_rows, n_bad, bad_rate).
+    from linz_bde_uploader_spark.functions import dq as DQ
+
+    o = W.load(spark, sf_dir, "orders")
+    c = W.load(spark, sf_dir, "customer")
+    li = W.load(spark, sf_dir, "lineitem")
+    p = W.load(spark, sf_dir, "part")
+    d = W.load(spark, sf_dir, "documents")
+    return DQ.dq_audit(
+        [
+            DQ.fk_check("fk_orders_custkey", o, "o_custkey", c, "c_custkey"),
+            DQ.fk_check("fk_lineitem_orderkey", li, "l_orderkey", o,
+                        "o_orderkey"),
+            DQ.fk_check("fk_lineitem_partkey", li, "l_partkey", p,
+                        "p_partkey"),
+            DQ.range_check("range_o_totalprice", o, "o_totalprice",
+                           0.0, 1_000_000.0),
+            DQ.null_check("null_c_name", c, "c_name"),
+            DQ.check_row(
+                "consistency_doc_chars", d,
+                F.length("text") != F.col("n_chars"),
+            ),
+        ]
+    ).orderBy("check")
+
+
 def q_corpus_datasheet(spark, sf_dir):
     # Per-language corpus datasheet (the "datasheet for datasets"
     # reporting primitive): docs, token volume, char bounds, mean
@@ -3598,10 +3633,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    tenant q_event_cohort_retention (r6+r7 green; the event
         #    family keeps funnel + growth + anomaly in-window) -> 51+
         "q_event_anomaly": q_event_anomaly,
-        # -- round-6 session-3 birth: RRF hybrid retrieval fusion;
-        #    displaced tenant q_tpch_q2_min_supplier (r4+r5 green;
-        #    TPC-H keeps q7/q12 in-window) -> 51+
-        "q_hybrid_rrf": q_hybrid_rrf,
+        # -- round-8 birth: declarative data-quality audit datasheet
+        #    (null/range/FK/consistency checks); displaced tenant
+        #    q_hybrid_rrf (r6+r7 green; the retrieval family keeps
+        #    bm25 + passage in-window) -> 51+
+        "q_dq_audit": q_dq_audit,
         # -- round-6 session-3 birth: ANN recall@k self-evaluation;
         #    displaced tenant q_tpch_q21_waiting (r4+r5 green; TPC-H
         #    keeps q2/q7/q12 in-window) -> 51+
@@ -3658,6 +3694,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_corpus_shuffle": q_corpus_shuffle,
         "q_event_cohort_retention": q_event_cohort_retention,
         "q_text_langid_confusion": q_text_langid_confusion,
+        "q_hybrid_rrf": q_hybrid_rrf,
         "q_lm_collocations": q_lm_collocations,
         "q_domain_cap": q_domain_cap,
         "q_pipeline_chunk_pack": q_pipeline_chunk_pack,
@@ -5152,6 +5189,87 @@ def oracle_sql() -> dict[str, str]:
                          / count(*), 4) AS dup_fraction
             FROM ex e JOIN freq f USING (sv)
             GROUP BY e.doc_id
+        """,
+        # dq audit: one conditional agg per check, unioned; FK checks
+        # join the parent's DISTINCT key set, NULL child keys excluded
+        "q_dq_audit": """
+            SELECT * FROM (
+              SELECT 'fk_orders_custkey' AS "check",
+                     CAST(count(*) AS BIGINT) AS n_rows,
+                     CAST(sum(CASE WHEN o_custkey IS NOT NULL
+                              AND pk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_bad,
+                     CASE WHEN count(*) > 0
+                          THEN round(sum(CASE WHEN o_custkey IS NOT NULL
+                                         AND pk IS NULL THEN 1.0
+                                         ELSE 0.0 END) / count(*), 6)
+                          ELSE 0.0 END AS bad_rate
+              FROM orders
+              LEFT JOIN (SELECT DISTINCT c_custkey AS pk FROM customer) p
+                ON p.pk = orders.o_custkey
+              UNION ALL
+              SELECT 'fk_lineitem_orderkey',
+                     CAST(count(*) AS BIGINT),
+                     CAST(sum(CASE WHEN l_orderkey IS NOT NULL
+                              AND pk IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                     CASE WHEN count(*) > 0
+                          THEN round(sum(CASE WHEN l_orderkey IS NOT NULL
+                                         AND pk IS NULL THEN 1.0
+                                         ELSE 0.0 END) / count(*), 6)
+                          ELSE 0.0 END
+              FROM lineitem
+              LEFT JOIN (SELECT DISTINCT o_orderkey AS pk FROM orders) p
+                ON p.pk = lineitem.l_orderkey
+              UNION ALL
+              SELECT 'fk_lineitem_partkey',
+                     CAST(count(*) AS BIGINT),
+                     CAST(sum(CASE WHEN l_partkey IS NOT NULL
+                              AND pk IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                     CASE WHEN count(*) > 0
+                          THEN round(sum(CASE WHEN l_partkey IS NOT NULL
+                                         AND pk IS NULL THEN 1.0
+                                         ELSE 0.0 END) / count(*), 6)
+                          ELSE 0.0 END
+              FROM lineitem
+              LEFT JOIN (SELECT DISTINCT p_partkey AS pk FROM part) p
+                ON p.pk = lineitem.l_partkey
+              UNION ALL
+              SELECT 'range_o_totalprice',
+                     CAST(count(*) AS BIGINT),
+                     CAST(sum(CASE WHEN o_totalprice IS NULL
+                              OR o_totalprice < 0.0
+                              OR o_totalprice > 1000000.0
+                              THEN 1 ELSE 0 END) AS BIGINT),
+                     CASE WHEN count(*) > 0
+                          THEN round(sum(CASE WHEN o_totalprice IS NULL
+                                         OR o_totalprice < 0.0
+                                         OR o_totalprice > 1000000.0
+                                         THEN 1.0 ELSE 0.0 END)
+                                     / count(*), 6)
+                          ELSE 0.0 END
+              FROM orders
+              UNION ALL
+              SELECT 'null_c_name',
+                     CAST(count(*) AS BIGINT),
+                     CAST(sum(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END)
+                          AS BIGINT),
+                     CASE WHEN count(*) > 0
+                          THEN round(sum(CASE WHEN c_name IS NULL THEN 1.0
+                                         ELSE 0.0 END) / count(*), 6)
+                          ELSE 0.0 END
+              FROM customer
+              UNION ALL
+              SELECT 'consistency_doc_chars',
+                     CAST(count(*) AS BIGINT),
+                     CAST(sum(CASE WHEN length(text) != n_chars
+                              THEN 1 ELSE 0 END) AS BIGINT),
+                     CASE WHEN count(*) > 0
+                          THEN round(sum(CASE WHEN length(text) != n_chars
+                                         THEN 1.0 ELSE 0.0 END)
+                                     / count(*), 6)
+                          ELSE 0.0 END
+              FROM documents
+            ) ORDER BY "check"
         """,
         # bloom audit: the SAME integer hash family
         # ((k mod M)·(MIX + i·STRIDE) mod M) mod m over i in 0..2;
