@@ -483,3 +483,84 @@ def crawl_gate_stream(
         F.col("robots_allowed")
     ).drop("robots_allowed", "matched_rule", "path")
     return compliant.withColumn(text_col, scrub_pii(F.col(text_col)))
+
+
+QSKETCH_OUTPUT_SCHEMA = "key string, q double, n long, est double"
+
+
+def quantile_sketch_stream(
+    grouped,
+    lo: float,
+    hi: float,
+    n_bins: int = 128,
+    qs: "tuple[float, ...]" = (0.5, 0.9, 0.99),
+    value_col: str = "v",
+    state_timeout: str = "NoTimeout",
+):
+    """Streaming face of the histogram quantile sketch
+    (``functions.sketches.histogram_sketch`` / ``sketch_quantiles``):
+    a per-key ``n_bins``-counter histogram carried across micro-batches
+    via ``applyInPandasWithState``, emitting RUNNING quantile estimates
+    after every batch — the live latency/score/length percentiles a
+    pipeline dashboard reads while the feed flows.
+
+    The sketch is exactly the batch operator's: merges are counter
+    adds, so after any batch the emitted estimates equal
+    ``sketch_quantiles(histogram_sketch(all rows so far))`` — the
+    parity test pins it (same clamped binning, same
+    first-bin-reaching-rank read, same upper-edge arithmetic; an
+    empty key emits nothing). ``grouped`` is ``df.groupBy(key)``.
+
+    Scale: state is ``n_bins`` longs per key — bounded regardless of
+    row count (the whole point of a sketch); per batch each worker does
+    one numpy bincount over its Arrow batch."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState
+
+    if not hi > lo:
+        raise ValueError("hi must exceed lo")
+    if n_bins <= 0:
+        raise ValueError("n_bins must be positive")
+    for q in qs:
+        if not 0.0 < q <= 1.0:
+            raise ValueError("each q must be in (0, 1]")
+    w = (hi - lo) / n_bins
+
+    def update(key, pdfs, state: GroupState):
+        counts = (
+            np.array(state.get[0], dtype=np.int64)
+            if state.exists
+            else np.zeros(n_bins, dtype=np.int64)
+        )
+        for pdf in pdfs:
+            v = pdf[value_col].to_numpy(dtype=float)
+            v = v[~np.isnan(v)]
+            if len(v):
+                b = np.clip(
+                    np.floor((v - lo) / w).astype(np.int64), 0, n_bins - 1
+                )
+                counts += np.bincount(b, minlength=n_bins)
+        state.update((counts.tolist(),))
+        n = int(counts.sum())
+        if n == 0:
+            return
+        cum = np.cumsum(counts)
+        rows = []
+        for q in qs:
+            rank = math.ceil(q * n)
+            # first bin whose cumulative count reaches the rank — the
+            # batch reader's min(hit); upper-edge estimate lo + w*(b+1)
+            b = int(np.searchsorted(cum, rank, side="left"))
+            rows.append((key[0], float(q), n, float(lo) + w * (b + 1)))
+        yield pd.DataFrame(rows, columns=["key", "q", "n", "est"])
+
+    return grouped.applyInPandasWithState(
+        update,
+        outputStructType=QSKETCH_OUTPUT_SCHEMA,
+        stateStructType="counts array<long>",
+        outputMode="update",
+        timeoutConf=state_timeout,
+    )

@@ -650,3 +650,64 @@ def test_crawl_gate_stream_matches_batch_composition(spark, tmp_path):
         for r in spark.sql("SELECT doc_id, text FROM cgate").collect()
     }
     assert streamed == batch
+
+
+def test_quantile_sketch_stream_matches_batch_sketch(spark, tmp_path):
+    """quantile_sketch_stream: running per-key estimates after draining
+    two appended batches must equal the BATCH histogram sketch read
+    over the union of all rows — counter adds are the merge, so the
+    faces are exactly equal."""
+    from linz_bde_uploader_spark.functions.sketches import (
+        histogram_sketch, sketch_quantiles,
+    )
+    from linz_bde_uploader_spark.streaming.poll import (
+        quantile_sketch_stream,
+    )
+
+    LO, HI, NB = 0.0, 100.0, 20
+    QS = (0.5, 0.9)
+    b1 = [("a", float(v)) for v in (1, 5, 17, 33, 47, 150)] + [
+        ("b", 99.0), ("b", -3.0)
+    ]
+    b2 = [("a", float(v)) for v in (62, 88)] + [("b", 55.0)]
+    schema = "k string, v double"
+    src = tmp_path / "vals"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt_qs")
+    emitted: list[tuple] = []
+
+    def run_once():
+        q = (
+            quantile_sketch_stream(
+                spark.readStream.schema(schema).parquet(str(src)).groupBy("k"),
+                LO, HI, NB, QS,
+            )
+            .writeStream.foreachBatch(
+                lambda df, _id: emitted.extend(map(tuple, df.collect()))
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    spark.createDataFrame(b1, schema).write.mode("append").parquet(str(src))
+    run_once()
+    spark.createDataFrame(b2, schema).write.mode("append").parquet(str(src))
+    emitted.clear()
+    run_once()  # resumes from checkpointed counters
+    streamed = {(k, q): (n, est) for k, q, n, est in emitted}
+
+    allrows = spark.createDataFrame(b1 + b2, schema)
+    batch = {
+        (r.k, r.q): (r.est)
+        for r in sketch_quantiles(
+            histogram_sketch(allrows, "v", LO, HI, NB, "k"),
+            list(QS), LO, HI, NB, "k",
+        ).collect()
+    }
+    assert set(streamed) == set(batch)
+    for key, (n, est) in streamed.items():
+        assert est == batch[key], (key, est, batch[key])
+    assert streamed[("a", 0.5)][0] == 8  # running n includes batch 1
