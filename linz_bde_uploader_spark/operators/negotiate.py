@@ -68,3 +68,81 @@ def negotiate_columns(
         else:
             out.append(F.lit(None).cast(f.dataType).alias(f.name))
     return df.select(out)
+
+
+class SchemaDriftError(ValueError):
+    """Raised when a snapshot's schema drift violates the gate policy."""
+
+
+def schema_drift(prev_schema, new_schema) -> "list[dict]":
+    """Schema-evolution findings between two snapshot schemas — the
+    audit a long-running loader needs when the upstream exporter
+    changes shape between runs (the reference handles this implicitly:
+    COLUMN records override header names per file,
+    `bin/linz_bde_uploader.pl` table definitions pin the target shape;
+    this makes the drift EXPLICIT instead of silently negotiated away).
+
+    Returns one finding dict per changed column, name-matched
+    case-insensitively (the :func:`negotiate_columns` convention):
+    ``{"column", "change", "prev_type", "new_type"}`` with ``change``
+    in ``added`` / ``removed`` / ``type_changed`` /
+    ``nullability_changed``. Pure driver-side metadata work — no job.
+    """
+    prev = {f.name.lower(): f for f in prev_schema.fields}
+    new = {f.name.lower(): f for f in new_schema.fields}
+    findings: list[dict] = []
+    for name in sorted(set(prev) | set(new)):
+        p, n = prev.get(name), new.get(name)
+        if p is None:
+            findings.append({
+                "column": name, "change": "added",
+                "prev_type": "", "new_type": n.dataType.simpleString(),
+            })
+        elif n is None:
+            findings.append({
+                "column": name, "change": "removed",
+                "prev_type": p.dataType.simpleString(), "new_type": "",
+            })
+        elif p.dataType != n.dataType:
+            findings.append({
+                "column": name, "change": "type_changed",
+                "prev_type": p.dataType.simpleString(),
+                "new_type": n.dataType.simpleString(),
+            })
+        elif p.nullable != n.nullable:
+            findings.append({
+                "column": name, "change": "nullability_changed",
+                "prev_type": f"nullable={p.nullable}",
+                "new_type": f"nullable={n.nullable}",
+            })
+    return findings
+
+
+def check_drift_policy(
+    findings: "list[dict]",
+    allow_added: bool = True,
+    allow_removed: bool = False,
+    allow_type_changed: bool = False,
+    allow_nullability: bool = True,
+) -> "list[dict]":
+    """Gate a drift report: additive evolution is safe by default
+    (negotiate_columns fills new target columns with NULL/defaults and
+    ignores extra file columns), while removals and type changes break
+    the keyed-merge contract and fail loudly. Returns the findings for
+    logging when the policy passes; raises :class:`SchemaDriftError`
+    naming every violation otherwise."""
+    allowed = {
+        "added": allow_added,
+        "removed": allow_removed,
+        "type_changed": allow_type_changed,
+        "nullability_changed": allow_nullability,
+    }
+    bad = [f for f in findings if not allowed[f["change"]]]
+    if bad:
+        desc = "; ".join(
+            f"{f['column']}: {f['change']}"
+            f" ({f['prev_type']} -> {f['new_type']})"
+            for f in bad
+        )
+        raise SchemaDriftError(f"schema drift violates policy: {desc}")
+    return findings

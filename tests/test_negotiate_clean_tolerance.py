@@ -238,3 +238,55 @@ def test_clean_text_matches_python_model(spark):
     got = [r.c for r in df.select(clean_text("s").alias("c")).collect()]
     for src, g in zip(rows, got):
         assert g == model(src), repr(src)
+
+
+class TestSchemaDrift:
+    def _schemas(self):
+        from pyspark.sql import types as T
+
+        prev = T.StructType([
+            T.StructField("id", T.LongType(), False),
+            T.StructField("name", T.StringType(), True),
+            T.StructField("price", T.DoubleType(), True),
+            T.StructField("old_flag", T.StringType(), True),
+        ])
+        new = T.StructType([
+            T.StructField("ID", T.LongType(), True),            # nullability
+            T.StructField("name", T.StringType(), True),        # unchanged
+            T.StructField("price", T.StringType(), True),       # type change
+            T.StructField("added_col", T.IntegerType(), True),  # added
+        ])                                                       # old_flag removed
+        return prev, new
+
+    def test_findings(self):
+        from linz_bde_uploader_spark.operators.negotiate import schema_drift
+
+        prev, new = self._schemas()
+        got = {f["column"]: f for f in schema_drift(prev, new)}
+        assert got["added_col"]["change"] == "added"
+        assert got["old_flag"]["change"] == "removed"
+        assert got["price"]["change"] == "type_changed"
+        assert got["price"]["prev_type"] == "double"
+        assert got["id"]["change"] == "nullability_changed"
+        assert "name" not in got
+        # identical schemas -> no findings
+        assert schema_drift(prev, prev) == []
+
+    def test_policy_gate(self):
+        import pytest as _pytest
+
+        from linz_bde_uploader_spark.operators.negotiate import (
+            SchemaDriftError, check_drift_policy, schema_drift,
+        )
+
+        prev, new = self._schemas()
+        findings = schema_drift(prev, new)
+        with _pytest.raises(SchemaDriftError, match="price: type_changed"):
+            check_drift_policy(findings)
+        with _pytest.raises(SchemaDriftError, match="old_flag: removed"):
+            check_drift_policy(findings, allow_type_changed=True)
+        # fully permissive passes and returns the findings for logging
+        out = check_drift_policy(
+            findings, allow_removed=True, allow_type_changed=True
+        )
+        assert out == findings
