@@ -1928,6 +1928,19 @@ def q_dq_audit(spark, sf_dir):
     ).orderBy("check")
 
 
+def q_ann_ndcg(spark, sf_dir):
+    # nDCG@20 audit of the compressed ANN scorers (similarity.py::
+    # ann_ndcg) — the position-sensitive complement of q_ann_recall:
+    # recall treats a rank-1 hit and a rank-20 hit the same; nDCG
+    # scores the ORDER, with exact-cosine graded relevance and
+    # fixed-point (1e-9 long) DCG terms so summation order cannot
+    # drift the score. Same k-row join shapes as the recall audit.
+    e = W.load(spark, sf_dir, "embeddings")
+    return S.ann_ndcg(
+        e, _query_vec(spark, sf_dir), k=20, out_dims=16, exclude_id=0
+    )
+
+
 def q_corpus_datasheet(spark, sf_dir):
     # Per-language corpus datasheet (the "datasheet for datasets"
     # reporting primitive): docs, token volume, char bounds, mean
@@ -3638,10 +3651,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    q_hybrid_rrf (r6+r7 green; the retrieval family keeps
         #    bm25 + passage in-window) -> 51+
         "q_dq_audit": q_dq_audit,
-        # -- round-6 session-3 birth: ANN recall@k self-evaluation;
-        #    displaced tenant q_tpch_q21_waiting (r4+r5 green; TPC-H
-        #    keeps q2/q7/q12 in-window) -> 51+
-        "q_ann_recall": q_ann_recall,
+        # -- round-8 birth: position-sensitive nDCG@k ANN audit;
+        #    displaced tenant q_ann_recall (r6+r7 green; the audit
+        #    family keeps q_batch_ann_recall + ndcg in-window,
+        #    recall@k stays oracle-checked at 51+) -> 51+
+        "q_ann_ndcg": q_ann_ndcg,
         # -- round-6 birth: RAG passage retrieval (chunk + BM25 in one
         #    plan); displaced tenant q_tpch_q22_global_sales (r4+r5
         #    green; TPC-H keeps q2/q21/q7/q12 in-window) -> 51+
@@ -3695,6 +3709,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_event_cohort_retention": q_event_cohort_retention,
         "q_text_langid_confusion": q_text_langid_confusion,
         "q_hybrid_rrf": q_hybrid_rrf,
+        "q_ann_recall": q_ann_recall,
         "q_lm_collocations": q_lm_collocations,
         "q_domain_cap": q_domain_cap,
         "q_pipeline_chunk_pack": q_pipeline_chunk_pack,
@@ -6401,6 +6416,103 @@ def oracle_sql() -> dict[str, str]:
             WHERE e.vec_id <> 0
             ORDER BY qscore DESC, e.vec_id
             LIMIT 10
+        """,
+        "q_ann_ndcg": f"""
+            WITH e2 AS (
+              SELECT vec_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings
+            ),
+            sc AS (
+              SELECT vec_id, v,
+                     list_max(list_transform(v, x -> abs(x))) / 127.0 AS s
+              FROM e2
+            ),
+            qv AS (
+              SELECT vec_id,
+                     CASE WHEN s = 0
+                          THEN list_transform(v, x -> CAST(0 AS DOUBLE))
+                          ELSE list_transform(v, x -> round(x / s)) END AS q
+              FROM sc
+            ),
+            qq AS (SELECT q FROM qv WHERE vec_id = 0),
+            quant AS (
+              SELECT e.vec_id,
+                     round(list_inner_product(e.q, qq.q)
+                           / (sqrt(list_inner_product(e.q, e.q))
+                              * sqrt(list_inner_product(qq.q, qq.q))), 6)
+                       AS qscore
+              FROM qv e, qq
+              WHERE e.vec_id <> 0
+              ORDER BY qscore DESC, e.vec_id
+              LIMIT 20
+            ),
+            pv AS (
+              SELECT vec_id,
+                     list_transform(generate_series(0, 15), j ->
+                       round(list_sum(list_transform(generate_series(1, 64), i ->
+                         ((((j * 131 + (i - 1)) * 2654435761) % 2147483647)
+                          / 2147483647.0 - 0.5)
+                         * CAST(embedding[i] AS DOUBLE))), 6)) AS p
+              FROM embeddings
+            ),
+            pq0 AS (SELECT p FROM pv WHERE vec_id = 0),
+            proj AS (
+              SELECT e.vec_id,
+                     round(list_inner_product(e.p, pq0.p)
+                           / (sqrt(list_inner_product(e.p, e.p))
+                              * sqrt(list_inner_product(pq0.p, pq0.p))), 6)
+                       AS pscore
+              FROM pv e, pq0
+              WHERE e.vec_id <> 0
+              ORDER BY pscore DESC, e.vec_id
+              LIMIT 20
+            ),
+            exact AS (
+              SELECT e.vec_id, {cos} AS score
+              FROM embeddings e,
+                   (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+              WHERE e.vec_id <> 0
+              ORDER BY score DESC, e.vec_id
+              LIMIT 20
+            ),
+            ex_rel AS (
+              SELECT vec_id,
+                     20 - row_number() OVER (ORDER BY score DESC, vec_id)
+                        + 1 AS rel
+              FROM exact
+            ),
+            qr AS (
+              SELECT vec_id,
+                     row_number() OVER (ORDER BY qscore DESC, vec_id) AS pos
+              FROM quant
+            ),
+            pr AS (
+              SELECT vec_id,
+                     row_number() OVER (ORDER BY pscore DESC, vec_id) AS pos
+              FROM proj
+            ),
+            idcg AS (
+              SELECT sum(CAST(round((20 - r + 1) / log2(r + 1.0)
+                                    * 1000000000.0) AS BIGINT)) AS fp
+              FROM (SELECT unnest(generate_series(1, 20)) AS r)
+            )
+            SELECT * FROM (
+              SELECT 'int8' AS method, CAST(20 AS BIGINT) AS k,
+                     round(sum(CAST(round(coalesce(e.rel, 0)
+                                          / log2(q.pos + 1.0)
+                                          * 1000000000.0) AS BIGINT))
+                           * 1.0 / (SELECT fp FROM idcg), 6) AS ndcg
+              FROM qr q LEFT JOIN ex_rel e USING (vec_id)
+              UNION ALL
+              SELECT 'jl16', CAST(20 AS BIGINT),
+                     round(sum(CAST(round(coalesce(e.rel, 0)
+                                          / log2(p.pos + 1.0)
+                                          * 1000000000.0) AS BIGINT))
+                           * 1.0 / (SELECT fp FROM idcg), 6)
+              FROM pr p LEFT JOIN ex_rel e USING (vec_id)
+            )
+            ORDER BY method
         """,
         "q_ann_recall": f"""
             WITH e2 AS (

@@ -1159,3 +1159,98 @@ def batch_ann_recall(
             ).alias("recall"),
         )
     )
+
+
+def ann_ndcg(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 20,
+    out_dims: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """Position-sensitive complement of :func:`ann_recall`: nDCG@k of
+    each lossy ranking (int8 scalar quantization, JL projection)
+    against the exact cosine ranking as graded ground truth. Recall@k
+    treats a hit at rank 1 and rank k the same; nDCG is the standard
+    IR correction — an index that finds the right set but scrambles
+    the order loses score in proportion to how far each item moved:
+
+        rel(item at exact rank r) = k - r + 1   (0 outside the top-k)
+        DCG  = Σ_i rel(item_i) / log2(i + 1)
+        nDCG = DCG / IDCG                       (IDCG = exact order)
+
+    Returns one row per method: ``(method, k, ndcg)``, ndcg at 6 dp.
+
+    Determinism: every DCG term is rounded to 1e-9 fixed point and
+    summed as LONGS (fold order cannot drift the total); IDCG uses the
+    identical term arithmetic, computed driver-side with the same
+    half-away rounding SQL ``round`` uses. Both rankings tie-break on
+    the id, so ranks are total.
+
+    Scale: each ranking is the already-audited map-only scorer + a
+    TakeOrderedAndProject; the ranking windows and joins run over
+    k-row frames only (the partition-less window is over k rows, not
+    data)."""
+    from pyspark.sql import Window
+
+    exact = cosine_topk(
+        embeddings, query_vec, k=k, id_col=id_col, vec_col=vec_col,
+        exclude_id=exclude_id,
+    )
+    import math
+
+    we = Window.orderBy(F.desc("score"), F.col(id_col))
+    rel_tbl = exact.select(
+        F.col(id_col),
+        (F.lit(k) - F.row_number().over(we) + 1).alias("_rel"),
+    )
+    idcg_fp = sum(
+        int(_round_half_away((k - r + 1) / math.log2(r + 1) * 1e9, 0))
+        for r in range(1, k + 1)
+    )
+    variants = [
+        (
+            "int8",
+            quantized_cosine_topk(
+                embeddings, query_vec, k=k, id_col=id_col,
+                vec_col=vec_col, exclude_id=exclude_id,
+            ).withColumnRenamed("qscore", "score"),
+        ),
+        (
+            f"jl{out_dims}",
+            projected_cosine_topk(
+                embeddings, query_vec, k=k, out_dims=out_dims,
+                id_col=id_col, vec_col=vec_col, exclude_id=exclude_id,
+            ).withColumnRenamed("pscore", "score"),
+        ),
+    ]
+    out = None
+    for name, approx in variants:
+        wa = Window.orderBy(F.desc("score"), F.col(id_col))
+        ranked = approx.select(
+            F.col(id_col), F.row_number().over(wa).alias("_pos")
+        )
+        row = (
+            ranked.join(rel_tbl, id_col, "left")
+            .select(
+                F.round(
+                    F.coalesce(F.col("_rel"), F.lit(0)).cast("double")
+                    / F.log2(F.col("_pos") + 1)
+                    * F.lit(1e9)
+                )
+                .cast("long")
+                .alias("_fp")
+            )
+            .agg(F.sum("_fp").alias("_dcg_fp"))
+            .select(
+                F.lit(name).alias("method"),
+                F.lit(k).cast("long").alias("k"),
+                F.round(
+                    F.col("_dcg_fp") * F.lit(1.0) / F.lit(idcg_fp), 6
+                ).alias("ndcg"),
+            )
+        )
+        out = row if out is None else out.unionAll(row)
+    return out.orderBy("method")

