@@ -5276,10 +5276,13 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL
               SELECT 'consistency_doc_chars',
                      CAST(count(*) AS BIGINT),
-                     CAST(sum(CASE WHEN length(text) != n_chars
+                     CAST(sum(CASE WHEN coalesce(length(text) != n_chars,
+                                            TRUE)
                               THEN 1 ELSE 0 END) AS BIGINT),
                      CASE WHEN count(*) > 0
-                          THEN round(sum(CASE WHEN length(text) != n_chars
+                          THEN round(sum(CASE WHEN
+                                           coalesce(length(text) != n_chars,
+                                                    TRUE)
                                          THEN 1.0 ELSE 0.0 END)
                                      / count(*), 6)
                           ELSE 0.0 END
@@ -5946,9 +5949,10 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(xh) AS BIGINT) AS exact_dup,
                    CAST(sum(CASE WHEN nh = 1 AND xh = 0 THEN 1 ELSE 0 END)
                         AS BIGINT) AS near_dup,
-                   CAST(sum(CASE WHEN nh = 0 THEN 1 ELSE 0 END) AS BIGINT)
-                     AS novel,
-                   round(sum(CASE WHEN nh = 0 THEN 1.0 ELSE 0.0 END)
+                   CAST(sum(CASE WHEN nh = 0 AND xh = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS novel,
+                   round(sum(CASE WHEN nh = 0 AND xh = 0 THEN 1.0
+                             ELSE 0.0 END)
                          / count(*), 4) AS novelty_rate
             FROM cls GROUP BY source
         """,

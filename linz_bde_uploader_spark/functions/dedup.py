@@ -1340,8 +1340,11 @@ def snapshot_novelty(
     and report per ``group_col`` (or one ``'all'`` row):
     ``(group, n_docs, exact_dup, near_dup, novel, novelty_rate)`` with
     ``novelty_rate = novel / n_docs`` at 4 dp. The three classes
-    partition the snapshot (identical text always band-collides, so an
-    exact hit is never counted again as near).
+    partition the snapshot BY CONSTRUCTION: ``near`` requires
+    ``no exact hit`` and ``novel`` requires ``no exact AND no near
+    hit`` — so a fingerprint hash collision (or an empty-signature doc
+    whose fingerprint matches) can never be double-counted as both
+    exact and novel.
 
     Scale: the previous snapshot contributes two DISTINCT key sets —
     fingerprints (one long per doc) and band keys (``bands`` longs per
@@ -1405,11 +1408,17 @@ def snapshot_novelty(
         F.sum(
             F.when((F.col("_n") == 1) & (F.col("_x") == 0), 1).otherwise(0)
         ).cast("long").alias("near_dup"),
-        F.sum(F.when(F.col("_n") == 0, 1).otherwise(0))
+        F.sum(
+            F.when((F.col("_n") == 0) & (F.col("_x") == 0), 1).otherwise(0)
+        )
         .cast("long")
         .alias("novel"),
         F.round(
-            F.sum(F.when(F.col("_n") == 0, 1).otherwise(0)).cast("double")
+            F.sum(
+                F.when(
+                    (F.col("_n") == 0) & (F.col("_x") == 0), 1
+                ).otherwise(0)
+            ).cast("double")
             / F.count(F.lit(1)),
             4,
         ).alias("novelty_rate"),

@@ -29,10 +29,22 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def check_row(name: str, df: DataFrame, bad: Column) -> DataFrame:
+def check_row(
+    name: str, df: DataFrame, bad: Column, null_is_bad: bool = True
+) -> DataFrame:
     """One audit row: ``(check, n_rows, n_bad, bad_rate)`` with
     ``bad_rate`` at 6 dp (0.0 on an empty table — an empty input is a
-    row-count problem, not a rate problem)."""
+    row-count problem, not a rate problem).
+
+    NULL semantics are explicit: a three-valued-NULL predicate (e.g.
+    ``length(text) != n_chars`` where either side is NULL) counts as
+    **bad** by default (``null_is_bad=True``) — a row the check cannot
+    vouch for is a finding, not a pass. Pass ``null_is_bad=False``
+    only when NULLs are a different check's finding (the
+    :func:`fk_check` convention, whose predicate is never NULL by
+    construction).
+    """
+    bad = F.coalesce(bad, F.lit(bool(null_is_bad)))
     return df.agg(
         F.count(F.lit(1)).cast("long").alias("n_rows"),
         F.sum(F.when(bad, 1).otherwise(0)).cast("long").alias("n_bad"),

@@ -70,6 +70,11 @@ def equiwidth_zonemaps(
         row = df.agg(
             F.min(value_col).alias("lo"), F.max(value_col).alias("hi")
         ).collect()[0]
+        if row.lo is None or row.hi is None:
+            raise ValueError(
+                "equiwidth_zonemaps('range'): empty input or all-NULL "
+                f"value column {value_col!r} — no min/max to bucket on"
+            )
         lo, hi = float(row.lo), float(row.hi)
         width = (hi - lo) / n_buckets
         b = _range_bucket(F.col(value_col), lo, width, n_buckets)

@@ -224,6 +224,12 @@ def fuzzy_join(
     back to both row sets. When the dictionaries are small the bridge
     broadcast-joins; the row-level joins are plain hash equi-joins
     either way — the DP never touches raw rows.
+
+    Column-name collisions (common for the key column itself) are
+    resolved by suffixing the RIGHT side: any right column whose name
+    already exists on the left (or equals ``_match_name``/``_dist``)
+    comes out as ``_r_<name>``, so every output column stays
+    addressable by name.
     """
     ld = name_dictionary(left, left_col).select(
         F.col("name").alias("_lname")
@@ -239,9 +245,13 @@ def fuzzy_join(
         .join(bridge.alias("_b"), F.col(f"_l.{left_col}") == F.col("_b._lname"))
         .join(right.alias("_r"), F.col("_b._rname") == F.col(f"_r.{right_col}"))
     )
+    taken = set(left.columns) | {"_match_name", "_dist"}
     return out.select(
         *[F.col(f"_l.{c}") for c in left.columns],
         F.col("_b._rname").alias("_match_name"),
         F.col("_b._dist").alias("_dist"),
-        *[F.col(f"_r.{c}") for c in right.columns],
+        *[
+            F.col(f"_r.{c}").alias(f"_r_{c}" if c in taken else c)
+            for c in right.columns
+        ],
     )

@@ -909,6 +909,25 @@ class TestSnapshotNovelty:
         row = r1[0]
         assert row.exact_dup + row.near_dup + row.novel == row.n_docs
 
+    def test_classes_partition_even_without_band_collision(self, spark):
+        # r8 ADVICE: a doc whose fingerprint hits prev but whose bands
+        # do NOT collide (hash collision, or an empty-token doc) must
+        # count ONLY as exact_dup — never also as novel. Empty text
+        # exercises the degenerate signature path deterministically.
+        from linz_bde_uploader_spark.functions.dedup import snapshot_novelty
+
+        prev = spark.createDataFrame(
+            [(1, ""), (2, " ".join(f"p{j}" for j in range(15)))],
+            "doc_id long, text string",
+        )
+        new = spark.createDataFrame(
+            [(10, ""), (11, " ".join(f"n{j}" for j in range(15)))],
+            "doc_id long, text string",
+        )
+        row = snapshot_novelty(new, prev).collect()[0]
+        assert row.exact_dup + row.near_dup + row.novel == row.n_docs == 2
+        assert row.exact_dup == 1 and row.novel == 1
+
 
 class TestWinnowing:
     def test_fingerprints_match_python_twin(self, spark):

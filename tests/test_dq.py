@@ -58,3 +58,17 @@ class TestChecks:
         assert out["n_matches_len"].n_bad == 1  # doc 2 claims 5, len 2
         with pytest.raises(ValueError):
             dq_audit([])
+
+    def test_null_evaluating_predicate_is_bad_by_default(self, spark):
+        # r8 ADVICE: length(text) != n is NULL when either side is NULL
+        # — the default must flag it (a row the check cannot vouch for
+        # is a finding), with null_is_bad=False as the explicit opt-out.
+        docs = spark.createDataFrame(
+            [(1, "abc", 3), (2, None, 3), (3, "xy", None)],
+            "id long, text string, n long",
+        )
+        bad = F.length("text") != F.col("n")
+        strict = check_row("c", docs, bad).collect()[0]
+        assert (strict.n_rows, strict.n_bad) == (3, 2)  # both NULL rows
+        lax = check_row("c", docs, bad, null_is_bad=False).collect()[0]
+        assert (lax.n_rows, lax.n_bad) == (3, 0)

@@ -47,6 +47,19 @@ class TestZonemaps:
         with pytest.raises(ValueError):
             equiwidth_zonemaps(facts, "v", "k", 4, "zorder")
 
+    def test_empty_or_all_null_value_column_raises_clearly(self, spark):
+        # r8 ADVICE: the collected min/max row is (None, None) on an
+        # empty input or an all-NULL value column — must be a clear
+        # ValueError, not an opaque float(None) TypeError.
+        empty = spark.createDataFrame([], "k long, v double")
+        with pytest.raises(ValueError, match="empty input or all-NULL"):
+            equiwidth_zonemaps(empty, "v", "k", 4, "range")
+        nulls = spark.createDataFrame(
+            [(1, None), (2, None)], "k long, v double"
+        )
+        with pytest.raises(ValueError, match="empty input or all-NULL"):
+            equiwidth_zonemaps(nulls, "v", "k", 4, "range")
+
 
 class TestSkippingAudit:
     def test_range_prunes_hash_does_not(self, facts):

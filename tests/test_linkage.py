@@ -145,6 +145,22 @@ class TestFuzzyJoin:
         assert got["blue jay"] == ("blue jay", 0)
         assert got["nomatch zz"] == ("", -1)  # sentinel, not dropped
 
+    def test_colliding_right_columns_get_suffixed(self, spark):
+        # r8 ADVICE: shared column names (common for key columns) must
+        # come out addressable — right side suffixed to _r_<name>.
+        clean = spark.createDataFrame(
+            [(1, "red widget")], "id long, name string"
+        )
+        dirty = spark.createDataFrame(
+            [(10, "red widge")], "id long, name string"
+        )
+        out = fuzzy_join(dirty, clean, "name", "name", 2)
+        assert out.columns == [
+            "id", "name", "_match_name", "_dist", "_r_id", "_r_name"
+        ]
+        r = out.collect()[0]
+        assert (r.id, r._r_id, r._r_name, r._dist) == (10, 1, "red widget", 1)
+
     def test_plan_has_no_cartesian(self, spark):
         clean = spark.createDataFrame([(1, "a b")], "pid long, pname string")
         dirty = spark.createDataFrame([(2, "a c")], "oid long, oname string")
