@@ -338,3 +338,119 @@ def robots_gate_local(
     return base.withColumn("robots_allowed", allowed).withColumn(
         "matched_rule", rule
     )
+
+
+def extract_links(
+    df: DataFrame,
+    html_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Hyperlink extraction from HTML-ish document bodies — the first
+    step of the Common Crawl host-graph recipe (extract hrefs → host
+    edge list → centrality prior; the reference's analog is its
+    dataset-discovery directory scan, `lib/LINZ/BdeUpload.pm` listing,
+    re-expressed for web corpora). One row per ``<a href="...">text</a>``
+    tag: ``(id, href, anchor)``.
+
+    Shape: one JVM ``regexp_extract_all`` over the body pulls whole
+    tags, an array ``transform`` splits each tag into (href, anchor)
+    — still codegen, no Python — and the generator ``explode`` is fed
+    the transform INLINE (the staging rule: generators take their
+    input expression directly). Map-only; no shuffle.
+    """
+    tags = F.regexp_extract_all(
+        F.col(html_col),
+        F.lit(r'<a\s+href="[^"]*"[^>]*>[^<]*</a>'),
+        0,
+    )
+    pairs = F.transform(
+        tags,
+        lambda t: F.struct(
+            F.regexp_extract(t, r'href="([^"]*)"', 1).alias("href"),
+            F.regexp_extract(t, r">([^<]*)</a>$", 1).alias("anchor"),
+        ),
+    )
+    return df.select(
+        F.col(id_col), F.explode(pairs).alias("_l")
+    ).select(
+        id_col,
+        F.col("_l.href").alias("href"),
+        F.col("_l.anchor").alias("anchor"),
+    )
+
+
+def host_edges(
+    links: DataFrame,
+    src_host_col: str = "src_host",
+    href_col: str = "href",
+) -> DataFrame:
+    """Distinct host→host edge list from extracted links: keep only
+    ABSOLUTE ``http(s)`` hrefs (relative links and fragments never
+    leave the page's own host — emitting them as edges would self-link
+    every document), canonicalize each href (:func:`canonicalize_url`:
+    case, mirrors, ports, trackers), take its host, and drop
+    self-loops. Returns ``(src, dst)``.
+
+    Scale: the filter + canonicalization is the map-only regexp chain;
+    ``distinct`` is one shuffle on the (src, dst) pair whose key space
+    is the HOST graph (tiny next to the link volume feeding it).
+    """
+    absolute = links.filter(F.col(href_col).rlike(r"^(?i)https?://"))
+    dst = url_host(canonicalize_url(F.col(href_col)))
+    return (
+        absolute.select(
+            F.col(src_host_col).alias("src"), dst.alias("dst")
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def link_spam_audit(edges: DataFrame) -> DataFrame:
+    """Link-spam signals over a host edge list — the graph-shape audit
+    a host-rank prior needs before anyone trusts it (link farms and
+    reciprocal-exchange rings inflate PageRank; flagging them is the
+    standard companion to computing it). Per host:
+
+    - ``out_deg`` / ``in_deg`` — distinct-neighbor degrees,
+    - ``n_reciprocal`` — out-edges whose reverse edge exists,
+    - ``reciprocity`` — n_reciprocal / out_deg at 6 dp (0.0 for a
+      host with no out-edges: sinks aren't exchanges).
+
+    Scale: the edge list is already distinct and host-granular; the
+    reciprocal probe is one self-equi-join on the reversed pair key,
+    and both degree rollups are bounded |hosts|-key aggs.
+    """
+    e = edges.select("src", "dst")
+    rev = e.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    ).withColumn("_r", F.lit(1))
+    marked = e.join(rev, ["src", "dst"], "left")
+    outd = marked.groupBy(F.col("src").alias("host")).agg(
+        F.count(F.lit(1)).cast("long").alias("out_deg"),
+        F.sum(F.coalesce(F.col("_r"), F.lit(0))).cast("long")
+        .alias("n_reciprocal"),
+    )
+    ind = e.groupBy(F.col("dst").alias("host")).agg(
+        F.count(F.lit(1)).cast("long").alias("in_deg")
+    )
+    return (
+        outd.join(ind, "host", "full_outer")
+        .select(
+            "host",
+            F.coalesce(F.col("out_deg"), F.lit(0)).alias("out_deg"),
+            F.coalesce(F.col("in_deg"), F.lit(0)).alias("in_deg"),
+            F.coalesce(F.col("n_reciprocal"), F.lit(0))
+            .alias("n_reciprocal"),
+            F.when(
+                F.coalesce(F.col("out_deg"), F.lit(0)) > 0,
+                F.round(
+                    F.col("n_reciprocal").cast("double")
+                    / F.col("out_deg"),
+                    6,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("reciprocity"),
+        )
+    )

@@ -97,6 +97,11 @@ WHITELIST: dict[str, tuple[str, ...]] = {
     # pagerank(dangling=True)); it appears in the final plan now that
     # the last iteration is no longer eagerly checkpointed.
     "q_graph_pagerank_directed": ("BroadcastNestedLoopJoin",),
+    # The link-graph composite ends in the same directed PageRank, so
+    # it inherits the identical one-row dangling-mass broadcast per
+    # iteration (graph.py::pagerank(dangling=True)) — nothing else in
+    # the extraction chain (map-only regexps + one distinct) loops.
+    "q_link_graph_rank": ("BroadcastNestedLoopJoin",),
 }
 
 

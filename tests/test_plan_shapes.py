@@ -107,7 +107,11 @@ def test_no_harness_query_compiles_to_scale_smell(spark):
         "q_lm_perplexity", "q_lm_collocations", "q_lm_trigram_perplexity",
         "q_pipeline_quality_funnel", "q_bm25_topk",
         "q_passage_retrieval", "q_graph_pagerank_directed",
-        "q_hybrid_rrf", "q_mixture_perplexity", "q_lm_kneser_ney", "q_curriculum",
+        "q_hybrid_rrf", "q_mixture_perplexity", "q_lm_kneser_ney",
+        "q_curriculum",
+        # round 9: the link-graph composite ends in the same dangling-
+        # mass directed PageRank one-row broadcast
+        "q_link_graph_rank",
     }
 
 

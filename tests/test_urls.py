@@ -228,3 +228,62 @@ class TestBlocklistFilter:
         ]
         # src10 must NOT contain any suffix of src1's host
         assert "src1.example.com" not in got["src10.example.com"]
+
+
+class TestLinkGraphExtraction:
+    def test_extract_links_tags_and_anchors(self, spark):
+        from linz_bde_uploader_spark.functions.urls import extract_links
+
+        df = spark.createDataFrame(
+            [
+                (1, 'x <a href="https://a.com/p">go here</a> y '
+                    '<a href="/rel">home</a> z'),
+                (2, "no links at all"),
+            ],
+            "doc_id long, html string",
+        )
+        got = sorted(
+            (r.doc_id, r.href, r.anchor)
+            for r in extract_links(df, "html").collect()
+        )
+        # doc 2 has no tags -> explode drops it; both tags of doc 1 kept
+        assert got == [(1, "/rel", "home"), (1, "https://a.com/p", "go here")]
+
+    def test_host_edges_filters_relative_and_canonicalizes(self, spark):
+        from linz_bde_uploader_spark.functions.urls import (
+            extract_links,
+            host_edges,
+        )
+
+        df = spark.createDataFrame(
+            [(1, '<a href="HTTP://WWW.B.COM:80/q?utm_source=x">m</a> '
+                 '<a href="/rel">r</a> '
+                 '<a href="https://a.com/self">s</a> '
+                 '<a href="#frag">f</a>')],
+            "doc_id long, html string",
+        )
+        links = extract_links(df, "html").withColumn(
+            "src_host", F.lit("a.com")
+        )
+        got = sorted(
+            (r.src, r.dst) for r in host_edges(links).collect()
+        )
+        # relative + fragment links never edge; self-loop dropped;
+        # messy host canonicalized (case, www., :80)
+        assert got == [("a.com", "b.com")]
+
+    def test_link_spam_reciprocity(self, spark):
+        from linz_bde_uploader_spark.functions.urls import link_spam_audit
+
+        edges = spark.createDataFrame(
+            [("a", "b"), ("b", "a"), ("a", "c"), ("d", "a")],
+            "src string, dst string",
+        )
+        got = {
+            r.host: (r.out_deg, r.in_deg, r.n_reciprocal, r.reciprocity)
+            for r in link_spam_audit(edges).collect()
+        }
+        assert got["a"] == (2, 2, 1, 0.5)
+        assert got["b"] == (1, 1, 1, 1.0)
+        assert got["c"] == (0, 1, 0, 0.0)  # pure sink: not an exchange
+        assert got["d"] == (1, 0, 0, 0.0)
