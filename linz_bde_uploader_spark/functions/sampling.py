@@ -699,3 +699,92 @@ def curriculum_schedule(
         )
         .drop("_skey")
     )
+
+
+def alpha_mixture_plan(
+    docs: DataFrame,
+    alpha: float,
+    budget_tokens: int,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Temperature-scaled (α-)sampling — the multilingual mixture
+    recipe published with XLM-R / mBERT (Conneau et al. 2020,
+    "Unsupervised Cross-lingual Representation Learning at Scale",
+    §3.1): measured token shares ``p_s = tokens_s / N`` are
+    renormalized as ``q_s = p_s^α / Σ_t p_t^α``, flattening the head
+    and up-weighting the tail as ``α → 0`` (``α = 1`` keeps natural
+    proportions, ``α = 0`` is uniform). This is the data-derived
+    complement of :func:`mixture_plan`'s explicit weights, completing
+    the mixture family; the no-silent-drop rule carries over — a
+    source present in ``docs`` but with zero tokens still emits its
+    row (``p = q = 0``, ``boost = 0``), never vanishing from the plan.
+    (Edge case, IEEE on both engines: at exactly ``α = 0``,
+    ``pow(0, 0) = 1`` — a zero-token source then shares the uniform
+    split like everyone else.)
+
+    Returns per source: ``(source, n_docs, tokens, p, q, boost,
+    target_tokens, sample_fraction, epochs)`` where ``boost = q/p``
+    (the per-row up/down-sampling factor :func:`mixture_weights`
+    consumes) and target/fraction/epochs mirror ``mixture_plan``'s
+    budget arithmetic with the DERIVED ``q`` as the proportion.
+
+    Determinism contract: shares are rounded to 9 dp before the
+    ``pow``; the renormalization sums FIXED-POINT longs
+    (``round(p^α · 1e9)``) so the Σ is order-independent and
+    engine-exact; outputs round to 6 dp.
+
+    Scale: one map-side token-count projection + one bounded
+    |sources|-key partial-agg shuffle; the temperature arithmetic is
+    window math OVER the bounded per-source table (no one-row
+    broadcast, no BNLJ, no driver collect).
+    """
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    if alpha < 0:
+        raise ValueError("alpha must be >= 0")
+    if budget_tokens <= 0:
+        raise ValueError("budget_tokens must be positive")
+
+    per = docs.select(
+        F.col(group_col).cast("string").alias("source"),
+        token_count(F.col(text_col)).cast("long").alias("_t"),
+    ).groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("_t").alias("tokens"),
+    )
+    # |sources|-row table: a GLOBAL window over it is bounded work
+    # (the per-day growth-table pattern), and keeps the totals out of
+    # a one-row broadcast plan node.
+    win = Window.partitionBy()
+    total = F.sum("tokens").over(win)
+    p9 = F.round(F.col("tokens").cast("double") / total, 9)
+    qfp = F.round(
+        F.pow(p9, F.lit(float(alpha))) * F.lit(1_000_000_000.0)
+    ).cast("long")
+    staged = per.select(
+        "source", "n_docs", "tokens",
+        p9.alias("_p9"), qfp.alias("_qfp"),
+    )
+    sumq = F.sum("_qfp").over(win)
+    q9 = F.round(F.col("_qfp").cast("double") / sumq, 9)
+    target = F.round(F.lit(float(budget_tokens)) * q9).cast("long")
+    frac = F.when(
+        F.col("tokens") > 0,
+        F.round(F.least(F.lit(1.0), target / F.col("tokens")), 6),
+    ).otherwise(F.lit(0.0))
+    epochs = F.when(
+        (F.col("tokens") > 0) & (target > 0),
+        F.ceil(target / F.col("tokens")).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    return staged.select(
+        "source", "n_docs", "tokens",
+        F.round("_p9", 6).alias("p"),
+        F.round(q9, 6).alias("q"),
+        F.when(
+            F.col("_p9") > 0, F.round(q9 / F.col("_p9"), 6)
+        ).otherwise(F.lit(0.0)).alias("boost"),
+        target.alias("target_tokens"),
+        frac.alias("sample_fraction"),
+        epochs.alias("epochs"),
+    )

@@ -95,6 +95,18 @@ PICK = [
     "q_bloom_filter_audit", "q_event_growth", "q_quality_calibration",
     "q_curriculum", "q_event_anomaly", "q_crawl_novelty", "q_dq_audit",
     "q_ann_ndcg",
+    # round-9 births: the link-graph composite (href explode + canon +
+    # host agg + 4 PR iterations — edge volume scales with text bytes),
+    # its spam/anchor siblings over the same extraction chain, the
+    # α-mixture plan (token agg + |sources|-row window math), the
+    # histogram sketch whose EXACT guard carries the per-type sort the
+    # sketch replaces at scale, and the O(|columns|) schema-drift audit
+    "q_link_graph_rank", "q_link_spam", "q_anchor_text",
+    "q_mixture_alpha", "q_quantile_sketch", "q_schema_drift",
+    # the HLL audit: sketch side is a ≤ |types|·64-register agg; the
+    # exact count(distinct) guard is the full (type, user) shuffle the
+    # sketch exists to retire
+    "q_hll_distinct",
 ]
 
 

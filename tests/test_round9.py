@@ -1,0 +1,136 @@
+"""Round-9 operator units: temperature-scaled (α-)mixture planning.
+
+Reference parity note: the reference engine has no mixture layer; this
+is the training-data-pipeline surface (XLM-R-style α-sampling,
+Conneau et al. 2020).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from linz_bde_uploader_spark.functions.sampling import alpha_mixture_plan
+
+
+def _docs(spark):
+    # head source: 60 tokens; tail source: 10; empty source: 0 tokens
+    rows = (
+        [(i, "big", "w " * 5 + "w") for i in range(10)]       # 6 tok x 10
+        + [(100 + i, "small", "a b") for i in range(5)]        # 2 tok x 5
+        + [(200, "empty", "")]                                 # 0 tok
+    )
+    return spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+
+class TestAlphaMixture:
+    def test_alpha_flattens_toward_tail(self, spark):
+        out = {
+            r.source: r
+            for r in alpha_mixture_plan(_docs(spark), 0.3, 1000).collect()
+        }
+        big, small = out["big"], out["small"]
+        assert big.tokens == 60 and small.tokens == 10
+        # alpha < 1 upweights the tail, downweights the head
+        assert small.boost > 1.0 > big.boost
+        # shares renormalize: q sums to ~1
+        assert abs(sum(r.q for r in out.values()) - 1.0) < 1e-5
+        # empty source reported, never dropped
+        e = out["empty"]
+        assert (e.tokens, e.p, e.q, e.boost, e.epochs) == (0, 0.0, 0.0, 0.0, 0)
+
+    def test_alpha_one_keeps_natural_proportions(self, spark):
+        out = {
+            r.source: r
+            for r in alpha_mixture_plan(_docs(spark), 1.0, 700).collect()
+        }
+        for s in ("big", "small"):
+            assert out[s].boost == pytest.approx(1.0, abs=1e-5)
+            assert out[s].q == pytest.approx(out[s].p, abs=1e-5)
+        # budget arithmetic mirrors mixture_plan: target = B * q
+        assert out["big"].target_tokens == round(700 * out["big"].q)
+
+    def test_alpha_zero_is_uniform_over_nonempty(self, spark):
+        out = {
+            r.source: r
+            for r in alpha_mixture_plan(_docs(spark), 0.0, 1000).collect()
+        }
+        # pow(p, 0) = 1 for every source with p > 0 -> equal q
+        assert out["big"].q == pytest.approx(out["small"].q, abs=1e-5)
+
+    def test_rejects_bad_args(self, spark):
+        d = _docs(spark)
+        with pytest.raises(ValueError):
+            alpha_mixture_plan(d, -0.1, 100)
+        with pytest.raises(ValueError):
+            alpha_mixture_plan(d, 0.5, 0)
+
+
+class TestHLL:
+    """HyperLogLog distinct sketch (functions/sketches.py::hll_sketch/
+    hll_estimate): mergeability, accuracy band, and argument guards."""
+
+    def _ids(self, spark, lo, hi, tag="a"):
+        return spark.createDataFrame(
+            [(i, tag) for i in range(lo, hi)], "uid long, g string"
+        )
+
+    def test_accuracy_band(self, spark):
+        # 5000 sequential ids: raw harmonic estimate within the
+        # published ~1.04/sqrt(64) = 13% band (x3 head-room)
+        df = self._ids(spark, 0, 5000)
+        from linz_bde_uploader_spark.functions.sketches import (
+            hll_estimate,
+            hll_sketch,
+        )
+
+        est = hll_estimate(hll_sketch(df, "uid", 64)).collect()[0].est
+        assert abs(est / 5000.0 - 1.0) < 0.39
+
+    def test_duplicates_dissolve(self, spark):
+        from linz_bde_uploader_spark.functions.sketches import (
+            hll_estimate,
+            hll_sketch,
+        )
+
+        once = self._ids(spark, 0, 1000)
+        thrice = once.union(once).union(once)
+        e1 = hll_estimate(hll_sketch(once, "uid", 64)).collect()[0].est
+        e3 = hll_estimate(hll_sketch(thrice, "uid", 64)).collect()[0].est
+        assert e1 == e3
+
+    def test_merge_is_register_max(self, spark):
+        # sketch(A ∪ B) == per-register MAX of sketch(A), sketch(B) —
+        # the property that makes shard/stream/crawl composition free
+        from pyspark.sql import functions as F
+        from linz_bde_uploader_spark.functions.sketches import hll_sketch
+
+        a = self._ids(spark, 0, 800)
+        b = self._ids(spark, 400, 1200)
+        u = hll_sketch(a.union(b), "uid", 64)
+        merged = (
+            hll_sketch(a, "uid", 64)
+            .unionByName(hll_sketch(b, "uid", 64))
+            .groupBy("bucket")
+            .agg(F.max("rho").alias("rho"))
+        )
+        assert sorted(map(tuple, u.collect())) == sorted(
+            map(tuple, merged.collect())
+        )
+
+    def test_stratified_and_guards(self, spark):
+        import pytest as _pt
+        from linz_bde_uploader_spark.functions.sketches import (
+            hll_estimate,
+            hll_sketch,
+        )
+
+        df = self._ids(spark, 0, 300, "a").union(
+            self._ids(spark, 0, 600, "b")
+        )
+        sk = hll_sketch(df, "uid", 32, "g")
+        out = {r.g: r for r in hll_estimate(sk, 32, "g").collect()}
+        assert set(out) == {"a", "b"}
+        assert out["b"].est > out["a"].est
+        with _pt.raises(ValueError):
+            hll_sketch(df, "uid", 48)
+        with _pt.raises(ValueError):
+            hll_estimate(sk, 100)
