@@ -3581,8 +3581,43 @@ def q_quantile_sketch(spark, sf_dir):
         histogram_sketch(e, "value", lo, hi, n_bins, "event_type")
     )
     est = sketch_quantiles(sk, qs, lo, hi, n_bins, "event_type")
-    ns = sk.groupBy("event_type").agg(
-        F.sum("cnt").cast("long").alias("n")
+    # Fail-loud domain assertion: the guard invariant below
+    # (0 < est − exact ≤ w) only holds for values strictly inside
+    # [lo, hi) — a probed rank landing on a CLAMPED value (< lo or
+    # ≥ hi) would violate it and silently drop the row, surfacing as
+    # an opaque oracle row-count mismatch. So the per-type row count
+    # carries a raise_error branch: any out-of-domain value aborts
+    # the query with the offending count instead of degrading.
+    dom = (
+        e.filter(F.col("value").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("_n_raw"),
+            F.sum(
+                F.when(
+                    (F.col("value") < lo) | (F.col("value") >= hi), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("_ood"),
+        )
+    )
+    ns = dom.select(
+        "event_type",
+        F.when(F.col("_ood") == F.lit(0), F.col("_n_raw"))
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "q_quantile_sketch: values outside "
+                        f"[{lo}, {hi}) would clamp and break the "
+                        "est-exact guard; out-of-domain count = "
+                    ),
+                    F.col("_ood").cast("string"),
+                )
+            ).cast("long")
+        )
+        .alias("n"),
     )
     from pyspark.sql import Window
 
@@ -4299,12 +4334,18 @@ def _link_graph_ctes() -> str:
         tags AS (
           SELECT doc_id, src_host,
                  unnest(regexp_extract_all(html,
-                   '<a\s+href="[^"]*"[^>]*>[^<]*</a>')) AS tag
+                   '<a\s[^>]*href\s*=\s*("[^"]*"|''[^'']*'')[^>]*>[^<]*</a>'))
+                   AS tag
           FROM pages
         ),
         lk AS (
           SELECT doc_id, src_host,
-                 regexp_extract(tag, 'href="([^"]*)"', 1) AS href,
+                 CASE WHEN regexp_matches(tag, 'href\s*=\s*"')
+                      THEN regexp_extract(tag,
+                             'href\s*=\s*"([^"]*)"', 1)
+                      ELSE regexp_extract(tag,
+                             'href\s*=\s*''([^'']*)''', 1)
+                 END AS href,
                  regexp_extract(tag, '>([^<]*)</a>$', 1) AS anchor
           FROM tags
         ),
@@ -4336,9 +4377,9 @@ def _link_graph_ctes() -> str:
                  regexp_replace(regexp_replace(regexp_replace(rest,
                    '([?&])(utm_[^&#=]*|ref|session|fbclid|gclid)=[^&#]*',
                    '\1', 'g'),
-                   '\?&+', '?'),
+                   '\?&+', '?', 'g'),
                    '&&+', '&', 'g'),
-                   '/\?', '?'),
+                   '/\?', '?', 'g'),
                    '[?&]+$', ''),
                    '/$', '') AS rest
           FROM cc2
@@ -4365,9 +4406,20 @@ def _hll_sql() -> str:
 
     lut = ", ".join(repr(t) for t in hll_lc_terms(64))
     return f"""
-        WITH v0 AS (
-          SELECT event_type, user_id & 2147483647 AS h0
+        WITH v00 AS (
+          -- high-half pre-mix + fold, mirroring sketches._hll_mix
+          -- (mix(0)=0, so the identity for ids < 2^31)
+          SELECT event_type,
+                 user_id & 2147483647 AS lo0,
+                 (user_id >> 31) & 2147483647 AS hi0
           FROM events WHERE user_id IS NOT NULL
+        ),
+        v0 AS (
+          SELECT event_type,
+                 xor(lo0,
+                     (xor(hi0, hi0 >> 16) * 73244475) & 2147483647)
+                   AS h0
+          FROM v00
         ),
         v1 AS (
           SELECT event_type,

@@ -236,8 +236,21 @@ _M31 = 0x7FFFFFFF
 def _hll_mix(key):
     """31-bit xorshift-multiply hash of a long column — uniform bits,
     engine-exact (&, ^, >> and int64 · are identical in Spark and
-    ANSI SQL; no overflow: every intermediate < 2^58)."""
-    h0 = key.bitwiseAND(F.lit(_M31))
+    ANSI SQL; no overflow: every intermediate < 2^58). The full 64-bit
+    key participates: the HIGH half is passed through one
+    xorshift-multiply round of its own and XOR-folded into the low
+    half FIRST, so key families congruent mod 2^31 land on distinct
+    inputs to the main mix (a plain ``key ^ (key >> 31)`` fold is NOT
+    enough — it maps ``k + 2^31`` onto ``k ^ 1``, a structured
+    pairwise collision with the low family, and the raw mask was
+    worse: full identity. Either biases estimates low over wide id
+    spaces). ``mix(0) = 0``, so the fold is the identity for keys
+    already inside [0, 2^31) — narrow-domain hashes are unchanged."""
+    hi = F.shiftright(key, 31).bitwiseAND(F.lit(_M31))
+    hi1 = (hi.bitwiseXOR(F.shiftright(hi, 16)) * HLL_MIX).bitwiseAND(
+        F.lit(_M31)
+    )
+    h0 = key.bitwiseAND(F.lit(_M31)).bitwiseXOR(hi1)
     h1 = (h0.bitwiseXOR(F.shiftright(h0, 16)) * HLL_MIX).bitwiseAND(
         F.lit(_M31)
     )
@@ -271,8 +284,15 @@ def hll_sketch(
     without rescanning — the reason a 100-TB pipeline sketches
     distinct users/URLs instead of re-running count(distinct)).
 
+    The key column must be NUMERIC and this is ENFORCED at plan-build
+    time: a non-numeric column would ``cast("long")`` to NULL after
+    the NULL filter and silently vanish from the sketch (an
+    undercount, not an error), so the constructor raises instead.
+
     Relational, engine-exact form: ``h = 31-bit xorshift-multiply
-    mix of the key`` (uniform bits — see :data:`HLL_MIX`); register
+    mix of the key`` (uniform bits over the FULL 64-bit key domain —
+    the high half is folded in before the 31-bit mask, see
+    :func:`_hll_mix`); register
     index ``h mod m``; rank ``ρ = position of the leading 1-bit of
     w = h div m`` read as ``W_BITS - length(bin(w)) + 1``
     (binary-string length is exact integer work in both Spark and
@@ -287,6 +307,16 @@ def hll_sketch(
     """
     if m not in _HLL_ALPHA:
         raise ValueError(f"m must be one of {sorted(_HLL_ALPHA)}")
+    from pyspark.sql.types import NumericType  # noqa: PLC0415
+
+    dt = df.schema[key_col].dataType
+    if not isinstance(dt, NumericType):
+        raise TypeError(
+            f"hll_sketch key column {key_col!r} must be numeric, got "
+            f"{dt.simpleString()}: a failed cast would become a NULL "
+            "hash and silently undercount — hash string keys to a "
+            "long (e.g. text.token_value) first"
+        )
     wb = _hll_w_bits(m)
     keys = ([stratum_col] if stratum_col else []) + ["bucket"]
     h = _hll_mix(F.col(key_col).cast("long"))
@@ -340,7 +370,14 @@ def hll_estimate(
     alpha = _HLL_ALPHA[m]
     agg = sketch.groupBy(*part).agg(
         F.count(F.lit(1)).cast("long").alias("_np"),
-        F.sum(F.pow(F.lit(2.0), -F.col("rho"))).alias("_sp"),
+        # Coalesce: a global (no-stratum) estimate over an EMPTY
+        # sketch aggregates zero rows, where sum() is NULL — without
+        # the 0.0 floor the whole CASE would fall through to est=NULL
+        # instead of the correct 0 (all m registers zero → linear
+        # counting gives m·ln(m/m) = 0).
+        F.coalesce(
+            F.sum(F.pow(F.lit(2.0), -F.col("rho"))), F.lit(0.0)
+        ).alias("_sp"),
     )
     s = F.col("_sp") + (F.lit(m) - F.col("_np"))
     zeros = (F.lit(m) - F.col("_np")).cast("long")

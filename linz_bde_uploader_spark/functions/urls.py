@@ -345,12 +345,20 @@ def extract_links(
     html_col: str,
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """Hyperlink extraction from HTML-ish document bodies — the first
+    """CONTRACT: extracts ``<a ...>`` tags whose ``href`` value is
+    single- or double-QUOTED, in any attribute position, with
+    PLAIN-TEXT anchor content (no nested tags, no ``>`` inside
+    attribute values, no unquoted ``href=x``) — the regex grammar of a
+    sanitized/HTML-ish corpus, not a browser parser; tags outside the
+    contract are dropped, and ``tests/test_urls.py`` pins both the
+    matched variants and the documented non-matches.
+
+    Hyperlink extraction from HTML-ish document bodies — the first
     step of the Common Crawl host-graph recipe (extract hrefs → host
     edge list → centrality prior; the reference's analog is its
     dataset-discovery directory scan, `lib/LINZ/BdeUpload.pm` listing,
-    re-expressed for web corpora). One row per ``<a href="...">text</a>``
-    tag: ``(id, href, anchor)``.
+    re-expressed for web corpora). One row per anchor tag:
+    ``(id, href, anchor)``.
 
     Shape: one JVM ``regexp_extract_all`` over the body pulls whole
     tags, an array ``transform`` splits each tag into (href, anchor)
@@ -360,13 +368,22 @@ def extract_links(
     """
     tags = F.regexp_extract_all(
         F.col(html_col),
-        F.lit(r'<a\s+href="[^"]*"[^>]*>[^<]*</a>'),
+        F.lit(r"""<a\s[^>]*href\s*=\s*("[^"]*"|'[^']*')[^>]*>[^<]*</a>"""),
         0,
     )
+
+    def _href(t):
+        # quote-style dispatch: the tag regex guarantees exactly one
+        # quoted href value is present, so whichever style rlike sees
+        # is the one that matched.
+        dq = F.regexp_extract(t, r'href\s*=\s*"([^"]*)"', 1)
+        sq = F.regexp_extract(t, r"href\s*=\s*'([^']*)'", 1)
+        return F.when(t.rlike(r'href\s*=\s*"'), dq).otherwise(sq)
+
     pairs = F.transform(
         tags,
         lambda t: F.struct(
-            F.regexp_extract(t, r'href="([^"]*)"', 1).alias("href"),
+            _href(t).alias("href"),
             F.regexp_extract(t, r">([^<]*)</a>$", 1).alias("anchor"),
         ),
     )
