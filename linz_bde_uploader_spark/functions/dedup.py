@@ -1423,3 +1423,166 @@ def snapshot_novelty(
             4,
         ).alias("novelty_rate"),
     )
+
+
+def cross_doc_exact_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_span_tokens: int = 6,
+    n: int = 3,
+    min_shared: int = 2,
+    max_doc_freq: int = 8,
+) -> DataFrame:
+    """Cross-document ExactSubstr span dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better") —
+    BOUNDED: the published recipe builds a corpus-wide suffix array;
+    this is the rare-shingle-anchored relational re-expression that
+    never goes all-pairs and never materializes suffixes. Finds every
+    maximal token span of length >= ``min_span_tokens`` shared EXACTLY
+    (token-for-token) between two documents, the primitive that
+    complements within-doc :func:`scrub_duplicated_spans` (which
+    removes corpus-frequent fragments without saying WHO shares them)
+    and doc-level :func:`containment_pairs` (which scores set overlap
+    without positions).
+
+    Two stages, the VERDICT-r9 shape:
+
+    1. **Nominate** — candidate doc pairs must share at least
+       ``min_shared`` RARE positional n-gram values (corpus doc-freq
+       <= ``max_doc_freq``, the :func:`containment_pairs` inverted-
+       index trick). A genuinely shared >= min_span span of fresh
+       prose contains rare n-grams almost surely; boilerplate-only
+       overlap (every n-gram frequent) is deliberately out of
+       contract — that mass is :func:`scrub_duplicated_spans`'s job.
+    2. **Verify** — for nominated pairs ONLY, equi-join the FULL
+       positional n-gram tables of both sides (no frequency filter, so
+       spans that CONTAIN frequent n-grams are still recovered whole),
+       then detect maximal runs per alignment diagonal
+       ``d = start_a - start_b``: consecutive match positions collapse
+       via the islands idiom (``start - row_number()`` per
+       ``(pair, d)``), each island of ``r`` consecutive n-gram matches
+       being a shared span of ``r + n - 1`` tokens, clamped to both
+       documents' lengths (the padded short-doc shingle never
+       overstates).
+
+    Returns ``(id_a, id_b, start_a, start_b, span_len, span_text)``
+    with ``id_a < id_b``, 1-based token offsets, and the span's text
+    rebuilt from side a — one row per (pair, alignment); a span
+    repeated within a document reports once per distinct alignment.
+    Deterministic by construction: integer hashes, integer windows over
+    unique (pair, diagonal, position) keys — no floats, no ties.
+
+    Scale: the positional n-gram table is one map-side posexplode
+    (linear in token volume), persisted FLAT (the containment lesson:
+    exploded longs cache ~10x cheaper than array rows); nomination's
+    self-join is keyed on rare n-grams only, each emitting
+    <= C(max_doc_freq, 2) pairs; verification shuffles matches for
+    nominated pairs only — linear in truly-shared content; the islands
+    window partitions by (pair, diagonal), never globally. Reference
+    parity anchor: the reference dedupes at row grain via table_version
+    diffs (sql/02-bde_control_functions.sql.in:1576-1814); span-grain
+    text dedup is the LLM-corpus extension of the same
+    detect-then-apply contract.
+    """
+    staged = df.select(
+        F.col(id_col),
+        tokens(F.col(text_col)).alias("_toks"),
+    ).select(
+        F.col(id_col), "_toks", F.size("_toks").alias("_nt")
+    )
+    # positional shingle VALUES (same arithmetic as scrub_duplicated_
+    # spans): transform fed to posexplode INLINE (the staging rule)
+    ex = track(
+        staged.select(
+            F.col(id_col),
+            F.col("_nt"),
+            F.posexplode(
+                F.transform(
+                    shingles_from_tokens(F.col("_toks"), n),
+                    lambda s: shingle_value(s),
+                )
+            ).alias("_p0", "sv"),
+        ).select(id_col, "_nt", (F.col("_p0") + 1).alias("start"), "sv")
+    )
+    exd = ex.select(id_col, "sv").distinct()
+    rare = (
+        exd.groupBy("sv")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") <= max_doc_freq)
+        .select("sv")
+    )
+    rex = exd.join(rare, "sv")
+    pairs = (
+        rex.select(F.col("sv"), F.col(id_col).alias("id_a"))
+        .join(rex.select(F.col("sv"), F.col(id_col).alias("id_b")), "sv")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("_shared_rare"))
+        .filter(F.col("_shared_rare") >= min_shared)
+        .select("id_a", "id_b")
+    )
+    m = (
+        pairs.join(
+            ex.select(
+                F.col(id_col).alias("id_a"),
+                F.col("_nt").alias("_nta"),
+                F.col("start").alias("_sa"),
+                "sv",
+            ),
+            "id_a",
+        )
+        .join(
+            ex.select(
+                F.col(id_col).alias("id_b"),
+                F.col("_nt").alias("_ntb"),
+                F.col("start").alias("_sb"),
+                "sv",
+            ),
+            ["id_b", "sv"],
+        )
+    )
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    diag = F.col("_sa") - F.col("_sb")
+    isl = F.col("_sa") - F.row_number().over(
+        Window.partitionBy("id_a", "id_b", diag).orderBy("_sa")
+    )
+    runs = m.select(
+        "id_a", "id_b", "_sa", "_sb", "_nta", "_ntb",
+        diag.alias("_diag"), isl.alias("_isl"),
+    )
+    spans = runs.groupBy("id_a", "id_b", "_diag", "_isl").agg(
+        F.min("_sa").alias("start_a"),
+        F.min("_sb").alias("start_b"),
+        F.first("_nta").alias("_nta"),
+        F.first("_ntb").alias("_ntb"),
+        (F.count(F.lit(1)) + F.lit(n - 1)).alias("_raw"),
+    )
+    span_len = F.least(
+        F.col("_raw"),
+        F.col("_nta") - F.col("start_a") + 1,
+        F.col("_ntb") - F.col("start_b") + 1,
+    )
+    sized = spans.select(
+        "id_a", "id_b",
+        F.col("start_a").cast("long").alias("start_a"),
+        F.col("start_b").cast("long").alias("start_b"),
+        span_len.cast("long").alias("span_len"),
+    ).filter(F.col("span_len") >= min_span_tokens)
+    return (
+        sized.join(
+            staged.select(F.col(id_col).alias("id_a"), "_toks"), "id_a"
+        )
+        .select(
+            "id_a", "id_b", "start_a", "start_b", "span_len",
+            F.concat_ws(
+                " ",
+                F.slice(
+                    F.col("_toks"),
+                    F.col("start_a").cast("int"),
+                    F.col("span_len").cast("int"),
+                ),
+            ).alias("span_text"),
+        )
+    )

@@ -107,6 +107,12 @@ PICK = [
     # exact count(distinct) guard is the full (type, user) shuffle the
     # sketch exists to retire
     "q_hll_distinct",
+    # round-10 births: cross-doc ExactSubstr spans (positional shingle
+    # explode is linear in token volume; pair nomination is keyed on
+    # df<=8 rare shingles; verification joins nominated pairs only, so
+    # match volume tracks truly-shared content — which the replicated
+    # fixture grows linearly)
+    "q_dedup_exact_spans",
 ]
 
 

@@ -1,0 +1,98 @@
+"""Round-10 operators: cross-document ExactSubstr span dedup and the
+end-to-end corpus-build composite."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from linz_bde_uploader_spark.functions.dedup import cross_doc_exact_spans
+
+SHARED = "the quick brown fox jumps over the lazy dog tonight"  # 10 tokens
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "alpha beta " + SHARED + " gamma delta unique one zz"),
+            (2, "intro words here " + SHARED + " totally other tail qq"),
+            (3, "no overlap at all just singular prose forever and amen"),
+            (4, "short doc"),
+            # repeats the span twice -> two alignments vs docs 1 and 2
+            (5, SHARED + " middle filler words " + SHARED),
+        ],
+        "doc_id long, text string",
+    )
+
+
+class TestCrossDocExactSpans:
+    """dedup.py::cross_doc_exact_spans (Lee et al. 2022 ExactSubstr,
+    bounded): maximal shared runs per alignment diagonal over
+    rare-shingle-nominated pairs."""
+
+    def test_maximal_spans_and_alignments(self, spark):
+        got = sorted(
+            (r.id_a, r.id_b, r.start_a, r.start_b, r.span_len, r.span_text)
+            for r in cross_doc_exact_spans(_docs(spark)).collect()
+        )
+        # maximal: ONE 10-token span per alignment, never sub-spans;
+        # doc 5's internal repeat -> one row per distinct alignment
+        assert got == [
+            (1, 2, 3, 4, 10, SHARED),
+            (1, 5, 3, 1, 10, SHARED),
+            (1, 5, 3, 14, 10, SHARED),
+            (2, 5, 4, 1, 10, SHARED),
+            (2, 5, 4, 14, 10, SHARED),
+        ]
+
+    def test_min_span_filter(self, spark):
+        # raising the threshold above the shared length empties the set
+        assert (
+            cross_doc_exact_spans(_docs(spark), min_span_tokens=11).count()
+            == 0
+        )
+
+    def test_span_len_clamped_to_doc_length(self, spark):
+        # two identical 4-token docs: the padded short-doc shingle must
+        # not overstate span_len past the documents' real length
+        df = spark.createDataFrame(
+            [(1, "aa bb cc dd"), (2, "aa bb cc dd")],
+            "doc_id long, text string",
+        )
+        rows = cross_doc_exact_spans(
+            df, min_span_tokens=4, min_shared=1
+        ).collect()
+        assert [(r.span_len, r.span_text) for r in rows] == [
+            (4, "aa bb cc dd")
+        ]
+
+    def test_interrupted_span_splits_runs(self, spark):
+        # one differing token inside an otherwise-shared region splits
+        # the report into the two maximal sub-spans around it
+        a = "k1 k2 k3 k4 k5 k6 XX m1 m2 m3 m4 m5 m6"
+        b = "k1 k2 k3 k4 k5 k6 YY m1 m2 m3 m4 m5 m6"
+        df = spark.createDataFrame(
+            [(1, a), (2, b)], "doc_id long, text string"
+        )
+        got = sorted(
+            (r.start_a, r.start_b, r.span_len)
+            for r in cross_doc_exact_spans(
+                df, min_span_tokens=6, min_shared=1
+            ).collect()
+        )
+        assert got == [(1, 1, 6), (8, 8, 6)]
+
+    def test_boilerplate_shingles_never_nominate(self, spark):
+        # a shingle present in > max_doc_freq docs cannot key a pair:
+        # 10 docs sharing ONLY a frequent fragment produce no rows at
+        # max_doc_freq=8 (that mass is scrub_duplicated_spans' job)
+        frag = "common boiler plate words here six"
+        df = spark.createDataFrame(
+            [(i, f"u{i}a u{i}b " + frag + f" u{i}c u{i}d") for i in range(10)],
+            "doc_id long, text string",
+        )
+        assert cross_doc_exact_spans(df, min_span_tokens=6).count() == 0
+
+    def test_deterministic(self, spark):
+        d = _docs(spark)
+        r1 = sorted(map(tuple, cross_doc_exact_spans(d).collect()))
+        r2 = sorted(map(tuple, cross_doc_exact_spans(d).collect()))
+        assert r1 == r2
