@@ -1697,6 +1697,25 @@ def q_dedup_exact_spans(spark, sf_dir):
     ).orderBy("id_a", "id_b", "start_a", "start_b")
 
 
+def q_dedup_exact_scrub(spark, sf_dir):
+    # The APPLY face of the ExactSubstr family (dedup.py::
+    # scrub_cross_doc_spans; Lee et al. 2022's actual dedup step):
+    # every maximal cross-doc shared span >= 6 tokens keeps its
+    # EARLIEST (lowest-id) occurrence and later occurrences are
+    # removed token-for-token — the pair-local keep-lowest rule
+    # composes transitively, so exactly one copy survives corpus-wide.
+    # Contrast q_dedup_scrub_spans (corpus-frequent fragments removed
+    # from EVERY doc, no survivor): this preserves a canonical copy,
+    # the right semantics when the duplicated mass is real content.
+    # Plan: the q_dedup_exact_spans chain + one span-bounded position
+    # explode + the one-pass array_except rebuild. No new shuffle
+    # shapes; no Python.
+    d = W.load(spark, sf_dir, "documents")
+    return D.scrub_cross_doc_spans(
+        d, "doc_id", "text", min_span_tokens=6
+    ).orderBy("doc_id")
+
+
 def q_robots_gate(spark, sf_dir):
     # Robots-exclusion gate (functions/urls.py::robots_gate) — crawl
     # compliance per RFC 9309 / Google precedence: longest matching
@@ -4158,10 +4177,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    family keeps the trigram + KN scorers in-window, add-one
         #    bigram stays oracle-checked at 51+) -> 51+
         "q_lm_kneser_ney": q_lm_kneser_ney,
-        # -- round-7 birth: winnowing (MOSS) positional copy detection;
-        #    displaced tenant q_dedup_crossdoc (r5+r6 green; the
-        #    fragment family keeps q_dedup_paragraph in-window) -> 51+
-        "q_dedup_winnow": q_dedup_winnow,
+        # -- round-10 birth: ExactSubstr APPLY — remove every later
+        #    occurrence of a cross-doc shared span, keep the earliest
+        #    (the q_dedup_exact_spans chain + position explode +
+        #    array_except rebuild); displaced tenant q_dedup_winnow
+        #    (green r7-r9 triple; positional copy detection stays
+        #    exercised through the spans family, winnow stays
+        #    oracle-checked at 51+) -> 51+
+        "q_dedup_exact_scrub": q_dedup_exact_scrub,
         # -- round-5 session-2 births: deterministic k-means and the
         #    SemDeDup cluster-local near-dup filter built on it;
         #    displaced tenants q_mm_frame_sample and q_decontaminate
@@ -4282,6 +4305,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rotated out in round 10 by q_corpus_build_e2e (r8+r9 green;
         # the robots gate is stage 2 of that composite)
         "q_robots_gate": q_robots_gate,
+        # rotated out in round 10 by q_dedup_exact_scrub (green r7-r9)
+        "q_dedup_winnow": q_dedup_winnow,
         "q_bpe_pair_counts": q_bpe_pair_counts,
         "q_tpch_q8_market_share": q_tpch_q8_market_share,
         "q_tpch_q9_profit": q_tpch_q9_profit,
@@ -4820,6 +4845,64 @@ _ANCHOR_TEXT_SQL = (
     ORDER BY host, rnk
 """
 )
+
+
+def _exact_spans_ctes() -> str:
+    """Shared DuckDB CTE block for the round-10 ExactSubstr family:
+    positional shingle values (the scrub-spans sv_t shape),
+    rare-anchored pair nomination (the containment rex/cpair shape),
+    the islands idiom per alignment diagonal, and the length-clamped
+    span table ``cl (id_a, id_b, start_a, start_b, span_len)`` with
+    the token table ``t`` available for rebuilds."""
+    return f"""
+        WITH t AS (
+          SELECT doc_id, {_TOKS} AS toks, len({_TOKS}) AS n
+          FROM documents
+        ),
+        sv_t AS (
+          SELECT doc_id, n, toks, {_shingle_vals()} AS svs FROM t
+        ),
+        ex AS (
+          SELECT doc_id, n AS nt, i AS start, svs[i] AS sv
+          FROM sv_t,
+               LATERAL (SELECT unnest(generate_series(1, len(svs)))
+                        AS i) g
+        ),
+        exd AS (SELECT DISTINCT doc_id, sv FROM ex),
+        rare AS (SELECT sv FROM exd GROUP BY sv HAVING count(*) <= 8),
+        rex AS (SELECT e.doc_id, e.sv FROM exd e JOIN rare USING (sv)),
+        cpair AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM rex a JOIN rex b ON a.sv = b.sv AND a.doc_id < b.doc_id
+          GROUP BY 1, 2 HAVING count(*) >= 2
+        ),
+        m AS (
+          SELECT p.id_a, p.id_b, a.nt AS nta, b.nt AS ntb,
+                 a.start AS sa, b.start AS sb
+          FROM cpair p
+          JOIN ex a ON a.doc_id = p.id_a
+          JOIN ex b ON b.doc_id = p.id_b AND b.sv = a.sv
+        ),
+        runs AS (
+          SELECT id_a, id_b, nta, ntb, sa, sb, sa - sb AS diag,
+                 sa - row_number() OVER (
+                   PARTITION BY id_a, id_b, sa - sb ORDER BY sa
+                 ) AS isl
+          FROM m
+        ),
+        sp AS (
+          SELECT id_a, id_b, diag, isl,
+                 min(sa) AS start_a, min(sb) AS start_b,
+                 min(nta) AS nta, min(ntb) AS ntb,
+                 count(*) + 2 AS raw
+          FROM runs GROUP BY id_a, id_b, diag, isl
+        ),
+        cl AS (
+          SELECT id_a, id_b, start_a, start_b,
+                 least(raw, nta - start_a + 1, ntb - start_b + 1)
+                   AS span_len
+          FROM sp
+        )"""
 
 
 def _corpus_e2e_sql() -> str:
@@ -6152,8 +6235,13 @@ def oracle_sql() -> dict[str, str]:
             agg AS (SELECT doc_id, list(p) AS dups FROM dup GROUP BY doc_id)
             SELECT s.doc_id,
                    CAST(s.n - len(s.kept) AS BIGINT) AS n_removed,
-                   array_to_string(
-                     list_transform(s.kept, i -> s.toks[i]), ' ') AS clean_text
+                   -- coalesce: DuckDB array_to_string([]) is NULL where
+                   -- Spark concat_ws gives '' (latent here — min_doc_freq
+                   -- 10 never fully scrubs these fixtures — but the
+                   -- exact-scrub twin hit it for real)
+                   coalesce(array_to_string(
+                     list_transform(s.kept, i -> s.toks[i]), ' '), '')
+                     AS clean_text
             FROM (
               SELECT sv_t.doc_id, sv_t.n, sv_t.toks,
                      list_filter(generate_series(1, sv_t.n),
@@ -6814,56 +6902,9 @@ def oracle_sql() -> dict[str, str]:
         # scrub-spans sv_t shape), rare-anchored pair nomination (the
         # containment rex/cpair shape), then the islands idiom per
         # alignment diagonal — sa - row_number() over (pair, sa-sb) —
-        # with run + n - 1 clamped to both doc lengths
-        "q_dedup_exact_spans": f"""
-            WITH t AS (
-              SELECT doc_id, {_TOKS} AS toks, len({_TOKS}) AS n
-              FROM documents
-            ),
-            sv_t AS (
-              SELECT doc_id, n, toks, {_shingle_vals()} AS svs FROM t
-            ),
-            ex AS (
-              SELECT doc_id, n AS nt, i AS start, svs[i] AS sv
-              FROM sv_t,
-                   LATERAL (SELECT unnest(generate_series(1, len(svs)))
-                            AS i) g
-            ),
-            exd AS (SELECT DISTINCT doc_id, sv FROM ex),
-            rare AS (SELECT sv FROM exd GROUP BY sv HAVING count(*) <= 8),
-            rex AS (SELECT e.doc_id, e.sv FROM exd e JOIN rare USING (sv)),
-            cpair AS (
-              SELECT a.doc_id AS id_a, b.doc_id AS id_b
-              FROM rex a JOIN rex b ON a.sv = b.sv AND a.doc_id < b.doc_id
-              GROUP BY 1, 2 HAVING count(*) >= 2
-            ),
-            m AS (
-              SELECT p.id_a, p.id_b, a.nt AS nta, b.nt AS ntb,
-                     a.start AS sa, b.start AS sb
-              FROM cpair p
-              JOIN ex a ON a.doc_id = p.id_a
-              JOIN ex b ON b.doc_id = p.id_b AND b.sv = a.sv
-            ),
-            runs AS (
-              SELECT id_a, id_b, nta, ntb, sa, sb, sa - sb AS diag,
-                     sa - row_number() OVER (
-                       PARTITION BY id_a, id_b, sa - sb ORDER BY sa
-                     ) AS isl
-              FROM m
-            ),
-            sp AS (
-              SELECT id_a, id_b, diag, isl,
-                     min(sa) AS start_a, min(sb) AS start_b,
-                     min(nta) AS nta, min(ntb) AS ntb,
-                     count(*) + 2 AS raw
-              FROM runs GROUP BY id_a, id_b, diag, isl
-            ),
-            cl AS (
-              SELECT id_a, id_b, start_a, start_b,
-                     least(raw, nta - start_a + 1, ntb - start_b + 1)
-                       AS span_len
-              FROM sp
-            )
+        # with run + n - 1 clamped to both doc lengths (shared CTE
+        # block: _exact_spans_ctes)
+        "q_dedup_exact_spans": _exact_spans_ctes() + """
             SELECT c.id_a, c.id_b,
                    CAST(c.start_a AS BIGINT) AS start_a,
                    CAST(c.start_b AS BIGINT) AS start_b,
@@ -6876,6 +6917,39 @@ def oracle_sql() -> dict[str, str]:
             FROM cl c JOIN sv_t ta ON ta.doc_id = c.id_a
             WHERE c.span_len >= 6
             ORDER BY c.id_a, c.id_b, c.start_a, c.start_b
+        """,
+        # ExactSubstr APPLY: the same shared span table, then later
+        # occurrences (side b) explode into per-doc covered positions
+        # and the scrub-spans rebuild keeps everything else
+        "q_dedup_exact_scrub": _exact_spans_ctes() + """,
+            covered AS (
+              SELECT c.id_b AS doc_id, p
+              FROM cl c,
+                   unnest(generate_series(c.start_b,
+                                          c.start_b + c.span_len - 1))
+                     AS tt(p)
+              WHERE c.span_len >= 6
+            ),
+            dcov AS (SELECT DISTINCT doc_id, p FROM covered),
+            agg AS (SELECT doc_id, list(p) AS dups FROM dcov
+                    GROUP BY doc_id)
+            SELECT s.doc_id,
+                   CAST(s.n - len(s.kept) AS BIGINT) AS n_removed,
+                   -- coalesce: DuckDB array_to_string([]) is NULL
+                   -- where Spark concat_ws gives '' — a FULLY
+                   -- scrubbed doc must surface as the empty string
+                   coalesce(array_to_string(
+                     list_transform(s.kept, i -> s.toks[i]), ' '), '')
+                     AS clean_text
+            FROM (
+              SELECT t.doc_id, t.n, t.toks,
+                     list_filter(generate_series(1, t.n),
+                       i -> NOT list_contains(
+                              coalesce(a.dups, []::BIGINT[]), i)
+                     ) AS kept
+              FROM t LEFT JOIN agg a USING (doc_id)
+            ) s
+            ORDER BY s.doc_id
         """,
         # winnowing: min shingle-hash per sliding window over the SAME
         # sh_h shingle-hash CTE the sketch oracles use; w=4 windows are

@@ -1586,3 +1586,71 @@ def cross_doc_exact_spans(
             ).alias("span_text"),
         )
     )
+
+
+def scrub_cross_doc_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_span_tokens: int = 6,
+    n: int = 3,
+    min_shared: int = 2,
+    max_doc_freq: int = 8,
+) -> DataFrame:
+    """The APPLY face of :func:`cross_doc_exact_spans` — Lee et al.
+    2022's actual ExactSubstr dedup step: every maximal cross-document
+    shared span keeps its EARLIEST occurrence (the lowest-id document)
+    and every LATER occurrence is removed token-for-token, leaving the
+    surrounding unique prose intact. The pair-local keep-lowest rule
+    composes transitively: for a span shared by docs a < b < c, b's
+    copy is removed via (a,b) and c's via (a,c)/(b,c), so exactly one
+    copy — a's — survives corpus-wide.
+
+    Contrast with :func:`scrub_duplicated_spans`, which removes
+    corpus-frequent fragments from EVERY document (no surviving copy,
+    no pairing): this operator preserves one canonical occurrence and
+    only needs the bounded pair nomination, making it the right tool
+    when the duplicated mass is real content (syndicated articles,
+    quoted passages) rather than boilerplate.
+
+    Returns ``(id, n_removed, clean_text)``.
+
+    Scale: inherits :func:`cross_doc_exact_spans`' bounds (rare-shingle
+    nomination, per-pair verification linear in truly-shared content);
+    the apply side is one span-bounded position explode into a per-doc
+    set and the same one-pass ``array_except`` rebuild as
+    :func:`scrub_duplicated_spans` — no Python, no quadratic term.
+    """
+    spans = cross_doc_exact_spans(
+        df, id_col, text_col, min_span_tokens, n, min_shared, max_doc_freq
+    )
+    dup_pos = (
+        spans.select(
+            F.col("id_b").alias(id_col),
+            F.explode(
+                F.sequence(
+                    F.col("start_b"),
+                    F.col("start_b") + F.col("span_len") - F.lit(1),
+                )
+            ).alias("pos"),
+        )
+        .distinct()
+        .groupBy(id_col)
+        .agg(F.collect_set("pos").alias("_dups"))
+    )
+    staged = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+    joined = staged.join(dup_pos, [id_col], "left").withColumn(
+        "_dups", F.coalesce(F.col("_dups"), F.array().cast("array<bigint>"))
+    )
+    kept_pos = F.array_except(
+        F.sequence(F.lit(1).cast("long"), F.size("_toks").cast("long")),
+        F.col("_dups"),
+    )
+    kept = F.transform(
+        kept_pos, lambda p: F.element_at(F.col("_toks"), p.cast("int"))
+    )
+    return joined.select(
+        F.col(id_col),
+        (F.size("_toks") - F.size(kept)).cast("long").alias("n_removed"),
+        F.concat_ws(" ", kept).alias("clean_text"),
+    )

@@ -115,6 +115,9 @@ PICK = [
     # (map-only/broadcast gates + the audited bounded dedup/decontam
     # operators + a 7×|docs| explode into a 9-key agg)
     "q_dedup_exact_spans", "q_corpus_build_e2e",
+    # the ExactSubstr APPLY face: the spans chain + a span-bounded
+    # position explode + the array_except rebuild
+    "q_dedup_exact_scrub",
 ]
 
 

@@ -98,6 +98,73 @@ class TestCrossDocExactSpans:
         assert r1 == r2
 
 
+class TestScrubCrossDocSpans:
+    """dedup.py::scrub_cross_doc_spans — the ExactSubstr APPLY face:
+    earliest occurrence survives, later occurrences scrub."""
+
+    def test_keep_earliest_remove_later(self, spark):
+        from linz_bde_uploader_spark.functions.dedup import (
+            scrub_cross_doc_spans,
+        )
+
+        got = {
+            r.doc_id: (r.n_removed, r.clean_text)
+            for r in scrub_cross_doc_spans(_docs(spark)).collect()
+        }
+        # doc 1 (lowest id sharing the span) keeps it intact
+        assert got[1] == (
+            0, "alpha beta " + SHARED + " gamma delta unique one zz"
+        )
+        # doc 2 loses exactly the 10 shared tokens, prose intact
+        assert got[2] == (10, "intro words here totally other tail qq")
+        # doc 5 loses BOTH of its copies (each alignment covered)
+        assert got[5] == (20, "middle filler words")
+        # untouched docs scrub nothing
+        assert got[3][0] == 0 and got[4][0] == 0
+
+    def test_transitive_single_survivor(self, spark):
+        # a < b < c sharing one span: only a's copy survives
+        from linz_bde_uploader_spark.functions.dedup import (
+            scrub_cross_doc_spans,
+        )
+
+        # filler tokens must differ in (length, first char) — the
+        # token_value feature pair — or they hash-collide and the
+        # spans legitimately extend over them
+        df = spark.createDataFrame(
+            [
+                (1, "ax byy " + SHARED),
+                (2, SHARED + " czzz dw"),
+                (3, "eqqqq " + SHARED + " frrrrr"),
+            ],
+            "doc_id long, text string",
+        )
+        got = {
+            r.doc_id: r.n_removed
+            for r in scrub_cross_doc_spans(df).collect()
+        }
+        assert got == {1: 0, 2: 10, 3: 10}
+
+    def test_fully_scrubbed_doc_is_empty_string(self, spark):
+        # a doc that IS the span (later occurrence) scrubs to '' —
+        # never NULL (driver-surface rule; the oracle coalesces the
+        # DuckDB array_to_string([]) NULL to match)
+        from linz_bde_uploader_spark.functions.dedup import (
+            scrub_cross_doc_spans,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "pre1 pre2 " + SHARED), (2, SHARED)],
+            "doc_id long, text string",
+        )
+        got = {
+            r.doc_id: (r.n_removed, r.clean_text)
+            for r in scrub_cross_doc_spans(df, min_shared=1).collect()
+        }
+        assert got[2] == (10, "")
+        assert got[1][0] == 0
+
+
 class TestCorpusBuildE2E:
     """__spark_entry__.py::q_corpus_build_e2e — the whole-pipeline
     composite. These tests pin the INVARIANTS of the funnel (gate
