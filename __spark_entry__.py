@@ -2777,16 +2777,13 @@ def q_corpus_build_e2e(spark, sf_dir):
         F.array(F.lit("admin"), F.lit("p"), F.lit("static")),
         (F.pmod(F.col("doc_id"), F.lit(3)) + 1).cast("int"),
     )
-    docs_u = d.select("doc_id", "source").withColumn(
+    docs_u = d.select("doc_id", "source", "text").withColumn(
         "url",
         F.concat(
             F.lit("https://"), F.col("source"), F.lit(".example.com/"),
             section, F.lit("/"), pid,
         ),
     )
-    f1 = U.blocklist_filter(
-        docs_u, ["src3.example.com", "src7.example.com"], [r"/static/9$"]
-    ).select("doc_id", (F.col("block_reason") == "ok").alias("_f1"))
     rules = spark.createDataFrame(
         [
             ("src0.example.com", "disallow", "/admin"),
@@ -2798,26 +2795,45 @@ def q_corpus_build_e2e(spark, sf_dir):
         ],
         "host string, directive string, path_prefix string",
     )
-    f2 = U.robots_gate(docs_u, rules).select(
-        "doc_id", F.col("robots_allowed").alias("_f2")
+    # The per-doc gate signals CHAIN through one frame instead of
+    # being assembled with doc_id joins: blocklist (list path) is
+    # map-only, robots adds its broadcast winner join, and the
+    # classifier's passthrough carries everything forward — so the
+    # only per-doc shuffle in flag assembly is robots' bounded
+    # rule-match rejoin, not three corpus-wide joins (the 100-TB
+    # difference between this composite and its first draft).
+    bl = U.blocklist_filter(
+        docs_u, ["src3.example.com", "src7.example.com"], [r"/static/9$"]
     )
-    clf = X.quality_classifier(d).select(
-        "doc_id", (F.col("prob") >= 0.5).alias("_fc")
+    rb = U.robots_gate(
+        bl.select("doc_id", "text", "url", "block_reason"), rules
     )
-    f3 = (
-        d.select("doc_id", X.gopher_pass("text").alias("_fg"))
-        .join(clf, "doc_id")
-        .select("doc_id", (F.col("_fg") & F.col("_fc")).alias("_f3"))
+    sig = rb.select(
+        "doc_id",
+        "text",
+        (F.col("block_reason") == "ok").alias("_f1"),
+        F.col("robots_allowed").alias("_f2"),
+        X.gopher_pass("text").alias("_fg"),
+        X.token_count("text").cast("long").alias("_nt"),
+        X.fingerprint("text").alias("_fp"),
     )
-    flags = (
-        d.select(
+    # FLAT persist (the containment lesson: cache longs/booleans, not
+    # text): the signal chain — robots join + classifier fold +
+    # fingerprint fold + Gopher — is the expensive map work, and three
+    # downstream consumers (exact-dedup window, the level frame, the
+    # funnel agg) would each re-execute it; text re-reads from the
+    # column-pruned parquet scan where the dedup stages need it.
+    flags = caching.track(
+        X.quality_classifier(
+            sig, passthrough=("_f1", "_f2", "_fg", "_nt", "_fp")
+        ).select(
             "doc_id",
-            X.token_count("text").cast("long").alias("_nt"),
-            X.fingerprint("text").alias("_fp"),
+            "_nt",
+            "_fp",
+            "_f1",
+            "_f2",
+            (F.col("_fg") & (F.col("prob") >= 0.5)).alias("_f3"),
         )
-        .join(f1, "doc_id")
-        .join(f2, "doc_id")
-        .join(f3, "doc_id")
     )
     s3 = flags.filter(F.col("_f1") & F.col("_f2") & F.col("_f3"))
     keep4 = (
@@ -2828,7 +2844,9 @@ def q_corpus_build_e2e(spark, sf_dir):
         .filter(F.col("_rn") == 1)
         .select("doc_id", F.lit(True).alias("_f4"))
     )
-    s4docs = d.join(keep4.select("doc_id"), "doc_id", "left_semi")
+    s4docs = d.select("doc_id", "text").join(
+        keep4.select("doc_id"), "doc_id", "left_semi"
+    )
     drop5 = (
         D.candidate_jaccard_verify(s4docs, "doc_id", "text", threshold=0.5)
         .select(F.col("id_b").alias("doc_id"))
