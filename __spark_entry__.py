@@ -4681,10 +4681,12 @@ def _hll_sql() -> str:
     return f"""
         WITH v00 AS (
           -- high-half pre-mix + fold, mirroring sketches._hll_mix
-          -- (mix(0)=0, so the identity for ids < 2^31)
+          -- (mix(0)=0, so the identity for ids < 2^31; bits 62-63
+          -- fold onto the high half before its mix)
           SELECT event_type,
                  user_id & 2147483647 AS lo0,
-                 (user_id >> 31) & 2147483647 AS hi0
+                 xor(user_id >> 31, (user_id >> 31) >> 31)
+                   & 2147483647 AS hi0
           FROM events WHERE user_id IS NOT NULL
         ),
         v0 AS (

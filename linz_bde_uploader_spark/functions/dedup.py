@@ -1555,11 +1555,15 @@ def cross_doc_exact_spans(
         "id_a", "id_b", "_sa", "_sb", "_nta", "_ntb",
         diag.alias("_diag"), isl.alias("_isl"),
     )
+    # _nta/_ntb are constant within a (pair, diagonal, island) group
+    # (one document per side); MIN is used anyway so no aggregate in
+    # the plan is order-sensitive even in principle (mirrors the
+    # oracle's min())
     spans = runs.groupBy("id_a", "id_b", "_diag", "_isl").agg(
         F.min("_sa").alias("start_a"),
         F.min("_sb").alias("start_b"),
-        F.first("_nta").alias("_nta"),
-        F.first("_ntb").alias("_ntb"),
+        F.min("_nta").alias("_nta"),
+        F.min("_ntb").alias("_ntb"),
         (F.count(F.lit(1)) + F.lit(n - 1)).alias("_raw"),
     )
     span_len = F.least(

@@ -245,8 +245,12 @@ def _hll_mix(key):
     pairwise collision with the low family, and the raw mask was
     worse: full identity. Either biases estimates low over wide id
     spaces). ``mix(0) = 0``, so the fold is the identity for keys
-    already inside [0, 2^31) — narrow-domain hashes are unchanged."""
-    hi = F.shiftright(key, 31).bitwiseAND(F.lit(_M31))
+    already inside [0, 2^31) — narrow-domain hashes are unchanged.
+    The top sign/overflow bits (62-63, including negative keys' sign
+    extension) XOR-fold onto the high half's low bits before its mix,
+    so no key bit is silently dropped by the 31-bit mask."""
+    hi0 = F.shiftright(key, 31)
+    hi = hi0.bitwiseXOR(F.shiftright(hi0, 31)).bitwiseAND(F.lit(_M31))
     hi1 = (hi.bitwiseXOR(F.shiftright(hi, 16)) * HLL_MIX).bitwiseAND(
         F.lit(_M31)
     )

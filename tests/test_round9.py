@@ -181,3 +181,28 @@ class TestHLL:
         assert abs(est / 2000.0 - 1.0) < 0.39
         e_lo = hll_estimate(hll_sketch(lo, "uid", 64), 64).collect()[0].est
         assert est > e_lo * 1.5
+
+    def test_extreme_and_negative_keys(self, spark):
+        # bits 62-63 (and negative keys' sign extension) fold into the
+        # high half before its mix — no key bit is dropped: the 2^62
+        # twins and the negated ids are DISTINCT keys and the estimate
+        # must see ~4x the base set, and duplicates still dissolve
+        from linz_bde_uploader_spark.functions.sketches import (
+            hll_estimate,
+            hll_sketch,
+        )
+
+        base = self._ids(spark, 1, 501)
+        big = base.select((F.col("uid") + F.lit(1 << 62)).alias("uid"), "g")
+        neg = base.select((-F.col("uid")).alias("uid"), "g")
+        negbig = base.select(
+            (-F.col("uid") - F.lit(1 << 62)).alias("uid"), "g"
+        )
+        allk = base.union(big).union(neg).union(negbig)
+        est = hll_estimate(hll_sketch(allk, "uid", 64), 64).collect()[0].est
+        assert abs(est / 2000.0 - 1.0) < 0.39
+        e1 = hll_estimate(hll_sketch(allk, "uid", 64), 64).collect()[0].est
+        e3 = hll_estimate(
+            hll_sketch(allk.union(allk), "uid", 64), 64
+        ).collect()[0].est
+        assert e1 == e3
