@@ -141,6 +141,16 @@ def _shingle_vals() -> str:
     )
 
 
+def _shingle_strs() -> str:
+    """Shingle STRING list (same windows/padding as ``_shingle_vals``)
+    — the ExactSubstr verify stage's token-level comparison payload."""
+    return (
+        "list_transform(generate_series(1, greatest(n-2, 1)), "
+        "i -> toks[least(i, n)] || ' ' || toks[least(i+1, n)] "
+        "|| ' ' || toks[least(i+2, n)])"
+    )
+
+
 def _minhash_cols() -> str:
     exprs = []
     for j, (a, b) in enumerate(D.MINHASH_PARAMS):
@@ -4605,19 +4615,21 @@ def _link_graph_ctes() -> str:
           FROM documents
         ),
         tags AS (
+          -- delimiter required before href (mirrors urls.extract_links;
+          -- keeps data-href="x" from matching as a real href)
           SELECT doc_id, src_host,
                  unnest(regexp_extract_all(html,
-                   '<a\s[^>]*href\s*=\s*("[^"]*"|''[^'']*'')[^>]*>[^<]*</a>'))
+                   '<a\s(?:[^>]*[\s"''])?href\s*=\s*("[^"]*"|''[^'']*'')[^>]*>[^<]*</a>'))
                    AS tag
           FROM pages
         ),
         lk AS (
           SELECT doc_id, src_host,
-                 CASE WHEN regexp_matches(tag, 'href\s*=\s*"')
+                 CASE WHEN regexp_matches(tag, '[\s"'']href\s*=\s*"')
                       THEN regexp_extract(tag,
-                             'href\s*=\s*"([^"]*)"', 1)
+                             '[\s"'']href\s*=\s*"([^"]*)"', 1)
                       ELSE regexp_extract(tag,
-                             'href\s*=\s*''([^'']*)''', 1)
+                             '[\s"'']href\s*=\s*''([^'']*)''', 1)
                  END AS href,
                  regexp_extract(tag, '>([^<]*)</a>$', 1) AS anchor
           FROM tags
@@ -4682,10 +4694,16 @@ def _hll_sql() -> str:
         WITH v00 AS (
           -- high-half pre-mix + fold, mirroring sketches._hll_mix
           -- (mix(0)=0, so the identity for ids < 2^31; bits 62-63
-          -- fold onto the high half before its mix)
+          -- fold onto the high half before its mix). The high half
+          -- is read with a LOGICAL shift — DuckDB >> sign-extends,
+          -- so mask the arithmetic shift to 33 bits (= Spark's
+          -- shiftrightunsigned(key, 31) exactly), else every
+          -- negative key's hi0 self-fold collapses to the hi0=0
+          -- family (-k colliding with 2^31-k).
           SELECT event_type,
                  user_id & 2147483647 AS lo0,
-                 xor(user_id >> 31, (user_id >> 31) >> 31)
+                 xor((user_id >> 31) & 8589934591,
+                     ((user_id >> 31) & 8589934591) >> 31)
                    & 2147483647 AS hi0
           FROM events WHERE user_id IS NOT NULL
         ),
@@ -4880,10 +4898,12 @@ def _exact_spans_ctes() -> str:
           FROM documents
         ),
         sv_t AS (
-          SELECT doc_id, n, toks, {_shingle_vals()} AS svs FROM t
+          SELECT doc_id, n, toks, {_shingle_vals()} AS svs,
+                 {_shingle_strs()} AS shs
+          FROM t
         ),
         ex AS (
-          SELECT doc_id, n AS nt, i AS start, svs[i] AS sv
+          SELECT doc_id, n AS nt, i AS start, svs[i] AS sv, shs[i] AS sh
           FROM sv_t,
                LATERAL (SELECT unnest(generate_series(1, len(svs)))
                         AS i) g
@@ -4897,11 +4917,16 @@ def _exact_spans_ctes() -> str:
           GROUP BY 1, 2 HAVING count(*) >= 2
         ),
         m AS (
+          -- token-level verify mirror: b.sh = a.sh makes the match
+          -- exact (the sv hash is (length, first-char)-featured and
+          -- collides; a colliding position must break the run, not
+          -- extend it)
           SELECT p.id_a, p.id_b, a.nt AS nta, b.nt AS ntb,
                  a.start AS sa, b.start AS sb
           FROM cpair p
           JOIN ex a ON a.doc_id = p.id_a
           JOIN ex b ON b.doc_id = p.id_b AND b.sv = a.sv
+                   AND b.sh = a.sh
         ),
         runs AS (
           SELECT id_a, id_b, nta, ntb, sa, sb, sa - sb AS diag,

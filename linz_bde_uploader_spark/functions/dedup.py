@@ -1458,13 +1458,21 @@ def cross_doc_exact_spans(
     2. **Verify** — for nominated pairs ONLY, equi-join the FULL
        positional n-gram tables of both sides (no frequency filter, so
        spans that CONTAIN frequent n-grams are still recovered whole),
-       then detect maximal runs per alignment diagonal
-       ``d = start_a - start_b``: consecutive match positions collapse
-       via the islands idiom (``start - row_number()`` per
-       ``(pair, d)``), each island of ``r`` consecutive n-gram matches
-       being a shared span of ``r + n - 1`` tokens, clamped to both
-       documents' lengths (the padded short-doc shingle never
-       overstates).
+       keep only positions whose n-gram STRINGS are equal
+       token-for-token (the hash equi-join is the shuffle key; the
+       string filter makes the match EXACT — ``shingle_value`` is
+       built from ``token_value``'s (length, first-char) features, so
+       hash collisions are common, and without the filter a colliding
+       position adjacent to a genuine run would extend or fabricate a
+       span; with it, a collision merely breaks the run and any
+       genuine sub-runs survive as their own islands), then detect
+       maximal runs per alignment diagonal ``d = start_a - start_b``:
+       consecutive match positions collapse via the islands idiom
+       (``start - row_number()`` per ``(pair, d)``), each island of
+       ``r`` consecutive verified matches being a shared span of
+       ``r + n - 1`` tokens, clamped to both documents' lengths (the
+       padded short-doc shingle never overstates: a sub-``n`` document
+       has one position, so its max span is ``n`` < min_span).
 
     Returns ``(id_a, id_b, start_a, start_b, span_len, span_text)``
     with ``id_a < id_b``, 1-based token offsets, and the span's text
@@ -1491,19 +1499,26 @@ def cross_doc_exact_spans(
     ).select(
         F.col(id_col), "_toks", F.size("_toks").alias("_nt")
     )
-    # positional shingle VALUES (same arithmetic as scrub_duplicated_
-    # spans): transform fed to posexplode INLINE (the staging rule)
+    # positional shingle STRINGS + their hash values (same arithmetic
+    # as scrub_duplicated_spans): the shingle array fed to posexplode
+    # INLINE (the staging rule), the hash computed per exploded row.
+    # The string rides along solely for the verify stage's exact
+    # token-level comparison; nomination's distinct/agg projections
+    # prune it, so only nominated pairs' positions shuffle it.
     ex = track(
         staged.select(
             F.col(id_col),
             F.col("_nt"),
             F.posexplode(
-                F.transform(
-                    shingles_from_tokens(F.col("_toks"), n),
-                    lambda s: shingle_value(s),
-                )
-            ).alias("_p0", "sv"),
-        ).select(id_col, "_nt", (F.col("_p0") + 1).alias("start"), "sv")
+                shingles_from_tokens(F.col("_toks"), n)
+            ).alias("_p0", "sh"),
+        ).select(
+            id_col,
+            "_nt",
+            (F.col("_p0") + 1).alias("start"),
+            "sh",
+            shingle_value(F.col("sh")).alias("sv"),
+        )
     )
     # exd feeds BOTH the doc-freq aggregation and the rare-anchored
     # self-join; persisting the distinct set saves its shuffle being
@@ -1532,6 +1547,7 @@ def cross_doc_exact_spans(
                 F.col("_nt").alias("_nta"),
                 F.col("start").alias("_sa"),
                 "sv",
+                F.col("sh").alias("_sha"),
             ),
             "id_a",
         )
@@ -1541,9 +1557,15 @@ def cross_doc_exact_spans(
                 F.col("_nt").alias("_ntb"),
                 F.col("start").alias("_sb"),
                 "sv",
+                F.col("sh").alias("_shb"),
             ),
             ["id_b", "sv"],
         )
+        # token-level verify: tokens carry no spaces (single-space
+        # tokenization), so string equality of the space-joined
+        # n-grams IS token-sequence equality — a run of equal n-grams
+        # makes the whole r+n-1 span exact, token for token
+        .filter(F.col("_sha") == F.col("_shb"))
     )
     from pyspark.sql import Window  # noqa: PLC0415
 

@@ -246,10 +246,15 @@ def _hll_mix(key):
     worse: full identity. Either biases estimates low over wide id
     spaces). ``mix(0) = 0``, so the fold is the identity for keys
     already inside [0, 2^31) — narrow-domain hashes are unchanged.
-    The top sign/overflow bits (62-63, including negative keys' sign
-    extension) XOR-fold onto the high half's low bits before its mix,
-    so no key bit is silently dropped by the 31-bit mask."""
-    hi0 = F.shiftright(key, 31)
+    The high half is read with a LOGICAL shift (shiftrightunsigned):
+    an arithmetic shift would sign-extend every negative key to a
+    hi0 whose self-fold ``(-1) ^ ((-1) >> 31)`` collapses to 0 — the
+    same family as hi0=0, colliding ``-k`` with ``2^31 - k`` (they
+    share low halves). With the logical shift, hi0 carries the key's
+    bits 31-63 verbatim (33 bits, non-negative); the top two of those
+    (key bits 62-63, including the sign bit) XOR-fold onto the low
+    bits before the mask, so no key bit is silently dropped."""
+    hi0 = F.shiftrightunsigned(key, 31)
     hi = hi0.bitwiseXOR(F.shiftright(hi0, 31)).bitwiseAND(F.lit(_M31))
     hi1 = (hi.bitwiseXOR(F.shiftright(hi, 16)) * HLL_MIX).bitwiseAND(
         F.lit(_M31)

@@ -345,13 +345,15 @@ def extract_links(
     html_col: str,
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """CONTRACT: extracts ``<a ...>`` tags whose ``href`` value is
-    single- or double-QUOTED, in any attribute position, with
-    PLAIN-TEXT anchor content (no nested tags, no ``>`` inside
-    attribute values, no unquoted ``href=x``) — the regex grammar of a
-    sanitized/HTML-ish corpus, not a browser parser; tags outside the
-    contract are dropped, and ``tests/test_urls.py`` pins both the
-    matched variants and the documented non-matches.
+    """CONTRACT: extracts ``<a ...>`` tags whose ``href`` attribute is
+    single- or double-QUOTED, in any attribute position but preceded
+    by a delimiter (whitespace or a closing quote — so href-suffixed
+    attributes like ``data-href`` are NOT hrefs), with PLAIN-TEXT
+    anchor content (no nested tags, no ``>`` inside attribute values,
+    no unquoted ``href=x``) — the regex grammar of a sanitized/
+    HTML-ish corpus, not a browser parser; tags outside the contract
+    are dropped, and ``tests/test_urls.py`` pins both the matched
+    variants and the documented non-matches.
 
     Hyperlink extraction from HTML-ish document bodies — the first
     step of the Common Crawl host-graph recipe (extract hrefs → host
@@ -366,19 +368,28 @@ def extract_links(
     the transform INLINE (the staging rule: generators take their
     input expression directly). Map-only; no shuffle.
     """
+    # a delimiter (whitespace or a closing quote) is REQUIRED
+    # immediately before ``href`` in both the tag and extraction
+    # regexes — without it ``data-href="x"`` (any href-suffixed
+    # attribute) would match as a real href, and a double-quoted
+    # data-href would even steal the dispatch from a single-quoted
+    # real href. Character class, not lookbehind: the DuckDB mirror
+    # (`_link_graph_ctes`) is RE2, which has no lookbehind.
     tags = F.regexp_extract_all(
         F.col(html_col),
-        F.lit(r"""<a\s[^>]*href\s*=\s*("[^"]*"|'[^']*')[^>]*>[^<]*</a>"""),
+        F.lit(
+            r"""<a\s(?:[^>]*[\s"'])?href\s*=\s*("[^"]*"|'[^']*')[^>]*>[^<]*</a>"""
+        ),
         0,
     )
 
     def _href(t):
         # quote-style dispatch: the tag regex guarantees exactly one
-        # quoted href value is present, so whichever style rlike sees
-        # is the one that matched.
-        dq = F.regexp_extract(t, r'href\s*=\s*"([^"]*)"', 1)
-        sq = F.regexp_extract(t, r"href\s*=\s*'([^']*)'", 1)
-        return F.when(t.rlike(r'href\s*=\s*"'), dq).otherwise(sq)
+        # DELIMITED quoted href value is present, so whichever style
+        # rlike sees (with the same boundary) is the one that matched.
+        dq = F.regexp_extract(t, r'[\s"\']href\s*=\s*"([^"]*)"', 1)
+        sq = F.regexp_extract(t, r"[\s\"']href\s*=\s*'([^']*)'", 1)
+        return F.when(t.rlike(r'[\s"\']href\s*=\s*"'), dq).otherwise(sq)
 
     pairs = F.transform(
         tags,

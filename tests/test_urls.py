@@ -267,6 +267,15 @@ class TestLinkGraphExtraction:
                 (5, "<a href=https://a.com/5>unquoted</a>"),
                 (6, '<a href="https://a.com/6"><b>nested tag</b></a>'),
                 (7, '<a name="anchor-only">no href</a>'),
+                # r10 advice: href-SUFFIXED attributes are not hrefs —
+                # the boundary class [\s"'] before href must reject
+                # data-href alone, and must not let a double-quoted
+                # data-href steal the quote dispatch from the real
+                # single-quoted href next to it
+                (8, '<a data-href="https://evil.com/8">fake</a>'),
+                (9, '<a data-href="https://evil.com/9" '
+                    "href='https://a.com/9'>real wins</a>"),
+                (10, '<a title="t"href="https://a.com/10">quote delim</a>'),
             ],
             "doc_id long, html string",
         )
@@ -279,6 +288,8 @@ class TestLinkGraphExtraction:
             (2, "https://a.com/2", "single q"),
             (3, "https://a.com/3", "spaced eq"),
             (4, "https://a.com/4", "mixed quotes"),
+            (9, "https://a.com/9", "real wins"),
+            (10, "https://a.com/10", "quote delim"),
         ]
 
     def test_host_edges_filters_relative_and_canonicalizes(self, spark):
