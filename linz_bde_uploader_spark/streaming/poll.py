@@ -485,6 +485,458 @@ def crawl_gate_stream(
     return compliant.withColumn(text_col, scrub_pii(F.col(text_col)))
 
 
+#: stage names of the streaming corpus-build funnel — identical to the
+#: batch composite's (the parity contract keys on them).
+CORPUS_STAGES = [
+    (0, "ingest"),
+    (1, "blocklist"),
+    (2, "robots"),
+    (3, "quality"),
+    (4, "exact_dedup"),
+    (5, "near_dedup"),
+    (6, "decontaminate"),
+]
+
+
+def _state_read(spark: SparkSession, path: str) -> DataFrame | None:
+    """Read a batch-partitioned parquet state directory if it has any
+    committed batches yet (None before the first write). Local-path
+    probe — this face runs against a directory tree; a production
+    deployment points the same layout at object storage and swaps this
+    probe for a catalog lookup."""
+    import os  # noqa: PLC0415
+
+    if not os.path.isdir(path) or not any(
+        e.startswith("batch_id=") for e in os.listdir(path)
+    ):
+        return None
+    return spark.read.parquet(path)
+
+
+def _state_write(df: DataFrame, path: str, batch_id: int) -> None:
+    """Overwrite this batch's partition of a state directory —
+    OVERWRITE, not append, so a retried micro-batch (foreachBatch is
+    at-least-once) rewrites the same partition instead of doubling
+    rows: the write is idempotent per batch_id, which together with
+    the checkpointed source offsets gives the exactly-once state the
+    batch path gets from its manifest protocol."""
+    df.write.mode("overwrite").parquet(f"{path}/batch_id={batch_id}")
+
+
+def corpus_build_stream(
+    spark: SparkSession,
+    staging_dir: str,
+    schema: T.StructType,
+    checkpoint_dir: str,
+    state_dir: str,
+    blocked_hosts: "list[str]",
+    blocked_patterns: "list[str]",
+    robots_rules: "list[tuple[str, str, str]]",
+    bench_docs: DataFrame,
+    is_eval: "Callable[[F.Column], F.Column] | None" = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    url_col: str = "url",
+    quality_threshold: float = 0.5,
+    jaccard_threshold: float = 0.5,
+    bands: int = 4,
+    rows_per_band: int = 2,
+    decontam_n: int = 4,
+    max_files_per_trigger: int | None = None,
+):
+    """The streaming face of the WHOLE corpus-build funnel — the
+    availableNow analog of the batch composite (``q_corpus_build_e2e``)
+    and of the reference's polling lifecycle, which chains its entire
+    discovery→load→clean→merge pipeline per poll
+    (bin/linz_bde_uploader.pl:242-248, lib/LINZ/BdeUpload.pm:559-610):
+    each micro-batch of newly arrived documents runs
+
+        blocklist → robots → quality (Gopher AND classifier)
+        → incremental exact dedup → incremental near dedup
+        → decontaminate
+
+    inside ``foreachBatch`` using the SAME audited batch operators —
+    one implementation, two drivers — with the cross-batch state the
+    incremental dedup gates need persisted under ``state_dir``:
+
+    - ``index``    — (id, text, _fp) of every exact-dedup survivor:
+      the fingerprint set for the exact gate and the verify-side texts
+      for the near gate;
+    - ``bandkeys`` — their exploded MinHash band keys (the O(corpus×
+      bands) artifact :func:`~linz_bde_uploader_spark.functions.dedup.
+      incremental_minhash_filter` says to persist instead of re-hashing
+      the corpus per batch);
+    - ``corpus``   — the fully-gated survivor documents (the growing
+      training corpus);
+    - ``funnel``   — one (stage_no, stage, n_docs, n_tokens) row per
+      stage PER MICRO-BATCH (the per-poll audit row).
+
+    EXACT batch parity (pinned by the parity test): with documents
+    arriving in ascending-id order, every stage's survivor set equals
+    the batch composite's —
+
+    - gates 1-3 are per-document, order-free;
+    - the exact gate keeps a doc iff no LOWER-id doc shares its
+      fingerprint (earlier batch ⇒ in the index; same batch ⇒ the
+      keep-first window), exactly the batch min-id rule;
+    - the near gate drops a doc iff it LSH-collides AND verifies at
+      ``jaccard_threshold`` against some lower-id EXACT-DEDUP SURVIVOR
+      — the index side is ALL stage-4 survivors, not just near-dup
+      survivors, because the batch rule drops ``id_b`` of every
+      verified pair even when ``id_a`` was itself dropped by an
+      earlier pair;
+    - decontamination probes a STATIC benchmark frame (the real
+      contract: the eval suite is a fixed artifact, never a function
+      of the stream).
+
+    Mixture and packing (batch stages 7-8) are corpus-WIDE budget
+    decisions, not ingest gates — run :func:`corpus_build_finalize`
+    over the accumulated state to get the full 9-row funnel.
+
+    Scale: every per-doc gate is map-only Column arithmetic; the
+    exact gate is one broadcast-size semi join on fingerprints; the
+    near gate's probe shuffles O(batch×bands) keys and verifies only
+    candidate pairs; state grows as the survivor corpus, never
+    rescanned (the index reads are column-pruned: fingerprints for
+    the fp gate, band keys for the probe, candidate texts only for
+    the verify join)."""
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    from linz_bde_uploader_spark.functions import (  # noqa: PLC0415
+        decontaminate as DX,
+    )
+    from linz_bde_uploader_spark.functions import text as X  # noqa: PLC0415
+    from linz_bde_uploader_spark.functions.dedup import (  # noqa: PLC0415
+        candidate_jaccard_verify,
+        minhash_band_keys,
+        ngram_jaccard_from_tokens,
+        with_minhash_signature,
+    )
+    from linz_bde_uploader_spark.functions.text import (  # noqa: PLC0415
+        fingerprint,
+        token_count,
+        tokens,
+    )
+    from linz_bde_uploader_spark.functions.urls import (  # noqa: PLC0415
+        blocklist_filter,
+        robots_gate_local,
+    )
+
+    n_sig = bands * rows_per_band
+    bench_static = bench_docs
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        bl = blocklist_filter(
+            batch_df, blocked_hosts, blocked_patterns, url_col
+        )
+        rb = robots_gate_local(
+            bl.select(id_col, text_col, url_col, "block_reason"), url_col=url_col,
+            rules=robots_rules,
+        )
+        sig = rb.select(
+            id_col,
+            text_col,
+            (F.col("block_reason") == "ok").alias("_f1"),
+            F.col("robots_allowed").alias("_f2"),
+            X.gopher_pass(text_col).alias("_fg"),
+            token_count(text_col).cast("long").alias("_nt"),
+            fingerprint(text_col).alias("_fp"),
+        )
+        flags = X.quality_classifier(
+            sig,
+            id_col=id_col,
+            text_col=text_col,
+            threshold=quality_threshold,
+            passthrough=("_f1", "_f2", "_fg", "_nt", "_fp"),
+        ).select(
+            id_col,
+            "_nt",
+            "_fp",
+            "_f1",
+            "_f2",
+            (F.col("_fg") & (F.col("prob") >= quality_threshold)).alias(
+                "_f3"
+            ),
+        ).persist()
+        try:
+            s3 = flags.filter(F.col("_f1") & F.col("_f2") & F.col("_f3"))
+            # exact gate: standing fingerprints first, then in-batch
+            # keep-first among the fresh ones (batch min-id rule)
+            idx = _state_read(spark, f"{state_dir}/index")
+            fresh = s3
+            if idx is not None:
+                fresh = s3.join(
+                    idx.select("_fp").distinct(), "_fp", "left_anti"
+                )
+            keep4 = (
+                fresh.withColumn(
+                    "_rn",
+                    F.row_number().over(
+                        Window.partitionBy("_fp").orderBy(id_col)
+                    ),
+                )
+                .filter(F.col("_rn") == 1)
+                .select(id_col, F.lit(True).alias("_f4"))
+            )
+            s4docs = (
+                batch_df.select(id_col, text_col)
+                .join(keep4.select(id_col), id_col, "left_semi")
+                .persist()
+            )
+            # near gate, in-batch half: the batch operator verbatim
+            drop_in = (
+                candidate_jaccard_verify(
+                    s4docs, id_col, text_col,
+                    threshold=jaccard_threshold,
+                    bands=bands, rows_per_band=rows_per_band,
+                )
+                .select(F.col("id_b").alias(id_col))
+                .distinct()
+            )
+            # near gate, cross-batch half: probe standing band keys,
+            # verify only the candidates (texts fetched from the index
+            # by id — bounded by candidate volume)
+            bk = _state_read(spark, f"{state_dir}/bandkeys")
+            new_keys = with_minhash_signature(
+                s4docs, text_col, "_sig", n_sig
+            ).select(
+                F.col(id_col),
+                F.posexplode(
+                    minhash_band_keys(F.col("_sig"), bands, rows_per_band)
+                ).alias("_band", "_key"),
+            )
+            if bk is not None:
+                cand = (
+                    new_keys.join(
+                        bk.select(
+                            F.col(id_col).alias("_old"), "_band", "_key"
+                        ),
+                        ["_band", "_key"],
+                    )
+                    .select(id_col, "_old")
+                    .distinct()
+                )
+                old_toks = idx.select(
+                    F.col(id_col).alias("_old"),
+                    tokens(F.col(text_col)).alias("_tkb"),
+                )
+                new_toks = s4docs.select(
+                    F.col(id_col), tokens(F.col(text_col)).alias("_tka")
+                )
+                drop_x = (
+                    cand.join(new_toks, id_col)
+                    .join(old_toks, "_old")
+                    .filter(
+                        ngram_jaccard_from_tokens(
+                            F.col("_tka"), F.col("_tkb")
+                        )
+                        >= jaccard_threshold
+                    )
+                    .select(id_col)
+                    .distinct()
+                )
+                drops5 = drop_in.unionByName(drop_x).distinct()
+            else:
+                drops5 = drop_in
+            s5docs = s4docs.join(drops5, id_col, "left_anti")
+            # decontaminate vs the static benchmark
+            ev = (
+                is_eval(F.col(id_col))
+                if is_eval is not None
+                else F.lit(False)
+            )
+            hits = (
+                DX.contamination_hits(
+                    s5docs.filter(~ev), bench_static, text_col, id_col,
+                    n=decontam_n,
+                )
+                .select(id_col)
+                .withColumn("_contam", F.lit(True))
+            )
+            lv = (
+                flags.join(keep4, id_col, "left")
+                .join(
+                    drops5.withColumn("_near_drop", F.lit(True)),
+                    id_col,
+                    "left",
+                )
+                .join(hits, id_col, "left")
+                .select(
+                    id_col,
+                    "_nt",
+                    F.when(~F.col("_f1"), 0)
+                    .when(~F.col("_f2"), 1)
+                    .when(~F.col("_f3"), 2)
+                    .when(~F.coalesce(F.col("_f4"), F.lit(False)), 3)
+                    .when(F.coalesce(F.col("_near_drop"), F.lit(False)), 4)
+                    .when(ev | F.coalesce(F.col("_contam"), F.lit(False)), 5)
+                    .otherwise(6)
+                    .alias("_level"),
+                )
+                .persist()
+            )
+            try:
+                stage_tbl = spark.createDataFrame(
+                    CORPUS_STAGES, "stage_no int, stage string"
+                )
+                agg = (
+                    lv.select(
+                        F.explode(F.sequence(F.lit(0), F.lit(6))).alias(
+                            "stage_no"
+                        ),
+                        "_level",
+                        "_nt",
+                    )
+                    .filter(F.col("_level") >= F.col("stage_no"))
+                    .groupBy(F.col("stage_no").cast("int").alias("stage_no"))
+                    .agg(
+                        F.count(F.lit(1)).cast("long").alias("_nd"),
+                        F.sum("_nt").cast("long").alias("_ntk"),
+                    )
+                )
+                funnel = stage_tbl.join(agg, "stage_no", "left").select(
+                    "stage_no",
+                    "stage",
+                    F.coalesce(F.col("_nd"), F.lit(0))
+                    .cast("long")
+                    .alias("n_docs"),
+                    F.coalesce(F.col("_ntk"), F.lit(0))
+                    .cast("long")
+                    .alias("n_tokens"),
+                )
+                _state_write(funnel, f"{state_dir}/funnel", batch_id)
+                s4ids = lv.filter(F.col("_level") >= 4).select(id_col)
+                s4out = batch_df.select(id_col, text_col).join(
+                    s4ids, id_col, "left_semi"
+                )
+                _state_write(
+                    s4out.withColumn("_fp", fingerprint(text_col)),
+                    f"{state_dir}/index",
+                    batch_id,
+                )
+                _state_write(
+                    with_minhash_signature(
+                        s4out, text_col, "_sig", n_sig
+                    ).select(
+                        F.col(id_col),
+                        F.posexplode(
+                            minhash_band_keys(
+                                F.col("_sig"), bands, rows_per_band
+                            )
+                        ).alias("_band", "_key"),
+                    ),
+                    f"{state_dir}/bandkeys",
+                    batch_id,
+                )
+                s6ids = lv.filter(F.col("_level") >= 6).select(id_col)
+                _state_write(
+                    batch_df.join(s6ids, id_col, "left_semi"),
+                    f"{state_dir}/corpus",
+                    batch_id,
+                )
+            finally:
+                lv.unpersist()
+        finally:
+            flags.unpersist()
+            try:
+                s4docs.unpersist()
+            except NameError:
+                pass
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return (
+        reader.parquet(staging_dir)
+        .writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def corpus_build_finalize(
+    spark: SparkSession,
+    state_dir: str,
+    alpha: float = 0.3,
+    budget_tokens: int = 100_000,
+    capacity: int = 256,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The corpus-WIDE tail of the funnel — α-mixture budgeting and
+    sequence packing over the ACCUMULATED streaming survivor corpus —
+    plus the per-batch funnel rows summed per stage: returns the same
+    9-row ``(stage_no, stage, n_docs, n_tokens)`` datasheet as the
+    batch composite, which the parity test pins row-for-row. These two
+    stages are offline batch decisions by nature (a token budget and a
+    pack layout are functions of the WHOLE corpus, not of any batch),
+    which is exactly why the streaming face ends at stage 6."""
+    from linz_bde_uploader_spark.functions import packing as PK  # noqa: PLC0415
+    from linz_bde_uploader_spark.functions.sampling import (  # noqa: PLC0415
+        alpha_mixture_plan,
+    )
+    from linz_bde_uploader_spark.functions.text import token_count  # noqa: PLC0415
+
+    fun = _state_read(spark, f"{state_dir}/funnel")
+    if fun is None:
+        raise ValueError(f"no funnel state under {state_dir}")
+    f06 = fun.groupBy("stage_no", "stage").agg(
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+    )
+    corpus = _state_read(spark, f"{state_dir}/corpus")
+    if corpus is None:
+        corpus = spark.createDataFrame(
+            [], f"{id_col} long, source string, {text_col} string"
+        )
+    corpus = corpus.drop("batch_id")
+    mix = (
+        alpha_mixture_plan(corpus, alpha, budget_tokens, text_col=text_col)
+        .agg(
+            F.coalesce(F.sum("n_docs"), F.lit(0)).cast("long").alias("n_docs"),
+            F.coalesce(F.sum("target_tokens"), F.lit(0))
+            .cast("long")
+            .alias("n_tokens"),
+        )
+        .select(
+            F.lit(7).cast("int").alias("stage_no"),
+            F.lit("alpha_mixture").alias("stage"),
+            "n_docs",
+            "n_tokens",
+        )
+    )
+    pk = PK.pack_sequences(
+        corpus.select(
+            id_col, token_count(text_col).cast("long").alias("_nt")
+        ),
+        id_col,
+        "_nt",
+        capacity=capacity,
+        n_shards=n_shards,
+    )
+    packrow = (
+        pk.agg(
+            F.coalesce(F.countDistinct("shard", "pack_id"), F.lit(0))
+            .cast("long")
+            .alias("n_docs"),
+            F.coalesce(F.sum("clamped_tokens"), F.lit(0))
+            .cast("long")
+            .alias("n_tokens"),
+        )
+        .select(
+            F.lit(8).cast("int").alias("stage_no"),
+            F.lit("pack").alias("stage"),
+            "n_docs",
+            "n_tokens",
+        )
+    )
+    return f06.unionByName(mix).unionByName(packrow).orderBy("stage_no")
+
+
 QSKETCH_OUTPUT_SCHEMA = "key string, q double, n long, est double"
 
 
