@@ -1425,6 +1425,38 @@ def snapshot_novelty(
     )
 
 
+def _staged_tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Stage the token array + its length as real attributes (the
+    shingle lambdas index the array per position; an inline split
+    would re-evaluate per element)."""
+    return df.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("_toks")
+    ).select(F.col(id_col), "_toks", F.size("_toks").alias("_nt"))
+
+
+def _positional_shingles(staged: DataFrame, id_col: str, n: int) -> DataFrame:
+    """Positional shingle table ``(id, _nt, start, sh, sv)`` — shingle
+    STRINGS + their hash values (same arithmetic as
+    scrub_duplicated_spans): the shingle array fed to posexplode
+    INLINE (the staging rule), the hash computed per exploded row.
+    The string rides along solely for the verify stage's exact
+    token-level comparison; nomination's distinct/agg projections
+    prune it, so only nominated pairs' positions shuffle it."""
+    return staged.select(
+        F.col(id_col),
+        F.col("_nt"),
+        F.posexplode(
+            shingles_from_tokens(F.col("_toks"), n)
+        ).alias("_p0", "sh"),
+    ).select(
+        id_col,
+        "_nt",
+        (F.col("_p0") + 1).alias("start"),
+        "sh",
+        shingle_value(F.col("sh")).alias("sv"),
+    )
+
+
 def cross_doc_exact_spans(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -1493,33 +1525,8 @@ def cross_doc_exact_spans(
     text dedup is the LLM-corpus extension of the same
     detect-then-apply contract.
     """
-    staged = df.select(
-        F.col(id_col),
-        tokens(F.col(text_col)).alias("_toks"),
-    ).select(
-        F.col(id_col), "_toks", F.size("_toks").alias("_nt")
-    )
-    # positional shingle STRINGS + their hash values (same arithmetic
-    # as scrub_duplicated_spans): the shingle array fed to posexplode
-    # INLINE (the staging rule), the hash computed per exploded row.
-    # The string rides along solely for the verify stage's exact
-    # token-level comparison; nomination's distinct/agg projections
-    # prune it, so only nominated pairs' positions shuffle it.
-    ex = track(
-        staged.select(
-            F.col(id_col),
-            F.col("_nt"),
-            F.posexplode(
-                shingles_from_tokens(F.col("_toks"), n)
-            ).alias("_p0", "sh"),
-        ).select(
-            id_col,
-            "_nt",
-            (F.col("_p0") + 1).alias("start"),
-            "sh",
-            shingle_value(F.col("sh")).alias("sv"),
-        )
-    )
+    staged = _staged_tokens(df, id_col, text_col)
+    ex = track(_positional_shingles(staged, id_col, n))
     # exd feeds BOTH the doc-freq aggregation and the rare-anchored
     # self-join; persisting the distinct set saves its shuffle being
     # executed twice (measured ~20% of the 10x wall)
@@ -1682,4 +1689,183 @@ def scrub_cross_doc_spans(
         F.col(id_col),
         (F.size("_toks") - F.size(kept)).cast("long").alias("n_removed"),
         F.concat_ws(" ", kept).alias("clean_text"),
+    )
+
+
+def incremental_exact_span_mass(
+    new_docs: DataFrame,
+    index_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_span_tokens: int = 6,
+    n: int = 3,
+    min_shared: int = 2,
+    max_doc_freq: int = 8,
+) -> DataFrame:
+    """Incremental ExactSubstr ingestion gate — the batch-vs-corpus
+    face of :func:`cross_doc_exact_spans`, answering the ingestion
+    question "is this NEW document a verbatim copy of something the
+    corpus already holds, and how much of it?" — the span-grain
+    sibling of :func:`incremental_minhash_filter` (which answers the
+    same question at whole-document Jaccard grain) and the continuous-
+    ingestion shape of Lee et al. 2022's ExactSubstr dedup. Reference
+    parity anchor: the reference's incremental loads diff each arriving
+    dataset against the standing table rather than re-diffing the
+    corpus (sql/02-bde_control_functions.sql.in:1576-1814); this is
+    that detect-against-standing-state contract at token-span grain.
+
+    Same three bounded stages as the cross-doc operator, with the
+    corpus side playing the role of the persisted standing index:
+
+    1. **Nominate** — rarity is a property of the STANDING corpus
+       (doc-freq over index documents <= ``max_doc_freq`` — the
+       reusable statistic a production pipeline persists with the
+       index); a (new, index) pair is nominated when it shares at
+       least ``min_shared`` rare shingle values. A new-batch shingle
+       absent from the index can nominate nothing, so the probe's
+       join volume is bounded by genuinely shared content.
+    2. **Verify** — nominated pairs equi-join their FULL positional
+       shingle tables on the hash AND the shingle STRING (the
+       token-level exactness guarantee; a hash collision breaks a run
+       instead of extending it), and maximal runs per alignment
+       diagonal collapse via the islands window, clamped to both
+       document lengths, kept at >= ``min_span_tokens``.
+    3. **Aggregate** — per NEW document: ``n_spans`` (maximal spans
+       found), ``n_partners`` (distinct index documents sharing a
+       span), ``covered_tokens`` (DISTINCT new-doc token positions
+       inside any span — overlapping spans never double-count),
+       ``max_span``, and ``copy_ratio = covered_tokens / n_tokens``
+       rounded to 4 dp. Every new document gets a row (zeros when
+       nothing matched) — an ingestion gate must emit a decision per
+       arrival, not only per hit.
+
+    Scale: the index-side positional table and its doc-freq statistic
+    are computed once per standing corpus (persist them with the
+    index; at 100 TB they are the artifact you keep); the probe
+    explodes only the new batch (O(batch tokens)), nomination joins
+    on rare values only, verification shuffles nominated pairs'
+    positions only, and the final agg is keyed by the new batch's
+    ids. Nothing rescans corpus text except the nominated partners'
+    positional rows.
+    """
+    staged_new = _staged_tokens(new_docs, id_col, text_col)
+    ex_new = track(_positional_shingles(staged_new, id_col, n))
+    staged_idx = _staged_tokens(index_docs, id_col, text_col)
+    ex_idx = track(_positional_shingles(staged_idx, id_col, n))
+    # rarity over the STANDING corpus only
+    idx_d = track(ex_idx.select(id_col, "sv").distinct())
+    rare = (
+        idx_d.groupBy("sv")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") <= max_doc_freq)
+        .select("sv")
+    )
+    new_d = ex_new.select(id_col, "sv").distinct()
+    pairs = (
+        new_d.select(F.col("sv"), F.col(id_col).alias("id_new"))
+        .join(rare, "sv")
+        .join(
+            idx_d.select(F.col("sv"), F.col(id_col).alias("id_idx")), "sv"
+        )
+        .groupBy("id_new", "id_idx")
+        .agg(F.count(F.lit(1)).alias("_shared_rare"))
+        .filter(F.col("_shared_rare") >= min_shared)
+        .select("id_new", "id_idx")
+    )
+    m = (
+        pairs.join(
+            ex_new.select(
+                F.col(id_col).alias("id_new"),
+                F.col("_nt").alias("_ntn"),
+                F.col("start").alias("_sn"),
+                "sv",
+                F.col("sh").alias("_shn"),
+            ),
+            "id_new",
+        )
+        .join(
+            ex_idx.select(
+                F.col(id_col).alias("id_idx"),
+                F.col("_nt").alias("_nti"),
+                F.col("start").alias("_si"),
+                "sv",
+                F.col("sh").alias("_shi"),
+            ),
+            ["id_idx", "sv"],
+        )
+        .filter(F.col("_shn") == F.col("_shi"))
+    )
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    diag = F.col("_sn") - F.col("_si")
+    isl = F.col("_sn") - F.row_number().over(
+        Window.partitionBy("id_new", "id_idx", diag).orderBy("_sn")
+    )
+    runs = m.select(
+        "id_new", "id_idx", "_sn", "_si", "_ntn", "_nti",
+        diag.alias("_diag"), isl.alias("_isl"),
+    )
+    spans = runs.groupBy("id_new", "id_idx", "_diag", "_isl").agg(
+        F.min("_sn").alias("start_new"),
+        F.min("_si").alias("start_idx"),
+        F.min("_ntn").alias("_ntn"),
+        F.min("_nti").alias("_nti"),
+        (F.count(F.lit(1)) + F.lit(n - 1)).alias("_raw"),
+    )
+    span_len = F.least(
+        F.col("_raw"),
+        F.col("_ntn") - F.col("start_new") + 1,
+        F.col("_nti") - F.col("start_idx") + 1,
+    )
+    sized = track(
+        spans.select(
+            "id_new",
+            "id_idx",
+            F.col("start_new").cast("long").alias("start_new"),
+            span_len.cast("long").alias("span_len"),
+        ).filter(F.col("span_len") >= min_span_tokens)
+    )
+    per_doc = (
+        sized.select(
+            "id_new",
+            F.explode(
+                F.sequence(
+                    F.col("start_new"),
+                    F.col("start_new") + F.col("span_len") - F.lit(1),
+                )
+            ).alias("pos"),
+        )
+        .distinct()
+        .groupBy("id_new")
+        .agg(F.count(F.lit(1)).cast("long").alias("covered_tokens"))
+    )
+    stats = sized.groupBy("id_new").agg(
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+        F.countDistinct("id_idx").cast("long").alias("n_partners"),
+        F.max("span_len").cast("long").alias("max_span"),
+    )
+    return (
+        staged_new.select(F.col(id_col), F.col("_nt"))
+        .join(stats.withColumnRenamed("id_new", id_col), id_col, "left")
+        .join(per_doc.withColumnRenamed("id_new", id_col), id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_spans"), F.lit(0)).cast("long").alias(
+                "n_spans"
+            ),
+            F.coalesce(F.col("n_partners"), F.lit(0)).cast("long").alias(
+                "n_partners"
+            ),
+            F.coalesce(F.col("covered_tokens"), F.lit(0)).cast("long").alias(
+                "covered_tokens"
+            ),
+            F.coalesce(F.col("max_span"), F.lit(0)).cast("long").alias(
+                "max_span"
+            ),
+            F.round(
+                F.coalesce(F.col("covered_tokens"), F.lit(0))
+                / F.greatest(F.col("_nt"), F.lit(1)),
+                4,
+            ).alias("copy_ratio"),
+        )
     )

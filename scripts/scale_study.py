@@ -118,6 +118,12 @@ PICK = [
     # the ExactSubstr APPLY face: the spans chain + a span-bounded
     # position explode + the array_except rebuild
     "q_dedup_exact_scrub",
+    # round-11 birth: the incremental ExactSubstr ingestion gate —
+    # batch-side explode linear in batch tokens, rarity a standing-
+    # corpus statistic, verify joins nominated batch×corpus pairs
+    # only; like the rest of the span family its pair volume tracks
+    # genuinely-shared content
+    "q_dedup_exact_incr",
 ]
 
 
