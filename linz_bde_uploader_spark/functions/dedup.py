@@ -1869,3 +1869,123 @@ def incremental_exact_span_mass(
             ).alias("copy_ratio"),
         )
     )
+
+
+def lsh_scurve(t: float, rows_per_band: int, bands: int) -> float:
+    """The MinHash-LSH s-curve P(candidate | jaccard = t) =
+    1 - (1 - t^r)^b (Leskovec/Rajaraman/Ullman, Mining of Massive
+    Datasets ch. 3), evaluated with REPEATED MULTIPLICATION so both
+    engines consume bit-identical doubles when the value is embedded
+    as a plan-build-time literal (pow() can differ in the last ulp
+    across libm implementations; chained IEEE multiplies cannot)."""
+    tr = 1.0
+    for _ in range(rows_per_band):
+        tr *= t
+    y = 1.0 - tr
+    yb = 1.0
+    for _ in range(bands):
+        yb *= y
+    return 1.0 - yb
+
+
+def lsh_band_plan(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bands: int = 4,
+    rows_per_band: int = 2,
+    verify_threshold: float = 0.5,
+    grid: "tuple[float, ...] | None" = None,
+) -> DataFrame:
+    """Band-planning datasheet for the MinHash-LSH family — the tuning
+    story behind every banded dedup operator here: for the configured
+    ``(bands, rows_per_band)``, the theoretical s-curve
+    ``P(candidate | jaccard=t) = 1 - (1 - t^r)^b`` over a threshold
+    grid, joined with the MEASURED operating point of this corpus —
+    candidate-pair count, verified count at ``verify_threshold``, and
+    candidate precision. Reading the sheet answers "are my bands
+    catching the duplicates I verify, and how much verify work does a
+    candidate cost" — the audit a pipeline runs before trusting a
+    (b, r) choice at 100 TB (the reference's analog is its row-count
+    tolerance audit gating uploads, tables.conf row_tol_error — a
+    measured-vs-expected sanity sheet before an expensive apply).
+
+    Returns one row per grid threshold:
+    ``(t, p_candidate, n_candidates, n_verified, precision)`` —
+    the measured columns are corpus-level constants repeated across
+    the grid (a flat datasheet beats a ragged union for the driver
+    surface; no NULLs, no arrays).
+
+    Scale: the s-curve is |grid| plan-build-time literals; the
+    measured half reuses the audited banded candidate join (shuffle
+    O(n·bands), never all-pairs) + the exact verify on candidates
+    only, reduced to ONE scalar row; the grid attaches by EXPLODING a
+    literal struct array inside that one-row aggregate — no join of
+    any kind (a literal-key equi-join constant-folds back into a
+    nested-loop cross; the generator shape sidesteps it)."""
+    if grid is None:
+        grid = tuple((i + 1) / 20.0 for i in range(19))  # 0.05 .. 0.95
+    curve = [
+        (float(t), lsh_scurve(float(t), rows_per_band, bands))
+        for t in grid
+    ]
+    curve_lit = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("t"), F.lit(p).alias("p_candidate")
+            )
+            for t, p in curve
+        ]
+    )
+    pairs = minhash_candidate_pairs(df, id_col, text_col, bands, rows_per_band)
+    toks = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+    sim = (
+        pairs.join(
+            toks.select(
+                F.col(id_col).alias("id_a"), F.col("_toks").alias("_tka")
+            ),
+            "id_a",
+        )
+        .join(
+            toks.select(
+                F.col(id_col).alias("id_b"), F.col("_toks").alias("_tkb")
+            ),
+            "id_b",
+        )
+        .select(
+            ngram_jaccard_from_tokens(
+                F.col("_tka"), F.col("_tkb")
+            ).alias("_j")
+        )
+    )
+    meas = sim.agg(
+        F.count(F.lit(1)).cast("long").alias("n_candidates"),
+        F.sum(
+            F.when(F.col("_j") >= verify_threshold, 1).otherwise(0)
+        ).cast("long").alias("n_verified"),
+    ).select(
+        "n_candidates",
+        "n_verified",
+        F.when(
+            F.col("n_candidates") > 0,
+            F.round(F.col("n_verified") / F.col("n_candidates"), 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("precision"),
+    )
+    return (
+        meas.select(
+            F.explode(curve_lit).alias("_g"),
+            "n_candidates",
+            "n_verified",
+            "precision",
+        )
+        .select(
+            F.col("_g.t").alias("t"),
+            F.col("_g.p_candidate").alias("p_candidate"),
+            "n_candidates",
+            "n_verified",
+            "precision",
+        )
+        .orderBy("t")
+    )

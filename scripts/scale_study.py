@@ -124,6 +124,10 @@ PICK = [
     # only; like the rest of the span family its pair volume tracks
     # genuinely-shared content
     "q_dedup_exact_incr",
+    # round-11 birth: the LSH band-planning datasheet — the banded
+    # candidate join + exact verify reduced to one scalar row, plus a
+    # 19-literal s-curve explode (constant cost at any corpus size)
+    "q_lsh_band_plan",
 ]
 
 

@@ -271,3 +271,55 @@ class TestGKSpark:
         empty = spark.createDataFrame([(1, None)], "doc_id long, score double")
         with _pt.raises(ValueError, match="no non-null"):
             gk_quantiles(empty, "score", (0.5,), eps=0.1)
+
+
+class TestLSHBandPlan:
+    def test_curve_and_measured_point(self, spark):
+        from linz_bde_uploader_spark.functions.dedup import (
+            lsh_band_plan,
+            lsh_scurve,
+        )
+
+        # two near-identical docs (one token differs) + two unrelated
+        docs = spark.createDataFrame(
+            [
+                (1, "alpha bravo charlie delta echo foxtrot golf hotel"),
+                (2, "alpha bravo charlie delta echo foxtrot golf zulu"),
+                (3, "kilo lima mike november oscar papa quebec romeo"),
+                (4, "uniform victor whiskey xray yankee zebra one two"),
+            ],
+            "doc_id long, text string",
+        )
+        rows = lsh_band_plan(docs, verify_threshold=0.5).collect()
+        assert len(rows) == 19
+        # the s-curve is the embedded literal, monotone nondecreasing,
+        # and hits the textbook operating value at t = 0.5 for (4, 2)
+        ps = [r.p_candidate for r in rows]
+        assert ps == sorted(ps)
+        mid = {round(r.t, 2): r.p_candidate for r in rows}[0.5]
+        assert mid == lsh_scurve(0.5, 2, 4) == 0.68359375
+        # measured columns are corpus constants on every row
+        assert len({(r.n_candidates, r.n_verified, r.precision) for r in rows}) == 1
+        r0 = rows[0]
+        # docs 1-2 are banded candidates and verify at >= 0.5
+        assert r0.n_candidates >= 1 and r0.n_verified >= 1
+        assert r0.n_verified <= r0.n_candidates
+        assert r0.precision == round(r0.n_verified / r0.n_candidates, 6)
+
+    def test_no_candidates_precision_zero(self, spark):
+        from linz_bde_uploader_spark.functions.dedup import lsh_band_plan
+
+        docs = spark.createDataFrame(
+            [
+                (1, "alpha bravo charlie delta echo foxtrot"),
+                (2, "kilo lima mike november oscar papa"),
+            ],
+            "doc_id long, text string",
+        )
+        rows = lsh_band_plan(docs).collect()
+        # unrelated docs may or may not band-collide; the sheet must
+        # stay total either way (no NULLs, precision sentinel 0.0)
+        assert len(rows) == 19
+        assert all(r.precision is not None for r in rows)
+        if rows[0].n_candidates == 0:
+            assert rows[0].precision == 0.0
