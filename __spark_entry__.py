@@ -1168,6 +1168,36 @@ def q_url_blocklist(spark, sf_dir):
     )
 
 
+def q_url_dedup(spark, sf_dir):
+    # Canonical-URL dedup (functions/urls.py::url_dedup) — the FIRST
+    # dedup stage of C4/RefinedWeb: one capture per canonical URL,
+    # winner = longest text then lowest id. Uses the SAME messy-URL
+    # synthesis as q_url_blocklist (case soup, www./files. subdomains,
+    # default ports, trackers); the %3==0 and %3==2 variants
+    # canonicalize onto the SAME URL, so the canonicalizer is what
+    # creates the duplicate groups this stage collapses — the real
+    # contract, not a string-equality toy. One window shuffle keyed by
+    # canonical URL; length computed map-side.
+    from linz_bde_uploader_spark.functions import urls as U
+
+    d = W.load(spark, sf_dir, "documents")
+    pid = F.pmod(F.col("doc_id"), F.lit(10)).cast("string")
+    m = F.pmod(F.col("doc_id"), F.lit(3))
+    url = (
+        F.when(m == 0, F.concat(
+            F.lit("https://WWW."), F.upper(F.col("source")),
+            F.lit(".Example.COM/p/"), pid, F.lit("/?utm_source=x")))
+        .when(m == 1, F.concat(
+            F.lit("http://files."), F.col("source"),
+            F.lit(".example.com:80/p/"), pid))
+        .otherwise(F.concat(
+            F.lit("https://"), F.col("source"),
+            F.lit(".example.com/p/"), pid, F.lit("?gclid=1")))
+    )
+    docs = d.select("doc_id", "source", "text").withColumn("url", url)
+    return U.url_dedup(docs).orderBy("doc_id")
+
+
 def _pagerank_directed_sql(iters: int = 4) -> str:
     """DuckDB twin of graph.pagerank(dangling=True) over the DIRECTED
     purchase graph (customer→supplier, no symmetrize): node set is
@@ -4226,10 +4256,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    quantile audits in-window, CMS stays oracle-checked at
         #    51+) -> 51+
         "q_hll_distinct": q_hll_distinct,
-        # -- round-7 birth: OOV-rate datasheet vs the corpus top-V
-        #    vocabulary; displaced tenant q_bpe_pair_counts (r5+r6
-        #    green; the BPE family keeps merges + encode in-window) -> 51+
-        "q_text_oov": q_text_oov,
+        # -- round-11 birth: canonical-URL dedup — the FIRST dedup
+        #    stage of the published web-corpus recipes (one capture
+        #    per canonical URL, longest text wins); displaced tenant
+        #    q_text_oov (green r7-r10 quadruple; the text-stats family
+        #    keeps entropy + zipf in-window, OOV stays oracle-checked
+        #    at 51+) -> 51+
+        "q_url_dedup": q_url_dedup,
         # -- round-8 birth: Bloom-filter probe audit (runtime-filter
         #    FP-rate scoring); displaced tenant q_bpe_encode (green
         #    r5-r7; the BPE family keeps q_bpe_merges in-window) -> 51+
@@ -4397,6 +4430,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_source_overlap": q_source_overlap,
         # rotated out in round 11 by q_lsh_band_plan (green r7-r10)
         "q_dedup_paragraph": q_dedup_paragraph,
+        # rotated out in round 11 by q_url_dedup (green r7-r10)
+        "q_text_oov": q_text_oov,
         "q_bpe_pair_counts": q_bpe_pair_counts,
         "q_tpch_q8_market_share": q_tpch_q8_market_share,
         "q_tpch_q9_profit": q_tpch_q9_profit,
@@ -5844,6 +5879,70 @@ def oracle_sql() -> dict[str, str]:
                         WHEN regexp_matches(cu, '/p/7$') THEN 'pattern'
                         ELSE 'ok' END AS block_reason
             FROM hosts
+            ORDER BY doc_id
+        """,
+        # canonical-URL dedup: the q_url_blocklist synthesis +
+        # canonicalization chain, then one window per canonical URL
+        # (longest text wins, ties lowest id) + group size
+        "q_url_dedup": r"""
+            WITH d0 AS (
+              SELECT doc_id, length(text) AS tl,
+                     CASE doc_id % 3
+                       WHEN 0 THEN 'https://WWW.' || upper(source)
+                            || '.Example.COM/p/'
+                            || CAST(doc_id % 10 AS VARCHAR)
+                            || '/?utm_source=x'
+                       WHEN 1 THEN 'http://files.' || source
+                            || '.example.com:80/p/'
+                            || CAST(doc_id % 10 AS VARCHAR)
+                       ELSE 'https://' || source || '.example.com/p/'
+                            || CAST(doc_id % 10 AS VARCHAR) || '?gclid=1'
+                     END AS url
+              FROM documents
+            ),
+            c1 AS (
+              SELECT doc_id, tl, regexp_replace(url, '#.*$', '') AS u
+              FROM d0
+            ),
+            c2 AS (
+              SELECT doc_id, tl,
+                     lower(regexp_extract(u,
+                       '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*')) AS sh,
+                     regexp_replace(u,
+                       '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*', '') AS rest
+              FROM c1
+            ),
+            c3 AS (
+              SELECT doc_id, tl,
+                     regexp_replace(regexp_replace(regexp_replace(sh,
+                       '^(http://.*):80$', '\1'),
+                       '^(https://.*):443$', '\1'),
+                       '^(https?://)(www\.|m\.)', '\1') AS sh,
+                     regexp_replace(regexp_replace(regexp_replace(
+                     regexp_replace(regexp_replace(regexp_replace(rest,
+                       '([?&])(utm_[^&#=]*|ref|session|fbclid|gclid)=[^&#]*',
+                       '\1', 'g'),
+                       '\?&+', '?', 'g'),
+                       '&&+', '&', 'g'),
+                       '/\?', '?', 'g'),
+                       '[?&]+$', ''),
+                       '/$', '') AS rest
+              FROM c2
+            ),
+            cu AS (
+              SELECT doc_id, tl, sh || rest AS canon_url FROM c3
+            ),
+            rk AS (
+              SELECT doc_id, canon_url,
+                     row_number() OVER (
+                       PARTITION BY canon_url
+                       ORDER BY tl DESC, doc_id
+                     ) AS rn,
+                     count(*) OVER (PARTITION BY canon_url) AS nc
+              FROM cu
+            )
+            SELECT doc_id, canon_url, CAST(nc AS BIGINT) AS n_copies
+            FROM rk WHERE rn = 1
             ORDER BY doc_id
         """,
         "q_graph_pagerank_directed": _pagerank_directed_sql(4),

@@ -433,10 +433,20 @@ def gk_build(values, eps: float):
     insertion position is 'after equals' (stable), compress scans
     right-to-left — no randomness, no order sensitivity beyond the
     input order itself (callers fix that; see gk_shard_summaries)."""
+    s, _ = gk_insert_all([], 0, values, eps)
+    return s
+
+
+def gk_insert_all(summary, n: int, values, eps: float):
+    """Continue a GK summary with more values — the streaming face's
+    primitive (:func:`gk_build` is the n=0 case): state in, state out,
+    with the SAME insert/compress arithmetic, so feeding a stream of
+    batches through this equals one :func:`gk_build` over their
+    concatenation (the stream==batch parity the streaming tests pin).
+    Returns ``(summary, n)``."""
     if not 0.0 < eps < 0.5:
         raise ValueError("eps must be in (0, 0.5)")
-    S: "list[list]" = []  # [v, g, delta]
-    n = 0
+    S: "list[list]" = [list(t) for t in summary]
     period = max(1, int(1.0 / (2.0 * eps)))
     for v in values:
         v = float(v)
@@ -461,7 +471,7 @@ def gk_build(values, eps: float):
                     S[i + 1][1] += S[i][1]
                     del S[i]
                 i -= 1
-    return [(v, g, d) for v, g, d in S]
+    return [(v, g, d) for v, g, d in S], n
 
 
 def gk_merge(a, b):

@@ -482,3 +482,54 @@ def link_spam_audit(edges: DataFrame) -> DataFrame:
             .alias("reciprocity"),
         )
     )
+
+
+def url_dedup(
+    docs: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Canonical-URL dedup — the FIRST dedup stage of the published
+    web-corpus recipes (C4 and RefinedWeb both dedupe by URL before
+    any content hash touches the text): canonicalize every document's
+    URL (:func:`canonicalize_url` — case, www./m. mirrors, default
+    ports, tracker params, trailing slashes) and keep ONE capture per
+    canonical URL — the longest text (the fullest capture of the same
+    page), ties broken by lowest id. Returns the survivors as
+    ``(id, canon_url, n_copies)`` where ``n_copies`` counts how many
+    raw documents collapsed onto the canonical URL. Deterministic: the
+    window key and both tiebreaks are exact.
+
+    Reference parity anchor: the reference's level-0 loads replace a
+    table keyed by its unique index rather than appending duplicates
+    (`lib/LINZ/BdeUpload.pm` level-0 path); this is that keep-one-per-
+    key contract with the KEY being the canonicalized URL and the
+    winner chosen by capture quality instead of arrival order.
+
+    Scale: canonicalization is the map-only regexp chain; the dedup is
+    ONE window shuffle keyed by canonical URL (key cardinality = the
+    distinct-page count, the quantity this stage exists to reveal).
+    Text length is computed map-side — the window compares a long,
+    never shuffles text order twice."""
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    base = docs.select(
+        F.col(id_col),
+        canonicalize_url(F.col(url_col)).alias("canon_url"),
+        F.length(F.col(text_col)).cast("long").alias("_len"),
+    )
+    w = Window.partitionBy("canon_url").orderBy(
+        F.desc("_len"), F.col(id_col)
+    )
+    grp = Window.partitionBy("canon_url")
+    return (
+        base.withColumn("_rn", F.row_number().over(w))
+        .withColumn("n_copies", F.count(F.lit(1)).over(grp))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col(id_col),
+            "canon_url",
+            F.col("n_copies").cast("long").alias("n_copies"),
+        )
+    )

@@ -937,6 +937,91 @@ def corpus_build_finalize(
     return f06.unionByName(mix).unionByName(packrow).orderBy("stage_no")
 
 
+GK_STREAM_OUTPUT_SCHEMA = "key string, q double, n long, est double"
+GK_STREAM_STATE_SCHEMA = (
+    "vs array<double>, gs array<long>, ds array<long>, n long"
+)
+
+
+def gk_quantile_stream(
+    grouped,
+    qs: "tuple[float, ...]" = (0.5, 0.9, 0.99),
+    eps: float = 0.02,
+    value_col: str = "v",
+    order_col: str | None = None,
+    state_timeout: str = "NoTimeout",
+):
+    """Streaming face of the Greenwald-Khanna quantile summary
+    (``functions.sketches.gk_build``/``gk_query``): a per-key GK
+    ε-summary carried across micro-batches via
+    ``applyInPandasWithState``, emitting RUNNING quantile estimates
+    after every batch — the DOMAIN-FREE sibling of
+    :func:`quantile_sketch_stream` (which needs a fixed [lo, hi)
+    range up front; GK does not, the reason it exists).
+
+    The state IS the summary — O((1/ε)·log(εn)) tuples per key at any
+    stream length — and each batch continues it through the exact
+    batch insert/compress arithmetic (``gk_insert_all``), so after
+    any batch the emitted estimates equal ``gk_query(gk_build(all
+    rows so far))`` PROVIDED the arrival order matches the batch
+    build order (pass ``order_col`` to pin in-batch order; ascending
+    arrival across batches is the caller's contract, same as the
+    corpus-build stream's). Out-of-order arrival keeps the ε-bound —
+    GK's guarantee is order-independent — and only forfeits
+    bit-parity with a specific batch build. NULL values are dropped;
+    a key with no values yet emits nothing. ``grouped`` is
+    ``df.groupBy(key)``."""
+    import pandas as pd  # noqa: PLC0415
+    from pyspark.sql.streaming.state import GroupState  # noqa: PLC0415
+
+    from linz_bde_uploader_spark.functions.sketches import (  # noqa: PLC0415
+        gk_insert_all,
+        gk_query,
+    )
+
+    if not 0.0 < eps < 0.5:
+        raise ValueError("eps must be in (0, 0.5)")
+    for q in qs:
+        if not 0.0 < q <= 1.0:
+            raise ValueError("each q must be in (0, 1]")
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            vs, gs, ds, n = state.get
+            summary = list(zip(vs, gs, ds))
+        else:
+            summary, n = [], 0
+        for pdf in pdfs:
+            if order_col is not None:
+                pdf = pdf.sort_values(order_col, kind="mergesort")
+            vals = pdf[value_col].to_numpy(dtype=float)
+            vals = vals[~(vals != vals)]  # drop NaN/NULL
+            summary, n = gk_insert_all(summary, n, vals, eps)
+        if n == 0:
+            return
+        state.update(
+            (
+                [t[0] for t in summary],
+                [int(t[1]) for t in summary],
+                [int(t[2]) for t in summary],
+                int(n),
+            )
+        )
+        rows = [
+            (key[0], float(q), int(n), float(gk_query(summary, q, n, eps)))
+            for q in qs
+        ]
+        yield pd.DataFrame(rows, columns=["key", "q", "n", "est"])
+
+    return grouped.applyInPandasWithState(
+        update,
+        outputStructType=GK_STREAM_OUTPUT_SCHEMA,
+        stateStructType=GK_STREAM_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=state_timeout,
+    )
+
+
 QSKETCH_OUTPUT_SCHEMA = "key string, q double, n long, est double"
 
 

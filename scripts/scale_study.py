@@ -128,6 +128,9 @@ PICK = [
     # candidate join + exact verify reduced to one scalar row, plus a
     # 19-literal s-curve explode (constant cost at any corpus size)
     "q_lsh_band_plan",
+    # round-11 birth: canonical-URL dedup — map-only regexp chain +
+    # one window shuffle keyed by canonical URL
+    "q_url_dedup",
 ]
 
 

@@ -323,3 +323,42 @@ class TestLSHBandPlan:
         assert all(r.precision is not None for r in rows)
         if rows[0].n_candidates == 0:
             assert rows[0].precision == 0.0
+
+
+class TestUrlDedup:
+    def test_canonical_groups_and_winner(self, spark):
+        from linz_bde_uploader_spark.functions.urls import url_dedup
+
+        docs = spark.createDataFrame(
+            [
+                # three captures of ONE page: tracker variant, www +
+                # case variant, clean — the longest text must win
+                (1, "https://a.com/p/1?utm_source=x", "short text"),
+                (2, "HTTPS://WWW.A.COM/p/1", "the longest capture of them"),
+                (3, "https://a.com/p/1", "medium capture"),
+                # a different page on the same host
+                (4, "https://a.com/p/2", "other page"),
+                # default port + trailing slash variant of p/2 — ties
+                # on length resolve to the lowest id
+                (5, "https://a.com:443/p/2/", "other page"),
+            ],
+            "doc_id long, url string, text string",
+        )
+        got = {
+            r.doc_id: (r.canon_url, r.n_copies)
+            for r in url_dedup(docs).collect()
+        }
+        assert got == {
+            2: ("https://a.com/p/1", 3),
+            4: ("https://a.com/p/2", 2),
+        }
+
+    def test_unique_urls_all_survive(self, spark):
+        from linz_bde_uploader_spark.functions.urls import url_dedup
+
+        docs = spark.createDataFrame(
+            [(i, f"https://h{i}.com/x", "t") for i in range(5)],
+            "doc_id long, url string, text string",
+        )
+        out = url_dedup(docs).collect()
+        assert len(out) == 5 and all(r.n_copies == 1 for r in out)

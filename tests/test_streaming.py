@@ -809,3 +809,72 @@ def test_corpus_build_stream_batch_parity(spark, tmp_path):
         .collect()
     }
     assert all(n > 0 for n in per_batch.values())
+
+
+def test_gk_quantile_stream_batch_parity(spark, tmp_path):
+    """Streaming GK == batch GK over the rows seen so far: per-key
+    summaries carried across two availableNow drains must emit exactly
+    gk_query(gk_build(all rows so far)) when arrival order matches the
+    build order (ascending ids across batches, order_col in-batch)."""
+    from linz_bde_uploader_spark.functions.sketches import (
+        gk_build,
+        gk_query,
+    )
+    from linz_bde_uploader_spark.streaming.poll import gk_quantile_stream
+
+    EPS, QS2 = 0.05, (0.5, 0.9)
+    schema = "k string, id long, v double"
+    b1 = [("a", i, float((i * 37) % 101)) for i in range(1, 201)] + [
+        ("b", i, float(i)) for i in range(1, 51)
+    ]
+    b2 = [("a", i, float((i * 37) % 101)) for i in range(201, 301)] + [
+        ("b", i, None) for i in range(51, 61)  # NULLs dropped, no rank
+    ]
+    src = tmp_path / "vals"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt_gk")
+    emitted = []
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        q = (
+            gk_quantile_stream(
+                stream.groupBy("k"), QS2, eps=EPS, value_col="v",
+                order_col="id",
+            )
+            .writeStream.foreachBatch(
+                lambda df, _id: emitted.extend(map(tuple, df.collect()))
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    spark.createDataFrame(b1, schema).write.mode("append").parquet(str(src))
+    run_once()
+    mid = {(k, q): (n, est) for k, q, n, est in emitted}
+    # after batch 1: parity vs a direct build over batch-1 rows
+    for key, rows in (("a", b1[:200]), ("b", b1[200:])):
+        vals = [r[2] for r in sorted(rows, key=lambda r: r[1])]
+        s = gk_build(vals, EPS)
+        for q in QS2:
+            assert mid[(key, q)] == (
+                len(vals), gk_query(s, q, len(vals), EPS)
+            ), (key, q)
+
+    emitted.clear()
+    spark.createDataFrame(b2, schema).write.mode("append").parquet(str(src))
+    run_once()  # resumes from the checkpointed summaries
+    got = {(k, q): (n, est) for k, q, n, est in emitted}
+    # key a: continued summary == one build over all 300 rows
+    vals_a = [float((i * 37) % 101) for i in range(1, 301)]
+    s_a = gk_build(vals_a, EPS)
+    for q in QS2:
+        assert got[("a", q)] == (300, gk_query(s_a, q, 300, EPS))
+    # key b saw only NULLs in batch 2: n unchanged, estimates re-emitted
+    vals_b = [float(i) for i in range(1, 51)]
+    s_b = gk_build(vals_b, EPS)
+    for q in QS2:
+        assert got[("b", q)] == (50, gk_query(s_b, q, 50, EPS))
