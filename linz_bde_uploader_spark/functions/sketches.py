@@ -499,12 +499,11 @@ def gk_merge(a, b):
             other, io = a, ia
             ib += 1
         # widen by the other summary's gap at this position: the next
-        # other-tuple's g + Δ - 1 bounds how much rank uncertainty the
-        # other side contributes between its neighbors
-        if 0 < io < len(other):
+        # other-tuple's g + Δ - 1 (>= 0 since g >= 1) bounds how much
+        # rank uncertainty the other side contributes between its
+        # neighbors; past the other side's end there is no gap left
+        if io < len(other):
             d += other[io][1] + other[io][2] - 1
-        elif io < len(other):
-            d += max(other[io][1] + other[io][2] - 1, 0)
         out.append((v, g, d))
     return out
 
