@@ -4789,27 +4789,31 @@ def _hll_sql() -> str:
     lut = ", ".join(repr(t) for t in hll_lc_terms(64))
     return f"""
         WITH v00 AS (
-          -- high-half pre-mix + fold, mirroring sketches._hll_mix
-          -- (mix(0)=0, so the identity for ids < 2^31; bits 62-63
-          -- fold onto the high half before its mix). The high half
-          -- is read with a LOGICAL shift — DuckDB >> sign-extends,
-          -- so mask the arithmetic shift to 33 bits (= Spark's
-          -- shiftrightunsigned(key, 31) exactly), else every
-          -- negative key's hi0 self-fold collapses to the hi0=0
-          -- family (-k colliding with 2^31-k).
+          -- high-half pre-mix, mirroring sketches._hll_mix (mix(0)=0,
+          -- the identity for ids < 2^31). The high half is read with
+          -- a LOGICAL shift — DuckDB >> sign-extends, so mask the
+          -- arithmetic shift to 33 bits (= Spark's
+          -- shiftrightunsigned(key, 31) exactly) — then DOUBLE
+          -- xorshift (>>16, >>8) before the multiply-mask, so the
+          -- 33→31 reduction has no id-stride-aligned collision
+          -- families (see _hll_mix's docstring).
           SELECT event_type,
                  user_id & 2147483647 AS lo0,
                  xor((user_id >> 31) & 8589934591,
-                     ((user_id >> 31) & 8589934591) >> 31)
-                   & 2147483647 AS hi0
+                     ((user_id >> 31) & 8589934591) >> 16) AS hx0
           FROM events WHERE user_id IS NOT NULL
+        ),
+        v0a AS (
+          SELECT event_type, lo0,
+                 (xor(hx0, hx0 >> 8) * 73244475) & 2147483647 AS hia
+          FROM v00
         ),
         v0 AS (
           SELECT event_type,
                  xor(lo0,
-                     (xor(hi0, hi0 >> 16) * 73244475) & 2147483647)
+                     (xor(hia, hia >> 16) * 73244475) & 2147483647)
                    AS h0
-          FROM v00
+          FROM v0a
         ),
         v1 AS (
           SELECT event_type,

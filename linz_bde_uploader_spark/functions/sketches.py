@@ -251,11 +251,21 @@ def _hll_mix(key):
     hi0 whose self-fold ``(-1) ^ ((-1) >> 31)`` collapses to 0 — the
     same family as hi0=0, colliding ``-k`` with ``2^31 - k`` (they
     share low halves). With the logical shift, hi0 carries the key's
-    bits 31-63 verbatim (33 bits, non-negative); the top two of those
-    (key bits 62-63, including the sign bit) XOR-fold onto the low
-    bits before the mask, so no key bit is silently dropped."""
+    bits 31-63 verbatim (33 bits, non-negative). The 33→31-bit
+    reduction is necessarily 4:1, but HOW it collides matters: the
+    ``· MIX & M31`` step annihilates input bits >= 31, so any SINGLE
+    xorshift spread leaves id-stride-aligned whole-family collisions
+    (a plain ``hi0 ^ (hi0 >> 31)`` fold collided ``2^62 + k`` with
+    ``2^31 + k`` for EVERY k — bit 62 landed exactly on bit 31's
+    spread target). The DOUBLE xorshift (``>> 16`` then ``>> 8``)
+    copies bits 31-32 into three surviving low positions before the
+    multiply, so collision partners require inverting the xorshift
+    chain instead of adding a power-of-two stride — pattern-free,
+    which is all a 4:1 reduction can promise."""
     hi0 = F.shiftrightunsigned(key, 31)
-    hi = hi0.bitwiseXOR(F.shiftright(hi0, 31)).bitwiseAND(F.lit(_M31))
+    hx = hi0.bitwiseXOR(F.shiftright(hi0, 16))
+    hx = hx.bitwiseXOR(F.shiftright(hx, 8))
+    hi = (hx * HLL_MIX).bitwiseAND(F.lit(_M31))
     hi1 = (hi.bitwiseXOR(F.shiftright(hi, 16)) * HLL_MIX).bitwiseAND(
         F.lit(_M31)
     )

@@ -235,3 +235,26 @@ class TestHLL:
         assert abs(est / 1000.0 - 1.0) < 0.39
         e_neg = hll_estimate(hll_sketch(neg, "uid", 64), 64).collect()[0].est
         assert est > e_neg * 1.5
+
+    def test_bit62_bit31_families_distinct(self, spark):
+        # the residual structure of a single-shift pre-mask fold:
+        # because (x * MIX) & M31 annihilates input bit 31, the plain
+        # hi0 ^ (hi0 >> 31) fold collided 2^62 + k with 2^31 + k for
+        # EVERY k (lo halves equal, folded hi halves equal). The
+        # double-xorshift high-half mix must see the four families —
+        # k, k+2^31, k+2^62, k+2^31+2^62 — as ~4x the base set.
+        from linz_bde_uploader_spark.functions.sketches import (
+            hll_estimate,
+            hll_sketch,
+        )
+
+        base = self._ids(spark, 1, 401)
+        fams = base
+        for off in (1 << 31, 1 << 62, (1 << 31) + (1 << 62)):
+            fams = fams.union(
+                base.select((F.col("uid") + F.lit(off)).alias("uid"), "g")
+            )
+        est = hll_estimate(hll_sketch(fams, "uid", 64), 64).collect()[0].est
+        assert abs(est / 1600.0 - 1.0) < 0.39
+        e_base = hll_estimate(hll_sketch(base, "uid", 64), 64).collect()[0].est
+        assert est > e_base * 2.0
