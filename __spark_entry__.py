@@ -1168,6 +1168,43 @@ def q_url_blocklist(spark, sf_dir):
     )
 
 
+def q_semantic_decontam(spark, sf_dir):
+    # Embedding-grain decontamination (decontaminate.py::
+    # semantic_contamination) — the paraphrase-robust complement of
+    # the 8-gram probe (q_decontaminate): a rewritten eval item
+    # shares no n-gram but still sits next to its source in embedding
+    # space. The benchmark (vec_id%20==0, 25 vectors) is collected
+    # ONCE as the bounded model artifact (the centroids/λ-table
+    # class) and embedded as one literal struct array; scoring is ONE
+    # transform lambda per row — map-only, no join, no shuffle, no
+    # whitelist entry. Every corpus doc emits its nearest-benchmark
+    # id, 6-dp cosine, and the flag (int at the surface per the
+    # driver-surface convention; ties to the lowest bench id).
+    # The benchmark is a FIXED-SIZE sample (<= 64 vectors), not a
+    # fixed fraction of the corpus — the q_batch_ann_recall lesson:
+    # a fraction makes per-row work grow with N (first measured here
+    # at 13.7x for the 10x corpus; capped, the scan is linear).
+    from linz_bde_uploader_spark.functions import decontaminate as DX
+
+    e = W.load(spark, sf_dir, "embeddings")
+    bench_rows = (
+        e.filter((F.col("vec_id") % 20 == 0) & (F.col("vec_id") < 20 * 64))
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    bench = sorted(
+        ((int(r.vec_id), [float(x) for x in r.embedding]) for r in bench_rows)
+    )
+    corpus = e.filter(F.col("vec_id") % 20 != 0)
+    out = DX.semantic_contamination(corpus, bench, threshold=0.9)
+    return out.select(
+        "vec_id",
+        "top_bench_id",
+        "top_score",
+        F.col("contaminated").cast("int").alias("contaminated"),
+    ).orderBy("vec_id")
+
+
 def q_url_dedup(spark, sf_dir):
     # Canonical-URL dedup (functions/urls.py::url_dedup) — the FIRST
     # dedup stage of C4/RefinedWeb: one capture per canonical URL,
@@ -4330,10 +4367,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- 40-44: round-4 rotation — the three entries that had never
         #    had a driver row (placed out-of-window at birth) plus the
         #    two new TPC-H decorrelation shapes (first driver check)
-        # -- round-8 birth: crawl-over-crawl novelty accounting;
-        #    displaced tenant q_text_langid_confusion (r6+r7 green)
-        #    -> 51+
-        "q_crawl_novelty": q_crawl_novelty,
+        # -- round-11 birth: embedding-grain decontamination — nearest
+        #    benchmark cosine per corpus doc from a literal bounded
+        #    benchmark artifact, map-only (the paraphrase-robust
+        #    complement of the 8-gram probe); displaced tenant
+        #    q_crawl_novelty (green r8-r10 triple; the what's-new-vs-
+        #    standing-state family keeps q_dedup_exact_incr in-window,
+        #    novelty stays oracle-checked at 51+) -> 51+
+        "q_semantic_decontam": q_semantic_decontam,
         # -- round-8 birth: MAD robust volume-anomaly flags; displaced
         #    tenant q_event_cohort_retention (r6+r7 green; the event
         #    family keeps funnel + growth + anomaly in-window) -> 51+
@@ -4432,6 +4473,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_paragraph": q_dedup_paragraph,
         # rotated out in round 11 by q_url_dedup (green r7-r10)
         "q_text_oov": q_text_oov,
+        # rotated out in round 11 by q_semantic_decontam (green r8-r10)
+        "q_crawl_novelty": q_crawl_novelty,
         "q_bpe_pair_counts": q_bpe_pair_counts,
         "q_tpch_q8_market_share": q_tpch_q8_market_share,
         "q_tpch_q9_profit": q_tpch_q9_profit,
@@ -5884,6 +5927,42 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'ok' END AS block_reason
             FROM hosts
             ORDER BY doc_id
+        """,
+        # embedding-grain decontamination: corpus × the 25-vector
+        # benchmark, 6-dp cosine, max per doc with lowest-bench-id
+        # tiebreak (row_number mirror of the Spark struct-max)
+        "q_semantic_decontam": f"""
+            WITH bench AS (
+              -- fixed-size benchmark sample (<= 64), never a corpus
+              -- fraction — mirrors the Spark side's bounded collect
+              SELECT vec_id AS bid, embedding AS bv FROM embeddings
+              WHERE vec_id % 20 = 0 AND vec_id < 1280
+            ),
+            corpus AS (
+              SELECT vec_id, embedding AS e FROM embeddings
+              WHERE vec_id % 20 <> 0
+            ),
+            scored AS (
+              SELECT c.vec_id, b.bid,
+                     round(({_DOT64.format(a="c.e", b="b.bv")})
+                           / (sqrt({_DOT64.format(a="c.e", b="c.e")})
+                              * sqrt({_DOT64.format(a="b.bv", b="b.bv")})),
+                           6) AS score
+              FROM corpus c, bench b
+            ),
+            best AS (
+              SELECT vec_id, bid, score,
+                     row_number() OVER (
+                       PARTITION BY vec_id ORDER BY score DESC, bid
+                     ) AS rn
+              FROM scored
+            )
+            SELECT vec_id, CAST(bid AS BIGINT) AS top_bench_id,
+                   score AS top_score,
+                   CAST(CASE WHEN score >= 0.9 THEN 1 ELSE 0 END
+                        AS INTEGER) AS contaminated
+            FROM best WHERE rn = 1
+            ORDER BY vec_id
         """,
         # canonical-URL dedup: the q_url_blocklist synthesis +
         # canonicalization chain, then one window per canonical URL

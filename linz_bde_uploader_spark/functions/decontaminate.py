@@ -99,3 +99,86 @@ def decontaminate(
     broadcast anti join; the surviving corpus never shuffles."""
     dirty = contamination_hits(corpus, bench, text_col, id_col, n).select(id_col)
     return corpus.join(dirty, id_col, "left_anti")
+
+
+def semantic_contamination(
+    corpus: DataFrame,
+    bench_vectors: "list[tuple[int, list[float]]]",
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """EMBEDDING-grain decontamination — the paraphrase-robust
+    complement of the n-gram probe above: an eval item rewritten in
+    different words shares no 8-gram but still sits next to its
+    source in embedding space, so modern pipelines ALSO flag training
+    documents whose nearest benchmark embedding exceeds a cosine
+    threshold (the SemDeDup/embedding-dedup idea pointed at the
+    train/test boundary instead of train/train).
+
+    ``bench_vectors`` is the BOUNDED benchmark artifact — a Python
+    list of ``(bench_id, vector)`` collected once upstream (eval
+    suites are KBs of vectors; same bounded-model-artifact class as
+    k-means centroids and DSIR λ-tables). It is embedded as ONE
+    literal array of structs and scored with ONE ``transform`` lambda
+    (loop the data, not the plan — the unrolled-per-literal form is a
+    codegen compile bomb), so the whole operator is MAP-ONLY: no
+    join, no shuffle, no broadcast round-trip; the corpus is scanned
+    exactly once at any scale.
+
+    Per corpus row: ``(id, top_bench_id, top_score, contaminated)``
+    where top_score is the max 6-dp-rounded cosine over the benchmark
+    (ties: lowest bench id — encoded as struct max over
+    ``(score, -bench_id)``) and ``contaminated = top_score >=
+    threshold``. Every row emits (an audit needs the clean margin,
+    not only the hits)."""
+    import math  # noqa: PLC0415
+
+    from linz_bde_uploader_spark.functions.similarity import (  # noqa: PLC0415
+        dot,
+        norm,
+    )
+
+    if not bench_vectors:
+        raise ValueError("bench_vectors is empty: nothing to probe against")
+    # benchmark norms are plan-build-time literals (same sequential
+    # product fold + correctly-rounded sqrt as the engines, so the
+    # doubles are identical); the row norm is STAGED once — a naive
+    # cosine() inside the lambda would recompute it per bench entry,
+    # |bench|× redundant work on the hot map
+    blit = F.array(
+        *[
+            F.struct(
+                F.lit(int(bid)).cast("long").alias("bid"),
+                F.array(
+                    *[F.lit(float(x)) for x in vec]
+                ).alias("bv"),
+                F.lit(
+                    math.sqrt(
+                        sum(float(x) * float(x) for x in vec)
+                    )
+                ).alias("bn"),
+            )
+            for bid, vec in bench_vectors
+        ]
+    )
+    staged = corpus.withColumn("_vn", norm(F.col(vec_col)))
+    scored = F.transform(
+        blit,
+        lambda b: F.struct(
+            F.round(
+                dot(F.col(vec_col), b["bv"]) / (F.col("_vn") * b["bn"]),
+                6,
+            ).alias("score"),
+            (-b["bid"]).alias("nid"),
+        ),
+    )
+    top = F.array_max(scored)
+    return staged.withColumn("_top", top).select(
+        F.col(id_col),
+        (-F.col("_top.nid")).cast("long").alias("top_bench_id"),
+        F.col("_top.score").alias("top_score"),
+        (F.col("_top.score") >= F.lit(float(threshold))).alias(
+            "contaminated"
+        ),
+    )

@@ -131,6 +131,11 @@ PICK = [
     # round-11 birth: canonical-URL dedup — map-only regexp chain +
     # one window shuffle keyed by canonical URL
     "q_url_dedup",
+    # round-11 birth: embedding-grain decontamination — one map-only
+    # scan scoring each row against a FIXED-SIZE (<= 64) literal
+    # benchmark (a corpus-fraction benchmark first measured 13.7x at
+    # 10x — the q_batch_ann_recall bounded-sample lesson re-learned)
+    "q_semantic_decontam",
 ]
 
 

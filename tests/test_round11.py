@@ -362,3 +362,42 @@ class TestUrlDedup:
         )
         out = url_dedup(docs).collect()
         assert len(out) == 5 and all(r.n_copies == 1 for r in out)
+
+
+class TestSemanticContamination:
+    def test_flags_and_tiebreak(self, spark):
+        from linz_bde_uploader_spark.functions.decontaminate import (
+            semantic_contamination,
+        )
+
+        corpus = spark.createDataFrame(
+            [
+                (1, [1.0, 0.0, 0.0]),   # exact copy of bench 100
+                (2, [0.9, 0.1, 0.0]),   # near bench 100
+                (3, [0.0, 1.0, 0.0]),   # orthogonal to both: 0-0 tie
+            ],
+            "vec_id long, embedding array<float>",
+        )
+        bench = [(100, [1.0, 0.0, 0.0]), (200, [0.0, 0.0, 1.0])]
+        got = {
+            r.vec_id: (r.top_bench_id, r.top_score, r.contaminated)
+            for r in semantic_contamination(
+                corpus, bench, threshold=0.95
+            ).collect()
+        }
+        assert got[1] == (100, 1.0, True)
+        assert got[2][0] == 100 and got[2][2] is True
+        # tie at score 0: lowest bench id wins, clean row still emits
+        assert got[3] == (100, 0.0, False)
+
+    def test_empty_bench_raises(self, spark):
+        import pytest as _pt
+        from linz_bde_uploader_spark.functions.decontaminate import (
+            semantic_contamination,
+        )
+
+        corpus = spark.createDataFrame(
+            [(1, [1.0, 0.0])], "vec_id long, embedding array<float>"
+        )
+        with _pt.raises(ValueError, match="empty"):
+            semantic_contamination(corpus, [])
