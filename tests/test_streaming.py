@@ -878,3 +878,82 @@ def test_gk_quantile_stream_batch_parity(spark, tmp_path):
     s_b = gk_build(vals_b, EPS)
     for q in QS2:
         assert got[("b", q)] == (50, gk_query(s_b, q, 50, EPS))
+
+
+def test_corpus_build_stream_resume_and_exactly_once(spark, tmp_path):
+    """The corpus-build stream's state contract: draining again with
+    the same checkpoint after NEW files arrive processes only the new
+    files (state partitions accumulate one batch_id per micro-batch),
+    and a drain with nothing pending is a no-op (no state rewritten,
+    nothing double-counted)."""
+    import glob
+    import os
+    import shutil
+
+    from linz_bde_uploader_spark.streaming.poll import corpus_build_stream
+
+    def mkdocs(lo, hi):
+        rows = [
+            (i,
+             f"alpha{i} bravo charlie delta echo foxtrot golf hotel "
+             f"india juliet kilo lima mike november oscar papa",
+             "en", f"src{i % 3}", 0)
+            for i in range(lo, hi)
+        ]
+        return spark.createDataFrame(
+            rows,
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).withColumn(
+            "url",
+            F.concat(
+                F.lit("https://"), F.col("source"),
+                F.lit(".example.com/p/"), F.col("doc_id").cast("string"),
+            ),
+        )
+
+    staging = tmp_path / "staging"
+    staging.mkdir()
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    def ship(df, name, mtime):
+        out = tmp_path / f"chunk_{name}"
+        df.coalesce(1).write.parquet(str(out))
+        (part,) = glob.glob(str(out / "part-*.parquet"))
+        dst = staging / f"{name}.parquet"
+        shutil.copy(part, dst)
+        os.utime(dst, (mtime, mtime))
+
+    def drain():
+        q = corpus_build_stream(
+            spark, str(staging), mkdocs(0, 1).schema, ckpt, state,
+            [], [], [], bench_docs=mkdocs(0, 1).limit(0),
+            max_files_per_trigger=1,
+        )
+        assert q.awaitTermination(300)
+
+    ship(mkdocs(1, 21), "000", 1_700_000_000)
+    drain()
+    fun = spark.read.parquet(f"{state}/funnel")
+    assert fun.select("batch_id").distinct().count() == 1
+    n0 = fun.filter(F.col("stage_no") == 0).agg(F.sum("n_docs")).first()[0]
+    assert n0 == 20
+
+    # new file arrives; same checkpoint: ONLY it is processed
+    ship(mkdocs(21, 31), "001", 1_700_000_100)
+    drain()
+    fun = spark.read.parquet(f"{state}/funnel")
+    assert fun.select("batch_id").distinct().count() == 2
+    total = fun.filter(F.col("stage_no") == 0).agg(F.sum("n_docs")).first()[0]
+    assert total == 30
+    corpus_rows = spark.read.parquet(f"{state}/corpus").count()
+
+    # nothing pending: a re-drain is a no-op — same batches, same rows
+    drain()
+    fun = spark.read.parquet(f"{state}/funnel")
+    assert fun.select("batch_id").distinct().count() == 2
+    assert (
+        fun.filter(F.col("stage_no") == 0).agg(F.sum("n_docs")).first()[0]
+        == 30
+    )
+    assert spark.read.parquet(f"{state}/corpus").count() == corpus_rows
