@@ -1168,6 +1168,38 @@ def q_url_blocklist(spark, sf_dir):
     )
 
 
+def q_html_to_text(spark, sf_dir):
+    # WET-style markup stripping (functions/text.py::html_to_text) —
+    # the text-extraction pass every web corpus runs before any
+    # content heuristic. Each document is wrapped in a deterministic
+    # markup shell that exercises EVERY grammar rule (script + style
+    # elements with content, a comment, case-soup tags, the five
+    # named entities plus the decode-&amp;-last boundary case,
+    # whitespace runs), then stripped back to text. Map-only chained
+    # regexp_replace — zero shuffle; the oracle applies the same
+    # regexes with DuckDB's 'g' flag.
+    d = W.load(spark, sf_dir, "documents")
+    m7 = F.pmod(F.col("doc_id"), F.lit(7)).cast("string")
+    m5 = F.pmod(F.col("doc_id"), F.lit(5)).cast("string")
+    m3 = F.pmod(F.col("doc_id"), F.lit(3)).cast("string")
+    html = F.concat(
+        F.lit('<DIV class="hd">'), F.col("text"),
+        F.lit('</DIV> <script type="t">var skip='), m7,
+        F.lit(";</script><STYLE>p{margin:0}</STYLE><!-- note "), m5,
+        F.lit(" --> A &lt; B &amp;lt; C&nbsp;&#39;q&#39;"
+              "  <br>tail "), m3,
+    )
+    out = d.select(
+        "doc_id",
+        X.html_to_text(html).alias("clean_text"),
+    )
+    return out.select(
+        "doc_id",
+        "clean_text",
+        F.length("clean_text").cast("long").alias("n_chars"),
+    ).orderBy("doc_id")
+
+
 def q_semantic_decontam(spark, sf_dir):
     # Embedding-grain decontamination (decontaminate.py::
     # semantic_contamination) — the paraphrase-robust complement of
@@ -4225,11 +4257,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    q_quality_quantile_filter and q_weighted_sample in-window)
         #    -> 51+
         "q_url_blocklist": q_url_blocklist,
-        # -- round-8 birth: daily growth accounting (new/returning/
-        #    cumulative DAU decomposition); displaced tenant
-        #    q_event_session_window (r6+r7 green; the event family
-        #    keeps funnel + cohort retention in-window) -> 51+
-        "q_event_growth": q_event_growth,
+        # -- round-11 birth: WET-style markup stripping — script/
+        #    style/comment removal, tag strip, single-decode entity
+        #    grammar, whitespace collapse (the text-extraction pass
+        #    before any content heuristic); displaced tenant
+        #    q_event_growth (green r8-r10 triple; the event family
+        #    keeps funnel + anomaly in-window, growth stays
+        #    oracle-checked at 51+) -> 51+
+        "q_html_to_text": q_html_to_text,
         # -- round-10 birth: end-to-end corpus-build composite
         #    (blocklist → robots → quality → exact+near dedup →
         #    decontaminate → α-mixture → packing with the per-stage
@@ -4475,6 +4510,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_text_oov": q_text_oov,
         # rotated out in round 11 by q_semantic_decontam (green r8-r10)
         "q_crawl_novelty": q_crawl_novelty,
+        # rotated out in round 11 by q_html_to_text (green r8-r10)
+        "q_event_growth": q_event_growth,
         "q_bpe_pair_counts": q_bpe_pair_counts,
         "q_tpch_q8_market_share": q_tpch_q8_market_share,
         "q_tpch_q9_profit": q_tpch_q9_profit,
@@ -5927,6 +5964,45 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'ok' END AS block_reason
             FROM hosts
             ORDER BY doc_id
+        """,
+        # WET-style markup stripping: the same synthesized markup
+        # shell, the same regex grammar step-for-step ('g' flag —
+        # Spark replaces globally by default)
+        "q_html_to_text": r"""
+            WITH h AS (
+              SELECT doc_id,
+                     '<DIV class="hd">' || text || '</DIV> '
+                     || '<script type="t">var skip='
+                     || CAST(doc_id % 7 AS VARCHAR)
+                     || ';</script><STYLE>p{margin:0}</STYLE><!-- note '
+                     || CAST(doc_id % 5 AS VARCHAR)
+                     || ' --> A &lt; B &amp;lt; C&nbsp;&#39;q&#39;'
+                     || '  <br>tail ' || CAST(doc_id % 3 AS VARCHAR)
+                       AS html
+              FROM documents
+            ),
+            s AS (
+              SELECT doc_id,
+                     trim(regexp_replace(regexp_replace(regexp_replace(
+                          regexp_replace(regexp_replace(regexp_replace(
+                          regexp_replace(regexp_replace(regexp_replace(
+                          regexp_replace(regexp_replace(html,
+                       '(?is)<script\b[^>]*>.*?</script>', ' ', 'g'),
+                       '(?is)<style\b[^>]*>.*?</style>', ' ', 'g'),
+                       '(?s)<!--.*?-->', ' ', 'g'),
+                       '<[^>]+>', ' ', 'g'),
+                       '&lt;', '<', 'g'),
+                       '&gt;', '>', 'g'),
+                       '&quot;', '"', 'g'),
+                       '&#39;', '''', 'g'),
+                       '&nbsp;', ' ', 'g'),
+                       '&amp;', '&', 'g'),
+                       '\s+', ' ', 'g')) AS clean_text
+              FROM h
+            )
+            SELECT doc_id, clean_text,
+                   CAST(length(clean_text) AS BIGINT) AS n_chars
+            FROM s ORDER BY doc_id
         """,
         # embedding-grain decontamination: corpus × the 25-vector
         # benchmark, 6-dp cosine, max per doc with lowest-bench-id

@@ -871,3 +871,43 @@ def quality_calibration(
             F.sum("_gp").cast("double") / F.count(F.lit(1)), 4
         ).alias("gopher_pass_frac"),
     )
+
+
+def html_to_text(col: Column | str) -> Column:
+    """Markup stripping — the WET-style text extraction every web
+    corpus runs before any content heuristic (Common Crawl's WET
+    files, C4's preprocessing): a fixed, documented regex grammar that
+    both engines share verbatim, NOT a browser parser.
+
+    CONTRACT (in application order; ``tests/test_round11.py`` pins
+    each rule and the documented boundaries):
+
+    1. ``<script>``/``<style>`` ELEMENTS are removed with their
+       content (case-insensitive, dotall, non-greedy — an unclosed
+       block survives to rule 3 and loses only its tags);
+    2. HTML comments ``<!-- ... -->`` are removed with their content;
+    3. every remaining tag ``<...>`` becomes one space (no ``>``
+       inside attribute values — the same sanitized-corpus grammar as
+       ``urls.extract_links``);
+    4. the five core named entities (``&lt; &gt; &quot; &#39;
+       &nbsp;``) decode, then ``&amp;`` LAST — so ``&amp;lt;``
+       decodes once, to the literal ``&lt;`` (never double-decodes);
+    5. whitespace collapses to single spaces and trims.
+
+    Map-only chained ``regexp_replace`` — whole-stage codegen, zero
+    shuffle, linear in corpus bytes at any scale. The DuckDB mirror
+    applies the same regexes with the ``'g'`` flag (Spark replaces
+    globally by default)."""
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.regexp_replace(c, r"(?is)<script\b[^>]*>.*?</script>", " ")
+    c = F.regexp_replace(c, r"(?is)<style\b[^>]*>.*?</style>", " ")
+    c = F.regexp_replace(c, r"(?s)<!--.*?-->", " ")
+    c = F.regexp_replace(c, r"<[^>]+>", " ")
+    c = F.regexp_replace(c, r"&lt;", "<")
+    c = F.regexp_replace(c, r"&gt;", ">")
+    c = F.regexp_replace(c, r"&quot;", "\"")
+    c = F.regexp_replace(c, r"&#39;", "'")
+    c = F.regexp_replace(c, r"&nbsp;", " ")
+    c = F.regexp_replace(c, r"&amp;", "&")
+    c = F.regexp_replace(c, r"\s+", " ")
+    return F.trim(c)

@@ -136,6 +136,9 @@ PICK = [
     # benchmark (a corpus-fraction benchmark first measured 13.7x at
     # 10x — the q_batch_ann_recall bounded-sample lesson re-learned)
     "q_semantic_decontam",
+    # round-11 birth: WET-style markup stripping — pure map-only
+    # chained regexp_replace, linear in bytes
+    "q_html_to_text",
 ]
 
 

@@ -401,3 +401,37 @@ class TestSemanticContamination:
         )
         with _pt.raises(ValueError, match="empty"):
             semantic_contamination(corpus, [])
+
+
+class TestHtmlToText:
+    def test_grammar_rules(self, spark):
+        from linz_bde_uploader_spark.functions.text import html_to_text
+
+        df = spark.createDataFrame(
+            [
+                (1, '<p>Hello <b>world</b></p>'
+                    '<script type="x">var a=1;</script> tail'),
+                # decode-&amp;-last: &amp;lt; becomes the LITERAL &lt;
+                (2, "a &amp;lt; b &lt; c &nbsp; d &#39;e&#39;"
+                    " <!-- gone --> f"),
+                (3, '<style>p{}</style><DIV CLASS="x">keep</DIV>'),
+                (4, '<SCRIPT>case <b>soup</b></SCRIPT>ok'),
+                # documented boundary: an unclosed script keeps its
+                # content and loses only the tags
+                (5, "<script>orphan body"),
+                (6, "A &quot;q&quot; &gt; B   with\t whitespace"),
+            ],
+            "doc_id long, html string",
+        )
+        got = {
+            r.doc_id: r.t
+            for r in df.select(
+                "doc_id", html_to_text("html").alias("t")
+            ).collect()
+        }
+        assert got[1] == "Hello world tail"
+        assert got[2] == "a &lt; b < c d 'e' f"
+        assert got[3] == "keep"
+        assert got[4] == "ok"
+        assert got[5] == "orphan body"
+        assert got[6] == 'A "q" > B with whitespace'
