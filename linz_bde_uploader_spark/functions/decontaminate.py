@@ -116,6 +116,11 @@ def semantic_contamination(
     threshold (the SemDeDup/embedding-dedup idea pointed at the
     train/test boundary instead of train/train).
 
+    Edge contract: a zero-norm corpus vector divides to NaN cosines,
+    and BOTH engines order NaN above every number, so such a row
+    surfaces as contaminated-with-NaN-score — loud, never silently
+    clean; filter zero vectors upstream if they are expected.
+
     ``bench_vectors`` is the BOUNDED benchmark artifact — a Python
     list of ``(bench_id, vector)`` collected once upstream (eval
     suites are KBs of vectors; same bounded-model-artifact class as
