@@ -1168,6 +1168,24 @@ def q_url_blocklist(spark, sf_dir):
     )
 
 
+def q_cluster_split(spark, sf_dir):
+    # Leakage-proof split assignment (sampling.py::
+    # cluster_consistent_split) — the mitigation q_split_leakage
+    # measures the need for: verified near-dup pairs (same 0.08
+    # threshold as the audit) → connected components → the
+    # engine-shared split hash applied to the CLUSTER canonical id,
+    # so no near-dup pair can straddle a boundary by construction
+    # (singletons hash by their own id — the naive split for the
+    # clean majority). Components are the audited min-label loop;
+    # everything else is one left join + map-side hash arithmetic.
+    from linz_bde_uploader_spark.functions.sampling import (
+        cluster_consistent_split,
+    )
+
+    d = W.load(spark, sf_dir, "documents")
+    return cluster_consistent_split(d, threshold=0.08).orderBy("doc_id")
+
+
 def q_html_to_text(spark, sf_dir):
     # WET-style markup stripping (functions/text.py::html_to_text) —
     # the text-extraction pass every web corpus runs before any
@@ -4285,12 +4303,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    displaced tenants q_sim_cosine_topk / q_sim_cosine_above
         #    each carry THREE green driver rows (r1+r3+r4) -> 51+
         "q_bpe_merges": q_bpe_merges,
-        # -- round-8 birth: blocked fuzzy matching / record linkage
-        #    (dictionary-first, two blocking passes, levenshtein verify
-        #    on candidates only); displaced tenant q_skew_salted_join
-        #    (r6+r7 green; the salted-join demo stays oracle-checked
-        #    at 51+) -> 51+
-        "q_fuzzy_join": q_fuzzy_join,
+        # -- round-11 birth: leakage-proof cluster-consistent split —
+        #    verified near-dup pairs → connected components → the
+        #    split hash on the cluster canonical id (the PREVENTION
+        #    face of q_split_leakage's measurement); displaced tenant
+        #    q_fuzzy_join (green r8-r10 triple; its two-phase
+        #    block-then-verify shape is the same family the banded
+        #    dedup queries keep in-window, fuzzy join stays
+        #    oracle-checked at 51+) -> 51+
+        "q_cluster_split": q_cluster_split,
         # -- round-6 session-3 birth: per-doc token-entropy diversity
         #    signal; displaced tenant q_sim_lsh_bucketed (r3+r4+r5
         #    triple green) -> 51+
@@ -4512,6 +4533,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_crawl_novelty": q_crawl_novelty,
         # rotated out in round 11 by q_html_to_text (green r8-r10)
         "q_event_growth": q_event_growth,
+        # rotated out in round 11 by q_cluster_split (green r8-r10)
+        "q_fuzzy_join": q_fuzzy_join,
         "q_bpe_pair_counts": q_bpe_pair_counts,
         "q_tpch_q8_market_share": q_tpch_q8_market_share,
         "q_tpch_q9_profit": q_tpch_q9_profit,
@@ -5964,6 +5987,67 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'ok' END AS block_reason
             FROM hosts
             ORDER BY doc_id
+        """,
+        # leakage-proof split: verified pairs (the q_split_leakage vp
+        # chain) → recursive-reach components (the keep_best idiom) →
+        # the shared split-bucket arithmetic on the component id
+        "q_cluster_split": _MINHASH_SIGS.replace(
+            "WITH t AS", "WITH RECURSIVE t AS", 1
+        ) + """
+            , bands AS (
+              SELECT doc_id, 0 AS band, ((0*31 + mh0)*31 + mh1) % 2147483647 AS key FROM sigs
+              UNION ALL
+              SELECT doc_id, 1, ((1*31 + mh2)*31 + mh3) % 2147483647 FROM sigs
+              UNION ALL
+              SELECT doc_id, 2, ((2*31 + mh4)*31 + mh5) % 2147483647 FROM sigs
+              UNION ALL
+              SELECT doc_id, 3, ((3*31 + mh6)*31 + mh7) % 2147483647 FROM sigs
+            ),
+            cand AS (
+              SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+              FROM bands l JOIN bands r
+                ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
+            ),
+            shs AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(generate_series(1, greatest(n-2, 1)),
+                       i -> toks[least(i, n)] || ' ' || toks[least(i+1, n)] || ' ' || toks[least(i+2, n)])) AS s
+              FROM t
+            ),
+            vp AS (
+              SELECT c.id_a, c.id_b
+              FROM cand c JOIN shs a ON a.doc_id = c.id_a
+                          JOIN shs b ON b.doc_id = c.id_b
+              WHERE round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                          / len(list_distinct(list_concat(a.s, b.s))), 6)
+                    >= 0.08
+            ),
+            sym AS (
+              SELECT id_a AS src, id_b AS dst FROM vp
+              UNION
+              SELECT id_b, id_a FROM vp
+            ),
+            reach AS (
+              SELECT src, dst FROM sym
+              UNION
+              SELECT r.src, s2.dst FROM reach r JOIN sym s2 ON r.dst = s2.src
+            ),
+            comp AS (
+              SELECT src AS doc_id, least(src, min(dst)) AS component
+              FROM reach GROUP BY src
+            ),
+            lab AS (
+              SELECT d.doc_id,
+                     coalesce(c.component, d.doc_id) AS component
+              FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+            )
+            SELECT doc_id, CAST(component AS BIGINT) AS component,
+                   CASE WHEN ((component % 2147483647) * 2654435761
+                              % 2147483647) % 100 < 90 THEN 'train'
+                        WHEN ((component % 2147483647) * 2654435761
+                              % 2147483647) % 100 < 95 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM lab ORDER BY doc_id
         """,
         # WET-style markup stripping: the same synthesized markup
         # shell, the same regex grammar step-for-step ('g' flag —

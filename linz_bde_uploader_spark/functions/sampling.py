@@ -788,3 +788,67 @@ def alpha_mixture_plan(
         frac.alias("sample_fraction"),
         epochs.alias("epochs"),
     )
+
+
+def cluster_consistent_split(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    splits: "dict[str, int] | None" = None,
+    threshold: float = 0.5,
+    n: int = 3,
+    bands: int = 4,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """Leakage-PROOF train/val/test assignment — the mitigation
+    :func:`split_leakage_audit` measures the need for, made total:
+    every document inherits the split of its near-dup CLUSTER's
+    canonical (minimum-id) member, so by construction NO near-dup
+    pair at ``threshold`` can straddle a split boundary (the audit's
+    ``cross_pairs`` is zero over this assignment, which the test
+    pins). Group-hash splitting (by host/source) only prevents
+    leakage WITHIN the group unit; paraphrases syndicated across
+    sources still straddle — clustering by the near-dup graph itself
+    closes exactly that gap.
+
+    Pipeline: banded-LSH candidates → exact n-gram Jaccard verify
+    (:func:`dedup.candidate_jaccard_verify`, never all-pairs) →
+    connected components (:func:`dedup.duplicate_components`,
+    min-label propagation — transitive closure, so chains A~B~C land
+    together even when A and C are not themselves a pair) → the
+    engine-shared integer split hash applied to the COMPONENT id.
+    Documents in no pair are their own singleton component and hash
+    by their own id — identical to the naive split for the clean
+    majority.
+
+    Returns ``(id, component, split)`` — one row per document, no
+    NULLs (singletons carry their own id as component).
+
+    Scale: the pair work IS the audited dedup pipeline; components
+    iterate O(E) joins over the PAIR graph only (tiny next to the
+    corpus); the final label join is one broadcast-size left join +
+    map-side hash arithmetic."""
+    from linz_bde_uploader_spark.functions.dedup import (  # noqa: PLC0415
+        candidate_jaccard_verify,
+        duplicate_components,
+    )
+
+    pairs = candidate_jaccard_verify(
+        docs, id_col, text_col, threshold, n, bands, rows_per_band
+    ).select("id_a", "id_b")
+    comp = duplicate_components(pairs)
+    lab = (
+        docs.select(F.col(id_col))
+        .join(
+            comp.select(F.col("id").alias(id_col), "component"),
+            [id_col],
+            "left",
+        )
+        .withColumn(
+            "component",
+            F.coalesce(F.col("component"), F.col(id_col)).cast("long"),
+        )
+    )
+    return with_split(lab, "component", splits, "split").select(
+        id_col, "component", "split"
+    )

@@ -139,6 +139,9 @@ PICK = [
     # round-11 birth: WET-style markup stripping — pure map-only
     # chained regexp_replace, linear in bytes
     "q_html_to_text",
+    # round-11 birth: leakage-proof cluster-consistent split — pair
+    # volume + a components loop over the pair graph only
+    "q_cluster_split",
 ]
 
 

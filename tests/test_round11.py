@@ -435,3 +435,77 @@ class TestHtmlToText:
         assert got[4] == "ok"
         assert got[5] == "orphan body"
         assert got[6] == 'A "q" > B with whitespace'
+
+
+class TestClusterConsistentSplit:
+    def test_chain_lands_together_and_zero_leakage(self, spark):
+        from linz_bde_uploader_spark.functions.dedup import (
+            candidate_jaccard_verify,
+        )
+        from linz_bde_uploader_spark.functions.sampling import (
+            cluster_consistent_split,
+        )
+
+        base = ("alpha bravo charlie delta echo foxtrot golf hotel "
+                "india juliet kilo lima")
+        docs = spark.createDataFrame(
+            [
+                (1, base),
+                (2, base + " mike"),              # near-dup of 1
+                (3, base + " mike november"),     # near-dup of 2 (chain)
+                (4, "uniform victor whiskey xray yankee zulu one two "
+                    "three four five six"),       # singleton
+            ],
+            "doc_id long, text string",
+        )
+        out = {
+            r.doc_id: (r.component, r.split)
+            for r in cluster_consistent_split(
+                docs, threshold=0.5
+            ).collect()
+        }
+        # transitive closure: the whole chain shares doc 1's component
+        # and therefore ONE split; the singleton keeps its own id
+        assert out[1][0] == out[2][0] == out[3][0] == 1
+        assert out[1][1] == out[2][1] == out[3][1]
+        assert out[4][0] == 4
+        # zero leakage by construction: every verified pair has equal
+        # splits under this assignment
+        spl = {d: s for d, (_, s) in out.items()}
+        for p in candidate_jaccard_verify(
+            docs, "doc_id", "text", threshold=0.5
+        ).collect():
+            assert spl[p.id_a] == spl[p.id_b]
+
+    def test_zero_leakage_on_fixture_corpus(self, spark):
+        # end-to-end over the sf0.001 table at the audit's threshold:
+        # the assignment must produce ZERO straddling near-dup pairs
+        from linz_bde_uploader_spark.functions.dedup import (
+            candidate_jaccard_verify,
+        )
+        from linz_bde_uploader_spark.functions.sampling import (
+            cluster_consistent_split,
+        )
+
+        d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        spl = cluster_consistent_split(d, threshold=0.08)
+        pairs = candidate_jaccard_verify(d, "doc_id", "text", 0.08)
+        j = (
+            pairs.join(
+                spl.select(
+                    F.col("doc_id").alias("id_a"),
+                    F.col("split").alias("_sa"),
+                ),
+                "id_a",
+            )
+            .join(
+                spl.select(
+                    F.col("doc_id").alias("id_b"),
+                    F.col("split").alias("_sb"),
+                ),
+                "id_b",
+            )
+        )
+        n_pairs = pairs.count()
+        assert n_pairs > 0  # the fixture really has near-dups
+        assert j.filter(F.col("_sa") != F.col("_sb")).count() == 0
