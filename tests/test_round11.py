@@ -509,3 +509,106 @@ class TestClusterConsistentSplit:
         n_pairs = pairs.count()
         assert n_pairs > 0  # the fixture really has near-dups
         assert j.filter(F.col("_sa") != F.col("_sb")).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Property tests for the round-11 births (tests-only hardening):
+# url_dedup's partition/winner invariants and html_to_text's
+# single-pass contract under randomized inputs.
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+SLOW11 = settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+
+URL_VARIANT = st.sampled_from([
+    "https://{h}.com/p/{p}",
+    "HTTPS://WWW.{H}.COM/p/{p}",
+    "https://{h}.com/p/{p}?utm_source=x",
+    "https://{h}.com:443/p/{p}/",
+    "http://{h}.com:80/p/{p}#frag",
+])
+
+
+@SLOW11
+@given(
+    rows=st.lists(
+        st.tuples(
+            URL_VARIANT,
+            st.integers(min_value=0, max_value=2),  # host
+            st.integers(min_value=0, max_value=3),  # page
+            st.integers(min_value=1, max_value=12),  # text length
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_url_dedup_partition_and_winner_properties(spark, rows):
+    from linz_bde_uploader_spark.functions.urls import url_dedup
+
+    data = [
+        (
+            i,
+            tpl.replace("{h}", f"h{h}").replace("{H}", f"H{h}")
+               .replace("{p}", str(p)),
+            " ".join(f"w{j}" for j in range(ln)),
+        )
+        for i, (tpl, h, p, ln) in enumerate(rows)
+    ]
+    # http vs https NEVER merge (scheme is identity); the canonical
+    # group key is (scheme, host, page)
+    def key(tpl, h, p):
+        scheme = "http" if tpl.startswith("http://") else "https"
+        return (scheme, h, p)
+
+    df = spark.createDataFrame(data, "doc_id long, url string, text string")
+    out = url_dedup(df).collect()
+    groups = {}
+    for i, (tpl, h, p, ln) in enumerate(rows):
+        groups.setdefault(key(tpl, h, p), []).append((i, ln))
+    # exactly one survivor per canonical group, n_copies = group size
+    assert len(out) == len(groups)
+    assert sum(r.n_copies for r in out) == len(rows)
+    by_id = {i: (ln) for i, (tpl, h, p, ln) in enumerate(rows)}
+    surv = {r.doc_id: r.n_copies for r in out}
+    for members in groups.values():
+        won = [i for i, _ in members if i in surv]
+        assert len(won) == 1
+        # winner maximizes (text length, -id): text = ln words
+        wid = won[0]
+        wlen = by_id[wid]
+        for i, ln in members:
+            txt_len_w = len(" ".join(f"w{j}" for j in range(wlen)))
+            txt_len_i = len(" ".join(f"w{j}" for j in range(ln)))
+            assert (txt_len_i, -i) <= (txt_len_w, -wid)
+        assert surv[wid] == len(members)
+
+
+@SLOW11
+@given(
+    words=st.lists(
+        st.sampled_from(["alpha", "bravo", "x", "amp;", "&lt;", "a&b"]),
+        min_size=1,
+        max_size=10,
+    ),
+    tag=st.sampled_from(["b", "DIV", "span"]),
+)
+def test_html_to_text_single_pass_contract(spark, words, tag):
+    # stripping any well-formed tag wrapper yields the entity-decoded
+    # body; the output may legitimately CONTAIN '<' (decoded &lt;) —
+    # html_to_text is single-pass by contract, its output is text,
+    # not html to re-strip
+    from linz_bde_uploader_spark.functions.text import html_to_text
+
+    body = " ".join(words)
+    html = f"<{tag} class='x'>{body}</{tag}>"
+    df = spark.createDataFrame([(1, html)], "doc_id long, html string")
+    (r,) = df.select(html_to_text("html").alias("t")).collect()
+    expected = " ".join(
+        body.replace("&lt;", "<").replace("&amp;", "&").split()
+    )
+    assert r.t == expected
