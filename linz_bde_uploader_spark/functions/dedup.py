@@ -1960,8 +1960,14 @@ def lsh_band_plan(
     )
     meas = sim.agg(
         F.count(F.lit(1)).cast("long").alias("n_candidates"),
-        F.sum(
-            F.when(F.col("_j") >= verify_threshold, 1).otherwise(0)
+        # coalesce: sum over ZERO candidate rows is NULL, but the
+        # datasheet (and its oracle twin) reports 0 verified on the
+        # empty operating point
+        F.coalesce(
+            F.sum(
+                F.when(F.col("_j") >= verify_threshold, 1).otherwise(0)
+            ),
+            F.lit(0),
         ).cast("long").alias("n_verified"),
     ).select(
         "n_candidates",

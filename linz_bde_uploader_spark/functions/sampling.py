@@ -800,16 +800,23 @@ def cluster_consistent_split(
     bands: int = 4,
     rows_per_band: int = 2,
 ) -> DataFrame:
-    """Leakage-PROOF train/val/test assignment — the mitigation
-    :func:`split_leakage_audit` measures the need for, made total:
-    every document inherits the split of its near-dup CLUSTER's
-    canonical (minimum-id) member, so by construction NO near-dup
-    pair at ``threshold`` can straddle a split boundary (the audit's
+    """Leakage-proof train/val/test assignment — the mitigation
+    :func:`split_leakage_audit` measures the need for: every document
+    inherits the split of its near-dup CLUSTER's canonical
+    (minimum-id) member, so by construction no pair RECALLED by the
+    configured banding can straddle a split boundary (the audit's
     ``cross_pairs`` is zero over this assignment, which the test
-    pins). Group-hash splitting (by host/source) only prevents
-    leakage WITHIN the group unit; paraphrases syndicated across
-    sources still straddle — clustering by the near-dup graph itself
-    closes exactly that gap.
+    pins). The guarantee is leakage-proof W.R.T. THE LSH-RECALLED
+    PAIR SET, not all true near-dup pairs: banded MinHash recall is
+    below 1 near the threshold (at ``bands=4, rows_per_band=2`` a
+    j=0.08 pair is recalled with probability ≪ 1), so a true pair
+    the bands miss can still straddle — tune ``bands``/
+    ``rows_per_band`` for high recall at the chosen ``threshold``
+    (s-curve datasheet: :func:`dedup.lsh_band_plan`) when a stronger
+    guarantee is needed. Group-hash splitting (by host/source) only
+    prevents leakage WITHIN the group unit; paraphrases syndicated
+    across sources still straddle — clustering by the near-dup graph
+    itself closes exactly that gap.
 
     Pipeline: banded-LSH candidates → exact n-gram Jaccard verify
     (:func:`dedup.candidate_jaccard_verify`, never all-pairs) →

@@ -498,19 +498,36 @@ CORPUS_STAGES = [
 ]
 
 
-def _state_read(spark: SparkSession, path: str) -> DataFrame | None:
+def _state_read(
+    spark: SparkSession, path: str, before_batch: int | None = None
+) -> DataFrame | None:
     """Read a batch-partitioned parquet state directory if it has any
     committed batches yet (None before the first write). Local-path
     probe — this face runs against a directory tree; a production
     deployment points the same layout at object storage and swaps this
-    probe for a catalog lookup."""
+    probe for a catalog lookup.
+
+    ``before_batch`` restricts the read to partitions with
+    ``batch_id < before_batch`` — the replay guard: foreachBatch is
+    at-least-once, so a micro-batch that crashed AFTER its state
+    writes but BEFORE the checkpoint commit is re-run, and without
+    the filter the replay would read its own previous writes as
+    "standing" state (every doc anti-joins against its own
+    fingerprint, LSH-collides with itself at the near gate, drops at
+    stage 4, and the state partitions are overwritten empty — silent
+    loss of the whole batch). Filtering to strictly-prior batches
+    makes a replay see exactly the state the original run saw, so
+    the overwrite-per-partition write stays idempotent."""
     import os  # noqa: PLC0415
 
     if not os.path.isdir(path) or not any(
         e.startswith("batch_id=") for e in os.listdir(path)
     ):
         return None
-    return spark.read.parquet(path)
+    df = spark.read.parquet(path)
+    if before_batch is not None:
+        df = df.filter(F.col("batch_id") < F.lit(int(before_batch)))
+    return df
 
 
 def _state_write(df: DataFrame, path: str, batch_id: int) -> None:
@@ -600,6 +617,61 @@ def corpus_build_stream(
     rescanned (the index reads are column-pruned: fingerprints for
     the fp gate, band keys for the probe, candidate texts only for
     the verify join)."""
+    apply_batch = corpus_build_batch_fn(
+        spark,
+        state_dir,
+        blocked_hosts,
+        blocked_patterns,
+        robots_rules,
+        bench_docs,
+        is_eval=is_eval,
+        id_col=id_col,
+        text_col=text_col,
+        url_col=url_col,
+        quality_threshold=quality_threshold,
+        jaccard_threshold=jaccard_threshold,
+        bands=bands,
+        rows_per_band=rows_per_band,
+        decontam_n=decontam_n,
+    )
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return (
+        reader.parquet(staging_dir)
+        .writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def corpus_build_batch_fn(
+    spark: SparkSession,
+    state_dir: str,
+    blocked_hosts: "list[str]",
+    blocked_patterns: "list[str]",
+    robots_rules: "list[tuple[str, str, str]]",
+    bench_docs: DataFrame,
+    is_eval: "Callable[[F.Column], F.Column] | None" = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    url_col: str = "url",
+    quality_threshold: float = 0.5,
+    jaccard_threshold: float = 0.5,
+    bands: int = 4,
+    rows_per_band: int = 2,
+    decontam_n: int = 4,
+):
+    """Build the per-micro-batch closure :func:`corpus_build_stream`
+    hands to ``foreachBatch`` — factored out so the at-least-once
+    replay contract is testable directly: calling the returned
+    function twice with the same ``batch_id`` (a crash between the
+    state writes and the checkpoint commit makes the engine re-run
+    the batch) must produce the same state partitions, which holds
+    because every cross-batch state read filters to strictly-prior
+    batches (``_state_read(..., before_batch=batch_id)``) and every
+    state write overwrites its own partition."""
     from pyspark.sql import Window  # noqa: PLC0415
 
     from linz_bde_uploader_spark.functions import (  # noqa: PLC0415
@@ -664,7 +736,9 @@ def corpus_build_stream(
             s3 = flags.filter(F.col("_f1") & F.col("_f2") & F.col("_f3"))
             # exact gate: standing fingerprints first, then in-batch
             # keep-first among the fresh ones (batch min-id rule)
-            idx = _state_read(spark, f"{state_dir}/index")
+            idx = _state_read(
+                spark, f"{state_dir}/index", before_batch=batch_id
+            )
             fresh = s3
             if idx is not None:
                 fresh = s3.join(
@@ -698,7 +772,9 @@ def corpus_build_stream(
             # near gate, cross-batch half: probe standing band keys,
             # verify only the candidates (texts fetched from the index
             # by id — bounded by candidate volume)
-            bk = _state_read(spark, f"{state_dir}/bandkeys")
+            bk = _state_read(
+                spark, f"{state_dir}/bandkeys", before_batch=batch_id
+            )
             new_keys = with_minhash_signature(
                 s4docs, text_col, "_sig", n_sig
             ).select(
@@ -845,16 +921,7 @@ def corpus_build_stream(
             except NameError:
                 pass
 
-    reader = spark.readStream.schema(schema)
-    if max_files_per_trigger is not None:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    return (
-        reader.parquet(staging_dir)
-        .writeStream.foreachBatch(apply_batch)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
+    return apply_batch
 
 
 def corpus_build_finalize(

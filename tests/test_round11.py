@@ -318,11 +318,28 @@ class TestLSHBandPlan:
         )
         rows = lsh_band_plan(docs).collect()
         # unrelated docs may or may not band-collide; the sheet must
-        # stay total either way (no NULLs, precision sentinel 0.0)
+        # stay total either way (no NULLs: n_verified coalesces to 0
+        # over zero candidate rows, precision sentinel 0.0)
         assert len(rows) == 19
         assert all(r.precision is not None for r in rows)
+        assert all(r.n_verified is not None for r in rows)
         if rows[0].n_candidates == 0:
+            assert rows[0].n_verified == 0
             assert rows[0].precision == 0.0
+
+    def test_empty_corpus_all_zero(self, spark):
+        """The empty operating point the oracle coalesces: zero docs →
+        zero candidates, n_verified 0 (NOT NULL — sum over no rows),
+        precision 0.0, grid still complete."""
+        from linz_bde_uploader_spark.functions.dedup import lsh_band_plan
+
+        docs = spark.createDataFrame([], "doc_id long, text string")
+        rows = lsh_band_plan(docs).collect()
+        assert len(rows) == 19
+        assert all(
+            (r.n_candidates, r.n_verified, r.precision) == (0, 0, 0.0)
+            for r in rows
+        )
 
 
 class TestUrlDedup:

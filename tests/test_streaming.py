@@ -880,6 +880,70 @@ def test_gk_quantile_stream_batch_parity(spark, tmp_path):
         assert got[("b", q)] == (50, gk_query(s_b, q, 50, EPS))
 
 
+def test_corpus_build_batch_replay_idempotent(spark, tmp_path):
+    """The at-least-once replay contract: foreachBatch re-runs a
+    micro-batch whose state writes landed but whose checkpoint commit
+    did not. The replay MUST NOT read the batch's own previous writes
+    as standing state — that would anti-join every doc against its own
+    fingerprint (and LSH-self-collide at the near gate), drop the
+    whole batch at stage 4, and overwrite the index/corpus partitions
+    empty. State reads filter to ``batch_id < current``, so a replay
+    rewrites byte-identical partitions; this pins it by re-invoking
+    the batch function for already-written batch_ids."""
+    from linz_bde_uploader_spark.streaming.poll import corpus_build_batch_fn
+
+    def mkdocs(lo, hi):
+        # stopwords so the Gopher gate passes; token_value hashes only
+        # (length, first char), so the per-doc marker varies BOTH to
+        # keep fingerprints distinct across all 30 docs
+        rows = [
+            (i,
+             f"the {chr(ord('a') + i % 26)}{'z' * (3 + i // 26)} is a "
+             f"bravo and the charlie of delta with echo to foxtrot "
+             f"golf hotel india juliet kilo lima mike",
+             "en", f"src{i % 3}", 0)
+            for i in range(lo, hi)
+        ]
+        return spark.createDataFrame(
+            rows,
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).withColumn(
+            "url",
+            F.concat(
+                F.lit("https://"), F.col("source"),
+                F.lit(".example.com/p/"), F.col("doc_id").cast("string"),
+            ),
+        )
+
+    state = str(tmp_path / "state")
+    fn = corpus_build_batch_fn(
+        spark, state, [], [], [], bench_docs=mkdocs(0, 1).limit(0),
+        quality_threshold=0.0,  # classifier open; gopher still gates
+    )
+    b0, b1 = mkdocs(1, 21), mkdocs(21, 31)
+    fn(b0, 0)
+    fn(b1, 1)
+
+    def snap():
+        return {
+            part: sorted(
+                map(tuple, spark.read.parquet(f"{state}/{part}").collect())
+            )
+            for part in ("funnel", "index", "corpus", "bandkeys")
+        }
+
+    before = snap()
+    # the replay bug's blast radius must exist to be pinned: batch 1
+    # wrote real survivors into its own index partition
+    assert any(r[-1] == 1 for r in before["index"])
+
+    fn(b1, 1)  # replay the latest batch against its own written state
+    assert snap() == before
+
+    fn(b0, 0)  # replay the FIRST batch (no prior state at all)
+    assert snap() == before
+
+
 def test_corpus_build_stream_resume_and_exactly_once(spark, tmp_path):
     """The corpus-build stream's state contract: draining again with
     the same checkpoint after NEW files arrive processes only the new
