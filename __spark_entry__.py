@@ -1890,6 +1890,35 @@ def q_dedup_exact_incr(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_decontam_spans(spark, sf_dir):
+    # SPAN-grain benchmark decontamination (decontaminate.py::
+    # contamination_spans) — the r11 judge's top r12 ask and the
+    # published GPT-3/PaLM method proper: locate every maximal token
+    # span shared VERBATIM between a training doc and the eval
+    # benchmark and remove the SPAN, keeping the surrounding prose —
+    # where q_decontaminate drops whole documents on one 8-gram hit
+    # and q_semantic_decontam only flags. Docs with doc_id%17==0 play
+    # the benchmark; the rest are the training corpus. Machinery: the
+    # ExactSubstr verify stage verbatim (positional n-gram tables
+    # joined on shingle hash AND string — a collision breaks a run —
+    # then per-diagonal maximal islands, length-clamped) plus the
+    # q_dedup_exact_scrub position-explode + array_except rebuild.
+    # Nomination is deliberately absent: the benchmark is a bounded
+    # broadcastable artifact, and a rarity filter would cost recall
+    # on common-phrase contamination. Per corpus doc: span count,
+    # distinct bench partners, DISTINCT covered positions (overlaps
+    # never double-count), max span, 4-dp ratio, scrubbed text —
+    # every doc emits (a decontamination pass decides per document).
+    from linz_bde_uploader_spark.functions import decontaminate as DX
+
+    d = W.load(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 17 == 0).select("doc_id", "text")
+    corpus = d.filter(F.col("doc_id") % 17 != 0).select("doc_id", "text")
+    return DX.contamination_spans(
+        corpus, bench, min_span_tokens=6
+    ).orderBy("doc_id")
+
+
 def q_robots_gate(spark, sf_dir):
     # Robots-exclusion gate (functions/urls.py::robots_gate) — crawl
     # compliance per RFC 9309 / Google precedence: longest matching
@@ -4381,14 +4410,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    family keeps the trigram + KN scorers in-window, add-one
         #    bigram stays oracle-checked at 51+) -> 51+
         "q_lm_kneser_ney": q_lm_kneser_ney,
-        # -- round-10 birth: ExactSubstr APPLY — remove every later
-        #    occurrence of a cross-doc shared span, keep the earliest
-        #    (the q_dedup_exact_spans chain + position explode +
-        #    array_except rebuild); displaced tenant q_dedup_winnow
-        #    (green r7-r9 triple; positional copy detection stays
-        #    exercised through the spans family, winnow stays
-        #    oracle-checked at 51+) -> 51+
-        "q_dedup_exact_scrub": q_dedup_exact_scrub,
+        # -- round-12 birth: SPAN-grain benchmark decontamination —
+        #    the r11 judge's top ask: ExactSubstr verify vs the eval
+        #    benchmark + the scrub rebuild, per-doc contaminated-span
+        #    mass and scrubbed text (the GPT-3/PaLM span method);
+        #    displaced tenant q_dedup_exact_scrub (r10+r11 double
+        #    green; its position-explode + array_except rebuild runs
+        #    verbatim INSIDE this query, scrub stays oracle-checked
+        #    at 51+) -> 51+
+        "q_decontam_spans": q_decontam_spans,
         # -- round-11 birth: incremental ExactSubstr ingestion gate —
         #    new-batch shingles probed against the standing corpus's
         #    rare-shingle index, token-level verify, per-arrival
@@ -4535,6 +4565,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_event_growth": q_event_growth,
         # rotated out in round 11 by q_cluster_split (green r8-r10)
         "q_fuzzy_join": q_fuzzy_join,
+        # rotated out in round 12 by q_decontam_spans (r10+r11 green;
+        # its rebuild runs verbatim inside the displacing query)
+        "q_dedup_exact_scrub": q_dedup_exact_scrub,
         "q_bpe_pair_counts": q_bpe_pair_counts,
         "q_tpch_q8_market_share": q_tpch_q8_market_share,
         "q_tpch_q9_profit": q_tpch_q9_profit,
@@ -5305,6 +5338,95 @@ def _exact_incr_sql() -> str:
         LEFT JOIN st ON st.id_new = b.doc_id
         LEFT JOIN cov ON cov.id_new = b.doc_id
         ORDER BY b.doc_id
+    """
+
+
+def _decontam_spans_sql() -> str:
+    """q_decontam_spans oracle: the shared positional-shingle shape
+    split into corpus (doc_id%17<>0) and benchmark (doc_id%17=0)
+    sides, the DIRECT sh-verified join (no rarity nomination — the
+    benchmark is bounded, recall matters), the islands window per
+    (doc, bench item, diagonal), the length clamp, the per-doc mass
+    over DISTINCT covered positions, and the scrub rebuild."""
+    return f"""
+        WITH t AS (
+          SELECT doc_id, {_TOKS} AS toks, len({_TOKS}) AS n
+          FROM documents
+        ),
+        sv_t AS (
+          SELECT doc_id, n, toks, {_shingle_vals()} AS svs,
+                 {_shingle_strs()} AS shs
+          FROM t
+        ),
+        ex AS (
+          SELECT doc_id, n AS nt, i AS start, svs[i] AS sv, shs[i] AS sh
+          FROM sv_t,
+               LATERAL (SELECT unnest(generate_series(1, len(svs)))
+                        AS i) g
+        ),
+        exc AS (SELECT * FROM ex WHERE doc_id % 17 <> 0),
+        exb AS (SELECT * FROM ex WHERE doc_id % 17 = 0),
+        m AS (
+          -- token-level verify mirror: b.sh = a.sh (collision breaks
+          -- a run); no nomination CTE — the bench side is bounded
+          SELECT a.doc_id, b.doc_id AS bench_id, a.nt AS ntc,
+                 b.nt AS ntb, a.start AS sc, b.start AS sb
+          FROM exc a
+          JOIN exb b ON b.sv = a.sv AND b.sh = a.sh
+        ),
+        runs AS (
+          SELECT doc_id, bench_id, ntc, ntb, sc, sb, sc - sb AS diag,
+                 sc - row_number() OVER (
+                   PARTITION BY doc_id, bench_id, sc - sb ORDER BY sc
+                 ) AS isl
+          FROM m
+        ),
+        sp AS (
+          SELECT doc_id, bench_id, diag, isl,
+                 min(sc) AS start_c, min(sb) AS start_b,
+                 min(ntc) AS ntc, min(ntb) AS ntb,
+                 count(*) + 2 AS raw
+          FROM runs GROUP BY doc_id, bench_id, diag, isl
+        ),
+        sz AS (
+          SELECT doc_id, bench_id, start_c,
+                 least(raw, ntc - start_c + 1, ntb - start_b + 1)
+                   AS span_len
+          FROM sp
+          WHERE least(raw, ntc - start_c + 1, ntb - start_b + 1) >= 6
+        ),
+        cov AS (
+          SELECT doc_id, list(p) AS dups, count(*) AS covered FROM (
+            SELECT DISTINCT doc_id, p
+            FROM sz,
+                 unnest(generate_series(start_c,
+                                        start_c + span_len - 1))
+                   AS tt(p)
+          ) GROUP BY doc_id
+        ),
+        st AS (
+          SELECT doc_id, count(*) AS n_spans,
+                 count(DISTINCT bench_id) AS n_bench,
+                 max(span_len) AS max_span
+          FROM sz GROUP BY doc_id
+        )
+        SELECT c.doc_id,
+               CAST(coalesce(st.n_spans, 0) AS BIGINT) AS n_spans,
+               CAST(coalesce(st.n_bench, 0) AS BIGINT) AS n_bench,
+               CAST(coalesce(cov.covered, 0) AS BIGINT)
+                 AS contaminated_tokens,
+               CAST(coalesce(st.max_span, 0) AS BIGINT) AS max_span,
+               round(coalesce(cov.covered, 0) / greatest(c.n, 1), 4)
+                 AS contam_ratio,
+               coalesce(array_to_string(list_transform(
+                 list_filter(generate_series(1, c.n),
+                   i -> NOT list_contains(
+                          coalesce(cov.dups, []::BIGINT[]), i)),
+                 i -> c.toks[i]), ' '), '') AS clean_text
+        FROM (SELECT doc_id, n, toks FROM t WHERE doc_id % 17 <> 0) c
+        LEFT JOIN st USING (doc_id)
+        LEFT JOIN cov USING (doc_id)
+        ORDER BY c.doc_id
     """
 
 
@@ -7563,6 +7685,10 @@ def oracle_sql() -> dict[str, str]:
         # rarity over the corpus side only, sh-verified islands, and
         # the per-arrival mass over DISTINCT covered positions
         "q_dedup_exact_incr": _exact_incr_sql(),
+        # span-grain benchmark decontamination: corpus-vs-benchmark
+        # sh-verified islands (no nomination), distinct covered
+        # positions, scrub rebuild
+        "q_decontam_spans": _decontam_spans_sql(),
         # winnowing: min shingle-hash per sliding window over the SAME
         # sh_h shingle-hash CTE the sketch oracles use; w=4 windows are
         # hs[i:i+3] (DuckDB list slices are inclusive)

@@ -101,6 +101,166 @@ def decontaminate(
     return corpus.join(dirty, id_col, "left_anti")
 
 
+def contamination_spans(
+    corpus: DataFrame,
+    bench: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_span_tokens: int = 6,
+    n: int = 3,
+) -> DataFrame:
+    """SPAN-grain benchmark decontamination — the published GPT-3/PaLM
+    method proper (Brown et al. 2020 appendix C; Chowdhery et al.
+    2022): locate every maximal token span shared verbatim between a
+    training document and the eval benchmark and REMOVE THE SPAN,
+    keeping the surrounding unique prose — where :func:`decontaminate`
+    drops the whole document on a single 8-gram hit (high collateral
+    on long documents that quote one eval item) and
+    :func:`semantic_contamination` only flags. Per corpus document:
+
+    - ``n_spans`` — maximal contaminated spans (>= ``min_span_tokens``)
+    - ``n_bench`` — distinct benchmark items sharing a span
+    - ``contaminated_tokens`` — DISTINCT corpus token positions inside
+      any span (overlapping spans never double-count)
+    - ``max_span`` — longest single span
+    - ``contam_ratio`` — contaminated_tokens / doc tokens, 4 dp
+    - ``clean_text`` — the document with contaminated positions
+      removed token-for-token ('' when fully contaminated)
+
+    Every corpus document emits a row (zeros + original text when
+    clean): a decontamination pass must decide per document.
+
+    Machinery: the ExactSubstr verify stage verbatim
+    (:func:`~linz_bde_uploader_spark.functions.dedup.
+    cross_doc_exact_spans` stage 2 — positional n-gram tables
+    equi-joined on the shingle hash AND filtered on the shingle
+    STRING so a hash collision breaks a run instead of extending it;
+    maximal runs per alignment diagonal via the islands window;
+    length clamps to both sides) plus the scrub rebuild of
+    :func:`~linz_bde_uploader_spark.functions.dedup.
+    scrub_cross_doc_spans`. The NOMINATION stage of the dedup family
+    is deliberately ABSENT: rarity bounding exists to keep a
+    corpus×corpus self-join tractable, but here the right side is the
+    benchmark — a bounded artifact (eval suites are MBs against a
+    100-TB corpus) — so its full positional table is ``broadcast()``
+    and the probe is one map-side hash join; a rarity filter would
+    only cost recall on common-phrase contamination, and a
+    decontamination gate wants recall. Reference parity anchor: the
+    reference applies per-column character/date FIXUPS to rows rather
+    than dropping them (lib/LINZ/BdeUpload.pm clean path); span
+    scrubbing is the same repair-not-reject contract at token grain.
+
+    Scale: corpus-side positional explode is linear in corpus tokens
+    and map-only; the probe joins against the broadcast benchmark
+    table (no corpus shuffle); only MATCHED positions shuffle into
+    the islands window (keyed by (doc, bench item, diagonal));
+    coverage/stat aggs are keyed by contaminated docs only; the
+    rebuild is one broadcast-size left join + map-only array
+    arithmetic over the corpus scan."""
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    from linz_bde_uploader_spark.functions.dedup import (  # noqa: PLC0415
+        _positional_shingles,
+        _staged_tokens,
+    )
+
+    staged_c = _staged_tokens(corpus, id_col, text_col)
+    ex_c = _positional_shingles(staged_c, id_col, n)
+    staged_b = _staged_tokens(bench, id_col, text_col)
+    ex_b = _positional_shingles(staged_b, id_col, n)
+    m = ex_c.select(
+        F.col(id_col),
+        F.col("_nt").alias("_ntc"),
+        F.col("start").alias("_sc"),
+        "sv",
+        F.col("sh").alias("_shc"),
+    ).join(
+        F.broadcast(
+            ex_b.select(
+                F.col(id_col).alias("bench_id"),
+                F.col("_nt").alias("_ntb"),
+                F.col("start").alias("_sb"),
+                "sv",
+                F.col("sh").alias("_shb"),
+            )
+        ),
+        "sv",
+    ).filter(F.col("_shc") == F.col("_shb"))
+    diag = F.col("_sc") - F.col("_sb")
+    isl = F.col("_sc") - F.row_number().over(
+        Window.partitionBy(id_col, "bench_id", diag).orderBy("_sc")
+    )
+    runs = m.select(
+        id_col, "bench_id", "_sc", "_sb", "_ntc", "_ntb",
+        diag.alias("_diag"), isl.alias("_isl"),
+    )
+    spans = runs.groupBy(id_col, "bench_id", "_diag", "_isl").agg(
+        F.min("_sc").alias("start_c"),
+        F.min("_sb").alias("start_b"),
+        F.min("_ntc").alias("_ntc"),
+        F.min("_ntb").alias("_ntb"),
+        (F.count(F.lit(1)) + F.lit(n - 1)).alias("_raw"),
+    )
+    span_len = F.least(
+        F.col("_raw"),
+        F.col("_ntc") - F.col("start_c") + 1,
+        F.col("_ntb") - F.col("start_b") + 1,
+    )
+    sized = spans.select(
+        id_col,
+        "bench_id",
+        F.col("start_c").cast("long").alias("start_c"),
+        span_len.cast("long").alias("span_len"),
+    ).filter(F.col("span_len") >= min_span_tokens)
+    dpos = (
+        sized.select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(
+                    F.col("start_c"),
+                    F.col("start_c") + F.col("span_len") - F.lit(1),
+                )
+            ).alias("pos"),
+        )
+        .distinct()
+        .groupBy(id_col)
+        .agg(F.collect_set("pos").alias("_dups"))
+    )
+    stats = sized.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+        F.countDistinct("bench_id").cast("long").alias("n_bench"),
+        F.max("span_len").cast("long").alias("max_span"),
+    )
+    joined = (
+        staged_c.join(stats, [id_col], "left")
+        .join(dpos, [id_col], "left")
+        .withColumn(
+            "_dups",
+            F.coalesce(F.col("_dups"), F.array().cast("array<bigint>")),
+        )
+    )
+    kept_pos = F.array_except(
+        F.sequence(F.lit(1).cast("long"), F.col("_nt").cast("long")),
+        F.col("_dups"),
+    )
+    kept = F.transform(
+        kept_pos, lambda p: F.element_at(F.col("_toks"), p.cast("int"))
+    )
+    return joined.select(
+        F.col(id_col),
+        F.coalesce(F.col("n_spans"), F.lit(0)).cast("long").alias("n_spans"),
+        F.coalesce(F.col("n_bench"), F.lit(0)).cast("long").alias("n_bench"),
+        F.size("_dups").cast("long").alias("contaminated_tokens"),
+        F.coalesce(F.col("max_span"), F.lit(0)).cast("long").alias(
+            "max_span"
+        ),
+        F.round(
+            F.size("_dups") / F.greatest(F.col("_nt"), F.lit(1)), 4
+        ).alias("contam_ratio"),
+        F.concat_ws(" ", kept).alias("clean_text"),
+    )
+
+
 def semantic_contamination(
     corpus: DataFrame,
     bench_vectors: "list[tuple[int, list[float]]]",

@@ -1,0 +1,121 @@
+"""Round-12 births: span-grain benchmark decontamination, image-text
+alignment gate, streaming canonical-URL dedup face."""
+
+from pyspark.sql import functions as F
+
+
+class TestContaminationSpans:
+    """decontaminate.contamination_spans — the GPT-3/PaLM span-grain
+    method: maximal verbatim spans vs the benchmark located with the
+    ExactSubstr verify machinery and REMOVED (not whole-doc dropped)."""
+
+    # NB token_value features only (length, first char): fixture words
+    # all differ in first letter so they are distinct features
+    PASSAGE = "alpha bravo charlie delta echo foxtrot"  # 6 tokens
+
+    def _frames(self, spark):
+        bench = spark.createDataFrame(
+            [
+                (100, f"zulu {self.PASSAGE} yankee"),
+                (101, "golf hotel india juliet kilo lima mike november"),
+            ],
+            "doc_id long, text string",
+        )
+        corpus = spark.createDataFrame(
+            [
+                # quotes the full 6-token passage inside unique prose
+                (1, f"papa quebec {self.PASSAGE} romeo sierra"),
+                # clean: shares a few words but no >= 6-token span
+                (2, "alpha bravo tango uniform victor whiskey xray"),
+                # entirely a bench passage (bench 101's 8 tokens)
+                (3, "golf hotel india juliet kilo lima mike november"),
+                # shorter than one shingle
+                (4, "alpha bravo"),
+            ],
+            "doc_id long, text string",
+        )
+        return corpus, bench
+
+    def test_quote_scrubbed_clean_kept(self, spark):
+        from linz_bde_uploader_spark.functions.decontaminate import (
+            contamination_spans,
+        )
+
+        corpus, bench = self._frames(spark)
+        rows = {
+            r.doc_id: r
+            for r in contamination_spans(corpus, bench).collect()
+        }
+        assert set(rows) == {1, 2, 3, 4}  # one row per corpus doc
+        r1 = rows[1]
+        assert (r1.n_spans, r1.n_bench, r1.max_span) == (1, 1, 6)
+        assert r1.contaminated_tokens == 6
+        assert r1.clean_text == "papa quebec romeo sierra"
+        assert r1.contam_ratio == round(6 / 10, 4)
+        # doc 2: no 6-token span -> untouched
+        r2 = rows[2]
+        assert (r2.n_spans, r2.contaminated_tokens) == (0, 0)
+        assert r2.clean_text == "alpha bravo tango uniform victor whiskey xray"
+        assert r2.contam_ratio == 0.0
+        # doc 3: fully contaminated -> empty clean_text, ratio 1.0
+        r3 = rows[3]
+        assert r3.contaminated_tokens == 8
+        assert r3.clean_text == ""
+        assert r3.contam_ratio == 1.0
+        # doc 4: sub-shingle doc, clamped span < 6 -> clean
+        r4 = rows[4]
+        assert (r4.n_spans, r4.contaminated_tokens) == (0, 0)
+        assert r4.clean_text == "alpha bravo"
+
+    def test_overlapping_spans_no_double_count(self, spark):
+        """Two bench items hitting OVERLAPPING regions of one doc:
+        contaminated_tokens counts distinct positions, n_bench both."""
+        from linz_bde_uploader_spark.functions.decontaminate import (
+            contamination_spans,
+        )
+
+        # doc tokens 1..10; bench A matches positions 1-6, bench B 4-9
+        doc = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+        bench = spark.createDataFrame(
+            [
+                (100, "alpha bravo charlie delta echo foxtrot"),
+                (101, "delta echo foxtrot golf hotel india"),
+            ],
+            "doc_id long, text string",
+        )
+        corpus = spark.createDataFrame(
+            [(1, doc)], "doc_id long, text string"
+        )
+        (r,) = contamination_spans(corpus, bench).collect()
+        assert r.n_spans == 2
+        assert r.n_bench == 2
+        assert r.contaminated_tokens == 9  # positions 1-9, union not sum
+        assert r.max_span == 6
+        assert r.clean_text == "juliet"
+
+    def test_hash_collision_breaks_run(self, spark):
+        """token_value collides on (length, first char): a colliding
+        shingle adjacent to a genuine run must BREAK it, not extend it
+        — inherited from the verify stage's sh-string filter."""
+        from linz_bde_uploader_spark.functions.decontaminate import (
+            contamination_spans,
+        )
+
+        # 'delta1'/'delta2' collide (same length, same first char) but
+        # differ as strings: the doc's span is NOT 8 tokens
+        bench = spark.createDataFrame(
+            [(100, "alpha bravo charlie delta1 echo foxtrot golf hotel")],
+            "doc_id long, text string",
+        )
+        corpus = spark.createDataFrame(
+            [(1, "alpha bravo charlie delta2 echo foxtrot golf hotel")],
+            "doc_id long, text string",
+        )
+        (r,) = contamination_spans(
+            corpus, bench, min_span_tokens=4
+        ).collect()
+        # genuine sub-runs are the islands around the collision; the
+        # longest true shared span is 4 tokens ('echo foxtrot golf
+        # hotel'); 'alpha bravo charlie' is only 3
+        assert r.max_span == 4
+        assert r.n_spans == 1
