@@ -276,10 +276,13 @@ def semantic_contamination(
     threshold (the SemDeDup/embedding-dedup idea pointed at the
     train/test boundary instead of train/train).
 
-    Edge contract: a zero-norm corpus vector divides to NaN cosines,
-    and BOTH engines order NaN above every number, so such a row
-    surfaces as contaminated-with-NaN-score — loud, never silently
-    clean; filter zero vectors upstream if they are expected.
+    Edge contract: a zero-norm corpus vector has no defined cosine —
+    under this engine's ANSI mode (the session default) the division
+    RAISES ``DIVIDE_BY_ZERO`` at runtime, so such a row fails the
+    job loudly rather than ever scoring as silently clean; filter
+    zero vectors upstream if they are expected (the
+    ``image_text_alignment`` gate shows the sentinel-guard
+    alternative when per-row tolerance is wanted).
 
     ``bench_vectors`` is the BOUNDED benchmark artifact — a Python
     list of ``(bench_id, vector)`` collected once upstream (eval

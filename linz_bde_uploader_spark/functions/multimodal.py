@@ -206,3 +206,117 @@ def frame_sample(content: Column | str, k: int = 16) -> Column:
         return s.map(one)
 
     return _sample(F.col(content) if isinstance(content, str) else content)
+
+
+# ---------------------------------------------------------------------------
+# tier 4: cross-modal alignment (embedding columns beside the payload)
+# ---------------------------------------------------------------------------
+
+
+def image_text_alignment(
+    df: DataFrame,
+    img_col: str = "img_embedding",
+    txt_col: str = "txt_embedding",
+    id_col: str = "media_id",
+    threshold: float = 0.28,
+) -> DataFrame:
+    """LAION-style image-text alignment gate (Schuhmann et al. 2021):
+    per (image, caption) pair, the cosine between the image-embedding
+    and text-embedding columns — the CLIP score — and a keep flag at
+    ``threshold`` (LAION-400M's published English cut is 0.3, the
+    5B relaxation 0.28). This is THE filter that built the public
+    image-text corpora: pairs whose caption does not describe the
+    image score low and are dropped before training.
+
+    Returns ``(id, align_score, keep)`` — score at 6 dp, every row
+    emits (an audit needs the margin on both sides of the cut).
+
+    Edge contract: a zero-norm embedding has no defined cosine —
+    under this engine's ANSI mode the bare division would RAISE
+    ``DIVIDE_BY_ZERO``, so the divide sits behind a denominator
+    guard and such a pair emits the out-of-range sentinel
+    ``align_score = -2.0`` with ``keep = false``: loud (no real
+    cosine is below -1), null-free (the driver-surface rule), and
+    it can never silently pass the gate.
+
+    Scale: MAP-ONLY — three sequential-fold array reductions per row
+    (dot + both norms, all whole-stage-codegen Column arithmetic),
+    no join, no shuffle, no UDF; the scan is linear in corpus bytes
+    and embarrassingly parallel at any executor count. The embedding
+    pair rides the same row, so no alignment join is ever needed —
+    the contract a 100-TB media table should store to."""
+    from linz_bde_uploader_spark.functions.similarity import (  # noqa: PLC0415
+        dot,
+        norm,
+    )
+
+    den = norm(F.col(img_col)) * norm(F.col(txt_col))
+    score = F.when(
+        den > 0,
+        F.round(dot(F.col(img_col), F.col(txt_col)) / den, 6),
+    ).otherwise(F.lit(-2.0))
+    return df.select(
+        F.col(id_col),
+        score.alias("align_score"),
+        (score >= F.lit(float(threshold))).alias("keep"),
+    )
+
+
+def alignment_datasheet(
+    df: DataFrame,
+    img_col: str = "img_embedding",
+    txt_col: str = "txt_embedding",
+    id_col: str = "media_id",
+    group_col: str = "source",
+    threshold: float = 0.28,
+) -> DataFrame:
+    """Per-source alignment-quantile datasheet over the gate above —
+    the audit row a corpus card publishes per ingest source: pair
+    count, kept count/fraction at ``threshold``, fixed-point mean
+    alignment, and the exact p10/p50/p90 alignment quantiles (a
+    source whose p50 sits under the cut is mostly noise; one whose
+    p10 clears it needs no filtering).
+
+    Determinism: scores are 6-dp-rounded BEFORE aggregation;
+    ``mean_align`` averages 1e-6 fixed-point longs (the
+    host-datasheet convention) so partial-agg fold order cannot
+    drift it; quantiles use the interpolated ``percentile``, which
+    DuckDB's ``quantile_cont`` mirrors arithmetic-for-arithmetic
+    (the q_percentiles precedent).
+
+    Scale: the gate is map-only; the only shuffle is the |sources|-key
+    partial agg (map-side combined). The exact percentile holds the
+    per-source score list on the reducer — bounded by source count ×
+    corpus/|sources|; swap for the histogram quantile sketch
+    (``sketches.histogram_sketch``) when a single source's row count
+    outgrows reducer memory at the 100-TB end."""
+    from linz_bde_uploader_spark.functions.similarity import (  # noqa: PLC0415
+        dot,
+        norm,
+    )
+
+    den = norm(F.col(img_col)) * norm(F.col(txt_col))
+    score = F.when(
+        den > 0,
+        F.round(dot(F.col(img_col), F.col(txt_col)) / den, 6),
+    ).otherwise(F.lit(-2.0))
+    scored = df.select(
+        F.col(group_col).alias("source"),
+        score.alias("_s"),
+        (score >= F.lit(float(threshold))).cast("long").alias("_k"),
+    )
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("_k").cast("long").alias("n_kept"),
+        F.round(F.sum("_k").cast("double") / F.count(F.lit(1)), 4).alias(
+            "kept_frac"
+        ),
+        F.round(
+            F.sum(F.round(F.col("_s") * 1e6).cast("long"))
+            / (F.count(F.lit(1)) * F.lit(1e6)),
+            6,
+        ).alias("mean_align"),
+        F.round(F.percentile(F.col("_s"), F.lit(0.1)), 6).alias("p10"),
+        F.round(F.percentile(F.col("_s"), F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile(F.col("_s"), F.lit(0.9)), 6).alias("p90"),
+    )

@@ -119,3 +119,97 @@ class TestContaminationSpans:
         # hotel'); 'alpha bravo charlie' is only 3
         assert r.max_span == 4
         assert r.n_spans == 1
+
+
+class TestImageTextAlignment:
+    """multimodal.image_text_alignment / alignment_datasheet — the
+    LAION-style CLIP-score gate between image- and text-embedding
+    columns, and its per-source quantile datasheet."""
+
+    def _pairs(self, spark):
+        import math
+
+        rows = [
+            # identical vectors: cosine 1.0 -> kept
+            (1, "a", [1.0, 2.0, 2.0, 0.0], [1.0, 2.0, 2.0, 0.0]),
+            # opposite: cosine -1.0 -> dropped
+            (2, "a", [1.0, 0.0, 0.0, 0.0], [-1.0, 0.0, 0.0, 0.0]),
+            # orthogonal: cosine 0.0 -> dropped at 0.28
+            (3, "b", [1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]),
+            # 45 degrees: cosine ~0.7071 -> kept
+            (4, "b", [1.0, 0.0, 0.0, 0.0], [1.0, 1.0, 0.0, 0.0]),
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "media_id long, source string, img array<double>, "
+            "txt array<double>",
+        )
+        cos45 = round(1.0 / math.sqrt(2.0), 6)
+        return df, cos45
+
+    def test_gate_scores_and_flags(self, spark):
+        from linz_bde_uploader_spark.functions.multimodal import (
+            image_text_alignment,
+        )
+
+        df, cos45 = self._pairs(spark)
+        rows = {
+            r.media_id: r
+            for r in image_text_alignment(
+                df, "img", "txt", "media_id", threshold=0.28
+            ).collect()
+        }
+        assert rows[1].align_score == 1.0 and rows[1].keep
+        assert rows[2].align_score == -1.0 and not rows[2].keep
+        assert rows[3].align_score == 0.0 and not rows[3].keep
+        assert rows[4].align_score == cos45 and rows[4].keep
+        # every pair emits a row (audit needs both sides of the cut)
+        assert set(rows) == {1, 2, 3, 4}
+
+    def test_datasheet_per_source(self, spark):
+        from linz_bde_uploader_spark.functions.multimodal import (
+            alignment_datasheet,
+        )
+
+        df, cos45 = self._pairs(spark)
+        rows = {
+            r.source: r
+            for r in alignment_datasheet(
+                df, "img", "txt", "media_id", "source", threshold=0.28
+            ).collect()
+        }
+        a, b = rows["a"], rows["b"]
+        assert (a.n_pairs, a.n_kept, a.kept_frac) == (2, 1, 0.5)
+        assert a.mean_align == 0.0  # (1 + -1) / 2
+        assert a.p50 == 0.0  # interpolated midpoint of {-1, 1}
+        assert (b.n_pairs, b.n_kept) == (2, 1)
+        # interpolated percentiles over {0, cos45}: rank (n-1)*p
+        assert b.p10 == 0.070711  # 0.1 * 0.707107, Spark half-up
+        assert b.p50 == 0.353554  # 0.5 * 0.707107
+        assert b.p90 == 0.636396  # 0.9 * 0.707107
+        assert b.mean_align == 0.353554  # fixed-point 707107/2e6
+        assert cos45 == 0.707107  # the 6-dp score both cells derive from
+
+    def test_zero_norm_sentinel(self, spark):
+        """The sentinel contract: a zero-norm embedding has no defined
+        cosine and the bare divide would raise under ANSI — the gate
+        emits the out-of-range sentinel -2.0 with keep=false instead
+        (loud, null-free, never silently passes)."""
+        from linz_bde_uploader_spark.functions.multimodal import (
+            image_text_alignment,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "a", [0.0, 0.0], [1.0, 0.0]), (2, "a", [3.0, 0.0], [3.0, 0.0])],
+            "media_id long, source string, img array<double>, "
+            "txt array<double>",
+        )
+        rows = {
+            r.media_id: r
+            for r in image_text_alignment(
+                df, "img", "txt", "media_id"
+            ).collect()
+        }
+        assert rows[1].align_score == -2.0
+        assert rows[1].keep is False
+        assert rows[2].align_score == 1.0 and rows[2].keep
