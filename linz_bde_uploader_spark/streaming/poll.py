@@ -1168,3 +1168,83 @@ def quantile_sketch_stream(
         outputMode="update",
         timeoutConf=state_timeout,
     )
+
+
+URL_DEDUP_STREAM_STATE_SCHEMA = "best_id long, best_len long, n long"
+
+
+def url_dedup_stream(
+    df: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    state_timeout: str = "NoTimeout",
+):
+    """Streaming face of canonical-URL dedup
+    (``functions.urls.url_dedup`` — C4/RefinedWeb stage 1) as an
+    INGESTION stream: canonicalize each arriving document's URL
+    map-side, then carry a keep-best record per canonical URL across
+    micro-batches via ``applyInPandasWithState``, emitting the
+    CURRENT winner ``(id, canon_url, n_copies)`` for every key the
+    batch touched (update mode — a later, fuller capture of the same
+    page supersedes the earlier emission, exactly how a continuous
+    crawl revises its survivor set).
+
+    Batch parity: keep-best under (longest text, ties lowest id) is a
+    per-key MAX over an order-free semilattice, so after any drain the
+    LAST emission per key equals the batch operator over all rows seen
+    so far — under ANY split of the input into micro-batches and any
+    arrival order (a strictly stronger contract than the corpus-build
+    face's ascending-id requirement; the parity test shuffles rows
+    across batches to pin it). ``n_copies`` accumulates the raw
+    capture count per canonical URL.
+
+    Scale: state is THREE scalars per distinct canonical URL — the
+    winner id, its text length, and the copy count; text itself never
+    enters the state store. Canonicalization is the map-only regexp
+    chain; the only shuffle is the groupBy on canonical URL, the same
+    key the batch window shuffles on."""
+    import pandas as pd  # noqa: PLC0415
+    from pyspark.sql.streaming.state import GroupState  # noqa: PLC0415
+
+    from linz_bde_uploader_spark.functions.urls import (  # noqa: PLC0415
+        canonicalize_url,
+    )
+
+    keyed = df.select(
+        F.col(id_col),
+        canonicalize_url(F.col(url_col)).alias("canon_url"),
+        F.length(F.col(text_col)).cast("long").alias("_len"),
+    )
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            best_id, best_len, n = state.get
+        else:
+            best_id, best_len, n = None, -1, 0
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            n += len(pdf)
+            top = pdf.sort_values(
+                ["_len", id_col], ascending=[False, True], kind="mergesort"
+            ).iloc[0]
+            tid, tlen = int(top[id_col]), int(top["_len"])
+            if tlen > best_len or (tlen == best_len and (
+                best_id is None or tid < best_id
+            )):
+                best_id, best_len = tid, tlen
+        if n == 0:
+            return
+        state.update((int(best_id), int(best_len), int(n)))
+        yield pd.DataFrame(
+            {id_col: [best_id], "canon_url": [key[0]], "n_copies": [n]}
+        )
+
+    return keyed.groupBy("canon_url").applyInPandasWithState(
+        update,
+        outputStructType=f"{id_col} long, canon_url string, n_copies long",
+        stateStructType=URL_DEDUP_STREAM_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=state_timeout,
+    )

@@ -1021,3 +1021,82 @@ def test_corpus_build_stream_resume_and_exactly_once(spark, tmp_path):
         == 30
     )
     assert spark.read.parquet(f"{state}/corpus").count() == corpus_rows
+
+
+def test_url_dedup_stream_batch_parity_and_resume(spark, tmp_path):
+    """Streaming canonical-URL dedup == batch url_dedup over the rows
+    seen so far: keep-best is an order-free per-key MAX, so after any
+    drain the LAST emission per canonical URL must equal the batch
+    operator over everything arrived — including a later drain whose
+    fuller capture SUPERSEDES an earlier winner — and a drain with
+    nothing pending emits nothing."""
+    from linz_bde_uploader_spark.functions.urls import url_dedup
+    from linz_bde_uploader_spark.streaming.poll import url_dedup_stream
+
+    schema = "doc_id long, url string, text string"
+    b1 = [
+        # tracker + clean variants of ONE page, short captures first
+        (1, "https://a.com/p/1?utm_source=x", "short text"),
+        (3, "https://a.com/p/1", "medium capture"),
+        (4, "https://b.com/q", "lone page"),
+        (6, "https://C.com/r", "tie one"),
+    ]
+    b2 = [
+        # www + case variant, longest capture: supersedes batch-1's winner
+        (2, "HTTPS://WWW.A.COM/p/1", "the longest capture of them all"),
+        # shorter capture of b.com/q: loses, but bumps n_copies
+        (5, "https://b.com/q?utm_medium=m", "bbbb"),
+        # equal-length capture of c.com/r: tie broken by LOWEST id (6)
+        (7, "https://c.com/r", "tie two"),
+    ]
+    src = tmp_path / "docs"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt_url")
+    emitted = []
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        q = (
+            url_dedup_stream(stream)
+            .writeStream.foreachBatch(
+                lambda df, _id: emitted.extend(map(tuple, df.collect()))
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+
+    def last_per_key(rows):
+        out = {}
+        for doc_id, canon, n in rows:
+            out[canon] = (doc_id, n)
+        return out
+
+    def batch_expect(rows):
+        got = url_dedup(spark.createDataFrame(rows, schema)).collect()
+        return {r.canon_url: (r.doc_id, r.n_copies) for r in got}
+
+    spark.createDataFrame(b1, schema).write.mode("append").parquet(str(src))
+    drain()
+    state = last_per_key(emitted)
+    assert state == batch_expect(b1)
+    assert state[
+        [c for c in state if "a.com/p/1" in c][0]
+    ][0] == 3  # medium capture wins batch 1
+
+    emitted.clear()
+    spark.createDataFrame(b2, schema).write.mode("append").parquet(str(src))
+    drain()  # resumes from the checkpointed per-key state
+    # only touched keys re-emit; overlay onto the running view
+    state.update(last_per_key(emitted))
+    assert state == batch_expect(b1 + b2)
+    canon_a = [c for c in state if "a.com/p/1" in c][0]
+    assert state[canon_a] == (2, 3)  # superseded winner, 3 captures
+    canon_c = [c for c in state if "c.com/r" in c][0]
+    assert state[canon_c][0] == 6  # equal length -> lowest id kept
+
+    emitted.clear()
+    drain()  # nothing pending: no emissions, checkpoint is a no-op
+    assert emitted == []
