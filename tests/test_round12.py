@@ -213,3 +213,104 @@ class TestImageTextAlignment:
         assert rows[1].align_score == -2.0
         assert rows[1].keep is False
         assert rows[2].align_score == 1.0 and rows[2].keep
+
+
+class TestUnigramLM:
+    """text.unigram_lm_train / unigram_lm_encode — SentencePiece-style
+    Viterbi-EM tokenizer training. Pytest-only by design (the GK
+    precedent): the E-step's per-word DP has no faithful fixed-shape
+    SQL twin, so properties are pinned here instead of an oracle."""
+
+    CORPUS = "abab ababab cd abab cd cdcd xy"
+
+    def _docs(self, spark, n=20):
+        return spark.createDataFrame(
+            [(i, self.CORPUS) for i in range(n)],
+            "doc_id long, text string",
+        )
+
+    def test_gold_fixture_learns_repeated_units(self, spark):
+        from linz_bde_uploader_spark.functions.text import unigram_lm_train
+
+        m = {
+            r.piece: (r.cnt, r.prob)
+            for r in unigram_lm_train(
+                self._docs(spark), vocab_size=12, n_iters=3
+            ).collect()
+        }
+        # the dominant multi-char units are in the vocabulary and carry
+        # the probability mass; chars stay for closure even at count 0
+        assert "abab" in m and "cd" in m
+        assert m["abab"][1] > m["cd"][1] > 0
+        for ch in "abcdxy":
+            assert ch in m
+        # probabilities sum to 1 up to the 9-dp per-piece rounding
+        assert abs(sum(p for _, p in m.values()) - 1.0) < len(m) * 1e-9
+
+    def test_deterministic_and_partition_invariant(self, spark):
+        from linz_bde_uploader_spark.functions.text import unigram_lm_train
+
+        a = unigram_lm_train(self._docs(spark), vocab_size=12, n_iters=2)
+        b = unigram_lm_train(
+            self._docs(spark).repartition(7), vocab_size=12, n_iters=2
+        )
+        assert sorted(map(tuple, a.collect())) == sorted(
+            map(tuple, b.collect())
+        )
+
+    def test_hard_em_likelihood_monotone(self, spark):
+        """Viterbi-EM monotonically improves the joint objective
+        max_seg log P(words, seg | theta), up to the deliberate 9-dp
+        per-iteration probability rounding."""
+        import math
+
+        from linz_bde_uploader_spark.functions.text import (
+            _viterbi_word,
+            unigram_lm_train,
+        )
+
+        words = {}
+        for w in self.CORPUS.split(" "):
+            words[w] = words.get(w, 0) + 20
+
+        def joint_ll(probs):
+            ll = 0.0
+            for w, c in words.items():
+                seg = _viterbi_word(w, probs, 4)
+                ll += c * sum(math.log(probs[p]) for p in seg)
+            return ll
+
+        lls = []
+        for k in (1, 2, 3, 4):
+            # vocab large enough that pruning keeps everything: the
+            # final model IS iteration k's EM estimate
+            m = unigram_lm_train(
+                self._docs(spark), vocab_size=64, n_iters=k
+            )
+            probs = {r.piece: r.prob for r in m.collect() if r.prob > 0}
+            lls.append(joint_ll(probs))
+        for prev, nxt in zip(lls, lls[1:]):
+            assert nxt >= prev - 1e-6, lls
+
+    def test_encode_total_with_unknown_chars(self, spark):
+        from linz_bde_uploader_spark.functions.text import (
+            unigram_lm_encode,
+            unigram_lm_train,
+        )
+
+        model = unigram_lm_train(self._docs(spark), vocab_size=12, n_iters=2)
+        docs = spark.createDataFrame(
+            [(1, "abab cdcd"), (2, "Q abab"), (3, "")],
+            "doc_id long, text string",
+        )
+        rows = {
+            r.doc_id: r for r in unigram_lm_encode(docs, model).collect()
+        }
+        # known words segment into learned pieces
+        assert rows[1].n_words == 2
+        assert rows[1].n_pieces == 2  # 'abab' + 'cdcd'? cdcd is one piece
+        # a word with an unknown char falls back to ONE whole-word piece
+        assert rows[2].n_words == 2 and rows[2].n_pieces == 2
+        # empty doc: totality with zeros
+        assert (rows[3].n_words, rows[3].n_pieces) == (0, 0)
+        assert rows[3].fertility == 0.0
