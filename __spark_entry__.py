@@ -1984,6 +1984,50 @@ def q_decontam_spans(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_decontam_bench(spark, sf_dir):
+    # Per-BENCHMARK-ITEM leakage report (decontaminate.py::
+    # benchmark_leakage) — the GPT-3 appendix-C "dirty eval item"
+    # accounting, the reverse grain of q_decontam_spans: per eval
+    # item (doc_id%17==0), how many TRAINING docs share a verbatim
+    # span with it, the DISTINCT covered item positions, max span,
+    # and the 4-dp leak_ratio (a high-ratio item was memorizable —
+    # report its score on the clean subset). Same machinery as
+    # q_decontam_spans (shared _verified_bench_spans: broadcast
+    # benchmark, sh-verified islands, no nomination); only the
+    # aggregation flips sides, so the two reports describe the SAME
+    # span set. Every item emits (zeros = provably clean at this
+    # grain).
+    from linz_bde_uploader_spark.functions import decontaminate as DX
+
+    d = W.load(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 17 == 0).select("doc_id", "text")
+    corpus = d.filter(F.col("doc_id") % 17 != 0).select("doc_id", "text")
+    return DX.benchmark_leakage(
+        corpus, bench, min_span_tokens=6
+    ).orderBy("bench_id")
+
+
+def q_badwords_gate(spark, sf_dir):
+    # C4-style blocked-word page gate (text.py::badwords_gate; Raffel
+    # et al. 2020 §2.2 — C4 drops any page containing a word from a
+    # public blocklist): case-folded word-grain membership against a
+    # LITERAL list, per-doc hit counts + the any-hit-drops keep flag.
+    # The list is a plan constant, so the gate constant-folds into
+    # whole-stage codegen — MAP-ONLY, no join, no shuffle (the
+    # blocklist_filter literal-path precedent; a DataFrame-sized list
+    # swaps in a broadcast semi-join). The fixture list spans the
+    # operating points: 'dup' (rare), 'slow' (common), and a word the
+    # corpus never contains.
+    d = W.load(spark, sf_dir, "documents")
+    out = X.badwords_gate(d, ("dup", "slow", "forbiddenword"))
+    return out.select(
+        "doc_id",
+        "n_hits",
+        "n_distinct_hits",
+        F.col("keep").cast("int").alias("keep"),
+    ).orderBy("doc_id")
+
+
 def q_robots_gate(spark, sf_dir):
     # Robots-exclusion gate (functions/urls.py::robots_gate) — crawl
     # compliance per RFC 9309 / Google precedence: longest matching
@@ -4460,15 +4504,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- round-6 birth: per-stratum ES sampling; displaced tenant
         #    q_sim_batch_topk (r3+r4+r5 green) -> 51+
         "q_weighted_sample_per_group": q_weighted_sample_per_group,
-        # -- round-5 session-2 birth: ES weighted sampling; displaced
-        #    tenant q_stratified_sample (same family, r3+r4 green) -> 51+
-        "q_weighted_sample": q_weighted_sample,
+        # -- round-12 birth: C4-style blocked-word page gate (literal
+        #    list constant-folded map-only; any-hit-drops + auditable
+        #    hit counts); displaced tenant q_weighted_sample (green
+        #    r5-r11 septuple; the sampling family keeps
+        #    q_weighted_sample_per_group in-window, ES sampling stays
+        #    oracle-checked at 51+) -> 51+
+        "q_badwords_gate": q_badwords_gate,
         # -- round-6 birth: Zipf rank-frequency statistic; displaced
         #    tenant q_tpch_q18_bigorders (r3+r4+r5 green) -> 51+
         "q_corpus_zipf": q_corpus_zipf,
-        # -- round-5 session-2 birth: PageRank centrality; displaced
-        #    tenant q_tpch_q19_disjunct (r3+r4 green) -> 51+
-        "q_graph_pagerank": q_graph_pagerank,
+        # -- round-12 birth: per-benchmark-item leakage report (the
+        #    GPT-3 dirty-eval-item accounting — the reverse grain of
+        #    q_decontam_spans over the SAME verified span set);
+        #    displaced tenant q_graph_pagerank (green r5-r11
+        #    septuple; the graph family keeps
+        #    q_graph_pagerank_directed + q_link_graph_rank in-window,
+        #    undirected PR stays oracle-checked at 51+) -> 51+
+        "q_decontam_bench": q_decontam_bench,
         # -- round-5 session-2 births (in-window at birth, rotation
         #    rule): bigram-LM perplexity gate + cross-document
         #    duplicated-shingle stats; displaced tenants q_custdist and
@@ -4646,6 +4699,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rotated out in round 12 by q_mm_align_datasheet (green
         # r7-r11; ANN keeps q_batch_ann_recall + q_ann_ndcg in-window)
         "q_sim_mips_topk": q_sim_mips_topk,
+        # rotated out in round 12 by q_badwords_gate (green r5-r11)
+        "q_weighted_sample": q_weighted_sample,
+        # rotated out in round 12 by q_decontam_bench (green r5-r11;
+        # graph keeps directed PR + link_graph_rank in-window)
+        "q_graph_pagerank": q_graph_pagerank,
         "q_bpe_pair_counts": q_bpe_pair_counts,
         "q_tpch_q8_market_share": q_tpch_q8_market_share,
         "q_tpch_q9_profit": q_tpch_q9_profit,
@@ -5449,13 +5507,15 @@ def _mm_pairs_ctes() -> str:
         )"""
 
 
-def _decontam_spans_sql() -> str:
-    """q_decontam_spans oracle: the shared positional-shingle shape
-    split into corpus (doc_id%17<>0) and benchmark (doc_id%17=0)
-    sides, the DIRECT sh-verified join (no rarity nomination — the
-    benchmark is bounded, recall matters), the islands window per
-    (doc, bench item, diagonal), the length clamp, the per-doc mass
-    over DISTINCT covered positions, and the scrub rebuild."""
+def _decontam_span_ctes() -> str:
+    """Shared DuckDB CTE block for the round-12 corpus-vs-benchmark
+    span family: positional shingles split into corpus (doc_id%17<>0)
+    and benchmark (doc_id%17=0) sides, the DIRECT sh-verified join
+    (no rarity nomination — the benchmark is bounded, recall
+    matters), the islands window per (doc, bench item, diagonal), and
+    the length-clamped span table ``sz (doc_id, bench_id, start_c,
+    start_b, span_len)`` — both report grains (per training doc, per
+    eval item) aggregate the SAME ``sz``."""
     return f"""
         WITH t AS (
           SELECT doc_id, {_TOKS} AS toks, len({_TOKS}) AS n
@@ -5497,12 +5557,19 @@ def _decontam_spans_sql() -> str:
           FROM runs GROUP BY doc_id, bench_id, diag, isl
         ),
         sz AS (
-          SELECT doc_id, bench_id, start_c,
+          SELECT doc_id, bench_id, start_c, start_b,
                  least(raw, ntc - start_c + 1, ntb - start_b + 1)
                    AS span_len
           FROM sp
           WHERE least(raw, ntc - start_c + 1, ntb - start_b + 1) >= 6
-        ),
+        )"""
+
+
+def _decontam_spans_sql() -> str:
+    """q_decontam_spans oracle: the shared span table aggregated per
+    TRAINING document — distinct covered positions, span mass, and
+    the scrub rebuild."""
+    return _decontam_span_ctes() + """,
         cov AS (
           SELECT doc_id, list(p) AS dups, count(*) AS covered FROM (
             SELECT DISTINCT doc_id, p
@@ -7797,6 +7864,60 @@ def oracle_sql() -> dict[str, str]:
         # sh-verified islands (no nomination), distinct covered
         # positions, scrub rebuild
         "q_decontam_spans": _decontam_spans_sql(),
+        # per-benchmark-item leakage report: the SAME sz span table as
+        # q_decontam_spans, aggregated on the benchmark side (distinct
+        # covered ITEM positions, partner-doc count, 4-dp leak_ratio)
+        "q_decontam_bench": _decontam_span_ctes() + """,
+            bcov AS (
+              SELECT bench_id, count(*) AS leaked FROM (
+                SELECT DISTINCT bench_id, p
+                FROM sz,
+                     unnest(generate_series(start_b,
+                                            start_b + span_len - 1))
+                       AS tt(p)
+              ) GROUP BY bench_id
+            ),
+            bst AS (
+              SELECT bench_id, count(DISTINCT doc_id) AS n_docs,
+                     count(*) AS n_spans, max(span_len) AS max_span
+              FROM sz GROUP BY bench_id
+            )
+            SELECT b.doc_id AS bench_id,
+                   CAST(coalesce(bst.n_docs, 0) AS BIGINT) AS n_docs,
+                   CAST(coalesce(bst.n_spans, 0) AS BIGINT) AS n_spans,
+                   CAST(coalesce(bcov.leaked, 0) AS BIGINT)
+                     AS leaked_tokens,
+                   CAST(coalesce(bst.max_span, 0) AS BIGINT) AS max_span,
+                   round(coalesce(bcov.leaked, 0) / greatest(b.n, 1), 4)
+                     AS leak_ratio
+            FROM (SELECT doc_id, n FROM t WHERE doc_id % 17 = 0) b
+            LEFT JOIN bst ON bst.bench_id = b.doc_id
+            LEFT JOIN bcov ON bcov.bench_id = b.doc_id
+            ORDER BY bench_id
+        """,
+        # C4 blocked-word gate: case-folded literal-list membership,
+        # any-hit-drops keep flag + auditable hit counts
+        "q_badwords_gate": """
+            WITH t AS (
+              SELECT doc_id, string_split(text, ' ') AS toks
+              FROM documents
+            ),
+            h AS (
+              SELECT doc_id,
+                     list_filter(
+                       list_transform(toks, t -> lower(t)),
+                       t -> list_contains(
+                              ['dup', 'forbiddenword', 'slow'], t)
+                     ) AS hits
+              FROM t
+            )
+            SELECT doc_id,
+                   CAST(len(hits) AS BIGINT) AS n_hits,
+                   CAST(len(list_distinct(hits)) AS BIGINT)
+                     AS n_distinct_hits,
+                   CAST(len(hits) = 0 AS INT) AS keep
+            FROM h ORDER BY doc_id
+        """,
         # image-text alignment gate: map-only pair synthesis + the
         # ANSI-guarded 6-dp cosine, keep at the 0.28 LAION cut
         "q_mm_alignment": _mm_pairs_ctes() + """

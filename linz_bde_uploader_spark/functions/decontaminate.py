@@ -101,6 +101,84 @@ def decontaminate(
     return corpus.join(dirty, id_col, "left_anti")
 
 
+def _verified_bench_spans(
+    corpus: DataFrame,
+    bench: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_span_tokens: int,
+    n: int,
+):
+    """Shared span machinery of the corpus-vs-benchmark family: the
+    ExactSubstr verify stage (positional n-gram tables equi-joined on
+    the shingle hash AND filtered on the shingle STRING so a hash
+    collision breaks a run; maximal runs per alignment diagonal via
+    the islands window; length clamps to both sides) with the
+    benchmark side's positional table broadcast — no nomination, the
+    bounded-benchmark contract. Returns ``(sized, staged_c,
+    staged_b)`` where ``sized`` is one row per maximal shared span
+    ``(id_col, bench_id, start_c, start_b, span_len)`` at
+    ``span_len >= min_span_tokens``, and the staged frames carry each
+    side's token arrays for rebuilds/denominators."""
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    from linz_bde_uploader_spark.functions.dedup import (  # noqa: PLC0415
+        _positional_shingles,
+        _staged_tokens,
+    )
+
+    staged_c = _staged_tokens(corpus, id_col, text_col)
+    ex_c = _positional_shingles(staged_c, id_col, n)
+    staged_b = _staged_tokens(bench, id_col, text_col)
+    ex_b = _positional_shingles(staged_b, id_col, n)
+    m = ex_c.select(
+        F.col(id_col),
+        F.col("_nt").alias("_ntc"),
+        F.col("start").alias("_sc"),
+        "sv",
+        F.col("sh").alias("_shc"),
+    ).join(
+        F.broadcast(
+            ex_b.select(
+                F.col(id_col).alias("bench_id"),
+                F.col("_nt").alias("_ntb"),
+                F.col("start").alias("_sb"),
+                "sv",
+                F.col("sh").alias("_shb"),
+            )
+        ),
+        "sv",
+    ).filter(F.col("_shc") == F.col("_shb"))
+    diag = F.col("_sc") - F.col("_sb")
+    isl = F.col("_sc") - F.row_number().over(
+        Window.partitionBy(id_col, "bench_id", diag).orderBy("_sc")
+    )
+    runs = m.select(
+        id_col, "bench_id", "_sc", "_sb", "_ntc", "_ntb",
+        diag.alias("_diag"), isl.alias("_isl"),
+    )
+    spans = runs.groupBy(id_col, "bench_id", "_diag", "_isl").agg(
+        F.min("_sc").alias("start_c"),
+        F.min("_sb").alias("start_b"),
+        F.min("_ntc").alias("_ntc"),
+        F.min("_ntb").alias("_ntb"),
+        (F.count(F.lit(1)) + F.lit(n - 1)).alias("_raw"),
+    )
+    span_len = F.least(
+        F.col("_raw"),
+        F.col("_ntc") - F.col("start_c") + 1,
+        F.col("_ntb") - F.col("start_b") + 1,
+    )
+    sized = spans.select(
+        id_col,
+        "bench_id",
+        F.col("start_c").cast("long").alias("start_c"),
+        F.col("start_b").cast("long").alias("start_b"),
+        span_len.cast("long").alias("span_len"),
+    ).filter(F.col("span_len") >= min_span_tokens)
+    return sized, staged_c, staged_b
+
+
 def contamination_spans(
     corpus: DataFrame,
     bench: DataFrame,
@@ -157,61 +235,9 @@ def contamination_spans(
     coverage/stat aggs are keyed by contaminated docs only; the
     rebuild is one broadcast-size left join + map-only array
     arithmetic over the corpus scan."""
-    from pyspark.sql import Window  # noqa: PLC0415
-
-    from linz_bde_uploader_spark.functions.dedup import (  # noqa: PLC0415
-        _positional_shingles,
-        _staged_tokens,
+    sized, staged_c, _ = _verified_bench_spans(
+        corpus, bench, id_col, text_col, min_span_tokens, n
     )
-
-    staged_c = _staged_tokens(corpus, id_col, text_col)
-    ex_c = _positional_shingles(staged_c, id_col, n)
-    staged_b = _staged_tokens(bench, id_col, text_col)
-    ex_b = _positional_shingles(staged_b, id_col, n)
-    m = ex_c.select(
-        F.col(id_col),
-        F.col("_nt").alias("_ntc"),
-        F.col("start").alias("_sc"),
-        "sv",
-        F.col("sh").alias("_shc"),
-    ).join(
-        F.broadcast(
-            ex_b.select(
-                F.col(id_col).alias("bench_id"),
-                F.col("_nt").alias("_ntb"),
-                F.col("start").alias("_sb"),
-                "sv",
-                F.col("sh").alias("_shb"),
-            )
-        ),
-        "sv",
-    ).filter(F.col("_shc") == F.col("_shb"))
-    diag = F.col("_sc") - F.col("_sb")
-    isl = F.col("_sc") - F.row_number().over(
-        Window.partitionBy(id_col, "bench_id", diag).orderBy("_sc")
-    )
-    runs = m.select(
-        id_col, "bench_id", "_sc", "_sb", "_ntc", "_ntb",
-        diag.alias("_diag"), isl.alias("_isl"),
-    )
-    spans = runs.groupBy(id_col, "bench_id", "_diag", "_isl").agg(
-        F.min("_sc").alias("start_c"),
-        F.min("_sb").alias("start_b"),
-        F.min("_ntc").alias("_ntc"),
-        F.min("_ntb").alias("_ntb"),
-        (F.count(F.lit(1)) + F.lit(n - 1)).alias("_raw"),
-    )
-    span_len = F.least(
-        F.col("_raw"),
-        F.col("_ntc") - F.col("start_c") + 1,
-        F.col("_ntb") - F.col("start_b") + 1,
-    )
-    sized = spans.select(
-        id_col,
-        "bench_id",
-        F.col("start_c").cast("long").alias("start_c"),
-        span_len.cast("long").alias("span_len"),
-    ).filter(F.col("span_len") >= min_span_tokens)
     dpos = (
         sized.select(
             F.col(id_col),
@@ -258,6 +284,87 @@ def contamination_spans(
             F.size("_dups") / F.greatest(F.col("_nt"), F.lit(1)), 4
         ).alias("contam_ratio"),
         F.concat_ws(" ", kept).alias("clean_text"),
+    )
+
+
+def benchmark_leakage(
+    corpus: DataFrame,
+    bench: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_span_tokens: int = 6,
+    n: int = 3,
+) -> DataFrame:
+    """Per-BENCHMARK-ITEM leakage report — the reverse grain of
+    :func:`contamination_spans` and the accounting the GPT-3 paper
+    publishes as its "dirty" eval-item analysis (Brown et al. 2020
+    appendix C reports per-benchmark clean/dirty splits): for each
+    eval item, how many TRAINING documents share a verbatim span with
+    it and how much of the item is covered. An item whose
+    ``leak_ratio`` is high was effectively memorizable from the
+    corpus — its eval score should be reported on the clean subset.
+
+    Per benchmark document (every item emits; zeros = provably clean
+    at this span grain):
+
+    - ``n_docs`` — distinct training docs sharing >= 1 span
+    - ``n_spans`` — maximal shared spans across all of them
+    - ``leaked_tokens`` — DISTINCT item token positions inside any
+      span (overlaps never double-count)
+    - ``max_span`` — longest single shared span
+    - ``leak_ratio`` — leaked_tokens / item tokens, 4 dp
+
+    Same machinery and bounds as :func:`contamination_spans`
+    (:func:`_verified_bench_spans` — broadcast benchmark, sh-verified
+    islands, no nomination); only the aggregation side flips from the
+    corpus document to the benchmark item, so the two reports are
+    guaranteed to describe the SAME span set."""
+    sized, _, staged_b = _verified_bench_spans(
+        corpus, bench, id_col, text_col, min_span_tokens, n
+    )
+    bpos = (
+        sized.select(
+            "bench_id",
+            F.explode(
+                F.sequence(
+                    F.col("start_b"),
+                    F.col("start_b") + F.col("span_len") - F.lit(1),
+                )
+            ).alias("pos"),
+        )
+        .distinct()
+        .groupBy("bench_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("leaked_tokens"))
+    )
+    stats = sized.groupBy("bench_id").agg(
+        F.countDistinct(id_col).cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+        F.max("span_len").cast("long").alias("max_span"),
+    )
+    return (
+        staged_b.select(F.col(id_col).alias("bench_id"), "_nt")
+        .join(stats, ["bench_id"], "left")
+        .join(bpos, ["bench_id"], "left")
+        .select(
+            "bench_id",
+            F.coalesce(F.col("n_docs"), F.lit(0)).cast("long").alias(
+                "n_docs"
+            ),
+            F.coalesce(F.col("n_spans"), F.lit(0)).cast("long").alias(
+                "n_spans"
+            ),
+            F.coalesce(F.col("leaked_tokens"), F.lit(0))
+            .cast("long")
+            .alias("leaked_tokens"),
+            F.coalesce(F.col("max_span"), F.lit(0)).cast("long").alias(
+                "max_span"
+            ),
+            F.round(
+                F.coalesce(F.col("leaked_tokens"), F.lit(0))
+                / F.greatest(F.col("_nt"), F.lit(1)),
+                4,
+            ).alias("leak_ratio"),
+        )
     )
 
 

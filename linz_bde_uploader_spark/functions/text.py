@@ -1175,3 +1175,48 @@ def unigram_lm_encode(
             F.col("n_pieces") / F.greatest(F.col("n_words"), F.lit(1)), 4
         ).alias("fertility"),
     )
+
+
+def badwords_gate(
+    df,
+    words: "tuple[str, ...]",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """C4-style blocked-word gate (Raffel et al. 2020 §2.2: C4 drops
+    any page containing a word from a public blocklist) — the stage-1
+    content gate this engine's pipeline was missing beside the URL
+    blocklist (domain grain) and the boilerplate line filter (line
+    grain): word-grain, case-folded membership against a fixed list.
+
+    Per document: ``(id, n_hits, n_distinct_hits, keep)`` — total
+    blocked-token occurrences, distinct blocked words seen, and
+    ``keep = n_hits == 0`` (the C4 rule is any-hit-drops). Every
+    document emits a row; the counts make the gate auditable (a
+    corpus card reports hit mass, not just survivor count).
+
+    Scale: the list is a plan-build-time LITERAL — membership
+    constant-folds into whole-stage codegen (the
+    ``blocklist_filter`` literal-path precedent), so the gate is
+    MAP-ONLY: no join, no shuffle, no UDF; swap the literal for a
+    broadcast semi-join on exploded tokens when the list outgrows a
+    plan constant (real blocklists are a few hundred words — the
+    literal path is the right default)."""
+    if not words:
+        raise ValueError("words is empty: nothing to gate on")
+    folded = sorted({w.lower() for w in words})
+    toks = tokens(F.col(text_col))
+    # hits carry the FOLDED token so n_distinct_hits counts distinct
+    # blocked WORDS, not distinct casings of them
+    hits = F.filter(
+        F.transform(toks, lambda t: F.lower(t)),
+        lambda t: t.isin(*folded),
+    )
+    return df.select(
+        F.col(id_col),
+        F.size(hits).cast("long").alias("n_hits"),
+        F.size(F.array_distinct(hits)).cast("long").alias(
+            "n_distinct_hits"
+        ),
+        (F.size(hits) == 0).alias("keep"),
+    )

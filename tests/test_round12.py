@@ -314,3 +314,91 @@ class TestUnigramLM:
         # empty doc: totality with zeros
         assert (rows[3].n_words, rows[3].n_pieces) == (0, 0)
         assert rows[3].fertility == 0.0
+
+
+class TestBadwordsGate:
+    """text.badwords_gate — the C4 blocked-word page filter: any hit
+    drops, counts make the gate auditable, matching is case-folded."""
+
+    def test_hits_and_keep(self, spark):
+        from linz_bde_uploader_spark.functions.text import badwords_gate
+
+        docs = spark.createDataFrame(
+            [
+                (1, "clean words only here"),
+                (2, "one BADWORD in the middle"),
+                (3, "badword twice badword and another naughty one"),
+                (4, ""),
+            ],
+            "doc_id long, text string",
+        )
+        rows = {
+            r.doc_id: r
+            for r in badwords_gate(
+                docs, ("badword", "NAUGHTY")
+            ).collect()
+        }
+        assert rows[1].n_hits == 0 and rows[1].keep
+        # case-folded both ways: doc BADWORD vs list badword,
+        # doc naughty vs list NAUGHTY
+        assert rows[2].n_hits == 1 and not rows[2].keep
+        assert (rows[3].n_hits, rows[3].n_distinct_hits) == (3, 2)
+        assert not rows[3].keep
+        assert rows[4].n_hits == 0 and rows[4].keep  # empty doc passes
+
+    def test_empty_list_rejected(self, spark):
+        import pytest
+
+        from linz_bde_uploader_spark.functions.text import badwords_gate
+
+        docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        with pytest.raises(ValueError):
+            badwords_gate(docs, ())
+
+
+class TestBenchmarkLeakage:
+    """decontaminate.benchmark_leakage — the per-eval-item dirty/clean
+    accounting: same span set as contamination_spans, aggregated on
+    the benchmark side."""
+
+    def test_item_grain_report(self, spark):
+        from linz_bde_uploader_spark.functions.decontaminate import (
+            benchmark_leakage,
+            contamination_spans,
+        )
+
+        bench = spark.createDataFrame(
+            [
+                # item 100: 8 tokens, 6 of them leaked into TWO docs
+                (100, "zulu alpha bravo charlie delta echo foxtrot yankee"),
+                # item 101: fully clean
+                (101, "golf hotel india juliet kilo lima"),
+            ],
+            "doc_id long, text string",
+        )
+        corpus = spark.createDataFrame(
+            [
+                (1, "papa alpha bravo charlie delta echo foxtrot quebec"),
+                (2, "romeo sierra alpha bravo charlie delta echo foxtrot"),
+                (3, "tango uniform victor whiskey xray"),
+            ],
+            "doc_id long, text string",
+        )
+        rows = {
+            r.bench_id: r
+            for r in benchmark_leakage(corpus, bench).collect()
+        }
+        assert set(rows) == {100, 101}  # every item emits
+        r100 = rows[100]
+        assert (r100.n_docs, r100.n_spans, r100.max_span) == (2, 2, 6)
+        assert r100.leaked_tokens == 6  # same positions, counted once
+        assert r100.leak_ratio == 0.75  # 6 of 8 item tokens
+        r101 = rows[101]
+        assert (r101.n_docs, r101.leaked_tokens) == (0, 0)
+        assert r101.leak_ratio == 0.0
+        # the two reports describe the SAME span set: total spans agree
+        doc_side = contamination_spans(corpus, bench)
+        assert (
+            doc_side.agg(F.sum("n_spans")).first()[0]
+            == sum(r.n_spans for r in rows.values())
+        )
