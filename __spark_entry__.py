@@ -1984,6 +1984,36 @@ def q_decontam_spans(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_c4_span_dedup(spark, sf_dir):
+    # The literal C4 dedup step (dedup.py::c4_sentence_span_dedup;
+    # Raffel et al. 2020 §2.2 — "removed all but one of any
+    # three-sentence span occurring more than once"): corpus-wide
+    # KEEP-FIRST at sentence grain, the cheapest member of the span
+    # family — no pair join, ONE shuffle keyed by the span string
+    # (partial-agg struct-min is map-side combined), which is exactly
+    # why C4 ran it at web scale. The synthetic corpus carries no
+    # sentence punctuation, so sentence boundaries are synthesized
+    # map-only (8-token pseudo-sentences joined by '. ') — the
+    # operator itself is honest sentence-grain over the separator.
+    # The winner per span is the exact (doc_id, pos) struct-min; a
+    # sentence covered by ANY removed span drops once (distinct
+    # positions). Every doc emits.
+    d = W.load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    nwin = F.greatest(
+        F.floor((F.size(toks) + F.lit(7)) / F.lit(8)).cast("int"),
+        F.lit(1),
+    )
+    sents = F.transform(
+        F.sequence(F.lit(1), nwin),
+        lambda i: F.concat_ws(
+            " ", F.slice(toks, ((i - 1) * 8 + 1).cast("int"), 8)
+        ),
+    )
+    docs = d.select("doc_id", F.concat_ws(". ", sents).alias("text"))
+    return D.c4_sentence_span_dedup(docs, k=3).orderBy("doc_id")
+
+
 def q_decontam_bench(spark, sf_dir):
     # Per-BENCHMARK-ITEM leakage report (decontaminate.py::
     # benchmark_leakage) — the GPT-3 appendix-C "dirty eval item"
@@ -4549,11 +4579,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    grain in-window, source overlap stays oracle-checked at
         #    51+) -> 51+
         "q_dedup_exact_incr": q_dedup_exact_incr,
-        # -- round-5 session-2 births: deterministic k-means and the
-        #    SemDeDup cluster-local near-dup filter built on it;
-        #    displaced tenants q_mm_frame_sample and q_decontaminate
-        #    (both r3+r4 driver-green) -> 51+
-        "q_kmeans_embeddings": q_kmeans_embeddings,
+        # -- round-12 birth: the literal C4 three-sentence-span dedup
+        #    (corpus-wide keep-first at sentence grain, no pair join —
+        #    one span-string-keyed shuffle); displaced tenant
+        #    q_kmeans_embeddings (green r5-r11 septuple; the k-means
+        #    machinery runs INSIDE in-window q_semdedup, k-means stays
+        #    oracle-checked at 51+) -> 51+
+        "q_c4_span_dedup": q_c4_span_dedup,
+        # -- round-5 session-2 birth: the SemDeDup cluster-local
+        #    near-dup filter (its k-means sibling rotated to 51+ in
+        #    round 12, displacement noted above)
         "q_semdedup": q_semdedup,
         # -- round-12 birth: per-source alignment-quantile datasheet
         #    over the q_mm_alignment gate (fixed-point mean, exact
@@ -4704,6 +4739,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rotated out in round 12 by q_decontam_bench (green r5-r11;
         # graph keeps directed PR + link_graph_rank in-window)
         "q_graph_pagerank": q_graph_pagerank,
+        # rotated out in round 12 by q_c4_span_dedup (green r5-r11;
+        # k-means runs inside in-window q_semdedup)
+        "q_kmeans_embeddings": q_kmeans_embeddings,
         "q_bpe_pair_counts": q_bpe_pair_counts,
         "q_tpch_q8_market_share": q_tpch_q8_market_share,
         "q_tpch_q9_profit": q_tpch_q9_profit,
@@ -7864,6 +7902,63 @@ def oracle_sql() -> dict[str, str]:
         # sh-verified islands (no nomination), distinct covered
         # positions, scrub rebuild
         "q_decontam_spans": _decontam_spans_sql(),
+        # the literal C4 three-sentence-span dedup: 8-token synthesized
+        # sentences, corpus-wide keep-first per span string via
+        # row_number over (doc_id, pos), covered sentences removed
+        # once, array rebuild
+        "q_c4_span_dedup": """
+            WITH t AS (
+              SELECT doc_id, string_split(text, ' ') AS toks,
+                     len(string_split(text, ' ')) AS n
+              FROM documents
+            ),
+            sd AS (
+              SELECT doc_id,
+                     list_transform(
+                       generate_series(1, greatest((n + 7) // 8, 1)),
+                       i -> array_to_string(
+                              list_slice(toks, (i-1)*8 + 1,
+                                         least((i-1)*8 + 8, n)), ' ')
+                     ) AS sents
+              FROM t
+            ),
+            s2 AS (SELECT doc_id, sents, len(sents) AS ns FROM sd),
+            sp AS (
+              SELECT doc_id, i AS pos,
+                     array_to_string(list_slice(sents, i, i + 2), '. ')
+                       AS span
+              FROM s2,
+                   LATERAL (SELECT unnest(generate_series(1, ns - 2))
+                            AS i) g
+              WHERE ns >= 3
+            ),
+            r AS (
+              SELECT doc_id, pos,
+                     row_number() OVER (
+                       PARTITION BY span ORDER BY doc_id, pos
+                     ) AS rn
+              FROM sp
+            ),
+            rem AS (
+              SELECT DISTINCT doc_id, p
+              FROM r, unnest(generate_series(pos, pos + 2)) AS tt(p)
+              WHERE rn > 1
+            ),
+            agg AS (
+              SELECT doc_id, list(p) AS drops, count(*) AS nd
+              FROM rem GROUP BY doc_id
+            )
+            SELECT s.doc_id,
+                   CAST(s.ns AS BIGINT) AS n_sentences,
+                   CAST(coalesce(a.nd, 0) AS BIGINT) AS n_removed,
+                   coalesce(array_to_string(list_transform(
+                     list_filter(generate_series(1, s.ns),
+                       i -> NOT list_contains(
+                              coalesce(a.drops, []::BIGINT[]), i)),
+                     i -> s.sents[i]), '. '), '') AS clean_text
+            FROM s2 s LEFT JOIN agg a USING (doc_id)
+            ORDER BY s.doc_id
+        """,
         # per-benchmark-item leakage report: the SAME sz span table as
         # q_decontam_spans, aggregated on the benchmark side (distinct
         # covered ITEM positions, partner-doc count, 4-dp leak_ratio)

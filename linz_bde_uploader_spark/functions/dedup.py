@@ -21,6 +21,8 @@ reproducible across runs/engines and oracle-checkable in ANSI SQL.
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
@@ -1994,4 +1996,113 @@ def lsh_band_plan(
             "precision",
         )
         .orderBy("t")
+    )
+
+
+def c4_sentence_span_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    sep: str = ". ",
+) -> DataFrame:
+    """The literal published C4 dedup step (Raffel et al. 2020 §2.2:
+    "we removed all but one of any three-sentence span occurring more
+    than once in the data set") — corpus-wide KEEP-FIRST at sentence
+    grain, a different contract from every other span operator here:
+    :func:`scrub_duplicated_spans` removes frequent fragments from
+    EVERY document (no survivor), :func:`scrub_cross_doc_spans` keeps
+    the earliest copy but needs pairwise nomination; this one is the
+    global hash-keyed keep-first C4 actually ran — no pair join at
+    all.
+
+    Sentences are ``sep``-delimited (C4 splits on sentence
+    punctuation; the separator is a parameter because the engine's
+    tokenization contract is exact-string, not linguistic). Every
+    ``k``-consecutive-sentence window is a span; the span's FIRST
+    corpus occurrence (lowest (doc id, position)) survives, every
+    later occurrence has its ``k`` sentences removed; a sentence
+    covered by ANY removed span is dropped (distinct positions, no
+    double-count). Documents with fewer than ``k`` sentences emit no
+    spans and pass through whole.
+
+    Returns ``(id, n_sentences, n_removed, clean_text)`` — every
+    document emits.
+
+    Deterministic: the winner per span STRING is the exact struct-min
+    over (doc id, position) — integer totals, no hashes in the
+    decision path (the span text itself is the key, so there are no
+    collision semantics to reason about).
+
+    Scale: sentence explode is map-side; ONE shuffle keyed by the
+    span string (partial-agg min is map-side combined; key cardinality
+    = distinct spans); removed occurrences flow back through a
+    doc-keyed aggregation bounded by duplicated mass; the rebuild is
+    the one-pass ``array_except`` idiom. No self-join, no pair table —
+    the cheapest of the span family, which is exactly why C4 could
+    run it at web scale."""
+    if k <= 0:
+        raise ValueError("k must be positive")
+    staged = df.select(
+        F.col(id_col),
+        # split() takes a REGEX — escape the literal separator ('. '
+        # would otherwise match any-char + space)
+        F.split(F.col(text_col), re.escape(sep), -1).alias("_sents"),
+    ).select(
+        id_col, "_sents", F.size("_sents").alias("_ns")
+    )
+    # k-sentence windows, 1-based start positions; sequence(1, 0) is
+    # DESCENDING in Spark (the word_ngrams gotcha), so the window
+    # count is clamped to >= 1 and the sub-window case owns the empty
+    # array explicitly
+    cnt = F.col("_ns") - (k - 1)
+    wins = F.when(cnt <= 0, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(cnt, F.lit(1))),
+            lambda i: F.concat_ws(sep, F.slice(F.col("_sents"), i, k)),
+        )
+    )
+    spans = staged.select(
+        F.col(id_col),
+        F.posexplode(wins).alias("_p0", "_span"),
+    ).select(
+        id_col, (F.col("_p0") + 1).alias("pos"), "_span"
+    )
+    # corpus-wide first occurrence per span string: exact struct-min
+    agg = spans.groupBy("_span").agg(
+        F.min(F.struct(F.col(id_col), F.col("pos"))).alias("_first"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    removed = (
+        spans.join(agg.filter(F.col("_n") > 1), "_span")
+        .filter(
+            (F.col(id_col) != F.col(f"_first.{id_col}"))
+            | (F.col("pos") != F.col("_first.pos"))
+        )
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(k - 1))
+            ).alias("_cover"),
+        )
+        .distinct()
+        .groupBy(id_col)
+        .agg(F.collect_set("_cover").alias("_drop"))
+    )
+    joined = staged.join(removed, [id_col], "left").withColumn(
+        "_drop",
+        F.coalesce(F.col("_drop"), F.array().cast("array<bigint>")),
+    )
+    kept_pos = F.array_except(
+        F.sequence(F.lit(1).cast("long"), F.col("_ns").cast("long")),
+        F.col("_drop"),
+    )
+    kept = F.transform(
+        kept_pos, lambda p: F.element_at(F.col("_sents"), p.cast("int"))
+    )
+    return joined.select(
+        F.col(id_col),
+        F.col("_ns").cast("long").alias("n_sentences"),
+        F.size("_drop").cast("long").alias("n_removed"),
+        F.concat_ws(sep, kept).alias("clean_text"),
     )

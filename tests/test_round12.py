@@ -402,3 +402,110 @@ class TestBenchmarkLeakage:
             doc_side.agg(F.sum("n_spans")).first()[0]
             == sum(r.n_spans for r in rows.values())
         )
+
+
+class TestC4SentenceSpanDedup:
+    """dedup.c4_sentence_span_dedup — the literal C4 rule: all but one
+    of any k-sentence span occurring more than once is removed; the
+    FIRST corpus occurrence (lowest doc id, then position) survives."""
+
+    def test_keep_first_remove_later(self, spark):
+        from linz_bde_uploader_spark.functions.dedup import (
+            c4_sentence_span_dedup,
+        )
+
+        # docs 1 and 2 share the 3-sentence span "s1. s2. s3"; doc 2
+        # also repeats it INTERNALLY; doc 3 is clean
+        docs = spark.createDataFrame(
+            [
+                (1, "a0. s1. s2. s3. a4"),
+                (2, "s1. s2. s3. b3. s1. s2. s3"),
+                (3, "c0. c1. c2. c3"),
+            ],
+            "doc_id long, text string",
+        )
+        rows = {
+            r.doc_id: r
+            for r in c4_sentence_span_dedup(docs, k=3).collect()
+        }
+        # doc 1 holds the first occurrence (pos 2) -> fully kept
+        r1 = rows[1]
+        assert (r1.n_sentences, r1.n_removed) == (5, 0)
+        assert r1.clean_text == "a0. s1. s2. s3. a4"
+        # doc 2: BOTH its occurrences are later than doc 1's -> both
+        # removed; 'b3' survives between them
+        r2 = rows[2]
+        assert r2.n_sentences == 7
+        assert r2.n_removed == 6
+        assert r2.clean_text == "b3"
+        # doc 3 untouched
+        assert rows[3].n_removed == 0
+        assert rows[3].clean_text == "c0. c1. c2. c3"
+
+    def test_overlapping_spans_and_short_docs(self, spark):
+        from linz_bde_uploader_spark.functions.dedup import (
+            c4_sentence_span_dedup,
+        )
+
+        # four identical consecutive sentences in doc 2 create
+        # overlapping duplicate windows vs doc 1; doc 3 is shorter
+        # than one window and passes through whole
+        docs = spark.createDataFrame(
+            [
+                (1, "x. x. x"),
+                (2, "x. x. x. x"),
+                (3, "x. x"),
+            ],
+            "doc_id long, text string",
+        )
+        rows = {
+            r.doc_id: r
+            for r in c4_sentence_span_dedup(docs, k=3).collect()
+        }
+        # doc 1 pos 1 is the global first 'x. x. x' -> kept whole
+        assert rows[1].n_removed == 0
+        # doc 2's two windows (pos 1, pos 2) are both later -> all 4
+        # sentences covered
+        assert rows[2].n_removed == 4
+        assert rows[2].clean_text == ""
+        # sub-window doc: no spans, fully kept
+        assert rows[3].n_removed == 0
+        assert rows[3].clean_text == "x. x"
+
+    def test_within_doc_first_occurrence_wins(self, spark):
+        from linz_bde_uploader_spark.functions.dedup import (
+            c4_sentence_span_dedup,
+        )
+
+        docs = spark.createDataFrame(
+            [(5, "p. q. r. z. p. q. r")],
+            "doc_id long, text string",
+        )
+        (r,) = c4_sentence_span_dedup(docs, k=3).collect()
+        # first occurrence at pos 1 kept; repeat at pos 5 removed
+        assert r.n_removed == 3
+        assert r.clean_text == "p. q. r. z"
+
+    def test_multiword_sentences_separator_is_literal(self, spark):
+        """Regression: split() takes a regex, so an unescaped '. '
+        separator matches ANY char + space — multi-word sentences
+        (spaces not preceded by dots) must stay intact."""
+        from linz_bde_uploader_spark.functions.dedup import (
+            c4_sentence_span_dedup,
+        )
+
+        docs = spark.createDataFrame(
+            [
+                (1, "big red fox. tiny blue bird. old gray wolf. the end"),
+                (2, "big red fox. tiny blue bird. old gray wolf. not end"),
+            ],
+            "doc_id long, text string",
+        )
+        rows = {
+            r.doc_id: r
+            for r in c4_sentence_span_dedup(docs, k=3).collect()
+        }
+        assert rows[1].n_sentences == 4  # not one-per-token
+        assert rows[1].n_removed == 0
+        assert rows[2].n_removed == 3  # the shared 3-sentence span
+        assert rows[2].clean_text == "not end"
