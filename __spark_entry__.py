@@ -1316,7 +1316,7 @@ def q_mm_align_datasheet(spark, sf_dir):
         .alias("img"),
     )
     return M.alignment_datasheet(
-        pairs, "img", "txt", "label", "label", threshold=0.28
+        pairs, "img", "txt", "label", threshold=0.28
     ).orderBy("source")
 
 
@@ -1997,9 +1997,13 @@ def q_c4_span_dedup(spark, sf_dir):
     # operator itself is honest sentence-grain over the separator.
     # The winner per span is the exact (doc_id, pos) struct-min; a
     # sentence covered by ANY removed span drops once (distinct
-    # positions). Every doc emits.
+    # positions). Every doc emits. Periods are stripped from source
+    # tokens first (both engines): a token containing '.' would shift
+    # the operator's re-split boundaries while the oracle slices the
+    # token array directly — parity must not depend on the fixture
+    # staying punctuation-free.
     d = W.load(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
+    toks = F.split(F.translate(F.col("text"), ".", ""), " ")
     nwin = F.greatest(
         F.floor((F.size(toks) + F.lit(7)) / F.lit(8)).cast("int"),
         F.lit(1),
@@ -7908,8 +7912,11 @@ def oracle_sql() -> dict[str, str]:
         # once, array rebuild
         "q_c4_span_dedup": """
             WITH t AS (
-              SELECT doc_id, string_split(text, ' ') AS toks,
-                     len(string_split(text, ' ')) AS n
+              -- replace mirrors the Spark side's period strip: parity
+              -- must not depend on a punctuation-free fixture
+              SELECT doc_id,
+                     string_split(replace(text, '.', ''), ' ') AS toks,
+                     len(string_split(replace(text, '.', ''), ' ')) AS n
               FROM documents
             ),
             sd AS (

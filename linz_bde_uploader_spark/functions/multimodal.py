@@ -245,16 +245,7 @@ def image_text_alignment(
     and embarrassingly parallel at any executor count. The embedding
     pair rides the same row, so no alignment join is ever needed —
     the contract a 100-TB media table should store to."""
-    from linz_bde_uploader_spark.functions.similarity import (  # noqa: PLC0415
-        dot,
-        norm,
-    )
-
-    den = norm(F.col(img_col)) * norm(F.col(txt_col))
-    score = F.when(
-        den > 0,
-        F.round(dot(F.col(img_col), F.col(txt_col)) / den, 6),
-    ).otherwise(F.lit(-2.0))
+    score = _alignment_score(img_col, txt_col)
     return df.select(
         F.col(id_col),
         score.alias("align_score"),
@@ -262,11 +253,27 @@ def image_text_alignment(
     )
 
 
+def _alignment_score(img_col: str, txt_col: str) -> Column:
+    """The gate's guarded 6-dp CLIP-score cosine — shared by the
+    per-pair gate and the per-source datasheet so the datasheet's
+    quantiles always describe EXACTLY the score the gate applies
+    (sentinel, guard, and rounding can never diverge)."""
+    from linz_bde_uploader_spark.functions.similarity import (  # noqa: PLC0415
+        dot,
+        norm,
+    )
+
+    den = norm(F.col(img_col)) * norm(F.col(txt_col))
+    return F.when(
+        den > 0,
+        F.round(dot(F.col(img_col), F.col(txt_col)) / den, 6),
+    ).otherwise(F.lit(-2.0))
+
+
 def alignment_datasheet(
     df: DataFrame,
     img_col: str = "img_embedding",
     txt_col: str = "txt_embedding",
-    id_col: str = "media_id",
     group_col: str = "source",
     threshold: float = 0.28,
 ) -> DataFrame:
@@ -290,16 +297,7 @@ def alignment_datasheet(
     corpus/|sources|; swap for the histogram quantile sketch
     (``sketches.histogram_sketch``) when a single source's row count
     outgrows reducer memory at the 100-TB end."""
-    from linz_bde_uploader_spark.functions.similarity import (  # noqa: PLC0415
-        dot,
-        norm,
-    )
-
-    den = norm(F.col(img_col)) * norm(F.col(txt_col))
-    score = F.when(
-        den > 0,
-        F.round(dot(F.col(img_col), F.col(txt_col)) / den, 6),
-    ).otherwise(F.lit(-2.0))
+    score = _alignment_score(img_col, txt_col)
     scored = df.select(
         F.col(group_col).alias("source"),
         score.alias("_s"),

@@ -1047,6 +1047,9 @@ def unigram_lm_train(
         ).alias("piece"),
         "cnt",
     ).groupBy("piece").agg(F.sum("cnt").cast("long").alias("c"))
+    # two bounded collects (chars; capped multis) read the same agg —
+    # persist so the substring explode + piece shuffle runs ONCE
+    subs = subs.persist()
     chars = {
         r["piece"]: int(r["c"])
         for r in subs.filter(F.length("piece") == 1).collect()
@@ -1059,12 +1062,20 @@ def unigram_lm_train(
         .limit(seed_cap_factor * vocab_size)
         .collect()
     )
+    subs.unpersist()
     counts = dict(chars)
     counts.update({r["piece"]: int(r["c"]) for r in multi})
 
     def _norm(cs: dict) -> dict:
+        # floor LIVE pieces at one rounding unit: at corpus scale
+        # (total > ~2e9) a used rare piece would otherwise round to
+        # prob 0.0 and vanish from the DP's reachable set, breaking
+        # the closure contract; zero-COUNT pieces stay exactly 0.0
         tot = float(sum(cs.values()))
-        return {p: round(c / tot, 9) for p, c in cs.items()}
+        return {
+            p: (max(round(c / tot, 9), 1e-9) if c > 0 else 0.0)
+            for p, c in cs.items()
+        }
 
     probs = _norm(counts)
 
@@ -1079,6 +1090,13 @@ def unigram_lm_train(
                 r = memo.get(w)
                 if r is None:
                     r = _viterbi_word(w, model, max_piece_len)
+                    if len(r) == 1 and (
+                        len(r[0]) > max_piece_len or r[0] not in model
+                    ):
+                        # whole-word FALLBACK (no positive path): count
+                        # its characters instead — an out-of-vocab
+                        # token must never enter the model's counts
+                        r = list(r[0])
                     memo[w] = r
                 return r
 

@@ -175,7 +175,7 @@ class TestImageTextAlignment:
         rows = {
             r.source: r
             for r in alignment_datasheet(
-                df, "img", "txt", "media_id", "source", threshold=0.28
+                df, "img", "txt", "source", threshold=0.28
             ).collect()
         }
         a, b = rows["a"], rows["b"]

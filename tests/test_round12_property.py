@@ -40,11 +40,15 @@ class TestViterbiProperty:
     def test_viterbi_matches_bruteforce(self, w, extra, probs):
         from linz_bde_uploader_spark.functions.text import _viterbi_word
 
+        import zlib
+
         pieces = {"a", "b"} | set(extra)
-        # deterministic pseudo-probs keyed by the piece itself — no
-        # float generation flakiness, strictly positive
+        # deterministic pseudo-probs keyed by a STABLE hash (Python's
+        # hash() is salted per process — a recorded hypothesis failure
+        # would not replay), strictly positive
         model = {
-            p: round(0.05 + ((hash(p) % 17) + 1) / 40.0, 6) for p in pieces
+            p: round(0.05 + ((zlib.crc32(p.encode()) % 17) + 1) / 40.0, 6)
+            for p in pieces
         }
         got = _viterbi_word(w, model, max_piece_len=3)
         got_score = math.prod(model[p] for p in got)
