@@ -2018,6 +2018,56 @@ def q_c4_span_dedup(spark, sf_dir):
     return D.c4_sentence_span_dedup(docs, k=3).orderBy("doc_id")
 
 
+def q_c4_line_filter(spark, sf_dir):
+    # The C4 line-and-page cleaning rules (text.py::c4_line_filter;
+    # Raffel et al. 2020 §2.2): keep lines ending in terminal
+    # punctuation with >= 3 words and no 'javascript'; keep pages
+    # with >= 5 kept lines, no 'lorem ipsum', no '{'. With
+    # q_url_dedup, q_badwords_gate, q_c4_span_dedup, and
+    # q_decontaminate this completes the engine's published-C4-recipe
+    # set. The corpus has no line structure, so lines are synthesized
+    # map-only (8-token lines; terminal '.' iff (doc_id+line)%3 != 0
+    # so both line classes occur; 'lorem ipsum' / '{' marker lines
+    # appended on doc_id residues so both page rules fire). The
+    # operator itself is MAP-ONLY — split, per-line predicates,
+    # filter, rejoin in one projection; zero shuffles.
+    d = W.load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    nwin = F.greatest(
+        F.floor((F.size(toks) + F.lit(7)) / F.lit(8)).cast("int"),
+        F.lit(1),
+    )
+    lines = F.transform(
+        F.sequence(F.lit(1), nwin),
+        lambda i: F.concat(
+            F.concat_ws(
+                " ", F.slice(toks, ((i - 1) * 8 + 1).cast("int"), 8)
+            ),
+            F.when((F.col("doc_id") + i) % 3 != 0, F.lit(".")).otherwise(
+                F.lit("")
+            ),
+        ),
+    )
+    body = F.concat_ws("\n", lines)
+    body = F.when(
+        F.col("doc_id") % 31 == 0,
+        F.concat(body, F.lit("\nsee lorem ipsum dolor sit.")),
+    ).otherwise(body)
+    body = F.when(
+        F.col("doc_id") % 37 == 0,
+        F.concat(body, F.lit("\nbrace { marker line here.")),
+    ).otherwise(body)
+    docs = d.select("doc_id", body.alias("text"))
+    out = X.c4_line_filter(docs)
+    return out.select(
+        "doc_id",
+        "n_lines",
+        "n_kept_lines",
+        F.col("page_keep").cast("int").alias("page_keep"),
+        "clean_text",
+    ).orderBy("doc_id")
+
+
 def q_decontam_bench(spark, sf_dir):
     # Per-BENCHMARK-ITEM leakage report (decontaminate.py::
     # benchmark_leakage) — the GPT-3 appendix-C "dirty eval item"
@@ -4484,10 +4534,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    dedup queries keep in-window, fuzzy join stays
         #    oracle-checked at 51+) -> 51+
         "q_cluster_split": q_cluster_split,
-        # -- round-6 session-3 birth: per-doc token-entropy diversity
-        #    signal; displaced tenant q_sim_lsh_bucketed (r3+r4+r5
-        #    triple green) -> 51+
-        "q_text_entropy": q_text_entropy,
+        # -- round-12 birth: the C4 line-and-page cleaning rules
+        #    (terminal punctuation + >=3 words + no-javascript lines;
+        #    >=5-kept-lines + no-lorem-ipsum + no-brace pages) —
+        #    completes the published-C4-recipe set beside url_dedup /
+        #    badwords / span-dedup / decontaminate; displaced tenant
+        #    q_text_entropy (green r6-r11 sextuple; the text-stats
+        #    family keeps q_corpus_zipf in-window, entropy stays
+        #    oracle-checked at 51+) -> 51+
+        "q_c4_line_filter": q_c4_line_filter,
         # -- round-11 birth: LSH band-planning datasheet — the
         #    theoretical s-curve for the configured (bands, rows)
         #    joined with the corpus's measured candidate/verified
@@ -4746,6 +4801,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rotated out in round 12 by q_c4_span_dedup (green r5-r11;
         # k-means runs inside in-window q_semdedup)
         "q_kmeans_embeddings": q_kmeans_embeddings,
+        # rotated out in round 12 by q_c4_line_filter (green r6-r11;
+        # text-stats keeps q_corpus_zipf in-window)
+        "q_text_entropy": q_text_entropy,
         "q_bpe_pair_counts": q_bpe_pair_counts,
         "q_tpch_q8_market_share": q_tpch_q8_market_share,
         "q_tpch_q9_profit": q_tpch_q9_profit,
@@ -7906,6 +7964,65 @@ def oracle_sql() -> dict[str, str]:
         # sh-verified islands (no nomination), distinct covered
         # positions, scrub rebuild
         "q_decontam_spans": _decontam_spans_sql(),
+        # the C4 line-and-page rules: synthesized 8-token lines with
+        # residue-keyed terminal punctuation and marker lines; line
+        # keep = terminal punct + >=3 words + no 'javascript'; page
+        # keep = >=5 kept + no 'lorem ipsum' + no '{'
+        "q_c4_line_filter": """
+            WITH t AS (
+              SELECT doc_id, string_split(text, ' ') AS toks,
+                     len(string_split(text, ' ')) AS n
+              FROM documents
+            ),
+            ld AS (
+              SELECT doc_id,
+                     list_transform(
+                       generate_series(1, greatest((n + 7) // 8, 1)),
+                       i -> array_to_string(
+                              list_slice(toks, (i-1)*8 + 1,
+                                         least((i-1)*8 + 8, n)), ' ')
+                            || CASE WHEN (doc_id + i) % 3 <> 0
+                                    THEN '.' ELSE '' END
+                     ) AS lines0
+              FROM t
+            ),
+            tx AS (
+              SELECT doc_id,
+                     array_to_string(lines0, chr(10))
+                     || CASE WHEN doc_id % 31 = 0
+                             THEN chr(10) || 'see lorem ipsum dolor sit.'
+                             ELSE '' END
+                     || CASE WHEN doc_id % 37 = 0
+                             THEN chr(10) || 'brace { marker line here.'
+                             ELSE '' END AS text
+              FROM ld
+            ),
+            l2 AS (
+              SELECT doc_id, text, string_split(text, chr(10)) AS lines
+              FROM tx
+            ),
+            k AS (
+              SELECT doc_id, text, lines,
+                     list_filter(lines, ln ->
+                       regexp_matches(ln, '[.!?"]\\s*$')
+                       AND len(list_filter(
+                             string_split_regex(trim(ln), '\\s+'),
+                             w -> len(w) > 0)) >= 3
+                       AND NOT contains(lower(ln), 'javascript')
+                     ) AS kept
+              FROM l2
+            )
+            SELECT doc_id,
+                   CAST(len(lines) AS BIGINT) AS n_lines,
+                   CAST(len(kept) AS BIGINT) AS n_kept_lines,
+                   CAST((len(kept) >= 5
+                         AND NOT contains(lower(text), 'lorem ipsum')
+                         AND NOT contains(text, '{')) AS INT)
+                     AS page_keep,
+                   coalesce(array_to_string(kept, chr(10)), '')
+                     AS clean_text
+            FROM k ORDER BY doc_id
+        """,
         # the literal C4 three-sentence-span dedup: 8-token synthesized
         # sentences, corpus-wide keep-first per span string via
         # row_number over (doc_id, pos), covered sentences removed

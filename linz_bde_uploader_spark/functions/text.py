@@ -14,6 +14,8 @@ the correctness harness can hash-match results against DuckDB.
 
 from __future__ import annotations
 
+import re
+
 import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
@@ -1237,4 +1239,63 @@ def badwords_gate(
             "n_distinct_hits"
         ),
         (F.size(hits) == 0).alias("keep"),
+    )
+
+
+def c4_line_filter(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_line_words: int = 3,
+    min_lines: int = 5,
+    newline: str = "\n",
+):
+    """The C4 line-and-page cleaning rules (Raffel et al. 2020 §2.2),
+    the remaining published piece of the C4 recipe beside
+    :func:`badwords_gate` (word grain) and
+    :func:`~linz_bde_uploader_spark.functions.dedup.
+    c4_sentence_span_dedup` (span grain):
+
+    - LINE rules — keep a line only if it ends in a terminal
+      punctuation mark (``. ! ? "``), has at least ``min_line_words``
+      words, and does not contain the word "javascript" (case-folded);
+    - PAGE rules — keep a page only if it retains at least
+      ``min_lines`` lines, does not contain the phrase "lorem ipsum"
+      (case-folded), and does not contain a curly bracket.
+
+    Per document: ``(id, n_lines, n_kept_lines, page_keep,
+    clean_text)`` — kept lines rejoined by ``newline``; every document
+    emits (the dropped page's counts explain WHY it dropped, the
+    corpus-card contract of the other gates).
+
+    Scale: entirely MAP-ONLY — the line split, per-line predicates,
+    filter, and rejoin are array Column arithmetic inside one
+    projection; no shuffle, no join, no UDF. Linear in corpus bytes,
+    embarrassingly parallel."""
+    c = F.col(text_col)
+    lines = F.split(c, re.escape(newline), -1)
+    lc = F.lower(c)
+
+    def _line_keep(ln):
+        words = F.filter(
+            F.split(F.trim(ln), r"\s+"), lambda w: F.length(w) > 0
+        )
+        return (
+            ln.rlike(r'[.!?"]\s*$')
+            & (F.size(words) >= min_line_words)
+            & ~F.lower(ln).contains("javascript")
+        )
+
+    kept = F.filter(lines, _line_keep)
+    page_keep = (
+        (F.size(kept) >= min_lines)
+        & ~lc.contains("lorem ipsum")
+        & ~c.contains("{")
+    )
+    return df.select(
+        F.col(id_col),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept_lines"),
+        page_keep.alias("page_keep"),
+        F.concat_ws(newline, kept).alias("clean_text"),
     )

@@ -509,3 +509,57 @@ class TestC4SentenceSpanDedup:
         assert rows[1].n_removed == 0
         assert rows[2].n_removed == 3  # the shared 3-sentence span
         assert rows[2].clean_text == "not end"
+
+
+class TestC4LineFilter:
+    """text.c4_line_filter — the C4 line-and-page cleaning rules:
+    terminal punctuation, >= 3 words, no 'javascript' per line;
+    >= 5 kept lines, no 'lorem ipsum', no '{' per page."""
+
+    def test_line_rules(self, spark):
+        from linz_bde_uploader_spark.functions.text import c4_line_filter
+
+        text = "\n".join(
+            [
+                "this line ends with a period.",     # kept
+                "no terminal punctuation here",      # dropped: no punct
+                "short one.",                        # dropped: 2 words
+                'a quoted closing line here."',      # kept: quote ok
+                "enable JavaScript to view this.",   # dropped: javascript
+                "does this question line count?",    # kept
+                "an exclamation ends this line!",    # kept
+                "fifth good line to pass the page.", # kept
+            ]
+        )
+        docs = spark.createDataFrame(
+            [(1, text)], "doc_id long, text string"
+        )
+        (r,) = c4_line_filter(docs).collect()
+        assert (r.n_lines, r.n_kept_lines) == (8, 5)
+        assert r.page_keep is True
+        assert r.clean_text.split("\n")[0] == "this line ends with a period."
+        assert "JavaScript" not in r.clean_text
+        assert "no terminal punctuation here" not in r.clean_text
+
+    def test_page_rules(self, spark):
+        from linz_bde_uploader_spark.functions.text import c4_line_filter
+
+        good = "\n".join(
+            f"good clean line number {i} right here." for i in range(5)
+        )
+        docs = spark.createDataFrame(
+            [
+                (1, good),                                   # kept page
+                (2, good + "\nsee lorem ipsum dolor sit."),  # lorem ipsum
+                (3, good + "\nvar x = {a: 1} config here."), # curly brace
+                (4, "only two good lines here.\nanother fine line here."),
+            ],
+            "doc_id long, text string",
+        )
+        rows = {r.doc_id: r for r in c4_line_filter(docs).collect()}
+        assert rows[1].page_keep is True
+        assert rows[2].page_keep is False  # phrase rule
+        assert rows[3].page_keep is False  # curly bracket rule
+        assert rows[4].page_keep is False  # < 5 kept lines
+        # counts still explain the drop
+        assert rows[4].n_kept_lines == 2
