@@ -2004,18 +2004,28 @@ def q_c4_span_dedup(spark, sf_dir):
     # staying punctuation-free.
     d = W.load(spark, sf_dir, "documents")
     toks = F.split(F.translate(F.col("text"), ".", ""), " ")
-    nwin = F.greatest(
-        F.floor((F.size(toks) + F.lit(7)) / F.lit(8)).cast("int"),
-        F.lit(1),
-    )
-    sents = F.transform(
-        F.sequence(F.lit(1), nwin),
-        lambda i: F.concat_ws(
-            " ", F.slice(toks, ((i - 1) * 8 + 1).cast("int"), 8)
-        ),
-    )
+    sents = _token_windows(toks, 8)
     docs = d.select("doc_id", F.concat_ws(". ", sents).alias("text"))
     return D.c4_sentence_span_dedup(docs, k=3).orderBy("doc_id")
+
+
+def _token_windows(toks, width: int):
+    """Fixed-width token windows joined by single spaces — the shared
+    line/sentence synthesis of the two C4 harness queries (the
+    synthetic corpus has no line or sentence structure; both queries
+    and both oracle twins must use identical window arithmetic)."""
+    nwin = F.greatest(
+        F.floor((F.size(toks) + F.lit(width - 1)) / F.lit(width)).cast(
+            "int"
+        ),
+        F.lit(1),
+    )
+    return F.transform(
+        F.sequence(F.lit(1), nwin),
+        lambda i: F.concat_ws(
+            " ", F.slice(toks, ((i - 1) * width + 1).cast("int"), width)
+        ),
+    )
 
 
 def q_c4_line_filter(spark, sf_dir):
@@ -2033,19 +2043,13 @@ def q_c4_line_filter(spark, sf_dir):
     # filter, rejoin in one projection; zero shuffles.
     d = W.load(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
-    nwin = F.greatest(
-        F.floor((F.size(toks) + F.lit(7)) / F.lit(8)).cast("int"),
-        F.lit(1),
-    )
     lines = F.transform(
-        F.sequence(F.lit(1), nwin),
-        lambda i: F.concat(
-            F.concat_ws(
-                " ", F.slice(toks, ((i - 1) * 8 + 1).cast("int"), 8)
-            ),
-            F.when((F.col("doc_id") + i) % 3 != 0, F.lit(".")).otherwise(
-                F.lit("")
-            ),
+        _token_windows(toks, 8),
+        lambda s, i: F.concat(
+            s,
+            F.when(
+                (F.col("doc_id") + i + 1) % 3 != 0, F.lit(".")
+            ).otherwise(F.lit("")),
         ),
     )
     body = F.concat_ws("\n", lines)

@@ -2068,16 +2068,29 @@ def c4_sentence_span_dedup(
     ).select(
         id_col, (F.col("_p0") + 1).alias("pos"), "_span"
     )
-    # corpus-wide first occurrence per span string: exact struct-min
-    agg = spans.groupBy("_span").agg(
-        F.min(F.struct(F.col(id_col), F.col("pos"))).alias("_first"),
-        F.count(F.lit(1)).alias("_n"),
+    # corpus-wide first occurrence per span string: ONE window pass
+    # over the spans table (a groupBy + join-back would re-execute
+    # the sentence-split/window/explode lineage twice — the window
+    # keeps the documented one-span-keyed-shuffle claim literally
+    # true)
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    wspan = Window.partitionBy("_span")
+    marked = spans.select(
+        F.col(id_col),
+        "pos",
+        F.min(F.struct(F.col(id_col), F.col("pos")))
+        .over(wspan)
+        .alias("_first"),
+        F.count(F.lit(1)).over(wspan).alias("_n"),
     )
     removed = (
-        spans.join(agg.filter(F.col("_n") > 1), "_span")
-        .filter(
-            (F.col(id_col) != F.col(f"_first.{id_col}"))
-            | (F.col("pos") != F.col("_first.pos"))
+        marked.filter(
+            (F.col("_n") > 1)
+            & (
+                (F.col(id_col) != F.col(f"_first.{id_col}"))
+                | (F.col("pos") != F.col("_first.pos"))
+            )
         )
         .select(
             F.col(id_col),

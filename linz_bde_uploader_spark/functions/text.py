@@ -1149,8 +1149,11 @@ def unigram_lm_encode(
     word's Viterbi-best segmentation — ``(id, n_words, n_pieces,
     fertility)`` with fertility = pieces per word at 4 dp (the
     tokenizer-quality metric :func:`~linz_bde_uploader_spark.
-    functions.text` tracks for BPE via token fertility). Unknown
-    characters fall back to themselves (one piece), keeping the
+    functions.text` tracks for BPE via token fertility). A word with
+    no positive segmentation path (an unseen character) counts ONE
+    PIECE PER CHARACTER — the same fallback contract as the trainer's
+    M-step and the honest fertility of a char-fallback tokenizer on
+    an out-of-vocabulary word — keeping the
     encoder total.
 
     Scale: the model is the bounded broadcast-by-closure artifact;
@@ -1170,7 +1173,17 @@ def unigram_lm_encode(
         def npieces(w):
             r = memo.get(w)
             if r is None:
-                r = len(_viterbi_word(w, probs, max_piece_len))
+                seg = _viterbi_word(w, probs, max_piece_len)
+                if len(seg) == 1 and (
+                    len(seg[0]) > max_piece_len or seg[0] not in probs
+                ):
+                    # whole-word fallback (no positive path): count
+                    # CHARACTER pieces — the same contract as the
+                    # trainer's M-step, and the honest fertility of a
+                    # byte/char-fallback tokenizer on an OOV word
+                    r = len(seg[0])
+                else:
+                    r = len(seg)
                 memo[w] = r
             return r
 
@@ -1273,8 +1286,6 @@ def c4_line_filter(
     projection; no shuffle, no join, no UDF. Linear in corpus bytes,
     embarrassingly parallel."""
     c = F.col(text_col)
-    lines = F.split(c, re.escape(newline), -1)
-    lc = F.lower(c)
 
     def _line_keep(ln):
         words = F.filter(
@@ -1286,16 +1297,30 @@ def c4_line_filter(
             & ~F.lower(ln).contains("javascript")
         )
 
-    kept = F.filter(lines, _line_keep)
-    page_keep = (
-        (F.size(kept) >= min_lines)
-        & ~lc.contains("lorem ipsum")
-        & ~c.contains("{")
-    )
-    return df.select(
+    # staging rule: the split and the filtered-lines arrays are each
+    # consumed by MULTIPLE expressions below (sizes, rejoin, page
+    # gate), and Spark skips subexpression elimination inside HOF
+    # lambdas — stage each as a real attribute so the split runs once
+    # and the per-line predicate runs once per line
+    staged = df.select(
         F.col(id_col),
-        F.size(lines).cast("long").alias("n_lines"),
-        F.size(kept).cast("long").alias("n_kept_lines"),
+        c.alias("_txt"),
+        F.split(c, re.escape(newline), -1).alias("_lines"),
+    ).select(
+        id_col,
+        "_txt",
+        "_lines",
+        F.filter(F.col("_lines"), _line_keep).alias("_kept"),
+    )
+    page_keep = (
+        (F.size("_kept") >= min_lines)
+        & ~F.lower(F.col("_txt")).contains("lorem ipsum")
+        & ~F.col("_txt").contains("{")
+    )
+    return staged.select(
+        F.col(id_col),
+        F.size("_lines").cast("long").alias("n_lines"),
+        F.size("_kept").cast("long").alias("n_kept_lines"),
         page_keep.alias("page_keep"),
-        F.concat_ws(newline, kept).alias("clean_text"),
+        F.concat_ws(newline, F.col("_kept")).alias("clean_text"),
     )

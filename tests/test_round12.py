@@ -303,7 +303,7 @@ class TestUnigramLM:
 
         model = unigram_lm_train(self._docs(spark), vocab_size=12, n_iters=2)
         docs = spark.createDataFrame(
-            [(1, "abab cdcd"), (2, "Q abab"), (3, "")],
+            [(1, "abab cdcd"), (2, "QX abab"), (3, "")],
             "doc_id long, text string",
         )
         rows = {
@@ -311,9 +311,10 @@ class TestUnigramLM:
         }
         # known words segment into learned pieces
         assert rows[1].n_words == 2
-        assert rows[1].n_pieces == 2  # 'abab' + 'cdcd'? cdcd is one piece
-        # a word with an unknown char falls back to ONE whole-word piece
-        assert rows[2].n_words == 2 and rows[2].n_pieces == 2
+        assert rows[1].n_pieces == 2  # 'abab' + 'cdcd', one piece each
+        # an OOV word (unseen chars, no positive path) counts ONE PIECE
+        # PER CHARACTER — the trainer's fallback contract
+        assert rows[2].n_words == 2 and rows[2].n_pieces == 3  # Q,X + abab
         # empty doc: totality with zeros
         assert (rows[3].n_words, rows[3].n_pieces) == (0, 0)
         assert rows[3].fertility == 0.0
