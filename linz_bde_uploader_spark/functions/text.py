@@ -937,7 +937,12 @@ def _viterbi_word(w: str, probs: dict, max_piece_len: int) -> list:
         for ln in range(1, min(max_piece_len, j) + 1):
             piece = w[j - ln : j]
             p = probs.get(piece)
-            if p is None or best[j - ln] <= 0.0:
+            # p <= 0.0 is as unreachable as an absent piece: letting a
+            # zero-prob piece through would give s = 0.0, which beats the
+            # -1.0 init and returns a zero-score multi-piece segmentation
+            # instead of triggering the caller's whole-word fallback —
+            # quietly re-counting zero-count pieces in the M-step.
+            if p is None or p <= 0.0 or best[j - ln] <= 0.0:
                 continue
             s = best[j - ln] * p
             if s > bs or (s == bs and (ln > bl or (ln == bl and piece < bp))):

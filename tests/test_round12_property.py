@@ -73,6 +73,28 @@ class TestViterbiProperty:
             seg = _viterbi_word(w, model, 2)
             assert "".join(seg) == w
 
+    def test_zero_prob_pieces_are_unreachable(self):
+        # Regression (round-13 advice): a piece with prob exactly 0.0
+        # used to win the DP (s = 0.0 beats the -1.0 init), returning a
+        # zero-score multi-piece segmentation instead of the documented
+        # whole-word fallback — quietly re-counting zero-count pieces
+        # in the M-step. Zero-prob pieces must behave exactly like
+        # absent pieces.
+        from linz_bde_uploader_spark.functions.text import _viterbi_word
+
+        # every covering piece has p = 0.0 -> no positive path -> the
+        # whole-word fallback, NOT ["a", "b"] with score 0.0
+        assert _viterbi_word("ab", {"a": 0.0, "b": 0.0}, 2) == ["ab"]
+        # a zero-prob shortcut must not beat a positive char path
+        assert _viterbi_word("ab", {"a": 0.5, "b": 0.5, "ab": 0.0}, 2) == [
+            "a",
+            "b",
+        ]
+        # zero-prob piece mid-word: only the positive path is returned
+        assert _viterbi_word(
+            "aba", {"a": 0.4, "b": 0.0, "ab": 0.3, "ba": 0.2}, 2
+        ) == ["ab", "a"]
+
 
 class TestBadwordsProperty:
     @given(
