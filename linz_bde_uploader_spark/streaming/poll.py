@@ -1248,3 +1248,107 @@ def url_dedup_stream(
         outputMode="update",
         timeoutConf=state_timeout,
     )
+
+
+def decontam_spans_batch_fn(
+    bench_docs: DataFrame,
+    out_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_span_tokens: int = 6,
+    n: int = 3,
+):
+    """Build the per-micro-batch closure :func:`decontam_spans_stream`
+    hands to ``foreachBatch`` — factored out (the
+    ``corpus_build_batch_fn`` precedent) so the at-least-once replay
+    contract is testable directly: re-invoking the returned function
+    with an already-committed ``batch_id`` must leave the output
+    unchanged, which holds because the gate is STATELESS (it never
+    reads prior batches' output) and the write overwrites its own
+    ``batch_id=`` partition."""
+    from linz_bde_uploader_spark.functions.decontaminate import (  # noqa: PLC0415
+        contamination_spans,
+    )
+
+    # The benchmark is a FIXED artifact probed by every micro-batch:
+    # persist once in the closure so each batch broadcasts the same
+    # materialized positional side instead of re-deriving it.
+    bench_static = bench_docs.persist()
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        out = contamination_spans(
+            batch_df,
+            bench_static,
+            id_col=id_col,
+            text_col=text_col,
+            min_span_tokens=min_span_tokens,
+            n=n,
+        )
+        _state_write(out, out_dir, batch_id)
+
+    return apply_batch
+
+
+def decontam_spans_stream(
+    spark: SparkSession,
+    staging_dir: str,
+    schema: T.StructType,
+    checkpoint_dir: str,
+    out_dir: str,
+    bench_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_span_tokens: int = 6,
+    n: int = 3,
+    max_files_per_trigger: int | None = None,
+):
+    """Streaming face of SPAN-grain benchmark decontamination — the
+    ingestion-time twin of the batch ``contamination_spans``
+    (``functions/decontaminate.py``, the GPT-3/PaLM span method): each
+    micro-batch of newly arrived documents is probed against the FIXED
+    eval-benchmark span table inside ``foreachBatch`` and the per-doc
+    span-mass row (n_spans, n_bench, contaminated_tokens, max_span,
+    contam_ratio, clean_text) lands under ``out_dir/batch_id=N``.
+    With this face beside the exact/near/URL dedup gates, every
+    arrival-time corpus gate the batch registry publishes is also
+    available at ingestion time.
+
+    STATELESS by construction — the benchmark is a fixed artifact
+    (an eval suite never grows with the stream) and the report is
+    per-document, so unlike the dedup faces there is no cross-batch
+    state to read: batch parity holds under ANY split of the input
+    into micro-batches and any arrival order (strictly stronger than
+    the corpus-build face's ascending-id contract), and the
+    at-least-once replay hole the r11 advice found in the corpus face
+    cannot exist here. The per-``batch_id`` overwrite write keeps a
+    replayed batch idempotent, so the checkpointed source offsets
+    give exactly-once output rows.
+
+    Reference parity anchor: the reference's polling loop applies its
+    per-row clean fixups to each poll's arrivals the same way
+    (bin/linz_bde_uploader.pl:242-248 → lib/LINZ/BdeUpload.pm clean
+    path) — span scrubbing is that repair-not-reject contract at
+    token grain, applied per micro-batch.
+
+    Scale: identical to the batch operator per batch — the corpus
+    side is linear map-only positional explode, the probe joins the
+    broadcast benchmark table, only matched positions shuffle into
+    the islands window; nothing accumulates across batches."""
+    apply_batch = decontam_spans_batch_fn(
+        bench_docs,
+        out_dir,
+        id_col=id_col,
+        text_col=text_col,
+        min_span_tokens=min_span_tokens,
+        n=n,
+    )
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return (
+        reader.parquet(staging_dir)
+        .writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1100,3 +1100,124 @@ def test_url_dedup_stream_batch_parity_and_resume(spark, tmp_path):
     emitted.clear()
     drain()  # nothing pending: no emissions, checkpoint is a no-op
     assert emitted == []
+
+
+def test_decontam_spans_stream_batch_parity_and_resume(spark, tmp_path):
+    """Streaming span decontamination == the batch contamination_spans
+    over every document arrived so far, under an ORDER-FREE split (the
+    gate is per-doc and the benchmark is fixed, so unlike the
+    corpus-build face no ascending-id contract is needed — chunks are
+    interleaved by doc_id%3 to prove it), and a resumed drain
+    processes only the new arrivals."""
+    import glob
+    import os
+    import shutil
+
+    from linz_bde_uploader_spark.functions.decontaminate import (
+        contamination_spans,
+    )
+    from linz_bde_uploader_spark.streaming.poll import (
+        decontam_spans_stream,
+    )
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    bench = d.filter(F.col("doc_id") % 17 == 0).select("doc_id", "text")
+    corpus = d.filter(F.col("doc_id") % 17 != 0).select("doc_id", "text")
+
+    def rows(df):
+        return {
+            (
+                r.doc_id, r.n_spans, r.n_bench, r.contaminated_tokens,
+                r.max_span, float(r.contam_ratio), r.clean_text,
+            )
+            for r in df.collect()
+        }
+
+    staging = tmp_path / "staging"
+    staging.mkdir()
+
+    def put_chunk(df, i):
+        tmp_out = tmp_path / f"chunk{i}"
+        df.coalesce(1).write.parquet(str(tmp_out))
+        (part,) = glob.glob(str(tmp_out / "part-*.parquet"))
+        dst = staging / f"{i:03d}.parquet"
+        shutil.copy(part, dst)
+        os.utime(dst, (1_700_000_000 + i * 10, 1_700_000_000 + i * 10))
+
+    # interleaved (NOT ascending) three-way split of the first drain's
+    # documents; doc_id%3==2 rows held back for the resume drain
+    first = corpus.filter(F.col("doc_id") % 3 != 2)
+    for i in range(2):
+        put_chunk(first.filter(F.col("doc_id") % 3 == i), i)
+
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        q = decontam_spans_stream(
+            spark,
+            str(staging),
+            corpus.schema,
+            ckpt,
+            out,
+            bench_docs=bench,
+            max_files_per_trigger=1,
+        )
+        assert q.awaitTermination(600)
+
+    drain()
+    streamed = spark.read.parquet(out)
+    assert streamed.select("batch_id").distinct().count() == 2
+    assert rows(streamed.drop("batch_id")) == rows(
+        contamination_spans(first, bench)
+    )
+
+    # resume: only the held-back docs are processed by the new drain
+    put_chunk(corpus.filter(F.col("doc_id") % 3 == 2), 2)
+    drain()
+    streamed = spark.read.parquet(out)
+    assert streamed.select("batch_id").distinct().count() == 3
+    assert rows(streamed.drop("batch_id")) == rows(
+        contamination_spans(corpus, bench)
+    )
+
+    # nothing pending: a further drain adds no partitions
+    drain()
+    assert spark.read.parquet(out).select("batch_id").distinct().count() == 3
+
+
+def test_decontam_spans_batch_replay_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: re-invoking the decontam closure
+    on an already-written batch_id (a crash between the output write
+    and the checkpoint commit) must leave the output byte-identical —
+    the gate reads no prior-batch state and the write overwrites its
+    own partition."""
+    from linz_bde_uploader_spark.streaming.poll import (
+        decontam_spans_batch_fn,
+    )
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    bench = d.filter(F.col("doc_id") % 17 == 0).select("doc_id", "text")
+    batch = (
+        d.filter(F.col("doc_id") % 17 != 0)
+        .select("doc_id", "text")
+        .limit(120)
+    )
+    out = str(tmp_path / "out")
+    fn = decontam_spans_batch_fn(bench, out)
+
+    fn(batch, 0)
+    first = {
+        (r.doc_id, r.n_spans, r.contaminated_tokens, r.clean_text)
+        for r in spark.read.parquet(out).drop("batch_id").collect()
+    }
+    fn(batch, 0)  # replay of the SAME micro-batch
+    again = {
+        (r.doc_id, r.n_spans, r.contaminated_tokens, r.clean_text)
+        for r in spark.read.parquet(out).drop("batch_id").collect()
+    }
+    assert again == first
+    assert (
+        spark.read.parquet(out).count()
+        == spark.read.parquet(out).select("doc_id").distinct().count()
+    )
