@@ -142,6 +142,15 @@ PICK = [
     # round-11 birth: leakage-proof cluster-consistent split — pair
     # volume + a components loop over the pair graph only
     "q_cluster_split",
+    # round-13 births: the multimodal corpus composite (map-only pair
+    # synthesis + Arrow fingerprint UDF + two windows keyed by
+    # canonical URL / fingerprint + id-keyed flag joins) and its
+    # per-source card over the same frame
+    "q_mm_corpus_e2e", "q_mm_corpus_card",
+    # round-13 births: drop-reason provenance — a relabeling
+    # projection / a ≤7-key rollup over the corpus-build level frame
+    # (the frame itself is the measured q_corpus_build_e2e chain)
+    "q_corpus_drop_reason", "q_corpus_drop_hist",
 ]
 
 

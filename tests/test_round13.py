@@ -1,0 +1,140 @@
+"""Round-13 births: the LAION-style multimodal corpus-build composite
+(per-stage funnel + per-source card over one level frame) and the
+drop-reason provenance pair over the text corpus-build level frame.
+(The streaming span-decontamination face is in test_streaming.py.)"""
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+class TestMmCorpusComposite:
+    """q_mm_corpus_e2e / q_mm_corpus_card — two grains of ONE level
+    frame: the funnel must be monotone with real mass at every stage,
+    stage 1 must equal the standalone url_dedup operator's survivor
+    count (the composite runs it verbatim), and the card's per-source
+    sums must reproduce the funnel exactly."""
+
+    def _funnel(self, spark):
+        import __spark_entry__ as E
+
+        return {
+            r.stage_no: r for r in E.q_mm_corpus_e2e(spark, SF).collect()
+        }
+
+    def test_funnel_monotone_with_real_mass(self, spark):
+        fun = self._funnel(spark)
+        assert [fun[i].stage for i in range(4)] == [
+            "ingest", "url_dedup", "alignment", "fp_dedup",
+        ]
+        n = [fun[i].n_pairs for i in range(4)]
+        b = [fun[i].n_bytes for i in range(4)]
+        assert n[0] > n[1] > n[2] > n[3] > 0  # every gate drops something
+        assert b[0] > b[1] > b[2] > b[3] > 0
+        d = spark.read.parquet(f"{SF}/embeddings.parquet")
+        assert n[0] == d.count()
+
+    def test_stage1_is_the_standalone_url_dedup(self, spark):
+        import __spark_entry__ as E
+        from linz_bde_uploader_spark.functions.urls import url_dedup
+
+        d = spark.read.parquet(f"{SF}/embeddings.parquet")
+        src = F.concat(F.lit("src"), F.col("label").cast("string"))
+        pid = F.pmod(F.col("vec_id"), F.lit(10)).cast("string")
+        m = F.pmod(F.col("vec_id"), F.lit(3))
+        url = (
+            F.when(m == 0, F.concat(
+                F.lit("https://WWW."), F.upper(src),
+                F.lit(".Example.COM/p/"), pid, F.lit("/?utm_source=x")))
+            .when(m == 1, F.concat(
+                F.lit("http://files."), src,
+                F.lit(".example.com:80/p/"), pid))
+            .otherwise(F.concat(
+                F.lit("https://"), src,
+                F.lit(".example.com/p/"), pid, F.lit("?gclid=1")))
+        )
+        caption = F.concat(
+            src, F.lit(" caption "),
+            F.repeat(F.lit("x"),
+                     F.pmod(F.col("vec_id"), F.lit(7)).cast("int")),
+        )
+        pairs = d.select(
+            F.col("vec_id").alias("media_id"),
+            url.alias("url"), caption.alias("caption"),
+        )
+        standalone = url_dedup(
+            pairs, url_col="url", id_col="media_id", text_col="caption"
+        ).count()
+        assert self._funnel(spark)[1].n_pairs == standalone
+
+    def test_card_sums_reproduce_funnel(self, spark):
+        import __spark_entry__ as E
+
+        fun = self._funnel(spark)
+        card = E.q_mm_corpus_card(spark, SF)
+        sums = card.agg(
+            F.sum("n_ingest").alias("i"),
+            F.sum("n_url_kept").alias("u"),
+            F.sum("n_aligned").alias("a"),
+            F.sum("n_final").alias("f"),
+            F.sum("final_bytes").alias("fb"),
+        ).collect()[0]
+        assert sums.i == fun[0].n_pairs
+        assert sums.u == fun[1].n_pairs
+        assert sums.a == fun[2].n_pairs
+        assert sums.f == fun[3].n_pairs
+        assert sums.fb == fun[3].n_bytes
+        # every card row is internally monotone and null-free
+        for r in card.collect():
+            assert r.n_ingest >= r.n_url_kept >= r.n_aligned >= r.n_final
+            assert r.mean_align is not None and r.kept_frac is not None
+            # a source with survivors reports a real cosine, not the
+            # empty-source sentinel
+            if r.n_final > 0:
+                assert -1.0 <= r.mean_align <= 1.0
+            else:
+                assert r.mean_align == -2.0
+
+
+class TestCorpusDropReason:
+    """q_corpus_drop_reason / q_corpus_drop_hist — the per-doc
+    attribution must be the funnel read doc-wise: docs with
+    drop_stage_no > s are exactly the stage-s survivors, the histogram
+    is the rollup of the per-doc rows, and fractions sum to ~1."""
+
+    def test_attribution_matches_funnel(self, spark):
+        import __spark_entry__ as E
+
+        fun = {
+            r.stage_no: r
+            for r in E.q_corpus_build_e2e(spark, SF).collect()
+        }
+        per_doc = E.q_corpus_drop_reason(spark, SF).collect()
+        assert len(per_doc) == fun[0].n_docs  # every ingested doc has a row
+        for s in range(7):
+            survivors = sum(1 for r in per_doc if r.drop_stage_no > s)
+            toks = sum(
+                r.n_tokens for r in per_doc if r.drop_stage_no > s
+            )
+            assert survivors == fun[s].n_docs, f"stage {s}"
+            assert toks == fun[s].n_tokens, f"stage {s}"
+
+    def test_hist_is_the_rollup(self, spark):
+        import __spark_entry__ as E
+
+        per_doc = E.q_corpus_drop_reason(spark, SF).collect()
+        want = {}
+        for r in per_doc:
+            k = (r.drop_stage_no, r.dropped_by)
+            nd, nt = want.get(k, (0, 0))
+            want[k] = (nd + 1, nt + r.n_tokens)
+        hist = E.q_corpus_drop_hist(spark, SF).collect()
+        got = {
+            (r.drop_stage_no, r.dropped_by): (r.n_docs, r.n_tokens)
+            for r in hist
+        }
+        assert got == want
+        assert abs(sum(r.frac_of_ingest for r in hist) - 1.0) < 0.01
+        # survivors labeled 'kept' and only they carry stage 7
+        for r in hist:
+            assert (r.drop_stage_no == 7) == (r.dropped_by == "kept")
