@@ -1352,3 +1352,188 @@ def decontam_spans_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+#: multimodal ingest funnel stages (per micro-batch)
+MEDIA_STAGES = [(0, "ingest"), (1, "alignment"), (2, "fp_dedup")]
+
+
+def media_ingest_batch_fn(
+    spark: SparkSession,
+    state_dir: str,
+    id_col: str = "media_id",
+    content_col: str = "content",
+    img_col: str = "img",
+    txt_col: str = "txt",
+    threshold: float = 0.28,
+):
+    """Build the per-micro-batch closure :func:`media_ingest_stream`
+    hands to ``foreachBatch``. Replay-safe by the corpus-build face's
+    contract: the standing fingerprint index is read with
+    ``_state_read(..., before_batch=batch_id)`` (a replayed batch sees
+    exactly the state the original run saw, never its own writes) and
+    every write overwrites its own ``batch_id=`` partition."""
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    from linz_bde_uploader_spark.functions.multimodal import (  # noqa: PLC0415
+        _alignment_score,
+        byte_fingerprint,
+    )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        flags = batch_df.select(
+            id_col,
+            F.length(content_col).cast("long").alias("_nb"),
+            byte_fingerprint(F.col(content_col)).alias("_fp"),
+            (
+                _alignment_score(img_col, txt_col)
+                >= F.lit(float(threshold))
+            ).alias("_f1"),
+        ).persist()
+        try:
+            aligned = flags.filter(F.col("_f1"))
+            idx = _state_read(
+                spark, f"{state_dir}/fpindex", before_batch=batch_id
+            )
+            fresh = aligned
+            if idx is not None:
+                fresh = aligned.join(
+                    idx.select("_fp").distinct(), "_fp", "left_anti"
+                )
+            keep2 = (
+                fresh.withColumn(
+                    "_rn",
+                    F.row_number().over(
+                        Window.partitionBy("_fp").orderBy(id_col)
+                    ),
+                )
+                .filter(F.col("_rn") == 1)
+                .select(id_col, F.lit(True).alias("_f2"))
+            )
+            lv = flags.join(keep2, id_col, "left").select(
+                id_col,
+                "_nb",
+                "_fp",
+                F.when(~F.col("_f1"), 0)
+                .when(~F.coalesce(F.col("_f2"), F.lit(False)), 1)
+                .otherwise(2)
+                .alias("_level"),
+            )
+            stage_tbl = spark.createDataFrame(
+                MEDIA_STAGES, "stage_no int, stage string"
+            )
+            agg = (
+                lv.select(
+                    F.explode(F.sequence(F.lit(0), F.lit(2))).alias(
+                        "stage_no"
+                    ),
+                    "_level",
+                    "_nb",
+                )
+                .filter(F.col("_level") >= F.col("stage_no"))
+                .groupBy(F.col("stage_no").cast("int").alias("stage_no"))
+                .agg(
+                    F.count(F.lit(1)).cast("long").alias("_np"),
+                    F.sum("_nb").cast("long").alias("_nby"),
+                )
+            )
+            funnel = stage_tbl.join(agg, "stage_no", "left").select(
+                "stage_no",
+                "stage",
+                F.coalesce(F.col("_np"), F.lit(0))
+                .cast("long")
+                .alias("n_pairs"),
+                F.coalesce(F.col("_nby"), F.lit(0))
+                .cast("long")
+                .alias("n_bytes"),
+            )
+            _state_write(funnel, f"{state_dir}/funnel", batch_id)
+            surv = lv.filter(F.col("_level") >= 2)
+            _state_write(
+                surv.select(id_col, "_fp"),
+                f"{state_dir}/fpindex",
+                batch_id,
+            )
+            _state_write(
+                batch_df.join(
+                    surv.select(id_col), id_col, "left_semi"
+                ),
+                f"{state_dir}/corpus",
+                batch_id,
+            )
+        finally:
+            flags.unpersist()
+
+    return apply_batch
+
+
+def media_ingest_stream(
+    spark: SparkSession,
+    staging_dir: str,
+    schema: T.StructType,
+    checkpoint_dir: str,
+    state_dir: str,
+    id_col: str = "media_id",
+    content_col: str = "content",
+    img_col: str = "img",
+    txt_col: str = "txt",
+    threshold: float = 0.28,
+    max_files_per_trigger: int | None = None,
+):
+    """Streaming multimodal ingestion gate — the arrival-time face of
+    the admission stages of the multimodal corpus-build composite
+    (``__spark_entry__._mm_corpus_level_frame``): each micro-batch of
+    newly arrived (image, caption) pairs runs
+
+        alignment gate (CLIP-score cut, map-only, stateless)
+        → incremental payload-fingerprint dedup (standing index)
+
+    inside ``foreachBatch`` with the SAME audited operators
+    (``multimodal._alignment_score``, ``multimodal.byte_fingerprint``)
+    — one implementation, two drivers — writing under ``state_dir``:
+
+    - ``fpindex`` — (id, fingerprint) of every admitted pair: the
+      standing payload-dedup index (two scalars per survivor; the
+      payload itself never enters state);
+    - ``corpus``  — the admitted pairs (the growing training corpus);
+    - ``funnel``  — one (stage_no, stage, n_pairs, n_bytes) row per
+      stage PER MICRO-BATCH (the per-poll audit row).
+
+    EXACT batch parity under ascending-id arrival (pinned by the
+    parity test): the alignment gate is per-pair and order-free; the
+    fingerprint gate admits a pair iff no LOWER-id aligned pair shares
+    its fingerprint (earlier batch ⇒ in the index; same batch ⇒ the
+    keep-first window) — exactly the batch keep-min-id rule, and
+    exactly stages 2-3 of the batch composite. The composite's URL
+    stage is deliberately NOT an admission gate here: its keep-BEST
+    winner (longest capture) is not prefix-monotone — a later, fuller
+    capture must SUPERSEDE an earlier admission, which is
+    :func:`url_dedup_stream`'s update-mode contract, not an
+    append-mode gate's.
+
+    Scale: the alignment score and payload length are whole-stage-
+    codegen Column folds; the fingerprint is the Arrow-batched pandas
+    UDF; the exact gate is one anti join against the fingerprint
+    index (AQE broadcasts it while it fits) plus a batch-local window;
+    state grows as the admitted corpus, two longs per row."""
+    apply_batch = media_ingest_batch_fn(
+        spark,
+        state_dir,
+        id_col=id_col,
+        content_col=content_col,
+        img_col=img_col,
+        txt_col=txt_col,
+        threshold=threshold,
+    )
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return (
+        reader.parquet(staging_dir)
+        .writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

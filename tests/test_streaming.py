@@ -1221,3 +1221,165 @@ def test_decontam_spans_batch_replay_idempotent(spark, tmp_path):
         spark.read.parquet(out).count()
         == spark.read.parquet(out).select("doc_id").distinct().count()
     )
+
+
+def _media_pairs(spark):
+    """The multimodal composite's pair synthesis minus the URL stage
+    (test_round13 pins the URL stage separately): payload = UTF-8
+    caption with (label, vec_id%7)-keyed duplicate groups, img/txt =
+    the reversed/negated/identical variants."""
+    d = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    src = F.concat(F.lit("src"), F.col("label").cast("string"))
+    caption = F.concat(
+        src, F.lit(" caption "),
+        F.repeat(F.lit("x"), F.pmod(F.col("vec_id"), F.lit(7)).cast("int")),
+    )
+    img = (
+        F.when(F.col("vec_id") % 4 == 0, F.reverse(F.col("embedding")))
+        .when(F.col("vec_id") % 4 == 1,
+              F.transform(F.col("embedding"), lambda x: -x))
+        .otherwise(F.col("embedding"))
+    )
+    return d.select(
+        F.col("vec_id").alias("media_id"),
+        src.alias("source"),
+        F.encode(caption, "UTF-8").alias("content"),
+        img.alias("img"),
+        F.col("embedding").alias("txt"),
+    )
+
+
+def test_media_ingest_stream_batch_parity_and_resume(spark, tmp_path):
+    """Streaming multimodal admission == the batch alignment gate +
+    fingerprint keep-min-id over everything arrived, when pairs arrive
+    as ascending-id micro-batches; the standing index must drop
+    cross-batch payload duplicates a batch-local gate would admit."""
+    import glob
+    import os
+    import shutil
+
+    from linz_bde_uploader_spark.functions.multimodal import (
+        _alignment_score,
+        fingerprint_dedup,
+    )
+    from linz_bde_uploader_spark.streaming.poll import media_ingest_stream
+
+    pairs = _media_pairs(spark)
+
+    def batch_expect(df):
+        aligned = df.filter(
+            _alignment_score("img", "txt") >= F.lit(0.28)
+        )
+        surv = fingerprint_dedup(aligned, "media_id", "content")
+        return (
+            {r.media_id for r in surv.collect()},
+            aligned.count(),
+            df.count(),
+        )
+
+    staging = tmp_path / "staging"
+    staging.mkdir()
+
+    def put_chunk(df, i):
+        tmp_out = tmp_path / f"chunk{i}"
+        df.coalesce(1).write.parquet(str(tmp_out))
+        (part,) = glob.glob(str(tmp_out / "part-*.parquet"))
+        dst = staging / f"{i:03d}.parquet"
+        shutil.copy(part, dst)
+        os.utime(dst, (1_700_000_000 + i * 10, 1_700_000_000 + i * 10))
+
+    # ascending-id chunks (the keep-min-id parity contract)
+    put_chunk(pairs.filter(F.col("media_id") < 170), 0)
+    put_chunk(
+        pairs.filter((F.col("media_id") >= 170) & (F.col("media_id") < 340)),
+        1,
+    )
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        q = media_ingest_stream(
+            spark, str(staging), pairs.schema, ckpt, state,
+            max_files_per_trigger=1,
+        )
+        assert q.awaitTermination(600)
+
+    drain()
+    first = pairs.filter(F.col("media_id") < 340)
+    want_ids, want_aligned, want_all = batch_expect(first)
+    got_ids = {
+        r.media_id for r in spark.read.parquet(f"{state}/corpus").collect()
+    }
+    assert got_ids == want_ids
+    fun = spark.read.parquet(f"{state}/funnel")
+    assert fun.select("batch_id").distinct().count() == 2
+    sums = {
+        r.stage_no: r.n
+        for r in fun.groupBy("stage_no")
+        .agg(F.sum("n_pairs").alias("n"))
+        .collect()
+    }
+    assert sums == {0: want_all, 1: want_aligned, 2: len(want_ids)}
+
+    # the standing index really dropped cross-batch duplicates: the
+    # second chunk admitted FEWER than a batch-local gate would have
+    c2 = pairs.filter(
+        (F.col("media_id") >= 170) & (F.col("media_id") < 340)
+    )
+    local_only = len(batch_expect(c2)[0])
+    streamed_c2 = (
+        fun.filter(F.col("stage_no") == 2)
+        .orderBy("batch_id")
+        .collect()[1]
+        .n_pairs
+    )
+    assert streamed_c2 < local_only
+
+    # resume: the held-back tail only
+    put_chunk(pairs.filter(F.col("media_id") >= 340), 2)
+    drain()
+    want_ids, want_aligned, want_all = batch_expect(pairs)
+    got_ids = {
+        r.media_id for r in spark.read.parquet(f"{state}/corpus").collect()
+    }
+    assert got_ids == want_ids
+    fun = spark.read.parquet(f"{state}/funnel")
+    assert fun.select("batch_id").distinct().count() == 3
+
+
+def test_media_ingest_batch_replay_idempotent(spark, tmp_path):
+    """Re-invoking the media closure on an already-written batch_id
+    must leave every state directory unchanged: the index read is
+    filtered to strictly-prior batches and the writes overwrite their
+    own partitions."""
+    from linz_bde_uploader_spark.streaming.poll import (
+        media_ingest_batch_fn,
+    )
+
+    pairs = _media_pairs(spark)
+    state = str(tmp_path / "state")
+    fn = media_ingest_batch_fn(spark, state)
+
+    b0 = pairs.filter(F.col("media_id") < 200)
+    b1 = pairs.filter(F.col("media_id") >= 200)
+    fn(b0, 0)
+    fn(b1, 1)
+
+    def snapshot():
+        return {
+            part: sorted(
+                map(
+                    tuple,
+                    spark.read.parquet(f"{state}/{part}")
+                    .select("batch_id", "media_id")
+                    .collect(),
+                )
+            )
+            for part in ("fpindex", "corpus")
+        }
+
+    before = snapshot()
+    fn(b1, 1)  # replay of the LAST committed micro-batch
+    assert snapshot() == before
+    fn(b0, 0)  # replay of an EARLIER batch (index must not self-read)
+    assert snapshot() == before
