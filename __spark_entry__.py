@@ -2312,6 +2312,31 @@ def q_decontam_bench(spark, sf_dir):
     ).orderBy("bench_id")
 
 
+def q_decontam_source(spark, sf_dir):
+    # Per-SOURCE contamination datasheet (decontaminate.py::
+    # contamination_datasheet) — the THIRD grain of the span family
+    # over the SAME verified span set as q_decontam_spans /
+    # q_decontam_bench (shared _verified_bench_spans / shared sz
+    # oracle CTE — the three reports can never disagree): per ingest
+    # source, how many docs quote the eval benchmark, the verbatim
+    # token mass, and the worst single quotation — the corpus-card
+    # row that turns decontamination from a scrubbing pass into a
+    # procurement signal (a feed that keeps quoting the eval suite
+    # gets dropped or re-crawled, not just scrubbed). Adds one
+    # column-pruned id→source join and a |sources|-key rollup to the
+    # audited span chain; the scrub rebuild deliberately absent.
+    from linz_bde_uploader_spark.functions import decontaminate as DX
+
+    d = W.load(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 17 == 0).select("doc_id", "text")
+    corpus = d.filter(F.col("doc_id") % 17 != 0).select(
+        "doc_id", "text", "source"
+    )
+    return DX.contamination_datasheet(
+        corpus, bench, min_span_tokens=6
+    ).orderBy("source")
+
+
 def q_badwords_gate(spark, sf_dir):
     # C4-style blocked-word page gate (text.py::badwords_gate; Raffel
     # et al. 2020 §2.2 — C4 drops any page containing a word from a
@@ -4836,15 +4861,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    displaced tenants q_sim_cosine_topk / q_sim_cosine_above
         #    each carry THREE green driver rows (r1+r3+r4) -> 51+
         "q_bpe_merges": q_bpe_merges,
-        # -- round-11 birth: leakage-proof cluster-consistent split —
-        #    verified near-dup pairs → connected components → the
-        #    split hash on the cluster canonical id (the PREVENTION
-        #    face of q_split_leakage's measurement); displaced tenant
-        #    q_fuzzy_join (green r8-r10 triple; its two-phase
-        #    block-then-verify shape is the same family the banded
-        #    dedup queries keep in-window, fuzzy join stays
-        #    oracle-checked at 51+) -> 51+
-        "q_cluster_split": q_cluster_split,
+        # -- round-13 birth: per-SOURCE contamination datasheet — the
+        #    THIRD grain of the span family over the SAME verified
+        #    span set (doc grain q_decontam_spans, item grain
+        #    q_decontam_bench, source grain here): the corpus-card row
+        #    that turns decontamination into a procurement signal;
+        #    displaced tenant q_cluster_split (r11+r12 double green;
+        #    the split family keeps q_split_leakage in-window,
+        #    cluster-consistent assignment stays oracle-checked at
+        #    51+) -> 51+
+        "q_decontam_source": q_decontam_source,
         # -- round-12 birth: the C4 line-and-page cleaning rules
         #    (terminal punctuation + >=3 words + no-javascript lines;
         #    >=5-kept-lines + no-lorem-ipsum + no-brace pages) —
@@ -5132,6 +5158,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # green; banded-LSH runs inside q_corpus_build_e2e's near-dup
         # stage in-window)
         "q_lsh_band_plan": q_lsh_band_plan,
+        # rotated out in round 13 by q_decontam_source (r11+r12 green;
+        # the split family keeps q_split_leakage in-window)
+        "q_cluster_split": q_cluster_split,
         "q_bpe_pair_counts": q_bpe_pair_counts,
         "q_tpch_q8_market_share": q_tpch_q8_market_share,
         "q_tpch_q9_profit": q_tpch_q9_profit,
@@ -8608,6 +8637,48 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN bst ON bst.bench_id = b.doc_id
             LEFT JOIN bcov ON bcov.bench_id = b.doc_id
             ORDER BY bench_id
+        """,
+        # per-source contamination datasheet: the SAME sz span set,
+        # rolled up by ingest source (docs, verbatim token mass,
+        # worst quotation)
+        "q_decontam_source": _decontam_span_ctes() + """,
+            scov AS (
+              SELECT doc_id, count(*) AS cov FROM (
+                SELECT DISTINCT doc_id, p
+                FROM sz,
+                     unnest(generate_series(start_c,
+                                            start_c + span_len - 1))
+                       AS tt(p)
+              ) GROUP BY doc_id
+            ),
+            sst AS (
+              SELECT doc_id, count(*) AS ns, max(span_len) AS mx
+              FROM sz GROUP BY doc_id
+            ),
+            pd AS (
+              SELECT c.doc_id, c.n AS nt, dd.source,
+                     coalesce(scov.cov, 0) AS cov,
+                     coalesce(sst.ns, 0) AS ns,
+                     coalesce(sst.mx, 0) AS mx
+              FROM (SELECT doc_id, n FROM t WHERE doc_id % 17 <> 0) c
+              JOIN documents dd ON dd.doc_id = c.doc_id
+              LEFT JOIN sst ON sst.doc_id = c.doc_id
+              LEFT JOIN scov ON scov.doc_id = c.doc_id
+            )
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(CASE WHEN cov > 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_contaminated,
+                   round(CAST(sum(CASE WHEN cov > 0 THEN 1 ELSE 0 END)
+                              AS DOUBLE) / count(*), 4)
+                     AS contaminated_frac,
+                   CAST(sum(ns) AS BIGINT) AS n_spans,
+                   CAST(sum(cov) AS BIGINT) AS contaminated_tokens,
+                   CAST(sum(nt) AS BIGINT) AS total_tokens,
+                   round(CAST(sum(cov) AS DOUBLE)
+                         / greatest(sum(nt), 1), 4) AS contam_ratio,
+                   CAST(max(mx) AS BIGINT) AS max_span
+            FROM pd GROUP BY source ORDER BY source
         """,
         # C4 blocked-word gate: case-folded literal-list membership,
         # any-hit-drops keep flag + auditable hit counts

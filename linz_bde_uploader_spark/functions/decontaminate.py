@@ -368,6 +368,94 @@ def benchmark_leakage(
     )
 
 
+def contamination_datasheet(
+    corpus: DataFrame,
+    bench: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+    min_span_tokens: int = 6,
+    n: int = 3,
+) -> DataFrame:
+    """Per-SOURCE contamination datasheet — the third grain of the
+    span family (doc grain :func:`contamination_spans`, eval-item
+    grain :func:`benchmark_leakage`, source grain here) and the row a
+    corpus card publishes per ingest source: a feed that keeps
+    quoting the eval suite is a PROCUREMENT problem (drop or re-crawl
+    the source), which neither per-doc scrubbing nor per-item eval
+    accounting surfaces. Per source:
+
+    - ``n_docs`` / ``n_contaminated`` / ``contaminated_frac`` (4 dp) —
+      how widespread contamination is in the feed
+    - ``n_spans`` — total maximal shared spans
+    - ``contaminated_tokens`` / ``total_tokens`` / ``contam_ratio``
+      (4 dp) — how much of the feed's token mass is verbatim
+      benchmark text (distinct positions per doc, overlaps never
+      double-count)
+    - ``max_span`` — the worst single quotation
+
+    Same machinery and bounds as the sibling grains
+    (:func:`_verified_bench_spans` — broadcast benchmark, sh-verified
+    islands, no nomination), so all three reports describe the SAME
+    span set; only the aggregation key changes. Scale: adds one
+    ``id → group`` join (corpus-keyed, column-pruned to two columns)
+    and a |sources|-key rollup to the already-bounded span chain —
+    the scrub rebuild is deliberately NOT run (the datasheet never
+    touches token arrays)."""
+    sized, staged_c, _ = _verified_bench_spans(
+        corpus, bench, id_col, text_col, min_span_tokens, n
+    )
+    dcov = (
+        sized.select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(
+                    F.col("start_c"),
+                    F.col("start_c") + F.col("span_len") - F.lit(1),
+                )
+            ).alias("pos"),
+        )
+        .distinct()
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("_cov"))
+    )
+    stats = sized.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("_ns"),
+        F.max("span_len").cast("long").alias("_mx"),
+    )
+    per_doc = (
+        staged_c.select(F.col(id_col), "_nt")
+        .join(stats, [id_col], "left")
+        .join(dcov, [id_col], "left")
+        .join(corpus.select(F.col(id_col), F.col(group_col)), [id_col])
+        .select(
+            F.col(group_col).alias("source"),
+            F.col("_nt").cast("long").alias("_nt"),
+            F.coalesce(F.col("_ns"), F.lit(0)).alias("_ns"),
+            F.coalesce(F.col("_cov"), F.lit(0)).alias("_cov"),
+            F.coalesce(F.col("_mx"), F.lit(0)).alias("_mx"),
+        )
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum((F.col("_cov") > 0).cast("long"))
+        .cast("long")
+        .alias("n_contaminated"),
+        F.round(
+            F.sum((F.col("_cov") > 0).cast("long"))
+            / F.count(F.lit(1)),
+            4,
+        ).alias("contaminated_frac"),
+        F.sum("_ns").cast("long").alias("n_spans"),
+        F.sum("_cov").cast("long").alias("contaminated_tokens"),
+        F.sum("_nt").cast("long").alias("total_tokens"),
+        F.round(
+            F.sum("_cov") / F.greatest(F.sum("_nt"), F.lit(1)), 4
+        ).alias("contam_ratio"),
+        F.max("_mx").cast("long").alias("max_span"),
+    )
+
+
 def semantic_contamination(
     corpus: DataFrame,
     bench_vectors: "list[tuple[int, list[float]]]",

@@ -151,6 +151,10 @@ PICK = [
     # projection / a ≤7-key rollup over the corpus-build level frame
     # (the frame itself is the measured q_corpus_build_e2e chain)
     "q_corpus_drop_reason", "q_corpus_drop_hist",
+    # round-13 birth: per-source contamination datasheet — the
+    # decontam span chain (already measured at 1.2-1.5×) + one
+    # column-pruned id→source join + a |sources|-key rollup
+    "q_decontam_source",
 ]
 
 

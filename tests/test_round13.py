@@ -1,7 +1,9 @@
 """Round-13 births: the LAION-style multimodal corpus-build composite
-(per-stage funnel + per-source card over one level frame) and the
-drop-reason provenance pair over the text corpus-build level frame.
-(The streaming span-decontamination face is in test_streaming.py.)"""
+(per-stage funnel + per-source card over one level frame), the
+drop-reason provenance pair over the text corpus-build level frame,
+and the per-source contamination datasheet (the span family's third
+grain). (The streaming span-decontamination and multimodal-ingest
+faces are in test_streaming.py.)"""
 
 from pyspark.sql import functions as F
 
@@ -138,3 +140,47 @@ class TestCorpusDropReason:
         # survivors labeled 'kept' and only they carry stage 7
         for r in hist:
             assert (r.drop_stage_no == 7) == (r.dropped_by == "kept")
+
+
+class TestDecontamSource:
+    """q_decontam_source — the span family's third grain must describe
+    the SAME span set as the doc and eval-item grains: total spans
+    agree across all three, and the source rows are exactly the doc
+    rows rolled up by source."""
+
+    def test_three_grains_one_span_set(self, spark):
+        import __spark_entry__ as E
+
+        per_doc = E.q_decontam_spans(spark, SF).collect()
+        per_item = E.q_decontam_bench(spark, SF).collect()
+        per_src = E.q_decontam_source(spark, SF).collect()
+
+        assert sum(r.n_spans for r in per_src) == sum(
+            r.n_spans for r in per_doc
+        ) == sum(r.n_spans for r in per_item) > 0
+
+        # roll the doc grain up by source and compare field-for-field
+        d = spark.read.parquet(f"{SF}/documents.parquet")
+        src_of = {r.doc_id: r.source for r in d.collect()}
+        want = {}
+        for r in per_doc:
+            s = src_of[r.doc_id]
+            nd, nc, ns, ct, mx = want.get(s, (0, 0, 0, 0, 0))
+            want[s] = (
+                nd + 1,
+                nc + (1 if r.contaminated_tokens > 0 else 0),
+                ns + r.n_spans,
+                ct + r.contaminated_tokens,
+                max(mx, r.max_span),
+            )
+        got = {
+            r.source: (
+                r.n_docs, r.n_contaminated, r.n_spans,
+                r.contaminated_tokens, r.max_span,
+            )
+            for r in per_src
+        }
+        assert got == want
+        for r in per_src:
+            assert 0.0 <= r.contaminated_frac <= 1.0
+            assert 0.0 <= r.contam_ratio <= 1.0
