@@ -179,6 +179,26 @@ def _verified_bench_spans(
     return sized, staged_c, staged_b
 
 
+def _covered_positions(
+    sized: DataFrame, key_col: str, start_col: str
+) -> DataFrame:
+    """DISTINCT (key, pos) token positions covered by any span in
+    ``sized`` on the chosen side (``start_c`` = corpus doc positions,
+    ``start_b`` = benchmark item positions) — the shared coverage
+    explode of all three report grains, factored out so overlapping
+    spans can never double-count differently between them. Consumers
+    aggregate (count for mass, collect_set for the scrub rebuild)."""
+    return sized.select(
+        F.col(key_col),
+        F.explode(
+            F.sequence(
+                F.col(start_col),
+                F.col(start_col) + F.col("span_len") - F.lit(1),
+            )
+        ).alias("pos"),
+    ).distinct()
+
+
 def contamination_spans(
     corpus: DataFrame,
     bench: DataFrame,
@@ -239,16 +259,7 @@ def contamination_spans(
         corpus, bench, id_col, text_col, min_span_tokens, n
     )
     dpos = (
-        sized.select(
-            F.col(id_col),
-            F.explode(
-                F.sequence(
-                    F.col("start_c"),
-                    F.col("start_c") + F.col("span_len") - F.lit(1),
-                )
-            ).alias("pos"),
-        )
-        .distinct()
+        _covered_positions(sized, id_col, "start_c")
         .groupBy(id_col)
         .agg(F.collect_set("pos").alias("_dups"))
     )
@@ -323,16 +334,7 @@ def benchmark_leakage(
         corpus, bench, id_col, text_col, min_span_tokens, n
     )
     bpos = (
-        sized.select(
-            "bench_id",
-            F.explode(
-                F.sequence(
-                    F.col("start_b"),
-                    F.col("start_b") + F.col("span_len") - F.lit(1),
-                )
-            ).alias("pos"),
-        )
-        .distinct()
+        _covered_positions(sized, "bench_id", "start_b")
         .groupBy("bench_id")
         .agg(F.count(F.lit(1)).cast("long").alias("leaked_tokens"))
     )
@@ -406,16 +408,7 @@ def contamination_datasheet(
         corpus, bench, id_col, text_col, min_span_tokens, n
     )
     dcov = (
-        sized.select(
-            F.col(id_col),
-            F.explode(
-                F.sequence(
-                    F.col("start_c"),
-                    F.col("start_c") + F.col("span_len") - F.lit(1),
-                )
-            ).alias("pos"),
-        )
-        .distinct()
+        _covered_positions(sized, id_col, "start_c")
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).cast("long").alias("_cov"))
     )

@@ -699,6 +699,19 @@ def corpus_build_batch_fn(
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
+            # per-poll audit contract: an empty poll still writes its
+            # zeroed funnel row, so a missing funnel batch_id always
+            # means a LOST write rather than an empty poll; no
+            # survivors, so no index/bandkeys/corpus partitions
+            _state_write(
+                spark.createDataFrame(
+                    [(i, s, 0, 0) for i, s in CORPUS_STAGES],
+                    "stage_no int, stage string, n_docs long, "
+                    "n_tokens long",
+                ),
+                f"{state_dir}/funnel",
+                batch_id,
+            )
             return
         bl = blocklist_filter(
             batch_df, blocked_hosts, blocked_patterns, url_col
@@ -1266,14 +1279,21 @@ def decontam_spans_batch_fn(
     unchanged, which holds because the gate is STATELESS (it never
     reads prior batches' output) and the write overwrites its own
     ``batch_id=`` partition."""
+    from linz_bde_uploader_spark import caching  # noqa: PLC0415
     from linz_bde_uploader_spark.functions.decontaminate import (  # noqa: PLC0415
         contamination_spans,
     )
 
     # The benchmark is a FIXED artifact probed by every micro-batch:
-    # persist once in the closure so each batch broadcasts the same
-    # materialized positional side instead of re-deriving it.
-    bench_static = bench_docs.persist()
+    # cache its ROWS once so each batch's positional derivation
+    # (tokenize → posexplode → hash, bounded by the benchmark's size)
+    # starts from memory instead of re-scanning the source. Registered
+    # via caching.track — release_intermediates() between jobs
+    # reclaims it, and a later drain simply recomputes from lineage
+    # (at 100 TB, persist the derived positional table itself and
+    # pass it in — the standing-artifact shape the batch operator's
+    # docstring prescribes).
+    bench_static = caching.track(bench_docs)
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         out = contamination_spans(
@@ -1382,6 +1402,20 @@ def media_ingest_batch_fn(
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
+            # the per-poll audit contract still holds: an empty poll
+            # writes its zeroed funnel row (so a missing batch_id in
+            # the funnel always means a LOST write, never an empty
+            # poll); there are no admissions, so no index/corpus
+            # partitions
+            _state_write(
+                spark.createDataFrame(
+                    [(i, s, 0, 0) for i, s in MEDIA_STAGES],
+                    "stage_no int, stage string, n_pairs long, "
+                    "n_bytes long",
+                ),
+                f"{state_dir}/funnel",
+                batch_id,
+            )
             return
         flags = batch_df.select(
             id_col,
@@ -1393,7 +1427,14 @@ def media_ingest_batch_fn(
             ).alias("_f1"),
         ).persist()
         try:
-            aligned = flags.filter(F.col("_f1"))
+            # NULL payload ⇒ NULL fingerprint ⇒ never admitted — the
+            # batch rule exactly (fingerprint_dedup's keep join on
+            # [_fp, id] can never match a NULL key, so batch drops
+            # every NULL-fp row); without this filter the left_anti
+            # below would KEEP NULL keys and admit one per batch
+            aligned = flags.filter(
+                F.col("_f1") & F.col("_fp").isNotNull()
+            )
             idx = _state_read(
                 spark, f"{state_dir}/fpindex", before_batch=batch_id
             )

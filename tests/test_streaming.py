@@ -1383,3 +1383,76 @@ def test_media_ingest_batch_replay_idempotent(spark, tmp_path):
     assert snapshot() == before
     fn(b0, 0)  # replay of an EARLIER batch (index must not self-read)
     assert snapshot() == before
+
+
+def test_media_ingest_null_payload_never_admitted(spark, tmp_path):
+    """NULL payload ⇒ NULL fingerprint ⇒ never admitted — the batch
+    rule exactly (fingerprint_dedup's keep join cannot match a NULL
+    key), even across micro-batches where a bare left_anti would have
+    admitted one NULL-fp row per batch."""
+    from linz_bde_uploader_spark.streaming.poll import (
+        media_ingest_batch_fn,
+    )
+
+    schema = (
+        "media_id long, source string, content binary, "
+        "img array<float>, txt array<float>"
+    )
+    v = [1.0] + [0.0] * 63
+    mk = lambda rows: spark.createDataFrame(rows, schema)  # noqa: E731
+    state = str(tmp_path / "state")
+    fn = media_ingest_batch_fn(spark, state)
+
+    fn(mk([(1, "s", None, v, v), (2, "s", b"payload", v, v)]), 0)
+    fn(mk([(3, "s", None, v, v), (4, "s", b"fresh", v, v)]), 1)
+    got = {
+        r.media_id for r in spark.read.parquet(f"{state}/corpus").collect()
+    }
+    assert got == {2, 4}  # no NULL-payload admission in EITHER batch
+    fun = spark.read.parquet(f"{state}/funnel")
+    sums = {
+        r.stage_no: r.n
+        for r in fun.groupBy("stage_no")
+        .agg(F.sum("n_pairs").alias("n"))
+        .collect()
+    }
+    # NULL-payload pairs pass alignment (stage 1) but never fp_dedup
+    assert sums == {0: 4, 1: 4, 2: 2}
+
+
+def test_empty_micro_batch_still_writes_zero_funnel(spark, tmp_path):
+    """The per-poll audit contract: an EMPTY micro-batch writes its
+    zeroed funnel partition (a missing funnel batch_id always means a
+    lost write, never an empty poll) — for both the media and the
+    corpus-build faces."""
+    from linz_bde_uploader_spark.streaming.poll import (
+        corpus_build_batch_fn,
+        media_ingest_batch_fn,
+    )
+
+    m_state = str(tmp_path / "m_state")
+    m_fn = media_ingest_batch_fn(spark, m_state)
+    m_fn(
+        spark.createDataFrame(
+            [],
+            "media_id long, source string, content binary, "
+            "img array<float>, txt array<float>",
+        ),
+        0,
+    )
+    fun = spark.read.parquet(f"{m_state}/funnel")
+    assert fun.count() == 3  # one zeroed row per stage
+    assert fun.agg(F.sum("n_pairs")).collect()[0][0] == 0
+
+    c_state = str(tmp_path / "c_state")
+    bench = spark.createDataFrame(
+        [(1, "alpha bravo charlie")], "doc_id long, text string"
+    )
+    c_fn = corpus_build_batch_fn(spark, c_state, [], [], [], bench)
+    c_fn(
+        spark.createDataFrame([], "doc_id long, text string, url string"),
+        0,
+    )
+    fun = spark.read.parquet(f"{c_state}/funnel")
+    assert fun.count() == 7
+    assert fun.agg(F.sum("n_docs")).collect()[0][0] == 0
