@@ -879,6 +879,23 @@ def q_semdedup(spark, sf_dir):
     )
 
 
+def q_d4_select(spark, sf_dir):
+    # D4 selection (clustering.py::d4_prototype_filter; Tirumala et
+    # al. 2023): SemDeDup (which runs VERBATIM inside — same k-means,
+    # same per-cluster pair join, same 0.4 cosine cut) then DIVERSIFY
+    # by dropping the most prototypical survivors per cluster —
+    # closest-to-centroid points are templated/low-value web text —
+    # keeping the ceil(0.75·m) farthest (distance ties broken by id:
+    # unique selection). Every survivor emits its audit row with rank,
+    # cluster size, and the keep flag — both sides of the cut. The
+    # prototype stage adds ONE window shuffle on the cluster key the
+    # dedup join already shuffles on.
+    e = W.load(spark, sf_dir, "embeddings")
+    return C.d4_prototype_filter(
+        e, threshold=0.4, keep_frac=0.75, k=None, n_iters=3
+    ).orderBy("vec_id")
+
+
 def _pagerank_sql(iters: int = 4) -> str:
     """DuckDB twin of graph.pagerank over the symmetrized purchase
     graph (customer 2k / supplier 2k+1 node encoding), unrolled like
@@ -4985,10 +5002,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    machinery runs INSIDE in-window q_semdedup, k-means stays
         #    oracle-checked at 51+) -> 51+
         "q_c4_span_dedup": q_c4_span_dedup,
-        # -- round-5 session-2 birth: the SemDeDup cluster-local
-        #    near-dup filter (its k-means sibling rotated to 51+ in
-        #    round 12, displacement noted above)
-        "q_semdedup": q_semdedup,
+        # -- round-13 birth: D4 selection (SemDeDup → drop the most
+        #    prototypical survivors per cluster, keep the
+        #    ceil(0.75·m) farthest — Tirumala et al. 2023); displaced
+        #    tenant q_semdedup (green r5-r12 octuple; the SemDeDup
+        #    chain runs VERBATIM inside THIS query — k-means,
+        #    per-cluster pair join, 0.4 cut — and stays oracle-checked
+        #    at 51+) -> 51+
+        "q_d4_select": q_d4_select,
         # -- round-12 birth: per-source alignment-quantile datasheet
         #    over the q_mm_alignment gate (fixed-point mean, exact
         #    interpolated p10/p50/p90 — the corpus-card audit row);
@@ -5161,6 +5182,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rotated out in round 13 by q_decontam_source (r11+r12 green;
         # the split family keeps q_split_leakage in-window)
         "q_cluster_split": q_cluster_split,
+        # rotated out in round 13 by q_d4_select (green r5-r12; the
+        # semdedup chain runs verbatim inside the displacing query)
+        "q_semdedup": q_semdedup,
         "q_bpe_pair_counts": q_bpe_pair_counts,
         "q_tpch_q8_market_share": q_tpch_q8_market_share,
         "q_tpch_q9_profit": q_tpch_q9_profit,
@@ -6770,6 +6794,36 @@ def oracle_sql() -> dict[str, str]:
                    round(sq_dist, 4) AS sq_dist
             FROM a3
             WHERE vec_id NOT IN (SELECT vec_id FROM dup)
+        """,
+        # D4: the SAME semdedup chain, then per-cluster prototype
+        # ranking (farthest-first, id tiebreak) with the
+        # ceil(0.75·m) diversity cut
+        "q_d4_select": _kmeans_cte(8, 3, 64) + """,
+            dup AS (
+              SELECT DISTINCT b.vec_id AS vec_id
+              FROM a3 a JOIN a3 b
+                ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+              WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.4
+            ),
+            sv AS (
+              SELECT vec_id, cluster, sq_dist FROM a3
+              WHERE vec_id NOT IN (SELECT vec_id FROM dup)
+            ),
+            rk AS (
+              SELECT vec_id, cluster, sq_dist,
+                     row_number() OVER (
+                       PARTITION BY cluster
+                       ORDER BY round(sq_dist, 4) DESC, vec_id
+                     ) AS rn,
+                     count(*) OVER (PARTITION BY cluster) AS m
+              FROM sv
+            )
+            SELECT vec_id, CAST(cluster AS BIGINT) AS cluster,
+                   round(sq_dist, 4) AS sq_dist,
+                   CAST(rn AS BIGINT) AS proto_rank,
+                   CAST(m AS BIGINT) AS cluster_size,
+                   CAST(rn <= ceil(0.75 * m) AS INT) AS keep
+            FROM rk ORDER BY vec_id
         """,
         "q_graph_pagerank": _pagerank_sql(4),
         "q_host_datasheet": _host_datasheet_sql(4),

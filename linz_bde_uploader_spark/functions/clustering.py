@@ -261,3 +261,64 @@ def semdedup_prune(
     return assigned.join(dups, [id_col], "left_anti").select(
         id_col, "cluster", "sq_dist"
     )
+
+
+def d4_prototype_filter(
+    df: DataFrame,
+    threshold: float = 0.4,
+    keep_frac: float = 0.75,
+    k: int | None = None,
+    n_iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """D4 selection (Tirumala et al. 2023, "D4: Improving LLM
+    Pretraining via Document De-Duplication and Diversification"):
+    SemDeDup first (drop near-duplicates within each embedding
+    cluster), then DIVERSIFY by dropping the most PROTOTYPICAL
+    remaining points — the ones closest to their cluster centroid,
+    which the paper shows are templated/low-value web text — keeping
+    the ``ceil(keep_frac * m)`` FARTHEST points per cluster (ties on
+    distance broken by ascending id: a total order, so selection is
+    unique). Ranking uses the distance at the SAME 4-dp rounding the
+    row displays, so the emitted audit row is self-consistent — the
+    rank always follows from the visible fields.
+
+    Emits every SemDeDup survivor with its audit row: ``(id, cluster,
+    sq_dist 4dp, proto_rank, cluster_size, keep)`` — rank 1 = most
+    diverse (farthest); an audit needs the margin on both sides of the
+    cut, and the dropped-but-deduped band is exactly what a re-run
+    with a different ``keep_frac`` would admit.
+
+    Scale: everything rides the already-bounded SemDeDup chain
+    (map-only assignment + per-cluster pair join, cluster size held
+    constant by ``auto_k``); the prototype stage adds ONE window
+    shuffle keyed by cluster id — same key, same cardinality as the
+    dedup join, no new scale terms."""
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    surv = semdedup_prune(
+        df, threshold, k=k, n_iters=n_iters,
+        id_col=id_col, vec_col=vec_col,
+    )
+    w = Window.partitionBy("cluster").orderBy(
+        F.round("sq_dist", 4).desc(), F.col(id_col)
+    )
+    grp = Window.partitionBy("cluster")
+    ranked = (
+        surv.withColumn("_rn", F.row_number().over(w))
+        .withColumn("_m", F.count(F.lit(1)).over(grp))
+    )
+    return ranked.select(
+        F.col(id_col),
+        F.col("cluster").cast("long").alias("cluster"),
+        F.round("sq_dist", 4).alias("sq_dist"),
+        F.col("_rn").cast("long").alias("proto_rank"),
+        F.col("_m").cast("long").alias("cluster_size"),
+        (
+            F.col("_rn")
+            <= F.ceil(F.lit(float(keep_frac)) * F.col("_m"))
+        )
+        .cast("int")
+        .alias("keep"),
+    )

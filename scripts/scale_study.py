@@ -155,6 +155,9 @@ PICK = [
     # decontam span chain (already measured at 1.2-1.5×) + one
     # column-pruned id→source join + a |sources|-key rollup
     "q_decontam_source",
+    # round-13 birth: D4 — the semdedup chain (cluster size held by
+    # auto_k) + one prototype window on the same cluster key
+    "q_d4_select",
 ]
 
 

@@ -1,8 +1,9 @@
 """Round-13 births: the LAION-style multimodal corpus-build composite
 (per-stage funnel + per-source card over one level frame), the
 drop-reason provenance pair over the text corpus-build level frame,
-and the per-source contamination datasheet (the span family's third
-grain). (The streaming span-decontamination and multimodal-ingest
+the per-source contamination datasheet (the span family's third
+grain), and D4 selection (SemDeDup + per-cluster prototypicality
+filter). (The streaming span-decontamination and multimodal-ingest
 faces are in test_streaming.py.)"""
 
 from pyspark.sql import functions as F
@@ -184,3 +185,44 @@ class TestDecontamSource:
         for r in per_src:
             assert 0.0 <= r.contaminated_frac <= 1.0
             assert 0.0 <= r.contam_ratio <= 1.0
+
+
+class TestD4Select:
+    """q_d4_select — the audit rows must be exactly the q_semdedup
+    survivors, and the keep flag must select the ceil(0.75·m) FARTHEST
+    points per cluster (most-prototypical dropped)."""
+
+    def test_rides_semdedup_and_keeps_farthest(self, spark):
+        import math
+
+        import __spark_entry__ as E
+
+        sem = {
+            (r.vec_id, r.cluster) for r in E.q_semdedup(spark, SF).collect()
+        }
+        rows = E.q_d4_select(spark, SF).collect()
+        assert {(r.vec_id, r.cluster) for r in rows} == sem
+
+        by_cluster = {}
+        for r in rows:
+            by_cluster.setdefault(r.cluster, []).append(r)
+        assert any(
+            len(v) > 1 for v in by_cluster.values()
+        )  # the cut is exercised
+        for cl, members in by_cluster.items():
+            m = len(members)
+            assert all(r.cluster_size == m for r in members)
+            cut = math.ceil(0.75 * m)
+            # rank order = (sq_dist desc, vec_id asc), ranks 1..m
+            ordered = sorted(
+                members, key=lambda r: (-r.sq_dist, r.vec_id)
+            )
+            assert [r.proto_rank for r in ordered] == list(range(1, m + 1))
+            kept = {r.vec_id for r in members if r.keep == 1}
+            assert kept == {r.vec_id for r in ordered[:cut]}, cl
+            # the dropped band is the most prototypical (nearest), so
+            # every kept distance >= every dropped distance
+            if cut < m:
+                assert min(r.sq_dist for r in ordered[:cut]) >= max(
+                    r.sq_dist for r in ordered[cut:]
+                )
