@@ -1578,3 +1578,57 @@ def media_ingest_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def media_ingest_finalize(spark: SparkSession, state_dir: str) -> DataFrame:
+    """The cross-batch rollup of the media face's per-poll funnel rows
+    — the ``corpus_build_finalize`` analog: sums every micro-batch's
+    ``(stage_no, stage, n_pairs, n_bytes)`` rows per stage. Under the
+    face's ascending-id parity contract the result equals the batch
+    admission funnel over everything arrived (stage 0 and the
+    alignment stage are per-pair and order-free; fingerprint
+    admissions partition across batches by the keep-min-id rule, so
+    their per-batch counts sum exactly)."""
+    fun = _state_read(spark, f"{state_dir}/funnel")
+    if fun is None:
+        raise ValueError(f"no funnel state under {state_dir}")
+    return (
+        fun.groupBy("stage_no", "stage")
+        .agg(
+            F.sum("n_pairs").cast("long").alias("n_pairs"),
+            F.sum("n_bytes").cast("long").alias("n_bytes"),
+        )
+        .orderBy("stage_no")
+    )
+
+
+def media_corpus_datasheet(
+    spark: SparkSession,
+    state_dir: str,
+    img_col: str = "img",
+    txt_col: str = "txt",
+    source_col: str = "source",
+    threshold: float = 0.28,
+) -> DataFrame:
+    """Per-source alignment datasheet over the ACCUMULATED admitted
+    media corpus — the corpus-WIDE audit decision the streaming gate
+    deliberately does not make per batch (quantiles and per-source
+    means are functions of the whole corpus, exactly why
+    ``corpus_build_finalize`` owns mixture/packing on the text side):
+    runs the audited batch operator
+    (``multimodal.alignment_datasheet``) over the corpus state
+    unchanged — one implementation, two drivers."""
+    from linz_bde_uploader_spark.functions.multimodal import (  # noqa: PLC0415
+        alignment_datasheet,
+    )
+
+    corpus = _state_read(spark, f"{state_dir}/corpus")
+    if corpus is None:
+        raise ValueError(f"no corpus state under {state_dir}")
+    return alignment_datasheet(
+        corpus.drop("batch_id"),
+        img_col=img_col,
+        txt_col=txt_col,
+        group_col=source_col,
+        threshold=threshold,
+    ).orderBy("source")

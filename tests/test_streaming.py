@@ -1456,3 +1456,52 @@ def test_empty_micro_batch_still_writes_zero_funnel(spark, tmp_path):
     fun = spark.read.parquet(f"{c_state}/funnel")
     assert fun.count() == 7
     assert fun.agg(F.sum("n_docs")).collect()[0][0] == 0
+
+
+def test_media_finalize_matches_batch(spark, tmp_path):
+    """media_ingest_finalize must equal the batch admission funnel
+    over everything arrived, and media_corpus_datasheet must equal the
+    batch alignment_datasheet over the admitted pairs."""
+    from linz_bde_uploader_spark.functions.multimodal import (
+        _alignment_score,
+        alignment_datasheet,
+        fingerprint_dedup,
+    )
+    from linz_bde_uploader_spark.streaming.poll import (
+        media_corpus_datasheet,
+        media_ingest_batch_fn,
+        media_ingest_finalize,
+    )
+
+    pairs = _media_pairs(spark)
+    state = str(tmp_path / "state")
+    fn = media_ingest_batch_fn(spark, state)
+    fn(pairs.filter(F.col("media_id") < 250), 0)
+    fn(pairs.filter(F.col("media_id") >= 250), 1)
+
+    aligned = pairs.filter(_alignment_score("img", "txt") >= F.lit(0.28))
+    admitted_ids = fingerprint_dedup(aligned, "media_id", "content").select(
+        "media_id"
+    )
+    admitted = pairs.join(admitted_ids, "media_id", "left_semi")
+
+    fun = {
+        r.stage_no: (r.n_pairs, r.n_bytes)
+        for r in media_ingest_finalize(spark, state).collect()
+    }
+    total_bytes = pairs.agg(
+        F.sum(F.length("content"))
+    ).collect()[0][0]
+    assert fun[0] == (pairs.count(), total_bytes)
+    assert fun[1][0] == aligned.count()
+    assert fun[2][0] == admitted.count()
+
+    want = {
+        tuple(r) for r in alignment_datasheet(
+            admitted, "img", "txt", "source", 0.28
+        ).collect()
+    }
+    got = {
+        tuple(r) for r in media_corpus_datasheet(spark, state).collect()
+    }
+    assert got == want and len(got) > 0
