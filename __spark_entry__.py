@@ -4702,6 +4702,29 @@ def q_hll_distinct(spark, sf_dir):
     )
 
 
+def q_mixture_unimax(spark, sf_dir):
+    # UniMax language sampling (functions/sampling.py::unimax_plan;
+    # Chung et al. 2023) — the third member of the mixture family
+    # beside explicit weights (q_mixture_plan) and temperature
+    # scaling (q_mixture_alpha): split the token budget as uniformly
+    # as possible subject to a per-source max_epochs repeat cap, the
+    # published fix for temperature sampling either starving the tail
+    # or looping tiny sources hundreds of times. Semantics = the
+    # sorted prefix-scan waterfilling with an ALL-INTEGER capping
+    # comparison (cap_k·(L−k+1) <= B−prefix — no float can flip it);
+    # capped sources contribute their whole max_epochs corpus, the
+    # rest split the remainder evenly (floor). Window math over the
+    # bounded |sources| table — no iteration, no collect. Budget
+    # 50_000 at max_epochs=2 lands both capped and uncapped sources
+    # on the fixtures, so both branches are exercised.
+    from linz_bde_uploader_spark.functions.sampling import unimax_plan
+
+    d = W.load(spark, sf_dir, "documents")
+    return unimax_plan(
+        d, budget_tokens=50_000, max_epochs=2
+    ).orderBy("source")
+
+
 def q_mixture_alpha(spark, sf_dir):
     # Temperature-scaled (α-)sampling plan (functions/sampling.py::
     # alpha_mixture_plan) — the XLM-R/mBERT multilingual recipe:
@@ -4822,15 +4845,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    q_dsir_select_bigram and q_token_fertility (r7+r8 green)
         #    rotated to 51+ in round 9 by the link-graph births
         "q_mixture_plan": q_mixture_plan,
-        # -- round-9 births: temperature-scaled α-sampling plan (the
-        #    mixture family's data-derived face) and the batch
-        #    quantile-sketch registry twin of the r8 streaming sketch;
-        #    displaced tenants q_mixture_perplexity and q_sim_pq_topk
-        #    (each r7+r8 green; the mixture family keeps
-        #    q_mixture_plan + q_mixture_alpha in-window, the compressed
-        #    ANN family keeps q_sim_quantized_topk oracle-checked at
-        #    51+ and q_ann_ndcg in-window) -> 51+
-        "q_mixture_alpha": q_mixture_alpha,
+        # -- round-13 birth: UniMax epoch-capped budget split (the
+        #    mixture family's third face — the published fix for
+        #    temperature sampling's tail-vs-epochs failure mode;
+        #    all-integer prefix-scan waterfilling over the bounded
+        #    |sources| table); displaced tenant q_mixture_alpha
+        #    (green r9-r12 quadruple; the mixture family keeps
+        #    q_mixture_plan + THIS query in-window, α-scaling stays
+        #    oracle-checked at 51+) -> 51+
+        "q_mixture_unimax": q_mixture_unimax,
         "q_quantile_sketch": q_quantile_sketch,
         # -- round-9 birth: explicit schema-drift audit registration
         #    (the r8 face with an oracle-expressible surface —
@@ -5185,6 +5208,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rotated out in round 13 by q_d4_select (green r5-r12; the
         # semdedup chain runs verbatim inside the displacing query)
         "q_semdedup": q_semdedup,
+        # rotated out in round 13 by q_mixture_unimax (green r9-r12;
+        # the mixture family keeps q_mixture_plan + unimax in-window)
+        "q_mixture_alpha": q_mixture_alpha,
         "q_bpe_pair_counts": q_bpe_pair_counts,
         "q_tpch_q8_market_share": q_tpch_q8_market_share,
         "q_tpch_q9_profit": q_tpch_q9_profit,
@@ -10135,6 +10161,55 @@ def oracle_sql() -> dict[str, str]:
         # α-sampling twin: the same fixed-point renormalization
         # (round(p^0.3·1e9) BIGINTs summed over a window) so the
         # normalizer is order-independent on both engines.
+        # UniMax: sorted prefix-scan waterfilling — explicit ROWS
+        # frame (the default RANGE frame would include cap ties in
+        # the prefix; Spark's rowsBetween is a ROWS frame)
+        "q_mixture_unimax": """
+            WITH agg AS (
+              SELECT source,
+                     CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum(len(string_split(trim(text), ' ')))
+                          AS BIGINT) AS tokens
+              FROM documents GROUP BY source
+            ),
+            st AS (
+              SELECT source, n_docs, tokens,
+                     tokens * 2 AS cap,
+                     row_number() OVER (ORDER BY tokens * 2, source)
+                       AS k,
+                     count(*) OVER () AS L,
+                     coalesce(sum(tokens * 2) OVER (
+                       ORDER BY tokens * 2, source
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING), 0) AS prefix
+              FROM agg
+            ),
+            fl AS (
+              SELECT *, (cap * (L - k + 1) <= 50000 - prefix) AS capped
+              FROM st
+            ),
+            tot AS (
+              SELECT coalesce(sum(CASE WHEN capped THEN cap END), 0)
+                       AS csum,
+                     sum(CASE WHEN capped THEN 0 ELSE 1 END) AS nu
+              FROM fl
+            ),
+            al AS (
+              SELECT f.*,
+                     CASE WHEN f.capped THEN f.cap
+                          ELSE CAST(floor((50000 - t.csum)
+                               / CAST(greatest(t.nu, 1) AS DOUBLE))
+                               AS BIGINT) END AS alloc
+              FROM fl f, tot t
+            )
+            SELECT source, n_docs, tokens,
+                   CAST(cap AS BIGINT) AS cap_tokens,
+                   CAST(alloc AS BIGINT) AS alloc_tokens,
+                   round(CAST(alloc AS DOUBLE) / greatest(tokens, 1), 4)
+                     AS epochs,
+                   CAST(capped AS INT) AS capped
+            FROM al ORDER BY source
+        """,
         "q_mixture_alpha": """
             WITH agg AS (
               SELECT source,

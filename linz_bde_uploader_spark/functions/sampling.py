@@ -859,3 +859,115 @@ def cluster_consistent_split(
     return with_split(lab, "component", splits, "split").select(
         id_col, "component", "split"
     )
+
+
+def unimax_plan(
+    docs: DataFrame,
+    budget_tokens: int,
+    max_epochs: int = 4,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """UniMax language sampling (Chung et al. 2023, "UniMax: Fairer
+    and More Effective Language Sampling for Large-Scale Multilingual
+    Pretraining"): allocate a token budget as UNIFORMLY as possible
+    across sources subject to a per-source repeat cap — no source may
+    be sampled past ``max_epochs`` passes over its data. The published
+    fix for temperature sampling's failure mode: α-scaling either
+    starves the tail or forces hundreds of epochs over tiny languages;
+    UniMax gives every source an equal share EXCEPT those whose entire
+    ``max_epochs``-epoch corpus is smaller than that share, which
+    contribute everything they have and return the difference to the
+    pool.
+
+    Semantics (the sorted prefix-scan waterfilling — deterministic and
+    engine-exact): sort sources by ``cap = tokens·max_epochs``
+    ascending (ties by source name); source ``k`` of ``L`` is CAPPED
+    iff ``cap_k · (L − k + 1) <= B − Σ_{j<k} cap_j`` (an all-integer
+    comparison, so no float round-trip can flip it — the classical
+    waterfilling prefix rule, whose capped set is always a prefix of
+    this order). Capped sources get ``alloc = cap``; the rest split
+    the remaining budget evenly, ``floor((B − Σ_capped cap) /
+    n_uncapped)`` each (the sub-token remainder is deliberately left
+    unallocated rather than silently rounded up past the budget).
+
+    Returns per source: ``(source, n_docs, tokens, cap_tokens,
+    alloc_tokens, epochs, capped)`` — ``epochs = alloc/tokens`` at
+    4 dp (capped rows show ``max_epochs`` exactly; a zero-token
+    source emits ``cap = alloc = 0``, capped, never vanishing — the
+    mixture family's no-silent-drop rule).
+
+    Scale: one map-side token-count projection + one bounded
+    |sources|-key partial-agg shuffle; the waterfilling is window
+    math over the bounded per-source table (the documented
+    bounded-global-window pattern) — no iteration, no driver loop,
+    no collect.
+    """
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    if budget_tokens <= 0:
+        raise ValueError("budget_tokens must be positive")
+    if max_epochs <= 0:
+        raise ValueError("max_epochs must be positive")
+
+    per = docs.select(
+        F.col(group_col).cast("string").alias("source"),
+        token_count(F.col(text_col)).cast("long").alias("_t"),
+    ).groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("_t").cast("long").alias("tokens"),
+    )
+    cap = (F.col("tokens") * F.lit(int(max_epochs))).cast("long")
+    ordered = Window.partitionBy().orderBy(cap.asc(), F.col("source"))
+    glob = Window.partitionBy()
+    staged = per.select(
+        "source",
+        "n_docs",
+        "tokens",
+        cap.alias("cap_tokens"),
+        F.row_number().over(ordered).alias("_k"),
+        F.coalesce(
+            F.sum(cap).over(
+                ordered.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("_prefix"),
+        F.count(F.lit(1)).over(glob).alias("_L"),
+    )
+    b = F.lit(int(budget_tokens))
+    capped = (
+        F.col("cap_tokens") * (F.col("_L") - F.col("_k") + 1)
+        <= b - F.col("_prefix")
+    )
+    flagged = staged.withColumn("_capped", capped).select(
+        "source",
+        "n_docs",
+        "tokens",
+        "cap_tokens",
+        "_capped",
+        F.coalesce(
+            F.sum(F.when(F.col("_capped"), F.col("cap_tokens"))).over(
+                glob
+            ),
+            F.lit(0),
+        ).alias("_csum"),
+        F.sum((~F.col("_capped")).cast("long")).over(glob).alias("_nu"),
+    )
+    alloc = F.when(F.col("_capped"), F.col("cap_tokens")).otherwise(
+        F.floor(
+            (b - F.col("_csum"))
+            / F.greatest(F.col("_nu"), F.lit(1)).cast("double")
+        ).cast("long")
+    )
+    return flagged.select(
+        "source",
+        "n_docs",
+        "tokens",
+        "cap_tokens",
+        alloc.alias("alloc_tokens"),
+        F.round(
+            alloc / F.greatest(F.col("tokens"), F.lit(1)).cast("double"),
+            4,
+        ).alias("epochs"),
+        F.col("_capped").cast("int").alias("capped"),
+    )

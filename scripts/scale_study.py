@@ -158,6 +158,9 @@ PICK = [
     # round-13 birth: D4 — the semdedup chain (cluster size held by
     # auto_k) + one prototype window on the same cluster key
     "q_d4_select",
+    # round-13 birth: UniMax — one token-count agg shuffle + window
+    # math over the bounded |sources| table
+    "q_mixture_unimax",
 ]
 
 

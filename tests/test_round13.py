@@ -2,9 +2,10 @@
 (per-stage funnel + per-source card over one level frame), the
 drop-reason provenance pair over the text corpus-build level frame,
 the per-source contamination datasheet (the span family's third
-grain), and D4 selection (SemDeDup + per-cluster prototypicality
-filter). (The streaming span-decontamination and multimodal-ingest
-faces are in test_streaming.py.)"""
+grain), D4 selection (SemDeDup + per-cluster prototypicality
+filter), and the UniMax epoch-capped budget split. (The streaming
+span-decontamination and multimodal-ingest faces are in
+test_streaming.py.)"""
 
 from pyspark.sql import functions as F
 
@@ -226,3 +227,87 @@ class TestD4Select:
                 assert min(r.sq_dist for r in ordered[:cut]) >= max(
                     r.sq_dist for r in ordered[cut:]
                 )
+
+
+class TestUnimaxPlan:
+    """sampling.unimax_plan — crafted corpora against a pure-Python
+    reference waterfiller: mixed capped/uncapped, all-capped (budget
+    exceeds the whole max_epochs corpus), none-capped, and the
+    zero-token source (no-silent-drop)."""
+
+    @staticmethod
+    def _ref(tokens_by_source, budget, max_epochs):
+        import math
+
+        caps = sorted(
+            (t * max_epochs, s) for s, t in tokens_by_source.items()
+        )
+        L = len(caps)
+        out, prefix = {}, 0
+        capped = []
+        for k, (cap, s) in enumerate(caps, start=1):
+            if cap * (L - k + 1) <= budget - prefix:
+                capped.append(s)
+                out[s] = cap
+                prefix += cap
+            else:
+                break
+        uncapped = [s for _, s in caps if s not in out]
+        if uncapped:
+            share = math.floor((budget - prefix) / len(uncapped))
+            for s in uncapped:
+                out[s] = share
+        return out, set(capped)
+
+    def _run(self, spark, tokens_by_source, budget, max_epochs):
+        from linz_bde_uploader_spark.functions.sampling import unimax_plan
+
+        rows = [
+            (s, " ".join(["w"] * t) if t else "")
+            for s, t in tokens_by_source.items()
+        ]
+        df = spark.createDataFrame(rows, "source string, text string")
+        return {
+            r.source: r
+            for r in unimax_plan(
+                df, budget_tokens=budget, max_epochs=max_epochs
+            ).collect()
+        }
+
+    def test_against_reference(self, spark):
+        cases = [
+            ({"a": 10, "b": 100, "c": 1000}, 600, 2),   # mixed
+            ({"a": 10, "b": 100, "c": 1000}, 10000, 2),  # all capped
+            ({"a": 10, "b": 100, "c": 1000}, 30, 2),     # none capped
+            ({"a": 0, "b": 50, "c": 500}, 400, 3),       # zero-token src
+        ]
+        for tokens, budget, epochs in cases:
+            got = self._run(spark, tokens, budget, epochs)
+            want, capset = self._ref(tokens, budget, epochs)
+            assert set(got) == set(tokens)  # no silent drops
+            for s, r in got.items():
+                assert r.alloc_tokens == want[s], (tokens, budget, s)
+                assert (r.capped == 1) == (s in capset), (s, budget)
+                assert r.cap_tokens == tokens[s] * epochs
+                # epoch cap is a hard invariant
+                assert r.epochs <= epochs + 1e-9
+            assert sum(r.alloc_tokens for r in got.values()) <= budget
+
+    def test_empty_token_count_convention(self, spark):
+        # '' tokenizes to one empty token on both engines
+        # (string_split of '' gives ['']); the zero-token row above
+        # therefore carries tokens == token_count('') — assert the
+        # operator and the fixture convention agree rather than
+        # hard-coding 0
+        from linz_bde_uploader_spark.functions.sampling import unimax_plan
+        from linz_bde_uploader_spark.functions.text import token_count
+        from pyspark.sql import functions as F2
+
+        df = spark.createDataFrame(
+            [("a", "")], "source string, text string"
+        )
+        tc = df.select(token_count(F2.col("text")).alias("t")).collect()[
+            0
+        ].t
+        r = unimax_plan(df, budget_tokens=10, max_epochs=2).collect()[0]
+        assert r.tokens == tc and r.cap_tokens == tc * 2
