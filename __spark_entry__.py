@@ -5022,8 +5022,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    (corpus-wide keep-first at sentence grain, no pair join —
         #    one span-string-keyed shuffle); displaced tenant
         #    q_kmeans_embeddings (green r5-r11 septuple; the k-means
-        #    machinery runs INSIDE in-window q_semdedup, k-means stays
-        #    oracle-checked at 51+) -> 51+
+        #    machinery runs INSIDE in-window q_d4_select — which
+        #    contains the whole semdedup chain since q_semdedup's own
+        #    round-13 rotation to 51+ — k-means stays oracle-checked
+        #    at 51+) -> 51+
         "q_c4_span_dedup": q_c4_span_dedup,
         # -- round-13 birth: D4 selection (SemDeDup → drop the most
         #    prototypical survivors per cluster, keep the
@@ -10123,7 +10125,7 @@ def oracle_sql() -> dict[str, str]:
             WITH agg AS (
               SELECT source,
                      CAST(count(*) AS BIGINT) AS n_docs,
-                     CAST(sum(len(string_split(trim(text), ' '))) AS BIGINT) AS tokens
+                     CAST(sum(CASE WHEN trim(text) = '' THEN 0 ELSE len(string_split(trim(text), ' ')) END) AS BIGINT) AS tokens
               FROM documents GROUP BY source
             ),
             keys AS (SELECT * FROM (VALUES ('ghost'), ('src0'), ('src1')) k(source)),
@@ -10168,7 +10170,7 @@ def oracle_sql() -> dict[str, str]:
             WITH agg AS (
               SELECT source,
                      CAST(count(*) AS BIGINT) AS n_docs,
-                     CAST(sum(len(string_split(trim(text), ' ')))
+                     CAST(sum(CASE WHEN trim(text) = '' THEN 0 ELSE len(string_split(trim(text), ' ')) END)
                           AS BIGINT) AS tokens
               FROM documents GROUP BY source
             ),
@@ -10214,7 +10216,7 @@ def oracle_sql() -> dict[str, str]:
             WITH agg AS (
               SELECT source,
                      CAST(count(*) AS BIGINT) AS n_docs,
-                     CAST(sum(len(string_split(trim(text), ' ')))
+                     CAST(sum(CASE WHEN trim(text) = '' THEN 0 ELSE len(string_split(trim(text), ' ')) END)
                           AS BIGINT) AS tokens
               FROM documents GROUP BY source
             ),

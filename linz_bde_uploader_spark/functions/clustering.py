@@ -309,16 +309,22 @@ def d4_prototype_filter(
         surv.withColumn("_rn", F.row_number().over(w))
         .withColumn("_m", F.count(F.lit(1)).over(grp))
     )
+    # Exact cut: ceil(keep_frac·m) via 6-dp scaled-INTEGER arithmetic
+    # — a bare double product overshoots the documented ceil at exact
+    # multiples of non-dyadic fractions (0.2·5 = 1.0000000000000002 →
+    # ceil 2, not 1). m·num stays integral; an exact multiple of 1e6
+    # divides exactly in double, and a non-multiple sits ≥ 1e-6 from
+    # any integer, far beyond double epsilon — so the ceil is the
+    # mathematical one for every 6-dp keep_frac.
+    frac_num = round(float(keep_frac) * 1_000_000)
+    cut = F.ceil(
+        (F.col("_m") * F.lit(frac_num)) / F.lit(1_000_000.0)
+    )
     return ranked.select(
         F.col(id_col),
         F.col("cluster").cast("long").alias("cluster"),
         F.round("sq_dist", 4).alias("sq_dist"),
         F.col("_rn").cast("long").alias("proto_rank"),
         F.col("_m").cast("long").alias("cluster_size"),
-        (
-            F.col("_rn")
-            <= F.ceil(F.lit(float(keep_frac)) * F.col("_m"))
-        )
-        .cast("int")
-        .alias("keep"),
+        (F.col("_rn") <= cut).cast("int").alias("keep"),
     )

@@ -746,13 +746,7 @@ def alpha_mixture_plan(
     if budget_tokens <= 0:
         raise ValueError("budget_tokens must be positive")
 
-    per = docs.select(
-        F.col(group_col).cast("string").alias("source"),
-        token_count(F.col(text_col)).cast("long").alias("_t"),
-    ).groupBy("source").agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.sum("_t").alias("tokens"),
-    )
+    per = _per_source_tokens(docs, group_col, text_col)
     # |sources|-row table: a GLOBAL window over it is bounded work
     # (the per-day growth-table pattern), and keeps the totals out of
     # a one-row broadcast plan node.
@@ -861,6 +855,25 @@ def cluster_consistent_split(
     )
 
 
+def _per_source_tokens(
+    docs: DataFrame, group_col: str, text_col: str
+) -> DataFrame:
+    """Per-source ``(source, n_docs, tokens)`` measurement shared by
+    the data-derived mixture planners (:func:`alpha_mixture_plan`,
+    :func:`unimax_plan`) so they can never measure different corpora
+    — one map-side token-count projection + one bounded
+    |sources|-key partial-agg shuffle. (:func:`mixture_plan`'s
+    variant differs DELIBERATELY: it seeds a zero row per explicit
+    weight key before the agg so an empty source still surfaces.)"""
+    return docs.select(
+        F.col(group_col).cast("string").alias("source"),
+        token_count(F.col(text_col)).cast("long").alias("_t"),
+    ).groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("_t").cast("long").alias("tokens"),
+    )
+
+
 def unimax_plan(
     docs: DataFrame,
     budget_tokens: int,
@@ -910,13 +923,7 @@ def unimax_plan(
     if max_epochs <= 0:
         raise ValueError("max_epochs must be positive")
 
-    per = docs.select(
-        F.col(group_col).cast("string").alias("source"),
-        token_count(F.col(text_col)).cast("long").alias("_t"),
-    ).groupBy("source").agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.sum("_t").cast("long").alias("tokens"),
-    )
+    per = _per_source_tokens(docs, group_col, text_col)
     cap = (F.col("tokens") * F.lit(int(max_epochs))).cast("long")
     ordered = Window.partitionBy().orderBy(cap.asc(), F.col("source"))
     glob = Window.partitionBy()

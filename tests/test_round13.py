@@ -294,11 +294,11 @@ class TestUnimaxPlan:
             assert sum(r.alloc_tokens for r in got.values()) <= budget
 
     def test_empty_token_count_convention(self, spark):
-        # '' tokenizes to one empty token on both engines
-        # (string_split of '' gives ['']); the zero-token row above
-        # therefore carries tokens == token_count('') — assert the
-        # operator and the fixture convention agree rather than
-        # hard-coding 0
+        # blank text counts ZERO tokens (text.py::token_count's
+        # explicit blank branch); the DuckDB mixture oracles carry a
+        # matching CASE guard because bare string_split('') would
+        # return [''] and count 1 — assert the operator follows the
+        # package convention rather than hard-coding the value
         from linz_bde_uploader_spark.functions.sampling import unimax_plan
         from linz_bde_uploader_spark.functions.text import token_count
         from pyspark.sql import functions as F2
