@@ -311,3 +311,53 @@ class TestUnimaxPlan:
         ].t
         r = unimax_plan(df, budget_tokens=10, max_epochs=2).collect()[0]
         assert r.tokens == tc and r.cap_tokens == tc * 2
+
+
+class TestUnimaxProperty:
+    """Waterfilling invariants on RANDOM corpora (hypothesis): exact
+    agreement with the pure-Python reference, budget conservation,
+    the hard epoch cap, and the uniformity property (all uncapped
+    sources receive the identical share)."""
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @given(
+        toks=st.lists(
+            st.integers(min_value=0, max_value=300),
+            min_size=1,
+            max_size=8,
+        ),
+        budget=st.integers(min_value=1, max_value=3000),
+        epochs=st.integers(min_value=1, max_value=4),
+    )
+    @settings(max_examples=12, deadline=None)
+    def test_matches_reference_on_random_corpora(
+        self, spark, toks, budget, epochs
+    ):
+        from linz_bde_uploader_spark.functions.sampling import unimax_plan
+
+        tokens_by_source = {f"s{i:02d}": t for i, t in enumerate(toks)}
+        rows = [
+            (s, " ".join(["w"] * t) if t else "")
+            for s, t in tokens_by_source.items()
+        ]
+        df = spark.createDataFrame(rows, "source string, text string")
+        got = {
+            r.source: r
+            for r in unimax_plan(
+                df, budget_tokens=budget, max_epochs=epochs
+            ).collect()
+        }
+        want, capset = TestUnimaxPlan._ref(
+            tokens_by_source, budget, epochs
+        )
+        assert {s: r.alloc_tokens for s, r in got.items()} == want
+        assert {s for s, r in got.items() if r.capped} == capset
+        assert sum(r.alloc_tokens for r in got.values()) <= budget
+        for r in got.values():
+            assert r.alloc_tokens <= r.cap_tokens  # hard epoch cap
+        shares = {
+            r.alloc_tokens for r in got.values() if not r.capped
+        }
+        assert len(shares) <= 1  # uniformity: one share for all uncapped
