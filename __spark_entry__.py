@@ -1370,12 +1370,15 @@ def _mm_corpus_level_frame(spark, sf_dir):
     longest-capture tiebreak; img/txt reuse q_mm_alignment's
     reversed/negated/identical synthesis.
 
-    Scale: the pair synthesis, alignment score, payload length and
-    fingerprint are all map-side (the fingerprint is the Arrow-batched
-    pandas UDF); the only shuffles are url_dedup's canonical-URL
-    window, the fingerprint keep-first window, and media_id-keyed flag
-    joins (AQE broadcasts the bounded keep sets at test SF; at 100 TB
-    they stay key-partitioned joins). The frame persists FLAT
+    Scale: the pair synthesis, alignment score and payload length are
+    all map-side; the fingerprint (the Arrow-batched pandas UDF) is
+    computed ONLY for URL+alignment survivors — survivor ids join back
+    to the map-only content projection, so dropped rows never pay the
+    UDF and the payload never rides the flag-join shuffle. The only
+    shuffles are url_dedup's canonical-URL window, the fingerprint
+    keep-first window, and media_id-keyed flag joins (AQE broadcasts
+    the bounded keep sets at test SF; at 100 TB they stay
+    key-partitioned joins). The frame persists FLAT
     (id, source, two longs, one double) — never the payload."""
     from pyspark.sql import Window
     from linz_bde_uploader_spark.functions import urls as U
@@ -1424,14 +1427,21 @@ def _mm_corpus_level_frame(spark, sf_dir):
         "media_id",
         "source",
         F.length("content").cast("long").alias("_nb"),
-        M.byte_fingerprint(F.col("content")).alias("_fp"),
         M._alignment_score("img", "txt").alias("_s"),
     )
     j = base.join(u_keep, "media_id", "left").withColumn(
         "_f2", F.col("_s") >= F.lit(0.28)
     )
+    # The Arrow fingerprint UDF runs ONLY on URL+alignment survivors
+    # (the level when-chain never consults _fp for rows dropped at
+    # level 0/1): survivor ids join back to the map-only content
+    # projection, so the UDF and the fingerprint window both see the
+    # stage-2 survivor set, not the corpus.
     keep3 = (
         j.filter(F.coalesce(F.col("_f1"), F.lit(False)) & F.col("_f2"))
+        .select("media_id")
+        .join(pairs.select("media_id", "content"), "media_id")
+        .withColumn("_fp", M.byte_fingerprint(F.col("content")))
         .withColumn(
             "_rn",
             F.row_number().over(
@@ -10199,9 +10209,8 @@ def oracle_sql() -> dict[str, str]:
             al AS (
               SELECT f.*,
                      CASE WHEN f.capped THEN f.cap
-                          ELSE CAST(floor((50000 - t.csum)
-                               / CAST(greatest(t.nu, 1) AS DOUBLE))
-                               AS BIGINT) END AS alloc
+                          ELSE (50000 - t.csum)
+                               // greatest(t.nu, 1) END AS alloc
               FROM fl f, tot t
             )
             SELECT source, n_docs, tokens,

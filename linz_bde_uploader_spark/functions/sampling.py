@@ -900,8 +900,9 @@ def unimax_plan(
     comparison, so no float round-trip can flip it — the classical
     waterfilling prefix rule, whose capped set is always a prefix of
     this order). Capped sources get ``alloc = cap``; the rest split
-    the remaining budget evenly, ``floor((B − Σ_capped cap) /
-    n_uncapped)`` each (the sub-token remainder is deliberately left
+    the remaining budget evenly, ``(B − Σ_capped cap) div
+    n_uncapped`` each — integer division, so the share too is exact
+    past 2^53 tokens (the sub-token remainder is deliberately left
     unallocated rather than silently rounded up past the budget).
 
     Returns per source: ``(source, n_docs, tokens, cap_tokens,
@@ -961,10 +962,13 @@ def unimax_plan(
         F.sum((~F.col("_capped")).cast("long")).over(glob).alias("_nu"),
     )
     alloc = F.when(F.col("_capped"), F.col("cap_tokens")).otherwise(
-        F.floor(
-            (b - F.col("_csum"))
-            / F.greatest(F.col("_nu"), F.lit(1)).cast("double")
-        ).cast("long")
+        # Integer `div`, not floor(double-division): beyond 2^53 tokens
+        # a double round-trip could shift the share by a token, and the
+        # docstring promises the WHOLE plan is integer-exact.
+        F.expr(
+            f"(CAST({int(budget_tokens)} AS BIGINT) - _csum)"
+            " div GREATEST(_nu, CAST(1 AS BIGINT))"
+        )
     )
     return flagged.select(
         "source",

@@ -1374,8 +1374,16 @@ def decontam_spans_stream(
     )
 
 
-#: multimodal ingest funnel stages (per micro-batch)
-MEDIA_STAGES = [(0, "ingest"), (1, "alignment"), (2, "fp_dedup")]
+#: multimodal ingest funnel stages (per micro-batch). "payload" is a
+#: dedicated stage so a NULL-payload pair's drop is attributed to its
+#: actual cause (missing payload), never miscounted as a fingerprint
+#: duplicate.
+MEDIA_STAGES = [
+    (0, "ingest"),
+    (1, "alignment"),
+    (2, "payload"),
+    (3, "fp_dedup"),
+]
 
 
 def media_ingest_batch_fn(
@@ -1453,13 +1461,18 @@ def media_ingest_batch_fn(
                 .filter(F.col("_rn") == 1)
                 .select(id_col, F.lit(True).alias("_f2"))
             )
+            # level = first drop: 0 failed alignment, 1 NULL payload
+            # (the dedicated "payload" stage — its drop cause is a
+            # missing payload, not a duplicate fingerprint), 2 dup
+            # fingerprint, 3 admitted
             lv = flags.join(keep2, id_col, "left").select(
                 id_col,
                 "_nb",
                 "_fp",
                 F.when(~F.col("_f1"), 0)
-                .when(~F.coalesce(F.col("_f2"), F.lit(False)), 1)
-                .otherwise(2)
+                .when(F.col("_fp").isNull(), 1)
+                .when(~F.coalesce(F.col("_f2"), F.lit(False)), 2)
+                .otherwise(3)
                 .alias("_level"),
             )
             stage_tbl = spark.createDataFrame(
@@ -1467,7 +1480,7 @@ def media_ingest_batch_fn(
             )
             agg = (
                 lv.select(
-                    F.explode(F.sequence(F.lit(0), F.lit(2))).alias(
+                    F.explode(F.sequence(F.lit(0), F.lit(3))).alias(
                         "stage_no"
                     ),
                     "_level",
@@ -1491,7 +1504,7 @@ def media_ingest_batch_fn(
                 .alias("n_bytes"),
             )
             _state_write(funnel, f"{state_dir}/funnel", batch_id)
-            surv = lv.filter(F.col("_level") >= 2)
+            surv = lv.filter(F.col("_level") >= 3)
             _state_write(
                 surv.select(id_col, "_fp"),
                 f"{state_dir}/fpindex",
@@ -1529,6 +1542,9 @@ def media_ingest_stream(
     newly arrived (image, caption) pairs runs
 
         alignment gate (CLIP-score cut, map-only, stateless)
+        → payload guard (NULL payload ⇒ dropped, its own funnel
+          stage so the drop is attributed to the missing payload,
+          never miscounted as a fingerprint duplicate)
         → incremental payload-fingerprint dedup (standing index)
 
     inside ``foreachBatch`` with the SAME audited operators

@@ -1319,7 +1319,11 @@ def test_media_ingest_stream_batch_parity_and_resume(spark, tmp_path):
         .agg(F.sum("n_pairs").alias("n"))
         .collect()
     }
-    assert sums == {0: want_all, 1: want_aligned, 2: len(want_ids)}
+    # every pair here has a payload, so the payload stage (2) equals
+    # the alignment stage (1)
+    assert sums == {
+        0: want_all, 1: want_aligned, 2: want_aligned, 3: len(want_ids),
+    }
 
     # the standing index really dropped cross-batch duplicates: the
     # second chunk admitted FEWER than a batch-local gate would have
@@ -1328,7 +1332,7 @@ def test_media_ingest_stream_batch_parity_and_resume(spark, tmp_path):
     )
     local_only = len(batch_expect(c2)[0])
     streamed_c2 = (
-        fun.filter(F.col("stage_no") == 2)
+        fun.filter(F.col("stage_no") == 3)
         .orderBy("batch_id")
         .collect()[1]
         .n_pairs
@@ -1416,8 +1420,10 @@ def test_media_ingest_null_payload_never_admitted(spark, tmp_path):
         .agg(F.sum("n_pairs").alias("n"))
         .collect()
     }
-    # NULL-payload pairs pass alignment (stage 1) but never fp_dedup
-    assert sums == {0: 4, 1: 4, 2: 2}
+    # NULL-payload pairs pass alignment (stage 1) but drop at the
+    # dedicated payload stage (2) — attributed to the missing payload,
+    # NOT counted as fp_dedup duplicates
+    assert sums == {0: 4, 1: 4, 2: 2, 3: 2}
 
 
 def test_empty_micro_batch_still_writes_zero_funnel(spark, tmp_path):
@@ -1441,7 +1447,7 @@ def test_empty_micro_batch_still_writes_zero_funnel(spark, tmp_path):
         0,
     )
     fun = spark.read.parquet(f"{m_state}/funnel")
-    assert fun.count() == 3  # one zeroed row per stage
+    assert fun.count() == 4  # one zeroed row per stage
     assert fun.agg(F.sum("n_pairs")).collect()[0][0] == 0
 
     c_state = str(tmp_path / "c_state")
@@ -1494,7 +1500,8 @@ def test_media_finalize_matches_batch(spark, tmp_path):
     ).collect()[0][0]
     assert fun[0] == (pairs.count(), total_bytes)
     assert fun[1][0] == aligned.count()
-    assert fun[2][0] == admitted.count()
+    assert fun[2][0] == aligned.count()  # all pairs carry a payload
+    assert fun[3][0] == admitted.count()
 
     want = {
         tuple(r) for r in alignment_datasheet(
