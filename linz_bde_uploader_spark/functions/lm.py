@@ -28,16 +28,20 @@ from linz_bde_uploader_spark.functions.text import tokens
 
 
 def doc_bigrams(docs: DataFrame, id_col: str = "doc_id",
-                text_col: str = "text") -> DataFrame:
+                text_col: str = "text",
+                extra_cols: tuple[str, ...] = ()) -> DataFrame:
     """Explode each document into ``(id, prev, cur)`` adjacent-token
     pairs. Documents with fewer than two tokens yield no rows.
+    ``extra_cols`` (e.g. a language/stratum column) pass through
+    unchanged beside the id — the stratified trainers ride on this.
 
     The pair list is built by zipping the token array against itself
     shifted by one (two ``slice`` calls on a *staged* array attribute) —
     a pure map-side explode, no shuffle, no positional self-join.
     """
     toks = docs.select(
-        F.col(id_col), tokens(F.trim(F.col(text_col))).alias("_toks")
+        F.col(id_col), *[F.col(c) for c in extra_cols],
+        tokens(F.trim(F.col(text_col))).alias("_toks"),
     ).filter(F.size("_toks") >= 2)
     sz = F.size("_toks")
     pairs = F.arrays_zip(
@@ -45,8 +49,12 @@ def doc_bigrams(docs: DataFrame, id_col: str = "doc_id",
         F.slice(F.col("_toks"), 2, sz - 1).alias("cur"),
     )
     return toks.select(
-        F.col(id_col), F.explode(pairs).alias("_p")
-    ).select(id_col, F.col("_p.prev").alias("prev"), F.col("_p.cur").alias("cur"))
+        F.col(id_col), *[F.col(c) for c in extra_cols],
+        F.explode(pairs).alias("_p"),
+    ).select(
+        id_col, *extra_cols,
+        F.col("_p.prev").alias("prev"), F.col("_p.cur").alias("cur"),
+    )
 
 
 def train_bigram_lm(docs: DataFrame, id_col: str = "doc_id",
@@ -530,3 +538,244 @@ def perplexity_mixture_plan(
         group_col="ppl_bucket", text_col=text_col,
     )
     return plan.withColumnRenamed("source", "bucket")
+
+
+def train_stratified_bigram_lm(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    stratum_col: str = "lang",
+) -> DataFrame:
+    """Train one add-one-smoothed bigram LM PER STRATUM (per language —
+    the CCNet contract, Wenzek et al. 2020: each language is scored
+    under its OWN model, so a high-resource language's n-gram
+    distribution never defines "fluent" for a low-resource one; the
+    global-LM variant is :func:`train_bigram_lm`).
+
+    Returns ``(stratum, prev, cur, pair_cnt, ctx_cnt, vocab_size,
+    logp)`` with ``logp = ln((pair_cnt + 1) / (ctx_cnt + vocab_size))``
+    computed within each stratum.
+
+    Scale: identical shape to :func:`train_bigram_lm` with the stratum
+    prepended to every key — one bigram-count shuffle with map-side
+    combine on ``(stratum, prev, cur)``, context counts as a window
+    over the aggregated table, and the per-stratum vocabulary riding in
+    as a broadcast |strata|-row join instead of the 1-row cross join.
+    Training all languages is ONE job; no per-language driver loop.
+    """
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    bi = doc_bigrams(docs, id_col, text_col, extra_cols=(stratum_col,))
+    pair_counts = bi.groupBy(stratum_col, "prev", "cur").agg(
+        F.count(F.lit(1)).alias("pair_cnt")
+    )
+    ctx = Window.partitionBy(stratum_col, "prev")
+    with_ctx = pair_counts.withColumn(
+        "ctx_cnt", F.sum("pair_cnt").over(ctx)
+    )
+    vocab = (
+        bi.select(
+            F.col(stratum_col),
+            F.explode(F.array("prev", "cur")).alias("tok"),
+        )
+        .groupBy(stratum_col)
+        .agg(F.count_distinct("tok").alias("vocab_size"))
+    )
+    return with_ctx.join(F.broadcast(vocab), [stratum_col]).withColumn(
+        "logp",
+        F.log(
+            (F.col("pair_cnt") + F.lit(1).cast("double"))
+            / (F.col("ctx_cnt") + F.col("vocab_size"))
+        ),
+    )
+
+
+def score_documents_stratified(
+    docs: DataFrame,
+    lm: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    stratum_col: str = "lang",
+) -> DataFrame:
+    """Score each document under ITS STRATUM's LM (a
+    :func:`train_stratified_bigram_lm` result): ``(id, stratum,
+    n_bigrams, cross_entropy, perplexity)`` with the
+    :func:`score_documents` rounding contract (4 dp, stable across
+    engine fold orders). Documents with fewer than two tokens produce
+    no row; bigrams unseen by their stratum's model back off to the
+    smoothed floor ``ln(1 / (ctx_cnt + V))`` / ``ln(1/V)`` exactly as
+    the global scorer does. A document whose stratum trained no model
+    at all scores NULL — score the strata you trained.
+
+    Scale: the :func:`score_documents` join plan with the stratum
+    prepended to every join key; the per-stratum vocab table is a
+    broadcast |strata|-row join.
+    """
+    bi = doc_bigrams(docs, id_col, text_col, extra_cols=(stratum_col,))
+    ctx_tbl = lm.select(stratum_col, "prev", "ctx_cnt", "vocab_size").distinct()
+    vtbl = lm.select(stratum_col, "vocab_size").distinct()
+    scored = (
+        bi.join(
+            lm.select(stratum_col, "prev", "cur", "logp"),
+            [stratum_col, "prev", "cur"],
+            "left",
+        )
+        .join(
+            ctx_tbl.select(stratum_col, "prev", F.col("ctx_cnt").alias("_ctx")),
+            [stratum_col, "prev"],
+            "left",
+        )
+        .join(
+            F.broadcast(vtbl.select(stratum_col, F.col("vocab_size").alias("_v"))),
+            [stratum_col],
+            "left",
+        )
+        .withColumn(
+            "_logp",
+            F.coalesce(
+                F.col("logp"),
+                F.log(
+                    F.lit(1.0)
+                    / (F.coalesce(F.col("_ctx"), F.lit(0)) + F.col("_v"))
+                ),
+            ),
+        )
+    )
+    return scored.groupBy(id_col, stratum_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(-F.avg("_logp"), 4).alias("cross_entropy"),
+        F.round(F.exp(F.round(-F.avg("_logp"), 4)), 4).alias("perplexity"),
+    )
+
+
+def ccnet_datasheet(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    min_stop_hits: int = 3,
+    cuts: tuple[float, float] = (1.0 / 3.0, 2.0 / 3.0),
+) -> DataFrame:
+    """The CCNet pipeline (Wenzek et al. 2020) end-to-end as a
+    per-language datasheet: language-id gate → per-language bigram-LM
+    perplexity → head/middle/tail split per language → one funnel row
+    per (language, bucket).
+
+    Stage semantics, chaining the audited operators:
+
+    1. **langid gate** — :func:`~linz_bde_uploader_spark.functions.
+       text.lang_guess`'s stopword-density detector; a document whose
+       detector output is 'other' (fewer than ``min_stop_hits``
+       stopword hits) is an UNCONFIDENT identification and drops, the
+       analog of CCNet's fastText-score < 0.5 cut. The per-language
+       GRAIN is ``lang_col`` — the corpus's language label, the same
+       stratum :func:`perplexity_buckets` owns (the binary heuristic
+       gates confidence; a model-based multi-class detector would
+       replace the label behind the same column contract).
+    2. **per-language LM** — :func:`train_stratified_bigram_lm` over
+       the gate survivors: ONE model per language, trained in one job.
+    3. **bucket split** — within each language, ``percent_rank`` over
+       the TOTAL order (perplexity asc, id asc) cut at ``cuts`` into
+       head/middle/tail — rank arithmetic, engine-independent on tied
+       4-dp scores (the :func:`perplexity_buckets` rule).
+    4. **datasheet** — per (language, bucket): bucket doc/token
+       counts, exact scaled-integer mean perplexity (sum of
+       round(ppl·10⁴) longs, ONE double division at the end — no
+       float fold-order can move the 4-dp mean), beside the language's
+       funnel columns (ingested → langid survivors → LM-scoreable).
+       Every observed language emits all three bucket rows, zeros
+       when empty — a language the gate annihilates still surfaces
+       (the mixture family's no-silent-drop rule).
+
+    Returns ``(lang, bucket, n_ingest, n_langid, n_scored, n_docs,
+    tokens, mean_ppl)`` ordered by (lang, bucket).
+
+    Scale: the gate and token counts are map-only folds; LM train +
+    score is the stratified plan above (keys widened by the language);
+    the bucket split is ONE window per language partition; every
+    rollup is a bounded |langs|- or |langs×3|-key aggregate. No
+    driver loop, no collect, no per-row Python.
+    """
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    from linz_bde_uploader_spark.functions.text import (  # noqa: PLC0415
+        lang_guess,
+        token_count,
+    )
+
+    c1, c2 = cuts
+    if not 0.0 < c1 < c2 < 1.0:
+        raise ValueError("cuts must satisfy 0 < c1 < c2 < 1")
+    base = docs.select(
+        F.col(id_col),
+        F.col(lang_col).cast("string").alias("lang"),
+        F.col(text_col).alias("_text"),
+        token_count(F.col(text_col)).cast("long").alias("_nt"),
+        (lang_guess(F.col(text_col), min_stop_hits) == F.lit("en")).alias(
+            "_conf"
+        ),
+    )
+    ing = base.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_ingest")
+    )
+    g = base.filter(F.col("_conf"))
+    gl = g.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_langid")
+    )
+    model = train_stratified_bigram_lm(g, id_col, "_text", "lang")
+    sc = score_documents_stratified(g, model, id_col, "_text", "lang")
+    scl = sc.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_scored")
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.col("perplexity").asc(), F.col(id_col).asc()
+    )
+    bk = (
+        sc.join(g.select(id_col, "_nt"), [id_col])
+        .withColumn("_pr", F.percent_rank().over(w))
+        .withColumn(
+            "bucket",
+            F.when(F.col("_pr") < F.lit(c1), F.lit("head"))
+            .when(F.col("_pr") < F.lit(c2), F.lit("middle"))
+            .otherwise(F.lit("tail")),
+        )
+    )
+    br = bk.groupBy("lang", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("_nt").cast("long").alias("tokens"),
+        F.sum(F.round(F.col("perplexity") * 10000).cast("long")).alias("_sp"),
+    )
+    frame = ing.select(
+        "lang",
+        F.explode(
+            F.array(F.lit("head"), F.lit("middle"), F.lit("tail"))
+        ).alias("bucket"),
+    )
+    return (
+        frame.join(ing, ["lang"])
+        .join(F.broadcast(gl), ["lang"], "left")
+        .join(F.broadcast(scl), ["lang"], "left")
+        .join(br, ["lang", "bucket"], "left")
+        .select(
+            "lang",
+            "bucket",
+            "n_ingest",
+            F.coalesce(F.col("n_langid"), F.lit(0)).cast("long").alias(
+                "n_langid"
+            ),
+            F.coalesce(F.col("n_scored"), F.lit(0)).cast("long").alias(
+                "n_scored"
+            ),
+            F.coalesce(F.col("n_docs"), F.lit(0)).cast("long").alias("n_docs"),
+            F.coalesce(F.col("tokens"), F.lit(0)).cast("long").alias("tokens"),
+            F.when(
+                F.coalesce(F.col("n_docs"), F.lit(0)) > 0,
+                F.round(
+                    F.col("_sp") / (F.lit(10000.0) * F.col("n_docs")), 4
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("mean_ppl"),
+        )
+        .orderBy("lang", "bucket")
+    )

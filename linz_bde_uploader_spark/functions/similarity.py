@@ -1254,3 +1254,117 @@ def ann_ndcg(
         )
         out = row if out is None else out.unionAll(row)
     return out.orderBy("method")
+
+
+def bitext_margin_mine(
+    src_queries: DataFrame,
+    tgt: DataFrame,
+    src: DataFrame,
+    k: int = 4,
+    threshold: float = 1.06,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Bitext mining via the RATIO margin criterion (Artetxe & Schwenk
+    2019; the CCMatrix/LASER recipe): for every source-language
+    sentence in a bounded mining shard, find its best target-language
+    candidate by the margin score
+
+        margin(x, y) = cos(x, y) /
+                       (mean_k cos(x, NN_k(x, TGT)) / 2
+                        + mean_k cos(y, NN_k(y, SRC)) / 2)
+
+    — raw cosine normalized by both sides' local neighborhood density,
+    the published fix for cosine's hubness failure (a "hub" sentence
+    close to everything scores a high cosine with many wrong mates but
+    a margin near 1). Pairs above ``threshold`` (the paper's tuned
+    1.06 cut) are MINED as parallel text — the multilingual-pipeline
+    operator that feeds the mixture family.
+
+    Semantics, built on :func:`batch_cosine_topk`'s audited shape:
+    forward k-NN of each query x over the target corpus; the candidate
+    set (≤ |Q|·k target ids) turns around as the query side of the
+    BACKWARD k-NN over the source corpus. Each (x, y) forward pair
+    scores one margin; the emitted row per query is the top margin
+    (ties: lowest target id).
+
+    Determinism (fixed-point margins): cosines are 6-dp rounds; each
+    neighborhood sum aggregates 1e-6 fixed-point LONGS (``Σ round(
+    cos·10⁶)`` — fold-order-free); the margin is ONE double division
+    of exact integers, ``round(s·2·n_x·n_y / (D_x·n_y + D_y·n_x),
+    4)`` — no engine's float fold can move it. A non-positive
+    denominator (every neighbor anti-correlated) emits the 0.0
+    sentinel, never NULL.
+
+    Returns ``(src_id, tgt_id, cos_score, margin, mined)`` — one row
+    per mining-shard query, ``mined = 1`` iff margin > threshold.
+
+    Scale: two broadcast-query k-NN passes (the documented
+    |Q|-bounded BNLJ whitelist shape of q_sim_batch_topk — the big
+    sides never shuffle); the margin math is arithmetic over the
+    bounded |Q|·k pair table. Production mines shard-by-shard exactly
+    like this — the full-corpus-×-full-corpus form is what the
+    IVF/LSH tiers above replace.
+    """
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    fwd = batch_cosine_topk(
+        tgt, src_queries, k=k, id_col=id_col, vec_col=vec_col
+    )
+    fx = fwd.groupBy("q_id").agg(
+        F.sum(F.round(F.col("score") * 1e6).cast("long")).alias("_dx"),
+        F.count(F.lit(1)).cast("long").alias("_nx"),
+    )
+    ycand = (
+        fwd.select(F.col(id_col)).distinct()
+        .join(tgt.select(F.col(id_col), F.col(vec_col)), [id_col])
+        .select(
+            F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+        )
+    )
+    bwd = batch_cosine_topk(
+        src, ycand, k=k, id_col=id_col, vec_col=vec_col
+    )
+    by = bwd.groupBy("q_id").agg(
+        F.sum(F.round(F.col("score") * 1e6).cast("long")).alias("_dy"),
+        F.count(F.lit(1)).cast("long").alias("_ny"),
+    )
+    pairs = (
+        fwd.select(
+            F.col("q_id").alias("src_id"),
+            F.col(id_col).alias("tgt_id"),
+            F.col("score"),
+            F.round(F.col("score") * 1e6).cast("long").alias("_sx"),
+        )
+        .join(fx.withColumnRenamed("q_id", "src_id"), ["src_id"])
+        .join(by.withColumnRenamed("q_id", "tgt_id"), ["tgt_id"])
+    )
+    den = F.col("_dx") * F.col("_ny") + F.col("_dy") * F.col("_nx")
+    margin = F.when(
+        den > 0,
+        F.round(
+            F.col("_sx")
+            * F.lit(2.0)
+            * F.col("_nx")
+            * F.col("_ny")
+            / den.cast("double"),
+            4,
+        ),
+    ).otherwise(F.lit(0.0))
+    w = Window.partitionBy("src_id").orderBy(
+        F.desc("margin"), F.col("tgt_id").asc()
+    )
+    return (
+        pairs.withColumn("margin", margin)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "src_id",
+            "tgt_id",
+            F.col("score").alias("cos_score"),
+            "margin",
+            (F.col("margin") > F.lit(float(threshold)))
+            .cast("int")
+            .alias("mined"),
+        )
+    )

@@ -41,6 +41,13 @@ WHITELIST: dict[str, tuple[str, ...]] = {
     # (id != q_id) join loops over the BROADCAST query set only —
     # map-only over the corpus side (similarity.py::batch_ann_recall).
     "q_batch_ann_recall": ("BroadcastNestedLoopJoin",),
+    # Bitext margin mining runs batch_cosine_topk twice (forward k-NN
+    # over the target corpus for the broadcast mining shard; backward
+    # k-NN over the source corpus for the bounded |Q|·k candidate
+    # set) — both loops are over the tiny broadcast query side,
+    # map-only over the corpus sides (similarity.py::
+    # bitext_margin_mine; the q_sim_batch_topk shape, twice).
+    "q_bitext_margin": ("BroadcastNestedLoopJoin",),
     # TF-IDF folds the corpus size N into the plan as a broadcast of a
     # ONE-ROW global aggregate (tfidf.py::tfidf_topk) so the whole query
     # is a single job with no driver-side count() action. Catalyst

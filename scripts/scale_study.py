@@ -161,6 +161,25 @@ PICK = [
     # round-13 birth: UniMax — one token-count agg shuffle + window
     # math over the bounded |sources| table
     "q_mixture_unimax",
+    # round-14 birth: CCNet composite — the stratified bigram LM's
+    # (lang, prev, cur) count + score joins (the lm family's measured
+    # shape with the language prepended to every key), one
+    # per-language percent_rank window, bounded |langs|-key rollups
+    "q_ccnet_e2e",
+    # round-14 birth: per-snapshot dedup ablation — ONE banded-LSH +
+    # exact-Jaccard verified pair pass (the measured
+    # q_corpus_build_e2e near-dup machinery) + two distinct
+    # projections of the pair set + a 4-key rollup
+    "q_dedup_snapshot_ablation",
+    # round-14 birth: bitext margin mining — two broadcast-query kNN
+    # corpus scans (the measured q_batch_ann_recall shape; |Q| fixed
+    # by the mining shard, so wall tracks corpus bytes) + margin
+    # arithmetic over the bounded |Q|·k pair table
+    "q_bitext_margin",
+    # round-14 birth: quality-threshold ablation — the calibration
+    # bin machinery + token counts (map-only) + the broadcast 4-gram
+    # decontam probe + one 10-key agg + <= 10-row retention windows
+    "q_quality_ablation",
 ]
 
 

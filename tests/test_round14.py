@@ -1,0 +1,373 @@
+"""Round-14 births: the CCNet end-to-end composite (langid gate →
+per-language bigram LM → head/middle/tail split → per-language
+datasheet), the FineWeb per-snapshot vs global dedup ablation, the
+margin-criterion bitext mining face, and the quality-threshold
+ablation datasheet."""
+
+import math
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+class TestStratifiedLm:
+    """train_stratified_bigram_lm / score_documents_stratified — one
+    model per stratum, add-one arithmetic verified by hand on a
+    crafted two-language corpus."""
+
+    def test_per_stratum_probabilities_by_hand(self, spark):
+        from linz_bde_uploader_spark.functions.lm import (
+            score_documents_stratified,
+            train_stratified_bigram_lm,
+        )
+
+        docs = spark.createDataFrame(
+            [
+                (1, "en", "a b a b"),
+                (2, "en", "a b"),
+                (3, "de", "a c"),
+            ],
+            "doc_id long, lang string, text string",
+        )
+        lm = train_stratified_bigram_lm(docs, stratum_col="lang")
+        rows = {
+            (r.lang, r.prev, r.cur): r for r in lm.collect()
+        }
+        # en: bigrams (a,b)x3? doc1 = a b, b a, a b -> (a,b)=2,(b,a)=1;
+        # doc2 adds (a,b)=1 -> (a,b)=3, (b,a)=1; vocab {a,b} = 2
+        en_ab = rows[("en", "a", "b")]
+        assert en_ab.pair_cnt == 3 and en_ab.ctx_cnt == 3
+        assert en_ab.vocab_size == 2
+        assert abs(en_ab.logp - math.log((3 + 1) / (3 + 2))) < 1e-12
+        en_ba = rows[("en", "b", "a")]
+        assert en_ba.pair_cnt == 1 and en_ba.ctx_cnt == 1
+        # de: one bigram (a,c); vocab {a,c} = 2 — counted per stratum,
+        # never polluted by en's b
+        de_ac = rows[("de", "a", "c")]
+        assert de_ac.pair_cnt == 1 and de_ac.ctx_cnt == 1
+        assert de_ac.vocab_size == 2
+        assert abs(de_ac.logp - math.log((1 + 1) / (1 + 2))) < 1e-12
+        # the SAME context 'a' scores differently under each language's
+        # model — the whole point of per-language LMs
+        assert en_ab.logp != de_ac.logp
+
+        sc = {r.doc_id: r for r in score_documents_stratified(
+            docs, lm, stratum_col="lang"
+        ).collect()}
+        assert set(sc) == {1, 2, 3}
+        # doc3 under de's model: -logp(a,c) exactly
+        assert abs(
+            sc[3].cross_entropy - round(-de_ac.logp, 4)
+        ) < 1e-9
+        assert sc[3].n_bigrams == 1 and sc[3].lang == "de"
+
+    def test_backoff_floor_for_unseen_bigrams(self, spark):
+        from linz_bde_uploader_spark.functions.lm import (
+            score_documents_stratified,
+            train_stratified_bigram_lm,
+        )
+
+        train = spark.createDataFrame(
+            [(1, "en", "a b a b")],
+            "doc_id long, lang string, text string",
+        )
+        lm = train_stratified_bigram_lm(train, stratum_col="lang")
+        # "a c": seen context 'a' (ctx_cnt=2), unseen cur 'c' ->
+        # floor ln(1/(2+2)); "c d": unseen context -> ln(1/(0+2))
+        test = spark.createDataFrame(
+            [(9, "en", "a c"), (10, "en", "c d")],
+            "doc_id long, lang string, text string",
+        )
+        got = {r.doc_id: r for r in score_documents_stratified(
+            test, lm, stratum_col="lang"
+        ).collect()}
+        assert abs(
+            got[9].cross_entropy - round(-math.log(1 / 4), 4)
+        ) < 1e-9
+        assert abs(
+            got[10].cross_entropy - round(-math.log(1 / 2), 4)
+        ) < 1e-9
+
+
+class TestCcnetE2e:
+    """q_ccnet_e2e — per-(language, bucket) grain over the real
+    corpus: funnel monotonicity, the three-bucket partition of the
+    scoreable set, and bucket mean-perplexity ordering."""
+
+    def _rows(self, spark):
+        import __spark_entry__ as E
+
+        return E.q_ccnet_e2e(spark, SF).collect()
+
+    def test_grain_and_funnel(self, spark):
+        rows = self._rows(spark)
+        langs = {r.lang for r in rows}
+        d = spark.read.parquet(f"{SF}/documents.parquet")
+        assert langs == {
+            r.lang for r in d.select("lang").distinct().collect()
+        }
+        by_lang = {}
+        for r in rows:
+            by_lang.setdefault(r.lang, []).append(r)
+        for lang, rs in by_lang.items():
+            assert sorted(r.bucket for r in rs) == [
+                "head", "middle", "tail",
+            ]
+            # funnel columns repeat identically across the lang's rows
+            assert len({(r.n_ingest, r.n_langid, r.n_scored)
+                        for r in rs}) == 1
+            r0 = rs[0]
+            assert r0.n_ingest >= r0.n_langid >= r0.n_scored >= 0
+            # buckets partition the scoreable set
+            assert sum(r.n_docs for r in rs) == r0.n_scored
+        assert sum(r.n_ingest for r in rows) // 3 == d.count()
+
+    def test_langid_gate_is_the_detector(self, spark):
+        from linz_bde_uploader_spark.functions.text import lang_guess
+
+        rows = self._rows(spark)
+        d = spark.read.parquet(f"{SF}/documents.parquet")
+        conf = d.filter(lang_guess(F.col("text")) == "en")
+        got = {
+            r.lang: r.n_langid for r in rows if r.bucket == "head"
+        }
+        want = {
+            r.lang: r.cnt
+            for r in conf.groupBy("lang").agg(
+                F.count(F.lit(1)).alias("cnt")
+            ).collect()
+        }
+        for lang, n in got.items():
+            assert n == want.get(lang, 0), lang
+
+    def test_bucket_means_are_ordered(self, spark):
+        rows = self._rows(spark)
+        by_lang = {}
+        for r in rows:
+            by_lang.setdefault(r.lang, {})[r.bucket] = r
+        checked = 0
+        for lang, b in by_lang.items():
+            if all(b[k].n_docs > 0 for k in ("head", "middle", "tail")):
+                assert (
+                    b["head"].mean_ppl
+                    <= b["middle"].mean_ppl
+                    <= b["tail"].mean_ppl
+                ), lang
+                checked += 1
+        assert checked > 0  # the ordering was actually exercised
+
+
+class TestSnapshotAblation:
+    """q_dedup_snapshot_ablation — the within-snapshot drop set must
+    be a subset of the global one per snapshot, the cross-snapshot
+    column their exact difference, and the global arm must agree with
+    the standalone verified-pair machinery."""
+
+    def test_containment_and_totals(self, spark):
+        import __spark_entry__ as E
+        from linz_bde_uploader_spark.functions.dedup import (
+            candidate_jaccard_verify,
+        )
+
+        rows = E.q_dedup_snapshot_ablation(spark, SF).collect()
+        assert sorted(r.snapshot for r in rows) == [0, 1, 2, 3]
+        for r in rows:
+            assert 0 <= r.snap_removed <= r.global_removed <= r.n_docs
+            assert r.cross_snapshot_removed == (
+                r.global_removed - r.snap_removed
+            )
+            assert r.snap_tokens_removed <= r.global_tokens_removed
+            assert abs(
+                r.snap_removed_frac - round(r.snap_removed / r.n_docs, 4)
+            ) < 1e-9
+
+        d = spark.read.parquet(f"{SF}/documents.parquet")
+        ver = candidate_jaccard_verify(d, "doc_id", "text", threshold=0.5)
+        gdrop = {r.id_b for r in ver.select("id_b").distinct().collect()}
+        assert sum(r.global_removed for r in rows) == len(gdrop)
+        sdrop = {
+            r.id_b
+            for r in ver.filter(
+                F.pmod(F.col("id_a"), F.lit(4))
+                == F.pmod(F.col("id_b"), F.lit(4))
+            ).select("id_b").distinct().collect()
+        }
+        assert sum(r.snap_removed for r in rows) == len(sdrop)
+        # the FineWeb quantity exists on this corpus: some duplicates
+        # really do cross snapshots
+        assert sum(r.cross_snapshot_removed for r in rows) > 0
+
+    def test_crafted_within_vs_cross(self, spark):
+        from linz_bde_uploader_spark.functions.dedup import (
+            candidate_jaccard_verify,
+        )
+
+        # ids 0 and 4 share snapshot (0%4 == 4%4); ids 1 and 2 do not.
+        # near-identical long texts so LSH certainly bands them.
+        t1 = " ".join(["alpha beta gamma delta"] * 10)
+        t2 = " ".join(["omega psi chi phi"] * 10)
+        docs = spark.createDataFrame(
+            [(0, t1), (4, t1), (1, t2), (2, t2), (7, "lone wolf text")],
+            "doc_id long, text string",
+        )
+        ver = candidate_jaccard_verify(docs, "doc_id", "text", 0.5)
+        pairs = {(r.id_a, r.id_b) for r in ver.collect()}
+        assert (0, 4) in pairs and (1, 2) in pairs
+        same = {
+            (a, b) for a, b in pairs if a % 4 == b % 4
+        }
+        assert (0, 4) in same and (1, 2) not in same
+
+
+class TestBitextMargin:
+    """q_bitext_margin — exact agreement with a numpy reference that
+    replays the published ratio-margin definition with the same
+    fixed-point arithmetic, plus cut-exercise checks."""
+
+    def test_against_numpy_reference(self, spark):
+        import numpy as np
+
+        import __spark_entry__ as E
+
+        rows = {r.src_id: r for r in E.q_bitext_margin(spark, SF).collect()}
+
+        emb = {
+            r.vec_id: np.array(r.embedding, dtype=np.float64)
+            for r in spark.read.parquet(f"{SF}/embeddings.parquet").collect()
+        }
+        src = sorted(i for i in emb if i % 2 == 0)
+        tgt = sorted(i for i in emb if i % 2 == 1)
+        qs = [i for i in src if i % 10 == 0 and i < 1000]
+
+        def cos6(a, b):
+            v = float(emb[a] @ emb[b]) / (
+                math.sqrt(float(emb[a] @ emb[a]))
+                * math.sqrt(float(emb[b] @ emb[b]))
+            )
+            return round(v, 6)
+
+        def topk(x, side, k=4):
+            scored = sorted(
+                ((cos6(x, y), y) for y in side if y != x),
+                key=lambda t: (-t[0], t[1]),
+            )[:k]
+            return scored
+
+        k = 4
+        fwd = {x: topk(x, tgt, k) for x in qs}
+        ycand = sorted({y for nn in fwd.values() for _, y in nn})
+        bwd = {y: topk(y, src, k) for y in ycand}
+
+        want = {}
+        for x in qs:
+            dx = sum(round(s * 1e6) for s, _ in fwd[x])
+            nx = len(fwd[x])
+            best = None
+            for s, y in fwd[x]:
+                dy = sum(round(sy * 1e6) for sy, _ in bwd[y])
+                ny = len(bwd[y])
+                den = dx * ny + dy * nx
+                m = (
+                    round(round(s * 1e6) * 2.0 * nx * ny / den, 4)
+                    if den > 0
+                    else 0.0
+                )
+                cand = (m, -y, s, y)
+                if best is None or cand > best:
+                    best = cand
+            m, _, s, y = best
+            want[x] = (y, s, m, 1 if m > 1.06 else 0)
+
+        assert set(rows) == set(want)
+        for x, (y, s, m, mined) in want.items():
+            r = rows[x]
+            assert (r.tgt_id, r.cos_score, r.margin, r.mined) == (
+                y, s, m, mined,
+            ), x
+
+    def test_cut_is_exercised(self, spark):
+        import __spark_entry__ as E
+
+        rows = E.q_bitext_margin(spark, SF).collect()
+        flags = {r.mined for r in rows}
+        assert flags == {0, 1}
+        for r in rows:
+            assert (r.mined == 1) == (r.margin > 1.06)
+            # mates come from the target side only
+            assert r.tgt_id % 2 == 1 and r.src_id % 2 == 0
+
+
+class TestQualityAblation:
+    """q_quality_ablation — the calibration machinery must reappear
+    verbatim (bins, counts, means, gopher rate all equal), retention
+    must be the exact suffix-cumulative of the bin masses, and the
+    decontam column must match the standalone operator."""
+
+    def test_calibration_columns_match_verbatim(self, spark):
+        import __spark_entry__ as E
+
+        cal = {r.bin: r for r in E.q_quality_calibration(spark, SF).collect()}
+        abl = {r.bin: r for r in E.q_quality_ablation(spark, SF).collect()}
+        assert set(cal) == set(abl)
+        for b, c in cal.items():
+            a = abl[b]
+            assert (a.n_docs, a.mean_prob, a.gopher_pass_frac) == (
+                c.n_docs, c.mean_prob, c.gopher_pass_frac,
+            ), b
+
+    def test_retention_is_suffix_cumulative(self, spark):
+        import __spark_entry__ as E
+
+        rows = sorted(
+            E.q_quality_ablation(spark, SF).collect(),
+            key=lambda r: r.bin,
+        )
+        total_d = sum(r.n_docs for r in rows)
+        total_t = sum(r.n_tokens for r in rows)
+        for i, r in enumerate(rows):
+            assert r.ret_docs == sum(x.n_docs for x in rows[i:])
+            assert r.ret_tokens == sum(x.n_tokens for x in rows[i:])
+            assert abs(
+                r.ret_doc_frac - round(r.ret_docs / total_d, 4)
+            ) < 1e-9
+            assert abs(
+                r.ret_token_frac - round(r.ret_tokens / total_t, 4)
+            ) < 1e-9
+        assert rows[0].ret_docs == total_d
+        assert rows[0].ret_doc_frac == 1.0
+
+    def test_contam_matches_standalone_operator(self, spark):
+        import __spark_entry__ as E
+        from linz_bde_uploader_spark.functions.decontaminate import (
+            contamination_hits,
+        )
+        from linz_bde_uploader_spark.functions.text import (
+            quality_classifier,
+        )
+
+        d = spark.read.parquet(f"{SF}/documents.parquet")
+        hits = {
+            r.doc_id
+            for r in contamination_hits(
+                d.filter(F.col("doc_id") % 20 != 0),
+                d.filter(F.col("doc_id") % 20 == 0),
+                n=4,
+            ).collect()
+        }
+        probs = {
+            r.doc_id: r.prob for r in quality_classifier(d).collect()
+        }
+        want = {}
+        for doc_id, p in probs.items():
+            b = min(9, int(p * 10))
+            n, c = want.get(b, (0, 0))
+            contam = doc_id % 20 == 0 or doc_id in hits
+            want[b] = (n + 1, c + (1 if contam else 0))
+        got = {
+            r.bin: r for r in E.q_quality_ablation(spark, SF).collect()
+        }
+        assert set(got) == set(want)
+        for b, (n, c) in want.items():
+            assert got[b].n_docs == n
+            assert abs(got[b].contam_frac - round(c / n, 4)) < 1e-9
