@@ -112,6 +112,11 @@ def test_no_harness_query_compiles_to_scale_smell(spark):
         # round 9: the link-graph composite ends in the same dangling-
         # mass directed PageRank one-row broadcast
         "q_link_graph_rank",
+        # round 14: bitext margin mining runs the batch-kNN
+        # broadcast-query loop twice (forward over the target corpus,
+        # backward over the source corpus for the bounded candidate
+        # set) — the q_sim_batch_topk shape
+        "q_bitext_margin",
     }
 
 
