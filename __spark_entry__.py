@@ -3566,6 +3566,24 @@ def q_ccnet_e2e(spark, sf_dir):
     return LM.ccnet_datasheet(d)
 
 
+def q_mixture_doremi(spark, sf_dir):
+    # DoReMi one-step EG mixture plan (Xie et al. 2023) — the mixture
+    # family's fourth face (α-temperature / explicit-weights / UniMax /
+    # THIS): per domain, the measured excess loss (mean cross-entropy
+    # under the GLOBAL bigram LM minus under the domain's OWN
+    # stratified LM, clamped at 0) drives one exponentiated-gradient
+    # step from uniform weights with the paper's smoothed
+    # normalization. Fixed-point throughout (1e-4 CE means, 1e-9
+    # frozen exp weights — the q_mixture_alpha pow convention);
+    # sampling.py::doremi_plan documents the contracts. Two LM
+    # train+score passes + two |sources|-key aggs + |sources|-window
+    # math.
+    from linz_bde_uploader_spark.functions.sampling import doremi_plan
+
+    d = W.load(spark, sf_dir, "documents")
+    return doremi_plan(d, budget_tokens=100_000)
+
+
 def q_pipeline_chunk_pack(spark, sf_dir):
     # The training-sequence preparation funnel end-to-end: chunk each
     # document into 64-token windows (map-only stride explode), then
@@ -5060,10 +5078,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    r3+r4 double-green tenants (q_percentiles, q_json_extract,
         #    q_rollup_acctbal, q_win_sessionize, q_win_topk_per_group,
         #    q_pivot_event_day -> 51+), per scripts/rotation_report.py
-        # -- round-7 birth: mixture planner; its round-7 siblings
-        #    q_dsir_select_bigram and q_token_fertility (r7+r8 green)
-        #    rotated to 51+ in round 9 by the link-graph births
-        "q_mixture_plan": q_mixture_plan,
+        # -- round-14 birth: DoReMi one-step EG mixture plan (Xie et
+        #    al. 2023) — measured excess loss (global vs stratified
+        #    bigram LM cross-entropy) driving the paper's smoothed
+        #    exponentiated-gradient weight update, fixed-point
+        #    throughout; displaced tenant q_mixture_plan (green r7-r13
+        #    septuple; the mixture family keeps q_mixture_unimax +
+        #    THIS face in-window, the explicit-weights planner stays
+        #    oracle-checked at 51+) -> 51+
+        "q_mixture_doremi": q_mixture_doremi,
         # -- round-13 birth: UniMax epoch-capped budget split (the
         #    mixture family's third face — the published fix for
         #    temperature sampling's tail-vs-epochs failure mode;
@@ -5475,6 +5498,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sextuple; the calibration bin machinery runs verbatim inside
         # the displacing ablation)
         "q_quality_calibration": q_quality_calibration,
+        # rotated out in round 14 by q_mixture_doremi (green r7-r13
+        # septuple; the mixture family keeps q_mixture_unimax + the
+        # DoReMi face in-window, the explicit-weights planner stays
+        # oracle-checked at 51+)
+        "q_mixture_plan": q_mixture_plan,
         "q_bpe_pair_counts": q_bpe_pair_counts,
         "q_tpch_q8_market_share": q_tpch_q8_market_share,
         "q_tpch_q9_profit": q_tpch_q9_profit,
@@ -10943,6 +10971,104 @@ def oracle_sql() -> dict[str, str]:
                         ELSE CAST(0 AS BIGINT) END AS epochs
             FROM pl
             ORDER BY bucket
+        """,
+        "q_mixture_doremi": """
+            WITH agg AS (
+              SELECT source,
+                     CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum(CASE WHEN trim(text) = '' THEN 0 ELSE len(string_split(trim(text), ' ')) END)
+                          AS BIGINT) AS tokens
+              FROM documents GROUP BY source
+            ),
+            toks AS (
+              SELECT doc_id, source, string_split(trim(text), ' ') AS l
+              FROM documents
+            ),
+            sized AS (
+              SELECT doc_id, source, l, len(l) AS n FROM toks
+              WHERE len(l) >= 2
+            ),
+            bi AS (
+              SELECT doc_id, source, l[i] AS prev, l[i+1] AS cur
+              FROM sized,
+                   LATERAL (SELECT unnest(generate_series(1, n - 1)) AS i) g
+            ),
+            pc AS (SELECT prev, cur, count(*) AS pair_cnt FROM bi
+                   GROUP BY prev, cur),
+            ctx AS (SELECT prev, cur, pair_cnt,
+                           sum(pair_cnt) OVER (PARTITION BY prev) AS ctx_cnt
+                    FROM pc),
+            v AS (SELECT count(DISTINCT tok) AS vocab_size FROM (
+                    SELECT prev AS tok FROM bi
+                    UNION ALL SELECT cur FROM bi)),
+            lmr AS (SELECT prev, cur,
+                           ln((pair_cnt + 1.0) / (ctx_cnt + vocab_size))
+                             AS logp
+                    FROM ctx, v),
+            refce AS (
+              SELECT b.doc_id, round(-avg(m.logp), 4) AS cer
+              FROM bi b JOIN lmr m USING (prev, cur)
+              GROUP BY b.doc_id
+            ),
+            pc2 AS (SELECT source, prev, cur, count(*) AS pair_cnt FROM bi
+                    GROUP BY source, prev, cur),
+            ctx2 AS (SELECT source, prev, cur, pair_cnt,
+                            sum(pair_cnt) OVER (PARTITION BY source, prev)
+                              AS ctx_cnt
+                     FROM pc2),
+            v2 AS (SELECT source, count(DISTINCT tok) AS vocab_size FROM (
+                     SELECT source, prev AS tok FROM bi
+                     UNION ALL SELECT source, cur FROM bi) GROUP BY source),
+            lmd AS (SELECT c.source, c.prev, c.cur,
+                           ln((c.pair_cnt + 1.0)
+                              / (c.ctx_cnt + v2.vocab_size)) AS logp
+                    FROM ctx2 c JOIN v2 USING (source)),
+            domce AS (
+              SELECT b.doc_id, b.source, round(-avg(m.logp), 4) AS ced
+              FROM bi b JOIN lmd m USING (source, prev, cur)
+              GROUP BY b.doc_id, b.source
+            ),
+            mus AS (
+              SELECT d.source,
+                     sum(CAST(round(r.cer * 10000) AS BIGINT)) AS sr,
+                     sum(CAST(round(d.ced * 10000) AS BIGINT)) AS sd,
+                     CAST(count(*) AS BIGINT) AS ns
+              FROM domce d JOIN refce r USING (doc_id)
+              GROUP BY d.source
+            ),
+            staged AS (
+              SELECT a.source, a.n_docs, a.tokens,
+                     CASE WHEN coalesce(m.ns, 0) > 0
+                          THEN round(m.sr / (10000.0 * m.ns), 4)
+                          ELSE 0.0 END AS ce_uniform,
+                     CASE WHEN coalesce(m.ns, 0) > 0
+                          THEN round(m.sd / (10000.0 * m.ns), 4)
+                          ELSE 0.0 END AS ce_domain
+              FROM agg a LEFT JOIN mus m ON m.source = a.source
+            ),
+            weighted AS (
+              SELECT *,
+                     round(greatest(ce_uniform - ce_domain, 0.0), 4)
+                       AS excess,
+                     CAST(round(
+                       exp(1.0 * round(greatest(ce_uniform - ce_domain,
+                                                0.0), 4))
+                       * 1000000000.0) AS BIGINT) AS w
+              FROM staged
+            ),
+            fin AS (
+              SELECT source, n_docs, tokens, ce_uniform, ce_domain,
+                     excess,
+                     round(CAST(0.999 AS DOUBLE) * w / sum(w) OVER ()
+                           + CAST(0.001 AS DOUBLE) / count(*) OVER (), 6)
+                       AS doremi_weight
+              FROM weighted
+            )
+            SELECT source, n_docs, tokens, ce_uniform, ce_domain, excess,
+                   doremi_weight,
+                   CAST(round(doremi_weight * 100000) AS BIGINT)
+                     AS target_tokens
+            FROM fin ORDER BY source
         """,
         "q_ccnet_e2e": f"""
             WITH base AS (

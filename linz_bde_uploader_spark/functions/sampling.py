@@ -982,3 +982,153 @@ def unimax_plan(
         ).alias("epochs"),
         F.col("_capped").cast("int").alias("capped"),
     )
+
+
+def doremi_plan(
+    docs: DataFrame,
+    budget_tokens: int,
+    eta: float = 1.0,
+    smoothing: float = 1e-3,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """One Group-DRO exponentiated-gradient step of DoReMi (Xie et al.
+    2023, "DoReMi: Optimizing Data Mixtures Speeds Up Language Model
+    Pretraining") — the mixture family's fourth face, and the
+    published alternative to hand-tuned domain weights: upweight the
+    domains where a uniform-mixture model underfits most.
+
+    The measured excess-loss signal, built from the two audited LM
+    scorers (one implementation, two mixture drivers):
+
+    - **reference loss** ``ce_uniform`` — per-domain mean
+      cross-entropy under the GLOBAL add-one bigram LM
+      (:func:`~linz_bde_uploader_spark.functions.lm.train_bigram_lm`
+      over the whole corpus — literally the model trained on the
+      uniform mixture);
+    - **in-domain loss** ``ce_domain`` — the same documents under
+      their OWN domain's model (:func:`~linz_bde_uploader_spark.
+      functions.lm.train_stratified_bigram_lm`), the best-achievable
+      in-domain baseline standing in for the paper's reference model;
+    - ``excess = max(0, ce_uniform − ce_domain)`` — the paper's
+      clamped excess loss: how much the uniform model underfits the
+      domain (its headroom), 0 where uniform already matches it.
+
+    The EG step from uniform initial weights (the per-step update the
+    paper iterates; α₀ uniform makes the 1/k factor cancel):
+    ``w_d = exp(η · excess_d)``, then the paper's smoothed
+    normalization ``α_d = (1 − c) · w_d / Σ w + c / k`` with
+    ``c = smoothing`` and ``k = |domains|``.
+
+    Determinism (the α-mixture fixed-point discipline): per-domain
+    means aggregate 1e-4 fixed-point LONGS of the scorers' 4-dp
+    cross-entropies (fold-order-free), the excess is a difference of
+    two 4-dp values re-rounded at 4 dp (exact), each weight is frozen
+    to a 1e-9 fixed-point LONG at its single ``exp`` site (the
+    q_mixture_alpha ``pow`` convention), so the normalization sums
+    INTEGERS and α is one double expression of exact integers, rounded
+    at 6 dp. ``target_tokens = round(α · budget)`` from the rounded α.
+
+    A domain with no scoreable document (< 2 tokens everywhere) gets
+    ``excess = 0`` — uniform treatment, never a dropped row (the
+    mixture family's no-silent-drop rule).
+
+    Returns one row per domain, ordered by name: ``(source, n_docs,
+    tokens, ce_uniform, ce_domain, excess, doremi_weight,
+    target_tokens)``.
+
+    Scale: two LM train+score passes (the measured global and
+    stratified plans — count tables bounded by bigram vocab, scoring
+    an equi-join on (domain,) prev, cur), two bounded |domains|-key
+    aggs, and window math over the |domains| table. No iteration here:
+    one call is one EG step; the paper's loop re-measures losses under
+    a retrained proxy between steps, which is a driver-level loop over
+    this bounded plan, not a data-plane one.
+    """
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    from linz_bde_uploader_spark.functions.lm import (  # noqa: PLC0415
+        score_documents,
+        score_documents_stratified,
+        train_bigram_lm,
+        train_stratified_bigram_lm,
+    )
+
+    if budget_tokens <= 0:
+        raise ValueError("budget_tokens must be positive")
+    if not 0.0 <= smoothing < 1.0:
+        raise ValueError("smoothing must be in [0, 1)")
+
+    d2 = docs.select(
+        F.col(id_col),
+        F.col(group_col).cast("string").alias("source"),
+        F.col(text_col).alias("_text"),
+    )
+    per = _per_source_tokens(docs, group_col, text_col)
+    ref = score_documents(
+        d2, train_bigram_lm(d2, id_col, "_text"), id_col, "_text"
+    ).select(id_col, F.col("cross_entropy").alias("_cer"))
+    dom = score_documents_stratified(
+        d2,
+        train_stratified_bigram_lm(d2, id_col, "_text", "source"),
+        id_col,
+        "_text",
+        "source",
+    ).select(id_col, "source", F.col("cross_entropy").alias("_ced"))
+    mus = (
+        dom.join(ref, [id_col])
+        .groupBy("source")
+        .agg(
+            F.sum(F.round(F.col("_cer") * 1e4).cast("long")).alias("_sr"),
+            F.sum(F.round(F.col("_ced") * 1e4).cast("long")).alias("_sd"),
+            F.count(F.lit(1)).cast("long").alias("_ns"),
+        )
+    )
+    ce_u = F.when(
+        F.col("_ns") > 0, F.round(F.col("_sr") / (F.lit(1e4) * F.col("_ns")), 4)
+    ).otherwise(F.lit(0.0))
+    ce_d = F.when(
+        F.col("_ns") > 0, F.round(F.col("_sd") / (F.lit(1e4) * F.col("_ns")), 4)
+    ).otherwise(F.lit(0.0))
+    staged = per.join(mus, ["source"], "left").select(
+        "source",
+        "n_docs",
+        "tokens",
+        ce_u.alias("ce_uniform"),
+        ce_d.alias("ce_domain"),
+    )
+    exc = F.round(
+        F.greatest(F.col("ce_uniform") - F.col("ce_domain"), F.lit(0.0)), 4
+    )
+    weighted = staged.select(
+        "*",
+        exc.alias("excess"),
+        F.round(F.exp(F.lit(float(eta)) * exc) * 1e9).cast("long").alias(
+            "_w"
+        ),
+    )
+    glob = Window.partitionBy()
+    c = float(smoothing)
+    alpha = F.round(
+        F.lit(1.0 - c) * F.col("_w") / F.sum("_w").over(glob)
+        + F.lit(c) / F.count(F.lit(1)).over(glob),
+        6,
+    )
+    return (
+        weighted.select(
+            "source",
+            "n_docs",
+            "tokens",
+            "ce_uniform",
+            "ce_domain",
+            "excess",
+            alpha.alias("doremi_weight"),
+        )
+        .withColumn(
+            "target_tokens",
+            F.round(F.col("doremi_weight") * F.lit(int(budget_tokens)))
+            .cast("long"),
+        )
+        .orderBy("source")
+    )

@@ -99,6 +99,12 @@ WHITELIST: dict[str, tuple[str, ...]] = {
     # scorer, inheriting its one-row V broadcast (the q_lm_perplexity
     # shape, same plan node).
     "q_mixture_perplexity": ("BroadcastNestedLoopJoin",),
+    # DoReMi's uniform-reference loss composes the SAME global bigram
+    # LM scorer, inheriting its one-row V broadcast (the
+    # q_lm_perplexity shape; the stratified in-domain scorer uses a
+    # keyed |domains|-row broadcast join, which compiles as a normal
+    # BroadcastHashJoin).
+    "q_mixture_doremi": ("BroadcastNestedLoopJoin",),
     # Directed PageRank's dangling-mass correction is a ONE-ROW rank
     # aggregate broadcast-cross-joined per iteration (graph.py::
     # pagerank(dangling=True)); it appears in the final plan now that

@@ -180,6 +180,11 @@ PICK = [
     # bin machinery + token counts (map-only) + the broadcast 4-gram
     # decontam probe + one 10-key agg + <= 10-row retention windows
     "q_quality_ablation",
+    # round-14 birth: DoReMi one-step EG — global + stratified bigram
+    # LM train/score passes (count tables bounded by bigram vocab,
+    # which the vocabulary-renamed fixture honestly grows 10x) + two
+    # |sources|-key aggs + |sources|-window math
+    "q_mixture_doremi",
 ]
 
 

@@ -117,6 +117,10 @@ def test_no_harness_query_compiles_to_scale_smell(spark):
         # backward over the source corpus for the bounded candidate
         # set) — the q_sim_batch_topk shape
         "q_bitext_margin",
+        # round 14: DoReMi's uniform-reference loss composes the
+        # global bigram LM scorer, inheriting its one-row vocabulary
+        # broadcast — the q_lm_perplexity shape
+        "q_mixture_doremi",
     }
 
 

@@ -371,3 +371,136 @@ class TestQualityAblation:
         for b, (n, c) in want.items():
             assert got[b].n_docs == n
             assert abs(got[b].contam_frac - round(c / n, 4)) < 1e-9
+
+
+class TestDoremiPlan:
+    """sampling.doremi_plan — exact agreement with a pure-Python
+    reference replaying the whole arithmetic (global + per-domain
+    add-one bigram LMs, fixed-point means, clamped excess, frozen exp
+    weights, smoothed EG normalization) on crafted corpora, plus
+    invariants on the real table."""
+
+    @staticmethod
+    def _ref(docs, budget=100_000, eta=1.0, c=1e-3):
+        import math
+
+        def toks(t):
+            return t.strip().split(" ") if t.strip() else []
+
+        def bigrams(t):
+            l = toks(t)
+            return list(zip(l[:-1], l[1:])) if len(l) >= 2 else []
+
+        def train(items):
+            pc, ctx, vocab = {}, {}, set()
+            for _, _, t in items:
+                for p in bigrams(t):
+                    pc[p] = pc.get(p, 0) + 1
+                    vocab.update(p)
+            for (a, b), n in pc.items():
+                ctx[a] = ctx.get(a, 0) + n
+            V = len(vocab)
+            return {
+                p: math.log((n + 1) / (ctx[p[0]] + V))
+                for p, n in pc.items()
+            }
+
+        def ce(lm, t):
+            bs = bigrams(t)
+            if not bs:
+                return None
+            return round(-sum(lm[p] for p in bs) / len(bs), 4)
+
+        glm = train(docs)
+        domains = sorted({s for _, s, _ in docs})
+        dlm = {d: train([x for x in docs if x[1] == d]) for d in domains}
+        out = {}
+        ws = {}
+        for d in domains:
+            items = [x for x in docs if x[1] == d]
+            n_docs = len(items)
+            tokens = sum(len(toks(t)) for _, _, t in items)
+            sr = sd = ns = 0
+            for _, _, t in items:
+                cr, cd = ce(glm, t), ce(dlm[d], t)
+                if cr is None:
+                    continue
+                sr += round(cr * 1e4)
+                sd += round(cd * 1e4)
+                ns += 1
+            ce_u = round(sr / (1e4 * ns), 4) if ns else 0.0
+            ce_d = round(sd / (1e4 * ns), 4) if ns else 0.0
+            exc = round(max(0.0, ce_u - ce_d), 4)
+            ws[d] = round(math.exp(eta * exc) * 1e9)
+            out[d] = (n_docs, tokens, ce_u, ce_d, exc)
+        W, k = sum(ws.values()), len(domains)
+        fin = {}
+        for d in domains:
+            alpha = round((1.0 - c) * ws[d] / W + c / k, 6)
+            fin[d] = out[d] + (alpha, round(alpha * budget))
+        return fin
+
+    def _run(self, spark, docs, budget=100_000):
+        from linz_bde_uploader_spark.functions.sampling import doremi_plan
+
+        df = spark.createDataFrame(
+            docs, "doc_id long, source string, text string"
+        )
+        return {
+            r.source: r
+            for r in doremi_plan(df, budget_tokens=budget).collect()
+        }
+
+    def test_crafted_corpora_match_reference(self, spark):
+        cases = [
+            # symmetric disjoint vocabularies -> equal weights
+            [(1, "A", "a b a b"), (2, "B", "x y x y")],
+            # one domain is pure repetition (in-domain LM fits it far
+            # better), one shares the global vocab, one is UNSCOREABLE
+            # (single token -> excess 0 fallback)
+            [
+                (1, "A", "c c c c c c"),
+                (2, "B", "a b c a"),
+                (3, "B", "b a c b"),
+                (4, "C", "solo"),
+            ],
+            # single domain -> stratified == global, excess exactly 0,
+            # weight 0.999 + 0.001 = 1.0
+            [(1, "only", "a b c a b")],
+        ]
+        for docs in cases:
+            got = self._run(spark, docs)
+            want = self._ref(docs)
+            assert set(got) == set(want), docs
+            for d, (nd, tk, cu, cd, exc, alpha, tgt) in want.items():
+                r = got[d]
+                assert (r.n_docs, r.tokens) == (nd, tk), (docs, d)
+                assert abs(r.ce_uniform - cu) < 1e-9, (docs, d)
+                assert abs(r.ce_domain - cd) < 1e-9, (docs, d)
+                assert abs(r.excess - exc) < 1e-9, (docs, d)
+                assert abs(r.doremi_weight - alpha) < 2e-6, (docs, d)
+                assert abs(r.target_tokens - tgt) <= 1, (docs, d)
+        single = self._run(spark, cases[2])["only"]
+        assert single.excess == 0.0 and single.doremi_weight == 1.0
+
+    def test_real_corpus_invariants(self, spark):
+        import __spark_entry__ as E
+
+        rows = E.q_mixture_doremi(spark, SF).collect()
+        assert len(rows) == 20  # every source surfaces
+        s = sum(r.doremi_weight for r in rows)
+        assert abs(s - 1.0) < 1e-4
+        for r in rows:
+            assert r.excess >= 0.0
+            assert r.ce_uniform >= r.ce_domain - 1e-9  # in-domain fits better
+            # half-up like the engines (Python round() is banker's and
+            # flips on an exact .5 product, e.g. 0.050545 * 1e5)
+            assert r.target_tokens == math.floor(
+                r.doremi_weight * 100_000 + 0.5
+            )
+        # the EG step is monotone: more excess never means less weight
+        by_exc = sorted(rows, key=lambda r: r.excess)
+        for a, b in zip(by_exc, by_exc[1:]):
+            assert a.doremi_weight <= b.doremi_weight + 1e-12
+        # the signal is real: excess differs across domains
+        assert len({r.excess for r in rows}) > 1
