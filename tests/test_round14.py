@@ -383,6 +383,24 @@ class TestDoremiPlan:
     @staticmethod
     def _ref(docs, budget=100_000, eta=1.0, c=1e-3):
         import math
+        from decimal import ROUND_HALF_UP, Decimal
+
+        def rnd(x, n):
+            # the ENGINES' rounding: half-up on the shortest decimal
+            # form (Spark round = BigDecimal.valueOf(double), DuckDB
+            # matches) — Python round() is banker's and flips on exact
+            # half-ticks like a mean CE of 1.19145
+            q = Decimal(1).scaleb(-n)
+            return float(
+                Decimal(repr(float(x))).quantize(q, rounding=ROUND_HALF_UP)
+            )
+
+        def irnd(x):
+            return int(
+                Decimal(repr(float(x))).quantize(
+                    Decimal(1), rounding=ROUND_HALF_UP
+                )
+            )
 
         def toks(t):
             return t.strip().split(" ") if t.strip() else []
@@ -409,7 +427,7 @@ class TestDoremiPlan:
             bs = bigrams(t)
             if not bs:
                 return None
-            return round(-sum(lm[p] for p in bs) / len(bs), 4)
+            return rnd(-sum(lm[p] for p in bs) / len(bs), 4)
 
         glm = train(docs)
         domains = sorted({s for _, s, _ in docs})
@@ -425,19 +443,19 @@ class TestDoremiPlan:
                 cr, cd = ce(glm, t), ce(dlm[d], t)
                 if cr is None:
                     continue
-                sr += round(cr * 1e4)
-                sd += round(cd * 1e4)
+                sr += irnd(cr * 1e4)
+                sd += irnd(cd * 1e4)
                 ns += 1
-            ce_u = round(sr / (1e4 * ns), 4) if ns else 0.0
-            ce_d = round(sd / (1e4 * ns), 4) if ns else 0.0
-            exc = round(max(0.0, ce_u - ce_d), 4)
-            ws[d] = round(math.exp(eta * exc) * 1e9)
+            ce_u = rnd(sr / (1e4 * ns), 4) if ns else 0.0
+            ce_d = rnd(sd / (1e4 * ns), 4) if ns else 0.0
+            exc = rnd(max(0.0, ce_u - ce_d), 4)
+            ws[d] = irnd(math.exp(eta * exc) * 1e9)
             out[d] = (n_docs, tokens, ce_u, ce_d, exc)
         W, k = sum(ws.values()), len(domains)
         fin = {}
         for d in domains:
-            alpha = round((1.0 - c) * ws[d] / W + c / k, 6)
-            fin[d] = out[d] + (alpha, round(alpha * budget))
+            alpha = rnd((1.0 - c) * ws[d] / W + c / k, 6)
+            fin[d] = out[d] + (alpha, irnd(alpha * budget))
         return fin
 
     def _run(self, spark, docs, budget=100_000):
@@ -504,3 +522,51 @@ class TestDoremiPlan:
             assert a.doremi_weight <= b.doremi_weight + 1e-12
         # the signal is real: excess differs across domains
         assert len({r.excess for r in rows}) > 1
+
+
+class TestDoremiProperty:
+    """DoReMi invariants on RANDOM corpora (hypothesis, the UniMax
+    precedent): exact agreement with the pure-Python reference, weight
+    normalization, excess clamping, and EG monotonicity."""
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _word = st.sampled_from(["a", "b", "c", "d", "e"])
+
+    @given(
+        docs=st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=2),  # domain id
+                st.lists(_word, min_size=0, max_size=8),
+            ),
+            min_size=1,
+            max_size=6,
+        ),
+        budget=st.integers(min_value=1, max_value=200_000),
+    )
+    @settings(max_examples=8, deadline=None)
+    def test_matches_reference_on_random_corpora(self, spark, docs, budget):
+        from linz_bde_uploader_spark.functions.sampling import doremi_plan
+
+        rows = [
+            (i, f"dom{d}", " ".join(ws)) for i, (d, ws) in enumerate(docs)
+        ]
+        df = spark.createDataFrame(
+            rows, "doc_id long, source string, text string"
+        )
+        got = {
+            r.source: r
+            for r in doremi_plan(df, budget_tokens=budget).collect()
+        }
+        want = TestDoremiPlan._ref(rows, budget=budget)
+        assert set(got) == set(want)
+        total = 0.0
+        for d, (nd, tk, cu, cd, exc, alpha, tgt) in want.items():
+            r = got[d]
+            assert (r.n_docs, r.tokens) == (nd, tk), d
+            assert abs(r.excess - exc) < 1e-9, d
+            assert abs(r.doremi_weight - alpha) < 2e-6, d
+            assert r.excess >= 0.0
+            total += r.doremi_weight
+        assert abs(total - 1.0) < 1e-4
