@@ -2765,6 +2765,137 @@ def q_dedup_snapshot_ablation(spark, sf_dir):
     ).orderBy("snapshot")
 
 
+def q_corpus_order_ablation(spark, sf_dir):
+    # Stage-ORDERING ablation: URL-filter-then-near-dedup vs
+    # near-dedup-then-URL-filter — the pipeline-design question the
+    # RefinedWeb/FineWeb line of work measures, on the gate where
+    # near-dups genuinely diverge: the SAME article syndicated on an
+    # allowed canonical host and on a blocked/robots-disallowed mirror
+    # (text-derived gates can't diverge inside a near-dup pair — the
+    # copies share the text; the hosting policy is per-URL). Dedup
+    # first can crown the BLOCKED mirror as the cluster's keep-first
+    # winner (min id) and then delete it at the URL gate — destroying
+    # content filtering-first keeps. Both arms ride ONE banded-MinHash
+    # + exact-Jaccard verified pair set (the snapshot-ablation trick:
+    # a subset's verified pairs are exactly the full run's pairs with
+    # both ends in the subset, since banding is per-doc): arm A drops
+    # id_b only of pairs whose BOTH ends pass the gate (dedup over the
+    # filtered subset); arm B drops id_b of every pair, then filters.
+    # survivors_B ⊆ survivors_A by construction (proved in
+    # tests/test_round14.py), so lost_docs = |A| − |B| is exactly the
+    # content dedup-first destroys (3 docs at both test SFs — the
+    # branch is exercised). URL synthesis + blocklist + robots are the
+    # corpus-build level frame's scheme VERBATIM. One LSH pass + the
+    # map-only/broadcast URL gates + id-keyed flag joins + ONE 1-row
+    # agg exploded to 2 rows.
+    from linz_bde_uploader_spark.functions import urls as U
+
+    d = W.load(spark, sf_dir, "documents")
+    pid = F.pmod(F.col("doc_id"), F.lit(10)).cast("string")
+    section = F.element_at(
+        F.array(F.lit("admin"), F.lit("p"), F.lit("static")),
+        (F.pmod(F.col("doc_id"), F.lit(3)) + 1).cast("int"),
+    )
+    docs_u = d.select("doc_id", "source", "text").withColumn(
+        "url",
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example.com/"),
+            section, F.lit("/"), pid,
+        ),
+    )
+    rules = spark.createDataFrame(
+        [
+            ("src0.example.com", "disallow", "/admin"),
+            ("src0.example.com", "allow", "/admin/4"),
+            ("src1.example.com", "disallow", "/"),
+            ("src1.example.com", "allow", "/static"),
+            ("src2.example.com", "allow", "/p"),
+            ("src2.example.com", "disallow", "/p"),
+        ],
+        "host string, directive string, path_prefix string",
+    )
+    bl = U.blocklist_filter(
+        docs_u, ["src3.example.com", "src7.example.com"], [r"/static/9$"]
+    )
+    rb = U.robots_gate(
+        bl.select("doc_id", "text", "url", "block_reason"), rules
+    )
+    q = rb.select(
+        "doc_id",
+        X.token_count("text").cast("long").alias("_nt"),
+        (
+            (F.col("block_reason") == "ok") & F.col("robots_allowed")
+        ).alias("_q"),
+    )
+    ver = D.candidate_jaccard_verify(d, "doc_id", "text", threshold=0.5)
+    vq = ver.select("id_a", "id_b").join(
+        q.select(F.col("doc_id").alias("id_a"), F.col("_q").alias("_qa")),
+        ["id_a"],
+    ).join(
+        q.select(F.col("doc_id").alias("id_b"), F.col("_q").alias("_qb")),
+        ["id_b"],
+    )
+    adrop = (
+        vq.filter(F.col("_qa") & F.col("_qb"))
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+        .withColumn("_ad", F.lit(True))
+    )
+    bdrop = (
+        ver.select(F.col("id_b").alias("doc_id"))
+        .distinct()
+        .withColumn("_bd", F.lit(True))
+    )
+    j = (
+        q.join(adrop, "doc_id", "left")
+        .join(bdrop, "doc_id", "left")
+        .select(
+            "_q",
+            "_nt",
+            F.coalesce(F.col("_ad"), F.lit(False)).alias("_ad"),
+            F.coalesce(F.col("_bd"), F.lit(False)).alias("_bd"),
+        )
+    )
+    tot = j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_input"),
+        F.sum(F.col("_q").cast("long")).cast("long").alias("_nq"),
+        F.sum((~F.col("_bd")).cast("long")).cast("long").alias("_nds"),
+        F.sum((F.col("_q") & ~F.col("_ad")).cast("long"))
+        .cast("long")
+        .alias("_na"),
+        F.sum(F.when(F.col("_q") & ~F.col("_ad"), F.col("_nt")).otherwise(0))
+        .cast("long")
+        .alias("_ta"),
+        F.sum((F.col("_q") & ~F.col("_bd")).cast("long"))
+        .cast("long")
+        .alias("_nb"),
+        F.sum(F.when(F.col("_q") & ~F.col("_bd"), F.col("_nt")).otherwise(0))
+        .cast("long")
+        .alias("_tb"),
+    )
+    arm = lambda name, s1, nf, tf: F.struct(  # noqa: E731
+        F.lit(name).alias("arm"),
+        F.col("n_input").alias("n_input"),
+        F.col(s1).alias("n_stage1"),
+        F.col(nf).alias("n_final"),
+        F.col(tf).alias("tokens_final"),
+        (F.col("_na") - F.col("_nb")).alias("lost_docs"),
+        (F.col("_ta") - F.col("_tb")).alias("lost_tokens"),
+    )
+    return (
+        tot.select(
+            F.explode(
+                F.array(
+                    arm("dedup_first", "_nds", "_nb", "_tb"),
+                    arm("filter_first", "_nq", "_na", "_ta"),
+                )
+            ).alias("r")
+        )
+        .select("r.*")
+        .orderBy("arm")
+    )
+
+
 def q_dq_audit(spark, sf_dir):
     # Data-quality audit datasheet (functions/dq.py) — the pre-load
     # checks an ETL engine runs before trusting a snapshot (the general
@@ -5056,7 +5187,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    q_range_join_promo, q_mm_fingerprint_dedup -> 51+
         "q_graph_pagerank_directed": q_graph_pagerank_directed,
         "q_lm_trigram_perplexity": q_lm_trigram_perplexity,
-        "q_quality_classifier": q_quality_classifier,
+        # -- round-14 birth: stage-ORDERING ablation (URL-filter-then-
+        #    near-dedup vs dedup-then-filter, both arms over ONE
+        #    verified pair set; lost_docs = the content dedup-first
+        #    destroys when the blocked mirror wins the cluster);
+        #    displaced tenant q_quality_classifier (green r6-r13
+        #    octuple; the classifier chain runs VERBATIM inside
+        #    in-window q_quality_ablation and q_corpus_build_e2e, the
+        #    standalone gate stays oracle-checked at 51+) -> 51+
+        "q_corpus_order_ablation": q_corpus_order_ablation,
         # -- round-8 birth: KN-difficulty curriculum schedule (quartile
         #    phases + sharded deterministic in-phase order); displaced
         #    tenant q_corpus_shuffle (r6+r7 green; the shuffle idiom
@@ -5503,6 +5642,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # DoReMi face in-window, the explicit-weights planner stays
         # oracle-checked at 51+)
         "q_mixture_plan": q_mixture_plan,
+        # rotated out in round 14 by q_corpus_order_ablation (green
+        # r6-r13 octuple; the classifier chain runs verbatim inside
+        # in-window q_quality_ablation and q_corpus_build_e2e)
+        "q_quality_classifier": q_quality_classifier,
         "q_bpe_pair_counts": q_bpe_pair_counts,
         "q_tpch_q8_market_share": q_tpch_q8_market_share,
         "q_tpch_q9_profit": q_tpch_q9_profit,
@@ -8704,6 +8847,132 @@ def oracle_sql() -> dict[str, str]:
             FROM cells
         """,
         "q_dedup_minhash_sig": _MINHASH_SIGS + "SELECT * FROM sigs",
+        "q_corpus_order_ablation": _MINHASH_SIGS + f"""
+            , bands AS (
+              SELECT doc_id, 0 AS band,
+                     ((0*31 + mh0)*31 + mh1) % 2147483647 AS key FROM sigs
+              UNION ALL
+              SELECT doc_id, 1, ((1*31 + mh2)*31 + mh3) % 2147483647 FROM sigs
+              UNION ALL
+              SELECT doc_id, 2, ((2*31 + mh4)*31 + mh5) % 2147483647 FROM sigs
+              UNION ALL
+              SELECT doc_id, 3, ((3*31 + mh6)*31 + mh7) % 2147483647 FROM sigs
+            ),
+            cand AS (
+              SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+              FROM bands l JOIN bands r
+                ON l.band = r.band AND l.key = r.key
+               AND l.doc_id < r.doc_id
+            ),
+            sh AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       generate_series(1, greatest(n-2, 1)),
+                       i -> toks[least(i, n)] || ' ' || toks[least(i+1, n)]
+                            || ' ' || toks[least(i+2, n)])) AS s
+              FROM t
+            ),
+            ver AS (
+              SELECT c.id_a, c.id_b
+              FROM cand c
+              JOIN sh a ON a.doc_id = c.id_a
+              JOIN sh b ON b.doc_id = c.id_b
+              WHERE round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                          / len(list_distinct(list_concat(a.s, b.s))), 6)
+                    >= 0.5
+            ),
+            u AS (
+              SELECT doc_id,
+                     source || '.example.com' AS host,
+                     '/' || (CASE doc_id % 3 WHEN 0 THEN 'admin'
+                             WHEN 1 THEN 'p' ELSE 'static' END)
+                         || '/' || CAST(doc_id % 10 AS VARCHAR) AS path
+              FROM documents
+            ),
+            f1 AS (
+              SELECT doc_id,
+                     NOT (host IN ('src3.example.com', 'src7.example.com')
+                          OR host LIKE '%.src3.example.com'
+                          OR host LIKE '%.src7.example.com'
+                          OR regexp_matches('https://' || host || path,
+                                            '/static/9$')) AS ok1
+              FROM u
+            ),
+            rules(rhost, dir, pfx) AS (VALUES
+              ('src0.example.com', 'disallow', '/admin'),
+              ('src0.example.com', 'allow', '/admin/4'),
+              ('src1.example.com', 'disallow', '/'),
+              ('src1.example.com', 'allow', '/static'),
+              ('src2.example.com', 'allow', '/p'),
+              ('src2.example.com', 'disallow', '/p')
+            ),
+            rm AS (
+              SELECT d.doc_id, r.dir,
+                     row_number() OVER (
+                       PARTITION BY d.doc_id
+                       ORDER BY length(r.pfx) * 2
+                                + CASE WHEN r.dir = 'allow' THEN 1 ELSE 0
+                                  END DESC,
+                                r.pfx DESC) AS rn
+              FROM u d
+              JOIN rules r ON r.rhost = d.host
+               AND starts_with(d.path, r.pfx)
+            ),
+            f2 AS (
+              SELECT u.doc_id, coalesce(w.dir = 'allow', TRUE) AS ok2
+              FROM u LEFT JOIN (SELECT * FROM rm WHERE rn = 1) w
+                ON w.doc_id = u.doc_id
+            ),
+            q AS (
+              SELECT d.doc_id,
+                     CASE WHEN trim(d.text) = '' THEN 0
+                          ELSE len(string_split(trim(d.text), ' ')) END
+                       AS nt,
+                     (f1.ok1 AND f2.ok2) AS qk
+              FROM documents d
+              JOIN f1 USING (doc_id)
+              JOIN f2 USING (doc_id)
+            ),
+            ad AS (
+              SELECT DISTINCT v.id_b FROM ver v
+              JOIN q a ON a.doc_id = v.id_a
+              JOIN q b ON b.doc_id = v.id_b
+              WHERE a.qk AND b.qk
+            ),
+            bd AS (SELECT DISTINCT id_b FROM ver),
+            jj AS (
+              SELECT q.qk, q.nt,
+                     (ad.id_b IS NOT NULL) AS adrop,
+                     (bd.id_b IS NOT NULL) AS bdrop
+              FROM q
+              LEFT JOIN ad ON ad.id_b = q.doc_id
+              LEFT JOIN bd ON bd.id_b = q.doc_id
+            ),
+            tot AS (
+              SELECT CAST(count(*) AS BIGINT) AS n_input,
+                     CAST(sum(CASE WHEN qk THEN 1 ELSE 0 END) AS BIGINT)
+                       AS nq,
+                     CAST(sum(CASE WHEN NOT bdrop THEN 1 ELSE 0 END)
+                          AS BIGINT) AS nds,
+                     CAST(sum(CASE WHEN qk AND NOT adrop THEN 1 ELSE 0 END)
+                          AS BIGINT) AS na,
+                     CAST(sum(CASE WHEN qk AND NOT adrop THEN nt ELSE 0 END)
+                          AS BIGINT) AS ta,
+                     CAST(sum(CASE WHEN qk AND NOT bdrop THEN 1 ELSE 0 END)
+                          AS BIGINT) AS nb,
+                     CAST(sum(CASE WHEN qk AND NOT bdrop THEN nt ELSE 0 END)
+                          AS BIGINT) AS tb
+              FROM jj
+            )
+            SELECT 'dedup_first' AS arm, n_input, nds AS n_stage1,
+                   nb AS n_final, tb AS tokens_final,
+                   na - nb AS lost_docs, ta - tb AS lost_tokens
+            FROM tot
+            UNION ALL
+            SELECT 'filter_first', n_input, nq, na, ta, na - nb, ta - tb
+            FROM tot
+            ORDER BY arm
+        """,
         "q_dedup_snapshot_ablation": _MINHASH_SIGS + """
             , bands AS (
               SELECT doc_id, 0 AS band,

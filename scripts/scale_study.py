@@ -185,6 +185,10 @@ PICK = [
     # which the vocabulary-renamed fixture honestly grows 10x) + two
     # |sources|-key aggs + |sources|-window math
     "q_mixture_doremi",
+    # round-14 birth: stage-ordering ablation — ONE verified pair
+    # pass (the snapshot-ablation machinery) + the map-only/broadcast
+    # URL gates + id-keyed flag joins + one 1-row agg
+    "q_corpus_order_ablation",
 ]
 
 

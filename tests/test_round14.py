@@ -570,3 +570,119 @@ class TestDoremiProperty:
             assert r.excess >= 0.0
             total += r.doremi_weight
         assert abs(total - 1.0) < 1e-4
+
+
+class TestOrderAblation:
+    """q_corpus_order_ablation — survivors under dedup-first must be a
+    SUBSET of survivors under filter-first (the containment the loss
+    columns rest on), both arms must agree with independently composed
+    pipelines, and the loss branch must be exercised."""
+
+    def _gate_and_pairs(self, spark):
+        from linz_bde_uploader_spark.functions import urls as U
+        from linz_bde_uploader_spark.functions.dedup import (
+            candidate_jaccard_verify,
+        )
+
+        d = spark.read.parquet(f"{SF}/documents.parquet")
+        pid = F.pmod(F.col("doc_id"), F.lit(10)).cast("string")
+        section = F.element_at(
+            F.array(F.lit("admin"), F.lit("p"), F.lit("static")),
+            (F.pmod(F.col("doc_id"), F.lit(3)) + 1).cast("int"),
+        )
+        docs_u = d.select("doc_id", "source", "text").withColumn(
+            "url",
+            F.concat(
+                F.lit("https://"), F.col("source"),
+                F.lit(".example.com/"), section, F.lit("/"), pid,
+            ),
+        )
+        rules = spark.createDataFrame(
+            [
+                ("src0.example.com", "disallow", "/admin"),
+                ("src0.example.com", "allow", "/admin/4"),
+                ("src1.example.com", "disallow", "/"),
+                ("src1.example.com", "allow", "/static"),
+                ("src2.example.com", "allow", "/p"),
+                ("src2.example.com", "disallow", "/p"),
+            ],
+            "host string, directive string, path_prefix string",
+        )
+        bl = U.blocklist_filter(
+            docs_u, ["src3.example.com", "src7.example.com"],
+            [r"/static/9$"],
+        )
+        rb = U.robots_gate(
+            bl.select("doc_id", "text", "url", "block_reason"), rules
+        )
+        ok = {
+            r.doc_id
+            for r in rb.filter(
+                (F.col("block_reason") == "ok") & F.col("robots_allowed")
+            ).select("doc_id").collect()
+        }
+        pairs = [
+            (r.id_a, r.id_b)
+            for r in candidate_jaccard_verify(
+                d, "doc_id", "text", threshold=0.5
+            ).collect()
+        ]
+        nt = {
+            r.doc_id: r.nt
+            for r in d.select(
+                "doc_id",
+                F.when(F.length(F.trim("text")) == 0, 0)
+                .otherwise(F.size(F.split(F.trim("text"), r"\s+")))
+                .cast("long")
+                .alias("nt"),
+            ).collect()
+        }
+        return ok, pairs, nt
+
+    def test_arms_match_composed_pipelines(self, spark):
+        import __spark_entry__ as E
+
+        ok, pairs, nt = self._gate_and_pairs(spark)
+        all_ids = set(nt)
+        # filter-first: dedup runs on the gate survivors only
+        adrop = {b for a, b in pairs if a in ok and b in ok}
+        surv_a = (ok - adrop)
+        # dedup-first: dedup runs on everything, gate after
+        bdrop = {b for _, b in pairs}
+        surv_b = (all_ids - bdrop) & ok
+        assert surv_b <= surv_a  # the containment the report relies on
+
+        rows = {r.arm: r for r in
+                E.q_corpus_order_ablation(spark, SF).collect()}
+        ff, df_ = rows["filter_first"], rows["dedup_first"]
+        assert ff.n_input == df_.n_input == len(all_ids)
+        assert ff.n_stage1 == len(ok)
+        assert df_.n_stage1 == len(all_ids - bdrop)
+        assert ff.n_final == len(surv_a)
+        assert df_.n_final == len(surv_b)
+        assert ff.tokens_final == sum(nt[i] for i in surv_a)
+        assert df_.tokens_final == sum(nt[i] for i in surv_b)
+        # the loss columns are the A-minus-B delta, on BOTH rows
+        lost = surv_a - surv_b
+        for r in (ff, df_):
+            assert r.lost_docs == len(lost)
+            assert r.lost_tokens == sum(nt[i] for i in lost)
+        assert ff.lost_docs > 0  # the ordering effect is exercised
+
+    def test_lost_docs_are_blocked_mirror_casualties(self, spark):
+        # every lost doc passes the gate itself but near-dups a
+        # gate-FAILING lower id — the blocked-mirror-wins-the-cluster
+        # story the ablation measures
+        ok, pairs, _ = self._gate_and_pairs(spark)
+        adrop = {b for a, b in pairs if a in ok and b in ok}
+        bdrop = {b for _, b in pairs}
+        lost = (ok - adrop) - (ok - bdrop)
+        assert lost
+        for doc in lost:
+            partners = {a for a, b in pairs if b == doc}
+            assert partners and all(
+                p not in ok or (p in ok and doc in adrop) is False
+                for p in partners
+            )
+            # at least one dropping partner fails the gate
+            assert any(p not in ok for p in partners)
