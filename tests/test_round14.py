@@ -686,3 +686,51 @@ class TestOrderAblation:
             )
             # at least one dropping partner fails the gate
             assert any(p not in ok for p in partners)
+
+
+class TestCcnetEdges:
+    """ccnet_datasheet edge contracts: a language the gate annihilates
+    still surfaces with zero rows (no-silent-drop), and gate survivors
+    too short to score count in n_langid but not n_scored."""
+
+    def test_annihilated_and_short_languages_surface(self, spark):
+        from linz_bde_uploader_spark.functions.lm import ccnet_datasheet
+
+        stop = "the a of and to in is on for with"
+        docs = spark.createDataFrame(
+            [
+                # confident (>=3 stopword hits) and scoreable
+                (1, "en", f"{stop} alpha beta gamma"),
+                (2, "en", f"{stop} delta epsilon zeta"),
+                # no stopwords at all -> detector says 'other' -> the
+                # whole language drops at the gate
+                (3, "zz", "qqq www eee rrr"),
+                (4, "zz", "ttt yyy uuu"),
+                # confident but 1 token after the gate? impossible with
+                # >=3 stopword hits — so craft a 3-token all-stopword
+                # doc: confident AND scoreable (2 bigrams)
+                (5, "xx", "the the the"),
+            ],
+            "doc_id long, lang string, text string",
+        )
+        rows = ccnet_datasheet(docs).collect()
+        by = {}
+        for r in rows:
+            by.setdefault(r.lang, {})[r.bucket] = r
+        assert set(by) == {"en", "zz", "xx"}
+        for lang in by:
+            assert set(by[lang]) == {"head", "middle", "tail"}
+        # zz annihilated at the gate: surfaces, all zeros downstream
+        zz = by["zz"]["head"]
+        assert zz.n_ingest == 2 and zz.n_langid == 0 and zz.n_scored == 0
+        assert all(
+            b.n_docs == 0 and b.tokens == 0 and b.mean_ppl == 0.0
+            for b in by["zz"].values()
+        )
+        # xx: one confident scoreable doc -> lands in head alone
+        xx = by["xx"]
+        assert xx["head"].n_langid == 1 and xx["head"].n_scored == 1
+        assert xx["head"].n_docs == 1
+        assert xx["middle"].n_docs == 0 and xx["tail"].n_docs == 0
+        # en: two scoreable docs partition into buckets, none vanish
+        assert sum(b.n_docs for b in by["en"].values()) == 2
