@@ -3697,6 +3697,78 @@ def q_ccnet_e2e(spark, sf_dir):
     return LM.ccnet_datasheet(d)
 
 
+def q_ppl_prune_ablation(spark, sf_dir):
+    # Perplexity-pruning ablation datasheet (Marion et al. 2023, "When
+    # Less is More: Investigating Data Pruning for Pretraining LLMs" —
+    # prune by perplexity percentile; their headline finding is that
+    # keeping the MIDDLE beats keeping the easiest): per perplexity
+    # decile of the corpus under the audited bigram LM (ntile(10) over
+    # the TOTAL order perplexity asc, doc_id asc — engine-identical,
+    # the percent_rank-bucket discipline), the signals a pruning
+    # threshold trades off: decile mass (docs + tokens), the exact
+    # scaled-integer mean perplexity, the Gopher-pass overlap (does
+    # the rule stack agree the tail is junk?), and the CUMULATIVE
+    # retention if pruning kept deciles <= d (the keep-lowest-ppl
+    # policy, counts + 4-dp fractions). Documents too short to score
+    # (< 2 tokens) are outside the frame — the LM family's documented
+    # minimum-length gate (perplexity_filter's rule). The LM scorer
+    # runs VERBATIM (q_lm_perplexity's plan); one 10-key agg; the
+    # decile window and <= 10-row retention windows are the documented
+    # bounded-global-window pattern.
+    from pyspark.sql import Window
+    from linz_bde_uploader_spark.functions.lm import (
+        score_documents,
+        train_bigram_lm,
+    )
+
+    d = W.load(spark, sf_dir, "documents")
+    sc = score_documents(d, train_bigram_lm(d)).select(
+        "doc_id", "perplexity"
+    )
+    base = sc.join(
+        d.select(
+            "doc_id",
+            X.token_count("text").cast("long").alias("_nt"),
+            X.gopher_pass("text").cast("long").alias("_gp"),
+        ),
+        ["doc_id"],
+    )
+    w = Window.orderBy(F.col("perplexity").asc(), F.col("doc_id").asc())
+    per = base.select(
+        F.ntile(10).over(w).alias("decile"),
+        F.round(F.col("perplexity") * 10000).cast("long").alias("_p"),
+        "_nt",
+        "_gp",
+    )
+    agg = per.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("_nt").cast("long").alias("n_tokens"),
+        F.round(F.sum("_p") / (F.lit(10000.0) * F.count(F.lit(1))), 4)
+        .alias("mean_ppl"),
+        F.round(F.sum("_gp").cast("double") / F.count(F.lit(1)), 4)
+        .alias("gopher_pass_frac"),
+    )
+    wcum = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wall = Window.partitionBy()
+    return (
+        agg.withColumn("ret_docs", F.sum("n_docs").over(wcum).cast("long"))
+        .withColumn(
+            "ret_tokens", F.sum("n_tokens").over(wcum).cast("long")
+        )
+        .withColumn(
+            "ret_doc_frac",
+            F.round(F.col("ret_docs") / F.sum("n_docs").over(wall), 4),
+        )
+        .withColumn(
+            "ret_token_frac",
+            F.round(F.col("ret_tokens") / F.sum("n_tokens").over(wall), 4),
+        )
+        .orderBy("decile")
+    )
+
+
 def q_mixture_doremi(spark, sf_dir):
     # DoReMi one-step EG mixture plan (Xie et al. 2023) — the mixture
     # family's fourth face (α-temperature / explicit-weights / UniMax /
@@ -5186,7 +5258,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    green) q_tpch_q6_forecast, q_asof_last_purchase,
         #    q_range_join_promo, q_mm_fingerprint_dedup -> 51+
         "q_graph_pagerank_directed": q_graph_pagerank_directed,
-        "q_lm_trigram_perplexity": q_lm_trigram_perplexity,
+        # -- round-14 birth: perplexity-pruning ablation (Marion et
+        #    al. 2023): per ppl decile of the bigram-LM scores (the
+        #    scorer runs VERBATIM — q_lm_perplexity's plan), mass,
+        #    exact scaled-integer mean ppl, Gopher overlap, cumulative
+        #    keep-lowest retention; displaced tenant
+        #    q_lm_trigram_perplexity (green r6-r13 octuple; the LM
+        #    family keeps q_ccnet_e2e + THIS ablation in-window, the
+        #    trigram scorer stays oracle-checked at 51+) -> 51+
+        "q_ppl_prune_ablation": q_ppl_prune_ablation,
         # -- round-14 birth: stage-ORDERING ablation (URL-filter-then-
         #    near-dedup vs dedup-then-filter, both arms over ONE
         #    verified pair set; lost_docs = the content dedup-first
@@ -5646,6 +5726,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r6-r13 octuple; the classifier chain runs verbatim inside
         # in-window q_quality_ablation and q_corpus_build_e2e)
         "q_quality_classifier": q_quality_classifier,
+        # rotated out in round 14 by q_ppl_prune_ablation (green
+        # r6-r13 octuple; the LM family keeps q_ccnet_e2e + the
+        # pruning ablation in-window, the trigram scorer stays
+        # oracle-checked at 51+)
+        "q_lm_trigram_perplexity": q_lm_trigram_perplexity,
         "q_bpe_pair_counts": q_bpe_pair_counts,
         "q_tpch_q8_market_share": q_tpch_q8_market_share,
         "q_tpch_q9_profit": q_tpch_q9_profit,
@@ -11240,6 +11325,91 @@ def oracle_sql() -> dict[str, str]:
                         ELSE CAST(0 AS BIGINT) END AS epochs
             FROM pl
             ORDER BY bucket
+        """,
+        "q_ppl_prune_ablation": f"""
+            WITH toks AS (
+              SELECT doc_id, string_split(trim(text), ' ') AS l
+              FROM documents
+            ),
+            sized AS (
+              SELECT doc_id, l, len(l) AS n FROM toks WHERE len(l) >= 2
+            ),
+            bi AS (
+              SELECT doc_id, l[i] AS prev, l[i+1] AS cur
+              FROM sized,
+                   LATERAL (SELECT unnest(generate_series(1, n - 1)) AS i) g
+            ),
+            pc AS (SELECT prev, cur, count(*) AS pair_cnt FROM bi
+                   GROUP BY prev, cur),
+            ctx AS (SELECT prev, cur, pair_cnt,
+                           sum(pair_cnt) OVER (PARTITION BY prev) AS ctx_cnt
+                    FROM pc),
+            v AS (SELECT count(DISTINCT tok) AS vocab_size FROM (
+                    SELECT prev AS tok FROM bi
+                    UNION ALL SELECT cur FROM bi)),
+            lmr AS (SELECT prev, cur,
+                           ln((pair_cnt + 1.0) / (ctx_cnt + vocab_size))
+                             AS logp
+                    FROM ctx, v),
+            ppl AS (
+              SELECT b.doc_id,
+                     round(exp(round(-avg(m.logp), 4)), 4) AS perplexity
+              FROM bi b JOIN lmr m USING (prev, cur)
+              GROUP BY b.doc_id
+            ),
+            gp AS (
+              SELECT doc_id,
+                     CASE WHEN (n BETWEEN 5 AND 100000)
+                       AND (round(CAST(list_sum(list_transform(toks, t2 -> len(t2))) AS DOUBLE) / nz, 6) BETWEEN 2.0 AND 10.0)
+                       AND (round(CAST(len(list_filter(toks, t2 -> regexp_matches(t2, '[A-Za-z]'))) AS DOUBLE) / nz, 6) >= 0.8)
+                       AND (len(list_filter(toks, t2 -> t2 IN {_STOPLIST})) >= 2)
+                       AND (round(CAST(len(regexp_extract_all(text, '#|\\.\\.\\.')) AS DOUBLE) / nz, 6) <= 0.1)
+                     THEN 1 ELSE 0 END AS gpass
+              FROM (
+                SELECT doc_id, text, {_TOKS} AS toks, len({_TOKS}) AS n,
+                       greatest(len({_TOKS}), 1) AS nz
+                FROM documents
+              )
+            ),
+            base AS (
+              SELECT p.doc_id, p.perplexity, g.gpass,
+                     CASE WHEN trim(d.text) = '' THEN 0
+                          ELSE len(string_split(trim(d.text), ' ')) END
+                       AS nt,
+                     ntile(10) OVER (ORDER BY p.perplexity, p.doc_id)
+                       AS decile
+              FROM ppl p
+              JOIN documents d USING (doc_id)
+              JOIN gp g USING (doc_id)
+            ),
+            agg AS (
+              SELECT decile,
+                     CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum(nt) AS BIGINT) AS n_tokens,
+                     round(sum(CAST(round(perplexity * 10000) AS BIGINT))
+                           / (10000.0 * count(*)), 4) AS mean_ppl,
+                     round(sum(gpass) * 1.0 / count(*), 4)
+                       AS gopher_pass_frac
+              FROM base GROUP BY decile
+            )
+            SELECT decile, n_docs, n_tokens, mean_ppl, gopher_pass_frac,
+                   CAST(sum(n_docs) OVER (
+                     ORDER BY decile
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS ret_docs,
+                   CAST(sum(n_tokens) OVER (
+                     ORDER BY decile
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS ret_tokens,
+                   round(sum(n_docs) OVER (
+                     ORDER BY decile
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     * 1.0 / sum(n_docs) OVER (), 4) AS ret_doc_frac,
+                   round(sum(n_tokens) OVER (
+                     ORDER BY decile
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     * 1.0 / sum(n_tokens) OVER (), 4) AS ret_token_frac
+            FROM agg ORDER BY decile
         """,
         "q_mixture_doremi": """
             WITH agg AS (

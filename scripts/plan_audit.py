@@ -105,6 +105,10 @@ WHITELIST: dict[str, tuple[str, ...]] = {
     # keyed |domains|-row broadcast join, which compiles as a normal
     # BroadcastHashJoin).
     "q_mixture_doremi": ("BroadcastNestedLoopJoin",),
+    # The perplexity-pruning ablation composes the same global bigram
+    # LM scorer, inheriting its one-row V broadcast (the
+    # q_lm_perplexity shape, same plan node).
+    "q_ppl_prune_ablation": ("BroadcastNestedLoopJoin",),
     # Directed PageRank's dangling-mass correction is a ONE-ROW rank
     # aggregate broadcast-cross-joined per iteration (graph.py::
     # pagerank(dangling=True)); it appears in the final plan now that

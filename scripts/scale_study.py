@@ -189,6 +189,10 @@ PICK = [
     # pass (the snapshot-ablation machinery) + the map-only/broadcast
     # URL gates + id-keyed flag joins + one 1-row agg
     "q_corpus_order_ablation",
+    # round-14 birth: perplexity-pruning ablation — the measured
+    # bigram LM train/score plan + one global ntile window + a 10-key
+    # agg + <= 10-row retention windows
+    "q_ppl_prune_ablation",
 ]
 
 

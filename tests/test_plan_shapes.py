@@ -121,6 +121,9 @@ def test_no_harness_query_compiles_to_scale_smell(spark):
         # global bigram LM scorer, inheriting its one-row vocabulary
         # broadcast — the q_lm_perplexity shape
         "q_mixture_doremi",
+        # round 14: the perplexity-pruning ablation composes the same
+        # scorer, same one-row vocabulary broadcast
+        "q_ppl_prune_ablation",
     }
 
 

@@ -734,3 +734,60 @@ class TestCcnetEdges:
         assert xx["middle"].n_docs == 0 and xx["tail"].n_docs == 0
         # en: two scoreable docs partition into buckets, none vanish
         assert sum(b.n_docs for b in by["en"].values()) == 2
+
+
+class TestPplPruneAblation:
+    """q_ppl_prune_ablation — deciles partition the scoreable set in
+    perplexity order, the mean column is ordered across deciles, the
+    retention columns are the exact prefix-cumulative, and the decile
+    assignment agrees with an independent ntile replay."""
+
+    def _rows(self, spark):
+        import __spark_entry__ as E
+
+        return sorted(
+            E.q_ppl_prune_ablation(spark, SF).collect(),
+            key=lambda r: r.decile,
+        )
+
+    def test_partition_and_ordering(self, spark):
+        from linz_bde_uploader_spark.functions.lm import (
+            score_documents,
+            train_bigram_lm,
+        )
+
+        rows = self._rows(spark)
+        assert [r.decile for r in rows] == list(range(1, 11))
+        d = spark.read.parquet(f"{SF}/documents.parquet")
+        sc = score_documents(d, train_bigram_lm(d)).collect()
+        assert sum(r.n_docs for r in rows) == len(sc)
+        # ntile balance: sizes differ by at most 1
+        sizes = {r.n_docs for r in rows}
+        assert max(sizes) - min(sizes) <= 1
+        # mean perplexity is non-decreasing across deciles
+        for a, b in zip(rows, rows[1:]):
+            assert a.mean_ppl <= b.mean_ppl, (a.decile, b.decile)
+        # decile replay: the lowest-decile docs are the lowest ppl
+        ordered = sorted(sc, key=lambda r: (r.perplexity, r.doc_id))
+        n = len(ordered)
+        first = [r for r in ordered[: rows[0].n_docs]]
+        sp = sum(round(r.perplexity * 10000) for r in first)
+        assert abs(
+            rows[0].mean_ppl - round(sp / (10000.0 * len(first)), 4)
+        ) < 1e-9
+
+    def test_retention_is_prefix_cumulative(self, spark):
+        rows = self._rows(spark)
+        td = sum(r.n_docs for r in rows)
+        tt = sum(r.n_tokens for r in rows)
+        run_d = run_t = 0
+        for r in rows:
+            run_d += r.n_docs
+            run_t += r.n_tokens
+            assert r.ret_docs == run_d and r.ret_tokens == run_t
+            assert abs(r.ret_doc_frac - round(run_d / td, 4)) < 1e-9
+            assert abs(r.ret_token_frac - round(run_t / tt, 4)) < 1e-9
+        assert rows[-1].ret_doc_frac == 1.0
+        assert rows[-1].ret_token_frac == 1.0
+        # the signal is real: Gopher agreement varies across deciles
+        assert len({r.gopher_pass_frac for r in rows}) > 1
