@@ -7997,7 +7997,7 @@ def oracle_sql() -> dict[str, str]:
                        round(ln(((((doc_id % 2147483647) * 2654435761)
                                   % 2147483647) + 1)
                                 / 2147483648.0)
-                             / CAST(n_chars AS DOUBLE), 6) AS skey
+                             / CAST(n_chars AS DOUBLE), 6) + 0.0 AS skey
                 FROM documents
                 WHERE n_chars IS NOT NULL AND n_chars > 0
               )
@@ -8200,7 +8200,7 @@ def oracle_sql() -> dict[str, str]:
                    round(ln(((((doc_id % 2147483647) * 2654435761)
                               % 2147483647) + 1)
                             / 2147483648.0)
-                         / CAST(n_chars AS DOUBLE), 6) AS skey
+                         / CAST(n_chars AS DOUBLE), 6) + 0.0 AS skey
             FROM documents
             WHERE n_chars IS NOT NULL AND n_chars > 0
             ORDER BY skey DESC, doc_id

@@ -305,7 +305,12 @@ def es_key(id_col: Column | str, weight_col: Column | str,
         )
         + 1
     ) / (HASH_MOD + 1.0)
-    return F.round(F.log(u) / w.cast("double"), 6)
+    # + 0.0 normalizes IEEE negative zero: when u == 1 (one id per
+    # HASH_MOD draws — first seen at sf0.1) the key is ±0.0 and the
+    # engines disagree on the SIGN of the zero, which a repr-based
+    # canonicalizer treats as a real difference. -0.0 + 0.0 = +0.0 on
+    # every IEEE engine; the oracle SQL carries the same + 0.0.
+    return F.round(F.log(u) / w.cast("double"), 6) + F.lit(0.0)
 
 
 def weighted_sample(df: DataFrame, n: int, weight_col: str,
