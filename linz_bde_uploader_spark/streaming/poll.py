@@ -1648,3 +1648,150 @@ def media_corpus_datasheet(
         group_col=source_col,
         threshold=threshold,
     ).orderBy("source")
+
+
+def weighted_reservoir_batch_fn(
+    spark: SparkSession,
+    state_dir: str,
+    n: int,
+    weight_col: str = "n_chars",
+    id_col: str = "doc_id",
+    salt: int = 0,
+):
+    """Build the per-micro-batch closure :func:`weighted_reservoir_stream`
+    hands to ``foreachBatch`` — the arrival-time face of
+    :func:`~linz_bde_uploader_spark.functions.sampling.weighted_sample`
+    (Efraimidis–Spirakis A-ES, which IS a reservoir algorithm: keep the
+    n largest ``ln(u)/w`` keys). Because the key is a pure function of
+    ``(id, weight, salt)`` and top-n is order-free, this face has EXACT
+    batch parity under ANY arrival order — strictly stronger than the
+    dedup faces' ascending-id contract, and pinned by the parity test
+    on two different interleavings.
+
+    State under ``state_dir``:
+
+    - ``reservoir`` — one n-row snapshot per micro-batch (id, weight,
+      skey). The reservoir minimum is non-decreasing, so a row rejected
+      at arrival can never belong to a later top-n — which makes the
+      UNION of snapshots a lossless recovery basis: top-n over
+      (prior snapshots ∪ batch) is exactly top-n over everything
+      arrived (the invariant the replay guard leans on; snapshots
+      overlap across batches, so the pool is distinct-ed first).
+    - ``audit`` — one row per micro-batch: arrivals, sampling-mass
+      candidates (positive finite weights), admissions into the
+      snapshot, snapshot size (the per-poll audit row; a missing
+      batch_id always means a lost write, never an empty poll).
+
+    Replay-safe by the standing contract: state is read with
+    ``before_batch=batch_id`` and every write overwrites its own
+    partition.
+
+    Scale: the candidate filter and key are map-only; the snapshot is
+    a TakeOrderedAndProject over (n·batches + batch) rows — model-sized
+    state (n rows per snapshot), never the stream's payload."""
+    from linz_bde_uploader_spark.functions.sampling import (  # noqa: PLC0415
+        es_key,
+    )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        prev = _state_read(
+            spark, f"{state_dir}/reservoir", before_batch=batch_id
+        )
+        cand = batch_df.filter(
+            F.col(weight_col).isNotNull() & (F.col(weight_col) > 0)
+        ).select(
+            F.col(id_col),
+            F.col(weight_col).cast("double").alias("weight"),
+            es_key(id_col, weight_col, salt).alias("skey"),
+        )
+        pool = cand if prev is None else cand.unionByName(
+            prev.select(id_col, "weight", "skey")
+        )
+        top = (
+            pool.distinct()
+            .orderBy(F.desc("skey"), F.col(id_col))
+            .limit(n)
+            .persist()
+        )
+        try:
+            _state_write(top, f"{state_dir}/reservoir", batch_id)
+            audit = (
+                batch_df.agg(
+                    F.count(F.lit(1)).cast("long").alias("n_arrived")
+                )
+                .crossJoin(
+                    cand.agg(
+                        F.count(F.lit(1)).cast("long").alias("n_candidates")
+                    )
+                )
+                .crossJoin(
+                    top.join(cand.select(id_col), [id_col], "left_semi").agg(
+                        F.count(F.lit(1)).cast("long").alias("n_admitted")
+                    )
+                )
+                .crossJoin(
+                    top.agg(
+                        F.count(F.lit(1)).cast("long").alias("reservoir_size")
+                    )
+                )
+            )
+            _state_write(audit, f"{state_dir}/audit", batch_id)
+        finally:
+            top.unpersist()
+
+    return apply_batch
+
+
+def weighted_reservoir_stream(
+    spark: SparkSession,
+    staging_dir: str,
+    schema: T.StructType,
+    checkpoint_dir: str,
+    state_dir: str,
+    n: int,
+    weight_col: str = "n_chars",
+    id_col: str = "doc_id",
+    salt: int = 0,
+    max_files_per_trigger: int | None = None,
+):
+    """Streaming weighted reservoir — maintain a deterministic A-ES
+    weighted sample (without replacement) of everything that has ever
+    arrived, e.g. the standing eval/metrics sample a continuous
+    ingestion pipeline keeps beside the corpus. Same audited key as the
+    batch operator (``sampling.es_key`` — one implementation, two
+    drivers); see :func:`weighted_reservoir_batch_fn` for the state
+    layout, the exact any-order parity contract, and the replay guard.
+    """
+    apply_batch = weighted_reservoir_batch_fn(
+        spark, state_dir, n, weight_col=weight_col, id_col=id_col,
+        salt=salt,
+    )
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return (
+        reader.parquet(staging_dir)
+        .writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def weighted_reservoir_finalize(
+    spark: SparkSession, state_dir: str, n: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """The standing sample: top-n over the union of every snapshot —
+    by the non-decreasing-minimum invariant this equals the batch
+    :func:`~linz_bde_uploader_spark.functions.sampling.weighted_sample`
+    over everything arrived (the parity test pins it under two
+    different arrival orders). Returns (id, weight, skey)."""
+    res = _state_read(spark, f"{state_dir}/reservoir")
+    if res is None:
+        raise ValueError(f"no reservoir state under {state_dir}")
+    return (
+        res.select(id_col, "weight", "skey")
+        .distinct()
+        .orderBy(F.desc("skey"), F.col(id_col))
+        .limit(n)
+    )

@@ -1512,3 +1512,166 @@ def test_media_finalize_matches_batch(spark, tmp_path):
         tuple(r) for r in media_corpus_datasheet(spark, state).collect()
     }
     assert got == want and len(got) > 0
+
+
+def _res_docs(spark):
+    import random
+
+    rng = random.Random(41)
+    rows = [
+        (i, " ".join("w" for _ in range(rng.randint(0, 30))),
+         rng.randint(0, 400))
+        for i in range(400)
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, n_chars long"
+    )
+
+
+def test_weighted_reservoir_any_order_parity_and_resume(spark, tmp_path):
+    """The streaming A-ES reservoir must equal the batch weighted_sample
+    over everything arrived under ANY arrival order (the key is a pure
+    function of (id, weight), top-n is order-free) — pinned on two
+    DIFFERENT interleavings — and resume from its checkpoint."""
+    import glob
+    import os
+    import shutil
+
+    from linz_bde_uploader_spark.functions.sampling import weighted_sample
+    from linz_bde_uploader_spark.streaming.poll import (
+        weighted_reservoir_finalize,
+        weighted_reservoir_stream,
+    )
+
+    docs = _res_docs(spark)
+    want_all = [
+        (r.doc_id, r.skey)
+        for r in weighted_sample(docs, 25, "n_chars").collect()
+    ]
+
+    def run(order_flip, root):
+        staging = root / "staging"
+        staging.mkdir(parents=True)
+
+        def put_chunk(df, i):
+            tmp_out = root / f"chunk{i}"
+            df.coalesce(1).write.parquet(str(tmp_out))
+            (part,) = glob.glob(str(tmp_out / "part-*.parquet"))
+            dst = staging / f"{i:03d}.parquet"
+            shutil.copy(part, dst)
+            os.utime(dst, (1_700_000_000 + i * 10,) * 2)
+
+        # two interleavings: ascending thirds vs modulus classes
+        if order_flip:
+            chunks = [docs.filter(F.col("doc_id") % 3 == m) for m in (2, 0, 1)]
+        else:
+            chunks = [
+                docs.filter(F.col("doc_id") < 130),
+                docs.filter(
+                    (F.col("doc_id") >= 130) & (F.col("doc_id") < 270)
+                ),
+                docs.filter(F.col("doc_id") >= 270),
+            ]
+        put_chunk(chunks[0], 0)
+        put_chunk(chunks[1], 1)
+        state = str(root / "state")
+        ckpt = str(root / "ckpt")
+
+        def drain():
+            q = weighted_reservoir_stream(
+                spark, str(staging), docs.schema, ckpt, state, 25,
+                max_files_per_trigger=1,
+            )
+            assert q.awaitTermination(600)
+
+        drain()
+        # mid-stream: equals the batch sample over the first two chunks
+        part = chunks[0].unionByName(chunks[1])
+        want_mid = [
+            (r.doc_id, r.skey)
+            for r in weighted_sample(part, 25, "n_chars").collect()
+        ]
+        got_mid = [
+            (r.doc_id, r.skey)
+            for r in weighted_reservoir_finalize(spark, state, 25).collect()
+        ]
+        assert got_mid == want_mid
+        # resume on the held-back tail
+        put_chunk(chunks[2], 2)
+        drain()
+        return [
+            (r.doc_id, r.skey)
+            for r in weighted_reservoir_finalize(spark, state, 25).collect()
+        ]
+
+    got_a = run(False, tmp_path / "a")
+    got_b = run(True, tmp_path / "b")
+    assert got_a == want_all
+    assert got_b == want_all  # arrival order is irrelevant — exact
+
+
+def test_weighted_reservoir_replay_and_audit(spark, tmp_path):
+    """Replaying a committed micro-batch must leave the reservoir and
+    audit unchanged; the audit rows carry the per-poll counters and an
+    EMPTY poll still writes its audit row (zeros, full snapshot
+    carried)."""
+    from linz_bde_uploader_spark.streaming.poll import (
+        weighted_reservoir_batch_fn,
+    )
+
+    docs = _res_docs(spark)
+    state = str(tmp_path / "state")
+    fn = weighted_reservoir_batch_fn(spark, state, 25)
+    b0 = docs.filter(F.col("doc_id") < 200)
+    b1 = docs.filter(F.col("doc_id") >= 200)
+    fn(b0, 0)
+    fn(b1, 1)
+
+    def snap():
+        out = {}
+        for part in ("reservoir", "audit"):
+            out[part] = sorted(
+                map(tuple, spark.read.parquet(f"{state}/{part}").collect())
+            )
+        return out
+
+    before = snap()
+    fn(b1, 1)  # replay the LAST committed batch
+    assert snap() == before
+    fn(b0, 0)  # replay an EARLIER batch (must not self-read)
+    assert snap() == before
+
+    aud = {
+        r.batch_id: r for r in spark.read.parquet(f"{state}/audit").collect()
+    }
+    assert aud[0].n_arrived == b0.count()
+    assert aud[0].n_candidates == b0.filter(F.col("n_chars") > 0).count()
+    assert aud[0].reservoir_size == 25
+    assert aud[1].reservoir_size == 25
+    # admissions: batch-1 rows now inside the snapshot
+    res1 = spark.read.parquet(f"{state}/reservoir").filter(
+        F.col("batch_id") == 1
+    )
+    n_new = res1.join(
+        b1.select("doc_id"), "doc_id", "left_semi"
+    ).count()
+    assert aud[1].n_admitted == n_new
+
+    # empty poll: zeroed audit row, snapshot carried forward intact
+    fn(docs.filter(F.lit(False)), 2)
+    aud2 = spark.read.parquet(f"{state}/audit").filter(
+        F.col("batch_id") == 2
+    ).collect()[0]
+    assert (aud2.n_arrived, aud2.n_candidates, aud2.n_admitted) == (0, 0, 0)
+    assert aud2.reservoir_size == 25
+    r1 = {
+        (r.doc_id, r.skey)
+        for r in spark.read.parquet(f"{state}/reservoir")
+        .filter(F.col("batch_id") == 1).collect()
+    }
+    r2 = {
+        (r.doc_id, r.skey)
+        for r in spark.read.parquet(f"{state}/reservoir")
+        .filter(F.col("batch_id") == 2).collect()
+    }
+    assert r1 == r2
