@@ -5471,7 +5471,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    per-(language, bucket) datasheet with funnel columns and
         #    the exact scaled-integer mean perplexity; displaced
         #    tenant q_lm_kneser_ney (green r8-r13 sextuple; the LM
-        #    family keeps the trigram scorer + THIS composite
+        #    family keeps THIS composite + q_ppl_prune_ablation
         #    in-window, KN stays oracle-checked at 51+) -> 51+
         "q_ccnet_e2e": q_ccnet_e2e,
         # -- round-12 birth: SPAN-grain benchmark decontamination —
@@ -5701,7 +5701,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the mixture family keeps q_mixture_plan + unimax in-window)
         "q_mixture_alpha": q_mixture_alpha,
         # rotated out in round 14 by q_ccnet_e2e (green r8-r13; the LM
-        # family keeps q_lm_trigram_perplexity + the CCNet composite
+        # family keeps the CCNet composite + q_ppl_prune_ablation
         # in-window, KN stays oracle-checked at 51+)
         "q_lm_kneser_ney": q_lm_kneser_ney,
         # rotated out in round 14 by q_dedup_snapshot_ablation (green

@@ -1,8 +1,11 @@
 """Round-14 births: the CCNet end-to-end composite (langid gate →
-per-language bigram LM → head/middle/tail split → per-language
-datasheet), the FineWeb per-snapshot vs global dedup ablation, the
-margin-criterion bitext mining face, and the quality-threshold
-ablation datasheet."""
+per-language stratified bigram LM → head/middle/tail split →
+per-language datasheet), the FineWeb per-snapshot vs global dedup
+ablation, the margin-criterion bitext mining face, the
+quality-threshold ablation datasheet, the DoReMi one-step EG mixture
+plan, the filter-vs-dedup stage-ordering ablation, and the
+perplexity-pruning ablation. (The round's streaming weighted-reservoir
+face is in test_streaming.py per the streaming-face precedent.)"""
 
 import math
 
