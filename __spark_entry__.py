@@ -2703,7 +2703,14 @@ def q_dedup_snapshot_ablation(spark, sf_dir):
     # fractions. Scale: the candidate-bounded LSH plan + two distinct
     # projections of the pair set + one 4-key rollup.
     d = W.load(spark, sf_dir, "documents")
-    ver = D.candidate_jaccard_verify(d, "doc_id", "text", threshold=0.5)
+    # persisted FLAT (two longs/row): both policy arms project THIS
+    # pair set — without the track, Catalyst duplicates the whole
+    # LSH-candidate + jaccard-verify subtree per arm (first plans
+    # showed 9 document scans), paying the pass twice.
+    ver = caching.track(
+        D.candidate_jaccard_verify(d, "doc_id", "text", threshold=0.5)
+        .select("id_a", "id_b")
+    )
     gdrop = (
         ver.select(F.col("id_b").alias("doc_id"))
         .distinct()
@@ -2820,15 +2827,25 @@ def q_corpus_order_ablation(spark, sf_dir):
     rb = U.robots_gate(
         bl.select("doc_id", "text", "url", "block_reason"), rules
     )
-    q = rb.select(
-        "doc_id",
-        X.token_count("text").cast("long").alias("_nt"),
-        (
-            (F.col("block_reason") == "ok") & F.col("robots_allowed")
-        ).alias("_q"),
+    # both frames persist FLAT: the gate flags feed three consumers
+    # (two pair-endpoint joins + the final per-doc frame) and the pair
+    # set feeds both policy arms — untracked, Catalyst re-executed the
+    # gate chain and the LSH-verify subtree per consumer (first plans
+    # showed 14 document scans).
+    q = caching.track(
+        rb.select(
+            "doc_id",
+            X.token_count("text").cast("long").alias("_nt"),
+            (
+                (F.col("block_reason") == "ok") & F.col("robots_allowed")
+            ).alias("_q"),
+        )
     )
-    ver = D.candidate_jaccard_verify(d, "doc_id", "text", threshold=0.5)
-    vq = ver.select("id_a", "id_b").join(
+    ver = caching.track(
+        D.candidate_jaccard_verify(d, "doc_id", "text", threshold=0.5)
+        .select("id_a", "id_b")
+    )
+    vq = ver.join(
         q.select(F.col("doc_id").alias("id_a"), F.col("_q").alias("_qa")),
         ["id_a"],
     ).join(
