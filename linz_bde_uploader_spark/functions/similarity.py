@@ -1308,6 +1308,15 @@ def bitext_margin_mine(
     """
     from pyspark.sql import Window  # noqa: PLC0415
 
+    # DELIBERATELY untracked: the forward k-NN feeds three consumers
+    # and Catalyst does duplicate its broadcast-scan subtree — but a
+    # back-to-back lap measured the track() variant 70% SLOWER (5.96
+    # vs 3.50 s at sf0.1, 8.55 vs 6.24 s at 10×): the persist is a
+    # materialization BARRIER that serializes work the duplicated
+    # map-only scans otherwise run concurrently on idle cores, the
+    # opposite trade from the dedup ablations' tracked pair frames
+    # (whose shared subtree is an expensive SHUFFLING chain, not a
+    # map-only scan).
     fwd = batch_cosine_topk(
         tgt, src_queries, k=k, id_col=id_col, vec_col=vec_col
     )
