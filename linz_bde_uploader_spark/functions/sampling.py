@@ -970,6 +970,12 @@ def unimax_plan(
         # Integer `div`, not floor(double-division): beyond 2^53 tokens
         # a double round-trip could shift the share by a token, and the
         # docstring promises the WHOLE plan is integer-exact.
+        # INVARIANT: budget - _csum >= 0 always. _csum sums cap_tokens
+        # over the capped prefix, and a source is capped only while
+        # cap·(remaining sources) <= remaining budget, so the prefix sum
+        # can never exceed the budget. That non-negativity is what makes
+        # Spark's truncate-toward-zero `div` equal to the DuckDB twin's
+        # flooring `//`; a negative remainder would diverge (-1 vs 0).
         F.expr(
             f"(CAST({int(budget_tokens)} AS BIGINT) - _csum)"
             " div GREATEST(_nu, CAST(1 AS BIGINT))"

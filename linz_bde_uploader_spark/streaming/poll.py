@@ -540,6 +540,35 @@ def _state_write(df: DataFrame, path: str, batch_id: int) -> None:
     df.write.mode("overwrite").parquet(f"{path}/batch_id={batch_id}")
 
 
+def _state_read_latest(
+    spark: SparkSession, path: str, before_batch: int
+) -> DataFrame | None:
+    """Read ONLY the newest committed partition with
+    ``batch_id < before_batch`` (None if there is none) — for state
+    where the latest snapshot dominates every earlier one (the
+    weighted reservoir: its minimum is non-decreasing, so top-n over
+    (latest ∪ batch) equals top-n over everything arrived). Reading
+    the single partition keeps per-batch work O(n + batch) instead of
+    growing linearly with stream age; the full-union read stays in
+    the finalizer, where the snapshot union is the recovery basis.
+    Same replay guard as ``_state_read``: strictly-prior batches only,
+    so a replayed micro-batch sees exactly the state the original run
+    saw."""
+    import os  # noqa: PLC0415
+
+    if not os.path.isdir(path):
+        return None
+    eligible = [
+        int(e.split("=", 1)[1])
+        for e in os.listdir(path)
+        if e.startswith("batch_id=")
+        and int(e.split("=", 1)[1]) < before_batch
+    ]
+    if not eligible:
+        return None
+    return spark.read.parquet(f"{path}/batch_id={max(eligible)}")
+
+
 def corpus_build_stream(
     spark: SparkSession,
     staging_dir: str,
@@ -1687,14 +1716,22 @@ def weighted_reservoir_batch_fn(
     partition.
 
     Scale: the candidate filter and key are map-only; the snapshot is
-    a TakeOrderedAndProject over (n·batches + batch) rows — model-sized
+    a TakeOrderedAndProject over (n + batch) rows — the pool reads
+    ONLY the latest prior snapshot (it dominates every earlier one by
+    the non-decreasing-minimum invariant), so per-batch work does not
+    grow with stream age; the full snapshot union is read only in the
+    finalizer, where it serves as the recovery basis. Model-sized
     state (n rows per snapshot), never the stream's payload."""
     from linz_bde_uploader_spark.functions.sampling import (  # noqa: PLC0415
         es_key,
     )
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-        prev = _state_read(
+        # Latest snapshot only: it dominates every earlier one (the
+        # non-decreasing-minimum invariant), so the pool is O(n+batch)
+        # rows instead of n·batches; the finalizer keeps the full
+        # snapshot union as the recovery basis.
+        prev = _state_read_latest(
             spark, f"{state_dir}/reservoir", before_batch=batch_id
         )
         cand = batch_df.filter(

@@ -681,14 +681,11 @@ class TestOrderAblation:
         bdrop = {b for _, b in pairs}
         lost = (ok - adrop) - (ok - bdrop)
         assert lost
+        # doc ∈ lost ⇒ doc ∉ adrop = {b : (a,b) ∈ pairs, a ∈ ok, b ∈ ok},
+        # so EVERY dropping partner must itself fail the gate.
         for doc in lost:
             partners = {a for a, b in pairs if b == doc}
-            assert partners and all(
-                p not in ok or (p in ok and doc in adrop) is False
-                for p in partners
-            )
-            # at least one dropping partner fails the gate
-            assert any(p not in ok for p in partners)
+            assert partners and all(p not in ok for p in partners)
 
 
 class TestCcnetEdges:
