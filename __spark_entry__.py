@@ -806,18 +806,26 @@ def _cms_sql(k: int = 20, width: int = 256) -> str:
     """
 
 
-def _kmeans_cte(k: int = 8, iters: int = 3, dims: int = 64) -> str:
+def _kmeans_cte(iters: int = 3, dims: int = 64) -> str:
     """DuckDB CTE chain mirroring clustering.kmeans: c0 = vectors of the
-    k smallest ids; a{i} = argmin assignment under c{i} (squared distance
-    rounded 6 dp, ties to the smaller centroid id); c{i+1} = per-cluster
-    per-dimension mean rounded 6 dp. The final assignment a{iters} uses
-    c{iters} — exactly the Spark loop's shape (iters updates, then one
-    final assignment pass)."""
+    auto_k smallest ids; a{i} = argmin assignment under c{i} (squared
+    distance rounded 6 dp, ties to the smaller centroid id); c{i+1} =
+    per-cluster per-dimension mean rounded 6 dp. The final assignment
+    a{iters} uses c{iters} — exactly the Spark loop's shape (iters
+    updates, then one final assignment pass). k mirrors
+    ``clustering.auto_k`` — max(8, ceil(n/64)) — as a scalar subquery,
+    so the twin tracks the Spark side at EVERY scale (8 at both gate
+    SFs, 32 at sf0.1, 313 in the 10× study); round 15 made the large-k
+    Arrow assignment fold bitwise-equal to the Column expression this
+    CTE replays, which is what closed the documented sf0.1 divergence.
+    Nothing in the chain besides the seed filter depends on k."""
     parts = [
         "e AS (SELECT vec_id,"
         " list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v"
         " FROM embeddings)",
-        f"c0 AS (SELECT vec_id AS cid, v AS c FROM e WHERE vec_id < {k})",
+        "c0 AS (SELECT vec_id AS cid, v AS c FROM e WHERE vec_id <"
+        " (SELECT greatest(8, CAST(ceil(count(*) / 64.0) AS BIGINT))"
+        " FROM e))",
     ]
     dist = (
         f"round(list_sum(list_transform(generate_series(1, {dims}),"
@@ -7341,12 +7349,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_bpe_merges": _bpe_merges_sql(6),
         "q_bpe_encode": _bpe_encode_sql(4),
-        "q_kmeans_embeddings": _kmeans_cte(8, 3, 64) + """
+        "q_kmeans_embeddings": _kmeans_cte(3, 64) + """
             SELECT vec_id, CAST(cluster AS BIGINT) AS cluster,
                    round(sq_dist, 4) AS sq_dist
             FROM a3
         """,
-        "q_semdedup": _kmeans_cte(8, 3, 64) + """,
+        "q_semdedup": _kmeans_cte(3, 64) + """,
             dup AS (
               SELECT DISTINCT b.vec_id AS vec_id
               FROM a3 a JOIN a3 b
@@ -7361,7 +7369,7 @@ def oracle_sql() -> dict[str, str]:
         # D4: the SAME semdedup chain, then per-cluster prototype
         # ranking (farthest-first, id tiebreak) with the
         # ceil(0.75·m) diversity cut
-        "q_d4_select": _kmeans_cte(8, 3, 64) + """,
+        "q_d4_select": _kmeans_cte(3, 64) + """,
             dup AS (
               SELECT DISTINCT b.vec_id AS vec_id
               FROM a3 a JOIN a3 b

@@ -38,12 +38,14 @@ from linz_bde_uploader_spark.functions.similarity import cosine, dot
 ROUND_DP = 6
 
 #: above this k the assignment switches from constant-folded Column
-#: expressions to an Arrow-batched GEMM in numpy. Measured (10x scale
-#: study): at k=32 the Column path's codegen size already dominates
-#: wall (8 s of a 10 s run was plan/compile), while the GEMM handled
-#: k=313 on 10x the data in under 2 s — so the cutoff sits just above
-#: the oracle scales' auto-k of 8, keeping the driver's correctness
-#: gate on the oracle-parity arithmetic and everything larger on GEMM.
+#: expressions to an Arrow-batched numpy per-dim fold. Measured (10x
+#: scale study): at k=32 the Column path's codegen size already
+#: dominates wall (8 s of a 10 s run was plan/compile), while the
+#: Arrow path handled k=313 on 10x the data in under 2 s — so the
+#: cutoff sits just above the oracle scales' auto-k of 8. Since round
+#: 15 the Arrow path folds dimensions in the SAME order as the Column
+#: expression (bitwise-equal distances), so the two strategies — and
+#: the DuckDB oracle — agree at EVERY k, not just below the cutoff.
 COLUMN_PATH_MAX_K = 16
 
 #: auto-scaled k targets clusters of ~this many vectors, which is what
@@ -80,14 +82,17 @@ def assign_clusters(
     winning centroid id; ties at 6 dp go to the smallest id) and
     ``sq_dist`` (the rounded squared distance to it).
 
-    Two physical strategies, same contract: small k constant-folds the
-    centroid matrix into codegen (oracle-parity arithmetic); large k
-    runs an Arrow-batched numpy GEMM (codegen size and per-row lambda
-    dispatch both grow with k·dims, so the expression path stops making
-    sense — the GEMM is the strategy a 100-TB run with thousands of
-    centroids needs anyway)."""
+    Two physical strategies, same ARITHMETIC: small k constant-folds
+    the centroid matrix into codegen; large k runs an Arrow-batched
+    numpy fold with the identical operation order (codegen size and
+    per-row lambda dispatch both grow with k·dims, so the expression
+    path stops making sense — the Arrow batch is the strategy a 100-TB
+    run with thousands of centroids needs anyway). Bitwise-equal
+    distances mean the choice of strategy can never flip an argmin —
+    the answer is a function of the data, not of k's side of the
+    cutoff."""
     if len(centroids) > COLUMN_PATH_MAX_K:
-        return _assign_clusters_gemm(df, centroids, id_col, vec_col)
+        return _assign_clusters_arrow(df, centroids, id_col, vec_col)
     vec = F.col(vec_col)
     dists = F.array(
         *[
@@ -112,24 +117,65 @@ def assign_clusters(
     ).drop("_dists")
 
 
-def _assign_clusters_gemm(
+def _round_shortest_half_up(d2, dp):
+    """Vectorized mirror of Spark ``F.round``/DuckDB ``round`` on
+    non-negative doubles: HALF_UP on the SHORTEST-decimal form
+    (``BigDecimal.valueOf(double)`` = ``repr(float)``), not on the
+    scaled binary value. The fast path ``floor(x·10^dp + 0.5)/10^dp``
+    agrees everywhere except where ``x·10^dp`` sits within an
+    ulp-scale window of a half-tick — there the binary product can
+    fall on the other side of ``.5`` than the shortest-decimal digits
+    (the exact half-tick class the engine-rounding convention
+    documents) — so those rare elements are recomputed through
+    ``Decimal(repr(x))``, which is bit-for-bit the engine rule."""
+    import numpy as np
+    from decimal import ROUND_HALF_UP, Decimal  # noqa: PLC0415
+
+    scale = 10.0 ** dp
+    xs = d2 * scale
+    out = np.floor(xs + 0.5) / scale
+    frac = xs - np.floor(xs)
+    sus = np.abs(frac - 0.5) <= np.maximum(1e-9, xs * 1e-12)
+    if sus.any():
+        quantum = Decimal(1).scaleb(-dp)
+        flat_in = d2.reshape(-1)
+        flat_out = out.reshape(-1)
+        for i in np.flatnonzero(sus.reshape(-1)):
+            flat_out[i] = float(
+                Decimal(repr(float(flat_in[i]))).quantize(
+                    quantum, rounding=ROUND_HALF_UP
+                )
+            )
+    return out
+
+
+def _assign_clusters_arrow(
     df: DataFrame,
     centroids: list[tuple[int, list[float]]],
     id_col: str,
     vec_col: str,
 ) -> DataFrame:
-    """Large-k assignment: ||x-c||² = ||x||² - 2·X·Cᵀ + ||c||² as one
-    matrix multiply per Arrow batch, rounded to the same 6 dp before the
-    argmin (np.argmin takes the first minimum — the same smallest-index
-    tie-break as the Column path). The centroid matrix rides inside the
-    UDF closure (k·dims doubles — model-sized, serialized once per
-    task)."""
+    """Large-k assignment, STRATEGY-INVARIANT with the Column path: the
+    squared distance is accumulated as the same left-to-right fold over
+    dimensions — ``acc += (x_j − c_j)²`` — that ``F.aggregate`` over the
+    ``zip_with`` array performs, so every IEEE-754 operation (and hence
+    every bit of the result) matches the constant-folded expression the
+    DuckDB oracle replays. An earlier draft used the one-matmul GEMM
+    identity ``‖x‖² − 2x·c + ‖c‖²``; its cancellation error survived
+    the 6-dp round and flipped near-tie argmins at sf0.1 (1821 vs 1714
+    SemDeDup survivors — SCALE.md's round-14 note), which made the
+    engine's answer float-strategy-dependent. The per-dim fold is still
+    one vectorized (batch × k) op per dimension inside an Arrow batch —
+    dims·k·batch flops, the same asymptotics as the GEMM without BLAS
+    dispatch — and np.argmin takes the first minimum, the same
+    smallest-centroid-id tie-break as ``array_position``. The centroid
+    matrix rides inside the UDF closure (k·dims doubles — model-sized,
+    serialized once per task)."""
     import numpy as np
     import pandas as pd
 
     cids = np.asarray([c for c, _ in centroids], dtype=np.int64)
     cmat = np.asarray([v for _, v in centroids], dtype=np.float64)
-    cnorm = (cmat * cmat).sum(axis=1)
 
     # no type hints: `from __future__ import annotations` stringifies
     # them, which pandas_udf's inference can't resolve — pass the
@@ -144,18 +190,14 @@ def _assign_clusters_gemm(
             x = np.stack(
                 [np.asarray(v, dtype=np.float64) for v in vs[valid]]
             )
-            d2 = (
-                (x * x).sum(axis=1, keepdims=True)
-                - 2.0 * (x @ cmat.T)
-                + cnorm[None, :]
-            )
-            # Half-AWAY-from-zero, matching F.round / DuckDB round on the
-            # Column path (np.round is half-to-even and can flip an
-            # argmin at an exact .5 boundary at the ROUND_DP-th decimal;
-            # d2 >= 0 here so no sign term needed) — same contract as
-            # similarity.quantize_vector.
-            scale = 10.0 ** ROUND_DP
-            d2 = np.floor(np.maximum(d2, 0.0) * scale + 0.5) / scale
+            # Left fold over dims, exactly F.aggregate's order: each
+            # term is (x−c) rounded, squared rounded, then added — the
+            # same three IEEE-754 roundings per element as the JVM.
+            d2 = np.zeros((x.shape[0], cmat.shape[0]))
+            for j in range(cmat.shape[1]):
+                diff = x[:, j, None] - cmat[None, :, j]
+                d2 += diff * diff
+            d2 = _round_shortest_half_up(d2, ROUND_DP)
             idx = np.argmin(d2, axis=1)
             out.loc[valid, "cluster"] = cids[idx]
             out.loc[valid, "sq_dist"] = d2[np.arange(len(idx)), idx]

@@ -81,18 +81,20 @@ def test_semdedup_prunes_within_cluster_only(spark):
     assert 2 not in surv and 3 not in surv
 
 
-def test_gemm_path_matches_column_path(spark, vecs):
-    # the large-k GEMM strategy must agree with the constant-folded
-    # Column strategy on cluster AND rounded distance
+def test_arrow_path_matches_column_path(spark, vecs):
+    # the large-k Arrow strategy must agree with the constant-folded
+    # Column strategy on cluster AND rounded distance — bit-for-bit,
+    # since round 15 made its fold order identical (the GEMM identity
+    # it replaced flipped near-tie argmins at sf0.1)
     from linz_bde_uploader_spark.functions.clustering import (
-        _assign_clusters_gemm,
+        _assign_clusters_arrow,
     )
 
     cents = [(0, [0.0, 0.0]), (1, [10.0, 0.0])]
     a = {r.vec_id: (r.cluster, r.sq_dist)
          for r in assign_clusters(vecs, cents).collect()}
     g = {r.vec_id: (r.cluster, r.sq_dist)
-         for r in _assign_clusters_gemm(vecs, cents, "vec_id", "embedding").collect()}
+         for r in _assign_clusters_arrow(vecs, cents, "vec_id", "embedding").collect()}
     assert a == g
 
 
@@ -101,5 +103,36 @@ def test_auto_k_targets_cluster_size():
 
     assert auto_k(50) == 8        # oracle scales pin to min_k
     assert auto_k(500) == 8
-    assert auto_k(2000) == 32     # sf0.1: k=32 > COLUMN_PATH_MAX_K=16 -> GEMM path
-    assert auto_k(20000) == 313   # 10x study: GEMM path, ~64/cluster
+    assert auto_k(2000) == 32     # sf0.1: k=32 > COLUMN_PATH_MAX_K=16 -> Arrow path
+    assert auto_k(20000) == 313   # 10x study: Arrow path, ~64/cluster
+
+
+def test_round_shortest_half_up_matches_spark_round(spark):
+    # the Arrow path's rounding must be F.round's rule — HALF_UP on the
+    # SHORTEST-decimal form — not floor(x*scale+0.5)/scale, which
+    # disagrees exactly where the scaled binary value falls on the
+    # other side of .5 than the decimal digits. The five values below
+    # are found disagreements (seed-0 search over decimal half-ticks);
+    # the fast path gets every one wrong, the correction pass must not.
+    import numpy as np
+
+    from linz_bde_uploader_spark.functions.clustering import (
+        _round_shortest_half_up,
+    )
+
+    ticks = [521.7608895, 528.9846895, 133.0314225, 65.5894015,
+             523.1974495]
+    smooth = [0.0, 1e-12, 0.1234565, 2.5000005, 42.123456789, 0.9999995]
+    vals = ticks + smooth
+    ours = _round_shortest_half_up(np.asarray(vals), 6).tolist()
+    theirs = [
+        r[0]
+        for r in spark.createDataFrame(
+            [(v,) for v in vals], "x double"
+        ).select(F.round("x", 6)).collect()
+    ]
+    assert ours == theirs
+    # and the fast path alone really is wrong on the tick values —
+    # the correction pass is load-bearing, not decorative
+    fast = np.floor(np.asarray(ticks) * 1e6 + 0.5) / 1e6
+    assert all(f != t for f, t in zip(fast.tolist(), theirs[:5]))
