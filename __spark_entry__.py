@@ -1909,6 +1909,26 @@ def q_bpe_merges(spark, sf_dir):
     return X.bpe_train(d, "text", n_merges=6)
 
 
+def q_bpe_vocab_ablation(spark, sf_dir):
+    # Tokenizer vocab-size ablation (functions/text.py::
+    # bpe_vocab_ablation; Rust et al. 2021's procurement signal):
+    # fertility, compression, and sequence-length stats at merge
+    # budgets {2,4,6,8} — trained ONCE at 8 because greedy BPE's merge
+    # sequence is prefix-nested (bpe_train at v merges IS the first v
+    # rounds of the budget-8 run, exactly), so the per-size
+    # "retraining" the bigram-LM family would need stratified keys for
+    # costs nothing here. Encoding snapshots the wrapped corpus after
+    # each prefix in ONE map-only chained-replace pass, aggregates one
+    # corpus scan into a single row, and explodes it into the four
+    # datasheet rows driver-free. The oracle unrolls the same 8
+    # training rounds + the e{r} encode chain (the q_bpe_encode twin)
+    # and reads the datasheet off e2/e4/e6/e8.
+    d = W.load(spark, sf_dir, "documents")
+    return X.bpe_vocab_ablation(
+        d, vocab_sizes=(2, 4, 6, 8), seq_cap=256
+    )
+
+
 def q_dedup_scrub_spans(spark, sf_dir):
     # ExactSubstr-style span scrubbing (dedup.py::scrub_duplicated_spans):
     # tokens covered by a 3-gram shingle shared by >= 10 documents are
@@ -5190,6 +5210,38 @@ def q_mixture_unimax(spark, sf_dir):
     ).orderBy("source")
 
 
+def q_mixture_materialize(spark, sf_dir):
+    # Plan → EXECUTION → audit: the loop a production pipeline actually
+    # runs after planning, which every mixture face previously stopped
+    # short of at target_tokens. The UniMax plan (sampling.py::
+    # unimax_plan, VERBATIM — same budget 50_000 / max_epochs 2 as
+    # q_mixture_unimax, both waterfilling branches live) drives
+    # mixture_weights' audited epoch machinery through per-source
+    # rates resolved with EXACT integer arithmetic (base = alloc div
+    # tokens; frac_pct = half-up of 100·rem/tokens as one integer
+    # expression — a capped source realizes exactly max_epochs copies
+    # of every doc), then the realized-vs-target datasheet: per source,
+    # target_tokens, realized docs/tokens, 4-dp ratio, and the epoch
+    # histogram ("1:n,2:n,…" — the repeat-depth shape UniMax's caps
+    # exist to control). Every plan row surfaces (LEFT join): zero
+    # realization shows 0s + empty histogram, never a dropped row.
+    # Scale: the |sources| plan frame is caching.track-persisted (it
+    # feeds BOTH the broadcast rate join and the datasheet targets —
+    # untracked, Catalyst duplicates the planner's measurement scan
+    # per consumer: the snapshot-ablation lesson); materialization is
+    # a broadcast equi-join + map-side explode; the audit is one
+    # (source, epoch)-key partial agg + a bounded |sources| rollup.
+    from linz_bde_uploader_spark import caching
+    from linz_bde_uploader_spark.functions.sampling import (
+        mixture_realization_audit,
+        unimax_plan,
+    )
+
+    d = W.load(spark, sf_dir, "documents")
+    plan = caching.track(unimax_plan(d, budget_tokens=50_000, max_epochs=2))
+    return mixture_realization_audit(d, plan)
+
+
 def q_mixture_alpha(spark, sf_dir):
     # Temperature-scaled (α-)sampling plan (functions/sampling.py::
     # alpha_mixture_plan) — the XLM-R/mBERT multilingual recipe:
@@ -5331,15 +5383,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    THIS face in-window, the explicit-weights planner stays
         #    oracle-checked at 51+) -> 51+
         "q_mixture_doremi": q_mixture_doremi,
-        # -- round-13 birth: UniMax epoch-capped budget split (the
-        #    mixture family's third face — the published fix for
-        #    temperature sampling's tail-vs-epochs failure mode;
-        #    all-integer prefix-scan waterfilling over the bounded
-        #    |sources| table); displaced tenant q_mixture_alpha
-        #    (green r9-r12 quadruple; the mixture family keeps
-        #    q_mixture_plan + THIS query in-window, α-scaling stays
+        # -- round-15 birth: plan → EXECUTION → audit composite — the
+        #    UniMax plan materialized as the sampled corpus via
+        #    mixture_weights' epoch machinery driven by the PLAN's
+        #    integer-exact per-source rates, plus the realized-vs-
+        #    target datasheet (ratio + epoch histogram); displaced
+        #    tenant q_mixture_unimax (green r13+r14 double;
+        #    unimax_plan runs VERBATIM inside THIS composite — same
+        #    budget/caps, both waterfilling branches — and stays
         #    oracle-checked at 51+) -> 51+
-        "q_mixture_unimax": q_mixture_unimax,
+        "q_mixture_materialize": q_mixture_materialize,
         "q_quantile_sketch": q_quantile_sketch,
         # -- round-9 birth: explicit schema-drift audit registration
         #    (the r8 face with an oracle-expressible surface —
@@ -5391,10 +5444,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    VERBATIM inside THIS ablation, calibration stays
         #    oracle-checked at 51+) -> 51+
         "q_quality_ablation": q_quality_ablation,
-        # -- round-5 births, in-window at birth (rotation rule): their
-        #    displaced tenants q_sim_cosine_topk / q_sim_cosine_above
-        #    each carry THREE green driver rows (r1+r3+r4) -> 51+
-        "q_bpe_merges": q_bpe_merges,
+        # -- round-15 birth: BPE vocab-size ablation datasheet —
+        #    fertility / compression / sequence-length stats at merge
+        #    budgets {2,4,6,8}, trained ONCE (greedy BPE merges are
+        #    prefix-nested) with one chained-replace corpus pass and a
+        #    driver-free explode of the single aggregate row;
+        #    displaced tenant q_bpe_merges (green r5-r14 DECUPLE;
+        #    bpe_train runs VERBATIM inside THIS ablation — same loop,
+        #    8 rounds instead of 6 — and stays oracle-checked at 51+)
+        "q_bpe_vocab_ablation": q_bpe_vocab_ablation,
         # -- round-13 birth: per-SOURCE contamination datasheet — the
         #    THIRD grain of the span family over the SAME verified
         #    span set (doc grain q_decontam_spans, item grain
@@ -5756,6 +5814,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pruning ablation in-window, the trigram scorer stays
         # oracle-checked at 51+)
         "q_lm_trigram_perplexity": q_lm_trigram_perplexity,
+        # rotated out in round 15 by q_mixture_materialize (green
+        # r13+r14 double; unimax_plan runs VERBATIM inside the
+        # displacing composite — same budget and caps — so the
+        # waterfilling stays driver-exercised in-window and this
+        # standalone face stays oracle-checked at 51+)
+        "q_mixture_unimax": q_mixture_unimax,
+        # rotated out in round 15 by q_bpe_vocab_ablation (green
+        # r5-r14 decuple — the registry's longest streak; bpe_train
+        # runs VERBATIM inside the displacing ablation, two extra
+        # rounds, so the trainer stays driver-exercised in-window and
+        # the standalone merge table stays oracle-checked at 51+;
+        # the round-5 note it carried: its own displaced tenants
+        # q_sim_cosine_topk / q_sim_cosine_above each carried THREE
+        # green rows r1+r3+r4)
+        "q_bpe_merges": q_bpe_merges,
         "q_bpe_pair_counts": q_bpe_pair_counts,
         "q_tpch_q8_market_share": q_tpch_q8_market_share,
         "q_tpch_q9_profit": q_tpch_q9_profit,
@@ -5913,12 +5986,13 @@ def _bpe_merges_sql(n_merges: int = 6) -> str:
     return "WITH " + ",\n".join(ctes) + "\n" + unions
 
 
-def _bpe_encode_sql(n_merges: int = 4) -> str:
-    """DuckDB twin of text.bpe_encode composed with its own training:
-    the _bpe_merges_sql training chain (docs{r}/p{r}/w{r}) derives the
-    merge table, and a parallel e{r} chain applies each round's winner
-    to the FULL corpus (doc ids kept, no length filter — encoding serves
-    every document, training ignored the degenerate ones)."""
+def _bpe_encode_ctes(n_merges: int) -> str:
+    """The shared CTE chain of the BPE encode twins: _bpe_merges_sql's
+    training rounds (docs{r}/p{r}/w{r}) plus the parallel e{r} chain
+    applying each round's winner to the FULL corpus (doc ids kept, no
+    length filter — encoding serves every document, training ignored
+    the degenerate ones). Used by _bpe_encode_sql and
+    _bpe_vocab_ablation_sql."""
     train = _bpe_merges_sql(n_merges)
     ctes_part = train[len("WITH "):train.rindex(")") + 1]
     s1, s2 = "chr(1)", "chr(2)"
@@ -5941,13 +6015,79 @@ def _bpe_encode_sql(n_merges: int = 4) -> str:
                                   {s1}||w.lhs||w.rhs||{s2}), txt) AS txt
           FROM e{r-1} LEFT JOIN w{r} w ON TRUE
         )""")
+    return ctes_part + ",\n" + ",\n".join(extra)
+
+
+def _bpe_encode_sql(n_merges: int = 4) -> str:
+    """DuckDB twin of text.bpe_encode composed with its own training —
+    the shared _bpe_encode_ctes chain read at the final round."""
+    s1, s2 = "chr(1)", "chr(2)"
     return (
-        "WITH " + ctes_part + ",\n" + ",\n".join(extra) + f"""
+        "WITH " + _bpe_encode_ctes(n_merges) + f"""
         SELECT doc_id,
                CAST(len(string_split(substr(txt, 2, length(txt) - 2),
                                      {s2}||{s1})) AS BIGINT) AS n_syms
         FROM e{n_merges}
     """
+    )
+
+
+def _bpe_vocab_ablation_sql(
+    sizes: tuple[int, ...] = (2, 4, 6, 8), cap: int = 256
+) -> str:
+    """DuckDB twin of text.bpe_vocab_ablation: the _bpe_encode_sql
+    training + e{r} encode chain at max(sizes) merges, with the
+    datasheet read off the e{v} snapshot for each requested budget —
+    the same prefix-nesting that lets the Spark side train once.
+    n_merges_effective mirrors the exhaustion rule by counting the
+    non-empty w rounds up to v (a LEFT-JOIN-exhausted round leaves
+    e{v} = e{v-1}, exactly the Spark side's last-snapshot reuse)."""
+    szs = sorted(set(sizes))
+    n = szs[-1]
+    ctes_part = _bpe_encode_ctes(n)
+    s1, s2 = "chr(1)", "chr(2)"
+    extra = [f"""base AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(string_split(trim(text), ' '))
+                          END) AS BIGINT) AS total_words,
+                 CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes
+          FROM documents
+        )"""]
+    for v in szs:
+        extra.append(f"""d{v} AS (
+          SELECT CAST(sum(ns) AS BIGINT) AS syms,
+                 CAST(max(ns) AS BIGINT) AS mx,
+                 CAST(sum(CASE WHEN ns > {cap} THEN 1 ELSE 0 END)
+                      AS BIGINT) AS ov
+          FROM (SELECT len(string_split(substr(txt, 2, length(txt) - 2),
+                                         {s2}||{s1})) AS ns FROM e{v})
+        )""")
+        wu = "\n              UNION ALL ".join(
+            f"SELECT lhs FROM w{r}" for r in range(1, v + 1)
+        )
+        extra.append(
+            f"neff{v} AS (SELECT CAST(count(*) AS INT) AS eff FROM"
+            f" ({wu}) t)"
+        )
+    selects = "\n            UNION ALL ".join(
+        f"""SELECT CAST({v} AS INT) AS n_merges,
+                   neff{v}.eff AS n_merges_effective,
+                   base.n_docs, base.total_words,
+                   d{v}.syms AS total_syms,
+                   round(d{v}.syms / CAST(greatest(base.total_words, 1)
+                                          AS DOUBLE), 6) AS fertility,
+                   round(base.total_bytes / CAST(greatest(d{v}.syms, 1)
+                                          AS DOUBLE), 6) AS bytes_per_sym,
+                   round(d{v}.syms / CAST(greatest(base.n_docs, 1)
+                                          AS DOUBLE), 6) AS mean_syms,
+                   d{v}.mx AS max_syms, d{v}.ov AS n_over_cap
+            FROM base, d{v}, neff{v}"""
+        for v in szs
+    )
+    return (
+        "WITH " + ctes_part + ",\n" + ",\n".join(extra)
+        + "\n" + selects + "\nORDER BY n_merges"
     )
 
 
@@ -7349,6 +7489,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_bpe_merges": _bpe_merges_sql(6),
         "q_bpe_encode": _bpe_encode_sql(4),
+        "q_bpe_vocab_ablation": _bpe_vocab_ablation_sql((2, 4, 6, 8), 256),
         "q_kmeans_embeddings": _kmeans_cte(3, 64) + """
             SELECT vec_id, CAST(cluster AS BIGINT) AS cluster,
                    round(sq_dist, 4) AS sq_dist
@@ -11135,6 +11276,106 @@ def oracle_sql() -> dict[str, str]:
                      AS epochs,
                    CAST(capped AS INT) AS capped
             FROM al ORDER BY source
+        """,
+        # the materialize composite: the SAME unimax CTE chain, then
+        # integer-exact rate resolution (// on non-negatives ≡ Spark's
+        # div), the mixture_weights explode driven by the plan's rates,
+        # and the realized-vs-target rollup with the epoch histogram
+        "q_mixture_materialize": """
+            WITH agg AS (
+              SELECT source,
+                     CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum(CASE WHEN trim(text) = '' THEN 0 ELSE len(string_split(trim(text), ' ')) END)
+                          AS BIGINT) AS tokens
+              FROM documents GROUP BY source
+            ),
+            st AS (
+              SELECT source, n_docs, tokens,
+                     tokens * 2 AS cap,
+                     row_number() OVER (ORDER BY tokens * 2, source)
+                       AS k,
+                     count(*) OVER () AS L,
+                     coalesce(sum(tokens * 2) OVER (
+                       ORDER BY tokens * 2, source
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING), 0) AS prefix
+              FROM agg
+            ),
+            fl AS (
+              SELECT *, (cap * (L - k + 1) <= 50000 - prefix) AS capped
+              FROM st
+            ),
+            tot AS (
+              SELECT coalesce(sum(CASE WHEN capped THEN cap END), 0)
+                       AS csum,
+                     sum(CASE WHEN capped THEN 0 ELSE 1 END) AS nu
+              FROM fl
+            ),
+            al AS (
+              SELECT f.*,
+                     CASE WHEN f.capped THEN f.cap
+                          ELSE (50000 - t.csum)
+                               // greatest(t.nu, 1) END AS alloc
+              FROM fl f, tot t
+            ),
+            rt AS (
+              SELECT source,
+                     CASE WHEN tokens > 0 THEN alloc // tokens
+                          ELSE 0 END AS base0,
+                     CASE WHEN tokens > 0
+                          THEN (200 * (alloc - (alloc // tokens) * tokens)
+                                + tokens) // (2 * tokens)
+                          ELSE 0 END AS frac0
+              FROM al
+            ),
+            r2 AS (
+              SELECT source,
+                     CASE WHEN frac0 = 100 THEN base0 + 1
+                          ELSE base0 END AS base,
+                     CASE WHEN frac0 = 100 THEN 0 ELSE frac0 END AS frac
+              FROM rt
+            ),
+            doc AS (
+              SELECT doc_id, source,
+                     CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(string_split(trim(text), ' '))
+                          END AS t,
+                     ((doc_id % 2147483647) * 2654435761
+                      % 2147483647) % 100 AS bkt
+              FROM documents
+            ),
+            mat AS (
+              SELECT s.source, s.t, u.i AS epoch FROM (
+                SELECT d.source, d.t,
+                       CAST(r.base + CASE WHEN d.bkt < r.frac THEN 1
+                                          ELSE 0 END AS BIGINT) AS n
+                FROM doc d JOIN r2 r ON d.source = r.source
+              ) s, unnest(generate_series(1, s.n)) u(i)
+            ),
+            pe AS (
+              SELECT source, epoch, count(*) AS n, sum(t) AS tok
+              FROM mat GROUP BY source, epoch
+            ),
+            re AS (
+              SELECT source, sum(n) AS rdocs, sum(tok) AS rtoks,
+                     string_agg(CAST(epoch AS VARCHAR) || ':'
+                                || CAST(n AS VARCHAR),
+                                ',' ORDER BY epoch) AS hist
+              FROM pe GROUP BY source
+            )
+            SELECT a.source, a.n_docs, a.tokens,
+                   CAST(a.alloc AS BIGINT) AS target_tokens,
+                   CAST(coalesce(re.rdocs, 0) AS BIGINT)
+                     AS realized_docs,
+                   CAST(coalesce(re.rtoks, 0) AS BIGINT)
+                     AS realized_tokens,
+                   CASE WHEN a.alloc > 0
+                        THEN round(CAST(coalesce(re.rtoks, 0) AS DOUBLE)
+                                   / CAST(a.alloc AS DOUBLE), 4)
+                        ELSE 1.0 END AS realized_ratio,
+                   coalesce(re.hist, '') AS epoch_hist
+            FROM al a LEFT JOIN re ON a.source = re.source
+            ORDER BY a.source
         """,
         "q_mixture_alpha": """
             WITH agg AS (

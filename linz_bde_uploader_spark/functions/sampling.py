@@ -1143,3 +1143,168 @@ def doremi_plan(
         )
         .orderBy("source")
     )
+
+
+def mixture_materialize(
+    docs: DataFrame,
+    plan: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alloc_col: str = "alloc_tokens",
+    epoch_col: str = "epoch",
+) -> DataFrame:
+    """Close the plan→execution loop: materialize the sampled corpus a
+    mixture PLANNER prescribed — the step a production pipeline runs
+    after planning, which every planner face (:func:`mixture_plan`,
+    :func:`alpha_mixture_plan`, :func:`unimax_plan`,
+    :func:`doremi_plan`) previously stopped short of. ``plan`` is any
+    frame carrying ``(source, tokens, alloc_col)``; its per-source
+    sampling rate ``alloc/tokens`` drives :func:`mixture_weights`'
+    audited epoch machinery — every doc appears ``floor(rate)`` times
+    plus once more for the stable ``frac(rate)``-fraction of ids (the
+    same :func:`split_bucket` gate, so the extra-copy set is
+    deterministic, nested, and engine-independent).
+
+    The rate is resolved to integer percent with EXACT integer
+    arithmetic (the plan family's integer-exact discipline —
+    ``base = alloc div tokens``; ``frac_pct`` = HALF-UP of
+    ``100·rem/tokens`` as ``(200·rem + tokens) div (2·tokens)``, every
+    operand non-negative so truncating ``div`` ≡ the oracle's flooring
+    ``//``; a ``frac_pct`` of 100 carries into ``base`` exactly as
+    :func:`mixture_weights`' resolve does), never a float round-trip:
+    a capped UniMax source (``alloc = tokens·max_epochs``) realizes
+    EXACTLY ``max_epochs`` copies of every doc, rem 0.
+
+    Returns the materialized corpus: ``docs``' columns plus
+    ``epoch_col`` (1..n_copies per surviving row — a rate < 1 drops
+    the complement of the fractional id set in the same stage).
+
+    Scale: the plan side is a bounded |sources| table broadcast onto
+    the corpus (equi-join, no shuffle of the big side); the copy gate
+    and explode are map-side codegen. Persist the plan with
+    ``caching.track`` when the SAME plan also feeds the realization
+    audit, or Catalyst will duplicate the planner's measurement scan
+    per consumer (the snapshot-ablation lesson)."""
+    rates = plan.select(
+        F.col("source").alias("_plan_src"),
+        F.col("tokens").cast("long").alias("_pt"),
+        F.col(alloc_col).cast("long").alias("_pa"),
+    ).select(
+        "_plan_src",
+        F.when(
+            F.col("_pt") > 0, F.expr("_pa div _pt")
+        ).otherwise(F.lit(0)).cast("long").alias("_base0"),
+        F.when(
+            F.col("_pt") > 0,
+            F.expr("(200 * (_pa - (_pa div _pt) * _pt) + _pt)"
+                   " div (2 * _pt)"),
+        ).otherwise(F.lit(0)).cast("long").alias("_frac0"),
+    ).select(
+        "_plan_src",
+        F.when(F.col("_frac0") == SPLIT_BUCKETS, F.col("_base0") + 1)
+        .otherwise(F.col("_base0")).alias("_base"),
+        F.when(F.col("_frac0") == SPLIT_BUCKETS, F.lit(0).cast("long"))
+        .otherwise(F.col("_frac0")).alias("_frac"),
+    )
+    joined = docs.join(
+        F.broadcast(rates),
+        docs[group_col].cast("string") == rates["_plan_src"],
+        "inner",
+    ).drop("_plan_src")
+    n = F.col("_base") + F.coalesce(
+        (split_bucket(id_col) < F.col("_frac")).cast("long"), F.lit(0)
+    )
+    copies = F.when(n >= 1, F.sequence(F.lit(1), n.cast("int"))).otherwise(
+        F.array().cast("array<int>")
+    )
+    return joined.withColumn(epoch_col, F.explode(copies)).drop(
+        "_base", "_frac"
+    )
+
+
+def mixture_realization_audit(
+    docs: DataFrame,
+    plan: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alloc_col: str = "alloc_tokens",
+) -> DataFrame:
+    """The realized-vs-target datasheet over a materialized mixture —
+    the audit row a training-data pipeline publishes beside the
+    sampled corpus: per source, what the planner ordered
+    (``target_tokens``), what :func:`mixture_materialize` delivered
+    (``realized_docs``/``realized_tokens``), the 4-dp
+    ``realized_ratio``, and the epoch histogram
+    (``"1:n₁,2:n₂,…"`` — how many docs appear at each repeat depth,
+    the shape UniMax's epoch caps exist to control).
+
+    Every plan row surfaces (LEFT join — the mixture family's
+    no-silent-drop rule): a source whose rate resolved to zero copies
+    shows ``realized_* = 0``, ratio 0, empty histogram; a zero-target
+    source that (necessarily) realized nothing shows ratio 1.0 —
+    nothing owed, nothing delivered.
+
+    Scale: one (source, epoch)-key partial agg over the materialized
+    corpus, then a bounded |sources|-key rollup; the histogram is a
+    collect_list over ≤max_epochs+1 epochs per source — model-sized.
+    Pass the SAME (tracked) plan frame given to
+    :func:`mixture_materialize`."""
+    mat = mixture_materialize(
+        docs, plan, group_col=group_col, text_col=text_col,
+        id_col=id_col, alloc_col=alloc_col,
+    )
+    per_epoch = (
+        mat.select(
+            F.col(group_col).cast("string").alias("_s"),
+            F.col("epoch"),
+            token_count(F.col(text_col)).cast("long").alias("_t"),
+        )
+        .groupBy("_s", "epoch")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("_n"),
+            F.sum("_t").cast("long").alias("_tok"),
+        )
+    )
+    realized = per_epoch.groupBy("_s").agg(
+        F.sum("_n").cast("long").alias("_rdocs"),
+        F.sum("_tok").cast("long").alias("_rtoks"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("epoch", "_n"))),
+                lambda s: F.concat_ws(
+                    ":",
+                    s["epoch"].cast("string"),
+                    s["_n"].cast("string"),
+                ),
+            ),
+            ",",
+        ).alias("_hist"),
+    )
+    target = F.col(alloc_col).cast("long")
+    return (
+        plan.join(realized, plan["source"] == realized["_s"], "left")
+        .select(
+            "source",
+            F.col("n_docs"),
+            F.col("tokens"),
+            target.alias("target_tokens"),
+            F.coalesce(F.col("_rdocs"), F.lit(0)).cast("long").alias(
+                "realized_docs"
+            ),
+            F.coalesce(F.col("_rtoks"), F.lit(0)).cast("long").alias(
+                "realized_tokens"
+            ),
+            F.when(
+                target > 0,
+                F.round(
+                    F.coalesce(F.col("_rtoks"), F.lit(0)).cast("double")
+                    / target.cast("double"),
+                    4,
+                ),
+            ).otherwise(F.lit(1.0)).alias("realized_ratio"),
+            F.coalesce(F.col("_hist"), F.lit("")).alias("epoch_hist"),
+        )
+        .orderBy("source")
+    )

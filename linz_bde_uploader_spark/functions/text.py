@@ -449,6 +449,140 @@ def bpe_encode(df, merges, text_col: str = "text", id_col: str = "doc_id"):
     )
 
 
+def bpe_vocab_ablation(
+    docs,
+    vocab_sizes: tuple[int, ...] = (2, 4, 6, 8),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seq_cap: int = 256,
+):
+    """Tokenizer vocab-size ablation datasheet (the Rust et al. 2021
+    procurement signal): what does each candidate merge budget buy in
+    fertility, compression, and sequence length over THIS corpus?
+
+    Trains ONCE at ``max(vocab_sizes)`` merges — greedy BPE's merge
+    sequence is PREFIX-NESTED (the trainer's argmax at round k depends
+    only on rounds 1..k-1, so training at v merges is literally the
+    first v rounds of training at any larger budget), which makes the
+    stratified-key widening trick the bigram-LM family needs
+    unnecessary here: one :func:`bpe_train` run IS all the trainings,
+    exactly, not approximately. Encoding then snapshots the wrapped
+    corpus after each requested prefix in ONE map-only pass (each
+    snapshot column feeds the next replace, so prefix work is computed
+    once), aggregates corpus-wide sums in ONE job, and reshapes the
+    single aggregate row into one datasheet row per vocab size with a
+    driver-free ``explode``.
+
+    Per requested size: ``(n_merges, n_merges_effective, n_docs,
+    total_words, total_syms, fertility, bytes_per_sym, mean_syms,
+    max_syms, n_over_cap)`` — fertility = symbols per whitespace word
+    (6 dp, exact integer sums), ``bytes_per_sym`` the compression
+    ratio, ``n_over_cap`` how many documents exceed ``seq_cap``
+    symbols (the context-budget overflow count). If training exhausts
+    the corpus early, larger budgets reuse the last snapshot and
+    report the smaller ``n_merges_effective`` — a requested size never
+    silently vanishes.
+
+    Scale: the trainer's documented per-round cost (pair explode +
+    bounded-vocab² agg + 1-row argmax collect); the ablation adds ONE
+    corpus scan of chained codegen replaces + one single-row agg —
+    no per-size re-training, no per-size corpus pass, no driver loop
+    over data."""
+    sizes = sorted({int(v) for v in vocab_sizes})
+    if not sizes or sizes[0] <= 0:
+        raise ValueError("vocab_sizes must be positive merge budgets")
+    mtab = bpe_train(docs, text_col, n_merges=sizes[-1])
+    merges = [
+        (r["lhs"], r["rhs"]) for r in mtab.orderBy("step").collect()
+    ]
+    c = F.col(text_col)
+    wrapped = F.regexp_replace(
+        F.translate(c, BPE_SOS + BPE_EOS, ""),
+        "(?s)(.)", BPE_SOS + "$1" + BPE_EOS,
+    )
+    enc = docs.select(
+        wrapped.alias("_t0"),
+        F.octet_length(c).cast("long").alias("_b"),
+        token_count(c).cast("long").alias("_w"),
+    )
+    for step, (lhs, rhs) in enumerate(merges, 1):
+        enc = enc.withColumn(
+            f"_t{step}",
+            F.replace(
+                f"_t{step - 1}",
+                F.lit(BPE_SOS + lhs + BPE_EOS + BPE_SOS + rhs + BPE_EOS),
+                F.lit(BPE_SOS + lhs + rhs + BPE_EOS),
+            ),
+        )
+
+    def _syms(col_name: str):
+        return F.size(
+            F.split(
+                F.expr(f"substr({col_name}, 2, length({col_name}) - 2)"),
+                BPE_EOS + BPE_SOS,
+            )
+        ).cast("long")
+
+    eff = {v: min(v, len(merges)) for v in sizes}
+    for v in sizes:
+        enc = enc.withColumn(f"_s{v}", _syms(f"_t{eff[v]}"))
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("_w").cast("long").alias("total_words"),
+        F.sum("_b").cast("long").alias("total_bytes"),
+    ]
+    for v in sizes:
+        aggs += [
+            F.sum(f"_s{v}").cast("long").alias(f"syms{v}"),
+            F.max(f"_s{v}").cast("long").alias(f"max{v}"),
+            F.sum((F.col(f"_s{v}") > seq_cap).cast("long"))
+            .cast("long").alias(f"over{v}"),
+        ]
+    one = enc.agg(*aggs)
+    rows = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(v).alias("n_merges"),
+                    F.lit(eff[v]).alias("n_merges_effective"),
+                    F.col(f"syms{v}").alias("total_syms"),
+                    F.col(f"max{v}").alias("max_syms"),
+                    F.col(f"over{v}").alias("n_over_cap"),
+                )
+                for v in sizes
+            ]
+        )
+    )
+    return (
+        one.select("n_docs", "total_words", "total_bytes", rows.alias("r"))
+        .select(
+            F.col("r.n_merges").alias("n_merges"),
+            F.col("r.n_merges_effective").alias("n_merges_effective"),
+            "n_docs",
+            "total_words",
+            F.col("r.total_syms").alias("total_syms"),
+            F.round(
+                F.col("r.total_syms")
+                / F.greatest(F.col("total_words"), F.lit(1)).cast("double"),
+                6,
+            ).alias("fertility"),
+            F.round(
+                F.col("total_bytes")
+                / F.greatest(F.col("r.total_syms"), F.lit(1)).cast("double"),
+                6,
+            ).alias("bytes_per_sym"),
+            F.round(
+                F.col("r.total_syms")
+                / F.greatest(F.col("n_docs"), F.lit(1)).cast("double"),
+                6,
+            ).alias("mean_syms"),
+            F.col("r.max_syms").alias("max_syms"),
+            F.col("r.n_over_cap").alias("n_over_cap"),
+        )
+        .orderBy("n_merges")
+    )
+
+
 #: hashed-feature dimensionality for the linear quality classifier —
 #: small enough that the weight formula constant-folds per bucket,
 #: large enough that common tokens spread over distinct buckets.

@@ -193,6 +193,14 @@ PICK = [
     # bigram LM train/score plan + one global ntile window + a 10-key
     # agg + <= 10-row retention windows
     "q_ppl_prune_ablation",
+    # round-15 birth: mixture materialize — the measured unimax plan
+    # (tracked |sources| frame) + a broadcast rate join + map-side
+    # explode + one (source, epoch) agg + a bounded |sources| rollup
+    "q_mixture_materialize",
+    # round-15 birth: BPE vocab ablation — the measured bpe_train loop
+    # (8 rounds instead of q_bpe_merges' 6) + ONE chained-replace
+    # corpus scan aggregated to a single row + a 4-row explode
+    "q_bpe_vocab_ablation",
 ]
 
 

@@ -1,0 +1,247 @@
+"""Round-15 births: the mixture plan→execution→audit composite
+(mixture_materialize + mixture_realization_audit — a planner's
+target_tokens driven through mixture_weights' epoch machinery, with the
+realized-vs-target datasheet), plus the strategy-invariance fix to the
+k-means Arrow assignment path (tested in test_clustering.py, where the
+family lives)."""
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, rows):
+    """A hand plan frame in unimax_plan's column contract."""
+    return spark.createDataFrame(
+        rows, "source string, n_docs long, tokens long, alloc_tokens long"
+    )
+
+
+class TestMixtureMaterialize:
+    """mixture_materialize — integer-exact rate resolution and the
+    epoch machinery, pinned by hand and against mixture_weights."""
+
+    def _docs(self, spark, per_source):
+        rows, i = [], 0
+        for src, texts in per_source.items():
+            for t in texts:
+                rows.append((i, src, t))
+                i += 1
+        return spark.createDataFrame(
+            rows, "doc_id long, source string, text string"
+        )
+
+    def test_capped_source_realizes_exactly_max_epochs(self, spark):
+        # alloc = tokens * 2 resolves to base 2, frac 0: EVERY doc gets
+        # exactly two copies — no hash gate involved, rem is 0
+        from linz_bde_uploader_spark.functions.sampling import (
+            mixture_materialize,
+        )
+
+        docs = self._docs(spark, {"a": ["x y z", "p q"]})  # 5 tokens
+        plan = _plan(spark, [("a", 2, 5, 10)])
+        mat = mixture_materialize(docs, plan).collect()
+        per_doc = {}
+        for r in mat:
+            per_doc.setdefault(r.doc_id, []).append(r.epoch)
+        assert per_doc == {0: [1, 2], 1: [1, 2]}
+
+    def test_fractional_rate_matches_mixture_weights(self, spark):
+        # a plan whose rate is exactly 2.5 must materialize the SAME
+        # row multiset as mixture_weights at weight 2.5 — one epoch
+        # machinery, two drivers
+        from linz_bde_uploader_spark.functions.sampling import (
+            mixture_materialize,
+            mixture_weights,
+        )
+
+        texts = [f"t{i} u{i}" for i in range(40)]  # 2 tokens each
+        docs = self._docs(spark, {"a": texts})
+        plan = _plan(spark, [("a", 40, 80, 200)])  # rate 200/80 = 2.5
+        got = sorted(
+            (r.doc_id, r.epoch)
+            for r in mixture_materialize(docs, plan).collect()
+        )
+        want = sorted(
+            (r.doc_id, r.epoch)
+            for r in mixture_weights(
+                docs, "doc_id", "source", {"a": 2.5}
+            ).collect()
+        )
+        assert got == want and len(got) > 80  # the .5 gate fired
+
+    def test_rate_resolution_is_half_up_and_carries_at_100(self, spark):
+        # 100·rem/tokens exactly on a half tick rounds UP (199/200 →
+        # 99.5 → 100) and a frac of 100 carries into base — the
+        # mixture_weights resolve convention, done in pure integers
+        from linz_bde_uploader_spark.functions.sampling import (
+            mixture_materialize,
+        )
+
+        texts = [f"w{i}" for i in range(200)]  # 1 token each
+        docs = self._docs(spark, {"a": texts})
+        # alloc 399, tokens 200: base 1, rem 199, 100·199/200 = 99.5
+        # → frac 100 → base 2, frac 0: every doc exactly twice
+        plan = _plan(spark, [("a", 200, 200, 399)])
+        counts = {
+            r.doc_id: r.cnt
+            for r in mixture_materialize(docs, plan)
+            .groupBy("doc_id").agg(F.count("*").alias("cnt")).collect()
+        }
+        assert set(counts.values()) == {2} and len(counts) == 200
+
+    def test_zero_rate_drops_all_and_below_one_downsamples(self, spark):
+        from linz_bde_uploader_spark.functions.sampling import (
+            mixture_materialize,
+        )
+
+        texts = [f"w{i}" for i in range(100)]
+        docs = self._docs(spark, {"a": texts, "b": texts[:50]})
+        # a: alloc 0 → nothing; b: rate 0.5 → the stable half of ids
+        plan = _plan(spark, [("a", 100, 100, 0), ("b", 50, 50, 25)])
+        mat = mixture_materialize(docs, plan)
+        assert mat.filter(F.col("source") == "a").count() == 0
+        nb = mat.filter(F.col("source") == "b").count()
+        assert 0 < nb < 50  # hash-gated subset, never all or none
+
+
+class TestRealizationAudit:
+    """mixture_realization_audit — the datasheet grain: every plan row
+    surfaces, ratios and histograms verified by hand."""
+
+    def test_datasheet_by_hand(self, spark):
+        from linz_bde_uploader_spark.functions.sampling import (
+            mixture_realization_audit,
+        )
+
+        docs = spark.createDataFrame(
+            [(0, "a", "x y"), (1, "a", "p q r"), (2, "c", "s t")],
+            "doc_id long, source string, text string",
+        )
+        # a: rate 10/5 = 2.0 → both docs twice; b: planned but absent
+        # from the corpus; c: alloc 0 → dropped entirely
+        plan = _plan(
+            spark,
+            [("a", 2, 5, 10), ("b", 0, 0, 0), ("c", 1, 2, 0)],
+        )
+        rows = {r.source: r for r in
+                mixture_realization_audit(docs, plan).collect()}
+        a = rows["a"]
+        assert (a.target_tokens, a.realized_docs, a.realized_tokens) == (
+            10, 4, 10,
+        )
+        assert a.realized_ratio == 1.0 and a.epoch_hist == "1:2,2:2"
+        for src in ("b", "c"):  # no-silent-drop: zero rows surface
+            r = rows[src]
+            assert (r.realized_docs, r.realized_tokens) == (0, 0)
+            assert r.epoch_hist == ""
+        assert rows["b"].realized_ratio == 1.0  # nothing owed
+        assert rows["c"].realized_ratio == 1.0  # alloc 0 → vacuous
+
+    def test_ratio_is_realized_over_target(self, spark):
+        from linz_bde_uploader_spark.functions.sampling import (
+            mixture_realization_audit,
+        )
+
+        docs = spark.createDataFrame(
+            [(0, "a", "x y z w")],
+            "doc_id long, source string, text string",
+        )
+        # rate 6/4 = 1.5: doc 0's bucket decides 1 or 2 copies; either
+        # way the ratio is realized/6 at 4 dp
+        plan = _plan(spark, [("a", 1, 4, 6)])
+        r = mixture_realization_audit(docs, plan).collect()[0]
+        assert r.realized_tokens in (4, 8)
+        assert r.realized_ratio == round(r.realized_tokens / 6.0, 4)
+
+    def test_unimax_drive_covers_both_branches(self, spark):
+        # the registry composite's shape: a real unimax plan (budget
+        # 50k, caps 2) over the fixtures drives the audit; capped
+        # sources realize exactly 2.0 (integer rate, ratio 1.0) and at
+        # least one uncapped source carries a fractional histogram
+        from linz_bde_uploader_spark import caching
+        from linz_bde_uploader_spark.functions.sampling import (
+            mixture_realization_audit,
+            unimax_plan,
+        )
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        plan = caching.track(
+            unimax_plan(docs, budget_tokens=50_000, max_epochs=2)
+        )
+        try:
+            sheet = {r.source: r for r in
+                     mixture_realization_audit(docs, plan).collect()}
+            caps = {r["source"] for r in plan.collect() if r["capped"]}
+            assert caps and len(caps) < len(sheet)
+            for s, r in sheet.items():
+                if s in caps:
+                    assert r.realized_ratio == 1.0
+                    assert r.epoch_hist.startswith("1:")
+                    assert r.epoch_hist.endswith(f"2:{r.n_docs}")
+            assert any(
+                "2:" in r.epoch_hist and r.realized_ratio != 1.0
+                for s, r in sheet.items() if s not in caps
+            )
+        finally:
+            caching.release_intermediates()
+
+
+class TestBpeVocabAblation:
+    """bpe_vocab_ablation — the prefix-nesting that lets one training
+    serve every budget, and the datasheet arithmetic."""
+
+    def test_prefix_row_equals_direct_training(self, spark):
+        # the ablation's v=2 row must equal stats computed from an
+        # INDEPENDENT bpe_train(n_merges=2) + bpe_encode run — the
+        # prefix-nesting claim, checked end to end
+        from linz_bde_uploader_spark.functions.text import (
+            bpe_encode,
+            bpe_train,
+            bpe_vocab_ablation,
+        )
+
+        docs = spark.createDataFrame(
+            [(i, "the cat sat on the mat " * 3) for i in range(6)]
+            + [(9, "a wholly different text body here")],
+            "doc_id long, text string",
+        )
+        sheet = {r.n_merges: r for r in
+                 bpe_vocab_ablation(docs, (2, 4)).collect()}
+        m2 = bpe_train(docs, "text", n_merges=2)
+        pairs = [(r.lhs, r.rhs) for r in m2.orderBy("step").collect()]
+        enc = bpe_encode(docs, pairs).collect()
+        assert sheet[2].total_syms == sum(r.n_syms for r in enc)
+        assert sheet[2].max_syms == max(r.n_syms for r in enc)
+        assert sheet[2].n_merges_effective == 2
+
+    def test_total_syms_monotone_in_budget(self, spark):
+        # every extra merge can only shrink the corpus's symbol count
+        from linz_bde_uploader_spark.functions.text import (
+            bpe_vocab_ablation,
+        )
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet").limit(80)
+        rows = bpe_vocab_ablation(docs, (2, 4, 6)).collect()
+        syms = [r.total_syms for r in sorted(rows, key=lambda r: r.n_merges)]
+        assert syms[0] > syms[1] > syms[2]
+        for r in rows:  # shared corpus-constant columns
+            assert r.n_docs == 80
+            assert r.fertility == round(r.total_syms / r.total_words, 6)
+
+    def test_exhaustion_reuses_last_snapshot(self, spark):
+        # "abab" trains ab (step 1) then abab (step 2), after which the
+        # corpus is one symbol and training exhausts — the v=3 row must
+        # reuse the step-2 snapshot and report effective = 2
+        from linz_bde_uploader_spark.functions.text import (
+            bpe_vocab_ablation,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "abab")], "doc_id long, text string"
+        )
+        rows = {r.n_merges: r for r in
+                bpe_vocab_ablation(docs, (1, 2, 3)).collect()}
+        assert rows[3].n_merges_effective == 2
+        assert rows[3].total_syms == rows[2].total_syms == 1
+        assert rows[1].total_syms == 2  # "ab ab"
