@@ -5242,6 +5242,32 @@ def q_mixture_materialize(spark, sf_dir):
     return mixture_realization_audit(d, plan)
 
 
+def q_data_constrained_plan(spark, sf_dir):
+    # Data-constrained scaling planner (sampling.py::
+    # data_constrained_plan; Muennighoff et al. 2023, "Scaling
+    # Data-Constrained Language Models") — the mixture family's
+    # missing face for the epoch'd regime UniMax caps create: the
+    # UniMax allocation (VERBATIM planner, budget 27_000 / caps 6 —
+    # the uncapped share lands INSIDE the per-source token range at
+    # both gate SFs, so some sources repeat and some stay fresh)
+    # priced under the paper's repeat-decay law D″ = U + U·R*·(1 −
+    # e^(−R/R*)), R* = 15.39 — per source: epochs, repeats, the
+    # marginal repeat_value e^(−R/R*), effective_tokens, and
+    # efficiency (1.0 in the fresh alloc ≤ unique regime). Both law
+    # branches live on the fixtures (capped sources repeat and pay
+    # decay; big uncapped sources stay fresh). Fixed-point per the
+    # α-mixture convention: exp frozen to a 1e-9 long at its single
+    # site, effective_tokens one rounded double expression of exact
+    # integers. Bounded |sources| math after the planner's one corpus
+    # measurement — no second pass, no window, no collect.
+    from linz_bde_uploader_spark.functions.sampling import (
+        data_constrained_plan,
+    )
+
+    d = W.load(spark, sf_dir, "documents")
+    return data_constrained_plan(d, budget_tokens=27_000, max_epochs=6)
+
+
 def q_mixture_alpha(spark, sf_dir):
     # Temperature-scaled (α-)sampling plan (functions/sampling.py::
     # alpha_mixture_plan) — the XLM-R/mBERT multilingual recipe:
@@ -5472,15 +5498,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    family keeps q_corpus_zipf in-window, entropy stays
         #    oracle-checked at 51+) -> 51+
         "q_c4_line_filter": q_c4_line_filter,
-        # -- round-13 birth: drop-reason HISTOGRAM — the corpus-card
-        #    rollup of q_corpus_drop_reason over the same lvl frame
-        #    (per first-drop gate: doc count, token mass, 4-dp
-        #    fraction of ingest); displaced tenant q_lsh_band_plan
-        #    (r11+r12 double green; the banded-LSH candidate +
-        #    exact-verify machinery stays exercised INSIDE in-window
-        #    q_corpus_build_e2e's near-dup stage, the band-plan
-        #    datasheet stays oracle-checked at 51+) -> 51+
-        "q_corpus_drop_hist": q_corpus_drop_hist,
+        # -- round-15 birth: data-constrained scaling planner
+        #    (Muennighoff et al. 2023) — the UniMax allocation priced
+        #    under the repeat-decay law (effective tokens, marginal
+        #    repeat value, efficiency per source; exp frozen to a
+        #    1e-9 long, the α-mixture convention); displaced tenant
+        #    q_corpus_drop_hist (r13+r14 double green; it is a pure
+        #    ≤7-key rollup of in-window q_corpus_drop_reason's level
+        #    frame — the per-doc grain stays driver-exercised — and
+        #    stays oracle-checked at 51+) -> 51+
+        "q_data_constrained_plan": q_data_constrained_plan,
         # -- 21-28: round-5 births q_inverted_index/q_chunk_documents
         #    take the slots of r3+r4-green q_text_gopher_quality and
         #    q_scd2_history (-> 51+)
@@ -5829,6 +5856,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # q_sim_cosine_topk / q_sim_cosine_above each carried THREE
         # green rows r1+r3+r4)
         "q_bpe_merges": q_bpe_merges,
+        # rotated out in round 15 by q_data_constrained_plan (r13+r14
+        # double green; the histogram is a pure ≤7-key rollup of
+        # in-window q_corpus_drop_reason's level frame, so the
+        # drop-reason machinery stays driver-exercised and this
+        # rollup grain stays oracle-checked at 51+)
+        "q_corpus_drop_hist": q_corpus_drop_hist,
         "q_bpe_pair_counts": q_bpe_pair_counts,
         "q_tpch_q8_market_share": q_tpch_q8_market_share,
         "q_tpch_q9_profit": q_tpch_q9_profit,
@@ -11276,6 +11309,77 @@ def oracle_sql() -> dict[str, str]:
                      AS epochs,
                    CAST(capped AS INT) AS capped
             FROM al ORDER BY source
+        """,
+        # the unimax CTE chain at caps 6, then the Muennighoff
+        # repeat-decay law: exp frozen to a 1e-9 BIGINT (the
+        # α-mixture pow convention), effective tokens one rounded
+        # double expression of exact integers — mirroring
+        # sampling.data_constrained_value operation for operation
+        "q_data_constrained_plan": """
+            WITH agg AS (
+              SELECT source,
+                     CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum(CASE WHEN trim(text) = '' THEN 0 ELSE len(string_split(trim(text), ' ')) END)
+                          AS BIGINT) AS tokens
+              FROM documents GROUP BY source
+            ),
+            st AS (
+              SELECT source, n_docs, tokens,
+                     tokens * 6 AS cap,
+                     row_number() OVER (ORDER BY tokens * 6, source)
+                       AS k,
+                     count(*) OVER () AS L,
+                     coalesce(sum(tokens * 6) OVER (
+                       ORDER BY tokens * 6, source
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING), 0) AS prefix
+              FROM agg
+            ),
+            fl AS (
+              SELECT *, (cap * (L - k + 1) <= 27000 - prefix) AS capped
+              FROM st
+            ),
+            tot AS (
+              SELECT coalesce(sum(CASE WHEN capped THEN cap END), 0)
+                       AS csum,
+                     sum(CASE WHEN capped THEN 0 ELSE 1 END) AS nu
+              FROM fl
+            ),
+            al AS (
+              SELECT f.*,
+                     CASE WHEN f.capped THEN f.cap
+                          ELSE (27000 - t.csum)
+                               // greatest(t.nu, 1) END AS alloc
+              FROM fl f, tot t
+            ),
+            ep AS (
+              SELECT source, n_docs, tokens,
+                     CAST(alloc AS BIGINT) AS alloc_tokens,
+                     round(CAST(alloc AS DOUBLE) / greatest(tokens, 1), 4)
+                       AS epochs
+              FROM al
+            ),
+            dc AS (
+              SELECT *,
+                     round(greatest(epochs - 1.0, 0.0), 4) AS repeats,
+                     CAST(round(exp(-greatest(epochs - 1.0, 0.0) / 15.39)
+                                * 1e9) AS BIGINT) AS w
+              FROM ep
+            ),
+            ef AS (
+              SELECT *,
+                     CASE WHEN epochs <= 1.0 THEN alloc_tokens
+                          ELSE CAST(round(tokens * (1.0 + 15.39
+                                          * (1.0 - w / 1e9)))
+                               AS BIGINT)
+                          END AS effective_tokens
+              FROM dc
+            )
+            SELECT source, n_docs, tokens, alloc_tokens, epochs,
+                   repeats, w / 1e9 AS repeat_value, effective_tokens,
+                   round(CAST(effective_tokens AS DOUBLE)
+                         / greatest(alloc_tokens, 1), 4) AS efficiency
+            FROM ef ORDER BY source
         """,
         # the materialize composite: the SAME unimax CTE chain, then
         # integer-exact rate resolution (// on non-negatives ≡ Spark's

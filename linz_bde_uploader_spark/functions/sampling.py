@@ -1308,3 +1308,124 @@ def mixture_realization_audit(
         )
         .orderBy("source")
     )
+
+
+#: Muennighoff et al. 2023 ("Scaling Data-Constrained Language
+#: Models"), table 3 fit: the decay constant of repeated-data value —
+#: the k-th repetition of a token is worth e^(−k/RD_STAR) of a fresh
+#: one, so ~4 epochs are still near-fresh and value is mostly gone
+#: after ~16 (the paper's headline guidance).
+RD_STAR = 15.39
+
+
+def data_constrained_value(
+    plan: DataFrame,
+    rd_star: float = RD_STAR,
+    alloc_col: str = "alloc_tokens",
+) -> DataFrame:
+    """Evaluate an allocation under the data-constrained scaling law
+    (Muennighoff et al. 2023): given each source's UNIQUE token supply
+    ``tokens`` and its allocation ``alloc_col``, the effective token
+    count is
+
+        D″ = U + U·R*·(1 − e^(−R/R*)),   R = epochs − 1 (repetitions)
+
+    — fresh tokens count fully (``alloc ≤ unique`` ⟹ effective =
+    alloc), repeated tokens decay exponentially with repeat depth.
+    This is the mixture family's missing face for the epoch'd regime
+    UniMax caps create: it prices what those repeats are worth.
+
+    Per source: ``(source, n_docs, tokens, alloc_tokens, epochs,
+    repeats, repeat_value, effective_tokens, efficiency)`` —
+    ``repeats`` = max(epochs − 1, 0) (4-dp arithmetic on the plan's
+    4-dp epochs, exact), ``repeat_value`` = the marginal worth
+    e^(−R/R*) of the NEXT epoch, ``effective_tokens`` the law's D″,
+    ``efficiency`` = effective/alloc at 4 dp (1.0 in the fresh
+    regime).
+
+    Determinism (the α-mixture fixed-point discipline): ``exp`` — the
+    one transcendental — is frozen to a 1e-9 fixed-point LONG at its
+    single site; ``effective_tokens`` is then ONE double expression of
+    exact integers, rounded to a long (the DoReMi convention), so no
+    fold order or re-association can flip a row.
+
+    Scale: pure window-free column math over the bounded |sources|
+    plan frame — no corpus pass at all (the measurement already
+    happened in the planner)."""
+    epochs = F.col("epochs")
+    r4 = F.greatest(epochs - F.lit(1.0), F.lit(0.0))
+    w = F.round(
+        F.exp(-r4 / F.lit(float(rd_star))) * 1e9
+    ).cast("long")
+    alloc = F.col(alloc_col).cast("long")
+    staged = plan.select(
+        "source",
+        "n_docs",
+        "tokens",
+        alloc.alias("alloc_tokens"),
+        epochs.alias("epochs"),
+        F.round(r4, 4).alias("repeats"),
+        w.alias("_w"),
+    )
+    effective = F.when(F.col("epochs") <= 1.0, F.col("alloc_tokens")).otherwise(
+        F.round(
+            F.col("tokens")
+            * (
+                F.lit(1.0)
+                + F.lit(float(rd_star))
+                * (F.lit(1.0) - F.col("_w") / F.lit(1e9))
+            )
+        ).cast("long")
+    )
+    return (
+        staged.select(
+            "source",
+            "n_docs",
+            "tokens",
+            "alloc_tokens",
+            "epochs",
+            "repeats",
+            (F.col("_w") / F.lit(1e9)).alias("repeat_value"),
+            effective.alias("effective_tokens"),
+        )
+        .withColumn(
+            "efficiency",
+            F.round(
+                F.col("effective_tokens").cast("double")
+                / F.greatest(F.col("alloc_tokens"), F.lit(1)).cast(
+                    "double"
+                ),
+                4,
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+def data_constrained_plan(
+    docs: DataFrame,
+    budget_tokens: int,
+    max_epochs: int = 4,
+    rd_star: float = RD_STAR,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """UniMax allocation priced under the data-constrained scaling law:
+    :func:`unimax_plan` (VERBATIM — the measurement stage and the
+    all-integer waterfilling) composed with
+    :func:`data_constrained_value`. Capped sources repeat their corpus
+    and pay the repeat decay (epochs = max_epochs, repeats > 0);
+    uncapped sources below one epoch stay in the fresh regime
+    (effective = alloc, efficiency 1.0) — both law branches live in
+    one plan whenever the waterfilling splits. Bounded |sources| math
+    end to end after the planner's one corpus measurement."""
+    return data_constrained_value(
+        unimax_plan(
+            docs,
+            budget_tokens,
+            max_epochs=max_epochs,
+            group_col=group_col,
+            text_col=text_col,
+        ),
+        rd_star=rd_star,
+    )

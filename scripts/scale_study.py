@@ -201,6 +201,10 @@ PICK = [
     # (8 rounds instead of q_bpe_merges' 6) + ONE chained-replace
     # corpus scan aggregated to a single row + a 4-row explode
     "q_bpe_vocab_ablation",
+    # round-15 birth: data-constrained planner — the measured unimax
+    # plan + window-free |sources|-table law math (no second corpus
+    # pass at all)
+    "q_data_constrained_plan",
 ]
 
 

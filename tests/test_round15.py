@@ -245,3 +245,135 @@ class TestBpeVocabAblation:
         assert rows[3].n_merges_effective == 2
         assert rows[3].total_syms == rows[2].total_syms == 1
         assert rows[1].total_syms == 2  # "ab ab"
+
+
+def _half_up(x, dp):
+    """Engine rounding (Spark F.round / DuckDB round): HALF_UP on the
+    shortest-decimal form — Python round() is banker's and flips on
+    exact half-ticks, so references must go through Decimal(repr)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(
+        Decimal(repr(float(x))).quantize(
+            Decimal(1).scaleb(-dp), rounding=ROUND_HALF_UP
+        )
+    )
+
+
+class TestDataConstrained:
+    """sampling.data_constrained_value — exact agreement with a
+    pure-Python reference replaying the Muennighoff law (epochs from
+    the plan, frozen 1e-9 exp, one rounded double expression for the
+    effective tokens), plus invariants on the registry drive."""
+
+    RD = 15.39
+
+    @classmethod
+    def _ref_row(cls, tokens, alloc):
+        import math
+
+        ep = _half_up(alloc / max(tokens, 1), 4)
+        r = max(ep - 1.0, 0.0)
+        w = int(_half_up(math.exp(-r / cls.RD) * 1e9, 0))
+        if ep <= 1.0:
+            eff = alloc
+        else:
+            eff = int(_half_up(tokens * (1.0 + cls.RD * (1.0 - w / 1e9)), 0))
+        return {
+            "epochs": ep,
+            "repeats": _half_up(r, 4),
+            "repeat_value": w / 1e9,
+            "effective_tokens": eff,
+            "efficiency": _half_up(eff / max(alloc, 1), 4),
+        }
+
+    def _run(self, spark, rows):
+        from linz_bde_uploader_spark.functions.sampling import (
+            data_constrained_value,
+        )
+
+        plan = spark.createDataFrame(
+            [
+                (f"s{i}", 1, t, a, _half_up(a / max(t, 1), 4))
+                for i, (t, a) in enumerate(rows)
+            ],
+            "source string, n_docs long, tokens long,"
+            " alloc_tokens long, epochs double",
+        )
+        return {r.source: r for r in data_constrained_value(plan).collect()}
+
+    def test_matches_reference_on_random_plans(self, spark):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        @given(
+            st.lists(
+                st.tuples(
+                    st.integers(min_value=0, max_value=5_000),
+                    st.integers(min_value=0, max_value=60_000),
+                ),
+                min_size=2,
+                max_size=6,
+            )
+        )
+        @settings(max_examples=8, deadline=None)
+        def check(rows):
+            got = self._run(spark, rows)
+            for i, (t, a) in enumerate(rows):
+                want = self._ref_row(t, a)
+                g = got[f"s{i}"]
+                assert (
+                    g.epochs, g.repeats, g.repeat_value,
+                    g.effective_tokens, g.efficiency,
+                ) == (
+                    want["epochs"], want["repeats"],
+                    want["repeat_value"], want["effective_tokens"],
+                    want["efficiency"],
+                ), (t, a)
+
+        check()
+
+    def test_fresh_regime_is_exact_and_deep_repeats_decay(self, spark):
+        got = self._run(
+            spark,
+            [(1000, 800), (1000, 1000), (1000, 4000), (1000, 16000)],
+        )
+        # alloc <= unique: effective = alloc to the token, efficiency 1
+        assert got["s0"].effective_tokens == 800
+        assert got["s0"].efficiency == 1.0 and got["s0"].repeat_value == 1.0
+        assert got["s1"].effective_tokens == 1000  # boundary is fresh
+        # 4 epochs (3 repeats): the paper's near-fresh regime
+        s2 = got["s2"]
+        assert s2.repeats == 3.0 and 0.80 < s2.repeat_value < 0.83
+        assert s2.effective_tokens < 4000  # decay is real
+        # 16 epochs: value mostly gone — a third of the allocation
+        # evaporates (10583 effective of 16000 allocated)
+        s3 = got["s3"]
+        assert s3.repeat_value < 0.40
+        assert s3.effective_tokens == 10583
+        # monotone: more allocation never reduces effective tokens
+        assert (got["s1"].effective_tokens <= s2.effective_tokens
+                <= s3.effective_tokens)
+
+    def test_registry_drive_covers_both_branches(self, spark):
+        from linz_bde_uploader_spark.functions.sampling import (
+            data_constrained_plan,
+        )
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        rows = data_constrained_plan(
+            docs, budget_tokens=27_000, max_epochs=6
+        ).collect()
+        fresh = [r for r in rows if r.epochs <= 1.0]
+        rep = [r for r in rows if r.repeats > 0]
+        assert fresh and rep and len(fresh) + len(rep) == len(rows)
+        for r in fresh:
+            assert r.effective_tokens == r.alloc_tokens
+            assert r.efficiency == 1.0
+        for r in rep:
+            # at these shallow repeat depths (≤ ~1.1 epochs) the decay
+            # is O(R²/2R*)·U — well under one token, so it rounds away;
+            # what must hold is that repeats never ADD tokens and the
+            # marginal value is genuinely below fresh
+            assert r.effective_tokens <= r.alloc_tokens
+            assert 0.0 < r.repeat_value < 1.0
