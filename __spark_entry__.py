@@ -2941,6 +2941,102 @@ def q_corpus_order_ablation(spark, sf_dir):
     )
 
 
+def q_dedup_threshold_ablation(spark, sf_dir):
+    # Near-dup THRESHOLD ablation datasheet — the dedup family's
+    # missing policy-knob ablation beside the snapshot and ordering
+    # ones: what does each Jaccard cut cost? Five policy arms
+    # (0.5/0.9/0.95/0.97/0.99) are EXACT projections of ONE banded-MinHash
+    # + exact-Jaccard verified pair set: the LSH candidate stage is
+    # threshold-INDEPENDENT (banding keys are pure signature
+    # arithmetic), so pairs verified at the loosest cut with their
+    # exact 6-dp Jaccard retained contain every stricter cut's pairs
+    # verbatim — one LSH pass prices all five policies. Per-pair info
+    # is folded to DOC grain first (per removed doc: incoming-pair
+    # counts per cut + max incoming Jaccard — a doc is removed at cut
+    # T iff its max incoming Jaccard >= T under the keep-min-id rule),
+    # so the datasheet is ONE doc-grain agg exploded to five rows
+    # (the ordering-ablation reshape): per cut, pair count, docs and
+    # tokens removed, survivors, 4-dp removal fractions. No
+    # caching.track here, deliberately: unlike the two-arm ablations
+    # the pair set has a SINGLE consumer, so there is no subtree for
+    # Catalyst to duplicate. Scale: the candidate-bounded LSH plan +
+    # one (id_b)-key agg + one id-equi left join + one 1-row agg.
+    d = W.load(spark, sf_dir, "documents")
+    # cuts chosen where the fixtures' verified-pair mass lives
+    # ([0.89, 0.99] — near-dups in web data are near-identical): full
+    # retention, two mid cuts that genuinely split the pair set at
+    # both gate SFs, and a 0.99 cut the data CANNOT reach, exercising
+    # the zero-removal arm (the row still surfaces with 0s)
+    ths = (50, 90, 95, 97, 99)
+    ver = D.candidate_jaccard_verify(d, "doc_id", "text", threshold=0.5)
+    per_doc = ver.groupBy(F.col("id_b").alias("doc_id")).agg(
+        F.max("jaccard").alias("_jm"),
+        *[
+            F.sum((F.col("jaccard") >= t / 100.0).cast("long"))
+            .cast("long")
+            .alias(f"_pc{t}")
+            for t in ths
+        ],
+    )
+    base = d.select(
+        "doc_id", X.token_count("text").cast("long").alias("_nt")
+    ).join(per_doc, "doc_id", "left")
+    jm = F.coalesce(F.col("_jm"), F.lit(-1.0))
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("_nt").cast("long").alias("n_tokens"),
+    ]
+    for t in ths:
+        aggs += [
+            F.sum(F.coalesce(F.col(f"_pc{t}"), F.lit(0)))
+            .cast("long")
+            .alias(f"_p{t}"),
+            F.sum((jm >= t / 100.0).cast("long")).cast("long").alias(
+                f"_d{t}"
+            ),
+            F.sum(F.when(jm >= t / 100.0, F.col("_nt")).otherwise(0))
+            .cast("long")
+            .alias(f"_t{t}"),
+        ]
+    one = base.agg(*aggs)
+    rows = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(t / 100.0).alias("threshold"),
+                    F.col(f"_p{t}").alias("n_pairs"),
+                    F.col(f"_d{t}").alias("docs_removed"),
+                    F.col(f"_t{t}").alias("tokens_removed"),
+                )
+                for t in ths
+            ]
+        )
+    )
+    return (
+        one.select("n_docs", "n_tokens", rows.alias("r"))
+        .select(
+            F.col("r.threshold").alias("threshold"),
+            "n_docs",
+            "n_tokens",
+            F.col("r.n_pairs").alias("n_pairs"),
+            F.col("r.docs_removed").alias("docs_removed"),
+            F.col("r.tokens_removed").alias("tokens_removed"),
+            (F.col("n_docs") - F.col("r.docs_removed")).alias("survivors"),
+            F.round(
+                F.col("r.docs_removed")
+                / F.greatest(F.col("n_docs"), F.lit(1)).cast("double"),
+                4,
+            ).alias("removed_frac"),
+            F.round(
+                F.col("r.tokens_removed")
+                / F.greatest(F.col("n_tokens"), F.lit(1)).cast("double"),
+                4,
+            ).alias("tokens_removed_frac"),
+        )
+        .orderBy("threshold")
+    )
+
+
 def q_dq_audit(spark, sf_dir):
     # Data-quality audit datasheet (functions/dq.py) — the pre-load
     # checks an ETL engine runs before trusting a snapshot (the general
@@ -5512,16 +5608,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    take the slots of r3+r4-green q_text_gopher_quality and
         #    q_scd2_history (-> 51+)
         "q_inverted_index": q_inverted_index,
-        # -- round-12 birth: LAION-style image-text alignment gate —
-        #    per-pair CLIP-score cosine between image- and
-        #    text-embedding columns at the published 0.28 cut,
-        #    map-only (zero joins; the r11 judge's #3 ask for the
-        #    multimodal pillar); displaced tenant q_dedup_exact_spans
-        #    (r10+r11 double green; the ExactSubstr verify machinery
-        #    runs inside in-window q_decontam_spans and
-        #    q_dedup_exact_incr, spans stays oracle-checked at 51+)
-        #    -> 51+
-        "q_mm_alignment": q_mm_alignment,
+        # -- round-15 birth: near-dup THRESHOLD ablation — five
+        #    Jaccard cuts priced as exact projections of ONE verified
+        #    pair set (LSH candidates are threshold-independent; the
+        #    6-dp Jaccard is retained, so stricter cuts are pure
+        #    filters), folded to doc grain and exploded from one
+        #    1-row agg; displaced tenant q_mm_alignment (green
+        #    r12-r14 triple; the alignment gate runs VERBATIM inside
+        #    in-window q_mm_corpus_e2e AND q_mm_align_datasheet, the
+        #    standalone gate stays oracle-checked at 51+) -> 51+
+        "q_dedup_threshold_ablation": q_dedup_threshold_ablation,
         # -- round-8 birth: zonemap data-skipping audit (range vs hash
         #    layout, RangePartitioner-style two-pass boundaries);
         #    displaced tenant q_chunk_documents (r6+r7 green; the
@@ -5862,6 +5958,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # drop-reason machinery stays driver-exercised and this
         # rollup grain stays oracle-checked at 51+)
         "q_corpus_drop_hist": q_corpus_drop_hist,
+        # rotated out in round 15 by q_dedup_threshold_ablation (green
+        # r12-r14 triple; the image-text alignment gate runs VERBATIM
+        # inside in-window q_mm_corpus_e2e and q_mm_align_datasheet,
+        # so the 0.28-cut machinery stays driver-exercised and the
+        # standalone gate stays oracle-checked at 51+)
+        "q_mm_alignment": q_mm_alignment,
         "q_bpe_pair_counts": q_bpe_pair_counts,
         "q_tpch_q8_market_share": q_tpch_q8_market_share,
         "q_tpch_q9_profit": q_tpch_q9_profit,
@@ -6122,6 +6224,88 @@ def _bpe_vocab_ablation_sql(
         "WITH " + ctes_part + ",\n" + ",\n".join(extra)
         + "\n" + selects + "\nORDER BY n_merges"
     )
+
+
+def _dedup_threshold_sql(ths: tuple[int, ...] = (50, 90, 95, 97, 99)) -> str:
+    """DuckDB twin of q_dedup_threshold_ablation: the snapshot
+    ablation's banded-MinHash + exact-Jaccard chain with the 6-dp
+    Jaccard RETAINED, then one datasheet row per cut via scalar
+    subqueries (the relational shape is free here; the Spark side
+    folds to doc grain to stay one-agg). ::DOUBLE casts on the cut
+    literals — DuckDB types bare decimals as DECIMAL, whose comparison
+    against the rounded double could diverge by an ulp."""
+    head = _MINHASH_SIGS + """
+        , bands AS (
+          SELECT doc_id, 0 AS band,
+                 ((0*31 + mh0)*31 + mh1) % 2147483647 AS key FROM sigs
+          UNION ALL
+          SELECT doc_id, 1, ((1*31 + mh2)*31 + mh3) % 2147483647 FROM sigs
+          UNION ALL
+          SELECT doc_id, 2, ((2*31 + mh4)*31 + mh5) % 2147483647 FROM sigs
+          UNION ALL
+          SELECT doc_id, 3, ((3*31 + mh6)*31 + mh7) % 2147483647 FROM sigs
+        ),
+        cand AS (
+          SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+          FROM bands l JOIN bands r
+            ON l.band = r.band AND l.key = r.key
+           AND l.doc_id < r.doc_id
+        ),
+        sh AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(
+                   generate_series(1, greatest(n-2, 1)),
+                   i -> toks[least(i, n)] || ' ' || toks[least(i+1, n)]
+                        || ' ' || toks[least(i+2, n)])) AS s
+          FROM t
+        ),
+        verj AS (
+          SELECT id_a, id_b, j FROM (
+            SELECT c.id_a, c.id_b,
+                   round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                         / len(list_distinct(list_concat(a.s, b.s))), 6)
+                     AS j
+            FROM cand c
+            JOIN sh a ON a.doc_id = c.id_a
+            JOIN sh b ON b.doc_id = c.id_b
+          ) WHERE j >= 0.5::DOUBLE
+        ),
+        jmx AS (SELECT id_b AS doc_id, max(j) AS jmax
+                FROM verj GROUP BY id_b),
+        base AS (
+          SELECT d.doc_id,
+                 CASE WHEN trim(d.text) = '' THEN 0
+                      ELSE len(string_split(trim(d.text), ' '))
+                      END AS nt,
+                 coalesce(jmx.jmax, -1.0) AS jmax
+          FROM documents d LEFT JOIN jmx ON jmx.doc_id = d.doc_id
+        ),
+        tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                       CAST(sum(nt) AS BIGINT) AS n_tokens FROM base)
+    """
+    selects = "\n        UNION ALL ".join(
+        f"""SELECT {t / 100.0!r}::DOUBLE AS threshold,
+               tot.n_docs, tot.n_tokens,
+               (SELECT CAST(count(*) AS BIGINT) FROM verj
+                WHERE j >= {t / 100.0!r}::DOUBLE) AS n_pairs,
+               (SELECT CAST(count(*) AS BIGINT) FROM base
+                WHERE jmax >= {t / 100.0!r}::DOUBLE) AS docs_removed,
+               (SELECT CAST(coalesce(sum(nt), 0) AS BIGINT) FROM base
+                WHERE jmax >= {t / 100.0!r}::DOUBLE) AS tokens_removed,
+               tot.n_docs - (SELECT count(*) FROM base
+                WHERE jmax >= {t / 100.0!r}::DOUBLE) AS survivors,
+               round((SELECT count(*) FROM base
+                      WHERE jmax >= {t / 100.0!r}::DOUBLE)
+                     / CAST(greatest(tot.n_docs, 1) AS DOUBLE), 4)
+                 AS removed_frac,
+               round((SELECT coalesce(sum(nt), 0) FROM base
+                      WHERE jmax >= {t / 100.0!r}::DOUBLE)
+                     / CAST(greatest(tot.n_tokens, 1) AS DOUBLE), 4)
+                 AS tokens_removed_frac
+        FROM tot"""
+        for t in ths
+    )
+    return head + "\n" + selects + "\nORDER BY threshold"
 
 
 def _lsh_sig_sql(vec_expr: str, planes: int = 6) -> str:
@@ -9257,6 +9441,7 @@ def oracle_sql() -> dict[str, str]:
             FROM tot
             ORDER BY arm
         """,
+        "q_dedup_threshold_ablation": _dedup_threshold_sql(),
         "q_dedup_snapshot_ablation": _MINHASH_SIGS + """
             , bands AS (
               SELECT doc_id, 0 AS band,

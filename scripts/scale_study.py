@@ -205,6 +205,11 @@ PICK = [
     # plan + window-free |sources|-table law math (no second corpus
     # pass at all)
     "q_data_constrained_plan",
+    # round-15 birth: threshold ablation — ONE banded-LSH +
+    # exact-Jaccard verified pair pass (the measured snapshot-ablation
+    # machinery) folded to doc grain + one id-equi join + one 1-row
+    # agg exploded to five rows
+    "q_dedup_threshold_ablation",
 ]
 
 

@@ -377,3 +377,40 @@ class TestDataConstrained:
             # marginal value is genuinely below fresh
             assert r.effective_tokens <= r.alloc_tokens
             assert 0.0 < r.repeat_value < 1.0
+
+
+class TestDedupThresholdAblation:
+    """q_dedup_threshold_ablation — one verified pair set prices every
+    cut exactly: each arm must equal an INDEPENDENT direct run at that
+    threshold, and the datasheet must be monotone in the cut."""
+
+    def test_arms_equal_direct_runs_and_are_monotone(self, spark):
+        import __spark_entry__ as entry
+        from linz_bde_uploader_spark.functions import dedup as D
+
+        rows = sorted(
+            entry.queries()["q_dedup_threshold_ablation"](
+                spark, SF
+            ).collect(),
+            key=lambda r: r.threshold,
+        )
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        for r in rows:
+            direct = D.candidate_jaccard_verify(
+                docs, "doc_id", "text", threshold=r.threshold
+            )
+            assert r.n_pairs == direct.count()
+            assert r.docs_removed == (
+                direct.select("id_b").distinct().count()
+            )
+            assert r.survivors == r.n_docs - r.docs_removed
+        # monotone: a stricter cut never removes more
+        for a, b in zip(rows, rows[1:]):
+            assert a.n_pairs >= b.n_pairs
+            assert a.docs_removed >= b.docs_removed
+            assert a.tokens_removed >= b.tokens_removed
+        # the grid genuinely separates on the fixtures, and the
+        # unreachable 0.99 cut exercises the zero-removal arm
+        assert len({r.docs_removed for r in rows}) >= 3
+        assert rows[-1].threshold == 0.99 and rows[-1].docs_removed == 0
+        assert rows[-1].n_pairs == 0 and rows[-1].removed_frac == 0.0
