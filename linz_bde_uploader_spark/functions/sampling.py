@@ -1267,6 +1267,22 @@ def mixture_realization_audit(
             F.sum("_t").cast("long").alias("_tok"),
         )
     )
+    return realization_datasheet_from_counters(
+        plan, per_epoch, alloc_col=alloc_col
+    )
+
+
+def realization_datasheet_from_counters(
+    plan: DataFrame,
+    per_epoch: DataFrame,
+    alloc_col: str = "alloc_tokens",
+) -> DataFrame:
+    """Assemble the realized-vs-target datasheet from per-(source,
+    epoch) counters ``(_s, epoch, _n, _tok)`` — the shared tail of
+    :func:`mixture_realization_audit` and the streaming realization
+    face (one datasheet implementation, two drivers: the batch audit
+    counts the materialized frame directly; the stream sums additive
+    per-batch counters, which commute under any arrival order)."""
     realized = per_epoch.groupBy("_s").agg(
         F.sum("_n").cast("long").alias("_rdocs"),
         F.sum("_tok").cast("long").alias("_rtoks"),

@@ -1832,3 +1832,166 @@ def weighted_reservoir_finalize(
         .orderBy(F.desc("skey"), F.col(id_col))
         .limit(n)
     )
+
+
+def mixture_realize_batch_fn(
+    spark: SparkSession,
+    state_dir: str,
+    plan_rows: "list[tuple]",
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Build the per-micro-batch closure :func:`mixture_realize_stream`
+    hands to ``foreachBatch`` — the arrival-time face of
+    :func:`~linz_bde_uploader_spark.functions.sampling.
+    mixture_realization_audit`: a production pipeline plans the
+    mixture on YESTERDAY's measurement and materializes TODAY's ingest
+    against that fixed plan, keeping a standing realized-vs-target
+    account beside the corpus. ``plan_rows`` is the bounded
+    ``(source, n_docs, tokens, alloc_tokens)`` model artifact (collect the
+    planner's frame once — the bpe_encode merge-list shape); each
+    batch rebuilds the tiny plan frame and runs the audited
+    :func:`~linz_bde_uploader_spark.functions.sampling.
+    mixture_materialize` VERBATIM (one epoch machinery, two drivers).
+
+    Because per-doc materialization is a pure function of (id, source,
+    tokens-in-doc) under a FIXED plan, per-batch counters are ADDITIVE
+    and the face has EXACT any-order batch parity (the
+    weighted-reservoir contract class, stronger than the dedup faces'
+    ascending-id one).
+
+    State under ``state_dir`` — model-sized, never the payload:
+
+    - ``counters`` — per batch, per (source, epoch): rows and token
+      mass materialized from THAT batch alone (≤ |sources|·(max
+      epochs+1) rows per batch).
+    - ``audit`` — one row per micro-batch: arrivals, rows matching a
+      planned source, materialized copies, sources touched (a missing
+      batch_id always means a lost write, never an empty poll).
+
+    Replay-safe STATELESSLY (the decontam-spans class): counters
+    derive only from the batch itself — no prior-state read exists to
+    race — and every write overwrites its own ``batch_id=`` partition,
+    so a replayed micro-batch rewrites identical rows."""
+    from linz_bde_uploader_spark.functions.sampling import (  # noqa: PLC0415
+        mixture_materialize,
+    )
+    from linz_bde_uploader_spark.functions.text import (  # noqa: PLC0415
+        token_count,
+    )
+
+    plan_schema = ("source string, n_docs long, tokens long,"
+                   " alloc_tokens long")
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        plan = spark.createDataFrame(list(plan_rows), plan_schema)
+        mat = mixture_materialize(
+            batch_df, plan, group_col=group_col, text_col=text_col,
+            id_col=id_col,
+        )
+        counters = (
+            mat.select(
+                F.col(group_col).cast("string").alias("_s"),
+                F.col("epoch"),
+                token_count(F.col(text_col)).cast("long").alias("_t"),
+            )
+            .groupBy("_s", "epoch")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("_n"),
+                F.sum("_t").cast("long").alias("_tok"),
+            )
+        )
+        counters = counters.persist()
+        try:
+            _state_write(counters, f"{state_dir}/counters", batch_id)
+            planned = [str(r[0]) for r in plan_rows]
+            audit = (
+                batch_df.agg(
+                    F.count(F.lit(1)).cast("long").alias("n_arrived"),
+                    # coalesce: sum over an EMPTY poll is NULL, and the
+                    # audit contract is zeros, never NULLs
+                    F.coalesce(
+                        F.sum(
+                            F.col(group_col).cast("string").isin(planned)
+                            .cast("long")
+                        ),
+                        F.lit(0),
+                    ).cast("long").alias("n_planned_source"),
+                )
+                .crossJoin(
+                    counters.agg(
+                        F.coalesce(F.sum("_n"), F.lit(0)).cast("long")
+                        .alias("n_materialized"),
+                        F.count_distinct(F.col("_s")).cast("long")
+                        .alias("n_sources"),
+                    )
+                )
+            )
+            _state_write(audit, f"{state_dir}/audit", batch_id)
+        finally:
+            counters.unpersist()
+
+    return apply_batch
+
+
+def mixture_realize_stream(
+    spark: SparkSession,
+    staging_dir: str,
+    schema: T.StructType,
+    checkpoint_dir: str,
+    state_dir: str,
+    plan_rows: "list[tuple]",
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_files_per_trigger: int | None = None,
+):
+    """Streaming mixture materialization with a standing realization
+    account — ingest documents as they land, up/down-sample each
+    against a FIXED mixture plan, and keep per-(source, epoch)
+    realized counters the finalizer turns into the batch-identical
+    datasheet. See :func:`mixture_realize_batch_fn` for the parity
+    contract, state layout, and replay guard."""
+    apply_batch = mixture_realize_batch_fn(
+        spark, state_dir, plan_rows, group_col=group_col,
+        text_col=text_col, id_col=id_col,
+    )
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return (
+        reader.parquet(staging_dir)
+        .writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def mixture_realize_finalize(
+    spark: SparkSession, state_dir: str, plan_rows: "list[tuple]"
+) -> DataFrame:
+    """The standing realization datasheet: sum the additive
+    per-(source, epoch) counters across every micro-batch and assemble
+    the SAME datasheet as the batch audit
+    (:func:`~linz_bde_uploader_spark.functions.sampling.
+    realization_datasheet_from_counters` — one implementation, two
+    drivers). Equals ``mixture_realization_audit`` over everything
+    arrived, under ANY arrival order (pinned by the parity test)."""
+    from linz_bde_uploader_spark.functions.sampling import (  # noqa: PLC0415
+        realization_datasheet_from_counters,
+    )
+
+    cnt = _state_read(spark, f"{state_dir}/counters")
+    if cnt is None:
+        raise ValueError(f"no counters state under {state_dir}")
+    per_epoch = cnt.groupBy("_s", "epoch").agg(
+        F.sum("_n").cast("long").alias("_n"),
+        F.sum("_tok").cast("long").alias("_tok"),
+    )
+    plan = spark.createDataFrame(
+        list(plan_rows),
+        "source string, n_docs long, tokens long, alloc_tokens long",
+    )
+    return realization_datasheet_from_counters(plan, per_epoch)

@@ -1675,3 +1675,166 @@ def test_weighted_reservoir_replay_and_audit(spark, tmp_path):
         .filter(F.col("batch_id") == 2).collect()
     }
     assert r1 == r2
+
+
+def _mix_docs(spark):
+    import random
+
+    rng = random.Random(43)
+    rows = [
+        (i, ["alpha", "beta", "gamma"][i % 3],
+         " ".join(f"w{j}" for j in range(rng.randint(1, 12))))
+        for i in range(300)
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    )
+
+
+def _mix_plan_rows(spark, docs):
+    from linz_bde_uploader_spark.functions.sampling import unimax_plan
+
+    return [
+        (r.source, r.n_docs, r.tokens, r.alloc_tokens)
+        for r in unimax_plan(docs, budget_tokens=4_000, max_epochs=3)
+        .collect()
+    ]
+
+
+def test_mixture_realize_any_order_parity_and_resume(spark, tmp_path):
+    """The streaming realization account must equal the batch
+    mixture_realization_audit over everything arrived under ANY
+    arrival order (per-doc materialization is a pure function of the
+    row under a FIXED plan; counters are additive) — pinned on two
+    different interleavings — and resume from its checkpoint."""
+    import glob
+    import os
+    import shutil
+
+    from linz_bde_uploader_spark.functions.sampling import (
+        mixture_realization_audit,
+    )
+    from linz_bde_uploader_spark.streaming.poll import (
+        mixture_realize_finalize,
+        mixture_realize_stream,
+    )
+
+    docs = _mix_docs(spark)
+    plan_rows = _mix_plan_rows(spark, docs)
+    plan = spark.createDataFrame(
+        plan_rows, "source string, n_docs long, tokens long,"
+        " alloc_tokens long"
+    )
+    want_all = sorted(
+        map(tuple, mixture_realization_audit(docs, plan).collect())
+    )
+
+    def run(order_flip, root):
+        staging = root / "staging"
+        staging.mkdir(parents=True)
+
+        def put_chunk(df, i):
+            tmp_out = root / f"chunk{i}"
+            df.coalesce(1).write.parquet(str(tmp_out))
+            (part,) = glob.glob(str(tmp_out / "part-*.parquet"))
+            dst = staging / f"{i:03d}.parquet"
+            shutil.copy(part, dst)
+            os.utime(dst, (1_700_000_000 + i * 10,) * 2)
+
+        if order_flip:
+            chunks = [docs.filter(F.col("doc_id") % 3 == m) for m in (2, 0, 1)]
+        else:
+            chunks = [
+                docs.filter(F.col("doc_id") < 100),
+                docs.filter(
+                    (F.col("doc_id") >= 100) & (F.col("doc_id") < 200)
+                ),
+                docs.filter(F.col("doc_id") >= 200),
+            ]
+        put_chunk(chunks[0], 0)
+        put_chunk(chunks[1], 1)
+        state = str(root / "state")
+        ckpt = str(root / "ckpt")
+
+        def drain():
+            q = mixture_realize_stream(
+                spark, str(staging), docs.schema, ckpt, state, plan_rows,
+                max_files_per_trigger=1,
+            )
+            assert q.awaitTermination(600)
+
+        drain()
+        # mid-stream: equals the batch audit over the first two chunks
+        part = chunks[0].unionByName(chunks[1])
+        want_mid = sorted(
+            map(tuple, mixture_realization_audit(part, plan).collect())
+        )
+        got_mid = sorted(
+            map(tuple,
+                mixture_realize_finalize(spark, state, plan_rows).collect())
+        )
+        assert got_mid == want_mid
+        put_chunk(chunks[2], 2)
+        drain()
+        return sorted(
+            map(tuple,
+                mixture_realize_finalize(spark, state, plan_rows).collect())
+        )
+
+    got_a = run(False, tmp_path / "a")
+    got_b = run(True, tmp_path / "b")
+    assert got_a == want_all
+    assert got_b == want_all  # arrival order is irrelevant — exact
+
+
+def test_mixture_realize_replay_and_audit(spark, tmp_path):
+    """Replaying a committed micro-batch must leave counters and audit
+    unchanged (the face is stateless per batch — no prior-state read
+    exists to race); audit rows carry per-poll counters and an empty
+    poll still writes its zeroed row."""
+    from linz_bde_uploader_spark.streaming.poll import (
+        mixture_realize_batch_fn,
+    )
+
+    docs = _mix_docs(spark)
+    plan_rows = _mix_plan_rows(spark, docs)
+    state = str(tmp_path / "state")
+    fn = mixture_realize_batch_fn(spark, state, plan_rows)
+    b0 = docs.filter(F.col("doc_id") < 150)
+    b1 = docs.filter(F.col("doc_id") >= 150)
+    fn(b0, 0)
+    fn(b1, 1)
+
+    def snap():
+        out = {}
+        for part in ("counters", "audit"):
+            out[part] = sorted(
+                map(tuple, spark.read.parquet(f"{state}/{part}").collect())
+            )
+        return out
+
+    before = snap()
+    fn(b1, 1)  # replay the LAST committed batch
+    assert snap() == before
+    fn(b0, 0)  # replay an EARLIER one
+    assert snap() == before
+
+    aud = {
+        r.batch_id: r for r in spark.read.parquet(f"{state}/audit").collect()
+    }
+    assert aud[0].n_arrived == b0.count()
+    assert aud[0].n_planned_source == b0.count()  # every source planned
+    assert aud[0].n_materialized > 0
+    assert 0 < aud[0].n_sources <= 3
+
+    # empty poll: zeroed audit row, no counter rows for the batch
+    fn(docs.filter(F.lit(False)), 2)
+    aud2 = spark.read.parquet(f"{state}/audit").filter(
+        F.col("batch_id") == 2
+    ).collect()[0]
+    assert (aud2.n_arrived, aud2.n_planned_source,
+            aud2.n_materialized, aud2.n_sources) == (0, 0, 0, 0)
+    c2 = spark.read.parquet(f"{state}/counters").filter(
+        F.col("batch_id") == 2
+    )
+    assert c2.count() == 0
