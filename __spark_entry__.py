@@ -3085,6 +3085,25 @@ def q_ann_ndcg(spark, sf_dir):
     )
 
 
+def q_ann_radius_ablation(spark, sf_dir):
+    # Multi-probe radius ablation (similarity.py::lsh_radius_ablation)
+    # — the ANN family's tuning datasheet, the threshold-ablation
+    # pattern applied to the recall knob: probe sets at radii 0..3 are
+    # NESTED (radius r's buckets ⊆ r+1's), so every radius is an exact
+    # projection of ONE scored pass — per vector, bit_count(sig XOR
+    # qsig) + the exact 6-dp cosine; the exact top-20 flags truth; one
+    # 1-row conditional agg explodes to four rows pricing recall@20
+    # against candidate_frac (the fraction of the corpus a multi-probe
+    # query at that radius scans). The knob a 100-TB deployment
+    # actually turns — SCALE.md's "recall knob = probe radius" row,
+    # now measured instead of asserted. 6 planes, the engine's
+    # lsh-bucket convention.
+    e = W.load(spark, sf_dir, "embeddings")
+    return S.lsh_radius_ablation(
+        e, _query_vec(spark, sf_dir), k=20, planes=6, exclude_id=0
+    )
+
+
 def q_corpus_datasheet(spark, sf_dir):
     # Per-language corpus datasheet (the "datasheet for datasets"
     # reporting primitive): docs, token volume, char bounds, mean
@@ -5761,11 +5780,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    q_hybrid_rrf (r6+r7 green; the retrieval family keeps
         #    bm25 + passage in-window) -> 51+
         "q_dq_audit": q_dq_audit,
-        # -- round-8 birth: position-sensitive nDCG@k ANN audit;
-        #    displaced tenant q_ann_recall (r6+r7 green; the audit
-        #    family keeps q_batch_ann_recall + ndcg in-window,
-        #    recall@k stays oracle-checked at 51+) -> 51+
-        "q_ann_ndcg": q_ann_ndcg,
+        # -- round-15 birth: multi-probe radius ablation — recall@20
+        #    vs corpus-fraction-scanned at radii 0..3, every radius an
+        #    exact projection of ONE scored pass (probe sets nest);
+        #    displaced tenant q_ann_ndcg (green r8-r14 septuple; the
+        #    exact-cosine truth ranking runs VERBATIM inside THIS
+        #    ablation's flag stage, the ANN audit family keeps this
+        #    ablation + in-window q_bitext_margin's kNN, nDCG stays
+        #    oracle-checked at 51+) -> 51+
+        "q_ann_radius_ablation": q_ann_radius_ablation,
         # -- round-6 birth: RAG passage retrieval (chunk + BM25 in one
         #    plan); displaced tenant q_tpch_q22_global_sales (r4+r5
         #    green; TPC-H keeps q2/q21/q7/q12 in-window) -> 51+
@@ -5964,6 +5987,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # so the 0.28-cut machinery stays driver-exercised and the
         # standalone gate stays oracle-checked at 51+)
         "q_mm_alignment": q_mm_alignment,
+        # rotated out in round 15 by q_ann_radius_ablation (green
+        # r8-r14 septuple; the exact-cosine truth ranking runs
+        # VERBATIM inside the displacing ablation's flag stage, nDCG
+        # stays oracle-checked at 51+)
+        "q_ann_ndcg": q_ann_ndcg,
         "q_bpe_pair_counts": q_bpe_pair_counts,
         "q_tpch_q8_market_share": q_tpch_q8_market_share,
         "q_tpch_q9_profit": q_tpch_q9_profit,
@@ -11015,6 +11043,78 @@ def oracle_sql() -> dict[str, str]:
             WHERE a.list_id IN (SELECT cid FROM probes)
             ORDER BY score DESC, a.vec_id
             LIMIT 10
+        """,
+        # radius ablation: the lsh_topk signature arithmetic + exact
+        # cosine scored ONCE, probe sets nested by bit_count(xor), the
+        # per-radius datasheet as conditional sums off one total row
+        "q_ann_radius_ablation": f"""
+            WITH sigs AS (
+              SELECT vec_id, embedding, {_lsh_sig_sql("embedding")} AS sig
+              FROM embeddings
+            ),
+            q AS (
+              SELECT embedding, {_lsh_sig_sql("embedding")} AS sig
+              FROM embeddings WHERE vec_id = 0
+            ),
+            sc AS (
+              SELECT s.vec_id,
+                     bit_count(xor(s.sig, q.sig)) AS hd,
+                     round(({_DOT64.format(a="s.embedding", b="q.embedding")})
+                         / (sqrt({_DOT64.format(a="s.embedding", b="s.embedding")})
+                            * sqrt({_DOT64.format(a="q.embedding", b="q.embedding")})), 6)
+                       AS score
+              FROM sigs s, q
+              WHERE s.vec_id <> 0
+            ),
+            tk AS (SELECT vec_id FROM sc
+                   ORDER BY score DESC, vec_id LIMIT 20),
+            fl AS (SELECT sc.hd, (tk.vec_id IS NOT NULL) AS t
+                   FROM sc LEFT JOIN tk ON tk.vec_id = sc.vec_id),
+            tot AS (
+              SELECT CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(CASE WHEN hd <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+                     CAST(sum(CASE WHEN hd <= 0 AND t THEN 1 ELSE 0 END) AS BIGINT) AS h0,
+                     CAST(sum(CASE WHEN hd <= 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+                     CAST(sum(CASE WHEN hd <= 1 AND t THEN 1 ELSE 0 END) AS BIGINT) AS h1,
+                     CAST(sum(CASE WHEN hd <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+                     CAST(sum(CASE WHEN hd <= 2 AND t THEN 1 ELSE 0 END) AS BIGINT) AS h2,
+                     CAST(sum(CASE WHEN hd <= 3 THEN 1 ELSE 0 END) AS BIGINT) AS c3,
+                     CAST(sum(CASE WHEN hd <= 3 AND t THEN 1 ELSE 0 END) AS BIGINT) AS h3
+              FROM fl
+            )
+            SELECT CAST(0 AS INT) AS radius,
+                   CAST(20 AS BIGINT) AS k,
+                   c0 AS n_candidates,
+                   round(c0 / CAST(greatest(n, 1) AS DOUBLE), 6)
+                     AS candidate_frac,
+                   h0 AS hits,
+                   round(h0 / 20.0, 6) AS recall
+            FROM tot
+            UNION ALL SELECT CAST(1 AS INT) AS radius,
+                   CAST(20 AS BIGINT) AS k,
+                   c1 AS n_candidates,
+                   round(c1 / CAST(greatest(n, 1) AS DOUBLE), 6)
+                     AS candidate_frac,
+                   h1 AS hits,
+                   round(h1 / 20.0, 6) AS recall
+            FROM tot
+            UNION ALL SELECT CAST(2 AS INT) AS radius,
+                   CAST(20 AS BIGINT) AS k,
+                   c2 AS n_candidates,
+                   round(c2 / CAST(greatest(n, 1) AS DOUBLE), 6)
+                     AS candidate_frac,
+                   h2 AS hits,
+                   round(h2 / 20.0, 6) AS recall
+            FROM tot
+            UNION ALL SELECT CAST(3 AS INT) AS radius,
+                   CAST(20 AS BIGINT) AS k,
+                   c3 AS n_candidates,
+                   round(c3 / CAST(greatest(n, 1) AS DOUBLE), 6)
+                     AS candidate_frac,
+                   h3 AS hits,
+                   round(h3 / 20.0, 6) AS recall
+            FROM tot
+            ORDER BY radius
         """,
         "q_sim_lsh_bucketed": f"""
             WITH sigs AS (

@@ -1102,6 +1102,101 @@ def mips_topk(
     return scored.orderBy(F.desc("ip"), F.col(id_col)).limit(k)
 
 
+def lsh_radius_ablation(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 20,
+    planes: int = 6,
+    radii: tuple[int, ...] = (0, 1, 2, 3),
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """Multi-probe radius ablation — the ANN family's tuning datasheet
+    (the threshold-ablation pattern applied to the recall knob): what
+    recall does each probe radius buy, and what fraction of the corpus
+    does it pay to scan? Probe sets are NESTED by construction (radius
+    r's buckets ⊆ radius r+1's), so EVERY radius is an exact projection
+    of ONE scored pass: per vector, the Hamming distance of its bucket
+    to the query's (``bit_count(sig XOR qsig)``) plus its exact 6-dp
+    cosine; the exact top-k flags ground truth, and one 1-row
+    conditional agg exploded to |radii| rows prices every radius — no
+    per-radius probe re-run.
+
+    Per radius: ``(radius, k, n_candidates, candidate_frac, hits,
+    recall)`` — candidates = vectors within Hamming ``radius`` (what a
+    multi-probe query at that radius would scan), recall = fraction of
+    the exact top-k inside that candidate set, both at 6 dp.
+
+    Scale: one corpus scan computing (sig, cosine), one
+    TakeOrderedAndProject for the truth set, a k-row broadcast flag
+    join, one 1-row agg. Catalyst pays the scan per consumer here (the
+    ann_recall "constant number of corpus scans" contract); a
+    production harness persists the scored frame and sweeps radii and
+    k for free."""
+    dims = len(query_vec)
+    qv = F.array(*[F.lit(float(x)) for x in query_vec])
+    qsig = query_signature(query_vec, planes)
+    scored = embeddings.select(
+        F.col(id_col),
+        F.bit_count(
+            lsh_signature(F.col(vec_col), dims, planes).bitwiseXOR(
+                F.lit(int(qsig))
+            )
+        ).cast("int").alias("_hd"),
+        F.round(cosine(F.col(vec_col), qv), 6).alias("_score"),
+    )
+    if exclude_id is not None:
+        scored = scored.filter(F.col(id_col) != exclude_id)
+    topk = (
+        scored.orderBy(F.desc("_score"), F.col(id_col))
+        .limit(k)
+        .select(F.col(id_col), F.lit(True).alias("_t"))
+    )
+    flagged = scored.join(F.broadcast(topk), [id_col], "left").select(
+        "_hd", F.coalesce(F.col("_t"), F.lit(False)).alias("_t")
+    )
+    aggs = [F.count(F.lit(1)).cast("long").alias("_n")]
+    for r in radii:
+        aggs += [
+            F.sum((F.col("_hd") <= r).cast("long")).cast("long").alias(
+                f"_c{r}"
+            ),
+            F.sum(((F.col("_hd") <= r) & F.col("_t")).cast("long"))
+            .cast("long")
+            .alias(f"_h{r}"),
+        ]
+    one = flagged.agg(*aggs)
+    rows = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(int(r)).alias("radius"),
+                    F.col(f"_c{r}").alias("n_candidates"),
+                    F.col(f"_h{r}").alias("hits"),
+                )
+                for r in radii
+            ]
+        )
+    )
+    return (
+        one.select("_n", rows.alias("r"))
+        .select(
+            F.col("r.radius").alias("radius"),
+            F.lit(int(k)).cast("long").alias("k"),
+            F.col("r.n_candidates").alias("n_candidates"),
+            F.round(
+                F.col("r.n_candidates")
+                / F.greatest(F.col("_n"), F.lit(1)).cast("double"),
+                6,
+            ).alias("candidate_frac"),
+            F.col("r.hits").alias("hits"),
+            F.round(F.col("r.hits") / F.lit(float(k)), 6).alias("recall"),
+        )
+        .orderBy("radius")
+    )
+
+
 def batch_ann_recall(
     embeddings: DataFrame,
     queries: DataFrame,

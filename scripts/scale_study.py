@@ -210,6 +210,10 @@ PICK = [
     # machinery) folded to doc grain + one id-equi join + one 1-row
     # agg exploded to five rows
     "q_dedup_threshold_ablation",
+    # round-15 birth: ANN radius ablation — one (sig, cosine) corpus
+    # scan + k-row TakeOrdered + broadcast flag join + one 1-row agg
+    # exploded to four radius rows
+    "q_ann_radius_ablation",
 ]
 
 

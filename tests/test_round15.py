@@ -414,3 +414,50 @@ class TestDedupThresholdAblation:
         assert len({r.docs_removed for r in rows}) >= 3
         assert rows[-1].threshold == 0.99 and rows[-1].docs_removed == 0
         assert rows[-1].n_pairs == 0 and rows[-1].removed_frac == 0.0
+
+
+class TestAnnRadiusAblation:
+    """lsh_radius_ablation — nesting, ground-truth flags, and agreement
+    with the independent probe-set machinery."""
+
+    def test_candidates_match_probe_sets_and_recall_is_monotone(
+        self, spark
+    ):
+        from linz_bde_uploader_spark.functions.similarity import (
+            _probe_set,
+            lsh_radius_ablation,
+            lsh_signature,
+            query_signature,
+        )
+
+        e = spark.read.parquet(f"{SF}/embeddings.parquet")
+        qv = [
+            float(x)
+            for x in e.filter(F.col("vec_id") == 0)
+            .select("embedding").first()[0]
+        ]
+        rows = sorted(
+            lsh_radius_ablation(
+                e, qv, k=20, planes=6, exclude_id=0
+            ).collect(),
+            key=lambda r: r.radius,
+        )
+        # independent cross-check: candidate counts at r <= 2 must
+        # equal a signature-IN-probe-set filter (the lsh_topk path)
+        qsig = query_signature(qv, planes=6)
+        sigs = e.filter(F.col("vec_id") != 0).select(
+            lsh_signature(F.col("embedding"), len(qv), 6).alias("sig")
+        )
+        for r in (0, 1, 2):
+            probes = _probe_set(qsig, 6, r)
+            want = sigs.filter(F.col("sig").isin(probes)).count()
+            assert rows[r].n_candidates == want
+        # nesting: candidates and hits never shrink with radius; the
+        # full-corpus ceiling bounds everything
+        for a, b in zip(rows, rows[1:]):
+            assert a.n_candidates <= b.n_candidates
+            assert a.hits <= b.hits
+        assert all(0 <= r.hits <= 20 for r in rows)
+        assert all(r.recall == round(r.hits / 20.0, 6) for r in rows)
+        # the knob genuinely moves on the fixtures
+        assert rows[0].recall < rows[-1].recall
