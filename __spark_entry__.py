@@ -1793,6 +1793,20 @@ def q_corpus_zipf(spark, sf_dir):
     return X.zipf_topk(d, top_n=100)
 
 
+def q_vocab_growth(spark, sf_dir):
+    # Heaps'-law vocabulary-growth datasheet (functions/text.py::
+    # vocab_growth) — Zipf's dual, the other half of the corpus-health
+    # report: vocabulary size at nested 10/25/50/100% corpus prefixes
+    # (stable split_bucket hashes, so the prefixes are deterministic
+    # and nested by construction), type-token ratio, and the Heaps β
+    # point estimate between consecutive prefixes. ONE token explode +
+    # one token-key agg carries every prefix (per token: min doc
+    # bucket + per-prefix occurrence counts); the two 1-row aggregates
+    # merge shuffle-free via unionByName and explode to four rows.
+    d = W.load(spark, sf_dir, "documents")
+    return X.vocab_growth(d, prefixes=(10, 25, 50, 100))
+
+
 def q_pipeline_quality_funnel(spark, sf_dir):
     # The production quality-gate STACK in one declarative plan — the
     # curation funnel a pipeline actually ships: Gopher structural rules
@@ -5674,9 +5688,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    q_weighted_sample_per_group in-window, ES sampling stays
         #    oracle-checked at 51+) -> 51+
         "q_badwords_gate": q_badwords_gate,
-        # -- round-6 birth: Zipf rank-frequency statistic; displaced
-        #    tenant q_tpch_q18_bigorders (r3+r4+r5 green) -> 51+
-        "q_corpus_zipf": q_corpus_zipf,
+        # -- round-15 birth: Heaps'-law vocabulary growth — Zipf's
+        #    dual: vocab at nested hash-bucket corpus prefixes, TTR,
+        #    and the per-step Heaps beta, all off ONE token-key agg;
+        #    displaced tenant q_corpus_zipf (green r6-r14 NONUPLE; the
+        #    token-frequency table Zipf tops is built VERBATIM inside
+        #    this birth's token-grain agg — min-bucket rides along —
+        #    and Zipf stays oracle-checked at 51+) -> 51+
+        "q_vocab_growth": q_vocab_growth,
         # -- round-12 birth: per-benchmark-item leakage report (the
         #    GPT-3 dirty-eval-item accounting — the reverse grain of
         #    q_decontam_spans over the SAME verified span set);
@@ -5992,6 +6011,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # VERBATIM inside the displacing ablation's flag stage, nDCG
         # stays oracle-checked at 51+)
         "q_ann_ndcg": q_ann_ndcg,
+        # rotated out in round 15 by q_vocab_growth (green r6-r14
+        # nonuple; the token-frequency count table runs verbatim
+        # inside the displacing birth's token-grain agg, the Zipf
+        # slope stays oracle-checked at 51+; its round-6 note: it
+        # displaced q_tpch_q18_bigorders, r3+r4+r5 green)
+        "q_corpus_zipf": q_corpus_zipf,
         "q_bpe_pair_counts": q_bpe_pair_counts,
         "q_tpch_q8_market_share": q_tpch_q8_market_share,
         "q_tpch_q9_profit": q_tpch_q9_profit,
@@ -6252,6 +6277,74 @@ def _bpe_vocab_ablation_sql(
         "WITH " + ctes_part + ",\n" + ",\n".join(extra)
         + "\n" + selects + "\nORDER BY n_merges"
     )
+
+
+def _vocab_growth_sql(pfs: tuple[int, ...] = (10, 25, 50, 100)) -> str:
+    """DuckDB twin of text.vocab_growth: the same token-grain
+    (min-bucket + per-prefix occurrences) table, the same two 1-row
+    aggregates, one datasheet row per prefix; ln on doubles built from
+    exact longs mirrors F.log operation for operation."""
+    bkt = "((doc_id % 2147483647) * 2654435761 % 2147483647) % 100"
+    occ = ",\n                 ".join(
+        f"CAST(sum(CASE WHEN b < {p} THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS o{p}"
+        for p in pfs
+    )
+    ta = ",\n                 ".join(
+        f"CAST(sum(CASE WHEN mb < {p} THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS v{p},\n                 "
+        f"CAST(sum(o{p}) AS BIGINT) AS n{p}"
+        for p in pfs
+    )
+    da = ",\n                 ".join(
+        f"CAST(sum(CASE WHEN {bkt} < {p} THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS d{p}"
+        for p in pfs
+    )
+    sel, prev = [], None
+    for p in pfs:
+        if prev is None:
+            beta = "0.0"
+        else:
+            beta = (
+                f"CASE WHEN v{prev} > 0 AND n{prev} > 0"
+                f" AND n{p} <> n{prev} AND v{p} > 0"
+                f" THEN round(ln(CAST(v{p} AS DOUBLE)"
+                f" / CAST(v{prev} AS DOUBLE))"
+                f" / ln(CAST(n{p} AS DOUBLE)"
+                f" / CAST(n{prev} AS DOUBLE)), 4)"
+                f" ELSE 0.0 END"
+            )
+        sel.append(
+            f"""SELECT CAST({p} AS INT) AS prefix_pct,
+                   d{p} AS n_docs, n{p} AS n_tokens, v{p} AS vocab,
+                   round(v{p} / CAST(greatest(n{p}, 1) AS DOUBLE), 6)
+                     AS type_token_ratio,
+                   {beta} AS heaps_beta
+            FROM ta, da"""
+        )
+        prev = p
+    return f"""
+        WITH ex AS (
+          SELECT {bkt} AS b,
+                 unnest(string_split(trim(text), ' ')) AS tok
+          FROM documents
+        ),
+        exf AS (SELECT b, tok FROM ex WHERE tok <> ''),
+        tk AS (
+          SELECT tok, min(b) AS mb,
+                 {occ}
+          FROM exf GROUP BY tok
+        ),
+        ta AS (
+          SELECT {ta}
+          FROM tk
+        ),
+        da AS (
+          SELECT {da}
+          FROM documents
+        )
+        """ + "\n        UNION ALL ".join(sel) + "\n        ORDER BY prefix_pct"
 
 
 def _dedup_threshold_sql(ths: tuple[int, ...] = (50, 90, 95, 97, 99)) -> str:
@@ -9470,6 +9563,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY arm
         """,
         "q_dedup_threshold_ablation": _dedup_threshold_sql(),
+        "q_vocab_growth": _vocab_growth_sql(),
         "q_dedup_snapshot_ablation": _MINHASH_SIGS + """
             , bands AS (
               SELECT doc_id, 0 AS band,

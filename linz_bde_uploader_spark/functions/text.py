@@ -663,6 +663,126 @@ def quality_classifier(
     )
 
 
+def vocab_growth(
+    docs: DataFrame,
+    prefixes: tuple[int, ...] = (10, 25, 50, 100),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Heaps'-law vocabulary-growth datasheet — Zipf's dual and the
+    other half of the corpus-health report: how fast does the
+    vocabulary grow as the corpus grows (V ≈ K·N^β; natural language
+    sits near β ≈ 0.5, template spam flattens it, OCR noise pushes it
+    toward 1)? Corpus prefixes are the stable hash buckets of
+    :func:`~linz_bde_uploader_spark.functions.sampling.split_bucket`
+    (prefix p% = docs with bucket < p), so they are NESTED,
+    deterministic, and engine-independent — which makes every prefix
+    an exact projection of ONE pass: per token, its MIN doc bucket
+    (the prefix where it first exists) plus per-prefix occurrence
+    counts; vocab at p = tokens with min bucket < p.
+
+    Per prefix: ``(prefix_pct, n_docs, n_tokens, vocab,
+    type_token_ratio, heaps_beta)`` — TTR at 6 dp; ``heaps_beta`` the
+    point estimate ln(V_p/V_prev)/ln(N_p/N_prev) between consecutive
+    prefixes at 4 dp (0.0 on the first row and wherever the ratio is
+    undefined — empty or non-growing prefix — never NULL). Rows with
+    a NULL id hash to no bucket and sit outside every prefix.
+
+    Scale: one token explode + one token-key partial-agg shuffle
+    (the zipf count table with the min-bucket column riding along),
+    one 1-row agg over the vocabulary, one map-only 1-row agg over
+    the docs, merged shuffle-free by unionByName and exploded to
+    |prefixes| rows."""
+    from linz_bde_uploader_spark.functions.sampling import (  # noqa: PLC0415
+        split_bucket,
+    )
+
+    pfs = sorted({int(p) for p in prefixes})
+    if not pfs or pfs[0] <= 0 or pfs[-1] > 100:
+        raise ValueError("prefixes must be percentages in (0, 100]")
+    ex = (
+        docs.select(
+            split_bucket(id_col).alias("_b"),
+            F.explode(tokens(F.trim(F.col(text_col)))).alias("_tok"),
+        )
+        .filter(F.col("_tok") != "")
+    )
+    tok = ex.groupBy("_tok").agg(
+        F.min("_b").alias("_mb"),
+        *[
+            F.sum((F.col("_b") < p).cast("long")).cast("long").alias(
+                f"_o{p}"
+            )
+            for p in pfs
+        ],
+    )
+    tokagg = tok.agg(
+        *[
+            c
+            for p in pfs
+            for c in (
+                F.sum((F.col("_mb") < p).cast("long")).cast("long").alias(
+                    f"_v{p}"
+                ),
+                F.sum(F.col(f"_o{p}")).cast("long").alias(f"_n{p}"),
+            )
+        ]
+    )
+    docagg = docs.agg(
+        *[
+            F.sum((split_bucket(id_col) < p).cast("long"))
+            .cast("long")
+            .alias(f"_d{p}")
+            for p in pfs
+        ]
+    )
+    # shuffle-free 1-row merge: stack the two single-row aggregates and
+    # take the max of each column (its only non-null value) — no join,
+    # so no constant-key BroadcastNestedLoop shape to whitelist
+    cols = [f"_v{p}" for p in pfs] + [f"_n{p}" for p in pfs] + [
+        f"_d{p}" for p in pfs
+    ]
+    one = tokagg.unionByName(docagg, allowMissingColumns=True).agg(
+        *[F.max(c).alias(c) for c in cols]
+    )
+    structs = []
+    prev = None
+    for p in pfs:
+        if prev is None:
+            beta = F.lit(0.0)
+        else:
+            vp, vq = F.col(f"_v{p}"), F.col(f"_v{prev}")
+            np_, nq = F.col(f"_n{p}"), F.col(f"_n{prev}")
+            beta = F.when(
+                (vq > 0) & (nq > 0) & (np_ != nq) & (vp > 0),
+                F.round(
+                    F.log(vp.cast("double") / vq.cast("double"))
+                    / F.log(np_.cast("double") / nq.cast("double")),
+                    4,
+                ),
+            ).otherwise(F.lit(0.0))
+        structs.append(
+            F.struct(
+                F.lit(p).alias("prefix_pct"),
+                F.col(f"_d{p}").alias("n_docs"),
+                F.col(f"_n{p}").alias("n_tokens"),
+                F.col(f"_v{p}").alias("vocab"),
+                F.round(
+                    F.col(f"_v{p}")
+                    / F.greatest(F.col(f"_n{p}"), F.lit(1)).cast("double"),
+                    6,
+                ).alias("type_token_ratio"),
+                beta.alias("heaps_beta"),
+            )
+        )
+        prev = p
+    return (
+        one.select(F.explode(F.array(*structs)).alias("r"))
+        .select("r.*")
+        .orderBy("prefix_pct")
+    )
+
+
 def zipf_topk(docs: DataFrame, top_n: int = 100,
               text_col: str = "text") -> DataFrame:
     """Zipf rank-frequency table: the ``top_n`` most frequent tokens

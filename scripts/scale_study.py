@@ -214,6 +214,10 @@ PICK = [
     # scan + k-row TakeOrdered + broadcast flag join + one 1-row agg
     # exploded to four radius rows
     "q_ann_radius_ablation",
+    # round-15 birth: Heaps vocab growth — one token explode + one
+    # token-key agg (the zipf count shuffle with min-bucket riding
+    # along) + two 1-row aggs merged shuffle-free
+    "q_vocab_growth",
 ]
 
 

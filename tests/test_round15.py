@@ -461,3 +461,75 @@ class TestAnnRadiusAblation:
         assert all(r.recall == round(r.hits / 20.0, 6) for r in rows)
         # the knob genuinely moves on the fixtures
         assert rows[0].recall < rows[-1].recall
+
+
+class TestVocabGrowth:
+    """text.vocab_growth — nested-prefix exactness and the Heaps β
+    estimate on a corpus with genuine vocabulary growth (the parquet
+    fixtures have a CLOSED 31-token template vocabulary — flat growth,
+    β = 0, which is itself the template-spam signature the datasheet
+    exists to expose; growth behavior needs a crafted corpus)."""
+
+    def test_growth_and_prefix_exactness_by_hand(self, spark):
+        from linz_bde_uploader_spark.functions.sampling import (
+            SPLIT_BUCKETS,
+            split_bucket,
+        )
+        from linz_bde_uploader_spark.functions.text import vocab_growth
+
+        # doc i: one NOVEL token w{i} + two common ones — vocabulary
+        # grows roughly linearly in docs, so β is strongly positive
+        docs = spark.createDataFrame(
+            [(i, f"common also w{i}") for i in range(300)],
+            "doc_id long, text string",
+        )
+        rows = {r.prefix_pct: r for r in
+                vocab_growth(docs, prefixes=(25, 50, 100)).collect()}
+        # exact per-prefix reference via the same bucket hash
+        buckets = {
+            r.doc_id: r.b
+            for r in docs.select(
+                "doc_id", split_bucket("doc_id").alias("b")
+            ).collect()
+        }
+        assert SPLIT_BUCKETS == 100
+        for p in (25, 50, 100):
+            ids = [i for i in range(300) if buckets[i] < p]
+            vocab = len({f"w{i}" for i in ids} | {"common", "also"})
+            r = rows[p]
+            assert (r.n_docs, r.n_tokens, r.vocab) == (
+                len(ids), 3 * len(ids), vocab,
+            )
+            assert r.type_token_ratio == round(
+                vocab / max(3 * len(ids), 1), 6
+            )
+        # β between consecutive prefixes: near-linear growth → β well
+        # above the template floor and near 1 on this corpus
+        import math
+
+        for a, b in ((25, 50), (50, 100)):
+            va, vb = rows[a].vocab, rows[b].vocab
+            na, nb = rows[a].n_tokens, rows[b].n_tokens
+            want = round(math.log(vb / va) / math.log(nb / na), 4)
+            assert rows[b].heaps_beta == want
+            assert 0.8 < rows[b].heaps_beta <= 1.05
+        assert rows[25].heaps_beta == 0.0  # first row: no predecessor
+
+    def test_registry_drive_shows_the_closed_template_vocabulary(
+        self, spark
+    ):
+        from linz_bde_uploader_spark.functions.text import vocab_growth
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        rows = sorted(
+            vocab_growth(docs).collect(), key=lambda r: r.prefix_pct
+        )
+        assert [r.prefix_pct for r in rows] == [10, 25, 50, 100]
+        # the synthetic corpus is template text: the vocabulary is
+        # CLOSED — every prefix sees all of it, growth is flat and
+        # every β is 0 (the guard branch: V_p == V_prev → ln 1 → 0)
+        assert len({r.vocab for r in rows}) == 1
+        assert all(r.heaps_beta == 0.0 for r in rows)
+        # prefixes nest: docs and tokens strictly grow
+        for a, b in zip(rows, rows[1:]):
+            assert a.n_docs < b.n_docs and a.n_tokens < b.n_tokens
