@@ -1,9 +1,15 @@
 """Round-15 births: the mixture plan→execution→audit composite
-(mixture_materialize + mixture_realization_audit — a planner's
-target_tokens driven through mixture_weights' epoch machinery, with the
-realized-vs-target datasheet), plus the strategy-invariance fix to the
-k-means Arrow assignment path (tested in test_clustering.py, where the
-family lives)."""
+(mixture_materialize + mixture_realization_audit), the BPE vocab-size
+ablation (one prefix-nested training serving every budget), the
+data-constrained scaling planner (Muennighoff et al. 2023 repeat-decay
+law over the UniMax allocation), the near-dup threshold ablation (five
+Jaccard cuts off one verified pair set), the multi-probe radius
+ablation (nested probe sets off one scored pass), and the Heaps'-law
+vocabulary-growth datasheet (nested hash-bucket prefixes off one
+token-key agg). The k-means Arrow strategy-invariance fix is tested in
+test_clustering.py (where the family lives) and the streaming
+mixture-realization face in test_streaming.py (the streaming-face
+precedent)."""
 
 from pyspark.sql import functions as F
 
