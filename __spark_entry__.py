@@ -5371,6 +5371,57 @@ def q_mixture_materialize(spark, sf_dir):
     return mixture_realization_audit(d, plan)
 
 
+def q_training_export(spark, sf_dir):
+    # The FULL data-recipe loop in one declarative plan — the export
+    # manifest a trainer actually consumes: UniMax plan (VERBATIM,
+    # budget 50_000 / caps 2) → mixture_materialize (the plan's
+    # integer-exact rates through the epoch machinery) → greedy
+    # sequence packing of the materialized items (pack_sequences
+    # VERBATIM — item id = doc_id·10 + epoch, collision-free since
+    # epochs ≤ 3; 256-token packs across 8 deterministic shards) →
+    # per-shard export rows (shard, n_items, total_tokens, n_packs,
+    # mean_fill). This pins the cross-operator column contracts of
+    # plan→materialize→pack the way q_corpus_build_e2e pins the gate
+    # stack's. mean_fill is fold-order-free by construction: each
+    # per-pack fill/256 is an exact binary rational (fill ≤ 256), so
+    # the average's sum is EXACT in doubles — no ulp to reconcile.
+    # Scale: the tracked |sources| plan + broadcast rate join +
+    # map-side explode + the sharded applyInPandas packer (linear per
+    # shard) + two bounded rollups keyed by (shard, pack) then shard.
+    from linz_bde_uploader_spark.functions import packing as PK
+    from linz_bde_uploader_spark.functions.sampling import (
+        mixture_materialize,
+        unimax_plan,
+    )
+
+    d = W.load(spark, sf_dir, "documents")
+    plan = caching.track(unimax_plan(d, budget_tokens=50_000, max_epochs=2))
+    mat = mixture_materialize(d, plan)
+    items = mat.select(
+        (F.col("doc_id") * 10 + F.col("epoch")).cast("long").alias("iid"),
+        X.token_count("text").cast("long").alias("n_tokens"),
+    )
+    packed = PK.pack_sequences(
+        items, "iid", "n_tokens", capacity=256, n_shards=8
+    )
+    per_pack = packed.groupBy("shard", "pack_id").agg(
+        F.sum("clamped_tokens").cast("long").alias("_fill"),
+        F.count(F.lit(1)).cast("long").alias("_cnt"),
+    )
+    return (
+        per_pack.groupBy("shard")
+        .agg(
+            F.sum("_cnt").cast("long").alias("n_items"),
+            F.sum("_fill").cast("long").alias("total_tokens"),
+            F.count(F.lit(1)).cast("long").alias("n_packs"),
+            F.round(
+                F.avg(F.col("_fill") / F.lit(256.0)), 6
+            ).alias("mean_fill"),
+        )
+        .orderBy("shard")
+    )
+
+
 def q_data_constrained_plan(spark, sf_dir):
     # Data-constrained scaling planner (sampling.py::
     # data_constrained_plan; Muennighoff et al. 2023, "Scaling
@@ -5508,12 +5559,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    in-window q_quality_ablation and q_corpus_build_e2e, the
         #    standalone gate stays oracle-checked at 51+) -> 51+
         "q_corpus_order_ablation": q_corpus_order_ablation,
-        # -- round-8 birth: KN-difficulty curriculum schedule (quartile
-        #    phases + sharded deterministic in-phase order); displaced
-        #    tenant q_corpus_shuffle (r6+r7 green; the shuffle idiom
-        #    stays exercised through the curriculum's shard/pos window
-        #    and q_corpus_shuffle's oracle at 51+) -> 51+
-        "q_curriculum": q_curriculum,
+        # -- round-15 birth: the FULL data-recipe loop — UniMax plan →
+        #    mixture_materialize → greedy sequence packing (both
+        #    VERBATIM) → per-shard export manifest, pinning the
+        #    plan→materialize→pack column contracts the way
+        #    q_corpus_build_e2e pins the gate stack's; displaced
+        #    tenant q_curriculum (green r8-r14 septuple; the
+        #    training-data-prep family keeps THIS export composite
+        #    in-window, the KN-difficulty schedule stays
+        #    oracle-checked at 51+) -> 51+
+        "q_training_export": q_training_export,
         # -- round-9 births: the link-graph extraction composite (the
         #    r8 judge's top ask) — real href extraction → canonical
         #    host edge list → directed PageRank on the REAL graph,
@@ -6017,6 +6072,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # slope stays oracle-checked at 51+; its round-6 note: it
         # displaced q_tpch_q18_bigorders, r3+r4+r5 green)
         "q_corpus_zipf": q_corpus_zipf,
+        # rotated out in round 15 by q_training_export (green r8-r14
+        # septuple; the training-data-prep family keeps the export
+        # composite in-window — materialize + packing run verbatim
+        # inside it — the KN-difficulty schedule stays oracle-checked
+        # at 51+; its round-8 note: it displaced q_corpus_shuffle,
+        # r6+r7 green)
+        "q_curriculum": q_curriculum,
         "q_bpe_pair_counts": q_bpe_pair_counts,
         "q_tpch_q8_market_share": q_tpch_q8_market_share,
         "q_tpch_q9_profit": q_tpch_q9_profit,
@@ -11688,6 +11750,124 @@ def oracle_sql() -> dict[str, str]:
                      AS epochs,
                    CAST(capped AS INT) AS capped
             FROM al ORDER BY source
+        """,
+        # the full loop: the materialize chain (unimax @ 50k/2 + rates
+        # + epoch explode) feeding the q_pack_sequences recursive CTE
+        # (iid = doc_id·10 + epoch), rolled up per (shard, pack) then
+        # shard; avg(fill/256.0) is exact-sum arithmetic (fill ≤ 256 ⇒
+        # every term an exact binary rational), so fold order is moot
+        "q_training_export": """
+            WITH RECURSIVE agg AS (
+              SELECT source,
+                     CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum(CASE WHEN trim(text) = '' THEN 0 ELSE len(string_split(trim(text), ' ')) END)
+                          AS BIGINT) AS tokens
+              FROM documents GROUP BY source
+            ),
+            st AS (
+              SELECT source, n_docs, tokens,
+                     tokens * 2 AS cap,
+                     row_number() OVER (ORDER BY tokens * 2, source)
+                       AS k,
+                     count(*) OVER () AS L,
+                     coalesce(sum(tokens * 2) OVER (
+                       ORDER BY tokens * 2, source
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING), 0) AS prefix
+              FROM agg
+            ),
+            fl AS (
+              SELECT *, (cap * (L - k + 1) <= 50000 - prefix) AS capped
+              FROM st
+            ),
+            tot AS (
+              SELECT coalesce(sum(CASE WHEN capped THEN cap END), 0)
+                       AS csum,
+                     sum(CASE WHEN capped THEN 0 ELSE 1 END) AS nu
+              FROM fl
+            ),
+            al AS (
+              SELECT f.*,
+                     CASE WHEN f.capped THEN f.cap
+                          ELSE (50000 - t.csum)
+                               // greatest(t.nu, 1) END AS alloc
+              FROM fl f, tot t
+            ),
+            rt AS (
+              SELECT source,
+                     CASE WHEN tokens > 0 THEN alloc // tokens
+                          ELSE 0 END AS base0,
+                     CASE WHEN tokens > 0
+                          THEN (200 * (alloc - (alloc // tokens) * tokens)
+                                + tokens) // (2 * tokens)
+                          ELSE 0 END AS frac0
+              FROM al
+            ),
+            r2 AS (
+              SELECT source,
+                     CASE WHEN frac0 = 100 THEN base0 + 1
+                          ELSE base0 END AS base,
+                     CASE WHEN frac0 = 100 THEN 0 ELSE frac0 END AS frac
+              FROM rt
+            ),
+            doc AS (
+              SELECT doc_id, source,
+                     CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(string_split(trim(text), ' '))
+                          END AS t,
+                     ((doc_id % 2147483647) * 2654435761
+                      % 2147483647) % 100 AS bkt
+              FROM documents
+            ),
+            mat AS (
+              SELECT s.doc_id, s.t, u.i AS epoch FROM (
+                SELECT d.doc_id, d.t,
+                       CAST(r.base + CASE WHEN d.bkt < r.frac THEN 1
+                                          ELSE 0 END AS BIGINT) AS n
+                FROM doc d JOIN r2 r ON d.source = r.source
+              ) s, unnest(generate_series(1, s.n)) u(i)
+            ),
+            tk AS (
+              SELECT CAST(((iid % 2147483647) * 2654435761
+                           % 2147483647) % 8 AS INTEGER) AS shard,
+                     iid,
+                     CAST(least(t, 256) AS BIGINT) AS t
+              FROM (SELECT CAST(doc_id * 10 + epoch AS BIGINT) AS iid,
+                           t
+                    FROM mat)
+            ),
+            seq AS (
+              SELECT shard, iid, t,
+                     row_number() OVER (
+                       PARTITION BY shard ORDER BY iid) AS rn
+              FROM tk
+            ),
+            r AS (
+              SELECT shard, iid, t, rn,
+                     CAST(0 AS BIGINT) AS pack_id,
+                     t AS used
+              FROM seq WHERE rn = 1
+              UNION ALL
+              SELECT s.shard, s.iid, s.t, s.rn,
+                     CASE WHEN r.used + s.t > 256 THEN r.pack_id + 1
+                          ELSE r.pack_id END,
+                     CASE WHEN r.used + s.t > 256 THEN s.t
+                          ELSE r.used + s.t END
+              FROM r JOIN seq s
+                ON s.shard = r.shard AND s.rn = r.rn + 1
+            ),
+            pp AS (
+              SELECT shard, pack_id,
+                     CAST(sum(t) AS BIGINT) AS fill,
+                     CAST(count(*) AS BIGINT) AS cnt
+              FROM r GROUP BY shard, pack_id
+            )
+            SELECT shard,
+                   CAST(sum(cnt) AS BIGINT) AS n_items,
+                   CAST(sum(fill) AS BIGINT) AS total_tokens,
+                   CAST(count(*) AS BIGINT) AS n_packs,
+                   round(avg(fill / 256.0), 6) AS mean_fill
+            FROM pp GROUP BY shard ORDER BY shard
         """,
         # the unimax CTE chain at caps 6, then the Muennighoff
         # repeat-decay law: exp frozen to a 1e-9 BIGINT (the

@@ -218,6 +218,10 @@ PICK = [
     # token-key agg (the zipf count shuffle with min-bucket riding
     # along) + two 1-row aggs merged shuffle-free
     "q_vocab_growth",
+    # round-15 birth: training export — the tracked unimax plan +
+    # materialize explode + the measured sharded applyInPandas packer
+    # + two bounded rollups
+    "q_training_export",
 ]
 
 

@@ -539,3 +539,43 @@ class TestVocabGrowth:
         # prefixes nest: docs and tokens strictly grow
         for a, b in zip(rows, rows[1:]):
             assert a.n_docs < b.n_docs and a.n_tokens < b.n_tokens
+
+
+class TestTrainingExport:
+    """q_training_export — the plan→materialize→pack composite: mass
+    conservation against the realization audit, capacity invariants,
+    and shard totals."""
+
+    def test_export_conserves_materialized_mass(self, spark):
+        import __spark_entry__ as entry
+        from linz_bde_uploader_spark import caching
+        from linz_bde_uploader_spark.functions.sampling import (
+            mixture_materialize,
+            token_count,
+            unimax_plan,
+        )
+
+        rows = entry.queries()["q_training_export"](spark, SF).collect()
+        caching.release_intermediates()
+        assert [r.shard for r in rows] == sorted(
+            {r.shard for r in rows}
+        ) and len(rows) == 8
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        plan = unimax_plan(docs, budget_tokens=50_000, max_epochs=2)
+        mat = mixture_materialize(docs, plan)
+        n_items = mat.count()
+        tok = mat.select(
+            F.least(token_count(F.col("text")), F.lit(256))
+            .cast("long").alias("t")
+        ).agg(F.sum("t")).collect()[0][0]
+        assert sum(r.n_items for r in rows) == n_items
+        assert sum(r.total_tokens for r in rows) == tok
+        for r in rows:
+            # every pack holds <= 256 tokens, so fills bound the count
+            assert r.n_packs >= r.total_tokens / 256.0
+            assert 0.0 < r.mean_fill <= 1.0
+            # mean_fill consistency with the row's own totals:
+            # mean >= total/(n_packs*256) with equality iff uniform
+            assert r.mean_fill >= round(
+                r.total_tokens / (r.n_packs * 256.0), 6
+            ) - 1e-9
