@@ -4,9 +4,11 @@ ablation (one prefix-nested training serving every budget), the
 data-constrained scaling planner (Muennighoff et al. 2023 repeat-decay
 law over the UniMax allocation), the near-dup threshold ablation (five
 Jaccard cuts off one verified pair set), the multi-probe radius
-ablation (nested probe sets off one scored pass), and the Heaps'-law
+ablation (nested probe sets off one scored pass), the Heaps'-law
 vocabulary-growth datasheet (nested hash-bucket prefixes off one
-token-key agg). The k-means Arrow strategy-invariance fix is tested in
+token-key agg), and the training-export composite (the full
+plan→materialize→pack loop with a per-shard manifest). The k-means
+Arrow strategy-invariance fix is tested in
 test_clustering.py (where the family lives) and the streaming
 mixture-realization face in test_streaming.py (the streaming-face
 precedent)."""
