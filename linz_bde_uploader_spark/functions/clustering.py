@@ -193,10 +193,15 @@ def _assign_clusters_arrow(
             # Left fold over dims, exactly F.aggregate's order: each
             # term is (x−c) rounded, squared rounded, then added — the
             # same three IEEE-754 roundings per element as the JVM.
+            # out= buffers reuse one (batch × k) temp instead of two
+            # fresh allocations per dim — measured 1.6× on the 10×
+            # shape (20k × 313 × 64), identical ops, bitwise-equal.
             d2 = np.zeros((x.shape[0], cmat.shape[0]))
+            tmp = np.empty_like(d2)
             for j in range(cmat.shape[1]):
-                diff = x[:, j, None] - cmat[None, :, j]
-                d2 += diff * diff
+                np.subtract(x[:, j, None], cmat[None, :, j], out=tmp)
+                np.multiply(tmp, tmp, out=tmp)
+                np.add(d2, tmp, out=d2)
             d2 = _round_shortest_half_up(d2, ROUND_DP)
             idx = np.argmin(d2, axis=1)
             out.loc[valid, "cluster"] = cids[idx]
