@@ -1367,8 +1367,18 @@ def data_constrained_value(
 
     Scale: pure window-free column math over the bounded |sources|
     plan frame — no corpus pass at all (the measurement already
-    happened in the planner)."""
-    epochs = F.col("epochs")
+    happened in the planner).
+
+    ``epochs`` is DERIVED here as ``round(alloc/max(tokens,1), 4)`` —
+    the exact expression :func:`unimax_plan` publishes — rather than
+    read from the plan, so any planner frame carrying ``(source,
+    n_docs, tokens, alloc_col)`` works (DoReMi's ``target_tokens``
+    included), and a UniMax plan's own column agrees to the bit."""
+    epochs = F.round(
+        F.col(alloc_col).cast("long")
+        / F.greatest(F.col("tokens"), F.lit(1)).cast("double"),
+        4,
+    )
     r4 = F.greatest(epochs - F.lit(1.0), F.lit(0.0))
     w = F.round(
         F.exp(-r4 / F.lit(float(rd_star))) * 1e9

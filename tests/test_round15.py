@@ -300,13 +300,12 @@ class TestDataConstrained:
             data_constrained_value,
         )
 
+        # bare (source, n_docs, tokens, alloc) — no epochs column:
+        # the evaluator derives epochs itself, so ANY planner frame
+        # (DoReMi's target_tokens included) satisfies the contract
         plan = spark.createDataFrame(
-            [
-                (f"s{i}", 1, t, a, _half_up(a / max(t, 1), 4))
-                for i, (t, a) in enumerate(rows)
-            ],
-            "source string, n_docs long, tokens long,"
-            " alloc_tokens long, epochs double",
+            [(f"s{i}", 1, t, a) for i, (t, a) in enumerate(rows)],
+            "source string, n_docs long, tokens long, alloc_tokens long",
         )
         return {r.source: r for r in data_constrained_value(plan).collect()}
 
