@@ -580,3 +580,73 @@ class TestTrainingExport:
             assert r.mean_fill >= round(
                 r.total_tokens / (r.n_packs * 256.0), 6
             ) - 1e-9
+
+
+class TestRateResolutionProperty:
+    """Hypothesis fuzz of mixture_materialize's integer rate
+    resolution against a Decimal reference — base = alloc div tokens,
+    frac = HALF-UP of 100·rem/tokens, frac 100 carrying into base —
+    pinned by observing realized copy counts on one-token docs (a
+    direct window into (base, frac): every doc realizes base or
+    base+1 copies and the split follows the hash gate)."""
+
+    def test_copy_counts_match_decimal_reference(self, spark):
+        from decimal import ROUND_HALF_UP, Decimal
+
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from linz_bde_uploader_spark.functions.sampling import (
+            mixture_materialize,
+            split_bucket,
+        )
+
+        docs = spark.createDataFrame(
+            [(i, "a", f"w{i}") for i in range(50)],
+            "doc_id long, source string, text string",
+        ).cache()
+        buckets = {
+            r.doc_id: r.b
+            for r in docs.select(
+                "doc_id", split_bucket("doc_id").alias("b")
+            ).collect()
+        }
+
+        def ref(tokens, alloc):
+            if tokens <= 0:
+                return 0, 0
+            base = alloc // tokens
+            rem = alloc - base * tokens
+            frac = int(
+                (Decimal(100 * rem) / Decimal(tokens)).quantize(
+                    Decimal(1), rounding=ROUND_HALF_UP
+                )
+            )
+            if frac == 100:
+                return base + 1, 0
+            return base, frac
+
+        @given(
+            st.integers(min_value=0, max_value=3_000),
+            st.integers(min_value=0, max_value=9_000),
+        )
+        @settings(max_examples=12, deadline=None)
+        def check(tokens, alloc):
+            plan = spark.createDataFrame(
+                [("a", 50, tokens, alloc)],
+                "source string, n_docs long, tokens long,"
+                " alloc_tokens long",
+            )
+            counts = {
+                r.doc_id: r.c
+                for r in mixture_materialize(docs, plan)
+                .groupBy("doc_id")
+                .agg(F.count("*").alias("c"))
+                .collect()
+            }
+            base, frac = ref(tokens, alloc)
+            for i in range(50):
+                want = base + (1 if buckets[i] < frac else 0)
+                assert counts.get(i, 0) == want, (tokens, alloc, i)
+
+        check()
