@@ -1682,6 +1682,225 @@ def q_graph_pagerank_directed(spark, sf_dir):
     return ranks.orderBy(F.desc("rank"), F.col("node")).limit(25)
 
 
+def _hits_sql(iters: int = 4) -> str:
+    """DuckDB twin of graph.hits() over the DIRECTED purchase graph
+    (customer→supplier, the ``_pagerank_directed_sql`` edge set):
+    unrolled L1-normalized power iteration — per half-step, the
+    contribution sum rounds at 9 dp, the ONE-ROW normalization total
+    rounds at 9 dp, and the normalized score rounds at 9 dp (the
+    engine's per-iteration re-synchronization contract); no-in-edge
+    nodes keep auth 0, no-out-edge nodes keep hub 0 (coalesced)."""
+    ctes = ["""edges AS (
+          SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst
+          FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        )""",
+        """nodes AS (
+          SELECT DISTINCT node FROM (
+            SELECT src AS node FROM edges
+            UNION ALL
+            SELECT dst AS node FROM edges
+          )
+        )""",
+        "num AS (SELECT count(*) AS n FROM nodes)",
+        """h0 AS (
+          SELECT node, round(CAST(1.0 AS DOUBLE) / n, 9) AS hub
+          FROM nodes, num
+        )"""]
+    for i in range(1, iters + 1):
+        ctes.append(f"""ar{i} AS (
+          SELECT e.dst AS node, round(sum(h.hub), 9) AS raw
+          FROM edges e JOIN h{i - 1} h ON h.node = e.src
+          GROUP BY e.dst
+        )""")
+        ctes.append(f"at{i} AS (SELECT round(sum(raw), 9) AS t FROM ar{i})")
+        ctes.append(f"""a{i} AS (
+          SELECT nd.node,
+                 round(coalesce(r.raw, 0.0) / t.t, 9) AS auth
+          FROM nodes nd CROSS JOIN at{i} t
+          LEFT JOIN ar{i} r ON r.node = nd.node
+        )""")
+        ctes.append(f"""hr{i} AS (
+          SELECT e.src AS node, round(sum(a.auth), 9) AS raw
+          FROM edges e JOIN a{i} a ON a.node = e.dst
+          GROUP BY e.src
+        )""")
+        ctes.append(f"ht{i} AS (SELECT round(sum(raw), 9) AS t FROM hr{i})")
+        ctes.append(f"""h{i} AS (
+          SELECT nd.node,
+                 round(coalesce(r.raw, 0.0) / t.t, 9) AS hub
+          FROM nodes nd CROSS JOIN ht{i} t
+          LEFT JOIN hr{i} r ON r.node = nd.node
+        )""")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+        SELECT h.node, round(h.hub, 6) AS hub, round(a.auth, 6) AS auth
+        FROM h{iters} h JOIN a{iters} a ON a.node = h.node
+        ORDER BY auth DESC, hub DESC, h.node
+        LIMIT 25
+    """
+    )
+
+
+def _chinchilla_sql() -> str:
+    """DuckDB twin of sampling.chinchilla_plan(): the closed-form
+    optimum per literal budget over the one-row measured supply, then
+    the data-constrained law's CTE chain VERBATIM from the
+    q_data_constrained_plan oracle. The allocation exponents and G are
+    inlined via repr() of the EXACT module doubles (shortest
+    round-trip strings — both engines parse back the identical
+    binary64), so the two pow sites freeze to the same LONGs."""
+    from linz_bde_uploader_spark.functions.sampling import (
+        CHIN_EXP_D,
+        CHIN_EXP_N,
+        CHIN_G,
+        CHINCHILLA_EXPS,
+    )
+
+    vals = ", ".join(
+        f"('C1e{e}', CAST(1e{e} AS DOUBLE))" for e in CHINCHILLA_EXPS
+    )
+    g = repr(CHIN_G)
+    en = repr(CHIN_EXP_N)
+    ed = repr(CHIN_EXP_D)
+    return f"""
+        WITH sup AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(string_split(trim(text), ' ')) END)
+                      AS BIGINT) AS tokens
+          FROM documents
+        ),
+        b(source, compute_flops) AS (VALUES {vals}),
+        st AS (
+          SELECT b.source, b.compute_flops, s.n_docs, s.tokens,
+                 CAST(round(CAST({g} AS DOUBLE)
+                            * power(b.compute_flops / 6.0,
+                                    CAST({en} AS DOUBLE)))
+                      AS BIGINT) AS n_params,
+                 CAST(round(power(b.compute_flops / 6.0,
+                                  CAST({ed} AS DOUBLE))
+                            / CAST({g} AS DOUBLE))
+                      AS BIGINT) AS alloc_tokens
+          FROM b, sup s
+        ),
+        ep AS (
+          SELECT *, round(CAST(alloc_tokens AS DOUBLE)
+                          / greatest(tokens, 1), 4) AS epochs
+          FROM st
+        ),
+        dc AS (
+          SELECT *, round(greatest(epochs - 1.0, 0.0), 4) AS repeats,
+                 CAST(round(exp(-greatest(epochs - 1.0, 0.0) / 15.39)
+                            * 1e9) AS BIGINT) AS w
+          FROM ep
+        ),
+        ef AS (
+          SELECT *, CASE WHEN epochs <= 1.0 THEN alloc_tokens
+                         ELSE CAST(round(tokens * (1.0 + 15.39
+                                         * (1.0 - w / 1e9)))
+                              AS BIGINT)
+                         END AS effective_tokens
+          FROM dc
+        )
+        SELECT source, compute_flops, n_params, alloc_tokens,
+               round(CAST(alloc_tokens AS DOUBLE)
+                     / greatest(n_params, 1), 2) AS tokens_per_param,
+               n_docs, tokens, epochs, repeats, w / 1e9 AS repeat_value,
+               effective_tokens,
+               round(CAST(effective_tokens AS DOUBLE)
+                     / greatest(alloc_tokens, 1), 4) AS efficiency
+        FROM ef ORDER BY compute_flops
+    """
+
+
+def q_graph_hits(spark, sf_dir):
+    # HITS hubs/authorities (functions/graph.py::hits) over the SAME
+    # directed customer→supplier purchase graph as
+    # q_graph_pagerank_directed — the centrality face PageRank cannot
+    # express on a bipartite graph: customers are pure hubs, suppliers
+    # pure authorities, and the top-25 authority ranking is the
+    # source-procurement signal (rank SELLERS by the quality of the
+    # buyers pointing at them, not by parked rank mass). L1-normalized
+    # power iteration, 9-dp per half-step (the module's PageRank
+    # determinism contract); the two per-iteration normalization
+    # totals are ONE-ROW broadcast aggregates (the TF-IDF
+    # scalar-subquery shape — whitelisted in scripts/plan_audit.py).
+    from linz_bde_uploader_spark.functions.graph import hits
+
+    o = W.load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = W.load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    ed = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    sc = hits(ed, n_iters=4)
+    return sc.orderBy(F.desc("auth"), F.desc("hub"), F.col("node")).limit(25)
+
+
+def q_rho_select(spark, sf_dir):
+    # RHO-loss selective sampling at DOC grain (functions/lm.py::
+    # rho_select — Mindermann et al. 2022; RHO-1's criterion at doc
+    # grain): keep the top half of each source by clamped excess loss
+    # ce_uniform − ce_domain (the DoReMi signal re-used at doc grain —
+    # one implementation, two mixture drivers), ranked excess DESC /
+    # id ASC within the source with the D4 all-integer ceiling cut.
+    # Every scoreable doc emits its audit row, both sides of the cut;
+    # the global scorer's one-row V broadcast is the whitelisted
+    # scalar-subquery shape.
+    from linz_bde_uploader_spark.functions.lm import rho_select
+
+    d = W.load(spark, sf_dir, "documents")
+    return rho_select(d, keep_num=1, keep_den=2)
+
+
+def q_text_readability(spark, sf_dir):
+    # Flesch readability datasheet (functions/text.py::
+    # readability_signals — Flesch 1948 / Kincaid et al. 1975): per
+    # doc, word/sentence/vowel-run-syllable counts, the reading-ease
+    # score, the FK grade, and the five-band label — the classic
+    # cheap quality prior beside the Gopher signals (grade level is
+    # the strongest single correlate of FineWeb-Edu-style educational
+    # scoring). Entirely map-only: three regexp folds and two 2-dp
+    # double expressions of exact integer counts; zero shuffles.
+    from linz_bde_uploader_spark.functions import text as X
+
+    d = W.load(spark, sf_dir, "documents")
+    m = X.readability_signals(F.col("text"))
+    return d.select(
+        "doc_id",
+        m["n_words"].alias("n_words"),
+        m["n_sentences"].alias("n_sentences"),
+        m["n_syllables"].alias("n_syllables"),
+        m["flesch"].alias("flesch"),
+        m["fk_grade"].alias("fk_grade"),
+        m["band"].alias("band"),
+    )
+
+
+def q_chinchilla_plan(spark, sf_dir):
+    # Compute-optimal training plan (functions/sampling.py::
+    # chinchilla_plan — Hoffmann et al. 2022 approach-3 closed form)
+    # priced against the MEASURED corpus supply under the
+    # data-constrained repeat law (data_constrained_value VERBATIM —
+    # the q_data_constrained_plan machinery over the one-row total
+    # supply): per compute budget 10^e, e ∈ {9,11,13,15,17,19}, the
+    # optimal (n_params, tokens), the budget-dependent
+    # tokens-per-param drift (≈20 lands at 1e17 on these fixtures),
+    # and the fresh-vs-repeat pricing — e=9 covers fresh
+    # (efficiency 1.0), e≥11 pays the repeat decay: both law branches
+    # live. ONE corpus measurement; the supply row rides the
+    # whitelisted one-row broadcast.
+    from linz_bde_uploader_spark.functions.sampling import chinchilla_plan
+
+    d = W.load(spark, sf_dir, "documents")
+    return chinchilla_plan(d)
+
+
 def q_lm_trigram_perplexity(spark, sf_dir):
     # Interpolated trigram LM perplexity gate (functions/lm.py::
     # trigram_score_documents): λ3·ML3 + λ2·ML2 + λ1·add-one-unigram —
@@ -3759,6 +3978,24 @@ def q_decontaminate(spark, sf_dir):
     return DX.contamination_hits(corpus, bench, n=4)
 
 
+def q_decontam_ngram_ablation(spark, sf_dir):
+    # N-gram-SIZE ablation of the overlap decontamination gate
+    # (functions/decontaminate.py::ngram_overlap_ablation): the
+    # published recipes disagree on n (GPT-3 13, PaLM 8, the Pile 13,
+    # FineWeb 10) — this datasheet prices n ∈ {2,3,4,5} on the actual
+    # corpus in ONE widened job (every key carries an n column — the
+    # stratified-LM trick; no per-n driver loop). Same eval split as
+    # q_decontaminate (doc_id % 20 == 0 plays the benchmark);
+    # contaminated_docs is non-increasing in n (the nesting the
+    # pytest pins: an (n+1)-gram match contains n-gram matches).
+    from linz_bde_uploader_spark.functions import decontaminate as DX
+
+    d = W.load(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 20 == 0)
+    corpus = d.filter(F.col("doc_id") % 20 != 0)
+    return DX.ngram_overlap_ablation(corpus, bench, ns=(2, 3, 4, 5))
+
+
 def q_stratified_sample(spark, sf_dir):
     # Corpus mixing: keep 30% of over-represented English, 80% of French,
     # 50% of everything else — a stateless codegen filter (CASE over the
@@ -5576,7 +5813,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    rollup over the same extraction chain; displaced tenants
         #    q_topic_classify, q_dsir_select_bigram, q_token_fertility
         #    (each r7+r8 green) -> 51+
-        "q_link_graph_rank": q_link_graph_rank,
+        # -- round-15 birth (session 2): HITS hubs/authorities
+        #    (Kleinberg 1999) over the SAME directed purchase graph as
+        #    q_graph_pagerank_directed — the bipartite-graph centrality
+        #    face PageRank conflates (rank suppliers by authority, not
+        #    by parked rank mass); L1-normalized power iteration with
+        #    the module's 9-dp re-synchronization contract; displaced
+        #    tenant q_link_graph_rank (green r9-r14 sextuple; the graph
+        #    family keeps q_graph_pagerank_directed + q_link_spam +
+        #    q_anchor_text + THIS in-window, and the host-graph
+        #    pagerank compose stays oracle-checked at 51+) -> 51+
+        "q_graph_hits": q_graph_hits,
         "q_link_spam": q_link_spam,
         "q_anchor_text": q_anchor_text,
         # -- round-5 rotation: the six entries born in round 4 after the
@@ -5733,9 +5980,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    FP-rate scoring); displaced tenant q_bpe_encode (green
         #    r5-r7; the BPE family keeps q_bpe_merges in-window) -> 51+
         "q_bloom_filter_audit": q_bloom_filter_audit,
-        # -- round-6 birth: per-stratum ES sampling; displaced tenant
-        #    q_sim_batch_topk (r3+r4+r5 green) -> 51+
-        "q_weighted_sample_per_group": q_weighted_sample_per_group,
+        # -- round-15 birth (session 2): Chinchilla compute-optimal
+        #    plan (Hoffmann et al. 2022 approach-3 closed form) priced
+        #    against the measured corpus supply under the
+        #    data-constrained repeat law — data_constrained_value runs
+        #    VERBATIM over the one-row total-supply frame; both law
+        #    branches live (e=9 fresh, e≥11 repeat); displaced tenant
+        #    q_weighted_sample_per_group (green r6-r14 NONUPLE; the
+        #    sampling family keeps q_weighted_sample oracle-checked at
+        #    51+ plus the streaming A-ES parity pytest, and the
+        #    scaling family keeps q_data_constrained_plan +
+        #    q_mixture_materialize + THIS in-window) -> 51+
+        "q_chinchilla_plan": q_chinchilla_plan,
         # -- round-12 birth: C4-style blocked-word page gate (literal
         #    list constant-folded map-only; any-hit-drops + auditable
         #    hit counts); displaced tenant q_weighted_sample (green
@@ -5751,14 +6007,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    this birth's token-grain agg — min-bucket rides along —
         #    and Zipf stays oracle-checked at 51+) -> 51+
         "q_vocab_growth": q_vocab_growth,
-        # -- round-12 birth: per-benchmark-item leakage report (the
-        #    GPT-3 dirty-eval-item accounting — the reverse grain of
-        #    q_decontam_spans over the SAME verified span set);
-        #    displaced tenant q_graph_pagerank (green r5-r11
-        #    septuple; the graph family keeps
-        #    q_graph_pagerank_directed + q_link_graph_rank in-window,
-        #    undirected PR stays oracle-checked at 51+) -> 51+
-        "q_decontam_bench": q_decontam_bench,
+        # -- round-15 birth (session 2): n-gram-SIZE ablation of the
+        #    overlap decontamination gate — n ∈ {2,3,4,5} priced in
+        #    ONE widened job (every key carries an n column, the
+        #    stratified-LM trick; contamination probe =
+        #    contamination_hits' broadcast-join plan with (n, gram)
+        #    keys); contaminated sets NEST downward in n (pinned by
+        #    pytest); displaced tenant q_decontam_bench (green
+        #    r12-r14 triple; the decontam family keeps
+        #    q_decontam_spans + q_decontam_source + THIS ablation
+        #    in-window, the eval-item grain stays oracle-checked at
+        #    51+) -> 51+
+        "q_decontam_ngram_ablation": q_decontam_ngram_ablation,
         # -- round-5 session-2 births (in-window at birth, rotation
         #    rule): bigram-LM perplexity gate + cross-document
         #    duplicated-shingle stats; displaced tenants q_custdist and
@@ -5824,15 +6084,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    inside THIS query, the ANN audit family keeps q_ann_ndcg
         #    in-window, recall stays oracle-checked at 51+) -> 51+
         "q_bitext_margin": q_bitext_margin,
-        # -- round-6 birth: ordered conversion funnel; displaced tenant
-        #    q_tfidf_topk (r3+r4+r5 green; tfidf family keeps
-        #    q_inverted_index in-window) -> 51+
-        "q_event_funnel": q_event_funnel,
-        # -- round-6 birth: three-gate quality funnel (Gopher + LM ppl +
-        #    classifier in one plan); displaced tenant q_pipeline_e2e
-        #    (r3+r4+r5 green; family keeps q_pipeline_chunk_pack and
-        #    this funnel in-window) -> 51+
-        "q_pipeline_quality_funnel": q_pipeline_quality_funnel,
+        # -- round-15 birth (session 2): Flesch readability datasheet
+        #    (Flesch 1948 / Kincaid et al. 1975) — map-only word/
+        #    sentence/vowel-run counts folded into reading-ease, FK
+        #    grade, and the five-band label; the text-quality family's
+        #    classic grade-level prior beside the Gopher signals;
+        #    displaced tenant q_event_funnel (green r6-r14 NONUPLE;
+        #    the events family keeps q_event_anomaly in-window, the
+        #    conversion funnel stays oracle-checked at 51+) -> 51+
+        "q_text_readability": q_text_readability,
+        # -- round-15 birth (session 2): RHO-loss selective sampling at
+        #    DOC grain (Mindermann et al. 2022 / RHO-1) — the DoReMi
+        #    excess-loss signal re-used per document, top half of each
+        #    source kept via the D4 all-integer ceiling cut, every
+        #    scoreable doc emitting its audit row; displaced tenant
+        #    q_pipeline_quality_funnel (green r6-r14 NONUPLE; the
+        #    global bigram scorer it composes runs VERBATIM inside
+        #    THIS query's reference pass, the funnel stays
+        #    oracle-checked at 51+) -> 51+
+        "q_rho_select": q_rho_select,
         # -- 40-44: round-4 rotation — the three entries that had never
         #    had a driver row (placed out-of-window at birth) plus the
         #    two new TPC-H decorrelation shapes (first driver check)
@@ -5912,6 +6182,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    α-mixture, quantile-sketch, and schema-drift births
         #    (displacements noted at the birth entries above); every
         #    displaced tenant r7 AND r8 green:
+        # -- rotated out in round-15 session 2 by the HITS and
+        #    RHO-select births (displacements noted at the
+        #    q_graph_hits / q_rho_select entries above); the link-graph
+        #    compose r9-r14 sextuple green, the quality funnel r6-r14
+        #    nonuple green:
+        "q_link_graph_rank": q_link_graph_rank,
+        "q_pipeline_quality_funnel": q_pipeline_quality_funnel,
+        # -- rotated out in round-15 session 2 by the readability and
+        #    chinchilla births (displacements noted at the
+        #    q_text_readability / q_chinchilla_plan entries above);
+        #    each r6-r14 nonuple green:
+        "q_event_funnel": q_event_funnel,
+        "q_weighted_sample_per_group": q_weighted_sample_per_group,
+        # -- rotated out in round-15 session 2 by the n-gram-size
+        #    decontam ablation (displacement noted at the
+        #    q_decontam_ngram_ablation entry above); r12-r14 triple
+        #    green:
+        "q_decontam_bench": q_decontam_bench,
         "q_topic_classify": q_topic_classify,
         "q_dsir_select_bigram": q_dsir_select_bigram,
         "q_token_fertility": q_token_fertility,
@@ -8276,6 +8564,8 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY doc_id
         """,
         "q_graph_pagerank_directed": _pagerank_directed_sql(4),
+        "q_graph_hits": _hits_sql(4),
+        "q_chinchilla_plan": _chinchilla_sql(),
         "q_link_graph_rank": _link_rank_sql(4),
         "q_link_spam": _LINK_SPAM_SQL,
         "q_anchor_text": _ANCHOR_TEXT_SQL,
@@ -11479,6 +11769,53 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rn = 1
             ORDER BY src_id
         """,
+        "q_decontam_ngram_ablation": f"""
+            WITH ns(n) AS (VALUES (2), (3), (4), (5)),
+            tk AS (
+              SELECT doc_id, {_TOKS} AS toks FROM documents
+            ),
+            wide AS (SELECT doc_id, n, toks FROM tk, ns),
+            g AS (
+              SELECT doc_id, n,
+                     array_to_string(toks[i:i+n-1], ' ') AS gram
+              FROM wide,
+                   unnest(generate_series(
+                     1, greatest(len(toks) - n + 1, 0))) AS t(i)
+            ),
+            dg AS (SELECT DISTINCT doc_id, n, gram FROM g
+                   WHERE doc_id % 20 <> 0),
+            b AS (SELECT DISTINCT n, gram FROM g WHERE doc_id % 20 = 0),
+            bc AS (SELECT n, CAST(count(*) AS BIGINT) AS bench_grams
+                   FROM b GROUP BY n),
+            hits AS (
+              SELECT a.n, a.doc_id, CAST(count(*) AS BIGINT) AS h
+              FROM dg a JOIN b USING (n, gram)
+              GROUP BY a.n, a.doc_id
+            ),
+            agg AS (
+              SELECT n, CAST(count(*) AS BIGINT) AS contaminated_docs,
+                     CAST(sum(h) AS BIGINT) AS total_hits
+              FROM hits GROUP BY n
+            ),
+            tot AS (
+              SELECT n, CAST(count(*) AS BIGINT) AS corpus_docs
+              FROM documents, ns WHERE doc_id % 20 <> 0 GROUP BY n
+            )
+            SELECT t.n,
+                   coalesce(bc.bench_grams, 0) AS bench_grams,
+                   t.corpus_docs,
+                   coalesce(a.contaminated_docs, 0) AS contaminated_docs,
+                   round(CAST(coalesce(a.contaminated_docs, 0) AS DOUBLE)
+                         / t.corpus_docs, 4) AS contaminated_frac,
+                   coalesce(a.total_hits, 0) AS total_hits,
+                   round(CAST(coalesce(a.total_hits, 0) AS DOUBLE)
+                         / greatest(coalesce(a.contaminated_docs, 0), 1),
+                         4) AS mean_hits
+            FROM tot t
+            LEFT JOIN bc ON bc.n = t.n
+            LEFT JOIN agg a ON a.n = t.n
+            ORDER BY t.n
+        """,
         "q_decontaminate": f"""
             WITH tk AS (
               SELECT doc_id, {_TOKS} AS toks FROM documents
@@ -12339,6 +12676,135 @@ def oracle_sql() -> dict[str, str]:
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                      * 1.0 / sum(n_tokens) OVER (), 4) AS ret_token_frac
             FROM agg ORDER BY decile
+        """,
+        # flesch/fk_grade round through CAST(x AS VARCHAR) → DECIMAL:
+        # DuckDB round() rounds the BINARY double, but Spark F.round
+        # is HALF_UP on the SHORTEST-decimal form
+        # (BigDecimal.valueOf(double)); the varchar cast IS the
+        # shortest form, and decimal round is half-away-from-zero —
+        # bit-for-bit the engine rule (the _round_shortest_half_up
+        # convention; at 2 dp the half-tick class is common enough
+        # that the naive round() diverged on 3/500 fixture docs).
+        "q_text_readability": """
+            WITH base AS (
+              SELECT doc_id,
+                     CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(string_split(trim(text), ' ')) END
+                       AS n_words,
+                     greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+                       AS n_sentences,
+                     len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                       AS n_syllables
+              FROM documents
+            ),
+            raw AS (
+              SELECT doc_id, n_words, n_sentences, n_syllables,
+                     CAST(206.835 AS DOUBLE)
+                       - CAST(1.015 AS DOUBLE)
+                         * (CAST(n_words AS DOUBLE)
+                            / CAST(n_sentences AS DOUBLE))
+                       - CAST(84.6 AS DOUBLE)
+                         * (CAST(n_syllables AS DOUBLE)
+                            / CAST(greatest(n_words, 1) AS DOUBLE))
+                       AS fr,
+                     CAST(0.39 AS DOUBLE)
+                       * (CAST(n_words AS DOUBLE)
+                          / CAST(n_sentences AS DOUBLE))
+                       + CAST(11.8 AS DOUBLE)
+                         * (CAST(n_syllables AS DOUBLE)
+                            / CAST(greatest(n_words, 1) AS DOUBLE))
+                       - CAST(15.59 AS DOUBLE)
+                       AS gr
+              FROM base
+            ),
+            r2 AS (
+              SELECT doc_id, n_words, n_sentences, n_syllables,
+                     CAST(round(CAST(CAST(fr AS VARCHAR)
+                                     AS DECIMAL(38,18)), 2) AS DOUBLE)
+                       AS flesch,
+                     CAST(round(CAST(CAST(gr AS VARCHAR)
+                                     AS DECIMAL(38,18)), 2) AS DOUBLE)
+                       AS fk_grade
+              FROM raw
+            )
+            SELECT doc_id, n_words, n_sentences, n_syllables,
+                   flesch, fk_grade,
+                   CASE
+                     WHEN flesch >= 90 THEN 'very_easy'
+                     WHEN flesch >= 70 THEN 'easy'
+                     WHEN flesch >= 50 THEN 'medium'
+                     WHEN flesch >= 30 THEN 'difficult'
+                     ELSE 'very_difficult'
+                   END AS band
+            FROM r2
+        """,
+        "q_rho_select": """
+            WITH toks AS (
+              SELECT doc_id, source, string_split(trim(text), ' ') AS l
+              FROM documents
+            ),
+            sized AS (
+              SELECT doc_id, source, l, len(l) AS n FROM toks
+              WHERE len(l) >= 2
+            ),
+            bi AS (
+              SELECT doc_id, source, l[i] AS prev, l[i+1] AS cur
+              FROM sized,
+                   LATERAL (SELECT unnest(generate_series(1, n - 1)) AS i) g
+            ),
+            pc AS (SELECT prev, cur, count(*) AS pair_cnt FROM bi
+                   GROUP BY prev, cur),
+            ctx AS (SELECT prev, cur, pair_cnt,
+                           sum(pair_cnt) OVER (PARTITION BY prev) AS ctx_cnt
+                    FROM pc),
+            v AS (SELECT count(DISTINCT tok) AS vocab_size FROM (
+                    SELECT prev AS tok FROM bi
+                    UNION ALL SELECT cur FROM bi)),
+            lmr AS (SELECT prev, cur,
+                           ln((pair_cnt + 1.0) / (ctx_cnt + vocab_size))
+                             AS logp
+                    FROM ctx, v),
+            refce AS (
+              SELECT b.doc_id, round(-avg(m.logp), 4) AS cer
+              FROM bi b JOIN lmr m USING (prev, cur)
+              GROUP BY b.doc_id
+            ),
+            pc2 AS (SELECT source, prev, cur, count(*) AS pair_cnt FROM bi
+                    GROUP BY source, prev, cur),
+            ctx2 AS (SELECT source, prev, cur, pair_cnt,
+                            sum(pair_cnt) OVER (PARTITION BY source, prev)
+                              AS ctx_cnt
+                     FROM pc2),
+            v2 AS (SELECT source, count(DISTINCT tok) AS vocab_size FROM (
+                     SELECT source, prev AS tok FROM bi
+                     UNION ALL SELECT source, cur FROM bi) GROUP BY source),
+            lmd AS (SELECT c.source, c.prev, c.cur,
+                           ln((c.pair_cnt + 1.0)
+                              / (c.ctx_cnt + v2.vocab_size)) AS logp
+                    FROM ctx2 c JOIN v2 USING (source)),
+            domce AS (
+              SELECT b.doc_id, b.source, round(-avg(m.logp), 4) AS ced
+              FROM bi b JOIN lmd m USING (source, prev, cur)
+              GROUP BY b.doc_id, b.source
+            ),
+            scored AS (
+              SELECT d.doc_id, d.source,
+                     r.cer AS ce_uniform, d.ced AS ce_domain,
+                     round(greatest(r.cer - d.ced, 0.0), 4) AS excess
+              FROM domce d JOIN refce r USING (doc_id)
+            ),
+            ranked AS (
+              SELECT *,
+                     row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY excess DESC, doc_id) AS rnk,
+                     count(*) OVER (PARTITION BY source) AS n_src
+              FROM scored
+            )
+            SELECT doc_id, source, ce_uniform, ce_domain, excess,
+                   rnk, n_src,
+                   CAST((rnk - 1) * 2 < n_src * 1 AS INTEGER) AS keep
+            FROM ranked
         """,
         "q_mixture_doremi": """
             WITH agg AS (

@@ -538,3 +538,118 @@ def semantic_contamination(
             "contaminated"
         ),
     )
+
+
+def ngram_overlap_ablation(
+    corpus: DataFrame,
+    bench: DataFrame,
+    ns: tuple = (2, 3, 4, 5),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """N-gram-SIZE ablation of the overlap decontamination gate — the
+    decontam family's policy-knob datasheet beside the dedup family's
+    threshold/snapshot/ordering ablations: the published recipes
+    disagree on n (GPT-3 used 13-gram spans, PaLM 8, GPT-2's WebText
+    analysis 8, the Pile 13, FineWeb 10; small n over-flags, large n
+    under-flags), and this datasheet prices each candidate n on the
+    actual corpus in ONE job.
+
+    All sizes run in one plan by widening every grouping/join key
+    with an ``n`` column (the ``train_stratified_bigram_lm`` trick):
+    each side explodes a literal ``ns`` array (map-only — no join,
+    no per-n driver loop), builds its n-grams with a column-length
+    :func:`~pyspark.sql.functions.slice`, and the contamination
+    probe is :func:`contamination_hits`'s broadcast-join plan with
+    ``(n, gram)`` keys instead of ``(gram,)``. Per-doc hit counts
+    fold to one |ns|-key datasheet row per size.
+
+    Monotonicity contract (pinned by the pytest): a shared
+    ``(n+1)``-gram contains shared ``n``-grams, so the contaminated
+    set at ``n+1`` is a SUBSET of the set at ``n`` —
+    ``contaminated_docs`` is non-increasing in ``n``. (Exactly the
+    nesting the ANN radius ablation pins for probe sets.)
+
+    Returns one row per ``n`` ordered by ``n``: ``(n, bench_grams,
+    corpus_docs, contaminated_docs, contaminated_frac, total_hits,
+    mean_hits)`` — fractions and the per-contaminated-doc mean at
+    4 dp, each ONE double division of exact integer counts; a size
+    with zero hits still emits its row (zeros; the no-silent-drop
+    rule).
+
+    Scale: the widened gram explode is |ns|× the single-size plan's
+    rows through the same map-only shape; the benchmark side stays
+    broadcast-bounded (|ns|·|bench grams|); the rollups are |docs|-
+    then |ns|-key aggs. No collect, no driver loop, no per-row
+    Python.
+    """
+    szs = sorted(int(x) for x in ns)
+    n_arr = F.array(*[F.lit(x) for x in szs])
+
+    def _widened_grams(df: DataFrame) -> DataFrame:
+        staged = df.select(
+            F.col(id_col), tokens(F.col(text_col)).alias("_toks")
+        )
+        w = staged.select(id_col, F.explode(n_arr).alias("n"), "_toks")
+        cnt = F.size("_toks") - (F.col("n") - F.lit(1))
+        grams = F.when(
+            cnt <= 0, F.array().cast("array<string>")
+        ).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(cnt, F.lit(1))),
+                lambda i: F.concat_ws(
+                    " ", F.slice(F.col("_toks"), i, F.col("n"))
+                ),
+            )
+        )
+        return w.select(
+            id_col, "n", F.explode(F.array_distinct(grams)).alias("gram")
+        )
+
+    cg = _widened_grams(corpus)
+    bg = _widened_grams(bench).select("n", "gram").distinct()
+    bc = bg.groupBy("n").agg(F.count(F.lit(1)).alias("bench_grams"))
+    hits = (
+        cg.join(F.broadcast(bg), ["n", "gram"])
+        .groupBy("n", id_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("_h"))
+    )
+    agg = hits.groupBy("n").agg(
+        F.count(F.lit(1)).cast("long").alias("contaminated_docs"),
+        F.sum("_h").cast("long").alias("total_hits"),
+    )
+    tot = (
+        corpus.select(F.explode(n_arr).alias("n"))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).cast("long").alias("corpus_docs"))
+    )
+    return (
+        tot.join(F.broadcast(bc), ["n"], "left")
+        .join(F.broadcast(agg), ["n"], "left")
+        .select(
+            "n",
+            F.coalesce("bench_grams", F.lit(0)).cast("long").alias(
+                "bench_grams"
+            ),
+            "corpus_docs",
+            F.coalesce("contaminated_docs", F.lit(0)).cast("long").alias(
+                "contaminated_docs"
+            ),
+            F.round(
+                F.coalesce("contaminated_docs", F.lit(0)).cast("double")
+                / F.col("corpus_docs"),
+                4,
+            ).alias("contaminated_frac"),
+            F.coalesce("total_hits", F.lit(0)).cast("long").alias(
+                "total_hits"
+            ),
+            F.round(
+                F.coalesce("total_hits", F.lit(0)).cast("double")
+                / F.greatest(
+                    F.coalesce("contaminated_docs", F.lit(0)), F.lit(1)
+                ),
+                4,
+            ).alias("mean_hits"),
+        )
+        .orderBy("n")
+    )

@@ -779,3 +779,102 @@ def ccnet_datasheet(
         )
         .orderBy("lang", "bucket")
     )
+
+
+def rho_select(
+    docs: DataFrame,
+    keep_num: int = 1,
+    keep_den: int = 2,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """RHO-loss selective data sampling at DOCUMENT grain (Mindermann
+    et al. 2022, "Prioritized Training on Points that are Learnable,
+    Worth Learning, and Not Yet Learnt"; Lin et al. 2024, "RHO-1: Not
+    All Tokens Are What You Need" applies the same criterion at token
+    grain) — the per-document counterpart of DoReMi's per-domain
+    excess loss, and the selection face of the LM family: keep the
+    documents a strong in-domain reference model finds EASY but the
+    uniform-mixture model finds HARD (high reducible holdout loss —
+    learnable, not yet learnt); drop the rest (noise the reference
+    also can't compress, or content the uniform model already knows).
+
+    The excess-loss signal is :func:`~linz_bde_uploader_spark.
+    functions.sampling.doremi_plan`'s, re-used at doc grain (one
+    implementation, two mixture drivers):
+
+    - ``ce_uniform`` — the doc's cross-entropy under the GLOBAL
+      add-one bigram LM (:func:`train_bigram_lm` over the whole
+      corpus, the uniform-mixture proxy model);
+    - ``ce_domain`` — the same doc under its OWN domain's model
+      (:func:`train_stratified_bigram_lm`), the best-achievable
+      in-domain reference standing in for the paper's holdout model;
+    - ``excess = round(max(ce_uniform − ce_domain, 0), 4)`` — the
+      clamped reducible loss (a difference of two 4-dp values,
+      exact).
+
+    Selection is per SOURCE (rank within the domain, the "select the
+    top ρ of each domain" deployment): total order ``excess`` DESC,
+    id ASC within each source; keep the top ``ceil(n_src ·
+    keep_num / keep_den)`` by the ALL-INTEGER ceiling comparison
+    ``(rank − 1) · keep_den < n_src · keep_num`` (the D4 exact-cut
+    discipline — no float ratio can flip a boundary row). Every
+    scoreable doc emits its audit row, both sides of the cut;
+    documents with fewer than two tokens are outside the frame (the
+    LM family's documented minimum-length gate).
+
+    Returns ``(doc_id, source, ce_uniform, ce_domain, excess, rnk,
+    n_src, keep)`` — ``keep`` an int flag.
+
+    Scale: two LM train+score passes (count tables bounded by bigram
+    vocab), one doc-grain equi-join, and ONE window per source
+    partition (rank + count — |docs/source| rows per partition, the
+    ccnet_datasheet / per-cluster-rank shape; a global-fraction
+    variant at extreme skew would swap the exact rank for an
+    approx-quantile threshold on ``excess``). No driver loop, no
+    collect, no per-row Python.
+    """
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    if keep_num <= 0 or keep_den <= 0:
+        raise ValueError("keep fraction must be positive")
+
+    d2 = docs.select(
+        F.col(id_col),
+        F.col(group_col).cast("string").alias("source"),
+        F.col(text_col).alias("_text"),
+    )
+    ref = score_documents(
+        d2, train_bigram_lm(d2, id_col, "_text"), id_col, "_text"
+    ).select(id_col, F.col("cross_entropy").alias("ce_uniform"))
+    dom = score_documents_stratified(
+        d2,
+        train_stratified_bigram_lm(d2, id_col, "_text", "source"),
+        id_col,
+        "_text",
+        "source",
+    ).select(id_col, "source", F.col("cross_entropy").alias("ce_domain"))
+    scored = dom.join(ref, [id_col]).withColumn(
+        "excess",
+        F.round(
+            F.greatest(F.col("ce_uniform") - F.col("ce_domain"), F.lit(0.0)), 4
+        ),
+    )
+    w = Window.partitionBy("source")
+    wo = w.orderBy(F.desc("excess"), F.col(id_col))
+    return scored.select(
+        id_col,
+        "source",
+        "ce_uniform",
+        "ce_domain",
+        "excess",
+        F.row_number().over(wo).alias("rnk"),
+        F.count(F.lit(1)).over(w).alias("n_src"),
+    ).withColumn(
+        "keep",
+        (
+            (F.col("rnk") - 1) * F.lit(int(keep_den))
+            < F.col("n_src") * F.lit(int(keep_num))
+        ).cast("int"),
+    )

@@ -1455,3 +1455,125 @@ def data_constrained_plan(
         ),
         rd_star=rd_star,
     )
+
+
+#: Chinchilla (Hoffmann et al. 2022) approach-3 fitted constants:
+#: L(N, D) = E + A/N^alpha + B/D^beta, compute C = 6·N·D.
+CHIN_ALPHA = 0.34
+CHIN_BETA = 0.28
+CHIN_A = 406.4
+CHIN_B = 410.7
+#: derived closed-form allocation exponents/coefficient (module-level
+#: so the oracle SQL can inline repr() of the EXACT same doubles):
+#: N* = G·(C/6)^EXP_N, D* = (C/6)^EXP_D / G.
+CHIN_EXP_N = CHIN_BETA / (CHIN_ALPHA + CHIN_BETA)
+CHIN_EXP_D = CHIN_ALPHA / (CHIN_ALPHA + CHIN_BETA)
+CHIN_G = (CHIN_ALPHA * CHIN_A / (CHIN_BETA * CHIN_B)) ** (
+    1.0 / (CHIN_ALPHA + CHIN_BETA)
+)
+CHINCHILLA_EXPS = (9, 11, 13, 15, 17, 19)
+
+
+def chinchilla_plan(
+    docs: DataFrame,
+    exps: tuple = CHINCHILLA_EXPS,
+    rd_star: float = RD_STAR,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Compute-optimal training plan (Hoffmann et al. 2022,
+    "Training Compute-Optimal Large Language Models") priced against
+    the MEASURED corpus supply under the data-constrained repeat law
+    (Muennighoff et al. 2023) — the scaling family's procurement
+    datasheet: for each compute budget, how big a model, how many
+    tokens, and whether THIS corpus can feed it fresh or must repeat
+    (and what those repeats are worth).
+
+    Per compute budget ``C = 10^e`` (one row per exponent in
+    ``exps``), the paper's closed-form optimum of
+    ``L = E + A·N^−α + B·D^−β`` subject to ``C = 6·N·D``:
+
+        N* = G·(C/6)^(β/(α+β)),   D* = (C/6)^(α/(α+β)) / G,
+        G  = (αA / βB)^(1/(α+β))
+
+    with the approach-3 fitted constants (α = 0.34, β = 0.28,
+    A = 406.4, B = 410.7) — the fit that yields the published
+    ~20-tokens-per-param rule at real budgets (the ``tokens_per_param``
+    column shows the drift: the rule of thumb is budget-dependent,
+    not a constant). The optimal token demand ``D*`` is then priced
+    against the corpus's measured unique supply by
+    :func:`data_constrained_value` VERBATIM (``alloc = D*`` over the
+    one-row total-supply frame): a budget the corpus covers fresh
+    shows ``efficiency = 1.0``; past supply, epochs/repeats and the
+    law's decayed ``effective_tokens`` quantify the repeat regime.
+
+    Determinism: the supply measurement is
+    :func:`_per_source_tokens`'s exact-integer fold; the two ``pow``
+    sites freeze to LONGs at their single use (``N*``, ``D*`` —
+    the α-mixture convention), the compute literal is an exact
+    ``1e<exp>`` parse on both engines, and everything downstream is
+    the data-constrained law's audited fixed-point math.
+
+    Returns ``(source, compute_flops, n_params, alloc_tokens,
+    tokens_per_param, n_docs, tokens, epochs, repeats, repeat_value,
+    effective_tokens, efficiency)``, one row per budget ordered by
+    ``compute_flops``; ``source`` is the budget label ``C1e<exp>``
+    (the law frame's key), ``tokens`` the measured corpus supply.
+
+    Scale: ONE corpus measurement pass (map-side token counts into a
+    bounded |sources|-key agg, then a one-row total), broadcast
+    cross-joined into the |budgets| literal table (the TF-IDF
+    scalar-subquery shape); all remaining math is window-free column
+    arithmetic over |budgets| rows.
+    """
+    spark = docs.sparkSession
+    per = _per_source_tokens(docs, group_col, text_col)
+    sup = per.agg(
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.sum("tokens").cast("long").alias("tokens"),
+    )
+    budgets = spark.createDataFrame(
+        [(f"C1e{int(e)}", float(f"1e{int(e)}")) for e in exps],
+        "source string, compute_flops double",
+    )
+    m = F.col("compute_flops") / F.lit(6.0)
+    staged = (
+        budgets.crossJoin(F.broadcast(sup))
+        .select(
+            "source",
+            "compute_flops",
+            "n_docs",
+            "tokens",
+            F.round(F.lit(CHIN_G) * F.pow(m, F.lit(CHIN_EXP_N)))
+            .cast("long")
+            .alias("n_params"),
+            F.round(F.pow(m, F.lit(CHIN_EXP_D)) / F.lit(CHIN_G))
+            .cast("long")
+            .alias("alloc_tokens"),
+        )
+    )
+    val = data_constrained_value(staged, rd_star=rd_star)
+    return (
+        val.join(
+            staged.select("source", "compute_flops", "n_params"), ["source"]
+        )
+        .select(
+            "source",
+            "compute_flops",
+            "n_params",
+            "alloc_tokens",
+            F.round(
+                F.col("alloc_tokens").cast("double")
+                / F.greatest(F.col("n_params"), F.lit(1)).cast("double"),
+                2,
+            ).alias("tokens_per_param"),
+            "n_docs",
+            "tokens",
+            "epochs",
+            "repeats",
+            "repeat_value",
+            "effective_tokens",
+            "efficiency",
+        )
+        .orderBy("compute_flops")
+    )

@@ -274,6 +274,64 @@ def bpe_train(df, text_col: str, n_merges: int = 6):
     )
 
 
+def readability_signals(col: Column | str) -> dict[str, Column]:
+    """Flesch readability signals — the classic reading-ease family
+    (Flesch 1948; Kincaid et al. 1975), a standard cheap quality prior
+    for pretraining corpora beside the Gopher signals (educational-
+    value selection à la FineWeb-Edu correlates strongly with grade
+    level): words per sentence and syllables per word, folded into the
+    reading-ease score and the Flesch-Kincaid grade.
+
+    Deterministic doc-level approximations, all map-only and
+    oracle-expressible:
+
+    - ``n_sentences`` — maximal terminal-punctuation runs
+      (``[.!?]+``), floored at 1 so fragments count one sentence;
+    - ``n_syllables`` — maximal vowel runs ``[aeiouy]+`` in the
+      lowercased text (runs never cross spaces, so doc grain equals
+      the per-word sum; the standard silent-e-blind approximation —
+      a dictionary syllabifier would plug in behind the same column);
+    - ``flesch = 206.835 − 1.015·(words/sentences) −
+      84.6·(syllables/words)``, ``fk_grade = 0.39·(words/sentences)
+      + 11.8·(syllables/words) − 15.59`` — each ONE double expression
+      of exact integer counts (left-associated exactly as written, the
+      mirror of the oracle's SQL text), rounded at 2 dp; words floors
+      at 1 in the syllable ratio so an empty doc scores finitely
+      (never NULL — the no-silent-drop rule).
+
+    Returns named Columns (the :func:`quality_metrics` contract) so
+    callers select what they need and column pruning stays effective.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    words = token_count(c)
+    sentences = F.greatest(F.regexp_count(c, F.lit(r"[.!?]+")), F.lit(1))
+    syllables = F.regexp_count(F.lower(c), F.lit(r"[aeiouy]+"))
+    w1 = F.greatest(words, F.lit(1))
+    wps = words.cast("double") / sentences.cast("double")
+    spw = syllables.cast("double") / w1.cast("double")
+    flesch = F.round(
+        F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw, 2
+    )
+    fk_grade = F.round(
+        F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59), 2
+    )
+    band = (
+        F.when(flesch >= 90, F.lit("very_easy"))
+        .when(flesch >= 70, F.lit("easy"))
+        .when(flesch >= 50, F.lit("medium"))
+        .when(flesch >= 30, F.lit("difficult"))
+        .otherwise(F.lit("very_difficult"))
+    )
+    return {
+        "n_words": words,
+        "n_sentences": sentences,
+        "n_syllables": syllables,
+        "flesch": flesch,
+        "fk_grade": fk_grade,
+        "band": band,
+    }
+
+
 def dup_ngram_fraction(col: Column | str, n: int = 3) -> Column:
     """Fraction of word n-grams that are repeats of an earlier n-gram in
     the same document — the Gopher-style repetition signal (Rae et al.

@@ -109,11 +109,27 @@ WHITELIST: dict[str, tuple[str, ...]] = {
     # LM scorer, inheriting its one-row V broadcast (the
     # q_lm_perplexity shape, same plan node).
     "q_ppl_prune_ablation": ("BroadcastNestedLoopJoin",),
+    # RHO-select's uniform-reference loss composes the SAME global
+    # bigram LM scorer, inheriting its one-row V broadcast (the
+    # q_mixture_doremi shape — the stratified in-domain pass is a
+    # keyed |domains|-row BroadcastHashJoin, which doesn't loop).
+    "q_rho_select": ("BroadcastNestedLoopJoin",),
+    # The Chinchilla planner broadcasts the ONE-ROW measured-supply
+    # aggregate into the |budgets| literal table (sampling.py::
+    # chinchilla_plan) — the TF-IDF corpus-size scalar-subquery
+    # shape; one row on the loop side, six on the other.
+    "q_chinchilla_plan": ("BroadcastNestedLoopJoin",),
     # Directed PageRank's dangling-mass correction is a ONE-ROW rank
     # aggregate broadcast-cross-joined per iteration (graph.py::
     # pagerank(dangling=True)); it appears in the final plan now that
     # the last iteration is no longer eagerly checkpointed.
     "q_graph_pagerank_directed": ("BroadcastNestedLoopJoin",),
+    # HITS' L1 normalization divides each half-step by a ONE-ROW total
+    # aggregate broadcast-cross-joined in (graph.py::hits — two per
+    # iteration, auth then hub): the same scalar-subquery shape as the
+    # dangling-mass correction; one row on the loop side, map-only
+    # over the node table at any scale.
+    "q_graph_hits": ("BroadcastNestedLoopJoin",),
     # The link-graph composite ends in the same directed PageRank, so
     # it inherits the identical one-row dangling-mass broadcast per
     # iteration (graph.py::pagerank(dangling=True)) — nothing else in

@@ -222,6 +222,26 @@ PICK = [
     # materialize explode + the measured sharded applyInPandas packer
     # + two bounded rollups
     "q_training_export",
+    # round-15 session-2 birth: HITS — per iteration two edge-list
+    # equi-joins (the measured pagerank shape) + two ONE-ROW
+    # normalization-total broadcasts; work O(edges)/iteration
+    "q_graph_hits",
+    # round-15 session-2 birth: RHO-select — the measured DoReMi
+    # global+stratified LM train/score passes at doc grain + one
+    # doc-key equi join + one rank window per source partition
+    "q_rho_select",
+    # round-15 session-2 birth: readability — pure map-only regexp
+    # folds + two 2-dp double expressions; linear in bytes
+    "q_text_readability",
+    # round-15 session-2 birth: Chinchilla planner — ONE token-count
+    # measurement agg + a one-row supply broadcast into the 6-row
+    # budget table; law math is window-free constant work
+    "q_chinchilla_plan",
+    # round-15 session-2 birth: n-gram-size decontam ablation — the
+    # measured contamination_hits broadcast-probe plan with (n, gram)
+    # keys: gram explode |ns|x the single-size rows, benchmark side
+    # broadcast-bounded, |docs|- then |ns|-key rollups
+    "q_decontam_ngram_ablation",
 ]
 
 
