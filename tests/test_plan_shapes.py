@@ -124,6 +124,17 @@ def test_no_harness_query_compiles_to_scale_smell(spark):
         # round 14: the perplexity-pruning ablation composes the same
         # scorer, same one-row vocabulary broadcast
         "q_ppl_prune_ablation",
+        # round 15 session 2: HITS' per-half-step L1 normalization
+        # divides by a one-row total broadcast (the dangling-mass
+        # shape, twice per iteration)
+        "q_graph_hits",
+        # round 15 session 2: RHO-select composes the global bigram
+        # scorer — the q_mixture_doremi shape, same one-row V row
+        "q_rho_select",
+        # round 15 session 2: the Chinchilla planner broadcasts the
+        # one-row measured-supply aggregate into the 6-row budget
+        # table — the TF-IDF corpus-size shape
+        "q_chinchilla_plan",
     }
 
 
