@@ -3996,6 +3996,20 @@ def q_decontam_ngram_ablation(spark, sf_dir):
     return DX.ngram_overlap_ablation(corpus, bench, ns=(2, 3, 4, 5))
 
 
+def q_dedup_soft(spark, sf_dir):
+    # SoftDeDup duplicate REWEIGHTING (functions/dedup.py::soft_dedup
+    # — He et al. 2024): every doc stays, its sampling weight shrinks
+    # with its duplicate-cluster size under the 8-token head-prefix
+    # key (the template-page signature; 45 fixture docs cluster, max
+    # size 4 — the knob genuinely moves); keep_hard carries the
+    # hard-gate min-id baseline beside the soft weight, pricing both
+    # policies off ONE prefix-key shuffle.
+    from linz_bde_uploader_spark.functions import dedup as D2
+
+    d = W.load(spark, sf_dir, "documents")
+    return D2.soft_dedup(d, prefix_tokens=8)
+
+
 def q_stratified_sample(spark, sf_dir):
     # Corpus mixing: keep 30% of over-represented English, 80% of French,
     # 50% of everything else — a stateless codegen filter (CASE over the
@@ -6042,15 +6056,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    verbatim INSIDE this query, scrub stays oracle-checked
         #    at 51+) -> 51+
         "q_decontam_spans": q_decontam_spans,
-        # -- round-11 birth: incremental ExactSubstr ingestion gate —
-        #    new-batch shingles probed against the standing corpus's
-        #    rare-shingle index, token-level verify, per-arrival
-        #    shared-span mass (the r10 judge's #3 ask); displaced
-        #    tenant q_source_overlap (green r7-r10 quadruple; the
-        #    near-dup family keeps the exact-span trio + paragraph
-        #    grain in-window, source overlap stays oracle-checked at
-        #    51+) -> 51+
-        "q_dedup_exact_incr": q_dedup_exact_incr,
+        # -- round-15 birth (session 2): SoftDeDup duplicate
+        #    REWEIGHTING (He et al. 2024) — every doc stays, its
+        #    sampling weight shrinks with its head-prefix duplicate-
+        #    cluster size; keep_hard prices the hard min-id gate off
+        #    the same ONE prefix-key shuffle; displaced tenant
+        #    q_dedup_exact_incr (green r11-r14 quadruple; the exact
+        #    family keeps the span trio + snapshot ablation + THIS
+        #    soft face in-window, the incremental ingestion gate
+        #    stays oracle-checked at 51+ beside its streaming-face
+        #    parity pytests) -> 51+
+        "q_dedup_soft": q_dedup_soft,
         # -- round-12 birth: the literal C4 three-sentence-span dedup
         #    (corpus-wide keep-first at sentence grain, no pair join —
         #    one span-string-keyed shuffle); displaced tenant
@@ -6200,6 +6216,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    q_decontam_ngram_ablation entry above); r12-r14 triple
         #    green:
         "q_decontam_bench": q_decontam_bench,
+        # -- rotated out in round-15 session 2 by the SoftDeDup face
+        #    (displacement noted at the q_dedup_soft entry above);
+        #    r11-r14 quadruple green:
+        "q_dedup_exact_incr": q_dedup_exact_incr,
         "q_topic_classify": q_topic_classify,
         "q_dsir_select_bigram": q_dsir_select_bigram,
         "q_token_fertility": q_token_fertility,
@@ -11768,6 +11788,30 @@ def oracle_sql() -> dict[str, str]:
               FROM m
             ) WHERE rn = 1
             ORDER BY src_id
+        """,
+        "q_dedup_soft": f"""
+            WITH st AS (
+              SELECT doc_id, source,
+                     CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(string_split(trim(text), ' ')) END
+                       AS n_tokens,
+                     array_to_string(({_TOKS})[1:8], ' ') AS k
+              FROM documents
+            ),
+            w AS (
+              SELECT doc_id, source, n_tokens,
+                     CAST(count(*) OVER (PARTITION BY k) AS BIGINT)
+                       AS dup_count,
+                     min(doc_id) OVER (PARTITION BY k) AS keeper
+              FROM st
+            )
+            SELECT doc_id, source, n_tokens, dup_count,
+                   round(CAST(1.0 AS DOUBLE) / dup_count, 6)
+                     AS soft_weight,
+                   round(CAST(n_tokens AS DOUBLE) / dup_count, 4)
+                     AS effective_tokens,
+                   CAST(doc_id = keeper AS INTEGER) AS keep_hard
+            FROM w
         """,
         "q_decontam_ngram_ablation": f"""
             WITH ns(n) AS (VALUES (2), (3), (4), (5)),

@@ -2119,3 +2119,81 @@ def c4_sentence_span_dedup(
         F.size("_drop").cast("long").alias("n_removed"),
         F.concat_ws(sep, kept).alias("clean_text"),
     )
+
+
+def soft_dedup(
+    docs: DataFrame,
+    prefix_tokens: int = 8,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """SoftDeDup — duplicate REWEIGHTING instead of removal (He et al.
+    2024, "SoftDedup: an Efficient Data Reweighting Method for
+    Speeding Up Language Model Pre-training"): every document stays in
+    the corpus, but its sampling weight shrinks with the measured
+    "commonness" of its content, so the trainer sees duplicated mass
+    less often without the hard gate's information loss (the paper's
+    motivation: hard dedup deletes the tail of legitimately-common
+    content along with the spam).
+
+    The commonness signal here is the document's duplicate-CLUSTER
+    size under a head-prefix key — the first ``prefix_tokens``
+    whitespace tokens joined back to a string, the template-page
+    signature (same boilerplate lead, differing tails) that exact
+    whole-text hashing misses. One implementation, two dedup drivers:
+    ``keep_hard`` carries the hard-gate baseline (min-id winner, the
+    :func:`exact_dedup` rule) beside the soft weight, so the datasheet
+    prices both policies off one pass.
+
+    Per document: ``soft_weight = round(1 / dup_count, 6)`` and
+    ``effective_tokens = round(n_tokens / dup_count, 4)`` — each ONE
+    double division of exact integer counts (no float fold order);
+    a cluster of one keeps weight 1.0 exactly. Every document emits
+    its row (both sides of the hard gate — the no-silent-drop rule).
+
+    Returns ``(doc_id, source, n_tokens, dup_count, soft_weight,
+    effective_tokens, keep_hard)``.
+
+    Scale: ONE shuffle on the prefix key (the :func:`exact_dedup`
+    key shape with a bounded-length key instead of the whole text),
+    then a count/min window inside each cluster partition — cluster
+    sizes are the duplicate mass itself, never the corpus. Map-only
+    otherwise; no collect, no iteration.
+    """
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    from linz_bde_uploader_spark.functions.text import (  # noqa: PLC0415
+        token_count,
+        tokens,
+    )
+
+    if prefix_tokens <= 0:
+        raise ValueError("prefix_tokens must be positive")
+    key = F.concat_ws(
+        " ", F.slice(tokens(F.col(text_col)), 1, int(prefix_tokens))
+    )
+    staged = docs.select(
+        F.col(id_col),
+        F.col(group_col).cast("string").alias("source"),
+        token_count(F.col(text_col)).cast("long").alias("n_tokens"),
+        key.alias("_k"),
+    )
+    w = Window.partitionBy("_k")
+    return staged.select(
+        id_col,
+        "source",
+        "n_tokens",
+        F.count(F.lit(1)).over(w).cast("long").alias("dup_count"),
+        F.min(id_col).over(w).alias("_keeper"),
+    ).select(
+        id_col,
+        "source",
+        "n_tokens",
+        "dup_count",
+        F.round(F.lit(1.0) / F.col("dup_count"), 6).alias("soft_weight"),
+        F.round(
+            F.col("n_tokens").cast("double") / F.col("dup_count"), 4
+        ).alias("effective_tokens"),
+        (F.col(id_col) == F.col("_keeper")).cast("int").alias("keep_hard"),
+    )

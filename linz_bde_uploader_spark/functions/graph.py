@@ -213,8 +213,18 @@ def hits(
                    grp: str) -> DataFrame:
         # One HITS half-step: fold `from_col` across the edges grouped
         # by `grp`, L1-normalize via a ONE-ROW total broadcast, and
-        # re-attach the untouched other score by node.
-        raw = (
+        # re-attach the untouched other score by node. The contribution
+        # table is track()-persisted because BOTH the normalization
+        # total and the node join read it — untracked, the broadcast
+        # subtree re-evaluated the whole join+agg per half-step and the
+        # duplication COMPOUNDED down the iteration chain (measured
+        # 55 s → 18 s at sf0.1 for the 4-iteration purchase graph).
+        # The mid-loop eager checkpoint stays load-bearing even with
+        # the raws cached: an attempted checkpoint_every=4 run (no
+        # mid-loop cut) did not finish a single sf0.1 lap in 6+ min —
+        # the 16-join logical plan's OPTIMIZATION cost explodes even
+        # when execution would reuse every cache.
+        raw = track(
             e.join(cur.select(F.col("node").alias(on), from_col), on)
             .groupBy(F.col(grp).alias("node"))
             .agg(F.round(F.sum(from_col), ITER_DP).alias("_raw"))

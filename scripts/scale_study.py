@@ -237,6 +237,10 @@ PICK = [
     # measurement agg + a one-row supply broadcast into the 6-row
     # budget table; law math is window-free constant work
     "q_chinchilla_plan",
+    # round-15 session-2 birth: SoftDeDup — one shuffle on the bounded
+    # head-prefix key + a count/min window inside each duplicate
+    # cluster (cluster sizes are the duplicate mass, never the corpus)
+    "q_dedup_soft",
     # round-15 session-2 birth: n-gram-size decontam ablation — the
     # measured contamination_hits broadcast-probe plan with (n, gram)
     # keys: gram explode |ns|x the single-size rows, benchmark side

@@ -305,3 +305,50 @@ class TestNgramOverlapAblation:
         assert out[7].mean_hits == 0.0
         assert out[7].bench_grams == 0
         assert out[7].corpus_docs == 4
+
+
+class TestSoftDedup:
+    def _docs(self, spark):
+        head = "a b c d e f g h"          # shared 8-token head
+        rows = [
+            (1, "s1", head + " tail one"),
+            (2, "s1", head + " tail two differs"),
+            (3, "s2", head),               # exactly the head
+            (4, "s2", "q r s t u v w x unique tail"),
+            (5, "s1", "short doc"),        # < 8 tokens: its own cluster
+        ]
+        return spark.createDataFrame(
+            rows, "doc_id long, source string, text string"
+        )
+
+    def test_cluster_weights_and_hard_baseline(self, spark):
+        from linz_bde_uploader_spark.functions.dedup import soft_dedup
+
+        out = {r.doc_id: r for r in soft_dedup(
+            self._docs(spark), prefix_tokens=8
+        ).collect()}
+        assert set(out) == {1, 2, 3, 4, 5}  # every doc surfaces
+        # docs 1-3 share the head prefix -> one cluster of 3
+        for i in (1, 2, 3):
+            assert out[i].dup_count == 3
+            assert out[i].soft_weight == round(1 / 3, 6)
+        assert out[4].dup_count == 1 and out[4].soft_weight == 1.0
+        assert out[5].dup_count == 1
+        # hard baseline: min-id keeper only
+        assert [out[i].keep_hard for i in (1, 2, 3)] == [1, 0, 0]
+        assert out[4].keep_hard == 1 and out[5].keep_hard == 1
+        # effective tokens = n_tokens / cluster size at 4 dp
+        assert out[3].n_tokens == 8
+        assert out[3].effective_tokens == round(8 / 3, 4)
+
+    def test_soft_mass_conserved_per_cluster(self, spark):
+        # sum of soft weights over a cluster ~= 1 (each member 1/c):
+        # the reweighting keeps total sampling mass equal to the hard
+        # gate's, distributed instead of deleted
+        from linz_bde_uploader_spark.functions.dedup import soft_dedup
+
+        out = soft_dedup(self._docs(spark), prefix_tokens=8).collect()
+        mass = sum(r.soft_weight for r in out)
+        n_clusters = len({(r.dup_count, r.doc_id) for r in out
+                          if r.keep_hard == 1})
+        assert mass == pytest.approx(n_clusters, abs=1e-5)
