@@ -1742,6 +1742,97 @@ def _hits_sql(iters: int = 4) -> str:
     )
 
 
+def _gate_agreement_sql() -> str:
+    """DuckDB twin of dq.gate_agreement(): the four gate flags rebuilt
+    from their own green oracles' expressions (classifier logit chain,
+    the Gopher `passes` conjunction, the readability varchar→DECIMAL
+    engine-rule round, the stopword langid probe), one 11-sum
+    aggregate row, and the six κ arms generated as a UNION ALL —
+    κ cleared of fractions exactly as the Spark side:
+    (n·(n11+n00) − E) / (n² − E), E = na·nb + (n−na)·(n−nb)."""
+    gates = ["classifier", "gopher", "langid", "readability"]
+    pairs = [(a, b) for i, a in enumerate(gates) for b in gates[i + 1:]]
+    psums = ",\n".join(
+        f"sum(f_{a} * f_{b}) AS p_{a}_{b}" for a, b in pairs
+    )
+    gsums = ",\n".join(f"sum(f_{g}) AS s_{g}" for g in gates)
+    arms = "\n            UNION ALL\n".join(
+        f"""SELECT '{a}' AS gate_a, '{b}' AS gate_b, n,
+                   s_{a} AS na, s_{b} AS nb, p_{a}_{b} AS n11 FROM ag"""
+        for a, b in pairs
+    )
+    flesch = """CAST(round(CAST(CAST(
+                 CAST(206.835 AS DOUBLE)
+                 - CAST(1.015 AS DOUBLE)
+                   * (CAST(rw AS DOUBLE) / CAST(rs AS DOUBLE))
+                 - CAST(84.6 AS DOUBLE)
+                   * (CAST(ry AS DOUBLE)
+                      / CAST(greatest(rw, 1) AS DOUBLE))
+                 AS VARCHAR) AS DECIMAL(38,18)), 2) AS DOUBLE)"""
+    return f"""
+        WITH fl AS (
+          SELECT
+            CAST(round(1.0 / (1.0 + exp(-round(
+                   CASE WHEN cn > 0 THEN 0.0 + 4.0 * (cs / cn)
+                        ELSE 0.0 END, 6))), 6) >= 0.5 AS BIGINT)
+              AS f_classifier,
+            CAST((n BETWEEN 5 AND 100000)
+              AND (round(CAST(list_sum(list_transform(toks, t -> len(t)))
+                         AS DOUBLE) / nz, 6) BETWEEN 2.0 AND 10.0)
+              AND (round(CAST(len(list_filter(toks,
+                         t -> regexp_matches(t, '[A-Za-z]')))
+                         AS DOUBLE) / nz, 6) >= 0.8)
+              AND (len(list_filter(toks, t -> t IN {_STOPLIST})) >= 2)
+              AND (round(CAST(len(regexp_extract_all(text, '#|\\.\\.\\.'))
+                         AS DOUBLE) / nz, 6) <= 0.1)
+              AS BIGINT) AS f_gopher,
+            CAST(len(list_filter(toks, t -> t IN {_STOPLIST})) >= 3
+              AS BIGINT) AS f_langid,
+            CAST({flesch} >= 50 AS BIGINT) AS f_readability
+          FROM (
+            SELECT text, {_TOKS} AS toks, len({_TOKS}) AS n,
+                   greatest(len({_TOKS}), 1) AS nz,
+                   len(string_split(trim(text), ' ')) AS cn,
+                   list_sum(list_transform(string_split(trim(text), ' '),
+                     t -> CAST(((({_tokval('t')} % 64) + 1) * 2654435761)
+                          % 2147483647 AS DOUBLE) / 2147483647 - 0.5
+                   )) AS cs,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(string_split(trim(text), ' ')) END AS rw,
+                   greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+                     AS rs,
+                   len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                     AS ry
+            FROM documents
+          )
+        ),
+        ag AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+                 {gsums},
+                 {psums}
+          FROM fl
+        ),
+        arms AS (
+            {arms}
+        )
+        SELECT gate_a, gate_b, n, n11,
+               na - n11 AS n10,
+               nb - n11 AS n01,
+               n - na - nb + n11 AS n00,
+               round(CAST(n11 + (n - na - nb + n11) AS DOUBLE) / n, 4)
+                 AS agree_frac,
+               CASE WHEN n * n - (na * nb + (n - na) * (n - nb)) = 0
+                    THEN 0.0
+                    ELSE round(
+                      CAST(n * (n11 + (n - na - nb + n11))
+                           - (na * nb + (n - na) * (n - nb)) AS DOUBLE)
+                      / CAST(n * n - (na * nb + (n - na) * (n - nb))
+                             AS DOUBLE), 4)
+               END AS kappa
+        FROM arms ORDER BY gate_a, gate_b
+    """
+
+
 def _chinchilla_sql() -> str:
     """DuckDB twin of sampling.chinchilla_plan(): the closed-form
     optimum per literal budget over the one-row measured supply, then
@@ -4010,6 +4101,22 @@ def q_dedup_soft(spark, sf_dir):
     return D2.soft_dedup(d, prefix_tokens=8)
 
 
+def q_gate_agreement(spark, sf_dir):
+    # Inter-gate agreement audit (functions/dq.py::gate_agreement —
+    # Cohen 1960): for each PAIR of the four quality gates (Gopher /
+    # classifier / readability / langid, each running VERBATIM), the
+    # 2x2 confusion, raw agreement, and chance-corrected κ — the
+    # datasheet behind "which filter do we trust" (the FineWeb line
+    # reports near-zero heuristic-vs-learned agreement; κ exposes
+    # pairs that agree only by base rate). ONE corpus scan into an
+    # 11-sum single-row aggregate, exploded to the 6 pair rows; κ is
+    # one double division of exact integer counts.
+    from linz_bde_uploader_spark.functions.dq import gate_agreement
+
+    d = W.load(spark, sf_dir, "documents")
+    return gate_agreement(d)
+
+
 def q_stratified_sample(spark, sf_dir):
     # Corpus mixing: keep 30% of over-represented English, 80% of French,
     # 50% of everything else — a stateless codegen filter (CASE over the
@@ -6135,11 +6242,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    tenant q_event_cohort_retention (r6+r7 green; the event
         #    family keeps funnel + growth + anomaly in-window) -> 51+
         "q_event_anomaly": q_event_anomaly,
-        # -- round-8 birth: declarative data-quality audit datasheet
-        #    (null/range/FK/consistency checks); displaced tenant
-        #    q_hybrid_rrf (r6+r7 green; the retrieval family keeps
-        #    bm25 + passage in-window) -> 51+
-        "q_dq_audit": q_dq_audit,
+        # -- round-15 birth (session 2): inter-gate agreement audit
+        #    (Cohen's κ over every pair of the four quality gates,
+        #    each running VERBATIM; one 11-sum single-row agg exploded
+        #    to the 6 pair rows; κ cleared of fractions — one double
+        #    division of exact integers); displaced tenant q_dq_audit
+        #    (green r8-r14 septuple; the dq family keeps THIS
+        #    agreement audit in-window, the declarative check
+        #    datasheet stays oracle-checked at 51+) -> 51+
+        "q_gate_agreement": q_gate_agreement,
         # -- round-15 birth: multi-probe radius ablation — recall@20
         #    vs corpus-fraction-scanned at radii 0..3, every radius an
         #    exact projection of ONE scored pass (probe sets nest);
@@ -6220,6 +6331,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    (displacement noted at the q_dedup_soft entry above);
         #    r11-r14 quadruple green:
         "q_dedup_exact_incr": q_dedup_exact_incr,
+        # -- rotated out in round-15 session 2 by the gate-agreement
+        #    audit (displacement noted at the q_gate_agreement entry
+        #    above); r8-r14 septuple green:
+        "q_dq_audit": q_dq_audit,
         "q_topic_classify": q_topic_classify,
         "q_dsir_select_bigram": q_dsir_select_bigram,
         "q_token_fertility": q_token_fertility,
@@ -8586,6 +8701,7 @@ def oracle_sql() -> dict[str, str]:
         "q_graph_pagerank_directed": _pagerank_directed_sql(4),
         "q_graph_hits": _hits_sql(4),
         "q_chinchilla_plan": _chinchilla_sql(),
+        "q_gate_agreement": _gate_agreement_sql(),
         "q_link_graph_rank": _link_rank_sql(4),
         "q_link_spam": _LINK_SPAM_SQL,
         "q_anchor_text": _ANCHOR_TEXT_SQL,

@@ -115,3 +115,124 @@ def dq_audit(checks: "list[DataFrame]") -> DataFrame:
     for c in checks[1:]:
         out = out.unionByName(c)
     return out
+
+
+def gate_agreement(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Inter-gate agreement audit over the four document quality gates
+    — the pipeline-diagnostics datasheet behind every "which filter do
+    we trust" decision (the FineWeb/RefinedWeb line repeatedly reports
+    near-zero agreement between heuristic and learned filters; Cohen
+    1960 for the statistic): for every PAIR of gates, the 2×2
+    confusion counts, raw agreement, and Cohen's κ — chance-corrected,
+    so a gate pair that agrees only because both pass almost
+    everything scores ≈ 0, not ≈ 1.
+
+    The four gates run VERBATIM (one implementation per family):
+    ``gopher`` (:func:`~linz_bde_uploader_spark.functions.text.
+    gopher_pass`), ``classifier`` (:func:`~...text.quality_classifier`
+    keep at its 0.5 default), ``readability`` (:func:`~...text.
+    readability_signals` flesch ≥ 50 — the 'medium' band floor), and
+    ``langid`` (:func:`~...text.lang_guess` == 'en').
+
+    Determinism: the 2×2 cells are exact integer counts folded in ONE
+    corpus aggregate (``n``, four per-gate sums, six pairwise-AND
+    sums; the other three cells are integer arithmetic of those);
+    ``agree_frac`` and κ are each ONE double division of exact
+    integers rounded at 4 dp —
+
+        κ = (n·(n11+n00) − E) / (n² − E),
+        E = na·nb + (n−na)·(n−nb)
+
+    (the algebraic form of (pₒ−pₑ)/(1−pₑ) cleared of fractions, so no
+    intermediate float exists). A degenerate pair (both gates
+    constant ⟹ denominator 0) reports κ = 0.0 — chance explains
+    everything — never NULL.
+
+    Returns 6 rows ``(gate_a, gate_b, n, n11, n10, n01, n00,
+    agree_frac, kappa)`` ordered by (gate_a, gate_b).
+
+    Scale: the gate flags are map-only Column expressions over one
+    scan (the classifier's fold, the Gopher signals, two readability
+    regexps, the stopword probe); ONE 11-sum partial aggregate to a
+    single row; the 6-row datasheet is a literal explode of that row.
+    Int64 is safe to n ≈ 3·10⁹ docs per audit partition (n² in the κ
+    denominator); shard the audit by ingest partition past that.
+    """
+    from linz_bde_uploader_spark.functions.text import (  # noqa: PLC0415
+        gopher_pass,
+        lang_guess,
+        quality_classifier,
+        readability_signals,
+    )
+
+    qc = quality_classifier(docs, id_col=id_col, text_col=text_col,
+                            passthrough=(text_col,))
+    flags = qc.select(
+        F.col("keep").cast("long").alias("f_classifier"),
+        gopher_pass(text_col).cast("long").alias("f_gopher"),
+        (readability_signals(text_col)["flesch"] >= 50)
+        .cast("long")
+        .alias("f_readability"),
+        (lang_guess(text_col) == "en").cast("long").alias("f_langid"),
+    )
+    gates = ["classifier", "gopher", "langid", "readability"]
+    pairs = [
+        (a, b) for i, a in enumerate(gates) for b in gates[i + 1:]
+    ]
+    aggs = [F.count(F.lit(1)).cast("long").alias("n")]
+    aggs += [F.sum(f"f_{g}").cast("long").alias(f"s_{g}") for g in gates]
+    aggs += [
+        F.sum(F.col(f"f_{a}") * F.col(f"f_{b}"))
+        .cast("long")
+        .alias(f"p_{a}_{b}")
+        for a, b in pairs
+    ]
+    one = flags.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(a).alias("gate_a"),
+                F.lit(b).alias("gate_b"),
+                F.col(f"s_{a}").alias("na"),
+                F.col(f"s_{b}").alias("nb"),
+                F.col(f"p_{a}_{b}").alias("n11"),
+            )
+            for a, b in pairs
+        ]
+    )
+    ex = one.select("n", F.explode(rows).alias("r")).select(
+        F.col("r.gate_a").alias("gate_a"),
+        F.col("r.gate_b").alias("gate_b"),
+        "n",
+        F.col("r.n11").alias("n11"),
+        (F.col("r.na") - F.col("r.n11")).alias("n10"),
+        (F.col("r.nb") - F.col("r.n11")).alias("n01"),
+        (F.col("n") - F.col("r.na") - F.col("r.nb") + F.col("r.n11"))
+        .alias("n00"),
+        F.col("r.na").alias("_na"),
+        F.col("r.nb").alias("_nb"),
+    )
+    e = F.col("_na") * F.col("_nb") + (F.col("n") - F.col("_na")) * (
+        F.col("n") - F.col("_nb")
+    )
+    num = F.col("n") * (F.col("n11") + F.col("n00")) - e
+    den = F.col("n") * F.col("n") - e
+    return ex.select(
+        "gate_a",
+        "gate_b",
+        "n",
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        F.round(
+            (F.col("n11") + F.col("n00")).cast("double") / F.col("n"), 4
+        ).alias("agree_frac"),
+        F.when(den == 0, F.lit(0.0))
+        .otherwise(F.round(num.cast("double") / den.cast("double"), 4))
+        .alias("kappa"),
+    ).orderBy("gate_a", "gate_b")

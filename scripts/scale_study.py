@@ -237,6 +237,10 @@ PICK = [
     # measurement agg + a one-row supply broadcast into the 6-row
     # budget table; law math is window-free constant work
     "q_chinchilla_plan",
+    # round-15 session-2 birth: gate agreement — four map-only gate
+    # flags in one scan folded to an 11-sum single-row agg + a 6-row
+    # literal explode; linear in bytes, constant state
+    "q_gate_agreement",
     # round-15 session-2 birth: SoftDeDup — one shuffle on the bounded
     # head-prefix key + a count/min window inside each duplicate
     # cluster (cluster sizes are the duplicate mass, never the corpus)

@@ -352,3 +352,51 @@ class TestSoftDedup:
         n_clusters = len({(r.dup_count, r.doc_id) for r in out
                           if r.keep_hard == 1})
         assert mass == pytest.approx(n_clusters, abs=1e-5)
+
+
+class TestGateAgreement:
+    def test_cells_consistent_and_kappa_formula(self, spark):
+        from linz_bde_uploader_spark.functions.dq import gate_agreement
+
+        d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        out = gate_agreement(d).collect()
+        assert len(out) == 6
+        assert [(r.gate_a, r.gate_b) for r in out] == [
+            ("classifier", "gopher"), ("classifier", "langid"),
+            ("classifier", "readability"), ("gopher", "langid"),
+            ("gopher", "readability"), ("langid", "readability"),
+        ]
+        ns = {r.n for r in out}
+        assert len(ns) == 1
+        n = ns.pop()
+        for r in out:
+            assert r.n11 + r.n10 + r.n01 + r.n00 == n
+            assert r.agree_frac == round((r.n11 + r.n00) / n, 4)
+            na, nb = r.n11 + r.n10, r.n11 + r.n01
+            e = na * nb + (n - na) * (n - nb)
+            den = n * n - e
+            expect = 0.0 if den == 0 else round(
+                (n * (r.n11 + r.n00) - e) / den, 4
+            )
+            assert r.kappa == pytest.approx(expect, abs=1e-9)
+        # the statistic discriminates on the fixtures: the two
+        # stopword-driven heuristics agree far above chance, while at
+        # least one pair sits at/below chance (base-rate agreement
+        # that raw agree_frac would overstate)
+        by = {(r.gate_a, r.gate_b): r for r in out}
+        assert by[("gopher", "langid")].kappa > 0.5
+        assert min(r.kappa for r in out) < 0.05
+
+    def test_degenerate_pair_reports_zero(self, spark):
+        from linz_bde_uploader_spark.functions.dq import gate_agreement
+
+        # every doc passes langid and gopher identically and both are
+        # CONSTANT (all pass): denominator 0 -> kappa 0.0, never NULL
+        d = spark.createDataFrame(
+            [(i, ("the of and to a in is it " * 4).strip())
+             for i in range(6)],
+            "doc_id long, text string",
+        )
+        out = {(r.gate_a, r.gate_b): r for r in gate_agreement(d).collect()}
+        r = out[("gopher", "langid")]
+        assert r.n11 == 6 and r.n00 == 0 and r.kappa == 0.0
