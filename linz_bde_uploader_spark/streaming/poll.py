@@ -1995,3 +1995,170 @@ def mixture_realize_finalize(
         "source string, n_docs long, tokens long, alloc_tokens long",
     )
     return realization_datasheet_from_counters(plan, per_epoch)
+
+
+def soft_dedup_batch_fn(
+    spark: SparkSession,
+    state_dir: str,
+    prefix_tokens: int = 8,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Build the per-micro-batch closure :func:`soft_dedup_stream`
+    hands to ``foreachBatch`` — the arrival-time face of
+    :func:`~linz_bde_uploader_spark.functions.dedup.soft_dedup`
+    (SoftDeDup duplicate REWEIGHTING): maintain the standing
+    duplicate-cluster counts a live ingestion gate reads, without ever
+    deleting a document. Both per-cluster reductions are order-free
+    folds (count is additive, keeper is a min), so the face has EXACT
+    batch parity under ANY arrival order — the weighted-reservoir
+    contract class, pinned by the parity test on two interleavings.
+
+    State under ``state_dir``:
+
+    - ``counts`` — one cumulative snapshot per micro-batch
+      ``(k, dup_count, keeper)``: the standing commonness signal
+      (latest snapshot dominates — each batch merges the previous
+      snapshot with its own per-key rollup, sum/min, so per-batch
+      work is O(standing keys + batch), never stream age).
+    - ``members`` — per batch, the arrivals' ``(doc_id, source,
+      n_tokens, k)`` rows — ids and a bounded prefix key, never the
+      payload; the recovery basis the finalizer re-weights.
+    - ``audit`` — one row per micro-batch: arrivals, batch clusters,
+      standing clusters after the merge (an empty poll still writes
+      its row — zeros, snapshot carried).
+
+    Replay-safe by the standing contract: state is read with
+    ``before_batch=batch_id`` (counts: latest strictly-prior
+    snapshot) and every write overwrites its own partition.
+    """
+    from linz_bde_uploader_spark.functions.text import (  # noqa: PLC0415
+        token_count,
+        tokens,
+    )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        prev = _state_read_latest(
+            spark, f"{state_dir}/counts", before_batch=batch_id
+        )
+        key = F.concat_ws(
+            " ", F.slice(tokens(F.col(text_col)), 1, int(prefix_tokens))
+        )
+        mem = batch_df.select(
+            F.col(id_col),
+            F.col(group_col).cast("string").alias("source"),
+            token_count(F.col(text_col)).cast("long").alias("n_tokens"),
+            key.alias("k"),
+        )
+        bc = mem.groupBy("k").agg(
+            F.count(F.lit(1)).cast("long").alias("dup_count"),
+            F.min(id_col).alias("keeper"),
+        )
+        merged = bc if prev is None else (
+            bc.unionByName(prev.select("k", "dup_count", "keeper"))
+            .groupBy("k")
+            .agg(
+                F.sum("dup_count").cast("long").alias("dup_count"),
+                F.min("keeper").alias("keeper"),
+            )
+        )
+        merged = merged.persist()
+        try:
+            _state_write(merged, f"{state_dir}/counts", batch_id)
+            _state_write(mem, f"{state_dir}/members", batch_id)
+            audit = (
+                batch_df.agg(
+                    F.count(F.lit(1)).cast("long").alias("n_arrived")
+                )
+                .crossJoin(
+                    bc.agg(
+                        F.count(F.lit(1)).cast("long").alias(
+                            "n_batch_clusters"
+                        )
+                    )
+                )
+                .crossJoin(
+                    merged.agg(
+                        F.count(F.lit(1)).cast("long").alias(
+                            "n_standing_clusters"
+                        )
+                    )
+                )
+            )
+            _state_write(audit, f"{state_dir}/audit", batch_id)
+        finally:
+            merged.unpersist()
+
+    return apply_batch
+
+
+def soft_dedup_stream(
+    spark: SparkSession,
+    staging_dir: str,
+    schema: T.StructType,
+    checkpoint_dir: str,
+    state_dir: str,
+    prefix_tokens: int = 8,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_files_per_trigger: int | None = None,
+):
+    """Streaming SoftDeDup — maintain the standing duplicate-cluster
+    counts (and the reweighting basis) over everything that has ever
+    arrived; the soft-policy sibling of the hard streaming dedup gate.
+    Same prefix key and weight rule as the batch operator (one
+    implementation, two drivers); see :func:`soft_dedup_batch_fn` for
+    the state layout and the exact any-order parity contract."""
+    apply_batch = soft_dedup_batch_fn(
+        spark, state_dir, prefix_tokens=prefix_tokens,
+        group_col=group_col, text_col=text_col, id_col=id_col,
+    )
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return (
+        reader.parquet(staging_dir)
+        .writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def soft_dedup_finalize(
+    spark: SparkSession, state_dir: str, id_col: str = "doc_id"
+) -> DataFrame:
+    """The standing per-document reweighting datasheet: the member
+    union (distinct — replays overwrite their own partition, but a
+    crashed-then-replayed batch may leave duplicates across
+    partitions) re-weighted by a count/min window over the prefix
+    key — STRUCTURALLY the batch
+    :func:`~linz_bde_uploader_spark.functions.dedup.soft_dedup` over
+    everything arrived (the parity test also pins the latest
+    ``counts`` snapshot equal to the members-derived rollup)."""
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    mem = _state_read(spark, f"{state_dir}/members")
+    if mem is None:
+        raise ValueError(f"no members state under {state_dir}")
+    base = mem.select(id_col, "source", "n_tokens", "k").distinct()
+    w = Window.partitionBy("k")
+    return base.select(
+        id_col,
+        "source",
+        "n_tokens",
+        F.count(F.lit(1)).over(w).cast("long").alias("dup_count"),
+        F.min(id_col).over(w).alias("_keeper"),
+    ).select(
+        id_col,
+        "source",
+        "n_tokens",
+        "dup_count",
+        F.round(F.lit(1.0) / F.col("dup_count"), 6).alias("soft_weight"),
+        F.round(
+            F.col("n_tokens").cast("double") / F.col("dup_count"), 4
+        ).alias("effective_tokens"),
+        (F.col(id_col) == F.col("_keeper")).cast("int").alias("keep_hard"),
+    )

@@ -1838,3 +1838,150 @@ def test_mixture_realize_replay_and_audit(spark, tmp_path):
         F.col("batch_id") == 2
     )
     assert c2.count() == 0
+
+
+def _soft_docs(spark):
+    # three head-prefix clusters (sizes 3, 2, 1) + unique docs; ids
+    # chosen so every interleaving splits at least one cluster across
+    # micro-batches (the merge path is exercised, not just the seed)
+    head_a = "a b c d e f g h"
+    head_b = "p q r s t u v w"
+    rows = [
+        (1, "s1", head_a + " one"),
+        (2, "s1", head_a + " two two"),
+        (203, "s2", head_a + " three"),
+        (4, "s2", head_b + " x"),
+        (205, "s1", head_b + " y y"),
+        (6, "s2", "lone doc six tokens here now"),
+        (207, "s1", "another unique document entirely"),
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    )
+
+
+def test_soft_dedup_stream_any_order_parity(spark, tmp_path):
+    """The streaming SoftDeDup reweighting must equal the batch
+    soft_dedup over everything arrived under ANY arrival order (count
+    is additive, keeper is a min — both order-free folds), pinned on
+    two different interleavings; the standing counts snapshot must
+    agree with the members-derived rollup."""
+    import glob
+    import os
+    import shutil
+
+    from linz_bde_uploader_spark.functions.dedup import soft_dedup
+    from linz_bde_uploader_spark.streaming.poll import (
+        soft_dedup_finalize,
+        soft_dedup_stream,
+    )
+
+    docs = _soft_docs(spark)
+    want = sorted(map(tuple, soft_dedup(docs, prefix_tokens=8).collect()))
+
+    def run(order_flip, root):
+        staging = root / "staging"
+        staging.mkdir(parents=True)
+
+        def put_chunk(df, i):
+            tmp_out = root / f"chunk{i}"
+            df.coalesce(1).write.parquet(str(tmp_out))
+            (part,) = glob.glob(str(tmp_out / "part-*.parquet"))
+            dst = staging / f"{i:03d}.parquet"
+            shutil.copy(part, dst)
+            os.utime(dst, (1_700_000_000 + i * 10,) * 2)
+
+        if order_flip:
+            chunks = [docs.filter(F.col("doc_id") % 2 == m) for m in (1, 0)]
+        else:
+            chunks = [
+                docs.filter(F.col("doc_id") < 100),
+                docs.filter(F.col("doc_id") >= 100),
+            ]
+        for i, c in enumerate(chunks):
+            put_chunk(c, i)
+        state = str(root / "state")
+        q = soft_dedup_stream(
+            spark, str(staging), docs.schema, str(root / "ckpt"), state,
+            prefix_tokens=8, max_files_per_trigger=1,
+        )
+        assert q.awaitTermination(600)
+        got = sorted(map(tuple, soft_dedup_finalize(spark, state).collect()))
+        # standing counts snapshot == members-derived rollup
+        import os as _os
+        latest = max(
+            int(e.split("=", 1)[1])
+            for e in _os.listdir(f"{state}/counts")
+            if e.startswith("batch_id=")
+        )
+        cnt = {
+            r.k: (r.dup_count, r.keeper)
+            for r in spark.read.parquet(
+                f"{state}/counts/batch_id={latest}"
+            ).collect()
+        }
+        derived = {
+            r.k: (r.dup_count, r.keeper)
+            for r in spark.read.parquet(f"{state}/members")
+            .select("doc_id", "k").distinct()
+            .groupBy("k")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("dup_count"),
+                F.min("doc_id").alias("keeper"),
+            )
+            .collect()
+        }
+        assert cnt == derived
+        return got
+
+    got_a = run(False, tmp_path / "a")
+    got_b = run(True, tmp_path / "b")
+    assert got_a == want
+    assert got_b == want
+
+
+def test_soft_dedup_stream_replay_and_empty_poll(spark, tmp_path):
+    """Replaying a committed micro-batch leaves counts/members/audit
+    unchanged (strictly-prior state read + overwrite-per-partition);
+    an empty poll still writes its audit row with the standing
+    cluster count carried."""
+    from linz_bde_uploader_spark.streaming.poll import soft_dedup_batch_fn
+
+    docs = _soft_docs(spark)
+    state = str(tmp_path / "state")
+    fn = soft_dedup_batch_fn(spark, state, prefix_tokens=8)
+    b0 = docs.filter(F.col("doc_id") < 100)
+    b1 = docs.filter(F.col("doc_id") >= 100)
+    fn(b0, 0)
+    fn(b1, 1)
+
+    def snap():
+        out = {}
+        for part in ("counts", "members", "audit"):
+            out[part] = sorted(
+                map(tuple, spark.read.parquet(f"{state}/{part}").collect())
+            )
+        return out
+
+    before = snap()
+    fn(b1, 1)  # replay the LAST committed batch
+    assert snap() == before
+    fn(b0, 0)  # replay an EARLIER batch (must not self-read)
+    assert snap() == before
+
+    aud = {
+        r.batch_id: r for r in spark.read.parquet(f"{state}/audit").collect()
+    }
+    assert aud[0].n_arrived == b0.count()
+    assert aud[1].n_arrived == b1.count()
+    # head_a and head_b clusters span both batches: standing clusters
+    # after batch 1 must be the TRUE global cluster count (4), not the
+    # sum of the per-batch counts (3 + 3)
+    assert aud[1].n_standing_clusters == 4
+
+    fn(docs.filter(F.lit(False)), 2)
+    aud2 = spark.read.parquet(f"{state}/audit").filter(
+        F.col("batch_id") == 2
+    ).collect()[0]
+    assert (aud2.n_arrived, aud2.n_batch_clusters) == (0, 0)
+    assert aud2.n_standing_clusters == 4
