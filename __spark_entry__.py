@@ -1827,7 +1827,7 @@ def _gate_agreement_sql() -> str:
                       CAST(n * (n11 + (n - na - nb + n11))
                            - (na * nb + (n - na) * (n - nb)) AS DOUBLE)
                       / CAST(n * n - (na * nb + (n - na) * (n - nb))
-                             AS DOUBLE), 4)
+                             AS DOUBLE), 4) + 0.0
                END AS kappa
         FROM arms ORDER BY gate_a, gate_b
     """
@@ -12881,10 +12881,10 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, n_words, n_sentences, n_syllables,
                      CAST(round(CAST(CAST(fr AS VARCHAR)
                                      AS DECIMAL(38,18)), 2) AS DOUBLE)
-                       AS flesch,
+                       + 0.0 AS flesch,
                      CAST(round(CAST(CAST(gr AS VARCHAR)
                                      AS DECIMAL(38,18)), 2) AS DOUBLE)
-                       AS fk_grade
+                       + 0.0 AS fk_grade
               FROM raw
             )
             SELECT doc_id, n_words, n_sentences, n_syllables,

@@ -232,7 +232,14 @@ def gate_agreement(
         F.round(
             (F.col("n11") + F.col("n00")).cast("double") / F.col("n"), 4
         ).alias("agree_frac"),
+        # + 0.0 normalizes IEEE negative zero: a tiny negative kappa
+        # rounds to -0.0, whose repr ('-0.0') would hash-mismatch an
+        # oracle's 0.0 (the ES sampling-key lesson); -0.0 + 0.0 = +0.0
+        # in IEEE on both engines, and every other value is unchanged.
         F.when(den == 0, F.lit(0.0))
-        .otherwise(F.round(num.cast("double") / den.cast("double"), 4))
+        .otherwise(
+            F.round(num.cast("double") / den.cast("double"), 4)
+            + F.lit(0.0)
+        )
         .alias("kappa"),
     ).orderBy("gate_a", "gate_b")

@@ -309,11 +309,18 @@ def readability_signals(col: Column | str) -> dict[str, Column]:
     w1 = F.greatest(words, F.lit(1))
     wps = words.cast("double") / sentences.cast("double")
     spw = syllables.cast("double") / w1.cast("double")
-    flesch = F.round(
-        F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw, 2
+    # + 0.0 normalizes IEEE negative zero (a score in (-0.005, 0)
+    # rounds to -0.0, whose repr would hash-mismatch an oracle's 0.0 —
+    # the ES sampling-key lesson); all other values are unchanged.
+    flesch = (
+        F.round(
+            F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw, 2
+        )
+        + F.lit(0.0)
     )
-    fk_grade = F.round(
-        F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59), 2
+    fk_grade = (
+        F.round(F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59), 2)
+        + F.lit(0.0)
     )
     band = (
         F.when(flesch >= 90, F.lit("very_easy"))
