@@ -878,3 +878,112 @@ def rho_select(
             < F.col("n_src") * F.lit(int(keep_num))
         ).cast("int"),
     )
+
+
+def unigram_score_documents(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Add-one UNIGRAM LM perplexity per document — the order-1 member
+    of the scorer family (:func:`score_documents` is order 2,
+    :func:`trigram_score_documents` order 3): ``p(t) = (c(t) + 1) /
+    (T + V)`` over the global token counts, the same add-one smoothing
+    and 4-dp rounding contract as the bigram scorer. Every document
+    with ≥ 1 token scores (no bigram minimum); the count table is
+    bounded by the vocabulary and the ``(T, V)`` totals row is the
+    family's ONE-ROW broadcast (the whitelisted scalar-subquery
+    shape).
+
+    Returns ``(id, n_grams, cross_entropy, perplexity)``."""
+    t = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.col(text_col)), " ")).alias("tok"),
+    )
+    cnt = t.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("_c"))
+    tot = cnt.agg(
+        F.sum("_c").cast("double").alias("_tt"),
+        F.count(F.lit(1)).cast("long").alias("_v"),
+    )
+    scored = (
+        t.join(cnt, "tok")
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "_logp",
+            F.log((F.col("_c") + F.lit(1.0)) / (F.col("_tt") + F.col("_v"))),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams"),
+        F.round(-F.avg("_logp"), 4).alias("cross_entropy"),
+        F.round(F.exp(F.round(-F.avg("_logp"), 4)), 4).alias("perplexity"),
+    )
+
+
+def ngram_order_ablation(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """LM-ORDER ablation of the perplexity gate — the LM family's
+    policy-knob datasheet beside the decontam-n and dedup-threshold
+    ablations: CCNet ships a 5-gram KenLM, the engine's gate is a
+    bigram, and "which order is worth its count table" is priced here
+    by scoring the SAME document set under orders 1, 2 and 3 (each
+    scorer runs VERBATIM — :func:`unigram_score_documents`,
+    :func:`score_documents` over :func:`train_bigram_lm`,
+    :func:`trigram_score_documents`).
+
+    Comparison-set discipline: only documents with ≥ 3 tokens (every
+    order scoreable) enter the means — a shorter doc would bias the
+    lower orders' rows with documents the trigram cannot score. Each
+    scorer still TRAINS on its own full frame, exactly as deployed.
+
+    Per order: ``(ord, n_docs, n_grams, mean_ce, mean_ppl)`` — the
+    means are exact scaled-integer folds of the scorers' 4-dp per-doc
+    values (sum of round(x·10⁴) longs, ONE double division at the
+    end — the ccnet_datasheet convention), so no float fold order can
+    move them. Lower mean_ce at higher order = the paid-for context
+    helps on THIS corpus; an inversion (trigram above bigram) is the
+    sparse-counts signal that the bigger table is memorizing noise.
+
+    Scale: the three measured scorer plans (count tables bounded by
+    vocab / bigram / trigram type counts; the one-row totals
+    broadcasts are the family's whitelisted shape), one ≥3-token id
+    frame broadcast-joined into each score stream, three 1-row aggs
+    union'd shuffle-free. No driver loop, no collect.
+    """
+    common = docs.filter(
+        F.size(F.split(F.trim(F.col(text_col)), " ")) >= 3
+    ).select(id_col)
+    uni = unigram_score_documents(docs, id_col, text_col)
+    bi = score_documents(
+        docs, train_bigram_lm(docs, id_col, text_col), id_col, text_col
+    ).withColumnRenamed("n_bigrams", "n_grams")
+    tri = trigram_score_documents(
+        docs, id_col=id_col, text_col=text_col
+    ).withColumnRenamed("n_trigrams", "n_grams")
+
+    def _fold(scored: DataFrame, order: int) -> DataFrame:
+        s = scored.join(common, [id_col], "left_semi")
+        return s.agg(
+            F.lit(int(order)).alias("ord"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_grams").cast("long").alias("n_grams"),
+            F.round(
+                F.sum(F.round(F.col("cross_entropy") * 1e4).cast("long"))
+                / (F.lit(1e4) * F.count(F.lit(1))),
+                4,
+            ).alias("mean_ce"),
+            F.round(
+                F.sum(F.round(F.col("perplexity") * 1e4).cast("long"))
+                / (F.lit(1e4) * F.count(F.lit(1))),
+                4,
+            ).alias("mean_ppl"),
+        )
+    return (
+        _fold(uni, 1)
+        .unionByName(_fold(bi, 2))
+        .unionByName(_fold(tri, 3))
+        .orderBy("ord")
+    )

@@ -114,6 +114,11 @@ WHITELIST: dict[str, tuple[str, ...]] = {
     # q_mixture_doremi shape — the stratified in-domain pass is a
     # keyed |domains|-row BroadcastHashJoin, which doesn't loop).
     "q_rho_select": ("BroadcastNestedLoopJoin",),
+    # The LM-order ablation composes all three scorers, inheriting the
+    # bigram's one-row V broadcast, the trigram's one-row (T, V)
+    # totals broadcast, and the order-1 scorer's identical totals row
+    # (lm.py::unigram_score_documents) — every loop side is one row.
+    "q_lm_order_ablation": ("BroadcastNestedLoopJoin",),
     # The Chinchilla planner broadcasts the ONE-ROW measured-supply
     # aggregate into the |budgets| literal table (sampling.py::
     # chinchilla_plan) — the TF-IDF corpus-size scalar-subquery

@@ -237,6 +237,10 @@ PICK = [
     # measurement agg + a one-row supply broadcast into the 6-row
     # budget table; law math is window-free constant work
     "q_chinchilla_plan",
+    # round-15 session-2 birth: LM-order ablation — the three measured
+    # scorer plans (count tables bounded by vocab/bigram/trigram type
+    # counts) + a broadcast id semi-join + three 1-row aggs
+    "q_lm_order_ablation",
     # round-15 session-2 birth: gate agreement — four map-only gate
     # flags in one scan folded to an 11-sum single-row agg + a 6-row
     # literal explode; linear in bytes, constant state

@@ -135,6 +135,9 @@ def test_no_harness_query_compiles_to_scale_smell(spark):
         # one-row measured-supply aggregate into the 6-row budget
         # table — the TF-IDF corpus-size shape
         "q_chinchilla_plan",
+        # round 15 session 2: the LM-order ablation composes all three
+        # scorers, inheriting their one-row totals broadcasts
+        "q_lm_order_ablation",
     }
 
 

@@ -400,3 +400,70 @@ class TestGateAgreement:
         out = {(r.gate_a, r.gate_b): r for r in gate_agreement(d).collect()}
         r = out[("gopher", "langid")]
         assert r.n11 == 6 and r.n00 == 0 and r.kappa == 0.0
+
+
+class TestLmOrderAblation:
+    def _docs(self, spark):
+        rows = [
+            (1, "x y z x y z x"),
+            (2, "x y x y x y"),
+            (3, "z z z z"),
+            (4, "p q"),       # 2 tokens: outside the comparison set
+            (5, "q"),         # 1 token: outside
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_comparison_set_and_gram_counts(self, spark):
+        from linz_bde_uploader_spark.functions.lm import ngram_order_ablation
+
+        out = {r.ord: r for r in ngram_order_ablation(
+            self._docs(spark)
+        ).collect()}
+        assert sorted(out) == [1, 2, 3]
+        # docs 4 and 5 are outside EVERY order's mean (comparison-set
+        # discipline), even though orders 1-2 could score doc 4
+        assert all(out[o].n_docs == 3 for o in (1, 2, 3))
+        # n_grams over the common set: sum(n_tok - ord + 1)
+        toks = {1: 7, 2: 6, 3: 4}
+        for o in (1, 2, 3):
+            assert out[o].n_grams == sum(t - o + 1 for t in toks.values())
+
+    def test_means_match_scorers_verbatim(self, spark):
+        from linz_bde_uploader_spark.functions.lm import (
+            ngram_order_ablation,
+            score_documents,
+            train_bigram_lm,
+            trigram_score_documents,
+            unigram_score_documents,
+        )
+
+        docs = self._docs(spark)
+        out = {r.ord: r for r in ngram_order_ablation(docs).collect()}
+        common = {1, 2, 3}
+        scored = {
+            1: unigram_score_documents(docs).collect(),
+            2: score_documents(docs, train_bigram_lm(docs)).collect(),
+            3: trigram_score_documents(docs).collect(),
+        }
+        for o, rows in scored.items():
+            ces = [r.cross_entropy for r in rows if r.doc_id in common]
+            ppls = [r.perplexity for r in rows if r.doc_id in common]
+            n = len(ces)
+            want_ce = round(sum(round(c * 1e4) for c in ces) / (1e4 * n), 4)
+            want_pp = round(sum(round(p * 1e4) for p in ppls) / (1e4 * n), 4)
+            assert out[o].mean_ce == pytest.approx(want_ce, abs=1e-9)
+            assert out[o].mean_ppl == pytest.approx(want_pp, abs=1e-9)
+
+    def test_unigram_scorer_hand_check(self, spark):
+        # corpus 'a a b': p(a) = (2+1)/(3+2), p(b) = (1+1)/(3+2)
+        import math
+
+        from linz_bde_uploader_spark.functions.lm import (
+            unigram_score_documents,
+        )
+
+        d = spark.createDataFrame([(1, "a a b")], "doc_id long, text string")
+        r = unigram_score_documents(d).collect()[0]
+        want = round(-(2 * math.log(3 / 5) + math.log(2 / 5)) / 3, 4)
+        assert r.n_grams == 3
+        assert r.cross_entropy == pytest.approx(want, abs=1e-9)
