@@ -40,8 +40,57 @@ KEYSWAP_MOD = 50
 KEYSWAP_SHIFT = 20_000
 
 
+#: memoized scan-split estimate per parquet file path — file metadata,
+#: not query results (the file set is immutable for a given sf_dir).
+_SCAN_SPLITS: dict[str, int] = {}
+
+
+def _scan_splits(path: str, max_split_bytes: int = 128 * 1024 * 1024) -> int:
+    """Estimate how many partitions Spark's scan will produce for a
+    parquet file: byte-range splits of ``maxPartitionBytes`` (default
+    128 MB), and a split without a row-group midpoint yields no rows,
+    so the effective parallelism is bounded by the row-group count.
+    Read from the footer once per path — the previous implementation
+    asked ``df.rdd.getNumPartitions()``, which compiles an RDD
+    conversion plan on the DRIVER for every call; at ~140 query
+    call-sites that is pure repeated driver work (guide §5: the driver
+    should do almost no data work)."""
+    if path not in _SCAN_SPLITS:
+        import os
+
+        import pyarrow.parquet as pq
+
+        size_splits = max(1, -(-os.path.getsize(path) // max_split_bytes))
+        _SCAN_SPLITS[path] = min(
+            size_splits, max(1, pq.ParquetFile(path).metadata.num_row_groups)
+        )
+    return _SCAN_SPLITS[path]
+
+
+#: memoized parquet schema per file path — file metadata, not query
+#: results (the file set is immutable for a given sf_dir). A bare
+#: ``spark.read.parquet(path)`` runs driver-side schema inference on
+#: EVERY call (~210 ms measured vs ~37 ms schema-pinned); across ~200
+#: load call-sites per bench lap that is tens of seconds of pure
+#: repeated driver work (guide §5/§6 — cache file metadata, keep the
+#: driver out of per-query data work). Keyed by path plus the one conf
+#: that changes what inference returns for the events layout.
+_SCHEMAS: dict[tuple[str, str], object] = {}
+
+
+def _pinned_reader(spark: SparkSession, path: str):
+    conf_key = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
+    key = (path, conf_key)
+    sch = _SCHEMAS.get(key)
+    if sch is None:
+        sch = spark.read.parquet(path).schema
+        _SCHEMAS[key] = sch
+    return spark.read.schema(sch)
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    df = _pinned_reader(spark, path).parquet(path)
     if name in ("documents", "embeddings"):
         # The synthetic documents/embeddings parquet is a single row
         # group, so the scan yields ONE partition and every per-row
@@ -52,7 +101,7 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # real corpus the input arrives as many files/row groups and
         # this is a no-op-sized safety net.)
         par = spark.sparkContext.defaultParallelism
-        if df.rdd.getNumPartitions() < par:
+        if _scan_splits(f"{sf_dir}/{name}.parquet") < par:
             df = df.repartition(par)
     return df
 

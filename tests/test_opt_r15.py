@@ -1,0 +1,74 @@
+"""Focused tests for round-15 optimization changes (internals only —
+every declared query's results are pinned by the oracle sweep)."""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from linz_bde_uploader_spark.plans import workload as W
+
+
+class TestScanSplits:
+    def test_single_row_group_small_file(self, tmp_path):
+        p = str(tmp_path / "one.parquet")
+        pq.write_table(pa.table({"x": list(range(1000))}), p)
+        W._SCAN_SPLITS.pop(p, None)
+        assert W._scan_splits(p) == 1
+
+    def test_row_groups_bound_splits(self, tmp_path):
+        p = str(tmp_path / "rg.parquet")
+        pq.write_table(pa.table({"x": list(range(1000))}), p,
+                       row_group_size=100)
+        W._SCAN_SPLITS.pop(p, None)
+        # 10 row groups but one byte-range split: still 1 effective task
+        assert W._scan_splits(p) == 1
+        # with a tiny split size, splits are capped by the row-group count
+        W._SCAN_SPLITS.pop(p, None)
+        assert W._scan_splits(p, max_split_bytes=64) == 10
+
+    def test_memoized(self, tmp_path):
+        p = str(tmp_path / "memo.parquet")
+        pq.write_table(pa.table({"x": [1, 2, 3]}), p)
+        W._SCAN_SPLITS.pop(p, None)
+        first = W._scan_splits(p)
+        os.remove(p)  # a second call must not re-read the footer
+        assert W._scan_splits(p) == first
+
+    def test_pinned_schema_matches_inferred(self, spark, tmp_path):
+        p = str(tmp_path / "s.parquet")
+        pq.write_table(pa.table({"a": [1, 2], "b": ["x", "y"]}), p)
+        inferred = spark.read.parquet(p).schema
+        pinned = W._pinned_reader(spark, p).parquet(p)
+        assert pinned.schema == inferred
+        assert [tuple(r) for r in pinned.orderBy("a").collect()] == [
+            (1, "x"), (2, "y")]
+
+    def test_pinned_schema_keyed_by_nanos_conf(self, spark, tmp_path):
+        # the memo key includes the nanosAsLong conf so the events
+        # table's two layouts can never cross-contaminate
+        p = str(tmp_path / "k.parquet")
+        pq.write_table(pa.table({"a": [1]}), p)
+        prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong",
+                              "false")
+        try:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            W._pinned_reader(spark, p)
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+            W._pinned_reader(spark, p)
+            assert (p, "true") in W._SCHEMAS and (p, "false") in W._SCHEMAS
+        finally:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
+
+    def test_load_still_fans_out_documents(self, spark):
+        # the repartition decision must match the old .rdd-based one for
+        # the real fixtures: a sub-128MB single file fans out to cores
+        sf_dir = "/root/testdata/sf0.001"
+        if not os.path.exists(f"{sf_dir}/documents.parquet"):
+            pytest.skip("fixtures absent")
+        df = W.load(spark, sf_dir, "documents")
+        par = spark.sparkContext.defaultParallelism
+        assert df.rdd.getNumPartitions() == par
