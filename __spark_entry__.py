@@ -1090,13 +1090,15 @@ def q_graph_pagerank(spark, sf_dir):
 
     o = W.load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = W.load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    ed = (
-        o.join(li, o["o_orderkey"] == li["l_orderkey"])
-        .select(
-            (F.col("o_custkey") * 2).alias("src"),
-            (F.col("l_suppkey") * 2 + 1).alias("dst"),
-        )
-        .distinct()
+    # no .distinct() on the raw pair list: symmetrize() ends in its own
+    # distinct over the union of both directions, and
+    # distinct(union(x, swap(x))) == distinct(union(distinct(x),
+    # swap(distinct(x)))) — the inner pass was a redundant full shuffle
+    # of the 587k-row pair list (guide §2.4: a distinct on data a later
+    # distinct already covers).
+    ed = o.join(li, o["o_orderkey"] == li["l_orderkey"]).select(
+        (F.col("o_custkey") * 2).alias("src"),
+        (F.col("l_suppkey") * 2 + 1).alias("dst"),
     )
     ranks = pagerank(symmetrize(ed), n_iters=4)
     return ranks.orderBy(F.desc("rank"), F.col("node")).limit(25)

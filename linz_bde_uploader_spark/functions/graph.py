@@ -43,7 +43,7 @@ def pagerank(
     edges: DataFrame,
     n_iters: int = 4,
     damping: float = 0.85,
-    checkpoint_every: int = 2,
+    checkpoint_every: int = 1,
     dangling: bool = False,
 ) -> DataFrame:
     """Power-iteration PageRank over a directed edge list ``(src, dst)``.
@@ -99,6 +99,13 @@ def pagerank(
     ranks = nodes.withColumn("rank", F.round(F.lit(1.0 / n), ITER_DP))
     checkpointed = []
     for it in range(n_iters):
+        # Measured and kept as-is (round-15 optimization pass): a
+        # per-node rank/od pre-join (one edge probe instead of two) was
+        # tried and was ~0.5-1 s SLOWER per query at sf0.1 — both probe
+        # sides broadcast here, so the fused double-probe is one codegen
+        # stage while the pre-join added an extra join stage + broadcast
+        # per iteration. Revisit only when the node table outgrows the
+        # broadcast threshold.
         contrib = (
             e.join(ranks, e["src"] == ranks["node"])
             .join(outdeg, "src")
@@ -129,10 +136,13 @@ def pagerank(
                 ITER_DP,
             ).alias("rank"),
         )
-        # Materialize every `checkpoint_every` rounds: enough to keep the
-        # plan from doubling per iteration, without paying an eager write
-        # for EVERY round — measured ~1 s/round of pure fixed cost on
-        # small graphs. The LAST iteration is deliberately NOT
+        # Materialize every `checkpoint_every` rounds to keep the plan
+        # from doubling per iteration. Default 1 since the round-15
+        # optimization pass: per-round eager checkpoints measured FASTER
+        # than every-2 on the sf0.1 purchase graphs (sym 6.0->5.7 s,
+        # directed 6.5->6.0 s, and HITS 8.2->6.6 s) — the optimizer/AQE
+        # cost of a 2-iteration-deep multi-join plan exceeds the fixed
+        # cost of one O(nodes) local materialization per round. The LAST iteration is deliberately NOT
         # checkpointed: the caller's action materializes it anyway, and
         # the redundant eager write measured another ~1.4 s of pure
         # overhead per call. (A caller running MANY actions over the
@@ -150,7 +160,7 @@ def pagerank(
 def hits(
     edges: DataFrame,
     n_iters: int = 4,
-    checkpoint_every: int = 2,
+    checkpoint_every: int = 1,
 ) -> DataFrame:
     """HITS hubs-and-authorities (Kleinberg 1999) over a directed edge
     list ``(src, dst)`` — the graph family's second centrality face
@@ -202,23 +212,37 @@ def hits(
         .distinct()
     )
     n = nodes.count()
-    scores = nodes.select(
-        "node",
-        F.round(F.lit(1.0 / n), ITER_DP).alias("hub"),
-        F.lit(0.0).alias("auth"),
+    hub = nodes.select(
+        "node", F.round(F.lit(1.0 / n), ITER_DP).alias("hub")
     )
+    auth = None
     checkpointed = []
 
     def _half_step(cur: DataFrame, from_col: str, on: str, out: str,
                    grp: str) -> DataFrame:
         # One HITS half-step: fold `from_col` across the edges grouped
-        # by `grp`, L1-normalize via a ONE-ROW total broadcast, and
-        # re-attach the untouched other score by node. The contribution
-        # table is track()-persisted because BOTH the normalization
-        # total and the node join read it — untracked, the broadcast
-        # subtree re-evaluated the whole join+agg per half-step and the
-        # duplication COMPOUNDED down the iteration chain (measured
-        # 55 s → 18 s at sf0.1 for the 4-iteration purchase graph).
+        # by `grp` and L1-normalize via a ONE-ROW total broadcast. The
+        # contribution table is track()-persisted because BOTH the
+        # normalization total and the result read it — untracked, the
+        # broadcast subtree re-evaluated the whole join+agg per
+        # half-step and the duplication COMPOUNDED down the iteration
+        # chain (measured 55 s → 18 s at sf0.1 for the 4-iteration
+        # purchase graph).
+        #
+        # The result keeps ONLY nodes that received a contribution —
+        # the round-15 optimization (guide §2.4, remove work from the
+        # loop): the previous shape re-attached the untouched other
+        # score with a nodes-left-join per half-step, carrying
+        # zero-score rows through every iteration. A node absent here
+        # has score exactly +0.0 (round(0/tot)), and absent rows
+        # contribute nothing to the next half-step's edge join — the
+        # same nothing a +0.0 term adds to an IEEE sum of non-negative
+        # terms — and every edge endpoint on the joined side is by
+        # construction present in its table, so every sum, total, and
+        # rounded score is bit-for-bit unchanged; the zeros are
+        # re-attached ONCE at the end. Halves the joins per half-step
+        # and keeps the iterated plan flat.
+        #
         # The mid-loop eager checkpoint stays load-bearing even with
         # the raws cached: an attempted checkpoint_every=4 run (no
         # mid-loop cut) did not finish a single sf0.1 lap in 6+ min —
@@ -230,30 +254,29 @@ def hits(
             .agg(F.round(F.sum(from_col), ITER_DP).alias("_raw"))
         )
         tot = raw.agg(F.round(F.sum("_raw"), ITER_DP).alias("_tot"))
-        return (
-            cur.drop(out)
-            .join(raw, "node", "left")
-            .crossJoin(F.broadcast(tot))
-            .select(
-                "node",
-                from_col,
-                F.round(
-                    F.coalesce(F.col("_raw"), F.lit(0.0)) / F.col("_tot"),
-                    ITER_DP,
-                ).alias(out),
-            )
+        return raw.crossJoin(F.broadcast(tot)).select(
+            "node",
+            F.round(F.col("_raw") / F.col("_tot"), ITER_DP).alias(out),
         )
 
     for it in range(n_iters):
-        scores = _half_step(scores, "hub", "src", "auth", "dst")
-        scores = _half_step(scores, "auth", "dst", "hub", "src")
+        auth = _half_step(hub, "hub", "src", "auth", "dst")
+        hub = _half_step(auth, "auth", "dst", "hub", "src")
         if (it + 1) % checkpoint_every == 0 and it != n_iters - 1:
-            scores = scores.localCheckpoint(eager=True)
+            hub = hub.localCheckpoint(eager=True)
             while checkpointed:
                 checkpointed.pop().unpersist()
-            checkpointed.append(scores)
-    return scores.select(
-        "node",
-        F.round("hub", OUT_DP).alias("hub"),
-        F.round("auth", OUT_DP).alias("auth"),
+            checkpointed.append(hub)
+    return (
+        nodes.join(hub, "node", "left")
+        .join(auth, "node", "left")
+        .select(
+            "node",
+            F.round(F.coalesce(F.col("hub"), F.lit(0.0)), OUT_DP).alias(
+                "hub"
+            ),
+            F.round(F.coalesce(F.col("auth"), F.lit(0.0)), OUT_DP).alias(
+                "auth"
+            ),
+        )
     )
