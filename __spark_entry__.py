@@ -4478,7 +4478,13 @@ def _corpus_level_frame(spark, sf_dir):
         )
     )
     s3 = flags.filter(F.col("_f1") & F.col("_f2") & F.col("_f3"))
-    keep4 = (
+    # keep4 and drop5 each feed TWO consumers (the next stage's survivor
+    # set AND the final level join) — untracked, Catalyst duplicated the
+    # window subtree and the whole LSH+verify subtree per consumer
+    # (r15 optimization pass, guide §2.4/§5: warm e2e 5.9 s → 4.7 s per
+    # family query once both are track()-persisted; both frames are
+    # doc_id lists, so the cached footprint is a few long columns).
+    keep4 = caching.track(
         s3.withColumn(
             "_rn",
             F.row_number().over(Window.partitionBy("_fp").orderBy("doc_id")),
@@ -4489,7 +4495,7 @@ def _corpus_level_frame(spark, sf_dir):
     s4docs = d.select("doc_id", "text").join(
         keep4.select("doc_id"), "doc_id", "left_semi"
     )
-    drop5 = (
+    drop5 = caching.track(
         D.candidate_jaccard_verify(s4docs, "doc_id", "text", threshold=0.5)
         .select(F.col("id_b").alias("doc_id"))
         .distinct()
