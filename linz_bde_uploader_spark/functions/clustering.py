@@ -235,8 +235,15 @@ def kmeans(
     centroids + one (cluster, dim) partial-agg shuffle for the means;
     the k·dims centroid matrix is collected per round (model state).
     """
+    from linz_bde_uploader_spark import caching
     from linz_bde_uploader_spark.functions.similarity import ivf_centroids
 
+    # The loop re-reads ``df`` once per phase (count, seeding, one
+    # assignment+means pass per iteration, final assignment): persist it
+    # so the scan+decode runs once (r15 optimization pass, guide §5 —
+    # the standard iterative-k-means input cache; Spark recomputes from
+    # lineage if memory pressure evicts it).
+    df = caching.track(df)
     if k is None:
         k = auto_k(df.count())
     cents = ivf_centroids(df, k=k, id_col=id_col, vec_col=vec_col)
@@ -280,9 +287,20 @@ def semdedup_prune(
     in corpus size.
     """
     if centroids is None:
-        assigned, _ = kmeans(df, k=k, n_iters=n_iters, id_col=id_col, vec_col=vec_col)
+        assigned, centroids = kmeans(
+            df, k=k, n_iters=n_iters, id_col=id_col, vec_col=vec_col
+        )
     else:
         assigned = assign_clusters(df, centroids, id_col, vec_col)
+    # The final assignment feeds THREE consumers (both sides of the pair
+    # join and the survivor anti-join probe) — untracked, Catalyst
+    # re-evaluated the whole assignment subtree (a pandas UDF above the
+    # COLUMN_PATH_MAX_K cutoff) per consumer (r15 optimization pass,
+    # guide §2.4/§5). The cached frame is id + cluster + sq_dist + the
+    # vector — the same columns a single assignment pass emits.
+    from linz_bde_uploader_spark import caching
+
+    assigned = caching.track(assigned)
     a = assigned.select(
         F.col(id_col).alias("_a_id"), F.col("cluster"), F.col(vec_col).alias("_a_v")
     )
@@ -296,7 +314,10 @@ def semdedup_prune(
     # sf0.1 pair volume.
     from linz_bde_uploader_spark.functions.similarity import pair_cosine_udf
 
-    dims = len(assigned.select(vec_col).first()[0])
+    # dims from the (driver-side) centroid list — the previous
+    # `assigned.select(vec_col).first()` was one extra Spark job per
+    # call just to read a length the model state already carries.
+    dims = len(centroids[0][1])
     cos_udf = pair_cosine_udf(dims)
     dups = (
         a.join(b, ["cluster"])
