@@ -634,11 +634,27 @@ def embedding_near_dup_pairs(
             background_sign_prob=background_sign_prob,
         )
     keys_udf = lsh_band_keys_udf(dims, bands, planes_per_band, center)
+    # Pinned hash partitioning on the join key (r15 optimization pass,
+    # guide §2.4-2.6): the banded projection is a few bytes/row, so AQE
+    # coalesced the self-join's shuffle read to ONE partition and the
+    # whole candidate+verify chain ran single-task. An explicit
+    # repartition on (_band, _key) keeps the cached frame partitioned
+    # exactly as the self-join needs (both aliases co-partitioned →
+    # no further exchange) at cluster-adaptive width.
+    par = df.sparkSession.sparkContext.defaultParallelism
     banded = track(base.select(
         "_id",
         F.posexplode(keys_udf(F.col("_v"))).alias("_band", "_key"),
-    ))
+    ).repartition(par, F.col("_band"), F.col("_key")))
     left, right = banded.alias("l"), banded.alias("r")
+    # The explicit hash repartition after the distinct restores
+    # parallelism for the verify stage (same rationale): the
+    # candidate-id pairs are a few bytes/row, so AQE's size-based
+    # coalescing collapses the post-distinct stage to ONE partition —
+    # and the pair-cosine UDF then runs single-task even though its
+    # per-row cost (a 2·dims vector fold) is the dominant term. Keyed
+    # by the pair ids (high cardinality), sized by defaultParallelism —
+    # cluster-adaptive, not a local constant.
     pairs = (
         left.join(
             right,
@@ -648,6 +664,7 @@ def embedding_near_dup_pairs(
         )
         .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
         .distinct()
+        .repartition(par, F.col("id_a"), F.col("id_b"))
     )
     verified = pairs.join(
         base.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va")), "id_a"
