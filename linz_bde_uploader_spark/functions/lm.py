@@ -111,6 +111,15 @@ def score_documents(docs: DataFrame, lm: DataFrame, id_col: str = "doc_id",
     ``ln(1 / (ctx_cnt + V))`` (or ``ln(1/V)`` for an unseen context).
     Documents with fewer than two tokens produce no row.
     """
+    from linz_bde_uploader_spark.caching import track
+
+    # The model table feeds THREE consumers (the (prev,cur) logp join,
+    # the per-context floor, the vocab row) — untracked, Catalyst
+    # re-evaluated the whole training subtree (explode + two aggs) per
+    # consumer (r15 optimization pass, guide §2.4/§5). The table is
+    # |bigram vocab|-bounded — model state, safe to persist at any
+    # corpus size.
+    lm = track(lm)
     bi = doc_bigrams(docs, id_col, text_col)
     # per-context floor for unseen `cur`: distinct (prev, ctx_cnt, V)
     ctx_tbl = lm.select("prev", "ctx_cnt", "vocab_size").distinct()
@@ -230,9 +239,15 @@ def kn_score_documents(docs: DataFrame, lm: DataFrame | None = None,
     continuation probability; an unseen context backs off to the
     continuation probability alone; an unseen word bottoms out at the
     ``1/(T+V)`` continuation floor."""
+    from linz_bde_uploader_spark.caching import track
+
     model = lm if lm is not None else train_kn_bigram_lm(
         docs, id_col, text_col, discount
     )
+    # FOUR consumers of the model table (logp join, context floor,
+    # continuation table, T/V row) — track() so the KN training
+    # subtree evaluates once (model-sized, guide §2.4/§5).
+    model = track(model)
     dbi = doc_bigrams(docs, id_col, text_col)
     ctx_tbl = model.select("prev", "ctx_cnt", "n1f").distinct()
     cont_tbl = model.select("cur", "n1b").distinct()
@@ -356,6 +371,13 @@ def trigram_score_documents(
     scalar-subquery shape. No collect, nothing quadratic."""
     l3, l2, l1 = TRIGRAM_LAMBDAS
     model = lm if lm is not None else train_trigram_lm(docs, id_col, text_col)
+    # Measured and left UNtracked (r15 optimization pass): persisting
+    # the bi/uni count tables here regressed sf0.1 wall 2.6 → 3.4 s —
+    # the duplicated count subtrees are each one partial-agg shuffle
+    # over a map-side explode, and the persist's materialization
+    # barrier costs more than the duplicate aggregation it saves
+    # (unlike the bigram scorers, whose model table fans out to 3-4
+    # consumers of the SAME subtree).
     tri, bi, uni, totals = (
         model["tri"], model["bi"], model["uni"], model["totals"]
     )
@@ -611,6 +633,12 @@ def score_documents_stratified(
     prepended to every join key; the per-stratum vocab table is a
     broadcast |strata|-row join.
     """
+    from linz_bde_uploader_spark.caching import track
+
+    # THREE consumers of the stratified model table (logp join, context
+    # floor, per-stratum vocab) — track() so the stratified training
+    # subtree evaluates once (model-sized, guide §2.4/§5).
+    lm = track(lm)
     bi = doc_bigrams(docs, id_col, text_col, extra_cols=(stratum_col,))
     ctx_tbl = lm.select(stratum_col, "prev", "ctx_cnt", "vocab_size").distinct()
     vtbl = lm.select(stratum_col, "vocab_size").distinct()
