@@ -186,7 +186,7 @@ BPE_EOS = "\x02"
 
 
 def bpe_train(df, text_col: str, n_merges: int = 6,
-              checkpoint_every: int = 8):
+              checkpoint_every: int = 4):
     """Iterated BPE tokenizer training (Sennrich et al. 2016): repeat
     ``n_merges`` times — count adjacent symbol pairs corpus-wide, merge
     the most frequent pair everywhere, re-count over the re-segmented
@@ -214,13 +214,16 @@ def bpe_train(df, text_col: str, n_merges: int = 6,
     itself is driver-resident and needs no checkpoint durability.
 
     ``checkpoint_every`` (r15 optimization pass, guide §1.2/§5): a
-    merge replace is one map-only codegen expression, so replaying up
-    to 8 of them inside the next round's counting job is cheaper than
-    one eager O(corpus) materialization per round — measured
-    4.5-7.2 s → ~4.0 s at sf0.1 for the 6-merge run, merge table
-    identical. Long trainings still cut the lazy chain every
-    ``checkpoint_every`` rounds, bounding per-round replay at any
-    number of merges.
+    merge replace is one map-only codegen expression, so replaying a
+    few of them inside the next round's counting job is cheaper than
+    one eager O(corpus) materialization per round — but replay work
+    grows quadratically with the gap (round k replays k−1 replaces),
+    so the un-checkpointed variant that won at 6 merges LOST at the
+    ablation's 8. Measured sweep at sf0.1 (min of 3, same session):
+    every=4 is best across the family — q_bpe_merges 3.73 s,
+    q_bpe_encode 2.76, q_bpe_vocab_ablation 5.48 (vs ~4.6/3.8/6.1 at
+    every=1 and 3.9/2.7/6.5 at never-within-8). Merge tables are
+    identical at every setting.
     """
     spark = df.sparkSession
     c = F.col(text_col)
