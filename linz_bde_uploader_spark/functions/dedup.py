@@ -1459,7 +1459,7 @@ def _positional_shingles(staged: DataFrame, id_col: str, n: int) -> DataFrame:
     )
 
 
-def cross_doc_exact_spans(
+def _cross_doc_span_positions(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
@@ -1467,71 +1467,21 @@ def cross_doc_exact_spans(
     n: int = 3,
     min_shared: int = 2,
     max_doc_freq: int = 8,
-) -> DataFrame:
-    """Cross-document ExactSubstr span dedup (Lee et al. 2022,
-    "Deduplicating Training Data Makes Language Models Better") —
-    BOUNDED: the published recipe builds a corpus-wide suffix array;
-    this is the rare-shingle-anchored relational re-expression that
-    never goes all-pairs and never materializes suffixes. Finds every
-    maximal token span of length >= ``min_span_tokens`` shared EXACTLY
-    (token-for-token) between two documents, the primitive that
-    complements within-doc :func:`scrub_duplicated_spans` (which
-    removes corpus-frequent fragments without saying WHO shares them)
-    and doc-level :func:`containment_pairs` (which scores set overlap
-    without positions).
-
-    Two stages, the VERDICT-r9 shape:
-
-    1. **Nominate** — candidate doc pairs must share at least
-       ``min_shared`` RARE positional n-gram values (corpus doc-freq
-       <= ``max_doc_freq``, the :func:`containment_pairs` inverted-
-       index trick). A genuinely shared >= min_span span of fresh
-       prose contains rare n-grams almost surely; boilerplate-only
-       overlap (every n-gram frequent) is deliberately out of
-       contract — that mass is :func:`scrub_duplicated_spans`'s job.
-    2. **Verify** — for nominated pairs ONLY, equi-join the FULL
-       positional n-gram tables of both sides (no frequency filter, so
-       spans that CONTAIN frequent n-grams are still recovered whole),
-       keep only positions whose n-gram STRINGS are equal
-       token-for-token (the hash equi-join is the shuffle key; the
-       string filter makes the match EXACT — ``shingle_value`` is
-       built from ``token_value``'s (length, first-char) features, so
-       hash collisions are common, and without the filter a colliding
-       position adjacent to a genuine run would extend or fabricate a
-       span; with it, a collision merely breaks the run and any
-       genuine sub-runs survive as their own islands), then detect
-       maximal runs per alignment diagonal ``d = start_a - start_b``:
-       consecutive match positions collapse via the islands idiom
-       (``start - row_number()`` per ``(pair, d)``), each island of
-       ``r`` consecutive verified matches being a shared span of
-       ``r + n - 1`` tokens, clamped to both documents' lengths (the
-       padded short-doc shingle never overstates: a sub-``n`` document
-       has one position, so its max span is ``n`` < min_span).
-
-    Returns ``(id_a, id_b, start_a, start_b, span_len, span_text)``
-    with ``id_a < id_b``, 1-based token offsets, and the span's text
-    rebuilt from side a — one row per (pair, alignment); a span
-    repeated within a document reports once per distinct alignment.
-    Deterministic by construction: integer hashes, integer windows over
-    unique (pair, diagonal, position) keys — no floats, no ties.
-
-    Scale: the positional n-gram table is one map-side posexplode
-    (linear in token volume), persisted FLAT (the containment lesson:
-    exploded longs cache ~10x cheaper than array rows); nomination's
-    self-join is keyed on rare n-grams only, each emitting
-    <= C(max_doc_freq, 2) pairs; verification shuffles matches for
-    nominated pairs only — linear in truly-shared content; the islands
-    window partitions by (pair, diagonal), never globally. Reference
-    parity anchor: the reference dedupes at row grain via table_version
-    diffs (sql/02-bde_control_functions.sql.in:1576-1814); span-grain
-    text dedup is the LLM-corpus extension of the same
-    detect-then-apply contract.
+):
+    """Positional core of cross-document ExactSubstr span dedup:
+    returns ``(staged_tokens, sized_spans)`` where ``sized_spans`` is
+    ``(id_a, id_b, start_a, start_b, span_len)``. Split out (r15
+    optimization, guide §2.2 project-early) so the APPLY face
+    :func:`scrub_cross_doc_spans` — which only consumes positions —
+    skips the span-text rebuild join and its extra document scan.
+    Algorithm contract and scale notes live on the public face,
+    :func:`cross_doc_exact_spans`.
     """
     staged = _staged_tokens(df, id_col, text_col)
     ex = track(_positional_shingles(staged, id_col, n))
     # exd feeds BOTH the doc-freq aggregation and the rare-anchored
-    # self-join; persisting the distinct set saves its shuffle being
-    # executed twice (measured ~20% of the 10x wall)
+    # pair expansion; persisting the distinct set saves its shuffle
+    # being executed twice (measured ~20% of the 10x wall)
     exd = track(ex.select(id_col, "sv").distinct())
     rare = (
         exd.groupBy("sv")
@@ -1539,11 +1489,38 @@ def cross_doc_exact_spans(
         .filter(F.col("_df") <= max_doc_freq)
         .select("sv")
     )
+    # r15 optimization (guide §3.4): the rare-anchored nomination used
+    # to SELF-JOIN the (id, sv) table on sv; after the df <= max_doc_freq
+    # filter each sv's doc set is bounded by construction, so one
+    # collect_set aggregation (buffer <= max_doc_freq ids — never the
+    # hot-key skew bomb a pre-filter collect would be) plus an ordered
+    # in-array pair expansion emits the same C(df, 2) pairs with one
+    # probe of the cached distinct table instead of two and no join.
+    # sort_array makes id_a < id_b by construction, exactly the old
+    # filter; per-(id_a, id_b) pair counts are identical because both
+    # shapes emit one row per shared rare sv.
     rex = exd.join(rare, "sv")
+    rare_ids = rex.groupBy("sv").agg(
+        F.sort_array(F.collect_set(F.col(id_col))).alias("_ids")
+    )
     pairs = (
-        rex.select(F.col("sv"), F.col(id_col).alias("id_a"))
-        .join(rex.select(F.col("sv"), F.col(id_col).alias("id_b")), "sv")
-        .filter(F.col("id_a") < F.col("id_b"))
+        rare_ids.select(
+            F.explode(
+                F.flatten(F.transform(
+                    F.col("_ids"),
+                    lambda a, i: F.transform(
+                        F.slice(
+                            F.col("_ids"), i + F.lit(2), F.size("_ids")
+                        ),
+                        lambda b: F.struct(
+                            a.alias("id_a"), b.alias("id_b")
+                        ),
+                    ),
+                ))
+            ).alias("_pr")
+        )
+        .select(F.col("_pr.id_a").alias("id_a"),
+                F.col("_pr.id_b").alias("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("_shared_rare"))
         .filter(F.col("_shared_rare") >= min_shared)
@@ -1608,6 +1585,80 @@ def cross_doc_exact_spans(
         F.col("start_b").cast("long").alias("start_b"),
         span_len.cast("long").alias("span_len"),
     ).filter(F.col("span_len") >= min_span_tokens)
+    return staged, sized
+
+
+def cross_doc_exact_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_span_tokens: int = 6,
+    n: int = 3,
+    min_shared: int = 2,
+    max_doc_freq: int = 8,
+) -> DataFrame:
+    """Cross-document ExactSubstr span dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better") —
+    BOUNDED: the published recipe builds a corpus-wide suffix array;
+    this is the rare-shingle-anchored relational re-expression that
+    never goes all-pairs and never materializes suffixes. Finds every
+    maximal token span of length >= ``min_span_tokens`` shared EXACTLY
+    (token-for-token) between two documents, the primitive that
+    complements within-doc :func:`scrub_duplicated_spans` (which
+    removes corpus-frequent fragments without saying WHO shares them)
+    and doc-level :func:`containment_pairs` (which scores set overlap
+    without positions).
+
+    Two stages, the VERDICT-r9 shape:
+
+    1. **Nominate** — candidate doc pairs must share at least
+       ``min_shared`` RARE positional n-gram values (corpus doc-freq
+       <= ``max_doc_freq``, the :func:`containment_pairs` inverted-
+       index trick). A genuinely shared >= min_span span of fresh
+       prose contains rare n-grams almost surely; boilerplate-only
+       overlap (every n-gram frequent) is deliberately out of
+       contract — that mass is :func:`scrub_duplicated_spans`'s job.
+    2. **Verify** — for nominated pairs ONLY, equi-join the FULL
+       positional n-gram tables of both sides (no frequency filter, so
+       spans that CONTAIN frequent n-grams are still recovered whole),
+       keep only positions whose n-gram STRINGS are equal
+       token-for-token (the hash equi-join is the shuffle key; the
+       string filter makes the match EXACT — ``shingle_value`` is
+       built from ``token_value``'s (length, first-char) features, so
+       hash collisions are common, and without the filter a colliding
+       position adjacent to a genuine run would extend or fabricate a
+       span; with it, a collision merely breaks the run and any
+       genuine sub-runs survive as their own islands), then detect
+       maximal runs per alignment diagonal ``d = start_a - start_b``:
+       consecutive match positions collapse via the islands idiom
+       (``start - row_number()`` per ``(pair, d)``), each island of
+       ``r`` consecutive verified matches being a shared span of
+       ``r + n - 1`` tokens, clamped to both documents' lengths (the
+       padded short-doc shingle never overstates: a sub-``n`` document
+       has one position, so its max span is ``n`` < min_span).
+
+    Returns ``(id_a, id_b, start_a, start_b, span_len, span_text)``
+    with ``id_a < id_b``, 1-based token offsets, and the span's text
+    rebuilt from side a — one row per (pair, alignment); a span
+    repeated within a document reports once per distinct alignment.
+    Deterministic by construction: integer hashes, integer windows over
+    unique (pair, diagonal, position) keys — no floats, no ties.
+
+    Scale: the positional n-gram table is one map-side posexplode
+    (linear in token volume), persisted FLAT (the containment lesson:
+    exploded longs cache ~10x cheaper than array rows); nomination
+    expands pairs from per-rare-shingle bounded doc sets only, each
+    emitting <= C(max_doc_freq, 2) pairs; verification shuffles matches
+    for nominated pairs only — linear in truly-shared content; the
+    islands window partitions by (pair, diagonal), never globally.
+    Reference parity anchor: the reference dedupes at row grain via
+    table_version diffs (sql/02-bde_control_functions.sql.in:1576-1814);
+    span-grain text dedup is the LLM-corpus extension of the same
+    detect-then-apply contract.
+    """
+    staged, sized = _cross_doc_span_positions(
+        df, id_col, text_col, min_span_tokens, n, min_shared, max_doc_freq
+    )
     return (
         sized.join(
             staged.select(F.col(id_col).alias("id_a"), "_toks"), "id_a"
@@ -1658,8 +1709,12 @@ def scrub_cross_doc_spans(
     the apply side is one span-bounded position explode into a per-doc
     set and the same one-pass ``array_except`` rebuild as
     :func:`scrub_duplicated_spans` — no Python, no quadratic term.
+    r15 optimization (guide §2.2): only span POSITIONS are consumed
+    here, so this rides :func:`_cross_doc_span_positions` and skips the
+    detect face's span-text rebuild join (one fewer document scan +
+    tokenize + join; removed-token sets identical by construction).
     """
-    spans = cross_doc_exact_spans(
+    spans_staged, spans = _cross_doc_span_positions(
         df, id_col, text_col, min_span_tokens, n, min_shared, max_doc_freq
     )
     dup_pos = (
@@ -1676,7 +1731,7 @@ def scrub_cross_doc_spans(
         .groupBy(id_col)
         .agg(F.collect_set("pos").alias("_dups"))
     )
-    staged = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+    staged = spans_staged.select(F.col(id_col), F.col("_toks"))
     joined = staged.join(dup_pos, [id_col], "left").withColumn(
         "_dups", F.coalesce(F.col("_dups"), F.array().cast("array<bigint>"))
     )
@@ -1763,6 +1818,12 @@ def incremental_exact_span_mass(
         .select("sv")
     )
     new_d = ex_new.select(id_col, "sv").distinct()
+    # The cross_doc_exact_spans bounded pair expansion was tried here
+    # too (pre-group the standing side's rare shingles into per-sv doc
+    # sets, explode partners in-row) and REGRESSED 3.3 -> 4.5 s at
+    # sf0.1: the pre-group adds a full exchange on sv, while this
+    # two-join chain probes the cached distinct tables with broadcasts
+    # only. Kept as the measured-faster shape (r15).
     pairs = (
         new_d.select(F.col("sv"), F.col(id_col).alias("id_new"))
         .join(rare, "sv")
