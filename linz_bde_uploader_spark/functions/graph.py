@@ -76,9 +76,11 @@ def pagerank(
     # tasks x n_iters rounds is pure scheduler overhead, and at real
     # scale the computed target equals the existing partition count.
     n_edges = e.count()
-    parts = max(1, min(e.rdd.getNumPartitions(), n_edges // 100_000 + 1))
-    if parts < e.rdd.getNumPartitions():
-        e = e.coalesce(parts)
+    # coalesce() to a target >= the current partition count is a no-op,
+    # so the RDD-plan-compiling getNumPartitions() probe (~0.15 s per
+    # call, paid twice here before r15) is unnecessary: ask for the
+    # edge-count-derived target unconditionally.
+    e = e.coalesce(max(1, n_edges // 100_000 + 1))
     if dangling:
         nodes = track(
             e.select(F.col("src").alias("node"))
@@ -203,9 +205,11 @@ def hits(
     # Loop invariants — persist once (the pagerank pattern).
     e = track(edges.select("src", "dst"))
     n_edges = e.count()
-    parts = max(1, min(e.rdd.getNumPartitions(), n_edges // 100_000 + 1))
-    if parts < e.rdd.getNumPartitions():
-        e = e.coalesce(parts)
+    # coalesce() to a target >= the current partition count is a no-op,
+    # so the RDD-plan-compiling getNumPartitions() probe (~0.15 s per
+    # call, paid twice here before r15) is unnecessary: ask for the
+    # edge-count-derived target unconditionally.
+    e = e.coalesce(max(1, n_edges // 100_000 + 1))
     nodes = track(
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
