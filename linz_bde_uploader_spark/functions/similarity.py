@@ -1018,10 +1018,15 @@ def ann_recall(
     (broadcast hash semi-join, never a data-plane shuffle). Work is a
     constant number of corpus scans; a production harness would persist
     the scored candidates and sweep k without re-scanning."""
-    exact = cosine_topk(
+    # The exact top-k feeds one semi-join PER variant; untracked, each
+    # consumer re-ran the full exact cosine scan + TakeOrdered (r15
+    # optimization, guide §2.4/§5). A k-row frame — model-artifact
+    # sized, exactly the "persist the scored candidates" posture the
+    # docstring prescribes for a production harness.
+    exact = track(cosine_topk(
         embeddings, query_vec, k=k, id_col=id_col, vec_col=vec_col,
         exclude_id=exclude_id,
-    ).select(id_col)
+    ).select(id_col))
     variants = [
         (
             "int8",
@@ -1314,10 +1319,12 @@ def ann_ndcg(
     import math
 
     we = Window.orderBy(F.desc("score"), F.col(id_col))
-    rel_tbl = exact.select(
+    # Graded-truth table joined once per variant; tracked so the exact
+    # cosine scan runs once, not per consumer (k rows — see ann_recall).
+    rel_tbl = track(exact.select(
         F.col(id_col),
         (F.lit(k) - F.row_number().over(we) + 1).alias("_rel"),
-    )
+    ))
     idcg_fp = sum(
         int(_round_half_away((k - r + 1) / math.log2(r + 1) * 1e9, 0))
         for r in range(1, k + 1)

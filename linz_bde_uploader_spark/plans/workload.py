@@ -60,10 +60,24 @@ def _scan_splits(path: str, max_split_bytes: int = 128 * 1024 * 1024) -> int:
 
         import pyarrow.parquet as pq
 
-        size_splits = max(1, -(-os.path.getsize(path) // max_split_bytes))
-        _SCAN_SPLITS[path] = min(
-            size_splits, max(1, pq.ParquetFile(path).metadata.num_row_groups)
+        # A "table.parquet" path may be a single FILE (the testdata
+        # layout) or a Spark-written DIRECTORY of part files (how the
+        # test fixtures materialize); sum bytes and row groups across
+        # whichever layout is present.
+        if os.path.isdir(path):
+            parts = [
+                os.path.join(path, f)
+                for f in os.listdir(path)
+                if f.endswith(".parquet")
+            ]
+        else:
+            parts = [path]
+        total_bytes = sum(os.path.getsize(p) for p in parts)
+        row_groups = sum(
+            pq.ParquetFile(p).metadata.num_row_groups for p in parts
         )
+        size_splits = max(1, -(-total_bytes // max_split_bytes))
+        _SCAN_SPLITS[path] = min(size_splits, max(1, row_groups))
     return _SCAN_SPLITS[path]
 
 

@@ -30,6 +30,23 @@ class TestScanSplits:
         W._SCAN_SPLITS.pop(p, None)
         assert W._scan_splits(p, max_split_bytes=64) == 10
 
+    def test_directory_layout(self, tmp_path):
+        # Spark-written tables are DIRECTORIES of part files (the test
+        # fixtures' layout); bytes and row groups sum across parts.
+        d = tmp_path / "dir.parquet"
+        d.mkdir()
+        pq.write_table(pa.table({"x": list(range(500))}),
+                       str(d / "part-0.parquet"), row_group_size=100)
+        pq.write_table(pa.table({"x": list(range(500))}),
+                       str(d / "part-1.parquet"), row_group_size=100)
+        (d / "_SUCCESS").write_text("")  # non-parquet marker is skipped
+        p = str(d)
+        W._SCAN_SPLITS.pop(p, None)
+        assert W._scan_splits(p) == 1
+        W._SCAN_SPLITS.pop(p, None)
+        # tiny split size: capped by the 10 row groups across both parts
+        assert W._scan_splits(p, max_split_bytes=64) == 10
+
     def test_memoized(self, tmp_path):
         p = str(tmp_path / "memo.parquet")
         pq.write_table(pa.table({"x": [1, 2, 3]}), p)
