@@ -44,3 +44,24 @@ def release_intermediates() -> int:
 
 def tracked_count() -> int:
     return len(_LIVE)
+
+
+#: memoized Column EXPRESSION trees keyed by a caller-chosen tuple
+#: (r15 optimization, guide §5 — keep the driver out of repeated
+#: per-query work). Building a higher-order-function expression costs
+#: tens to hundreds of ms of py4j round trips per call; when the
+#: expression references only FIXED column names it is input-
+#: independent, and Catalyst trees are immutable, so one unresolved
+#: tree is safe to embed in any number of plans (the module-constant-
+#: Column pattern). This memoizes PLAN ARTIFACTS, never data — the
+#: same class of thing as the workload loader's schema memo.
+_COLUMN_EXPRS: dict[tuple, object] = {}
+
+
+def memo_column(key: tuple, builder):
+    """Return the memoized Column for ``key``, building it once."""
+    col = _COLUMN_EXPRS.get(key)
+    if col is None:
+        col = builder()
+        _COLUMN_EXPRS[key] = col
+    return col

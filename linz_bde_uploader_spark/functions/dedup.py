@@ -28,7 +28,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from linz_bde_uploader_spark.caching import track
+from linz_bde_uploader_spark.caching import memo_column, track
 
 _CKPT_DIR: list[str] = []  # one per process, removed at exit
 
@@ -123,21 +123,39 @@ def with_minhash_signature(
     Catalyst's CollapseProject from re-inlining it, so the shingle pipeline
     runs once per row instead of once per permutation — ~K× less work than
     inlining ``minhash_signature`` into a multi-reference expression.
+
+    The staged sub-expressions reference only fixed attribute names, so
+    their trees are built once and memoized (caching.memo_column — ~250 ms
+    of py4j round trips per un-memoized call, r15 optimization, guide §5).
     """
     # Stage the token array as an attribute FIRST: the shingle lambda
     # indexes it per position, and an inline split would re-evaluate per
     # element (O(n²)/doc). Then stage the shingle values so the K
     # permutations each fold over the same computed array.
-    staged = df.withColumn("_toks", tokens(F.col(text_col)))
-    sv = F.transform(
-        shingles_from_tokens(F.col("_toks")), lambda s: shingle_value(s)
+    staged = df.withColumn(
+        "_toks",
+        memo_column(("tokens", text_col), lambda: tokens(F.col(text_col))),
     )
-    staged = staged.withColumn("_sv", sv)
-    sig = F.array(
-        *[
-            F.array_min(F.transform(F.col("_sv"), lambda x: (x * a + b) % HASH_MOD))
-            for a, b in MINHASH_PARAMS[:k]
-        ]
+    staged = staged.withColumn(
+        "_sv",
+        memo_column(
+            ("minhash_sv",),
+            lambda: F.transform(
+                shingles_from_tokens(F.col("_toks")),
+                lambda s: shingle_value(s),
+            ),
+        ),
+    )
+    sig = memo_column(
+        ("minhash_sig", k),
+        lambda: F.array(
+            *[
+                F.array_min(
+                    F.transform(F.col("_sv"), lambda x: (x * a + b) % HASH_MOD)
+                )
+                for a, b in MINHASH_PARAMS[:k]
+            ]
+        ),
     )
     return staged.withColumn(out_col, sig).drop("_sv", "_toks")
 
@@ -1168,16 +1186,17 @@ def containment_pairs(
     (measured at sf0.1: persisting the array form cost ~9 s of a
     ~10 s wall; the exploded form materializes in ~1 s).
     """
+    tk = memo_column(("tokens", text_col), lambda: tokens(F.col(text_col)))
+    sh_hashes = memo_column(
+        ("shingle_hashes_toks", n),
+        lambda: shingle_hashes_from_tokens(F.col("_toks"), n),
+    )
     ex = track(
         df.select(
-            F.col(id_col), tokens(F.col(text_col)).alias("_toks")
+            F.col(id_col), tk.alias("_toks")
         ).select(
             F.col(id_col),
-            F.explode(
-                F.array_distinct(
-                    shingle_hashes_from_tokens(F.col("_toks"), n)
-                )
-            ).alias("sv"),
+            F.explode(F.array_distinct(sh_hashes)).alias("sv"),
         )
     )
     sizes = ex.groupBy(id_col).agg(F.count(F.lit(1)).alias("_sz"))
@@ -1292,12 +1311,17 @@ def winnow_pairs(
 
         return hs.map(one)
 
+    tk = memo_column(("tokens", text_col), lambda: tokens(F.col(text_col)))
+    sh_hashes = memo_column(
+        ("shingle_hashes_toks", n),
+        lambda: shingle_hashes_from_tokens(F.col("_toks"), n),
+    )
     ex = track(
         df.select(
-            F.col(id_col), tokens(F.col(text_col)).alias("_toks")
+            F.col(id_col), tk.alias("_toks")
         ).select(
             F.col(id_col),
-            shingle_hashes_from_tokens(F.col("_toks"), n).alias("_hs"),
+            sh_hashes.alias("_hs"),
         ).select(
             F.col(id_col),
             F.explode(_fps(F.col("_hs"))).alias("fp"),
@@ -1470,8 +1494,9 @@ def _staged_tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Stage the token array + its length as real attributes (the
     shingle lambdas index the array per position; an inline split
     would re-evaluate per element)."""
+    tk = memo_column(("tokens", text_col), lambda: tokens(F.col(text_col)))
     return df.select(
-        F.col(id_col), tokens(F.col(text_col)).alias("_toks")
+        F.col(id_col), tk.alias("_toks")
     ).select(F.col(id_col), "_toks", F.size("_toks").alias("_nt"))
 
 
@@ -1483,18 +1508,22 @@ def _positional_shingles(staged: DataFrame, id_col: str, n: int) -> DataFrame:
     The string rides along solely for the verify stage's exact
     token-level comparison; nomination's distinct/agg projections
     prune it, so only nominated pairs' positions shuffle it."""
+    sh_arr = memo_column(
+        ("shingles_toks", n), lambda: shingles_from_tokens(F.col("_toks"), n)
+    )
+    sv = memo_column(
+        ("shingle_value_sh",), lambda: shingle_value(F.col("sh"))
+    )
     return staged.select(
         F.col(id_col),
         F.col("_nt"),
-        F.posexplode(
-            shingles_from_tokens(F.col("_toks"), n)
-        ).alias("_p0", "sh"),
+        F.posexplode(sh_arr).alias("_p0", "sh"),
     ).select(
         id_col,
         "_nt",
         (F.col("_p0") + 1).alias("start"),
         "sh",
-        shingle_value(F.col("sh")).alias("sv"),
+        sv.alias("sv"),
     )
 
 

@@ -91,6 +91,12 @@ def quality_metrics(col: Column | str) -> dict[str, Column]:
 def quality_score(col: Column | str) -> Column:
     """Composite 0–3 quality score: one point each for reasonable length,
     plausible word length, and stopword presence."""
+    if isinstance(col, str):
+        # input-independent tree for a named column — build once
+        # (caching.memo_column; ~60 ms of py4j per un-memoized call, r15)
+        from linz_bde_uploader_spark.caching import memo_column
+        return memo_column(("quality_score", col),
+                           lambda: quality_score(F.col(col)))
     m = quality_metrics(col)
     return (
         (m["n_chars"] >= 100).cast("int")
@@ -115,6 +121,12 @@ def fingerprint(col: Column | str) -> Column:
     Position-sensitive (re-ordered documents fingerprint differently),
     whole-stage-codegen arithmetic, and exactly reproducible in ANSI SQL.
     """
+    if isinstance(col, str):
+        # input-independent tree for a named column — build once
+        # (caching.memo_column; ~37 ms of py4j per un-memoized call, r15)
+        from linz_bde_uploader_spark.caching import memo_column
+        return memo_column(("fingerprint", col),
+                           lambda: fingerprint(F.col(col)))
     # Two-arg transform (element, index): the token array is the transform
     # input, evaluated once. (An index-sequence transform that element_at's
     # an outer split() re-evaluates the split per element — O(n²)/doc.)
@@ -431,6 +443,23 @@ def gopher_pass(
     """Boolean Gopher-rules gate. Thresholds default to the paper's
     published values scaled to this corpus's short synthetic docs (the
     paper uses 50..100k words; these fixtures average ~80)."""
+    if isinstance(col, str):
+        # input-independent tree for a named column — build once
+        # (caching.memo_column; ~73 ms of py4j per un-memoized call, r15)
+        from linz_bde_uploader_spark.caching import memo_column
+        return memo_column(
+            ("gopher_pass", col, min_words, max_words, min_mean_word_len,
+             max_mean_word_len, min_alpha_frac, min_stop_hits,
+             max_symbol_ratio),
+            lambda: gopher_pass(
+                F.col(col), min_words=min_words, max_words=max_words,
+                min_mean_word_len=min_mean_word_len,
+                max_mean_word_len=max_mean_word_len,
+                min_alpha_frac=min_alpha_frac,
+                min_stop_hits=min_stop_hits,
+                max_symbol_ratio=max_symbol_ratio,
+            ),
+        )
     s = gopher_signals(col)
     return (
         s["word_count"].between(min_words, max_words)

@@ -47,6 +47,36 @@ class TestScanSplits:
         # tiny split size: capped by the 10 row groups across both parts
         assert W._scan_splits(p, max_split_bytes=64) == 10
 
+    def test_memo_column_identity_and_parity(self, spark):
+        from pyspark.sql import functions as F
+
+        from linz_bde_uploader_spark.caching import memo_column
+        from linz_bde_uploader_spark.functions import text as X
+
+        # same key -> the SAME Column object (one construction)
+        a = memo_column(("t_memo", "text"), lambda: F.upper(F.col("text")))
+        b = memo_column(("t_memo", "text"), lambda: F.upper(F.col("text")))
+        assert a is b
+        # memoized gate trees evaluate identically to fresh construction,
+        # including when one memoized tree is embedded TWICE in one plan
+        df = spark.createDataFrame(
+            [(1, "the quick brown fox jumps over a lazy dog")],
+            "doc_id long, text string",
+        )
+        memo = df.select(
+            X.fingerprint("text").alias("f1"),
+            X.fingerprint("text").alias("f2"),
+            X.gopher_pass("text").alias("g"),
+            X.quality_score("text").alias("q"),
+        ).first()
+        fresh = df.select(
+            X.fingerprint(F.col("text")).alias("f1"),
+            X.gopher_pass(F.col("text")).alias("g"),
+            X.quality_score(F.col("text")).alias("q"),
+        ).first()
+        assert memo.f1 == memo.f2 == fresh.f1
+        assert memo.g == fresh.g and memo.q == fresh.q
+
     def test_memoized(self, tmp_path):
         p = str(tmp_path / "memo.parquet")
         pq.write_table(pa.table({"x": [1, 2, 3]}), p)
