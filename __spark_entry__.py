@@ -1751,7 +1751,10 @@ def _gate_agreement_sql() -> str:
     engine-rule round, the stopword langid probe), one 11-sum
     aggregate row, and the six κ arms generated as a UNION ALL —
     κ cleared of fractions exactly as the Spark side:
-    (n·(n11+n00) − E) / (n² − E), E = na·nb + (n−na)·(n−nb)."""
+    (n·(n11+n00) − E) / (n² − E), E = na·nb + (n−na)·(n−nb),
+    rounded at 4 dp in INTEGER arithmetic (half away from zero) and
+    divided once by 10000.0 so the double is bit-identical to Spark's
+    regardless of either engine's float round() tie handling."""
     gates = ["classifier", "gopher", "langid", "readability"]
     pairs = [(a, b) for i, a in enumerate(gates) for b in gates[i + 1:]]
     psums = ",\n".join(
@@ -1816,22 +1819,31 @@ def _gate_agreement_sql() -> str:
         ),
         arms AS (
             {arms}
+        ),
+        nd AS (
+          SELECT gate_a, gate_b, n, n11, na, nb,
+                 n * (n11 + (n - na - nb + n11))
+                   - (na * nb + (n - na) * (n - nb)) AS num,
+                 n * n - (na * nb + (n - na) * (n - nb)) AS den
+          FROM arms
         )
         SELECT gate_a, gate_b, n, n11,
                na - n11 AS n10,
                nb - n11 AS n01,
                n - na - nb + n11 AS n00,
-               round(CAST(n11 + (n - na - nb + n11) AS DOUBLE) / n, 4)
-                 AS agree_frac,
-               CASE WHEN n * n - (na * nb + (n - na) * (n - nb)) = 0
-                    THEN 0.0
-                    ELSE round(
-                      CAST(n * (n11 + (n - na - nb + n11))
-                           - (na * nb + (n - na) * (n - nb)) AS DOUBLE)
-                      / CAST(n * n - (na * nb + (n - na) * (n - nb))
-                             AS DOUBLE), 4) + 0.0
+               -- engine-exact 4-dp rounding (matches the Spark side):
+               -- half-away-from-zero in int64, one exact / 10000.0
+               CAST((2 * (n11 + (n - na - nb + n11)) * 10000 + n)
+                    // (2 * n) AS DOUBLE) / 10000.0 AS agree_frac,
+               CASE WHEN den = 0 THEN 0.0
+                    WHEN num < 0 THEN
+                      CAST(-((2 * (-num) * 10000 + den) // (2 * den))
+                           AS DOUBLE) / 10000.0
+                    ELSE
+                      CAST((2 * num * 10000 + den) // (2 * den)
+                           AS DOUBLE) / 10000.0
                END AS kappa
-        FROM arms ORDER BY gate_a, gate_b
+        FROM nd ORDER BY gate_a, gate_b
     """
 
 

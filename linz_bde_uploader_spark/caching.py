@@ -55,11 +55,27 @@ def tracked_count() -> int:
 #: tree is safe to embed in any number of plans (the module-constant-
 #: Column pattern). This memoizes PLAN ARTIFACTS, never data — the
 #: same class of thing as the workload loader's schema memo.
+#:
+#: Lifecycle: the trees are py4j handles into ONE JVM/gateway, so the
+#: memo is valid only for the SparkContext it was built under.
+#: ``memo_column`` checks the active context by identity on every call
+#: (one attribute read, no py4j) and clears the memo when the context
+#: changed — a stop/start session rebuilds its trees instead of
+#: failing opaquely on stale JVM references.
 _COLUMN_EXPRS: dict[tuple, object] = {}
+_MEMO_CTX: object = None
 
 
 def memo_column(key: tuple, builder):
-    """Return the memoized Column for ``key``, building it once."""
+    """Return the memoized Column for ``key``, building it once per
+    active SparkContext."""
+    global _MEMO_CTX
+    from pyspark import SparkContext
+
+    ctx = SparkContext._active_spark_context
+    if ctx is not _MEMO_CTX:
+        _COLUMN_EXPRS.clear()
+        _MEMO_CTX = ctx
     col = _COLUMN_EXPRS.get(key)
     if col is None:
         col = builder()

@@ -117,6 +117,20 @@ def dq_audit(checks: "list[DataFrame]") -> DataFrame:
     return out
 
 
+# Engine-exact 4-dp rounding of a rational of exact int64s, half away
+# from zero: (2·|num|·10⁴ + den) div (2·den) with the sign re-applied.
+# `div` truncates toward zero — identical to floor on the non-negative
+# operands used here, and identical to DuckDB's `//` (which also
+# truncates), so one SQL spelling serves both engines modulo the
+# operator token. Shared with the parity test so the two can't drift.
+Q_AGREE_EXPR = "(2 * (n11 + n00) * 10000L + n) div (2 * n)"
+Q_KAPPA_EXPR = (
+    "CASE WHEN _num < 0 THEN "
+    "-((2 * (-_num) * 10000L + _den) div (2 * _den)) "
+    "ELSE ((2 * _num * 10000L + _den) div (2 * _den)) END"
+)
+
+
 def gate_agreement(
     docs: DataFrame,
     text_col: str = "text",
@@ -141,14 +155,17 @@ def gate_agreement(
     Determinism: the 2×2 cells are exact integer counts folded in ONE
     corpus aggregate (``n``, four per-gate sums, six pairwise-AND
     sums; the other three cells are integer arithmetic of those);
-    ``agree_frac`` and κ are each ONE double division of exact
-    integers rounded at 4 dp —
+    ``agree_frac`` and κ are rationals of exact integers —
 
         κ = (n·(n11+n00) − E) / (n² − E),
         E = na·nb + (n−na)·(n−nb)
 
     (the algebraic form of (pₒ−pₑ)/(1−pₑ) cleared of fractions, so no
-    intermediate float exists). A degenerate pair (both gates
+    intermediate float exists) — rounded at 4 dp IN INTEGER ARITHMETIC
+    (half away from zero: ``(2·|num|·10⁴ + den) div (2·den)``, sign
+    re-applied, then one exact ``/ 10000.0``), so the result double is
+    bit-identical on any engine regardless of how its float ``round()``
+    breaks representation-boundary cases. A degenerate pair (both gates
     constant ⟹ denominator 0) reports κ = 0.0 — chance explains
     everything — never NULL.
 
@@ -159,8 +176,9 @@ def gate_agreement(
     scan (the classifier's fold, the Gopher signals, two readability
     regexps, the stopword probe); ONE 11-sum partial aggregate to a
     single row; the 6-row datasheet is a literal explode of that row.
-    Int64 is safe to n ≈ 3·10⁹ docs per audit partition (n² in the κ
-    denominator); shard the audit by ingest partition past that.
+    Int64 is safe to n ≈ 6·10⁸ docs per audit partition (2·10⁴·n² in
+    the scaled κ numerator); shard the audit by ingest partition past
+    that.
     """
     from linz_bde_uploader_spark.functions.text import (  # noqa: PLC0415
         gopher_pass,
@@ -221,7 +239,17 @@ def gate_agreement(
     )
     num = F.col("n") * (F.col("n11") + F.col("n00")) - e
     den = F.col("n") * F.col("n") - e
-    return ex.select(
+    # Engine-exact 4-dp rounding: half-away-from-zero on the integer-
+    # scaled numerator (operands are exact int64, `div` truncates — equal
+    # to floor for the non-negative operands used here), then ONE exact
+    # division by 10000.0. No float round() of a double division exists
+    # on this path, so the result bits cannot depend on an engine's
+    # round() implementation. An all-integer quotient also yields +0.0
+    # (never -0.0) when a tiny negative kappa rounds to zero.
+    staged = ex.withColumn("_num", num).withColumn("_den", den)
+    q_agree = F.expr(Q_AGREE_EXPR)
+    q_kappa = F.expr(Q_KAPPA_EXPR)
+    return staged.select(
         "gate_a",
         "gate_b",
         "n",
@@ -229,17 +257,8 @@ def gate_agreement(
         "n10",
         "n01",
         "n00",
-        F.round(
-            (F.col("n11") + F.col("n00")).cast("double") / F.col("n"), 4
-        ).alias("agree_frac"),
-        # + 0.0 normalizes IEEE negative zero: a tiny negative kappa
-        # rounds to -0.0, whose repr ('-0.0') would hash-mismatch an
-        # oracle's 0.0 (the ES sampling-key lesson); -0.0 + 0.0 = +0.0
-        # in IEEE on both engines, and every other value is unchanged.
-        F.when(den == 0, F.lit(0.0))
-        .otherwise(
-            F.round(num.cast("double") / den.cast("double"), 4)
-            + F.lit(0.0)
-        )
+        (q_agree.cast("double") / F.lit(10000.0)).alias("agree_frac"),
+        F.when(F.col("_den") == 0, F.lit(0.0))
+        .otherwise(q_kappa.cast("double") / F.lit(10000.0))
         .alias("kappa"),
     ).orderBy("gate_a", "gate_b")

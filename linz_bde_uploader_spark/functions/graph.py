@@ -202,6 +202,11 @@ def hits(
     """
     from linz_bde_uploader_spark.caching import track
 
+    if n_iters < 1:
+        # The contribution-only half-step shape leaves `auth` unset
+        # until the first iteration; fail loudly instead of with a
+        # TypeError inside the final join.
+        raise ValueError("hits() needs n_iters >= 1")
     # Loop invariants — persist once (the pagerank pattern).
     e = track(edges.select("src", "dst"))
     n_edges = e.count()

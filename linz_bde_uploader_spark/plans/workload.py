@@ -40,22 +40,53 @@ KEYSWAP_MOD = 50
 KEYSWAP_SHIFT = 20_000
 
 
-#: memoized scan-split estimate per parquet file path — file metadata,
-#: not query results (the file set is immutable for a given sf_dir).
-_SCAN_SPLITS: dict[str, int] = {}
+#: memoized scan-split estimate per (parquet path, maxPartitionBytes) —
+#: file metadata, not query results. Contract: the file set behind a
+#: path is immutable for the process lifetime (true for the bench/test
+#: sf_dirs); a service that rewrites a table path in place must clear
+#: this dict (and _SCHEMAS) or key loads by table version.
+_SCAN_SPLITS: dict[tuple[str, int], int] = {}
+
+
+def _split_conf_bytes(spark: SparkSession | None) -> int:
+    """``spark.sql.files.maxPartitionBytes`` from the session conf
+    (suffixed forms like '128m' included), defaulting to Spark's
+    128 MB. The estimate still approximates: openCostInBytes padding
+    and multi-file packing are ignored, which only ever UNDERcounts
+    splits for the single-file/row-group layouts this guards."""
+    default = 128 * 1024 * 1024
+    if spark is None:
+        return default
+    raw = str(spark.conf.get("spark.sql.files.maxPartitionBytes",
+                             str(default))).strip().lower()
+    mult = 1
+    for suf, m in (("k", 1024), ("m", 1024**2), ("g", 1024**3)):
+        if raw.endswith(suf + "b"):
+            raw, mult = raw[:-2], m
+            break
+        if raw.endswith(suf):
+            raw, mult = raw[:-1], m
+            break
+    if raw.endswith("b"):
+        raw = raw[:-1]
+    try:
+        return int(raw) * mult
+    except ValueError:
+        return default
 
 
 def _scan_splits(path: str, max_split_bytes: int = 128 * 1024 * 1024) -> int:
     """Estimate how many partitions Spark's scan will produce for a
-    parquet file: byte-range splits of ``maxPartitionBytes`` (default
-    128 MB), and a split without a row-group midpoint yields no rows,
-    so the effective parallelism is bounded by the row-group count.
+    parquet file: byte-range splits of ``maxPartitionBytes``, and a
+    split without a row-group midpoint yields no rows, so the
+    effective parallelism is bounded by the row-group count.
     Read from the footer once per path — the previous implementation
     asked ``df.rdd.getNumPartitions()``, which compiles an RDD
     conversion plan on the DRIVER for every call; at ~140 query
     call-sites that is pure repeated driver work (guide §5: the driver
     should do almost no data work)."""
-    if path not in _SCAN_SPLITS:
+    memo_key = (path, max_split_bytes)
+    if memo_key not in _SCAN_SPLITS:
         import os
 
         import pyarrow.parquet as pq
@@ -77,8 +108,8 @@ def _scan_splits(path: str, max_split_bytes: int = 128 * 1024 * 1024) -> int:
             pq.ParquetFile(p).metadata.num_row_groups for p in parts
         )
         size_splits = max(1, -(-total_bytes // max_split_bytes))
-        _SCAN_SPLITS[path] = min(size_splits, max(1, row_groups))
-    return _SCAN_SPLITS[path]
+        _SCAN_SPLITS[memo_key] = min(size_splits, max(1, row_groups))
+    return _SCAN_SPLITS[memo_key]
 
 
 #: memoized parquet schema per file path — file metadata, not query
@@ -115,7 +146,7 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # real corpus the input arrives as many files/row groups and
         # this is a no-op-sized safety net.)
         par = spark.sparkContext.defaultParallelism
-        if _scan_splits(f"{sf_dir}/{name}.parquet") < par:
+        if _scan_splits(path, _split_conf_bytes(spark)) < par:
             df = df.repartition(par)
     return df
 

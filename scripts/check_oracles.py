@@ -33,15 +33,19 @@ def value_hash(rows: list[tuple]) -> str:
     return h.hexdigest()[:16]
 
 
-def normalize(cols: list[str], rows) -> list[tuple]:
+def normalize(cols: list[str], rows, round_dp: int | None = None) -> list[tuple]:
+    # round_dp=None hashes RAW float reprs — the strict posture. The
+    # r15 driver flagged a q_gate_agreement cell that the old 6-dp
+    # normalization here masked; never re-weaken the default. Pass
+    # --round-dp only to localize a known mismatch to float tails.
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = []
     for r in rows:
         vals = []
         for i in order:
             v = r[i]
-            if isinstance(v, float):
-                v = round(v, 6)
+            if round_dp is not None and isinstance(v, float):
+                v = round(v, round_dp)
             vals.append(v)
         out.append(tuple(vals))
     return out
@@ -51,6 +55,9 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR",
                                                        "/root/testdata/sf0.001"))
+    ap.add_argument("--round-dp", type=int, default=None,
+                    help="diagnostic only: round floats before hashing "
+                         "(default: raw reprs, the strict posture)")
     ap.add_argument("queries", nargs="*")
     args = ap.parse_args()
 
@@ -80,8 +87,8 @@ def main() -> int:
             cur = con.execute(oracles[name])
             ocols = [d[0] for d in cur.description]
             orows = cur.fetchall()
-            sh = value_hash(normalize(scols, srows))
-            oh = value_hash(normalize(ocols, orows))
+            sh = value_hash(normalize(scols, srows, args.round_dp))
+            oh = value_hash(normalize(ocols, orows, args.round_dp))
             ok = (len(srows) == len(orows)
                   and sorted(scols) == sorted(ocols)
                   and sh == oh)
