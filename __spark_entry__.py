@@ -141,6 +141,22 @@ def _shingle_vals() -> str:
     )
 
 
+def _dlit(v: float) -> str:
+    """A DuckDB literal that parses to EXACTLY the Python double ``v``.
+
+    A plain decimal literal (``0.9633636474609375``) is typed DECIMAL
+    first, and DuckDB's DECIMAL→DOUBLE conversion (int mantissa /
+    10^scale, each step rounded) can land one ulp off the correctly
+    rounded decimal→binary value once the mantissa exceeds 2^53 —
+    measured on the lsh s-curve grid and one chinchilla exponent. A
+    SCIENTIFIC-notation literal is typed DOUBLE and parsed with
+    correct rounding, so append ``e0`` when repr() produced the plain
+    form. repr() round-trips, so both engines then hold identical
+    bits."""
+    r = repr(float(v))
+    return r if ("e" in r or "inf" in r or "nan" in r) else r + "e0"
+
+
 def _shingle_strs() -> str:
     """Shingle STRING list (same windows/padding as ``_shingle_vals``)
     — the ExactSubstr verify stage's token-level comparison payload."""
@@ -1865,9 +1881,11 @@ def _chinchilla_sql() -> str:
     vals = ", ".join(
         f"('C1e{e}', CAST(1e{e} AS DOUBLE))" for e in CHINCHILLA_EXPS
     )
-    g = repr(CHIN_G)
-    en = repr(CHIN_EXP_N)
-    ed = repr(CHIN_EXP_D)
+    # _dlit, not bare repr: CHIN_EXP_D's 17-digit repr drifts an ulp
+    # through DuckDB's DECIMAL→DOUBLE path (see _dlit)
+    g = _dlit(CHIN_G)
+    en = _dlit(CHIN_EXP_N)
+    ed = _dlit(CHIN_EXP_D)
     return f"""
         WITH sup AS (
           SELECT CAST(count(*) AS BIGINT) AS n_docs,
@@ -7114,7 +7132,9 @@ def _hll_sql() -> str:
     no per-engine libm ln survives into execution)."""
     from linz_bde_uploader_spark.functions.sketches import hll_lc_terms
 
-    lut = ", ".join(repr(t) for t in hll_lc_terms(64))
+    # _dlit, not bare repr: plain-decimal literals go through DuckDB's
+    # DECIMAL→DOUBLE conversion, which can drift an ulp (see _dlit)
+    lut = ", ".join(_dlit(t) for t in hll_lc_terms(64))
     return f"""
         WITH v00 AS (
           -- high-half pre-mix, mirroring sketches._hll_mix (mix(0)=0,
@@ -7389,11 +7409,14 @@ def _lsh_band_plan_sql() -> str:
     hash join)."""
     from linz_bde_uploader_spark.functions.dedup import lsh_scurve
 
-    # ::DOUBLE casts: DuckDB types a bare decimal literal as DECIMAL,
-    # whose float64 conversion can drift an ulp off the repr'd double
+    # _dlit: scientific-notation literals parse as DOUBLE directly —
+    # a bare decimal goes through DECIMAL and its float64 conversion
+    # drifted the 16-digit s-curve values one ulp off the repr'd
+    # double (caught by the r16 raw-repr sweep; the old ::DOUBLE cast
+    # did NOT fix it, the literal was already DECIMAL-typed)
     grid = ", ".join(
-        f"({(i + 1) / 20.0!r}::DOUBLE, "
-        f"{lsh_scurve((i + 1) / 20.0, 2, 4)!r}::DOUBLE)"
+        f"({_dlit((i + 1) / 20.0)}, "
+        f"{_dlit(lsh_scurve((i + 1) / 20.0, 2, 4))})"
         for i in range(19)
     )
     return _MINHASH_SIGS + f"""

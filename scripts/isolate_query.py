@@ -27,6 +27,8 @@ def main() -> int:
                     default=os.environ.get("SPARK_GRAFT_SF_DIR",
                                            "/root/testdata/sf0.1"))
     ap.add_argument("--no-plans", action="store_true")
+    ap.add_argument("--round", default="r16", dest="round_dir",
+                    help="plans/<round> output directory")
     ap.add_argument("queries", nargs="+")
     args = ap.parse_args()
 
@@ -38,7 +40,7 @@ def main() -> int:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     qs = entry.queries()
     plans_dir = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "plans", "r15")
+        os.path.abspath(__file__))), "plans", args.round_dir)
     os.makedirs(plans_dir, exist_ok=True)
 
     runs: dict[str, list[float]] = {n: [] for n in args.queries}

@@ -224,3 +224,35 @@ class TestScanSplitConfBytes:
                 spark.conf.unset("spark.sql.files.maxPartitionBytes")
             else:
                 spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+
+
+class TestDuckdbDoubleLiterals:
+    def test_dlit_round_trips_known_drifters(self):
+        duckdb = pytest.importorskip("duckdb")
+        import __spark_entry__ as entry
+        from linz_bde_uploader_spark.functions.dedup import lsh_scurve
+        from linz_bde_uploader_spark.functions.sampling import (
+            CHIN_EXP_D,
+            CHIN_EXP_N,
+            CHIN_G,
+        )
+        from linz_bde_uploader_spark.functions.sketches import hll_lc_terms
+
+        con = duckdb.connect()
+        vals = [CHIN_G, CHIN_EXP_N, CHIN_EXP_D, 0.05, 1.0, 1e-12,
+                123456789.123456789]
+        vals += hll_lc_terms(64)
+        vals += [lsh_scurve((i + 1) / 20.0, 2, 4) for i in range(19)]
+        for v in vals:
+            got = con.execute(
+                f"SELECT {entry._dlit(v)}"
+            ).fetchone()[0]
+            assert repr(got) == repr(v), v
+        # the motivating case: a plain 16-digit decimal literal drifts
+        plain = con.execute("SELECT 0.9633636474609375::DOUBLE").fetchone()[0]
+        exact = con.execute(
+            f"SELECT {entry._dlit(0.9633636474609375)}"
+        ).fetchone()[0]
+        assert repr(exact) == "0.9633636474609375"
+        if repr(plain) == repr(exact):  # engine fixed it upstream: fine
+            pytest.skip("this DuckDB build parses plain decimals exactly")
