@@ -5088,14 +5088,28 @@ def q_tpch_q22_global_sales(spark, sf_dir):
     # synthetic fixture gives every customer at least one order. The
     # scalar avg broadcasts; the anti-join is a shuffled left-anti on
     # o_custkey.
+    #
+    # totacctbal and the avg threshold fold EXACT CENTS (c_acctbal is
+    # 2-decimal money; round(x*100) recovers the integer cents each
+    # engine parsed identically) and divide once by the exact 100.0 —
+    # the engine's scaled-integer-fold convention (q7 revenue, the LM
+    # family means). A raw double sum's fold order differs between
+    # Spark's partial aggregates and DuckDB's sequential fold at sf0.1
+    # row counts, drifting the last ulp (caught by the r16 raw-repr
+    # sweep); the integer fold is bit-identical on any engine and IS
+    # the true monetary total.
     for t in ("customer", "orders"):
         W.load(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql("""
         SELECT c.c_nationkey AS cntrycode, count(*) AS numcust,
-               sum(c.c_acctbal) AS totacctbal
+               CAST(sum(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS DOUBLE)
+                 / 100.0 AS totacctbal
         FROM customer c
         WHERE c.c_nationkey IN (1, 3, 5, 8, 11, 13, 17)
-          AND c.c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
+          AND c.c_acctbal > (SELECT CAST(sum(CAST(round(c2.c_acctbal * 100)
+                                                  AS BIGINT)) AS DOUBLE)
+                                    / (100.0 * count(*))
+                             FROM customer c2
                              WHERE c2.c_acctbal > 0.0
                                AND c2.c_nationkey IN (1, 3, 5, 8, 11, 13, 17))
           AND NOT EXISTS (SELECT 1 FROM orders o
@@ -13604,10 +13618,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_tpch_q22_global_sales": """
             SELECT c.c_nationkey AS cntrycode, count(*) AS numcust,
-                   sum(c.c_acctbal) AS totacctbal
+                   CAST(sum(CAST(round(c.c_acctbal * 100) AS BIGINT))
+                        AS DOUBLE) / 100.0 AS totacctbal
             FROM customer c
             WHERE c.c_nationkey IN (1, 3, 5, 8, 11, 13, 17)
-              AND c.c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
+              AND c.c_acctbal > (SELECT CAST(sum(CAST(round(c2.c_acctbal
+                                                            * 100) AS BIGINT))
+                                              AS DOUBLE) / (100.0 * count(*))
+                                 FROM customer c2
                                  WHERE c2.c_acctbal > 0.0
                                    AND c2.c_nationkey IN (1, 3, 5, 8, 11, 13, 17))
               AND NOT EXISTS (SELECT 1 FROM orders o

@@ -43,7 +43,7 @@ def pagerank(
     edges: DataFrame,
     n_iters: int = 4,
     damping: float = 0.85,
-    checkpoint_every: int = 1,
+    checkpoint_every: int = 2,
     dangling: bool = False,
 ) -> DataFrame:
     """Power-iteration PageRank over a directed edge list ``(src, dst)``.
@@ -139,12 +139,19 @@ def pagerank(
             ).alias("rank"),
         )
         # Materialize every `checkpoint_every` rounds to keep the plan
-        # from doubling per iteration. Default 1 since the round-15
-        # optimization pass: per-round eager checkpoints measured FASTER
-        # than every-2 on the sf0.1 purchase graphs (sym 6.0->5.7 s,
-        # directed 6.5->6.0 s, and HITS 8.2->6.6 s) — the optimizer/AQE
-        # cost of a 2-iteration-deep multi-join plan exceeds the fixed
-        # cost of one O(nodes) local materialization per round. The LAST iteration is deliberately NOT
+        # from doubling per iteration. Default 2 since the round-16
+        # reconciliation: the r15 default of 1 was chosen from an
+        # isolated lap, but the r15 DRIVER lap regressed q_graph_pagerank
+        # 5.99->6.79 s, and two interleaved same-session A/Bs at 32
+        # cores (4+6 reps, min/median) confirm the driver:
+        #   q_graph_pagerank           ckpt=1 6.60/7.97  ckpt=2 5.36/5.88
+        #   q_graph_pagerank_directed  ckpt=1 4.94/5.77  ckpt=2 5.10/6.13
+        # — every=2 clearly faster for the symmetrized graph, a wash for
+        # the directed one (one default serves both). HITS keeps its own
+        # every=1: its iteration is TWO half-steps, so an un-checkpointed
+        # 2-iteration plan is 4 half-steps deep and its A/B went the
+        # other way (ckpt=1 5.38/7.09 vs ckpt=2 7.58/8.68).
+        # The LAST iteration is deliberately NOT
         # checkpointed: the caller's action materializes it anyway, and
         # the redundant eager write measured another ~1.4 s of pure
         # overhead per call. (A caller running MANY actions over the
