@@ -30,6 +30,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from linz_bde_uploader_spark.functions.litexpr import lit_double_array
 
 from linz_bde_uploader_spark.functions.similarity import cosine, dot
 
@@ -97,7 +98,7 @@ def assign_clusters(
     dists = F.array(
         *[
             F.round(
-                _sq_dist(vec, F.array(*[F.lit(float(x)) for x in cvec])), ROUND_DP
+                _sq_dist(vec, lit_double_array(cvec)), ROUND_DP
             )
             for _, cvec in centroids
         ]

@@ -501,22 +501,26 @@ def semantic_contamination(
     # product fold + correctly-rounded sqrt as the engines, so the
     # doubles are identical); the row norm is STAGED once — a naive
     # cosine() inside the lambda would recompute it per bench entry,
-    # |bench|× redundant work on the hot map
-    blit = F.array(
-        *[
-            F.struct(
-                F.lit(int(bid)).cast("long").alias("bid"),
-                F.array(
-                    *[F.lit(float(x)) for x in vec]
-                ).alias("bv"),
-                F.lit(
-                    math.sqrt(
-                        sum(float(x) * float(x) for x in vec)
-                    )
-                ).alias("bn"),
-            )
+    # |bench|× redundant work on the hot map.
+    # Rendered as ONE F.expr string (r16, guide §5 / litexpr): the
+    # per-element F.lit form paid one py4j round trip per literal —
+    # |bench|·(dims+2) ≈ 1,700 calls ≈ seconds of pure driver time
+    # per query build. Identical Literal nodes either way (litexpr's
+    # bit-exactness contract, pinned by tests).
+    from linz_bde_uploader_spark.functions.litexpr import (  # noqa: PLC0415
+        sql_double,
+        sql_double_array,
+    )
+
+    blit = F.expr(
+        "array("
+        + ", ".join(
+            f"named_struct('bid', {int(bid)}L, "
+            f"'bv', {sql_double_array(vec)}, "
+            f"'bn', {sql_double(math.sqrt(sum(float(x) * float(x) for x in vec)))})"
             for bid, vec in bench_vectors
-        ]
+        )
+        + ")"
     )
     staged = corpus.withColumn("_vn", norm(F.col(vec_col)))
     scored = F.transform(

@@ -21,6 +21,10 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from linz_bde_uploader_spark.functions.litexpr import (
+    lit_double_array,
+    lit_double_matrix,
+)
 
 from linz_bde_uploader_spark.caching import track
 from linz_bde_uploader_spark.functions.text import HASH_MIX, HASH_MOD
@@ -57,7 +61,7 @@ def cosine_topk(
     broadcast needed). Returns (id, score) with score rounded to 6 dp for
     stable cross-engine comparison.
     """
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    q = lit_double_array(query_vec)
     scored = embeddings.select(
         F.col(id_col),
         F.round(cosine(F.col(vec_col), q), 6).alias("score"),
@@ -76,7 +80,7 @@ def cosine_above(
 ) -> DataFrame:
     """All vectors with cosine ≥ threshold to the query — set-valued, so
     order-insensitive comparison against an oracle is exact."""
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    q = lit_double_array(query_vec)
     return embeddings.select(
         F.col(id_col),
         F.round(cosine(F.col(vec_col), q), 6).alias("score"),
@@ -191,7 +195,7 @@ def lsh_topk_full_scan(
     (``write_bucketed_embeddings`` once, then :func:`lsh_topk` probes
     with partition pruning)."""
     dims = len(query_vec)
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    q = lit_double_array(query_vec)
     qsig = query_signature(query_vec, planes)
     bucketed = embeddings.withColumn(
         "_sig", lsh_signature(F.col(vec_col), dims, planes)
@@ -257,7 +261,7 @@ def lsh_topk(
     if bucket_col in source.columns:
         probes = _probe_set(query_signature(query_vec, planes), planes,
                             probe_radius)
-        q = F.array(*[F.lit(float(x)) for x in query_vec])
+        q = lit_double_array(query_vec)
         return (
             source.filter(F.col(bucket_col).isin(probes))
             .select(
@@ -293,7 +297,7 @@ def ivf_assign(vec: Column, centroids: list[tuple[int, list[float]]]) -> Column:
     first-max (lowest centroid id) on ties — pure array arithmetic."""
     dots = F.array(
         *[
-            dot(vec, F.array(*[F.lit(float(x)) for x in cvec]))
+            dot(vec, lit_double_array(cvec))
             for _, cvec in centroids
         ]
     )
@@ -342,7 +346,7 @@ def ivf_topk(
         key=lambda t: (-t[0], t[1]),
     )
     probes = [cid for _, cid in scored[:nprobe]]
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    q = lit_double_array(query_vec)
     df = spark.read.parquet(path).filter(F.col("list_id").isin(probes))
     return (
         df.select(
@@ -393,7 +397,7 @@ def lsh_topk_bucketed(
     PartitionFilters, and only probed directories are read."""
     probes = _probe_set(query_signature(query_vec, planes), planes,
                         probe_radius)
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    q = lit_double_array(query_vec)
     df = spark.read.parquet(path).filter(F.col("bucket").isin(probes))
     return (
         df.select(
@@ -823,7 +827,7 @@ def projected_cosine_topk(
     follows the JL distortion bound. Returns (id, pscore) at 6 dp."""
     in_dims = len(query_vec)
     pq = project_vector(query_vec, out_dims)
-    qlit = F.array(*[F.lit(float(x)) for x in pq])
+    qlit = lit_double_array(pq)
     scored = project_embeddings(
         embeddings, in_dims, out_dims, vec_col
     ).select(
@@ -936,9 +940,7 @@ def pq_encode(
         # unrolled form measurably pays whole-stage-codegen compile cost
         # (the k-means COLUMN_PATH_MAX_K lesson, here fixed by looping
         # the data instead of the plan).
-        cb_lit = F.array(
-            *[F.array(*[F.lit(float(x)) for x in cv]) for cv in book]
-        )
+        cb_lit = lit_double_matrix(book)
         dists = F.transform(
             cb_lit, lambda cv: F.round(_sqd(F.col(f"_sub{mi}"), cv), 9)
         )
@@ -1114,7 +1116,7 @@ def mips_topk(
     embeddings — and cosine is the wrong order). Same shape as
     :func:`cosine_topk`: constant-folded query literal, map-only score,
     TakeOrderedAndProject; score at 6 dp, ties by id."""
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    q = lit_double_array(query_vec)
     scored = embeddings.select(
         F.col(id_col),
         F.round(dot(F.col(vec_col), q), 6).alias("ip"),
@@ -1157,7 +1159,7 @@ def lsh_radius_ablation(
     production harness persists the scored frame and sweeps radii and
     k for free."""
     dims = len(query_vec)
-    qv = F.array(*[F.lit(float(x)) for x in query_vec])
+    qv = lit_double_array(query_vec)
     qsig = query_signature(query_vec, planes)
     scored = embeddings.select(
         F.col(id_col),

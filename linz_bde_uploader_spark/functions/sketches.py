@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from linz_bde_uploader_spark.functions.litexpr import lit_double_array
 
 from linz_bde_uploader_spark.functions.text import token_value, tokens
 
@@ -205,9 +206,7 @@ def sketch_quantiles(
         F.sum("cnt").over(win).alias("_cum"),
         F.sum("cnt").over(tot).alias("_n"),
     )
-    qlit = F.explode(
-        F.array(*[F.lit(float(q)) for q in qs])
-    ).alias("q")
+    qlit = F.explode(lit_double_array(qs)).alias("q")
     per_q = cum.select(*part, "bin", "_cum", "_n", qlit)
     hit = F.when(
         F.col("_cum") >= F.ceil(F.col("q") * F.col("_n")), F.col("bin")

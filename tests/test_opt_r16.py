@@ -256,3 +256,42 @@ class TestDuckdbDoubleLiterals:
         assert repr(exact) == "0.9633636474609375"
         if repr(plain) == repr(exact):  # engine fixed it upstream: fine
             pytest.skip("this DuckDB build parses plain decimals exactly")
+
+
+class TestLitExprParity:
+    def test_expr_literals_bit_identical_to_f_lit(self, spark):
+        import math
+
+        from pyspark.sql import functions as F
+
+        from linz_bde_uploader_spark.functions.litexpr import (
+            lit_double_array,
+            lit_double_matrix,
+            sql_double,
+        )
+
+        vals = [0.0, -0.0, 1.0, -0.5, 0.9633636474609375, 1e-05,
+                4.9e-324, 7.891e300, 123456789.123456789, 1 / 3,
+                math.pi, -2.2250738585072014e-308]
+        one = spark.range(1)
+        got = one.select(
+            lit_double_array(vals).alias("a"),
+            F.array(*[F.lit(float(v)) for v in vals]).alias("b"),
+            lit_double_matrix([vals[:3], vals[3:6]]).alias("m"),
+        ).collect()[0]
+        assert [repr(x) for x in got.a] == [repr(x) for x in got.b]
+        assert [repr(v) for v in got.a] == [repr(float(v)) for v in vals]
+        assert [[repr(x) for x in r] for r in got.m] == [
+            [repr(float(v)) for v in vals[:3]],
+            [repr(float(v)) for v in vals[3:6]],
+        ]
+        # non-finite fallbacks parse (values, not syntax errors)
+        nf = one.select(
+            F.expr(sql_double(float("nan"))).alias("n"),
+            F.expr(sql_double(float("inf"))).alias("p"),
+            F.expr(sql_double(float("-inf"))).alias("q"),
+        ).collect()[0]
+        assert math.isnan(nf.n) and nf.p == float("inf") and nf.q == float("-inf")
+        # empty arrays type as array<double>
+        e = one.select(lit_double_array([]).alias("e")).dtypes
+        assert e[0][1] == "array<double>"
