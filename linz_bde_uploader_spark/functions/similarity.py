@@ -928,12 +928,18 @@ def pq_encode(
     (multi-reference on an expression stops CollapseProject from
     keeping it single-eval otherwise)."""
     d = len(books[0][0])
-    out = df
-    for mi, book in enumerate(books):
-        out = out.withColumn(
-            f"_sub{mi}", F.slice(F.col(vec_col), mi * d + 1, d)
-        )
-    for mi, book in enumerate(books):
+    # Two batched selects instead of a 2M-call withColumn chain (r16,
+    # guide §5: ~10 ms of py4j/plan-wrap per withColumn measured —
+    # same plan after CollapseProject, just built in 2 calls).
+    staged = df.select(
+        "*",
+        *[
+            F.slice(F.col(vec_col), mi * d + 1, d).alias(f"_sub{mi}")
+            for mi in range(len(books))
+        ],
+    )
+
+    def _code(mi: int, book) -> "Column":
         # ONE transform lambda over the literal codebook (array of
         # arrays), not K unrolled fold expressions: identical arithmetic
         # and fold order per code, but a K× smaller codegen tree — the
@@ -944,11 +950,14 @@ def pq_encode(
         dists = F.transform(
             cb_lit, lambda cv: F.round(_sqd(F.col(f"_sub{mi}"), cv), 9)
         )
-        out = out.withColumn(
-            f"pq_c{mi}",
-            (F.array_position(dists, F.array_min(dists)) - 1).cast("int"),
-        )
-    return out.drop(*[f"_sub{mi}" for mi in range(len(books))])
+        return (
+            F.array_position(dists, F.array_min(dists)) - 1
+        ).cast("int").alias(f"pq_c{mi}")
+
+    return staged.select(
+        *[c for c in df.columns],
+        *[_code(mi, book) for mi, book in enumerate(books)],
+    )
 
 
 def pq_topk(
