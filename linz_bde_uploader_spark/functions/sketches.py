@@ -110,6 +110,8 @@ def heavy_hitters_verified(
     the sketch on keys too numerous to count exactly. Output
     ``(tok, exact_cnt, cms_est)``; the est >= exact invariant holds by
     construction."""
+    from linz_bde_uploader_spark.caching import track  # noqa: PLC0415
+
     exact = (
         df.select(F.explode(tokens(F.col(text_col))).alias("tok"))
         .groupBy("tok")
@@ -117,7 +119,17 @@ def heavy_hitters_verified(
         .orderBy(F.desc("exact_cnt"), F.col("tok"))
         .limit(k)
     )
-    cms = countmin_table(df, text_col, width, depth)
+    # track(): countmin_estimate probes the sketch once PER DEPTH ROW
+    # (four broadcast cell joins), and untracked each probe re-ran the
+    # whole sketch build — explode + partial agg over the corpus — so
+    # the audit scanned documents 10x (4 sketch + 1 exact, doubled by
+    # the oracle-side-identical plan; plan dump committed). The sketch
+    # is <= depth*width = 1,024 rows — bounded model state, the LM
+    # family's track convention (guide §2.4/§5). Controlled alternating
+    # A/B at sf0.1 (6 reps): min 2.29 -> 2.05 s, median 3.63 -> 3.20;
+    # corpus scans in the plan 10 -> 4 (the dump's remaining "Scan"
+    # lines are the cached relation's printed lineage).
+    cms = track(countmin_table(df, text_col, width, depth))
     return countmin_estimate(cms, exact, "tok", width, depth).select(
         "tok", "exact_cnt", "cms_est"
     )

@@ -197,6 +197,23 @@ BPE_SOS = "\x01"
 BPE_EOS = "\x02"
 
 
+def _bpe_wrap(c):
+    """Wrap every character of ``c`` as \\x01ch\\x02 (stray wrapper
+    chars stripped first). Split+array_join instead of the previous
+    per-char ``regexp_replace("(?s)(.)", ...)`` — measured ~2x faster
+    on the corpus scan and verified byte-identical on the full sf0.1
+    corpus (incl. non-ASCII; both paths split at Java-regex code-point
+    boundaries), r16 optimization pass."""
+    base = F.translate(c, BPE_SOS + BPE_EOS, "")
+    return F.when(F.length(base) == 0, F.lit("")).otherwise(
+        F.concat(
+            F.lit(BPE_SOS),
+            F.array_join(F.split(base, ""), BPE_EOS + BPE_SOS),
+            F.lit(BPE_EOS),
+        )
+    )
+
+
 def bpe_train(df, text_col: str, n_merges: int = 6,
               checkpoint_every: int = 4):
     """Iterated BPE tokenizer training (Sennrich et al. 2016): repeat
@@ -240,10 +257,7 @@ def bpe_train(df, text_col: str, n_merges: int = 6,
     spark = df.sparkSession
     c = F.col(text_col)
     # strip stray wrapper chars, then wrap every character (incl. \n: (?s))
-    wrapped = F.regexp_replace(
-        F.translate(c, BPE_SOS + BPE_EOS, ""),
-        "(?s)(.)", BPE_SOS + "$1" + BPE_EOS,
-    )
+    wrapped = _bpe_wrap(c)
     docs = df.select(wrapped.alias("txt")).filter(F.length("txt") >= 6)
     docs = docs.localCheckpoint(eager=True)
 
@@ -541,10 +555,7 @@ def bpe_encode(df, merges, text_col: str = "text", id_col: str = "doc_id"):
     planner needs).
     """
     c = F.col(text_col)
-    wrapped = F.regexp_replace(
-        F.translate(c, BPE_SOS + BPE_EOS, ""),
-        "(?s)(.)", BPE_SOS + "$1" + BPE_EOS,
-    )
+    wrapped = _bpe_wrap(c)
     enc = df.select(F.col(id_col), wrapped.alias("_txt"))
     for lhs, rhs in merges:
         enc = enc.withColumn(
@@ -610,10 +621,7 @@ def bpe_vocab_ablation(
         (r["lhs"], r["rhs"]) for r in mtab.orderBy("step").collect()
     ]
     c = F.col(text_col)
-    wrapped = F.regexp_replace(
-        F.translate(c, BPE_SOS + BPE_EOS, ""),
-        "(?s)(.)", BPE_SOS + "$1" + BPE_EOS,
-    )
+    wrapped = _bpe_wrap(c)
     enc = docs.select(
         wrapped.alias("_t0"),
         F.octet_length(c).cast("long").alias("_b"),
