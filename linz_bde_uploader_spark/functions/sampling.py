@@ -1077,15 +1077,34 @@ def doremi_plan(
         F.col(text_col).alias("_text"),
     )
     per = _per_source_tokens(docs, group_col, text_col)
+    # ONE tracked bigram explode feeds all four LM passes (uniform
+    # train/score, stratified train/score) — the rho_select r16 fold
+    # (guide §2.4/§5): untracked, each pass re-tokenized and
+    # re-exploded the corpus. Corpus-sized frame — at 100 TB write the
+    # explode to storage once instead of a memory persist. Controlled
+    # alternating A/B at sf0.1 (5 reps): median 6.59 -> 5.82 s, min a
+    # wash (5.62 vs 5.66) — weaker than rho_select's win on the same
+    # shape but same direction; kept for the two removed corpus
+    # explodes, which is the dominant term at 100 TB.
+    from linz_bde_uploader_spark.caching import track  # noqa: PLC0415
+    from linz_bde_uploader_spark.functions.lm import (  # noqa: PLC0415
+        doc_bigrams,
+    )
+
+    bi_src = track(doc_bigrams(d2, id_col, "_text", extra_cols=("source",)))
+    bi_uni = bi_src.select(id_col, "prev", "cur")
     ref = score_documents(
-        d2, train_bigram_lm(d2, id_col, "_text"), id_col, "_text"
+        d2, train_bigram_lm(d2, id_col, "_text", _bi=bi_uni),
+        id_col, "_text", _bi=bi_uni,
     ).select(id_col, F.col("cross_entropy").alias("_cer"))
     dom = score_documents_stratified(
         d2,
-        train_stratified_bigram_lm(d2, id_col, "_text", "source"),
+        train_stratified_bigram_lm(d2, id_col, "_text", "source",
+                                   _bi=bi_src),
         id_col,
         "_text",
         "source",
+        _bi=bi_src,
     ).select(id_col, "source", F.col("cross_entropy").alias("_ced"))
     mus = (
         dom.join(ref, [id_col])
